@@ -1,0 +1,53 @@
+"""M1/M4/M5/R9 — catalog & maintenance operators.
+
+The reference maintains a text index ``metric schema fid pos`` per instance
+(rurouni/storage.py:56-77) plus a symlink tree; ours is a metrics dimension
+table derived from the points table — it can always be rebuilt (M1,
+bin/kenshin-rebuild-index.py) and never drifts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kenshin_spark.config import SchemaSet
+
+
+def index_rebuild(points: DataFrame, schemas: SchemaSet | None = None) -> DataFrame:
+    """M1 — rebuild the metrics dim table from the points table
+    (rurouni/storage.py:56-77): one row per metric with liveness stats and,
+    when a SchemaSet is given, its matched retention policy (P5,
+    rurouni/storage.py:196-210) — rendered as a declarative CASE chain so
+    the regex match runs JVM-side, no Python UDF."""
+    agg = points.groupBy("metric").agg(
+        F.count("value").alias("point_count"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    if schemas is not None:
+        agg = agg.withColumn("schema_name", F.expr(schemas.match_sql_case("metric")))
+    return agg
+
+
+def metric_search(points: DataFrame, patterns: list[str]) -> DataFrame:
+    """M4 — regex metric search (bin/kenshin-get-metrics.py:8-30):
+    ``SELECT DISTINCT metric WHERE metric RLIKE any pattern``."""
+    cond = None
+    for p in patterns:
+        c = F.col("metric").rlike(p)
+        cond = c if cond is None else (cond | c)
+    return points.select("metric").where(cond).distinct()
+
+
+def metric_delete(points: DataFrame, metrics: list[str]) -> DataFrame:
+    """M5 — delete metrics (bin/kenshin-delete.py:39-96). The reference
+    blanks header slots and keeps the data file; we return the surviving
+    rows (a Delta/iceberg DELETE in production)."""
+    return points.where(~F.col("metric").isin(metrics))
+
+
+def info(points: DataFrame, schemas: SchemaSet | None = None) -> DataFrame:
+    """R9 — header/metadata inspection (kenshin/storage.py:312-348,
+    bin/kenshin-info.py): per-metric stats + policy, same plan as M1."""
+    return index_rebuild(points, schemas)

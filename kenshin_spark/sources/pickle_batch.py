@@ -1,0 +1,52 @@
+"""S2 — pickle batch source.
+
+Reference: length-prefixed pickled ``[(metric, (ts, value)), ...]`` batches
+on port 2004, max 2 MB per message (rurouni/protocols.py:45-62).
+
+Spark mapping: a Kafka (or binary-file) source delivers each pickled batch
+as one ``binary`` value; an Arrow-batched ``mapInPandas`` unpickles and
+explodes it to point rows. Python is unavoidable here (pickle IS Python),
+but it runs vectorized per Arrow batch, not per row, and only at the edge —
+everything downstream is JVM-side.
+
+Security note: ``pickle.loads`` on untrusted bytes is unsafe; the reference
+accepts it from its LAN peers (rurouni/protocols.py:45-62) and so do we,
+gated behind this explicit source.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+POINT_SCHEMA = "metric string, ts long, value double"
+
+
+def _unpickle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: list[tuple[str, int, float]] = []
+        for blob in pdf["payload"]:
+            if blob is None:
+                continue
+            try:
+                datapoints = pickle.loads(bytes(blob))
+            except Exception:
+                continue  # corrupt batch → dropped, mirroring the reference
+            for metric, (ts, value) in datapoints:
+                rows.append((str(metric), int(ts), None if value is None else float(value)))
+        yield pd.DataFrame(rows, columns=["metric", "ts", "value"])
+
+
+def parse_pickle_batches(blobs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """``(payload: binary)`` → ``(metric, ts, value)`` points."""
+    src = blobs.withColumnRenamed(payload_col, "payload") if payload_col != "payload" else blobs
+    return src.select("payload").mapInPandas(_unpickle_batches, POINT_SCHEMA)
+
+
+def pack_pickle_batch(points: list[tuple[str, tuple[int, float]]]) -> bytes:
+    """Producer-side helper (tests/stress): the reference's wire format
+    (rurouni/protocols.py:45-62)."""
+    return pickle.dumps(points, protocol=2)
