@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by the ``kenshin_spark`` package — a PySpark-native engine with the
+query/data-processing capabilities of douban/Kenshin plus LLM-data-pipeline
+operators. Each ``queries()`` entry is one operator from SURVEY.md §2 (or
+the driver's extension list); ``oracle_sql()`` carries the DuckDB twin.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kenshin_spark.queries import QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full engine read path —
+    ingest events as points, build the downsample cascade, fetch a 24 h
+    window as a NULL-filled regular grid (SURVEY §3.2)."""
+    # the driver may pass a session without our parquet-nanos setting
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    from kenshin_spark.engine import KenshinEngine
+    from kenshin_spark.io import load_table
+    from kenshin_spark.queries import TS_SCHEMA
+    from kenshin_spark.sources import events_as_points
+
+    sf_dir = "/root/testdata/sf0.001"
+    points = events_as_points(load_table(spark, sf_dir, "events"))
+    eng = KenshinEngine(TS_SCHEMA)
+    tiers = eng.tiers(points, arrival_col="arrival")
+    now = int(points.agg(F.max("ts")).collect()[0][0])
+    metrics = points.select("metric").distinct()
+    return eng.fetch(tiers, metrics, now - 86400, now, now)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable twins; omitted entries get the rows-only check."""
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle
+    }

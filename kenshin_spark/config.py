@@ -292,12 +292,14 @@ class SchemaSet:
                 return s
         return DEFAULT_SCHEMA
 
-    def match_sql_case(self, metric_col: str = "metric") -> str:
-        """Render first-regex-wins matching as a SQL CASE chain usable by
-        both Spark SQL (rlike) and DuckDB (regexp_matches) via the shared
-        ``regexp_like`` spelling. Declarative → stays JVM-side in Spark."""
+    def match_sql_case(
+        self, metric_col: str = "metric", regex_fn: str = "regexp_like"
+    ) -> str:
+        """Render first-regex-wins matching as a SQL CASE chain — a
+        declarative (JVM-side) regex router. ``regex_fn``: ``regexp_like``
+        for Spark SQL, ``regexp_matches`` for the DuckDB oracle."""
         whens = "\n".join(
-            f"WHEN regexp_like({metric_col}, '{s.pattern}') THEN '{s.name}'"
+            f"WHEN {regex_fn}({metric_col}, '{s.pattern}') THEN '{s.name}'"
             for s in self.schemas
         )
         return f"CASE {whens} ELSE '{DEFAULT_SCHEMA.name}' END"

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
 
 FNV1A_OFFSET = 0x811C9DC5
 FNV1A_PRIME = 0x01000193
@@ -38,7 +39,7 @@ def fnv1a_32(data: bytes | str) -> int:
     return h - 0x100000000 if h >= 0x80000000 else h
 
 
-@pandas_udf("int")
+@pandas_udf(IntegerType())
 def fnv1a_udf(s: pd.Series) -> pd.Series:
     """Vectorized fnv1a-32 (signed) over a string column."""
     return s.map(lambda x: fnv1a_32(x) if x is not None else None).astype("Int32")

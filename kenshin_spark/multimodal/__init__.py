@@ -1,0 +1,68 @@
+"""Multimodal column plumbing.
+
+Image/audio/video are opaque ``binary`` columns with typed metadata. The
+Spark-side machinery — schema, Arrow batching, ``mapInPandas`` signatures,
+partition-stable processing — is real and tested; the actual codec step is
+a deterministic fake (this container ships no image/audio libs), clearly
+marked and swappable for PIL/ffmpeg in production.
+
+At 100 TB: binary payloads ride in their own column so Parquet column
+pruning skips them unless the operator needs bytes; decode fan-out happens
+inside ``mapInPandas`` (Arrow batches, no per-row Python overhead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, n_bytes long, content_md5 string, width int, height int, "
+    "format string"
+)
+
+
+def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stand-in for a real binary column: utf-8 bytes of the text. In a
+    real pipeline this column comes from the source (e.g. image bytes)."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
+    """STUB codec. Deterministic pseudo-metadata derived from the bytes —
+    replace with PIL.Image.open for real decoding.
+
+    Raises NotImplementedError for payloads that would need a real codec
+    (magic bytes of actual image formats), making the stub boundary loud.
+    """
+    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
+        raise NotImplementedError("real image decoding needs PIL/ffmpeg")
+    digest = hashlib.md5(payload).hexdigest()
+    width = 64 + int(digest[:4], 16) % 1024
+    height = 64 + int(digest[4:8], 16) % 1024
+    return digest, width, height, "fake"
+
+
+def extract_image_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) → IMAGE_META_SCHEMA rows."""
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            digest, width, height, fmt = _fake_decode(b)
+            out.append((int(doc_id), len(b), digest, width, height, fmt))
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_bytes", "content_md5", "width", "height", "format"],
+        )
+
+
+def image_metadata(docs_with_payload: DataFrame) -> DataFrame:
+    """The public operator: binary column → typed metadata table."""
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        extract_image_meta, IMAGE_META_SCHEMA
+    )

@@ -1,0 +1,959 @@
+"""The driver-contract query registry.
+
+Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions) appears
+here as a named query: a Spark implementation ``(spark, sf_dir) →
+DataFrame`` paired with an ANSI-SQL oracle string DuckDB runs on the same
+parquet. Column names AND value representations match exactly — the driver
+hash-compares them.
+
+Cross-engine float discipline:
+- raw passthrough doubles are left untouched (bit-identical in parquet);
+- money-style sums go through DECIMAL so the arithmetic is exact integer
+  math in both engines, then CAST to DOUBLE (identical conversion);
+- small-group avgs / cosines are rounded to 6dp (fp noise ≪ 1e-10);
+- all hashing is the portable md5-prefix-as-BIGINT (verified bit-equal).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kenshin_spark.config import Schema, SchemaSet, propagation_timeunit
+from kenshin_spark.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from kenshin_spark.dedup.simhash import N_BITS
+from kenshin_spark.engine import KenshinEngine
+from kenshin_spark.functions.hashing import shard_of
+from kenshin_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint_md5,
+    language_id,
+    marker_regex,
+    quality_columns,
+    token_count,
+)
+from kenshin_spark.io import load_table
+from kenshin_spark.multimodal import attach_fake_payload, image_metadata
+from kenshin_spark.operators.align import last_write_wins
+from kenshin_spark.operators.downsample import downsample, ready_propagation_slots
+from kenshin_spark.operators.fetch import grid_fill, select_archive
+from kenshin_spark.operators.maintenance import (
+    index_rebuild,
+    metric_delete,
+    metric_search,
+)
+from kenshin_spark.operators.merge import merge_series
+from kenshin_spark.similarity import brute_force_topk, lsh_topk
+from kenshin_spark.sources.line_protocol import events_as_points, parse_metric_lines
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs the weaker rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+#: events → the engine's point model (FIXTURES.md §6), DuckDB side
+PTS = """
+  SELECT event_type AS metric,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         value,
+         event_id AS arrival
+  FROM events
+"""
+
+#: scalar "now" = newest event, DuckDB side
+NOW_T = "SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS now FROM events"
+
+#: W5 aligned last-write-wins at 60 s, DuckDB side
+LWW60 = """
+  SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+  FROM pts GROUP BY 1, 2
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_points(load_table(spark, sf_dir, "events"))
+
+
+def _now(points: DataFrame) -> int:
+    return int(points.agg(F.max("ts")).collect()[0][0])
+
+
+#: the engine schema used by the time-series queries below
+TS_SCHEMA = Schema.from_strings(
+    "events", ".*", "60s:1d,300s:7d,3600s:90d", xff=20.0, agg_method="average",
+    cache_retention=600,
+)
+
+ROUTING_SCHEMAS = SchemaSet(
+    (
+        Schema.from_strings("errors", "^error", "10s:12h,60s:2d", xff=20.0,
+                            agg_method="sum"),
+        Schema.from_strings("conversion", "^(purchase|signup)$", "60s:7d",
+                            xff=20.0, agg_method="sum"),
+        Schema.from_strings("traffic", "^(click|view)", "10s:1d,300s:30d",
+                            xff=20.0, agg_method="average"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Time-series engine queries (SURVEY §2.2-2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_align_lww",
+    f"WITH pts AS ({PTS}) {LWW60}",
+    "W5 — align ts to 60s slots, last-write-wins by arrival "
+    "(kenshin/storage.py:427-445, rurouni/cache.py:264-280)",
+)
+def q_ts_align_lww(spark, sf_dir):
+    return last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+
+
+@register(
+    "ts_agg_kernel",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric, ts - ts % 300 AS ts,
+           round(avg(value), 6) AS avg_value,
+           round(sum(value), 6) AS sum_value,
+           arg_max(value,
+                   CASE WHEN value IS NOT NULL
+                        THEN ts * 1000000 + arrival END) AS last_value,
+           max(value) AS max_value,
+           min(value) AS min_value,
+           count(value) AS n_points
+    FROM pts GROUP BY 1, 2
+    """,
+    "W9/A1-A5 — the complete aggregation kernel (kenshin/agg.py:9-36) over "
+    "300s windows; NULL-ignoring semantics are Spark/DuckDB built-ins",
+)
+def q_ts_agg_kernel(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return (
+        pts.groupBy("metric", (F.col("ts") - F.col("ts") % 300).alias("ts"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.expr(
+                "max_by(value, CASE WHEN value IS NOT NULL"
+                " THEN ts * 1000000 + arrival END)"
+            ).alias("last_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count("value").alias("n_points"),
+        )
+    )
+
+
+@register(
+    "ts_downsample_tier1",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts - ts % 300 AS ts, round(avg(value), 6) AS value
+    FROM t0 GROUP BY 1, 2
+    """,
+    "W7 — write-time downsample: tier1(300s avg) over tier0(60s LWW), the "
+    "propagation chain of kenshin/storage.py:482-586",
+)
+def q_ts_downsample_tier1(spark, sf_dir):
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return downsample(t0, 300, "average").withColumn("value", F.round("value", 6))
+
+
+@register(
+    "ts_downsample_cascade",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    t1 AS (
+      SELECT metric, ts - ts % 300 AS ts, avg(value) AS value
+      FROM t0 GROUP BY 1, 2
+    )
+    SELECT metric, ts - ts % 3600 AS ts, round(avg(value), 6) AS value
+    FROM t1 GROUP BY 1, 2
+    """,
+    "W7 cascade — tier2(1h) aggregates tier1's *points* (avg of avgs), "
+    "exactly like the reference propagates archive→archive",
+)
+def q_ts_downsample_cascade(spark, sf_dir):
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    t1 = downsample(t0, 300, "average")
+    return downsample(t1, 3600, "average").withColumn("value", F.round("value", 6))
+
+
+@register(
+    "ts_fetch_grid",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    bounds AS (
+      SELECT ((now - 21600 + 299) // 300) * 300 AS from_r,
+             ((now + 299) // 300) * 300 AS until_r
+      FROM now_t
+    ),
+    tier1 AS (
+      SELECT metric, ts - ts % 300 AS ts, round(avg(value), 6) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT m.metric,
+             unnest(generate_series(b.from_r, b.until_r - 300, 300)) AS ts
+      FROM (SELECT DISTINCT metric FROM pts) m, bounds b
+    )
+    SELECT g.metric, g.ts, t.value
+    FROM grid g LEFT JOIN tier1 t ON g.metric = t.metric AND g.ts = t.ts
+    """,
+    "R3 — regular-grid materialization with NULL fill "
+    "(kenshin/storage.py:646-694): last 6h on the 300s grid",
+)
+def q_ts_fetch_grid(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    tier1 = downsample(pts, 300, "average").withColumn("value", F.round("value", 6))
+    metrics = pts.select("metric").distinct()
+    return grid_fill(tier1, metrics, now - 21600, now, 300)
+
+
+@register(
+    "ts_tier_selection",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    t0 AS ({LWW60}),
+    t1 AS (
+      SELECT metric, ts - ts % 300 AS ts, avg(value) AS value
+      FROM t0 GROUP BY 1, 2
+    )
+    SELECT metric, ts, round(value, 6) AS value, CAST(300 AS BIGINT) AS step
+    FROM t1, now_t
+    WHERE ts >= now - 259200 AND ts <= now
+    """,
+    "R2 — archive selection by query *age* (kenshin/storage.py:639-642): a "
+    "3-day-old from_time selects the 300s tier on this policy",
+)
+def q_ts_tier_selection(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    age = 259200  # 3 days → planner must choose tier1 (300s, 7d retention)
+    idx = select_archive(list(TS_SCHEMA.archives), now - age, now)
+    assert idx == 1, "planner should pick tier1 for a 3-day query age"
+    step = TS_SCHEMA.archives[idx].sec_per_point
+    t0 = last_write_wins(pts, 60, arrival_col="arrival")
+    t1 = downsample(t0, step, "average")
+    return (
+        t1.where((F.col("ts") >= now - age) & (F.col("ts") <= now))
+        .select(
+            "metric", "ts", F.round("value", 6).alias("value"),
+            F.lit(step).cast("long").alias("step"),
+        )
+    )
+
+
+@register(
+    "ts_retention_expiry",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}), t0 AS ({LWW60})
+    SELECT metric, count(*) AS n_live, min(ts) AS min_ts, max(ts) AS max_ts
+    FROM t0, now_t
+    WHERE t0.ts >= now_t.now - 86400 AND t0.ts <= now_t.now
+    GROUP BY metric
+    """,
+    "O4 — retention expiry: tier0 keeps 1 day; at scale this is a "
+    "partition drop, here the surviving-rows predicate",
+)
+def q_ts_retention_expiry(spark, sf_dir):
+    from kenshin_spark.operators.retention import apply_retention
+
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    t0 = last_write_wins(pts, 60, arrival_col="arrival")
+    live = apply_retention(t0, TS_SCHEMA.archives[0], now)
+    return live.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@register(
+    "ts_schema_match",
+    f"""
+    WITH m AS (SELECT DISTINCT event_type AS metric FROM events)
+    SELECT metric, {ROUTING_SCHEMAS.match_sql_case('metric', 'regexp_matches')}
+           AS schema_name
+    FROM m
+    """,
+    "P5 — first-regex-wins retention-policy routing "
+    "(rurouni/storage.py:196-210), rendered as a JVM-side CASE chain",
+)
+def q_ts_schema_match(spark, sf_dir):
+    metrics = _points(spark, sf_dir).select("metric").distinct()
+    return metrics.withColumn(
+        "schema_name",
+        F.expr(ROUTING_SCHEMAS.match_sql_case("metric", "regexp_like")),
+    )
+
+
+@register(
+    "ts_index_rebuild",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric, count(value) AS point_count, min(ts) AS min_ts,
+           max(ts) AS max_ts,
+           {ROUTING_SCHEMAS.match_sql_case('metric', 'regexp_matches')}
+           AS schema_name
+    FROM pts GROUP BY metric
+    """,
+    "M1/R9 — rebuild the metrics dim table from the points table "
+    "(rurouni/storage.py:56-77, bin/kenshin-info.py)",
+)
+def q_ts_index_rebuild(spark, sf_dir):
+    return index_rebuild(_points(spark, sf_dir), ROUTING_SCHEMAS)
+
+
+@register(
+    "ts_metric_search",
+    """
+    SELECT DISTINCT event_type AS metric FROM events
+    WHERE regexp_matches(event_type, '^(click|error)$')
+       OR regexp_matches(event_type, 'chase')
+    """,
+    "M4 — regex metric search (bin/kenshin-get-metrics.py:8-30)",
+)
+def q_ts_metric_search(spark, sf_dir):
+    return metric_search(_points(spark, sf_dir), ["^(click|error)$", "chase"])
+
+
+@register(
+    "ts_metric_delete",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric, count(*) AS n_points FROM pts
+    WHERE metric NOT IN ('signup', 'view')
+    GROUP BY metric
+    """,
+    "M5 — metric delete (bin/kenshin-delete.py:39-96): surviving rows",
+)
+def q_ts_metric_delete(spark, sf_dir):
+    survivors = metric_delete(_points(spark, sf_dir), ["signup", "view"])
+    return survivors.groupBy("metric").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@register(
+    "ts_merge_series",
+    f"""
+    WITH pts AS ({PTS}),
+    p AS (
+      SELECT metric, ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    a AS (SELECT metric, ts, value FROM p WHERE ts % 2 = 0),
+    b AS (SELECT metric, ts, value * 2 AS value FROM p)
+    SELECT COALESCE(a.metric, b.metric) AS metric,
+           COALESCE(a.ts, b.ts) AS ts,
+           COALESCE(a.value, b.value) AS value
+    FROM a FULL OUTER JOIN b ON a.metric = b.metric AND a.ts = b.ts
+    """,
+    "S7 — merge metric sources, earlier source wins on collisions "
+    "(bin/kenshin-rehash.py:103-214); sources pre-deduped per (metric, ts)",
+)
+def q_ts_merge_series(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    p = pts.groupBy("metric", "ts").agg(
+        F.expr("max_by(value, arrival)").alias("value")
+    )
+    a = p.where(F.col("ts") % 2 == 0).select("metric", "ts", "value")
+    b = p.select("metric", "ts", (F.col("value") * 2).alias("value"))
+    return merge_series([a, b], prefer_first=True)
+
+
+@register(
+    "ts_line_protocol",
+    f"WITH pts AS ({PTS}) SELECT metric, ts, value FROM pts",
+    "S1 — line-protocol parse round-trip (rurouni/protocols.py:31-42): "
+    "well-formed lines parse back exactly; malformed lines drop to the "
+    "dead-letter column (oracle = the original points)",
+)
+def q_ts_line_protocol(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    lines = pts.select(
+        F.concat_ws(
+            " ",
+            F.col("metric"),
+            F.col("value").cast("string"),
+            F.col("ts").cast("string"),
+        ).alias("line")
+    )
+    corrupt = pts.sparkSession.createDataFrame(
+        [("garbage",), ("a b",), ("x 1 2 3",), ("   ",), ("m nan_v 12",)],
+        ["line"],
+    )
+    parsed = parse_metric_lines(lines.unionByName(corrupt), line_col="line")
+    return parsed.where(F.col("corrupt").isNull()).select("metric", "ts", "value")
+
+
+_FNV_ORACLE = """
+    WITH RECURSIVE names AS (SELECT DISTINCT event_type AS metric FROM events),
+    h AS (
+      SELECT metric, 1 AS i, CAST(2166136261 AS BIGINT) AS hash FROM names
+      UNION ALL
+      SELECT metric, i + 1,
+             (xor(hash, CAST(unicode(substr(metric, i, 1)) AS BIGINT))
+              * 16777619) % 4294967296
+      FROM h WHERE i <= length(metric)
+    ),
+    final AS (SELECT metric, hash FROM h WHERE i = length(metric) + 1),
+    signed AS (
+      SELECT metric,
+             CASE WHEN hash >= 2147483648 THEN hash - 4294967296
+                  ELSE hash END AS h32
+      FROM final
+    )
+    SELECT metric, CAST(((h32 % 8) + 8) % 8 AS BIGINT) AS shard FROM signed
+"""
+
+
+@register(
+    "ts_shard_routing",
+    _FNV_ORACLE,
+    "P1/P2 — fnv1a-32 instance sharding (rurouni/fnv1a.pyx:6-23, "
+    "rurouni/utils.py:107-108); the oracle recomputes fnv1a in recursive "
+    "SQL, so placement is verified bit-for-bit",
+)
+def q_ts_shard_routing(spark, sf_dir):
+    metrics = _points(spark, sf_dir).select("metric").distinct()
+    return metrics.select(
+        "metric", shard_of("metric", 8).cast("long").alias("shard")
+    )
+
+
+@register(
+    "ts_propagation_ready",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    slots AS (SELECT DISTINCT metric, ts - ts % 300 AS slot_ts FROM pts)
+    SELECT metric, slot_ts FROM slots, now_t
+    WHERE slot_ts + 300 <= now - now % 6000
+    """,
+    "W8 — xff propagation batching (kenshin/storage.py:505-521): which "
+    "300s slots a 60s→300s cascade with xff=20 (timeunit 6000s) would "
+    "propagate as of `now`",
+)
+def q_ts_propagation_ready(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    assert propagation_timeunit(20.0, 60, 300) == 6000
+    return ready_propagation_slots(pts, 60, 300, 20.0, now)
+
+
+@register(
+    "ts_hot_cold_union",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    cold AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts, now_t WHERE pts.ts < now_t.now - 600 GROUP BY 1, 2
+    ),
+    hot AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts, now_t WHERE pts.ts >= now_t.now - 720 GROUP BY 1, 2
+    )
+    SELECT COALESCE(h.metric, c.metric) AS metric,
+           COALESCE(h.ts, c.ts) AS ts,
+           COALESCE(h.value, c.value) AS value
+    FROM hot h FULL OUTER JOIN cold c ON h.metric = c.metric AND h.ts = c.ts
+    """,
+    "S3/§3.3 — hot(unflushed) ∪ cold fetch merge with hot winning on "
+    "overlap (rurouni/cache.py:161-169 + graphite-side merge)",
+)
+def q_ts_hot_cold_union(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    eng = KenshinEngine(TS_SCHEMA)
+    cold = last_write_wins(
+        pts.where(F.col("ts") < now - 600), 60, arrival_col="arrival"
+    )
+    hot = last_write_wins(
+        pts.where(F.col("ts") >= now - 720), 60, arrival_col="arrival"
+    )
+    return eng.fetch_union(cold, hot)
+
+
+# ---------------------------------------------------------------------------
+# Analytical queries (the engine's general DataFrame/SQL surface — exposed
+# "for free" per SURVEY §2.7, and the bench headliners)
+# ---------------------------------------------------------------------------
+
+#: money math goes through DECIMAL so both engines do exact integer
+#: arithmetic, then one identical decimal→double conversion at the end.
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+)
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum({_DISC_PRICE}) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum({_DISC_PRICE} * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE), 2) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+  round(CAST(sum({_DISC_PRICE}) AS DOUBLE), 2) AS revenue,
+  CAST(o_orderdate AS STRING) AS o_orderdate,
+  o_orderpriority
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+Q5_SQL = f"""
+SELECT n_name,
+  round(CAST(sum({_DISC_PRICE}) AS DOUBLE), 2) AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+TOPK_SQL = """
+SELECT n_name, c_custkey, c_acctbal, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT n.n_name, c.c_custkey, c.c_acctbal,
+         row_number() OVER (
+           PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey
+         ) AS rnk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) t WHERE rnk <= 3
+"""
+
+EVENTS_DAILY_SQL = """
+SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+def _sql_query(sql: str, tables: tuple[str, ...]):
+    """Build a queries() callable that registers the needed views and runs
+    the SAME SQL text Catalyst and DuckDB both accept."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return fn
+
+
+QUERIES["q1_pricing_summary"] = QuerySpec(
+    fn=_sql_query(Q1_SQL, ("lineitem",)),
+    oracle=Q1_SQL,
+    doc="TPC-H Q1-style pricing summary — groupBy agg over the fact table; "
+    "exact DECIMAL money math, identical SQL on both engines",
+)
+QUERIES["q3_shipping_priority"] = QuerySpec(
+    fn=_sql_query(Q3_SQL, ("customer", "orders", "lineitem")),
+    oracle=Q3_SQL,
+    doc="TPC-H Q3-style: 3-way join + agg + deterministic top-10",
+)
+QUERIES["q5_local_supplier"] = QuerySpec(
+    fn=_sql_query(Q5_SQL, ("customer", "orders", "lineitem", "supplier",
+                           "nation", "region")),
+    oracle=Q5_SQL,
+    doc="TPC-H Q5-style: 6-way join with co-nation predicate",
+)
+QUERIES["q_window_topk_customers"] = QuerySpec(
+    fn=_sql_query(TOPK_SQL, ("customer", "nation")),
+    oracle=TOPK_SQL,
+    doc="window functions: per-nation top-3 customers by balance",
+)
+QUERIES["q_events_daily"] = QuerySpec(
+    fn=_sql_query(EVENTS_DAILY_SQL, ("events",)),
+    oracle=EVENTS_DAILY_SQL,
+    doc="event-stream daily rollup: counts, distinct users, value sums",
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-data-pipeline layer, on `documents`)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+    "token counting (whitespace tokens), pure column expressions",
+)
+def q_text_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+
+
+_STOP_RE = marker_regex(STOPWORDS)
+
+@register(
+    "text_quality",
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stopwords,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_stopwords AS BIGINT) AS n_stopwords,
+           round(n_stopwords * 1.0 / n_tokens, 6) AS stopword_ratio,
+           round(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio,
+           round(n_chars * 1.0 / n_tokens, 6) AS mean_token_len
+    FROM f
+    """,
+    "quality scoring: length / stopword / alpha ratios",
+)
+def q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_columns("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '{marker_regex(w)}'))"
+        for lang, w in LANG_MARKERS.items()
+    }
+    greatest = "greatest(" + ", ".join(score.values()) + ")"
+    # earlier languages win ties — same order as the Spark CASE
+    whens = " ".join(
+        f"WHEN {score[lang]} = {greatest} AND {greatest} > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"SELECT doc_id, CASE {whens} ELSE 'und' END AS pred_lang FROM documents"
+
+
+@register(
+    "text_language_id",
+    _lang_oracle(),
+    "language-ID n-gram/stopword heuristic (argmax of marker-word counts)",
+)
+def q_text_language_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             AS fingerprint
+    FROM documents
+    """,
+    "document fingerprinting: md5 over normalized content",
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (LLM-data-pipeline layer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             AS fingerprint,
+           min(doc_id) AS survivor_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup: hash-groupBy on normalized content, smallest id survives",
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+#: DuckDB twin of the portable md5-prefix 60-bit hash
+_DH = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_SHINGLES = r"""
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i : i + 2], ' ')
+             )) AS shingle
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+      )
+    )
+"""
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"min({_DH.format(x=chr(39) + str(s) + '|' + chr(39) + ' || shingle')}) AS h{s}"
+        for s in range(8)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(CAST(h{2*b} AS VARCHAR) || ',' || "
+        f"CAST(h{2*b+1} AS VARCHAR)) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6) >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    "MinHash+LSH near-dup: shingle → 8 seeded-md5 minhashes → 4 bands → "
+    "bucket join → exact Jaccard verify ≥ 0.5; the oracle recomputes the "
+    "identical hashes in SQL",
+)
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6) >= 0.4
+    """,
+    "n-gram Jaccard near-dup: exact pairwise Jaccard over word 3-gram "
+    "sets via the inverted-index join",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.4)
+
+
+def _simhash_oracle() -> str:
+    th = _DH.format(x="tok")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(N_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})"
+        for j in range(N_BITS)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    hashed AS (SELECT doc_id, {th} AS h FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM bits
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    "SimHash 60-bit fingerprints over distinct word tokens — one shuffle, "
+    "60 conditional-sum aggregates; oracle reproduces bit-for-bit",
+)
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) >= 0.4
+    """,
+    "embedding-cosine near-dup pairs (threshold 0.4 on unit-normalized "
+    "synthetic vectors)",
+)
+def q_dedup_embedding(spark, sf_dir):
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (LLM-data-pipeline layer, on `embeddings`)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cosine
+      FROM embeddings c, q
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rnk FROM scored
+    ) t WHERE rnk <= 10
+    """,
+    "similarity search baseline: exact cosine top-10 for 5 query vectors "
+    "(zip_with/aggregate dot products, broadcast queries, window top-k)",
+)
+def q_sim_topk_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "sim_topk_lsh",
+    None,  # approximate (bucket-pruned) — rows-only check
+    "ANN scale path: random-hyperplane LSH bucketing; compares only "
+    "within the query's bucket. Deterministic planes (md5-derived), no "
+    "SQL oracle because the plane constants would be a 512-literal query",
+)
+def q_sim_topk_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + mapInPandas, stub codec)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_image_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(64 + CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1024
+                AS INT) AS width,
+           CAST(64 + CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1024
+                AS INT) AS height,
+           'fake' AS format
+    FROM documents
+    """,
+    "multimodal: opaque binary payload → typed metadata via Arrow-batched "
+    "mapInPandas; codec is a deterministic stub (no image libs in this "
+    "container), Spark-side plumbing is real",
+)
+def q_mm_image_metadata(spark, sf_dir):
+    docs = attach_fake_payload(load_table(spark, sf_dir, "documents"))
+    return image_metadata(docs)

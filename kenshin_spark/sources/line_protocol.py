@@ -28,11 +28,13 @@ def parse_metric_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     failed (dead-letter column), else NULL.
     """
     parts = F.split(F.trim(F.col(line_col)), r"\s+")
+    # try_cast: malformed numbers become NULL (→ dead letter) instead of an
+    # ANSI cast error killing the stream
     parsed = lines.select(
         F.col(line_col).alias("_raw"),
         parts.getItem(0).alias("metric"),
-        parts.getItem(2).cast("double").cast("long").alias("ts"),
-        parts.getItem(1).cast("double").alias("value"),
+        parts.getItem(2).try_cast("double").try_cast("long").alias("ts"),
+        parts.getItem(1).try_cast("double").alias("value"),
         F.size(parts).alias("_n"),
     )
     ok = (
