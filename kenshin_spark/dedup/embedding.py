@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kenshin_spark.functions.vectors import cosine_similarity
+from kenshin_spark.functions.vectors import dot_product, l2_norm
 
 
 def embedding_neardup_pairs(
@@ -21,19 +21,34 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """``(vec_a, vec_b, cosine)`` for pairs with cosine ≥ threshold;
-    cosine rounded to 6dp for cross-engine comparison."""
-    a = embeddings.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+    cosine rounded to 6dp for cross-engine comparison.
+
+    Scale notes: norms are computed ONCE per vector before the pair join
+    (not per pair), the streamed side is repartitioned so the
+    nested-loop join fans out across all cores (the small parquet
+    arrives as 1 partition → 1 task otherwise), and the build side is
+    explicitly broadcast. cosine = dot/(|a|·|b|) keeps the exact
+    expression shape of the DuckDB oracle, so results stay bit-aligned.
+    """
+    spark = embeddings.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    with_norm = embeddings.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n")
     )
-    b = embeddings.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+    a = with_norm.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    ).repartition(par)
+    b = with_norm.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
+    denom = F.col("_na") * F.col("_nb")
+    cosine = F.when(denom != 0, dot_product(F.col("_va"), F.col("_vb")) / denom)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-        )
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -72,15 +72,21 @@ def minhash_lsh_pairs(
     sh = shingles(docs, n, id_col, text_col).cache()
     sig = minhash_signatures(sh, k)
     r = k // bands
-    band_rows = None
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws(",", *[F.col(f"h{b * r + i}").cast("string") for i in range(r)])
-        )
-        part = sig.select(
-            F.col("doc_id"), F.lit(b).alias("band"), key.alias("band_key")
-        )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    # one pass over sig: band keys as an array + posexplode (a 4-way union
+    # would recompute the signature aggregation per band)
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"h{b * r + i}").cast("string") for i in range(r)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = sig.select(
+        "doc_id", F.posexplode(keys).alias("band", "band_key")
+    )
 
     a = band_rows.alias("a")
     b2 = band_rows.alias("b")
