@@ -1,0 +1,214 @@
+"""ParquetTieredStore — the persistent, partitioned replacement for the
+reference's fixed-size .hs archive files.
+
+Reference storage model (kenshin/storage.py:21-33): one preallocated file =
+header + one ring of points per retention tier; writes land at
+O(1) ring offsets (kenshin/storage.py:499-503), retention expiry is the
+ring overwriting itself, and flushes batch ~cacheRetention seconds of data
+per file (rurouni/cache.py:259-262).
+
+Spark-native equivalent, designed for 100 TB:
+
+- **Layout**: one directory per tier, Parquet partitioned by ``day``
+  (``ts // 86400`` — integer epoch day). Time-range predicates prune at
+  the partition level; metric predicates prune via Parquet row-group
+  stats + pushed filters. At cluster scale add
+  ``.bucketBy(metric)``/liquid clustering per tier — the layout below is
+  identical, only the writer call changes.
+- **Upsert** (the ring overwrite, kenshin/storage.py:468-480): merge the
+  batch with the *touched day partitions only* under last-write-wins,
+  then dynamic-partition-overwrite exactly those days. Untouched
+  partitions are never read or rewritten — the 100 TB analog of the
+  reference's "one sequential write per file" (README.md:63-66).
+- **Retention expiry** (the ring's self-overwrite, SURVEY O4): drop whole
+  day partitions older than the tier's retention. Sub-day precision is
+  enforced at fetch time by R1's clamping, so expiry never has to
+  rewrite a partition.
+- **Catalog** (the index files, rurouni/storage.py:56-77): a tiny
+  ``metrics`` Parquet dim table ``(metric, schema_name, created_ts)``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kenshin_spark.config import AGG_SQL, Schema
+from kenshin_spark.operators.align import align_ts
+from kenshin_spark.operators.fetch import fetch as _fetch
+
+DAY = 86400
+
+STORED_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("day", T.LongType(), False),
+    ]
+)
+
+CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("schema_name", T.StringType(), False),
+        T.StructField("created_ts", T.LongType(), False),
+    ]
+)
+
+
+class ParquetTieredStore:
+    def __init__(self, spark: SparkSession, schema: Schema, root: str):
+        self.spark = spark
+        self.schema = schema
+        self.root = root
+        # dynamic mode: .partitionBy().mode("overwrite") rewrites only the
+        # partitions present in the written frame — the MERGE primitive here
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- paths ------------------------------------------------------------
+
+    def tier_path(self, i: int) -> str:
+        return os.path.join(self.root, f"tier={i}")
+
+    # -- read -------------------------------------------------------------
+
+    def read(self, i: int) -> DataFrame:
+        """Tier i as ``(metric, ts, value)``; empty frame if never written."""
+        path = self.tier_path(i)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], STORED_SCHEMA).select(
+                "metric", "ts", "value"
+            )
+        return self.spark.read.parquet(path).select("metric", "ts", "value")
+
+    def tiers(self) -> list[DataFrame]:
+        return [self.read(i) for i in range(len(self.schema.archives))]
+
+    # -- write ------------------------------------------------------------
+
+    def _with_day(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("metric").cast("string"),
+            F.col("ts").cast("long"),
+            F.col("value").cast("double"),
+            (F.col("ts").cast("long") / DAY).cast("long").alias("day"),
+        )
+
+    def overwrite(self, i: int, slots: DataFrame) -> None:
+        """Full rewrite of a tier (initial load / schema-change rebuild)."""
+        self._with_day(slots).write.mode("overwrite").partitionBy("day").parquet(
+            self.tier_path(i)
+        )
+
+    def upsert(self, i: int, slots: DataFrame) -> None:
+        """Merge aligned slots into tier i, new values winning per
+        (metric, ts) — NULLs included, matching the ring overwrite
+        (kenshin/storage.py:468-480). Reads and rewrites ONLY the day
+        partitions the batch touches."""
+        path = self.tier_path(i)
+        new = self._with_day(slots)
+        if not os.path.exists(path):
+            new.write.mode("overwrite").partitionBy("day").parquet(path)
+            return
+        days = [r["day"] for r in new.select("day").distinct().collect()]
+        existing = (
+            self.spark.read.parquet(path)
+            .where(F.col("day").isin(days))
+            .select("metric", "ts", "value", "day")
+        )
+        # last-write-wins: the new batch outranks stored rows; max(struct)
+        # is NULL-safe in the payload position
+        merged = (
+            existing.withColumn("_seq", F.lit(0))
+            .unionByName(new.withColumn("_seq", F.lit(1)))
+            .groupBy("metric", "ts", "day")
+            .agg(F.max(F.struct("_seq", "value")).alias("_w"))
+            .select("metric", "ts", F.col("_w.value").alias("value"), "day")
+        )
+        merged.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    # -- retention (O4) ---------------------------------------------------
+
+    def expire(self, now: int) -> dict[int, list[int]]:
+        """Drop day partitions wholly outside each tier's retention.
+        Returns {tier: [dropped days]} (the partition-drop DDL at scale)."""
+        dropped: dict[int, list[int]] = {}
+        for i, arch in enumerate(self.schema.archives):
+            path = self.tier_path(i)
+            if not os.path.exists(path):
+                continue
+            cutoff_day = (now - arch.retention) // DAY  # keep days ≥ this
+            gone = []
+            for d in os.listdir(path):
+                if d.startswith("day="):
+                    day = int(d.split("=", 1)[1])
+                    if day < cutoff_day:
+                        shutil.rmtree(os.path.join(path, d))
+                        gone.append(day)
+            if gone:
+                dropped[i] = sorted(gone)
+        return dropped
+
+    # -- propagation (W7) -------------------------------------------------
+
+    def propagate(self, batch_slots: DataFrame) -> None:
+        """Cascade a tier-0 upsert through the coarser tiers: for each tier
+        i≥1 re-aggregate the *touched coarse slots* from tier i-1 — the
+        write-time downsample of kenshin/storage.py:510-586, bounded to the
+        affected window exactly like the reference's propagation range."""
+        agg = AGG_SQL[self.schema.agg_method]
+        touched = batch_slots.select("metric", F.col("ts").cast("long"))
+        for i in range(1, len(self.schema.archives)):
+            step = self.schema.archives[i].sec_per_point
+            slots = touched.select(
+                "metric", align_ts(F.col("ts"), step).alias("slot")
+            ).distinct()
+            finer = self.read(i - 1)
+            window = finer.join(
+                F.broadcast(slots),
+                (finer["metric"] == slots["metric"])
+                & (align_ts(finer["ts"], step) == slots["slot"]),
+            ).select(finer["metric"], finer["ts"], finer["value"])
+            re_agg = window.groupBy(
+                "metric", align_ts(F.col("ts"), step).alias("ts")
+            ).agg(F.expr(agg.format(v="value", t="ts")).alias("value"))
+            self.upsert(i, re_agg)
+            touched = re_agg.select("metric", "ts")
+
+    # -- fetch (R1-R3) ----------------------------------------------------
+
+    def fetch(
+        self, metrics, from_time: int, until_time: int, now: int
+    ) -> DataFrame | None:
+        """Tier-selected, clamped, grid-filled read over the stored tiers."""
+        return _fetch(
+            self.tiers(),
+            list(self.schema.archives),
+            metrics,
+            from_time,
+            until_time,
+            now,
+        )
+
+    # -- catalog (M1, the index) ------------------------------------------
+
+    @property
+    def catalog_path(self) -> str:
+        return os.path.join(self.root, "_catalog")
+
+    def catalog(self) -> DataFrame:
+        if not os.path.exists(self.catalog_path):
+            return self.spark.createDataFrame([], CATALOG_SCHEMA)
+        return self.spark.read.parquet(self.catalog_path)
+
+    def catalog_add(self, rows: DataFrame) -> None:
+        rows.select(
+            F.col("metric").cast("string"),
+            F.col("schema_name").cast("string"),
+            F.col("created_ts").cast("long"),
+        ).write.mode("append").parquet(self.catalog_path)

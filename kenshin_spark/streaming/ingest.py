@@ -1,0 +1,295 @@
+"""The rurouni daemon as a Structured Streaming pipeline.
+
+Reference write path (SURVEY §3.1, rurouni/):
+
+    TCP line → parse → admit (shard, create-throttle, schema match)
+    → hot ring-buffer cache → writer thread flushes whole-file batches
+    → kenshin.update (align, dedup, ring write, propagate)
+
+Spark mapping implemented here:
+
+- **parse**: ``sources.line_protocol.parse_metric_lines`` on any text
+  stream (socket / Kafka value / file source) — dead letters counted, not
+  crashed on (rurouni/protocols.py:34-42 logs and drops).
+- **admit** (P4-P6): unknown metrics are caught by an anti-join against
+  the catalog, rate-limited by the TokenBucket
+  (rurouni/cache.py:119-143), schema-routed first-regex-wins, and
+  recorded in the catalog — the reference's "create the .hs file" becomes
+  "insert the catalog row" (no preallocation needed).
+- **buffer + flush** (W1-W3): two modes.
+  ``start_lines`` = *direct* mode: every micro-batch is a flush —
+  simplest, handles arbitrarily late data because the store upsert is an
+  idempotent MERGE (the backfill path SURVEY §7.3 calls for).
+  ``start_aggregated`` = *watermarked* mode: the reference's delayed
+  flush. ``withWatermark(cache_retention)`` + append-mode window
+  aggregation keeps the open windows in the state store (the hot ring
+  buffer, rurouni/cache.py:219-338) and emits a window exactly once it
+  closes (flush eligibility, rurouni/cache.py:259-262); state eviction
+  past the watermark is the drain (rurouni/cache.py:288-338).
+- **update** (W4-W8): ``ParquetTieredStore.upsert`` + ``propagate`` —
+  align/LWW, partition-local merge, bounded write-time downsample.
+- **instrumentation** (S8, rurouni/state/instrumentation.py:66-113):
+  per-batch counters; ``self_metrics_points`` re-emits them as
+  ``rurouni.*`` metric points that can be fed back into ingest.
+
+Exactly-once: the store upsert is idempotent per (metric, slot) and the
+checkpoint replays whole micro-batches, so replayed batches converge to
+the same stored state (the reference gets only best-effort via locks).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kenshin_spark.config import Schema, SchemaSet
+from kenshin_spark.operators.align import last_write_wins
+from kenshin_spark.ratelimit import TokenBucket, creates_per_minute_bucket
+from kenshin_spark.sources.line_protocol import parse_metric_lines
+from kenshin_spark.store import ParquetTieredStore
+
+
+@dataclass
+class IngestStats:
+    """The instrumentation counter set (rurouni/state/instrumentation.py:
+    24-38): mirrored names where the concept carries over."""
+
+    metrics_received: int = 0
+    committed_points: int = 0
+    creates: int = 0
+    dropped_creates: int = 0
+    corrupt_lines: int = 0
+    update_operations: int = 0
+    batches: int = 0
+
+    def as_points(self, now: int) -> list[tuple[str, int, float]]:
+        """Counters as ``rurouni.*`` self-metric points (S8)."""
+        return [
+            (f"rurouni.{name}", now, float(getattr(self, name)))
+            for name in (
+                "metrics_received",
+                "committed_points",
+                "creates",
+                "dropped_creates",
+                "corrupt_lines",
+                "update_operations",
+            )
+        ]
+
+
+class StreamingIngest:
+    def __init__(
+        self,
+        spark: SparkSession,
+        schemas: SchemaSet,
+        root: str,
+        max_creates_per_minute: int | None = None,
+        clock=time.time,
+    ):
+        self.spark = spark
+        self.schemas = schemas
+        self.root = root
+        self.stats = IngestStats()
+        self.bucket: TokenBucket | None = (
+            creates_per_minute_bucket(max_creates_per_minute, clock)
+            if max_creates_per_minute
+            else None
+        )
+        self._stores: dict[str, ParquetTieredStore] = {}
+
+    # -- stores & catalog -------------------------------------------------
+
+    def store_for(self, schema: Schema) -> ParquetTieredStore:
+        if schema.name not in self._stores:
+            self._stores[schema.name] = ParquetTieredStore(
+                self.spark, schema, f"{self.root}/{schema.name}"
+            )
+        return self._stores[schema.name]
+
+    @property
+    def _catalog_store(self) -> ParquetTieredStore:
+        """The catalog lives once, at the root (index files are per
+        instance in the reference, rurouni/storage.py:56-77)."""
+        any_schema = self.schemas.schemas[0]
+        if "_root" not in self._stores:
+            self._stores["_root"] = ParquetTieredStore(
+                self.spark, any_schema, self.root
+            )
+        return self._stores["_root"]
+
+    def catalog(self) -> DataFrame:
+        return self._catalog_store.catalog()
+
+    # -- admission (P4-P6) ------------------------------------------------
+
+    def _admit(self, points: DataFrame, now: int) -> DataFrame:
+        """Returns points joined with ``schema_name``; unknown metrics are
+        created (catalog insert) subject to the token bucket; points of
+        denied metrics are dropped (rurouni/cache.py:119-143)."""
+        catalog = self._catalog_store.catalog().select("metric", "schema_name")
+        batch_metrics = {r["metric"] for r in points.select("metric").distinct().collect()}
+        known = {
+            r["metric"]
+            for r in catalog.join(
+                F.broadcast(
+                    self.spark.createDataFrame(
+                        [(m,) for m in batch_metrics] or [("",)], ["metric"]
+                    )
+                ),
+                "metric",
+            ).collect()
+        }
+        new = sorted(batch_metrics - known)
+        if new:
+            grant = self.bucket.drain(len(new)) if self.bucket else len(new)
+            admitted, denied = new[:grant], new[grant:]
+            self.stats.creates += len(admitted)
+            self.stats.dropped_creates += len(denied)
+            if admitted:
+                rows = [
+                    (m, self.schemas.match(m).name, int(now)) for m in admitted
+                ]
+                self._catalog_store.catalog_add(
+                    self.spark.createDataFrame(
+                        rows, ["metric", "schema_name", "created_ts"]
+                    )
+                )
+            if denied:
+                points = points.where(~F.col("metric").isin(denied))
+        catalog = self._catalog_store.catalog().select("metric", "schema_name")
+        return points.join(F.broadcast(catalog), "metric")
+
+    # -- the foreachBatch body (direct mode) ------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """One flush: admit → per-schema align/LWW → upsert tier0 →
+        propagate the cascade. Works on any ``(metric, ts, value
+        [, corrupt][, arrival])`` frame — streaming micro-batch or plain
+        batch backfill (same code path, per SURVEY §7.3 late-data note)."""
+        self.stats.batches += 1
+        if "corrupt" in batch.columns:
+            n_bad = batch.where(F.col("corrupt").isNotNull()).count()
+            self.stats.corrupt_lines += n_bad
+            batch = batch.where(F.col("corrupt").isNull()).drop("corrupt")
+        n = batch.count()
+        if n == 0:
+            return
+        self.stats.metrics_received += n
+        now = int(time.time())
+        routed = self._admit(batch, now)
+        arrival = "arrival" if "arrival" in routed.columns else None
+        for schema in self.schemas.schemas:
+            group = routed.where(F.col("schema_name") == schema.name).drop(
+                "schema_name"
+            )
+            if group.isEmpty():
+                continue
+            store = self.store_for(schema)
+            step = schema.archives[0].sec_per_point
+            slots = last_write_wins(group, step, arrival_col=arrival)
+            store.upsert(0, slots)
+            store.propagate(slots)
+            self.stats.update_operations += 1
+            self.stats.committed_points += slots.count()
+
+    # -- stream entry points ----------------------------------------------
+
+    def start_lines(
+        self,
+        lines: DataFrame,
+        checkpoint: str,
+        line_col: str = "value",
+        trigger: dict | None = None,
+    ) -> StreamingQuery:
+        """Direct mode: text line stream → parse → flush every micro-batch."""
+        points = parse_metric_lines(lines, line_col=line_col)
+        writer = points.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    def start_aggregated(
+        self,
+        points: DataFrame,
+        schema: Schema,
+        checkpoint: str,
+        trigger: dict | None = None,
+    ) -> StreamingQuery:
+        """Watermarked mode (single schema): the reference's delayed flush.
+
+        Open windows live in the state store (the hot cache W1); a window
+        is emitted once the watermark (= cache_retention, the flush
+        eligibility W2) passes its end; eviction is the drain (W3). Late
+        points beyond the watermark are dropped here — route them through
+        ``process_batch`` (the backfill MERGE) instead, which is exactly
+        the reference's age-based direct-to-coarse path (W4).
+        """
+        step = schema.archives[0].sec_per_point
+        store = self.store_for(schema)
+
+        windowed = (
+            points.withColumn("event_ts", F.timestamp_seconds(F.col("ts")))
+            .withWatermark("event_ts", f"{schema.cache_retention} seconds")
+            .groupBy(
+                "metric", F.window("event_ts", f"{step} seconds").alias("w")
+            )
+            .agg(F.expr("max_by(value, ts)").alias("value"))
+            .select(
+                "metric",
+                F.unix_timestamp("w.start").cast("long").alias("ts"),
+                "value",
+            )
+        )
+
+        def flush(batch: DataFrame, batch_id: int) -> None:
+            self.stats.batches += 1
+            if batch.isEmpty():
+                return
+            store.upsert(0, batch)
+            store.propagate(batch.select("metric", "ts"))
+            self.stats.update_operations += 1
+            self.stats.committed_points += batch.count()
+
+        writer = (
+            windowed.writeStream.outputMode("append")
+            .foreachBatch(flush)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    def hot_points(self, checkpoint: str) -> DataFrame:
+        """S3 — the cache query: read the *unflushed* (open-window) points
+        straight out of the aggregated-mode state store via the Spark 4
+        state data source. These are exactly the points a fetch would miss
+        in the cold store (rurouni/cache.py:161-169 serves the same rows
+        over the pickle cache-query port)."""
+        state = self.spark.read.format("statestore").load(checkpoint)
+        # the max_by agg buffer stores (valueWithExtremumOrdering,
+        # extremumOrdering) = (current winning value, its ordering key)
+        return state.select(
+            F.col("key.metric").alias("metric"),
+            F.unix_timestamp("key.window.start").cast("long").alias("ts"),
+            F.col("value.valueWithExtremumOrdering").alias("value"),
+        )
+
+    # -- instrumentation (S8) ---------------------------------------------
+
+    def self_metrics_points(self, now: int | None = None) -> DataFrame:
+        now = int(now if now is not None else time.time())
+        return self.spark.createDataFrame(
+            self.stats.as_points(now), ["metric", "ts", "value"]
+        )
+
+    def record_self_metrics(self, now: int | None = None) -> None:
+        """Feed the counters back through ingest as ``rurouni.*`` metrics —
+        the reference re-injects them every 60 s
+        (rurouni/state/instrumentation.py:66-113)."""
+        self.process_batch(self.self_metrics_points(now), batch_id=-1)

@@ -1,0 +1,312 @@
+"""Streaming ingest + tiered store tests.
+
+Strategy: drive the real Structured Streaming machinery (file text source,
+availableNow trigger, checkpoints) on deterministic inputs, then verify
+the stored tiers against hand-computed grids — the same golden style as
+the reference's tests/test_storage.py, crossed with its daemon behaviors
+(create throttle, schema routing, instrumentation counters).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kenshin_spark.config import Schema, SchemaSet
+from kenshin_spark.ratelimit import FakeClock, TokenBucket
+from kenshin_spark.store import ParquetTieredStore
+from kenshin_spark.streaming import StreamingIngest, stress_lines
+
+SCHEMAS = SchemaSet(
+    (
+        Schema.from_strings(
+            "fast", "^fast", "10s:1h,60s:1d", xff=1.0, agg_method="sum",
+            cache_retention=30,
+        ),
+        Schema.from_strings(
+            "slow", ".*", "60s:1d,300s:7d", xff=1.0, agg_method="average",
+            cache_retention=60,
+        ),
+    )
+)
+
+
+def write_lines(path: str, name: str, lines: list[str]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def run_stream(spark, ingest, in_dir, cp_dir):
+    lines = spark.readStream.format("text").load(in_dir)
+    q = ingest.start_lines(
+        lines, checkpoint=cp_dir, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def rows(df):
+    return sorted(
+        (r["metric"], r["ts"], r["value"]) for r in df.collect()
+    )
+
+
+class TestStreamingDirect:
+    def test_end_to_end(self, spark, tmp_path):
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        write_lines(
+            in_dir,
+            "b1.txt",
+            [
+                "fast.cpu 1.0 1000",
+                "fast.cpu 2.0 1005",  # same 10s slot → LWW (later ts wins)
+                "fast.cpu 3.0 1010",
+                "web.req 10.0 1000",
+                "web.req 20.0 1030",
+                "not a line at all x",
+            ],
+        )
+        ingest = StreamingIngest(spark, SCHEMAS, root)
+        run_stream(spark, ingest, in_dir, cp)
+
+        fast = ingest.store_for(SCHEMAS.schemas[0])
+        slow = ingest.store_for(SCHEMAS.schemas[1])
+        # fast tier0 at 10s: slot 1000 → LWW=2.0, slot 1010 → 3.0
+        assert rows(fast.read(0)) == [
+            ("fast.cpu", 1000, 2.0),
+            ("fast.cpu", 1010, 3.0),
+        ]
+        # fast tier1 at 60s, agg=sum over tier0 points
+        assert rows(fast.read(1)) == [("fast.cpu", 960, 5.0)]
+        # slow tier0 at 60s: 1000→slot 960, 1030→slot 1020
+        assert rows(slow.read(0)) == [
+            ("web.req", 960, 10.0),
+            ("web.req", 1020, 20.0),
+        ]
+        # slow tier1 at 300s, avg of tier0 points in slot 900
+        assert rows(slow.read(1)) == [("web.req", 900, 15.0)]
+        # counters: 5 good points, 1 corrupt, 2 creates
+        assert ingest.stats.metrics_received == 5
+        assert ingest.stats.corrupt_lines == 1
+        assert ingest.stats.creates == 2
+        assert ingest.stats.dropped_creates == 0
+
+    def test_second_batch_upserts_and_backfills(self, spark, tmp_path):
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        ingest = StreamingIngest(spark, SCHEMAS, root)
+        write_lines(in_dir, "b1.txt", ["fast.a 1.0 1000", "fast.a 4.0 1100"])
+        run_stream(spark, ingest, in_dir, cp)
+        # second file: overwrite slot 1000, add late point in older slot 900
+        write_lines(in_dir, "b2.txt", ["fast.a 9.0 1002", "fast.a 7.0 905"])
+        run_stream(spark, ingest, in_dir, cp)
+
+        fast = ingest.store_for(SCHEMAS.schemas[0])
+        assert rows(fast.read(0)) == [
+            ("fast.a", 900, 7.0),
+            ("fast.a", 1000, 9.0),
+            ("fast.a", 1100, 4.0),
+        ]
+        # tier1 re-propagated: slot 900(sum=7), 960(sum=9), 1080(sum=4)
+        assert rows(fast.read(1)) == [
+            ("fast.a", 900, 7.0),
+            ("fast.a", 960, 9.0),
+            ("fast.a", 1080, 4.0),
+        ]
+
+    def test_create_throttle(self, spark, tmp_path):
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        clock = FakeClock()
+        ingest = StreamingIngest(
+            spark, SCHEMAS, root, max_creates_per_minute=2, clock=clock
+        )
+        write_lines(
+            in_dir,
+            "b1.txt",
+            [f"m{i} 1.0 {1000 + i}" for i in range(5)],
+        )
+        run_stream(spark, ingest, in_dir, cp)
+        assert ingest.stats.creates == 2
+        assert ingest.stats.dropped_creates == 3
+        # only the admitted metrics' points are stored
+        slow = ingest.store_for(SCHEMAS.schemas[1])
+        stored_metrics = {r["metric"] for r in slow.read(0).collect()}
+        assert stored_metrics == {"m0", "m1"}
+        # catalog recorded the admitted pair, schema-routed
+        cat = {r["metric"]: r["schema_name"] for r in ingest.catalog().collect()}
+        assert cat == {"m0": "slow", "m1": "slow"}
+
+    def test_self_metrics_roundtrip(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        ingest = StreamingIngest(spark, SCHEMAS, root)
+        ingest.stats.metrics_received = 42
+        ingest.record_self_metrics(now=1200)
+        slow = ingest.store_for(SCHEMAS.schemas[1])
+        got = {
+            r["metric"]: r["value"]
+            for r in slow.read(0).where(
+                F.col("metric") == "rurouni.metrics_received"
+            ).collect()
+        }
+        assert got == {"rurouni.metrics_received": 42.0}
+
+
+class TestAggregatedMode:
+    def test_watermarked_flush_and_hot_state(self, spark, tmp_path):
+        """Points far behind the max event time flush (closed windows);
+        the newest window stays in state (the hot cache) and is readable
+        via the state-store source."""
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        schema = SCHEMAS.schemas[0]  # 10s tier0, cache_retention=30
+        ingest = StreamingIngest(spark, SchemaSet((schema,)), root)
+        write_lines(
+            in_dir,
+            "b1.txt",
+            [
+                "fast.x 1.0 1000",
+                "fast.x 2.0 1010",
+                "fast.x 3.0 1100",  # advances watermark to 1100-30=1070
+            ],
+        )
+        from kenshin_spark.sources.line_protocol import parse_metric_lines
+
+        lines = spark.readStream.format("text").load(in_dir)
+        points = parse_metric_lines(lines, line_col="value").where(
+            F.col("corrupt").isNull()
+        )
+        q = ingest.start_aggregated(
+            points, schema, checkpoint=cp, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+
+        store = ingest.store_for(schema)
+        # windows ending ≤ watermark(1070) flushed; 1100's window is open
+        assert rows(store.read(0)) == [
+            ("fast.x", 1000, 1.0),
+            ("fast.x", 1010, 2.0),
+        ]
+        hot = ingest.hot_points(cp)
+        assert rows(hot) == [("fast.x", 1100, 3.0)]
+        # hot ∪ cold gives the complete series (the S3 cache-query merge)
+        merged = store.read(0).unionByName(hot)
+        assert rows(merged) == [
+            ("fast.x", 1000, 1.0),
+            ("fast.x", 1010, 2.0),
+            ("fast.x", 1100, 3.0),
+        ]
+
+
+class TestStore:
+    def test_expire_drops_partitions(self, spark, tmp_path):
+        schema = Schema.from_strings(
+            "s", ".*", "60s:1d,3600s:30d", xff=1.0, agg_method="average"
+        )
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        day = 86400
+        pts = spark.createDataFrame(
+            [("m", 0 * day + 60, 1.0), ("m", 5 * day, 2.0), ("m", 9 * day, 3.0)],
+            ["metric", "ts", "value"],
+        )
+        store.overwrite(0, pts)
+        dropped = store.expire(now=9 * day + 3600)
+        # tier0 keeps 1 day → days 0 and 5 drop, day 9 survives
+        assert dropped == {0: [0, 5]}
+        assert rows(store.read(0)) == [("m", 9 * day, 3.0)]
+
+    def test_upsert_touches_only_affected_days(self, spark, tmp_path):
+        schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        day = 86400
+        store.overwrite(
+            0,
+            spark.createDataFrame(
+                [("m", 0, 1.0), ("m", day, 2.0)], ["metric", "ts", "value"]
+            ),
+        )
+        p0 = os.path.join(store.tier_path(0), "day=0")
+        mtime_before = max(
+            os.path.getmtime(os.path.join(p0, f)) for f in os.listdir(p0)
+        )
+        store.upsert(
+            0,
+            spark.createDataFrame([("m", day + 60, 9.0)], ["metric", "ts", "value"]),
+        )
+        mtime_after = max(
+            os.path.getmtime(os.path.join(p0, f)) for f in os.listdir(p0)
+        )
+        assert mtime_before == mtime_after  # day=0 untouched
+        assert rows(store.read(0)) == [
+            ("m", 0, 1.0),
+            ("m", day, 2.0),
+            ("m", day + 60, 9.0),
+        ]
+
+    def test_fetch_from_store(self, spark, tmp_path):
+        schema = Schema.from_strings("s", ".*", "60s:1h,300s:1d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        now = 100_020  # 60-aligned; store holds aligned slots
+        pts = spark.createDataFrame(
+            [("m", now - 120, 5.0), ("m", now - 60, 6.0)],
+            ["metric", "ts", "value"],
+        )
+        store.upsert(0, pts)
+        store.propagate(pts)
+        grid = store.fetch(["m"], now - 300, now, now)
+        got = rows(grid)
+        assert len(got) == 5  # 300s window on the 60s grid
+        assert ("m", now - 120, 5.0) in got
+        assert ("m", now - 60, 6.0) in got
+
+
+class TestStress:
+    def test_stress_lines_parse_clean(self, spark, tmp_path):
+        q = (
+            stress_lines(spark, rows_per_second=500, n_metrics=7)
+            .writeStream.format("memory")
+            .queryName("stress_smoke")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            import time as _t
+
+            deadline = _t.time() + 30
+            while _t.time() < deadline:
+                if spark.table("stress_smoke").count() > 0:
+                    break
+                _t.sleep(0.5)
+        finally:
+            q.stop()
+        from kenshin_spark.sources.line_protocol import parse_metric_lines
+
+        parsed = parse_metric_lines(spark.table("stress_smoke"), line_col="value")
+        assert parsed.where(F.col("corrupt").isNotNull()).count() == 0
+        assert parsed.where(F.col("metric").startswith("stress.metric_")).count() > 0
+
+
+def test_token_bucket_semantics():
+    clock = FakeClock()
+    b = TokenBucket(capacity=10, fill_rate=1, clock=clock)
+    assert b.consume(10)
+    assert not b.consume(1)
+    clock.advance(5)
+    assert b.consume(5)
+    assert b.drain(100) == 0
+    clock.advance(3)
+    assert b.drain(100) == 3
