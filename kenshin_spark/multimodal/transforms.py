@@ -1,0 +1,138 @@
+"""Multimodal transform plumbing: decode → resize → frame-sample →
+feature-extract over opaque ``binary`` columns.
+
+Everything Spark-side is real — schemas, Arrow batch shapes, cardinality
+changes (frame sampling emits N rows per input), partition behavior. The
+codec kernels are deterministic fakes behind a loud stub boundary (no
+PIL/ffmpeg/librosa in this container); swapping them for real ones
+changes only the marked inner functions, not the Spark plumbing.
+
+Design notes for 100 TB:
+- binary payloads live in their own Parquet column → column pruning skips
+  the bytes for metadata-only queries;
+- every operator is ``mapInPandas`` (Arrow batches); batch size is
+  governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so decode
+  memory is bounded regardless of payload size;
+- frame sampling is a one-to-many map — doing it inside ``mapInPandas``
+  (not explode-after-UDF) avoids materializing an array of frames per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, resized binary, resize_md5 string"
+)
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms long, frame_md5 string, "
+    "frame_bytes long"
+)
+AUDIO_SCHEMA = (
+    "doc_id long, duration_ms long, sample_rate int, rms double, "
+    "n_samples long"
+)
+
+
+def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB codec (would be PIL.Image.resize): deterministic bytes derived
+    from (payload digest, target size)."""
+    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
+        raise NotImplementedError("real image resizing needs PIL")
+    seed = hashlib.md5(payload + f"|{width}x{height}".encode()).digest()
+    return (seed * ((width * height * 3) // len(seed) + 1))[: width * height * 3]
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """(doc_id, payload) → resized binary + digest, Arrow-batched."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = _stub_resize(bytes(payload), width, height)
+                rows.append(
+                    (
+                        int(doc_id),
+                        width,
+                        height,
+                        out,
+                        hashlib.md5(out).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "resized", "resize_md5"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling: one input row → up to ``max_frames`` frame
+    rows (STUB decode; would be ffmpeg seek+decode). The fake 'video
+    duration' is derived from payload length so cardinality is
+    deterministic and testable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                duration_ms = len(b) * 10  # fake: 10ms of video per byte
+                n = min(max_frames, max(1, duration_ms // every_ms))
+                for i in range(int(n)):
+                    ts_ms = i * every_ms
+                    fake_frame = hashlib.md5(b + f"|frame{i}".encode())
+                    rows.append(
+                        (int(doc_id), i, ts_ms, fake_frame.hexdigest(), len(b))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "frame_ts_ms",
+                    "frame_md5",
+                    "frame_bytes",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+def audio_features(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
+    """Audio feature extraction (STUB; would be librosa/torchaudio):
+    deterministic pseudo-features from the byte stream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_samples = len(b) // 2  # fake 16-bit mono
+                duration_ms = n_samples * 1000 // sample_rate
+                rms = (sum(b) / len(b)) / 255.0 if b else 0.0
+                rows.append(
+                    (int(doc_id), duration_ms, sample_rate, rms, n_samples)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "duration_ms",
+                    "sample_rate",
+                    "rms",
+                    "n_samples",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, AUDIO_SCHEMA)

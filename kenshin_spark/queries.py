@@ -700,6 +700,49 @@ def q_text_language_id(spark, sf_dir):
 
 
 @register(
+    "text_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    "BPE-ish token counting: word runs + single symbols via one "
+    "regexp_count — the tokenizer-budget estimator, fully JVM-side",
+)
+def q_text_token_count_bpe(spark, sf_dir):
+    from kenshin_spark.functions.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(
+             regexp_extract_all(
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '.{8}'),
+             c -> CAST(('0x' || substr(md5(c), 1, 15)) AS BIGINT)
+           )) AS fingerprint
+    FROM documents
+    """,
+    "rolling-hash document fingerprint: min over md5 hashes of 8-char "
+    "chunks of the normalized text (a min-pooled shingle signature)",
+)
+def q_text_rolling_fingerprint(spark, sf_dir):
+    from kenshin_spark.functions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,
@@ -935,6 +978,49 @@ def q_sim_topk_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + mapInPandas, stub codec)
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_ivf",
+    None,  # approximate (cell-pruned) — rows-only check
+    "IVF ANN: seeded k-means coarse quantizer, n_probe=3 cells scanned "
+    "per query; at scale cells are Parquet partitions (partition-pruned "
+    "probes). No SQL oracle (KMeans training isn't SQL-expressible)",
+)
+def q_sim_topk_ivf(spark, sf_dir):
+    from kenshin_spark.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10)
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n_bytes,
+             least(8, greatest(1, (octet_length(encode(text)) * 10) // 1000))
+               AS n_frames
+      FROM documents
+    )
+    SELECT v.doc_id,
+           CAST(u.i AS INT) AS frame_idx,
+           CAST(u.i * 1000 AS BIGINT) AS frame_ts_ms,
+           md5(v.text || '|frame' || u.i) AS frame_md5,
+           CAST(v.n_bytes AS BIGINT) AS frame_bytes
+    FROM v, unnest(generate_series(0, v.n_frames - 1)) AS u(i)
+    """,
+    "multimodal video plumbing: one payload row → N frame rows inside "
+    "mapInPandas (cardinality-changing Arrow kernel); decode is the "
+    "deterministic stub, so the oracle recomputes frames exactly",
+)
+def q_mm_frame_sample(spark, sf_dir):
+    from kenshin_spark.multimodal.transforms import sample_frames
+
+    docs = attach_fake_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(docs, every_ms=1000, max_frames=8)
 
 
 @register(

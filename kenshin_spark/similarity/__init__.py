@@ -5,6 +5,10 @@
   only compare against vectors sharing a signature bucket (probe multiple
   buckets for recall). Hyperplanes are derived deterministically from
   md5(seed, dim), so both engines (and reruns) agree without an RNG.
+- ``ivf_topk``: IVF (inverted-file) ANN — a k-means coarse quantizer
+  partitions the corpus into cells; a query scans only its ``n_probe``
+  nearest cells. The classic 100 TB layout: cells map to Parquet
+  partitions, so a probe is a partition-pruned scan.
 """
 
 from __future__ import annotations
@@ -116,6 +120,105 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cosine")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: k-means coarse quantizer cells + multi-probe.
+
+    Train a seeded k-means over the corpus, assign every corpus vector to
+    its cell, and compare each query only against its ``n_probe`` closest
+    cells' members. At scale: write the corpus partitioned by ``cell`` and
+    the probe becomes partition pruning; the centroid table
+    (n_cells x dim) broadcasts everywhere.
+
+    Approximate (recall grows with n_probe); same output schema as
+    ``brute_force_topk``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("features", array_to_vector(F.col("_cv").cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(corpus)
+    assigned = model.transform(corpus).withColumnRenamed("prediction", "cell")
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def _cell_dists(vec):
+        """Squared L2 distance to every centroid, as an array column."""
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda v, w: (v.cast("double") - w)
+                        * (v.cast("double") - w),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+
+    probe = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+        .withColumn("_d", _cell_dists(F.col("_qv")))
+        .select(
+            "query_id",
+            "_qv",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                F.col("_d"),
+                                lambda d, i: F.struct(
+                                    d.alias("dist"), i.alias("cell")
+                                ),
+                            )
+                        ),
+                        lambda s: s["cell"],
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("cell"),
+        )
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probe), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("_qv"), F.col("_cv")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

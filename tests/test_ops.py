@@ -1,0 +1,191 @@
+"""Whisper import (S6), schema change (M6), multimodal transforms, IVF."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kenshin_spark.config import Schema
+from kenshin_spark.operators.schema_change import (
+    CHANGE_META,
+    NO_CHANGE,
+    REBUILD,
+    change_schema,
+    diff_schema,
+)
+from kenshin_spark.sources.whisper import (
+    metric_from_path,
+    read_whisper_headers,
+    read_whisper_points,
+    unpack_whisper,
+    write_whisper,
+)
+from kenshin_spark.store import ParquetTieredStore
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestWhisperImport:
+    def test_roundtrip(self, spark, tmp_path):
+        d = tmp_path / "whisper" / "sys" / "cpu"
+        os.makedirs(d)
+        write_whisper(
+            str(d / "user.wsp"),
+            archives=[(10, 6), (60, 5)],
+            points_per_archive=[
+                [(1000, 1.5), (1010, 2.5), (1020, 3.5)],
+                [(960, 2.0)],
+            ],
+            agg_method="max",
+            xff=0.5,
+        )
+        write_whisper(
+            str(d / "system.wsp"),
+            archives=[(10, 6)],
+            points_per_archive=[[(1000, 9.0)]],
+        )
+        base = str(tmp_path / "whisper")
+        pts = read_whisper_points(spark, base + "/*/*/*.wsp", base=base)
+        got = rows(pts)
+        assert ("sys.cpu.user", 0, 10, 60, 1000, 1.5) in got
+        assert ("sys.cpu.user", 1, 60, 300, 960, 2.0) in got
+        assert ("sys.cpu.system", 0, 10, 60, 1000, 9.0) in got
+        assert len(got) == 5  # zero-ts ring slots skipped
+
+        heads = {r["metric"]: r for r in read_whisper_headers(
+            spark, base + "/*/*/*.wsp", base=base
+        ).collect()}
+        assert heads["sys.cpu.user"]["agg_method"] == "max"
+        assert heads["sys.cpu.user"]["archive_count"] == 2
+        assert heads["sys.cpu.user"]["max_retention"] == 300
+        assert abs(heads["sys.cpu.user"]["xff"] - 0.5) < 1e-6
+
+    def test_metric_from_path(self):
+        assert metric_from_path("file:/x/a/b/c.wsp", "/x") == "a.b.c"
+        assert metric_from_path("/data/m.wsp", "/data") == "m"
+
+    def test_unpack_is_exact(self):
+        import struct
+
+        blob = (
+            struct.pack("!2LfL", 1, 60, 0.5, 1)
+            + struct.pack("!3L", 28, 10, 2)
+            + struct.pack("!Ld", 100, 7.25)
+            + struct.pack("!Ld", 0, 0.0)
+        )
+        header, archives = unpack_whisper(blob)
+        assert header["agg_method"] == "average"
+        assert archives[0]["points"] == [(100, 7.25)]
+
+
+class TestSchemaChange:
+    OLD = Schema.from_strings("s", ".*", "10s:1h,60s:1d", xff=1.0,
+                              agg_method="average")
+
+    def test_diff(self):
+        same = Schema.from_strings("s", ".*", "10s:1h,60s:1d", xff=1.0,
+                                   agg_method="average")
+        meta = Schema.from_strings("s", ".*", "10s:1h,60s:1d", xff=1.0,
+                                   agg_method="max")
+        reb = Schema.from_strings("s", ".*", "30s:1h,60s:1d", xff=1.0)
+        assert diff_schema(self.OLD, same) == NO_CHANGE
+        assert diff_schema(self.OLD, meta) == CHANGE_META
+        assert diff_schema(self.OLD, reb) == REBUILD
+
+    def test_rebuild_reaggregates_and_swaps(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        store = ParquetTieredStore(spark, self.OLD, root)
+        now = 100_000
+        # recent points on the 10s grid (covered by tier0's 1h retention)
+        pts = spark.createDataFrame(
+            [("m", now - 40, 1.0), ("m", now - 30, 2.0),
+             ("m", now - 20, 3.0), ("m", now - 10, 4.0)],
+            ["metric", "ts", "value"],
+        )
+        store.upsert(0, pts)
+        store.propagate(pts)
+
+        new_schema = Schema.from_strings(
+            "s", ".*", "20s:1h,120s:1d", xff=1.0, agg_method="average"
+        )
+        res = change_schema(spark, store, new_schema, now)
+        assert res.action == REBUILD
+        assert os.path.exists(root + ".bak")  # original kept
+        t0 = rows(res.store.read(0))
+        # 10s points re-agg onto the 20s grid: (99960:avg(1,2)? ->
+        # 99960 holds ts 99960,99970; 99980 holds 99980,99990
+        assert t0 == [("m", 99960, 1.5), ("m", 99980, 3.5)]
+        t1 = rows(res.store.read(1))
+        assert t1 == [("m", 99960, 2.5)]  # single 120s slot, avg of 4
+
+    def test_change_meta_keeps_data(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        store = ParquetTieredStore(spark, self.OLD, root)
+        store.upsert(
+            0,
+            spark.createDataFrame([("m", 100, 1.0)], ["metric", "ts", "value"]),
+        )
+        new_schema = Schema.from_strings(
+            "s", ".*", "10s:1h,60s:1d", xff=1.0, agg_method="max"
+        )
+        res = change_schema(spark, store, new_schema, now=1000)
+        assert res.action == CHANGE_META
+        assert res.store.root == root
+        assert rows(res.store.read(0)) == [("m", 100, 1.0)]
+        assert res.store.schema.agg_method == "max"
+
+
+class TestMultimodalTransforms:
+    def test_resize_deterministic(self, spark):
+        from kenshin_spark.multimodal import attach_fake_payload
+        from kenshin_spark.multimodal.transforms import resize_images
+
+        docs = attach_fake_payload(
+            spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+        )
+        out1 = resize_images(docs, 32, 16).collect()[0]
+        out2 = resize_images(docs, 32, 16).collect()[0]
+        assert out1["resize_md5"] == out2["resize_md5"]
+        assert len(out1["resized"]) == 32 * 16 * 3
+        assert out1["width"] == 32 and out1["height"] == 16
+
+    def test_audio_features(self, spark):
+        from kenshin_spark.multimodal import attach_fake_payload
+        from kenshin_spark.multimodal.transforms import audio_features
+
+        docs = attach_fake_payload(
+            spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+        )
+        r = audio_features(docs).collect()[0]
+        assert r["n_samples"] == 2  # 4 bytes / 2
+        assert r["sample_rate"] == 16_000
+        assert 0.0 < r["rms"] < 1.0
+
+    def test_real_image_magic_raises(self):
+        from kenshin_spark.multimodal.transforms import _stub_resize
+
+        with pytest.raises(NotImplementedError):
+            _stub_resize(b"\x89PNG____", 8, 8)
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        """IVF with n_probe=all cells must equal brute force; with fewer
+        probes it returns a subset-quality result with the same schema."""
+        from kenshin_spark.io import load_table
+        from kenshin_spark.similarity import brute_force_topk, ivf_topk
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.where(F.col("vec_id") < 3)
+        exact = brute_force_topk(emb, queries, k=5)
+        full_probe = ivf_topk(emb, queries, k=5, n_cells=4, n_probe=4)
+        assert rows(exact.select("query_id", "neighbor_id", "cosine")) == rows(
+            full_probe.select("query_id", "neighbor_id", "cosine")
+        )
+        pruned = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2)
+        assert pruned.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+        assert pruned.groupBy("query_id").count().agg(
+            F.max("count")
+        ).collect()[0][0] <= 5
