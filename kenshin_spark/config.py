@@ -325,3 +325,74 @@ def default_schemas() -> SchemaSet:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Config-file parsing (M11) — the reference's conf formats
+# ---------------------------------------------------------------------------
+
+
+def parse_storage_schemas(text: str) -> SchemaSet:
+    """Parse the ``storage-schemas.conf`` format
+    (conf/storage-schemas.conf.example, loader rurouni/storage.py:116-149):
+    ordered INI sections, first-match-wins; ``cacheRetention`` accepts
+    time strings ('620s'); xFilesFactor is the propagation-batching factor.
+
+    Section order is preserved — it IS the matching priority.
+    """
+    import configparser
+
+    cp = configparser.ConfigParser()
+    cp.read_string(text)
+    schemas = []
+    for section in cp.sections():
+        s = cp[section]
+        if "pattern" not in s or "retentions" not in s:
+            raise ValueError(f"schema [{section}] needs pattern and retentions")
+        cache_ret = s.get("cacheRetention", "600")
+        schemas.append(
+            Schema.from_strings(
+                name=section,
+                pattern=s["pattern"],
+                retentions=s["retentions"],
+                xff=float(s.get("xFilesFactor", 20.0)),
+                agg_method=s.get("aggregationMethod", "average"),
+                cache_retention=RetentionParser.parse_time_str(cache_ret),
+                metrics_per_file=int(s.get("metricsPerFile", 8)),
+            )
+        )
+    return SchemaSet(tuple(schemas))
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """The ``rurouni.conf`` [cache] section surface we reproduce
+    (rurouni/conf.py:14-36, conf/rurouni.conf.example). Network/daemon
+    fields are parsed for parity but unused — Spark replaces the TCP
+    listeners with stream sources and instances with shuffle partitions."""
+
+    max_creates_per_minute: int = 1000
+    num_all_instance: int = 1
+    default_wait_time: int = 1
+    line_receiver_port: int = 2003
+    pickle_receiver_port: int = 2004
+    cache_query_port: int = 7002
+
+    @classmethod
+    def parse(cls, text: str, instance: int | None = None) -> "CacheConfig":
+        import configparser
+
+        cp = configparser.ConfigParser()
+        cp.read_string(text)
+        base = dict(cp["cache"]) if cp.has_section("cache") else {}
+        if instance is not None and cp.has_section(f"cache:{instance}"):
+            base.update(dict(cp[f"cache:{instance}"]))
+        get = lambda k, d: int(base.get(k.lower(), d))
+        return cls(
+            max_creates_per_minute=get("MAX_CREATES_PER_MINUTE", 1000),
+            num_all_instance=get("NUM_ALL_INSTANCE", 1),
+            default_wait_time=get("DEFAULT_WAIT_TIME", 1),
+            line_receiver_port=get("LINE_RECEIVER_PORT", 2003),
+            pickle_receiver_port=get("PICKLE_RECEIVER_PORT", 2004),
+            cache_query_port=get("CACHE_QUERY_PORT", 7002),
+        )

@@ -506,6 +506,62 @@ def q_ts_hot_cold_union(spark, sf_dir):
     return eng.fetch_union(cold, hot)
 
 
+@register(
+    "ts_debug_discontinuities",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts, prev_ts, gap FROM (
+      SELECT metric, ts,
+             lag(ts) OVER (PARTITION BY metric ORDER BY ts) AS prev_ts,
+             ts - lag(ts) OVER (PARTITION BY metric ORDER BY ts) AS gap
+      FROM t0
+    ) x WHERE gap IS NOT NULL AND gap <> 60
+    """,
+    "R10 — the point-level debug scan (bin/kenshin-debug.py:19-61 "
+    "--error mode): walk each series and report timestamp "
+    "discontinuities (slots where the step isn't the archive step)",
+)
+def q_ts_debug_discontinuities(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    w = Window.partitionBy("metric").orderBy("ts")
+    return (
+        t0.select(
+            "metric",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+            (F.col("ts") - F.lag("ts").over(w)).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull() & (F.col("gap") != 60))
+    )
+
+
+@register(
+    "ts_pickle_roundtrip",
+    f"WITH pts AS ({PTS}) SELECT metric, ts, value FROM pts",
+    "S2 — pickle batch source (rurouni/protocols.py:45-62): points packed "
+    "into the reference's wire format, shipped as binary blobs, unpacked "
+    "by the Arrow-batched mapInPandas deserializer; oracle = the original "
+    "points (lossless roundtrip), corrupt blobs dropped",
+)
+def q_ts_pickle_roundtrip(spark, sf_dir):
+    from kenshin_spark.sources.pickle_batch import (
+        pack_pickle_batch,
+        parse_pickle_batches,
+    )
+
+    pts = _points(spark, sf_dir).select("metric", "ts", "value").collect()
+    # pack into ~500-point wire batches like the reference's senders
+    blobs = []
+    for i in range(0, len(pts), 500):
+        batch = [(r["metric"], (r["ts"], r["value"])) for r in pts[i : i + 500]]
+        blobs.append((bytearray(pack_pickle_batch(batch)),))
+    blobs.append((bytearray(b"not a pickle"),))  # corrupt → dropped
+    frame = spark.createDataFrame(blobs, "payload binary")
+    return parse_pickle_batches(frame)
+
+
 # ---------------------------------------------------------------------------
 # Analytical queries (the engine's general DataFrame/SQL surface — exposed
 # "for free" per SURVEY §2.7, and the bench headliners)

@@ -1,0 +1,134 @@
+"""Plan-shape assertions — the scale analog of the reference's IO-budget
+test (tests/test_io_performance.py:49-72 asserts ≤1152 file IOs/day; we
+assert the physical-plan properties that bound IO at 100 TB):
+
+- predicate/partition pruning reaches the Parquet scans;
+- small dimensions broadcast (no shuffle of the fact table against them);
+- aggregations keep map-side partial aggregation (one shuffle per groupBy);
+- nothing in the registry falls back to row-at-a-time Python UDFs
+  (Arrow-batched pandas kernels only);
+- pair joins fan out across cores instead of serializing on one task.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kenshin_spark.io import load_table
+from kenshin_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+class TestPushdown:
+    def test_metric_and_time_filters_reach_parquet(self, spark, tmp_path):
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        schema = Schema.from_strings("s", ".*", "60s:1d,300s:7d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        store.overwrite(
+            0,
+            spark.createDataFrame(
+                [("m1", 86400 * d + 60 * i, 1.0) for d in range(3) for i in range(5)],
+                ["metric", "ts", "value"],
+            ),
+        )
+        scan = store.read(0).where(
+            (F.col("metric") == "m1") & (F.col("ts") >= 86400 * 2)
+        )
+        p = plan_of(scan)
+        assert "PushedFilters" in p
+        assert "IsNotNull(metric)" in p or "EqualTo(metric,m1)" in p
+        # ts filter must be pushed to the scan, not a post-filter only
+        assert "GreaterThanOrEqual(ts" in p
+
+    def test_day_partition_pruning(self, spark, tmp_path):
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        store.overwrite(
+            0,
+            spark.createDataFrame(
+                [("m", 86400 * d, 1.0) for d in range(10)],
+                ["metric", "ts", "value"],
+            ),
+        )
+        pruned = (
+            spark.read.parquet(store.tier_path(0))
+            .where(F.col("day") == 3)
+        )
+        p = plan_of(pruned)
+        assert "PartitionFilters" in p
+        # only 1 of 10 day partitions survives pruning
+        assert pruned.rdd.getNumPartitions() <= 2
+
+    def test_column_pruning_two_column_projection(self, spark):
+        docs = load_table(spark, SF, "documents").select("doc_id")
+        p = plan_of(docs)
+        assert "ReadSchema" in p
+        read_schema = [
+            line for line in p.splitlines() if "ReadSchema" in line
+        ][0]
+        assert "text" not in read_schema  # the wide column is not read
+
+
+class TestJoinStrategy:
+    def test_q5_broadcasts_small_dims(self, spark):
+        df = QUERIES["q5_local_supplier"].fn(spark, SF)
+        p = plan_of(df)
+        assert "BroadcastHashJoin" in p
+        # the fact table must never be broadcast; nation/region/supplier are
+        assert "SortMergeJoin" in p or p.count("BroadcastHashJoin") >= 3
+
+    def test_grid_fill_join_is_broadcastable(self, spark):
+        df = QUERIES["ts_fetch_grid"].fn(spark, SF)
+        p = plan_of(df)
+        assert "Join" in p
+
+
+class TestAggShape:
+    def test_lww_has_partial_aggregation(self, spark):
+        df = QUERIES["ts_align_lww"].fn(spark, SF)
+        p = plan_of(df)
+        # partial (map-side) + final aggregate around one shuffle
+        assert "partial_max_by" in p
+        assert "hashpartitioning(metric" in p
+        assert p.count("ENSURE_REQUIREMENTS") == 1  # exactly one shuffle
+
+    def test_downsample_single_shuffle(self, spark):
+        df = QUERIES["ts_downsample_tier1"].fn(spark, SF)
+        p = plan_of(df)
+        # two tiers = two grouped aggs = exactly two shuffles, no more
+        assert p.count("ENSURE_REQUIREMENTS") == 2
+        assert "partial_avg" in p  # cascade keeps map-side combine too
+
+
+class TestPythonBoundary:
+    # row-at-a-time Python UDFs would appear as BatchEvalPython; Arrow
+    # paths appear as ArrowEvalPython / MapInPandas — the only allowed ones
+    @pytest.mark.parametrize("name", sorted(QUERIES))
+    def test_no_row_python_udf(self, spark, name):
+        df = QUERIES[name].fn(spark, SF)
+        p = plan_of(df)
+        assert "BatchEvalPython" not in p, f"{name} uses a row-Python UDF"
+
+
+class TestParallelism:
+    def test_embedding_pair_join_fans_out(self, spark):
+        from kenshin_spark.dedup import embedding_neardup_pairs
+
+        emb = load_table(spark, SF, "embeddings")
+        df = embedding_neardup_pairs(emb, threshold=0.4)
+        p = plan_of(df)
+        # the streamed side is repartitioned so the nested-loop join
+        # doesn't serialize on the single parquet input partition
+        assert "RoundRobinPartitioning" in p
+        assert "BroadcastNestedLoopJoin" in p
