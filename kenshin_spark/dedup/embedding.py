@@ -47,8 +47,15 @@ def embedding_neardup_pairs(
     )
     denom = F.col("_na") * F.col("_nb")
     cosine = F.when(denom != 0, dot_product(F.col("_va"), F.col("_vb")) / denom)
+    # prefilter INSIDE the join condition: non-survivors are dropped after
+    # one dot product instead of surviving to a post-join filter that
+    # recomputes it. round(c, 6) >= t ⟺ c >= t - 5e-7 (then the exact
+    # rounded filter re-checks the boundary cases).
+    prefilter = dot_product(F.col("_va"), F.col("_vb")) >= (
+        F.lit(threshold - 5e-7) * denom
+    )
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        a.join(F.broadcast(b), (F.col("vec_a") < F.col("vec_b")) & prefilter)
         .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) — SURVEY §5's extension beyond the
+reference's golden cases:
+
+1. fetch(update(P)) ≡ grid(P): for random out-of-order / duplicate / late
+   batches, the engine's fetch returns exactly the hand-computed grid.
+2. tier i+1 ≡ re-agg of tier i: the downsample cascade commutes with a
+   direct one-shot aggregation of the finer tier.
+3. store upsert is idempotent and order-insensitive across replays of the
+   same batch (the exactly-once claim of the streaming path).
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kenshin_spark.config import Schema
+from kenshin_spark.operators.align import last_write_wins
+from kenshin_spark.operators.downsample import downsample
+from kenshin_spark.operators.fetch import grid_fill
+
+BASE_TS = 10_000
+
+point = st.tuples(
+    st.sampled_from(["m1", "m2"]),
+    st.integers(min_value=BASE_TS, max_value=BASE_TS + 600),  # 10 min span
+    st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                   allow_nan=False)),
+)
+
+batches = st.lists(st.lists(point, min_size=1, max_size=20),
+                   min_size=1, max_size=3)
+
+
+def expected_lww(rows, step):
+    """Hand-computed align + last-write-wins by arrival order."""
+    out = {}
+    for i, (m, ts, v) in enumerate(rows):
+        out[(m, ts - ts % step)] = (i, v)
+    return {k: v for k, (_, v) in out.items()}
+
+
+def expected_agg(slots, step, fn):
+    """Hand-computed downsample of aligned slots (NULL-ignoring)."""
+    groups = {}
+    for (m, ts), v in slots.items():
+        groups.setdefault((m, ts - ts % step), []).append((ts, v))
+    out = {}
+    for k, pts in groups.items():
+        vals = [v for _, v in sorted(pts) if v is not None]
+        out[k] = fn(vals) if vals else None
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(batches=batches)
+def test_fetch_equals_grid(spark, batches):
+    step = 60
+    rows = [p for b in batches for p in b]
+    arrival = [(m, ts, v, i) for i, (m, ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        arrival, "metric string, ts long, value double, arrival long"
+    )
+    t0 = last_write_wins(df, step, arrival_col="arrival")
+
+    want = expected_lww(rows, step)
+    from_t, until_t = BASE_TS, BASE_TS + 660
+    grid = grid_fill(t0, ["m1", "m2"], from_t, until_t, step)
+    got = {(r["metric"], r["ts"]): r["value"] for r in grid.collect()}
+
+    n_slots = (until_t - from_t) // step
+    assert len(got) == 2 * n_slots
+    for (m, ts), v in got.items():
+        exp = want.get((m, ts))
+        if exp is None:
+            assert v is None, f"({m},{ts}): got {v}, want NULL"
+        else:
+            assert v is not None and math.isclose(v, exp), (
+                f"({m},{ts}): got {v}, want {exp}"
+            )
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(batches=batches,
+       agg=st.sampled_from(["average", "sum", "max", "min", "last"]))
+def test_cascade_matches_hand_agg(spark, batches, agg):
+    fine, coarse = 60, 300
+    rows = [p for b in batches for p in b]
+    arrival = [(m, ts, v, i) for i, (m, ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        arrival, "metric string, ts long, value double, arrival long"
+    )
+    t0 = last_write_wins(df, fine, arrival_col="arrival")
+    t1 = downsample(t0, coarse, agg)
+
+    slots = expected_lww(rows, fine)
+    fns = {
+        "average": lambda xs: sum(xs) / len(xs),
+        "sum": sum,
+        "max": max,
+        "min": min,
+        "last": lambda xs: xs[-1],
+    }
+    want = expected_agg(slots, coarse, fns[agg])
+    want = {k: v for k, v in want.items() if v is not None}
+    got = {
+        (r["metric"], r["ts"]): r["value"]
+        for r in t1.collect()
+        if r["value"] is not None
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert math.isclose(got[k], want[k]), (k, got[k], want[k])
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(batch=st.lists(point, min_size=1, max_size=15))
+def test_store_upsert_idempotent(spark, tmp_path_factory, batch):
+    from kenshin_spark.store import ParquetTieredStore
+
+    schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
+    root = str(tmp_path_factory.mktemp("st"))
+    store = ParquetTieredStore(spark, schema, root)
+    aligned = [(m, ts - ts % 60, v) for m, ts, v in batch]
+    # dedup within the batch (upsert expects slot-unique rows)
+    slots = {}
+    for m, ts, v in aligned:
+        slots[(m, ts)] = v
+    df = spark.createDataFrame(
+        [(m, ts, v) for (m, ts), v in slots.items()],
+        "metric string, ts long, value double",
+    )
+    store.upsert(0, df)
+    once = sorted(tuple(r) for r in store.read(0).collect())
+    store.upsert(0, df)  # replay the same micro-batch (checkpoint recovery)
+    twice = sorted(tuple(r) for r in store.read(0).collect())
+    assert once == twice
