@@ -51,3 +51,38 @@ def info(points: DataFrame, schemas: SchemaSet | None = None) -> DataFrame:
     """R9 — header/metadata inspection (kenshin/storage.py:312-348,
     bin/kenshin-info.py): per-metric stats + policy, same plan as M1."""
     return index_rebuild(points, schemas)
+
+
+def gc_candidates(catalog: DataFrame, points: DataFrame) -> DataFrame:
+    """M8 — GC candidates (bin/kenshin-find-file.py:51-73): cataloged
+    metrics with no live points left (everything expired) — the analog of
+    "all but the last file id per schema". An anti-join, fully pruned."""
+    live = points.select("metric").distinct()
+    return catalog.join(live, "metric", "left_anti")
+
+
+def keep_alive_points(
+    catalog: DataFrame,
+    points: DataFrame,
+    now: int,
+    dormant_after: int = 86400,
+    value: float = 0.0,
+) -> DataFrame:
+    """M9 — keep-alive zero points (bin/kenshin-send-zero-metric.py:26-45):
+    emit a 0-value point at ``now`` for every cataloged metric whose
+    newest point is older than ``dormant_after`` seconds (or missing), so
+    dormant metrics survive a migration window."""
+    latest = points.groupBy("metric").agg(F.max("ts").alias("_last_ts"))
+    dormant = (
+        catalog.join(latest, "metric", "left")
+        .where(
+            F.col("_last_ts").isNull()
+            | (F.col("_last_ts") < F.lit(now - dormant_after))
+        )
+        .select("metric")
+    )
+    return dormant.select(
+        "metric",
+        F.lit(now).cast("long").alias("ts"),
+        F.lit(value).cast("double").alias("value"),
+    )

@@ -65,6 +65,33 @@ def _layered_points(store: ParquetTieredStore, now: int):
     return out
 
 
+def build_tiers_from_layered(
+    spark: SparkSession,
+    pts,
+    schema: Schema,
+    root: str,
+    now: int,
+) -> ParquetTieredStore:
+    """Build a fresh store from layered points ``(metric, ts, value,
+    sec_per_point)`` — the shared kernel of REBUILD (M6) and the
+    whisper/kenshin rehash import (M7, bin/kenshin-rehash.py:22-100):
+    each target tier aggregates the at-least-as-fine source rows and
+    passes coarser leftovers through on their own grid."""
+    store = ParquetTieredStore(spark, schema, root)
+    agg = AGG_SQL[schema.agg_method]
+    for i, arch in enumerate(schema.archives):
+        step = arch.sec_per_point
+        src = pts.where(F.col("ts") >= now - arch.retention)
+        fine = src.where(F.col("sec_per_point") <= step)
+        coarse = src.where(F.col("sec_per_point") > step)
+        re_agg = fine.groupBy(
+            "metric", align_ts(F.col("ts").cast("long"), step).alias("ts")
+        ).agg(F.expr(agg.format(v="value", t="ts")).alias("value"))
+        tier = re_agg.unionByName(coarse.select("metric", "ts", "value"))
+        store.overwrite(i, tier)
+    return store
+
+
 def rebuild_store(
     spark: SparkSession,
     old: ParquetTieredStore,
@@ -75,24 +102,29 @@ def rebuild_store(
     """REBUILD: re-aggregate the old store's layered points into the new
     archive list (the re-fetch/re-update loop of
     bin/kenshin-change-schema.py:80-114, as one batch job per tier)."""
-    pts = _layered_points(old, now)
-    new_store = ParquetTieredStore(spark, new_schema, new_root)
-    agg = AGG_SQL[new_schema.agg_method]
-    for i, arch in enumerate(new_schema.archives):
-        step = arch.sec_per_point
-        src = pts.where(F.col("ts") >= now - arch.retention)
-        # only aggregate from data at least as fine as the target tier;
-        # coarser leftovers pass through on their own (aligned) grid
-        fine = src.where(F.col("sec_per_point") <= step)
-        coarse = src.where(F.col("sec_per_point") > step)
-        re_agg = fine.groupBy(
-            "metric", align_ts(F.col("ts").cast("long"), step).alias("ts")
-        ).agg(F.expr(agg.format(v="value", t="ts")).alias("value"))
-        tier = re_agg.unionByName(
-            coarse.select("metric", "ts", "value")
-        )
-        new_store.overwrite(i, tier)
-    return new_store
+    return build_tiers_from_layered(
+        spark, _layered_points(old, now), new_schema, new_root, now
+    )
+
+
+def import_whisper_to_store(
+    spark: SparkSession,
+    path_glob: str,
+    schema: Schema,
+    root: str,
+    now: int,
+    base: str | None = None,
+) -> ParquetTieredStore:
+    """M7 — the rehash/import job (bin/kenshin-rehash.py:22-100): read a
+    whisper tree, re-shard + re-aggregate into a tiered store. The
+    reference runs 10 worker processes over a queue; here the shuffle IS
+    the re-shard and every tier build is one distributed aggregation."""
+    from kenshin_spark.sources.whisper import read_whisper_points
+
+    pts = read_whisper_points(spark, path_glob, base=base).select(
+        "metric", "ts", "value", "sec_per_point"
+    )
+    return build_tiers_from_layered(spark, pts, schema, root, now)
 
 
 @dataclass

@@ -171,30 +171,36 @@ class StreamingIngest:
         [, corrupt][, arrival])`` frame — streaming micro-batch or plain
         batch backfill (same code path, per SURVEY §7.3 late-data note)."""
         self.stats.batches += 1
-        if "corrupt" in batch.columns:
-            n_bad = batch.where(F.col("corrupt").isNotNull()).count()
-            self.stats.corrupt_lines += n_bad
-            batch = batch.where(F.col("corrupt").isNull()).drop("corrupt")
-        n = batch.count()
-        if n == 0:
-            return
-        self.stats.metrics_received += n
-        now = int(time.time())
-        routed = self._admit(batch, now)
-        arrival = "arrival" if "arrival" in routed.columns else None
-        for schema in self.schemas.schemas:
-            group = routed.where(F.col("schema_name") == schema.name).drop(
-                "schema_name"
-            )
-            if group.isEmpty():
-                continue
-            store = self.store_for(schema)
-            step = schema.archives[0].sec_per_point
-            slots = last_write_wins(group, step, arrival_col=arrival)
-            store.upsert(0, slots)
-            store.propagate(slots)
-            self.stats.update_operations += 1
-            self.stats.committed_points += slots.count()
+        # the batch is scanned several times (dead-letter split, admission,
+        # one pass per schema) — persist so the source parse runs once
+        batch = batch.persist()
+        try:
+            if "corrupt" in batch.columns:
+                n_bad = batch.where(F.col("corrupt").isNotNull()).count()
+                self.stats.corrupt_lines += n_bad
+                batch = batch.where(F.col("corrupt").isNull()).drop("corrupt")
+            n = batch.count()
+            if n == 0:
+                return
+            self.stats.metrics_received += n
+            now = int(time.time())
+            routed = self._admit(batch, now)
+            arrival = "arrival" if "arrival" in routed.columns else None
+            for schema in self.schemas.schemas:
+                group = routed.where(
+                    F.col("schema_name") == schema.name
+                ).drop("schema_name")
+                if group.isEmpty():
+                    continue
+                store = self.store_for(schema)
+                step = schema.archives[0].sec_per_point
+                slots = last_write_wins(group, step, arrival_col=arrival)
+                store.upsert(0, slots)
+                store.propagate(slots)
+                self.stats.update_operations += 1
+                self.stats.committed_points += slots.count()
+        finally:
+            batch.unpersist()
 
     # -- stream entry points ----------------------------------------------
 
@@ -205,8 +211,17 @@ class StreamingIngest:
         line_col: str = "value",
         trigger: dict | None = None,
     ) -> StreamingQuery:
-        """Direct mode: text line stream → parse → flush every micro-batch."""
-        points = parse_metric_lines(lines, line_col=line_col)
+        """Direct mode: text line stream → parse → flush every micro-batch.
+
+        The parsed stream carries ``observe()`` metrics (rows / corrupt
+        counts computed inside the engine, no extra job) which surface in
+        every StreamingQueryProgress — attach ``ObservedMetricsListener``
+        to collect them (S8)."""
+        points = parse_metric_lines(lines, line_col=line_col).observe(
+            "kenshin_ingest",
+            F.count(F.lit(1)).alias("rows"),
+            F.count("corrupt").alias("corrupt"),
+        )
         writer = points.writeStream.foreachBatch(self.process_batch).option(
             "checkpointLocation", checkpoint
         )
@@ -279,6 +294,22 @@ class StreamingIngest:
             F.unix_timestamp("key.window.start").cast("long").alias("ts"),
             F.col("value.valueWithExtremumOrdering").alias("value"),
         )
+
+    def shutdown_flush(self, checkpoint: str, schema: Schema) -> None:
+        """W11 — force-flush on shutdown (rurouni/writer.py:73-83,
+        rurouni/cache.py:171-187): after stopping an *aggregated-mode*
+        query, push the still-open windows straight from the state store
+        into the cold tier, ignoring flush eligibility. Direct mode needs
+        no equivalent (every micro-batch already flushed); on restart the
+        checkpoint would re-deliver anyway — this just makes the data
+        visible to cold-only readers immediately."""
+        hot = self.hot_points(checkpoint)
+        if hot.isEmpty():
+            return
+        store = self.store_for(schema)
+        store.upsert(0, hot)
+        store.propagate(hot.select("metric", "ts"))
+        self.stats.update_operations += 1
 
     # -- instrumentation (S8) ---------------------------------------------
 

@@ -189,3 +189,91 @@ class TestIVF:
         assert pruned.groupBy("query_id").count().agg(
             F.max("count")
         ).collect()[0][0] <= 5
+
+
+class TestFnv1aGoldens:
+    """The reference's golden vectors (tests/test_fnv1a.py:15-26) — the
+    standard public FNV-1a 32-bit test set, as signed int32."""
+
+    CASES = [
+        ("", 0x811C9DC5),
+        ("a", 0xE40C292C),
+        ("foobar", 0xBF9CF968),
+        ("hello", 0x4F9F2CAB),
+        (b"\xff\x00\x00\x01", 0xC48FB86D),
+    ]
+
+    def test_golden_vectors(self):
+        from kenshin_spark.functions.hashing import fnv1a_32
+
+        for s, uh in self.CASES:
+            want = uh - 0x100000000 if uh >= 0x80000000 else uh
+            assert fnv1a_32(s) == want, s
+
+    def test_hash_ring_matches_mod(self):
+        from kenshin_spark.functions.hashing import HashRing, fnv1a_32
+
+        ring = HashRing(["n0", "n1", "n2"])
+        for key in ("sys.cpu", "a.b.c", "hello"):
+            idx = fnv1a_32(key) % 3
+            assert ring.get_node(key) == f"n{idx}"
+            pref = ring.get_nodes(key)
+            assert pref[0] == f"n{idx}" and sorted(pref) == ["n0", "n1", "n2"]
+
+
+class TestRehashImport:
+    def test_whisper_tree_to_store(self, spark, tmp_path):
+        import os as _os
+
+        from kenshin_spark.operators.schema_change import (
+            import_whisper_to_store,
+        )
+        from kenshin_spark.sources.whisper import write_whisper
+
+        d = tmp_path / "wsp"
+        _os.makedirs(d)
+        now = 100_000
+        write_whisper(
+            str(d / "m1.wsp"),
+            archives=[(10, 360), (60, 1440)],
+            points_per_archive=[
+                [(now - 20, 1.0), (now - 10, 3.0)],
+                [(now - 7200, 5.0)],  # only in the coarse archive
+            ],
+        )
+        schema = Schema.from_strings("s", ".*", "20s:1h,60s:1d", xff=1.0,
+                                     agg_method="average")
+        store = import_whisper_to_store(
+            spark, str(d) + "/*.wsp", schema, str(tmp_path / "st"), now,
+            base=str(d),
+        )
+        t0 = rows(store.read(0))
+        # 10s points re-agg to the 20s grid: 99980 holds both
+        assert t0 == [("m1", 99980, 2.0)]
+        t1 = rows(store.read(1))
+        # tier1: fine points agg to 60s (99960 -> 2.0); the coarse
+        # archive's 60s point is realigned onto our grid (92800 -> 92760)
+        assert ("m1", 92760, 5.0) in t1
+        assert ("m1", 99960, 2.0) in t1
+
+
+class TestMaintenanceExtras:
+    def test_gc_candidates_and_keep_alive(self, spark):
+        from kenshin_spark.operators.maintenance import (
+            gc_candidates,
+            keep_alive_points,
+        )
+
+        catalog = spark.createDataFrame(
+            [("live", "s", 0), ("dormant", "s", 0), ("dead", "s", 0)],
+            ["metric", "schema_name", "created_ts"],
+        )
+        now = 200_000
+        points = spark.createDataFrame(
+            [("live", now - 60, 1.0), ("dormant", now - 90_000, 2.0)],
+            ["metric", "ts", "value"],
+        )
+        gc = {r["metric"] for r in gc_candidates(catalog, points).collect()}
+        assert gc == {"dead"}
+        ka = rows(keep_alive_points(catalog, points, now))
+        assert ka == [("dead", now, 0.0), ("dormant", now, 0.0)]

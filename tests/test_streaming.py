@@ -310,3 +310,67 @@ def test_token_bucket_semantics():
     assert b.drain(100) == 0
     clock.advance(3)
     assert b.drain(100) == 3
+
+
+class TestInstrumentation:
+    def test_observed_metrics_listener(self, spark, tmp_path):
+        from kenshin_spark.streaming import listener as L
+
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        lst = L.attach(spark)
+        try:
+            write_lines(
+                in_dir, "b1.txt",
+                ["a.x 1.0 1000", "a.y 2.0 1010", "broken line here x"],
+            )
+            ingest = StreamingIngest(spark, SCHEMAS, root)
+            run_stream(spark, ingest, in_dir, cp)
+            import time as _t
+
+            deadline = _t.time() + 20
+            while _t.time() < deadline and lst.totals.get("rows", 0) < 3:
+                _t.sleep(0.5)
+            assert lst.totals["rows"] == 3
+            assert lst.totals["corrupt"] == 1
+            pts = lst.as_points(now=5000)
+            assert ("rurouni.observed.corrupt", 5000, 1.0) in pts
+        finally:
+            spark.streams.removeListener(lst)
+
+
+class TestShutdownFlush:
+    def test_flush_open_windows_on_stop(self, spark, tmp_path):
+        """W11: after stopping the aggregated query, open windows move
+        from state to the cold store, ignoring eligibility."""
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        schema = SCHEMAS.schemas[0]
+        ingest = StreamingIngest(spark, SchemaSet((schema,)), root)
+        write_lines(
+            in_dir, "b1.txt",
+            ["fast.x 1.0 1000", "fast.x 3.0 1100"],  # 1100 stays open
+        )
+        from kenshin_spark.sources.line_protocol import parse_metric_lines
+        from pyspark.sql import functions as F
+
+        lines = spark.readStream.format("text").load(in_dir)
+        points = parse_metric_lines(lines, line_col="value").where(
+            F.col("corrupt").isNull()
+        )
+        q = ingest.start_aggregated(
+            points, schema, checkpoint=cp, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+        store = ingest.store_for(schema)
+        before = {r["ts"] for r in store.read(0).collect()}
+        assert 1100 not in before  # open window not yet flushed
+        ingest.shutdown_flush(cp, schema)
+        after = rows(store.read(0))
+        assert ("fast.x", 1100, 3.0) in after
