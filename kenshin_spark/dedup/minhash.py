@@ -43,8 +43,11 @@ def shingles(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+    from kenshin_spark.dedup.fanout import fan_out
+
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        fan_out(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .distinct()
     )
 

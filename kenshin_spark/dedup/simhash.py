@@ -22,8 +22,10 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """``(doc_id, simhash BIGINT)`` over distinct lowercase word tokens."""
+    from kenshin_spark.dedup.fanout import fan_out
+
     toks = (
-        docs.select(
+        fan_out(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
         )

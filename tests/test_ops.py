@@ -277,3 +277,18 @@ class TestMaintenanceExtras:
         assert gc == {"dead"}
         ka = rows(keep_alive_points(catalog, points, now))
         assert ka == [("dead", now, 0.0), ("dormant", now, 0.0)]
+
+
+class TestKafkaBuilders:
+    def test_reader_config_builds(self, spark):
+        from kenshin_spark.sources.kafka import kafka_reader
+
+        r = kafka_reader(spark, "broker:9092", "t", max_offsets_per_trigger=1000)
+        assert r is not None  # construction-only (no connector JAR here)
+
+    def test_load_without_connector_fails_cleanly(self, spark):
+        from kenshin_spark.sources.kafka import kafka_lines
+
+        with pytest.raises(Exception) as exc:
+            kafka_lines(spark, "broker:9092").printSchema()
+        assert "kafka" in str(exc.value).lower()
