@@ -156,14 +156,15 @@ class ParquetTieredStore:
 
     # -- propagation (W7) -------------------------------------------------
 
-    def propagate(self, batch_slots: DataFrame) -> None:
-        """Cascade a tier-0 upsert through the coarser tiers: for each tier
-        i≥1 re-aggregate the *touched coarse slots* from tier i-1 — the
-        write-time downsample of kenshin/storage.py:510-586, bounded to the
-        affected window exactly like the reference's propagation range."""
+    def propagate(self, batch_slots: DataFrame, from_tier: int = 0) -> None:
+        """Cascade an upsert into tier ``from_tier`` through the coarser
+        tiers: for each tier i>from_tier re-aggregate the *touched coarse
+        slots* from tier i-1 — the write-time downsample of
+        kenshin/storage.py:510-586, bounded to the affected window exactly
+        like the reference's propagation range."""
         agg = AGG_SQL[self.schema.agg_method]
         touched = batch_slots.select("metric", F.col("ts").cast("long"))
-        for i in range(1, len(self.schema.archives)):
+        for i in range(from_tier + 1, len(self.schema.archives)):
             step = self.schema.archives[i].sec_per_point
             slots = touched.select(
                 "metric", align_ts(F.col("ts"), step).alias("slot")

@@ -63,6 +63,7 @@ class IngestStats:
     creates: int = 0
     dropped_creates: int = 0
     corrupt_lines: int = 0
+    dropped_old_points: int = 0
     update_operations: int = 0
     batches: int = 0
 
@@ -94,6 +95,7 @@ class StreamingIngest:
         self.schemas = schemas
         self.root = root
         self.stats = IngestStats()
+        self.clock = clock  # injectable: age routing + tests (SURVEY §7.3)
         self.bucket: TokenBucket | None = (
             creates_per_minute_bucket(max_creates_per_minute, clock)
             if max_creates_per_minute
@@ -183,9 +185,10 @@ class StreamingIngest:
             if n == 0:
                 return
             self.stats.metrics_received += n
-            now = int(time.time())
+            now = int(self.clock())
             routed = self._admit(batch, now)
             arrival = "arrival" if "arrival" in routed.columns else None
+            age = F.lit(now) - F.col("ts")
             for schema in self.schemas.schemas:
                 group = routed.where(
                     F.col("schema_name") == schema.name
@@ -193,12 +196,27 @@ class StreamingIngest:
                 if group.isEmpty():
                     continue
                 store = self.store_for(schema)
-                step = schema.archives[0].sec_per_point
-                slots = last_write_wins(group, step, arrival_col=arrival)
-                store.upsert(0, slots)
-                store.propagate(slots)
-                self.stats.update_operations += 1
-                self.stats.committed_points += slots.count()
+                # W4 age routing (kenshin/storage.py:384-425): the FIRST
+                # archive whose retention covers the point's age takes it;
+                # older-than-everything points are dropped.
+                prev_ret = 0
+                for i, arch in enumerate(schema.archives):
+                    cond = age <= F.lit(arch.retention)
+                    if i:
+                        cond = cond & (age > F.lit(prev_ret))
+                    prev_ret = arch.retention
+                    sub = group.where(cond)
+                    if sub.isEmpty():
+                        continue
+                    slots = last_write_wins(
+                        sub, arch.sec_per_point, arrival_col=arrival
+                    )
+                    store.upsert(i, slots)
+                    store.propagate(slots, from_tier=i)
+                    self.stats.update_operations += 1
+                    self.stats.committed_points += slots.count()
+                n_expired = group.where(age > F.lit(prev_ret)).count()
+                self.stats.dropped_old_points += n_expired
         finally:
             batch.unpersist()
 
@@ -314,7 +332,7 @@ class StreamingIngest:
     # -- instrumentation (S8) ---------------------------------------------
 
     def self_metrics_points(self, now: int | None = None) -> DataFrame:
-        now = int(now if now is not None else time.time())
+        now = int(now if now is not None else self.clock())
         return self.spark.createDataFrame(
             self.stats.as_points(now), ["metric", "ts", "value"]
         )

@@ -71,7 +71,7 @@ class TestStreamingDirect:
                 "not a line at all x",
             ],
         )
-        ingest = StreamingIngest(spark, SCHEMAS, root)
+        ingest = StreamingIngest(spark, SCHEMAS, root, clock=FakeClock(1200))
         run_stream(spark, ingest, in_dir, cp)
 
         fast = ingest.store_for(SCHEMAS.schemas[0])
@@ -102,7 +102,7 @@ class TestStreamingDirect:
             str(tmp_path / "cp"),
             str(tmp_path / "store"),
         )
-        ingest = StreamingIngest(spark, SCHEMAS, root)
+        ingest = StreamingIngest(spark, SCHEMAS, root, clock=FakeClock(1200))
         write_lines(in_dir, "b1.txt", ["fast.a 1.0 1000", "fast.a 4.0 1100"])
         run_stream(spark, ingest, in_dir, cp)
         # second file: overwrite slot 1000, add late point in older slot 900
@@ -150,7 +150,7 @@ class TestStreamingDirect:
 
     def test_self_metrics_roundtrip(self, spark, tmp_path):
         root = str(tmp_path / "store")
-        ingest = StreamingIngest(spark, SCHEMAS, root)
+        ingest = StreamingIngest(spark, SCHEMAS, root, clock=FakeClock(1250))
         ingest.stats.metrics_received = 42
         ingest.record_self_metrics(now=1200)
         slow = ingest.store_for(SCHEMAS.schemas[1])
@@ -327,7 +327,9 @@ class TestInstrumentation:
                 in_dir, "b1.txt",
                 ["a.x 1.0 1000", "a.y 2.0 1010", "broken line here x"],
             )
-            ingest = StreamingIngest(spark, SCHEMAS, root)
+            ingest = StreamingIngest(
+                spark, SCHEMAS, root, clock=FakeClock(1100)
+            )
             run_stream(spark, ingest, in_dir, cp)
             import time as _t
 
@@ -374,3 +376,38 @@ class TestShutdownFlush:
         ingest.shutdown_flush(cp, schema)
         after = rows(store.read(0))
         assert ("fast.x", 1100, 3.0) in after
+
+
+class TestAgeRouting:
+    def test_old_points_route_to_coarse_tier(self, spark, tmp_path):
+        """W4 (kenshin/storage.py:384-425): points older than tier0's
+        retention land directly in the first tier that covers their age;
+        points older than every tier are dropped and counted."""
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        now = 1_000_000
+        # fast schema: 10s:1h (3600s), 60s:1d (86400s)
+        lines = [
+            f"fast.m 1.0 {now - 100}",      # recent → tier0
+            f"fast.m 2.0 {now - 7200}",     # 2h old → beyond tier0 → tier1
+            f"fast.m 3.0 {now - 200_000}",  # 2.3d old → beyond all → drop
+        ]
+        write_lines(in_dir, "b1.txt", lines)
+        ingest = StreamingIngest(
+            spark, SCHEMAS, root, clock=FakeClock(float(now))
+        )
+        run_stream(spark, ingest, in_dir, cp)
+        fast = ingest.store_for(SCHEMAS.schemas[0])
+        t0 = rows(fast.read(0))
+        t1 = rows(fast.read(1))
+        assert t0 == [("fast.m", now - 100 - (now - 100) % 10, 1.0)]
+        old_slot = (now - 7200) - (now - 7200) % 60
+        assert ("fast.m", old_slot, 2.0) in t1
+        # the recent point propagated to tier1 as well (sum agg)
+        rec_slot = (now - 100) - (now - 100) % 60
+        assert ("fast.m", rec_slot, 1.0) in t1
+        assert len(t1) == 2
+        assert ingest.stats.dropped_old_points == 1
