@@ -639,6 +639,106 @@ FROM events
 GROUP BY event_type, date_trunc('day', ts)
 """
 
+Q6_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE), 2)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       round(CAST(sum({_DISC_PRICE}) AS DOUBLE), 2) AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t GROUP BY c_count
+"""
+
+Q14_SQL = """
+SELECT round(
+  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+         (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+    AS DOUBLE),
+  6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS STRING) AS o_orderdate,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_qty
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+"""
+
+ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       max(ts) - min(ts) AS duration_s
+FROM sessions GROUP BY user_id, session_id
+"""
+
 
 def _sql_query(sql: str, tables: tuple[str, ...]):
     """Build a queries() callable that registers the needed views and runs
@@ -678,6 +778,50 @@ QUERIES["q_events_daily"] = QuerySpec(
     fn=_sql_query(EVENTS_DAILY_SQL, ("events",)),
     oracle=EVENTS_DAILY_SQL,
     doc="event-stream daily rollup: counts, distinct users, value sums",
+)
+QUERIES["q6_forecast_revenue"] = QuerySpec(
+    fn=_sql_query(Q6_SQL, ("lineitem",)),
+    oracle=Q6_SQL,
+    doc="TPC-H Q6-style: tight multi-predicate scan + scalar agg — the "
+    "pushdown showcase (all three filters reach the parquet scan)",
+)
+QUERIES["q10_returned_items"] = QuerySpec(
+    fn=_sql_query(Q10_SQL, ("customer", "orders", "lineitem", "nation")),
+    oracle=Q10_SQL,
+    doc="TPC-H Q10-style: returned-item revenue per customer, top-20",
+)
+QUERIES["q13_order_distribution"] = QuerySpec(
+    fn=_sql_query(Q13_SQL, ("customer", "orders")),
+    oracle=Q13_SQL,
+    doc="TPC-H Q13-style: outer join + double aggregation (count "
+    "distribution of orders per customer, including zero-order customers)",
+)
+QUERIES["q14_promo_effect"] = QuerySpec(
+    fn=_sql_query(Q14_SQL, ("lineitem", "part")),
+    oracle=Q14_SQL,
+    doc="TPC-H Q14-style: promo revenue share, conditional agg over a join",
+)
+QUERIES["q18_large_orders"] = QuerySpec(
+    fn=_sql_query(Q18_SQL, ("customer", "orders", "lineitem")),
+    oracle=Q18_SQL,
+    doc="TPC-H Q18-style: HAVING on a grouped join (large-volume orders)",
+)
+QUERIES["q_rollup_orders"] = QuerySpec(
+    fn=_sql_query(ROLLUP_SQL, ("orders",)),
+    oracle=ROLLUP_SQL,
+    doc="GROUP BY ROLLUP (status, priority) with subtotal + grand-total "
+    "rows — grouping-sets surface the reference never had (SURVEY §2.7)",
+)
+QUERIES["q_event_sessions"] = QuerySpec(
+    # identical SQL except each engine's epoch-seconds function
+    fn=_sql_query(
+        SESSIONS_SQL.replace("floor(epoch(ts))", "unix_timestamp(ts)"),
+        ("events",),
+    ),
+    oracle=SESSIONS_SQL,
+    doc="event sessionization: 30-min-gap session ids via lag + running "
+    "sum windows, then per-session stats — the classic stream-analytics "
+    "pattern over the events table",
 )
 
 
