@@ -1,0 +1,126 @@
+"""Graphite render functions over fetched grids.
+
+The reference serves raw series; sumSeries/movingAverage/… live in
+graphite-web / graphite-kenshin, OUTSIDE the reference repo (SURVEY §2.7,
+README.md:73-75). A user switching from the reference still calls them,
+so the engine ships the core set — each a declarative transform over the
+fetch grid ``(metric, ts, value)``, windows partitioned by metric and
+ordered by ts (co-located with the storage layout, so no extra shuffle
+beyond the window sort).
+
+All functions preserve the grid contract: one row per (metric, slot),
+NULL for missing — so they compose: ``moving_average(sum_series(...))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _series_window(order: str = "ts") -> Window:
+    return Window.partitionBy("metric").orderBy(order)
+
+
+def sum_series(grid: DataFrame, name: str = "sumSeries") -> DataFrame:
+    """Graphite sumSeries: collapse all input series into one, summing per
+    slot; a slot where every series is NULL stays NULL (count check)."""
+    return (
+        grid.groupBy("ts")
+        .agg(
+            F.sum("value").alias("value"),  # NULL-ignoring; all-NULL → NULL
+        )
+        .select(F.lit(name).alias("metric"), "ts", "value")
+    )
+
+
+def avg_series(grid: DataFrame, name: str = "averageSeries") -> DataFrame:
+    """Graphite averageSeries over the slot across series."""
+    return (
+        grid.groupBy("ts")
+        .agg(F.avg("value").alias("value"))
+        .select(F.lit(name).alias("metric"), "ts", "value")
+    )
+
+
+def moving_average(grid: DataFrame, n_points: int) -> DataFrame:
+    """Graphite movingAverage(series, N): mean of the trailing N slots
+    (including the current one), NULLs ignored; slots with no non-NULL
+    history stay NULL."""
+    w = _series_window().rowsBetween(-(n_points - 1), 0)
+    return grid.select(
+        "metric", "ts", F.avg("value").over(w).alias("value")
+    )
+
+
+def derivative(grid: DataFrame) -> DataFrame:
+    """Graphite derivative: value - previous value (NULL at series start
+    or across a NULL neighbor)."""
+    w = _series_window()
+    return grid.select(
+        "metric", "ts", (F.col("value") - F.lag("value").over(w)).alias("value")
+    )
+
+
+def non_negative_derivative(grid: DataFrame) -> DataFrame:
+    """Graphite nonNegativeDerivative: like derivative but counter resets
+    (negative deltas) become NULL."""
+    w = _series_window()
+    delta = F.col("value") - F.lag("value").over(w)
+    return grid.select(
+        "metric", "ts", F.when(delta >= 0, delta).alias("value")
+    )
+
+
+def time_shift(grid: DataFrame, shift_seconds: int) -> DataFrame:
+    """Graphite timeShift: move the series along the time axis (positive =
+    newer timestamps show older data)."""
+    return grid.select(
+        "metric", (F.col("ts") + F.lit(shift_seconds)).alias("ts"), "value"
+    )
+
+
+def scale(grid: DataFrame, factor: float) -> DataFrame:
+    """Graphite scale(series, factor)."""
+    return grid.select(
+        "metric", "ts", (F.col("value") * F.lit(factor)).alias("value")
+    )
+
+
+def alias_series(grid: DataFrame, new_name: str) -> DataFrame:
+    """Graphite alias(series, name)."""
+    return grid.select(F.lit(new_name).alias("metric"), "ts", "value")
+
+
+def keep_last_value(grid: DataFrame, limit: int | None = None) -> DataFrame:
+    """Graphite keepLastValue: forward-fill NULL slots with the most
+    recent value, optionally only across gaps of ≤ limit slots."""
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    filled = F.last("value", ignorenulls=True).over(w)
+    if limit is None:
+        return grid.select("metric", "ts", filled.alias("value"))
+    # count slots since the last non-NULL; refuse to fill past the limit
+    marker = F.when(F.col("value").isNotNull(), F.col("ts"))
+    last_seen = F.last(marker, ignorenulls=True).over(w)
+    step = F.min(F.col("ts") - F.lag("ts").over(_series_window())).over(
+        Window.partitionBy("metric")
+    )
+    gap_slots = (F.col("ts") - last_seen) / step
+    return grid.select(
+        "metric",
+        "ts",
+        F.when(gap_slots <= limit, filled).alias("value"),
+    )
+
+
+def absolute(grid: DataFrame) -> DataFrame:
+    """Graphite absolute(series)."""
+    return grid.select("metric", "ts", F.abs("value").alias("value"))
+
+
+def summarize(grid: DataFrame, bucket_seconds: int, agg: str = "sum") -> DataFrame:
+    """Graphite summarize(series, interval, func): re-bucket the grid into
+    coarser intervals — same machinery as the downsample cascade."""
+    from kenshin_spark.operators.downsample import downsample
+
+    return downsample(grid, bucket_seconds, agg)

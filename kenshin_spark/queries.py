@@ -507,6 +507,91 @@ def q_ts_hot_cold_union(spark, sf_dir):
 
 
 @register(
+    "render_moving_average",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           round(avg(value) OVER (
+             PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 6) AS value
+    FROM t0
+    """,
+    "graphite movingAverage(series, 3) over tier0 — trailing-window mean, "
+    "NULL-ignoring in both engines (render layer, README.md:73-75)",
+)
+def q_render_moving_average(spark, sf_dir):
+    from kenshin_spark.functions.render import moving_average
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return moving_average(t0, 3).withColumn("value", F.round("value", 6))
+
+
+@register(
+    "render_derivative",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           round(value - lag(value) OVER (
+             PARTITION BY metric ORDER BY ts
+           ), 6) AS value
+    FROM t0
+    """,
+    "graphite derivative(series) over tier0 — per-slot delta via lag",
+)
+def q_render_derivative(spark, sf_dir):
+    from kenshin_spark.functions.render import derivative
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return derivative(t0).withColumn("value", F.round("value", 6))
+
+
+@register(
+    "render_keep_last_value",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    bounds AS (
+      SELECT ((now - 21600 + 299) // 300) * 300 AS from_r,
+             ((now + 299) // 300) * 300 AS until_r
+      FROM now_t
+    ),
+    tier1 AS (
+      SELECT metric, ts - ts % 300 AS ts, round(avg(value), 6) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT m.metric,
+             unnest(generate_series(b.from_r, b.until_r - 300, 300)) AS ts
+      FROM (SELECT DISTINCT metric FROM pts) m, bounds b
+    ),
+    g AS (
+      SELECT g.metric, g.ts, t.value
+      FROM grid g LEFT JOIN tier1 t ON g.metric = t.metric AND g.ts = t.ts
+    )
+    SELECT metric, ts,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value
+    FROM g
+    """,
+    "graphite keepLastValue over a NULL-filled fetch grid — forward fill "
+    "via last_value IGNORE NULLS (composes render on top of R3)",
+)
+def q_render_keep_last_value(spark, sf_dir):
+    from kenshin_spark.functions.render import keep_last_value
+
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    tier1 = downsample(pts, 300, "average").withColumn(
+        "value", F.round("value", 6)
+    )
+    metrics = pts.select("metric").distinct()
+    grid = grid_fill(tier1, metrics, now - 21600, now, 300)
+    return keep_last_value(grid)
+
+
+@register(
     "ts_debug_discontinuities",
     f"""
     WITH pts AS ({PTS}), t0 AS ({LWW60})

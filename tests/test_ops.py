@@ -292,3 +292,71 @@ class TestKafkaBuilders:
         with pytest.raises(Exception) as exc:
             kafka_lines(spark, "broker:9092").printSchema()
         assert "kafka" in str(exc.value).lower()
+
+
+class TestRenderFunctions:
+    def grid(self, spark):
+        return spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 60, None), ("a", 120, 5.0),
+             ("b", 0, 2.0), ("b", 60, 4.0), ("b", 120, None)],
+            "metric string, ts long, value double",
+        )
+
+    def test_sum_and_avg_series(self, spark):
+        from kenshin_spark.functions.render import avg_series, sum_series
+
+        g = self.grid(spark)
+        s = {r["ts"]: r["value"] for r in sum_series(g).collect()}
+        assert s == {0: 3.0, 60: 4.0, 120: 5.0}
+        a = {r["ts"]: r["value"] for r in avg_series(g).collect()}
+        assert a == {0: 1.5, 60: 4.0, 120: 5.0}
+
+    def test_non_negative_derivative(self, spark):
+        from kenshin_spark.functions.render import non_negative_derivative
+
+        g = spark.createDataFrame(
+            [("c", 0, 10.0), ("c", 60, 12.0), ("c", 120, 3.0),
+             ("c", 180, 4.0)],
+            "metric string, ts long, value double",
+        )
+        d = {r["ts"]: r["value"] for r in non_negative_derivative(g).collect()}
+        assert d == {0: None, 60: 2.0, 120: None, 180: 1.0}
+
+    def test_time_shift_scale_alias_absolute(self, spark):
+        from kenshin_spark.functions.render import (
+            absolute,
+            alias_series,
+            scale,
+            time_shift,
+        )
+
+        g = spark.createDataFrame(
+            [("a", 60, -2.0)], "metric string, ts long, value double"
+        )
+        assert time_shift(g, 30).collect()[0]["ts"] == 90
+        assert scale(g, 2.0).collect()[0]["value"] == -4.0
+        assert alias_series(g, "x").collect()[0]["metric"] == "x"
+        assert absolute(g).collect()[0]["value"] == 2.0
+
+    def test_keep_last_value_with_limit(self, spark):
+        from kenshin_spark.functions.render import keep_last_value
+
+        g = spark.createDataFrame(
+            [("a", 0, 7.0), ("a", 60, None), ("a", 120, None),
+             ("a", 180, None), ("a", 240, 9.0)],
+            "metric string, ts long, value double",
+        )
+        unlimited = {r["ts"]: r["value"] for r in keep_last_value(g).collect()}
+        assert unlimited == {0: 7.0, 60: 7.0, 120: 7.0, 180: 7.0, 240: 9.0}
+        limited = {r["ts"]: r["value"]
+                   for r in keep_last_value(g, limit=2).collect()}
+        assert limited == {0: 7.0, 60: 7.0, 120: 7.0, 180: None, 240: 9.0}
+
+    def test_summarize_matches_downsample(self, spark):
+        from kenshin_spark.functions.render import summarize
+
+        g = self.grid(spark)
+        s = {(r["metric"], r["ts"]): r["value"]
+             for r in summarize(g, 120, "sum").collect()}
+        assert s == {("a", 0): 1.0, ("a", 120): 5.0,
+                     ("b", 0): 6.0, ("b", 120): None}
