@@ -632,19 +632,17 @@ def q_ts_debug_discontinuities(spark, sf_dir):
 )
 def q_ts_pickle_roundtrip(spark, sf_dir):
     from kenshin_spark.sources.pickle_batch import (
-        pack_pickle_batch,
+        pack_points_to_batches,
         parse_pickle_batches,
     )
 
-    pts = _points(spark, sf_dir).select("metric", "ts", "value").collect()
-    # pack into ~500-point wire batches like the reference's senders
-    blobs = []
-    for i in range(0, len(pts), 500):
-        batch = [(r["metric"], (r["ts"], r["value"])) for r in pts[i : i + 500]]
-        blobs.append((bytearray(pack_pickle_batch(batch)),))
-    blobs.append((bytearray(b"not a pickle"),))  # corrupt → dropped
-    frame = spark.createDataFrame(blobs, "payload binary")
-    return parse_pickle_batches(frame)
+    pts = _points(spark, sf_dir).select("metric", "ts", "value")
+    # distributed pack (applyInPandas) — no driver-side materialization
+    blobs = pack_points_to_batches(pts, batch_size=500)
+    corrupt = spark.createDataFrame(
+        [(bytearray(b"not a pickle"),)], "payload binary"
+    )
+    return parse_pickle_batches(blobs.unionByName(corrupt))
 
 
 # ---------------------------------------------------------------------------

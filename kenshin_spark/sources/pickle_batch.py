@@ -50,3 +50,32 @@ def pack_pickle_batch(points: list[tuple[str, tuple[int, float]]]) -> bytes:
     """Producer-side helper (tests/stress): the reference's wire format
     (rurouni/protocols.py:45-62)."""
     return pickle.dumps(points, protocol=2)
+
+
+def pack_points_to_batches(points: DataFrame, batch_size: int = 500) -> DataFrame:
+    """Producer side, distributed: pack a points frame into the wire
+    format, ``batch_size`` points per pickled blob, one group per input
+    partition (applyInPandas — packing never leaves the executors).
+
+    The streaming senders in the reference do exactly this per connection
+    (examples/metric_stresser.py pickle mode)."""
+    import pickle as _pickle
+
+    from pyspark.sql import functions as F
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(zip(pdf["metric"], pdf["ts"], pdf["value"]))
+        blobs = []
+        for i in range(0, len(rows), batch_size):
+            batch = [
+                (str(m), (int(t), None if pd.isna(v) else float(v)))
+                for m, t, v in rows[i : i + batch_size]
+            ]
+            blobs.append(_pickle.dumps(batch, protocol=2))
+        return pd.DataFrame({"payload": blobs})
+
+    return (
+        points.select("metric", "ts", "value")
+        .groupBy(F.spark_partition_id().alias("_p"))
+        .applyInPandas(pack, "payload binary")
+    )
