@@ -28,13 +28,14 @@ def parse_metric_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     failed (dead-letter column), else NULL.
     """
     parts = F.split(F.trim(F.col(line_col)), r"\s+")
-    # try_cast: malformed numbers become NULL (→ dead letter) instead of an
-    # ANSI cast error killing the stream
+    # F.get (NULL on out-of-range, ANSI-safe) + try_cast (NULL on garbage):
+    # malformed lines become dead letters instead of an ANSI error killing
+    # the stream
     parsed = lines.select(
         F.col(line_col).alias("_raw"),
-        parts.getItem(0).alias("metric"),
-        parts.getItem(2).try_cast("double").try_cast("long").alias("ts"),
-        parts.getItem(1).try_cast("double").alias("value"),
+        F.get(parts, 0).alias("metric"),
+        F.get(parts, 2).try_cast("double").try_cast("long").alias("ts"),
+        F.get(parts, 1).try_cast("double").alias("value"),
         F.size(parts).alias("_n"),
     )
     ok = (

@@ -196,6 +196,35 @@ class ParquetTieredStore:
             now,
         )
 
+    # -- delete (M5) ------------------------------------------------------
+
+    def delete_metrics(self, metrics: list[str]) -> None:
+        """M5 — delete metrics' rows from every tier
+        (bin/kenshin-delete.py:39-96 blanks header slots; with real tables
+        we actually remove the rows). Plain-Parquet implementation rewrites
+        each tier without the deleted metrics; on Delta/Iceberg this is a
+        metadata-level ``DELETE WHERE metric IN (...)``."""
+        for i in range(len(self.schema.archives)):
+            path = self.tier_path(i)
+            if not os.path.exists(path):
+                continue
+            kept = (
+                self.spark.read.parquet(path)
+                .where(~F.col("metric").isin(metrics))
+                .select("metric", "ts", "value", "day")
+            )
+            tmp = path + ".tmp"
+            kept.write.mode("overwrite").partitionBy("day").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+        cat_path = self.catalog_path
+        if os.path.exists(cat_path):
+            kept_cat = self.catalog().where(~F.col("metric").isin(metrics))
+            tmp = cat_path + ".tmp"
+            kept_cat.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(cat_path)
+            os.rename(tmp, cat_path)
+
     # -- catalog (M1, the index) ------------------------------------------
 
     @property

@@ -90,10 +90,15 @@ class StreamingIngest:
         root: str,
         max_creates_per_minute: int | None = None,
         clock=time.time,
+        dead_letter_path: str | None = None,
     ):
         self.spark = spark
         self.schemas = schemas
         self.root = root
+        #: corrupt lines land here as parquet (the reference only logs
+        #: them, rurouni/protocols.py:40-42 — a dead-letter table is the
+        #: replayable upgrade)
+        self.dead_letter_path = dead_letter_path
         self.stats = IngestStats()
         self.clock = clock  # injectable: age routing + tests (SURVEY §7.3)
         self.bucket: TokenBucket | None = (
@@ -178,8 +183,14 @@ class StreamingIngest:
         batch = batch.persist()
         try:
             if "corrupt" in batch.columns:
-                n_bad = batch.where(F.col("corrupt").isNotNull()).count()
+                bad = batch.where(F.col("corrupt").isNotNull())
+                n_bad = bad.count()
                 self.stats.corrupt_lines += n_bad
+                if n_bad and self.dead_letter_path:
+                    bad.select(
+                        F.col("corrupt").alias("line"),
+                        F.lit(batch_id).alias("batch_id"),
+                    ).write.mode("append").parquet(self.dead_letter_path)
                 batch = batch.where(F.col("corrupt").isNull()).drop("corrupt")
             n = batch.count()
             if n == 0:

@@ -402,3 +402,46 @@ class TestSkewUtilities:
         )
         assert got == want
         assert len(got) == 1001  # 1000 hot + 1 cold1
+
+
+class TestCli:
+    def test_cli_fetch_search_info(self, spark, tmp_path, capsys):
+        from kenshin_spark import cli
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        root = str(tmp_path / "st")
+        schema = Schema.from_strings(
+            "cli", ".*", "60s:1d,300s:7d,3600s:90d", xff=20.0
+        )
+        store = ParquetTieredStore(spark, schema, root)
+        now = 100_020
+        store.upsert(
+            0,
+            spark.createDataFrame(
+                [("sys.cpu", now - 60, 5.0), ("sys.mem", now - 120, 7.0)],
+                ["metric", "ts", "value"],
+            ),
+        )
+        base = ["--root", root, "--cpus", "2"]
+        cli.main(base + ["search", "--pattern", r"^sys\.c"])
+        out = capsys.readouterr().out
+        assert out.strip() == "sys.cpu"
+
+        cli.main(base + [
+            "fetch", "--metric", "sys.cpu",
+            "--from", str(now - 300), "--until", str(now),
+            "--now", str(now),
+        ])
+        out = capsys.readouterr().out
+        assert f"{now - 60}\t5.0" in out
+        assert out.count("\n") == 5  # full 300s/60s grid
+
+        cli.main(base + ["info"])
+        out = capsys.readouterr().out
+        assert '"metric": "sys.mem"' in out
+
+        cli.main(base + ["delete", "--metric", "sys.mem"])
+        capsys.readouterr()
+        cli.main(base + ["info"])
+        assert "sys.mem" not in capsys.readouterr().out

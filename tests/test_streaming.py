@@ -411,3 +411,49 @@ class TestAgeRouting:
         assert ("fast.m", rec_slot, 1.0) in t1
         assert len(t1) == 2
         assert ingest.stats.dropped_old_points == 1
+
+
+class TestDeadLetter:
+    def test_corrupt_lines_land_in_dead_letter_table(self, spark, tmp_path):
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        dl = str(tmp_path / "dead")
+        write_lines(
+            in_dir, "b1.txt",
+            ["good.m 1.0 1000", "totally broken", "x y z w"],
+        )
+        ingest = StreamingIngest(
+            spark, SCHEMAS, root, clock=FakeClock(1100), dead_letter_path=dl
+        )
+        run_stream(spark, ingest, in_dir, cp)
+        dead = spark.read.parquet(dl)
+        assert dead.count() == 2
+        assert {r["line"] for r in dead.collect()} == {
+            "totally broken", "x y z w",
+        }
+        assert ingest.stats.corrupt_lines == 2
+
+
+class TestStoreDelete:
+    def test_delete_metrics_all_tiers_and_catalog(self, spark, tmp_path):
+        schema = Schema.from_strings("s", ".*", "60s:1d,300s:7d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        pts = spark.createDataFrame(
+            [("keep", 0, 1.0), ("drop", 0, 2.0), ("drop", 300, 3.0)],
+            ["metric", "ts", "value"],
+        )
+        store.upsert(0, pts)
+        store.propagate(pts)
+        store.catalog_add(
+            spark.createDataFrame(
+                [("keep", "s", 0), ("drop", "s", 0)],
+                ["metric", "schema_name", "created_ts"],
+            )
+        )
+        store.delete_metrics(["drop"])
+        assert {r["metric"] for r in store.read(0).collect()} == {"keep"}
+        assert {r["metric"] for r in store.read(1).collect()} == {"keep"}
+        assert {r["metric"] for r in store.catalog().collect()} == {"keep"}
