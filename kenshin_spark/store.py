@@ -196,6 +196,37 @@ class ParquetTieredStore:
             now,
         )
 
+    # -- compaction -------------------------------------------------------
+
+    def compact(self, i: int, target_files_per_day: int = 1) -> None:
+        """Rewrite tier i's day partitions into ``target_files_per_day``
+        files each. Repeated micro-batch upserts leave one file per
+        (day × shuffle task × batch); compaction restores the
+        one-sequential-file-per-period shape the reference gets for free
+        from its preallocated format (README.md:63-66). Run it like the
+        reference's maintenance scripts — off the hot path."""
+        path = self.tier_path(i)
+        if not os.path.exists(path):
+            return
+        df = self.spark.read.parquet(path).select(
+            "metric", "ts", "value", "day"
+        )
+        tmp = path + ".compact"
+        if target_files_per_day == 1:
+            shaped = df.repartition("day")  # each day → exactly one task
+        else:
+            shaped = df.repartition(
+                "day", F.pmod(F.xxhash64("metric"), F.lit(target_files_per_day))
+            )
+        (
+            shaped.sortWithinPartitions("metric", "ts")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(tmp)
+        )
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
     # -- delete (M5) ------------------------------------------------------
 
     def delete_metrics(self, metrics: list[str]) -> None:

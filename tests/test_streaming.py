@@ -457,3 +457,26 @@ class TestStoreDelete:
         assert {r["metric"] for r in store.read(0).collect()} == {"keep"}
         assert {r["metric"] for r in store.read(1).collect()} == {"keep"}
         assert {r["metric"] for r in store.catalog().collect()} == {"keep"}
+
+
+class TestCompaction:
+    def test_compact_one_file_per_day(self, spark, tmp_path):
+        import glob
+
+        schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        day = 86400
+        # a wide (multi-task) write leaves one file per task per day
+        pts = spark.createDataFrame(
+            [("m%d" % i, d * day + 60 * i, float(i))
+             for d in range(2) for i in range(40)],
+            ["metric", "ts", "value"],
+        ).repartition(8)
+        store.overwrite(0, pts)
+        before = rows(store.read(0))
+        files0 = glob.glob(str(tmp_path / "st" / "tier=0" / "day=0" / "*.parquet"))
+        assert len(files0) >= 2
+        store.compact(0)
+        files0 = glob.glob(str(tmp_path / "st" / "tier=0" / "day=0" / "*.parquet"))
+        assert len(files0) == 1
+        assert rows(store.read(0)) == before  # lossless
