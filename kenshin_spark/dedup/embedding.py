@@ -59,3 +59,47 @@ def embedding_neardup_pairs(
         .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB scale path: random-hyperplane LSH buckets bound the pair
+    space to Σ|bucket|² instead of n²; candidates sharing a bucket get the
+    exact cosine verify. Same output schema as the brute-force variant;
+    approximate recall (raise n_planes-probes for more)."""
+    from kenshin_spark.functions.vectors import l2_norm
+    from kenshin_spark.similarity import _hyperplane, lsh_bucket
+
+    planes = _hyperplane(dim, n_planes)
+    tagged = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = tagged.select(
+        F.col("_id").alias("vec_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        "bucket",
+    )
+    b = tagged.select(
+        F.col("_id").alias("vec_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "bucket",
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cosine = F.when(denom != 0, dot_product(F.col("_va"), F.col("_vb")) / denom)
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1264,6 +1264,21 @@ def q_sim_topk_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_lsh",
+    None,  # approximate (bucket-pruned candidates) — rows-only check
+    "embedding near-dup at scale: hyperplane-LSH buckets bound the pair "
+    "space to Σ|bucket|²; exact cosine verify inside buckets (verified "
+    "subset-of-exact in tests). No SQL oracle: 512 plane constants",
+)
+def q_dedup_embedding_lsh(spark, sf_dir):
+    from kenshin_spark.dedup.embedding import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
     "sim_topk_ivf",
     None,  # approximate (cell-pruned) — rows-only check
     "IVF ANN: seeded k-means coarse quantizer, n_probe=3 cells scanned "

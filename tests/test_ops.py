@@ -445,3 +445,22 @@ class TestCli:
         capsys.readouterr()
         cli.main(base + ["info"])
         assert "sys.mem" not in capsys.readouterr().out
+
+
+class TestEmbeddingLsh:
+    def test_lsh_pairs_subset_of_exact(self, spark):
+        from kenshin_spark.dedup import embedding_neardup_pairs
+        from kenshin_spark.dedup.embedding import embedding_neardup_pairs_lsh
+        from kenshin_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        exact = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+        }
+        lsh = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_pairs_lsh(emb, threshold=0.4).collect()
+        }
+        assert lsh <= exact          # no false positives (exact verify)
+        assert len(lsh) > 0          # finds a real share of near-dups
