@@ -480,3 +480,65 @@ class TestCompaction:
         files0 = glob.glob(str(tmp_path / "st" / "tier=0" / "day=0" / "*.parquet"))
         assert len(files0) == 1
         assert rows(store.read(0)) == before  # lossless
+
+
+class TestStatefulRate:
+    def test_rate_carries_state_across_batches(self, spark, tmp_path):
+        """applyInPandasWithState: batch 2's first rate uses batch 1's
+        last point, which only state can provide."""
+        from kenshin_spark.sources.line_protocol import parse_metric_lines
+        from kenshin_spark.streaming.stateful import with_counter_rate
+
+        in_dir, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+        out_rows = []
+        # one state store per shuffle partition, each with a Python
+        # state-protocol worker per batch — keep the test's partition
+        # count (frozen into the checkpoint) small
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+        def sink(batch, batch_id):
+            out_rows.extend(
+                (r["metric"], r["ts"], r["value"], r["rate"])
+                for r in batch.collect()
+            )
+
+        def run_once(expect_rows: int):
+            import time as _t
+
+            lines = spark.readStream.format("text").load(in_dir)
+            pts = parse_metric_lines(lines, line_col="value").where(
+                F.col("corrupt").isNull()
+            ).select("metric", "ts", "value")
+            q = (
+                with_counter_rate(pts)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            # a query with ProcessingTimeTimeout state keeps running
+            # timer batches after the drain — wait until the sink has the
+            # data, then stop explicitly
+            deadline = _t.time() + 90
+            while _t.time() < deadline and q.isActive:
+                if len(out_rows) >= expect_rows:
+                    break
+                _t.sleep(0.5)
+            if q.isActive:
+                q.stop()
+            q.awaitTermination(60)
+
+        try:
+            write_lines(in_dir, "b1.txt", ["ctr 100.0 1000", "ctr 130.0 1010"])
+            run_once(expect_rows=2)
+            write_lines(in_dir, "b2.txt", ["ctr 190.0 1030", "ctr 50.0 1040"])
+            run_once(expect_rows=4)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        got = {ts: rate for _, ts, _, rate in out_rows}
+        assert got[1000] is None          # series start
+        assert got[1010] == 3.0           # (130-100)/10
+        assert got[1030] == 3.0           # (190-130)/20 — NEEDS state
+        assert got[1040] is None          # counter reset
