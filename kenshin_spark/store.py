@@ -39,7 +39,6 @@ from pyspark.sql import types as T
 
 from kenshin_spark.config import AGG_SQL, Schema
 from kenshin_spark.operators.align import align_ts
-from kenshin_spark.operators.fetch import fetch as _fetch
 
 DAY = 86400
 
@@ -85,6 +84,28 @@ class ParquetTieredStore:
                 "metric", "ts", "value"
             )
         return self.spark.read.parquet(path).select("metric", "ts", "value")
+
+    def read_range(self, i: int, from_ts: int, until_ts: int) -> DataFrame:
+        """Tier i restricted to ``[from_ts, until_ts)`` — the ts filter is
+        mirrored onto the ``day`` partition column so the scan prunes
+        whole partitions (a ts-only filter cannot: Catalyst doesn't know
+        day = ts // 86400). This is the read path every time-bounded
+        query must take at 100 TB."""
+        path = self.tier_path(i)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], STORED_SCHEMA).select(
+                "metric", "ts", "value"
+            )
+        return (
+            self.spark.read.parquet(path)
+            .where(
+                (F.col("day") >= from_ts // DAY)
+                & (F.col("day") <= (until_ts - 1) // DAY)
+                & (F.col("ts") >= from_ts)
+                & (F.col("ts") < until_ts)
+            )
+            .select("metric", "ts", "value")
+        )
 
     def tiers(self) -> list[DataFrame]:
         return [self.read(i) for i in range(len(self.schema.archives))]
@@ -164,12 +185,20 @@ class ParquetTieredStore:
         like the reference's propagation range."""
         agg = AGG_SQL[self.schema.agg_method]
         touched = batch_slots.select("metric", F.col("ts").cast("long"))
+        bounds = touched.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
         for i in range(from_tier + 1, len(self.schema.archives)):
             step = self.schema.archives[i].sec_per_point
             slots = touched.select(
                 "metric", align_ts(F.col("ts"), step).alias("slot")
             ).distinct()
-            finer = self.read(i - 1)
+            # bound the finer-tier scan to the touched coarse-slot range —
+            # partition pruning keeps propagation cost ∝ batch, not table
+            finer = self.read_range(i - 1, lo - lo % step, hi - hi % step + step)
             window = finer.join(
                 F.broadcast(slots),
                 (finer["metric"] == slots["metric"])
@@ -186,15 +215,29 @@ class ParquetTieredStore:
     def fetch(
         self, metrics, from_time: int, until_time: int, now: int
     ) -> DataFrame | None:
-        """Tier-selected, clamped, grid-filled read over the stored tiers."""
-        return _fetch(
-            self.tiers(),
-            list(self.schema.archives),
-            metrics,
-            from_time,
-            until_time,
-            now,
+        """Tier-selected, clamped, grid-filled read — the scan goes
+        through ``read_range`` so the day partitions outside the window
+        are pruned before any IO (R1-R3 with partition pruning)."""
+        from kenshin_spark.operators.fetch import (
+            clamp_range,
+            grid_fill,
+            roundup,
+            select_archive,
         )
+
+        archives = list(self.schema.archives)
+        clamped = clamp_range(
+            from_time, until_time, now, archives[-1].retention
+        )
+        if clamped is None:
+            return None
+        from_time, until_time = clamped
+        idx = select_archive(archives, from_time, now)
+        step = archives[idx].sec_per_point
+        pts = self.read_range(
+            idx, roundup(from_time, step), roundup(until_time, step)
+        )
+        return grid_fill(pts, metrics, from_time, until_time, step)
 
     # -- compaction -------------------------------------------------------
 

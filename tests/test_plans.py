@@ -132,3 +132,33 @@ class TestParallelism:
         # doesn't serialize on the single parquet input partition
         assert "RoundRobinPartitioning" in p
         assert "BroadcastNestedLoopJoin" in p
+
+
+class TestStoreFetchPruning:
+    def test_fetch_prunes_day_partitions(self, spark, tmp_path):
+        """store.fetch must reach the scan with a day-partition filter —
+        a ts-only filter reads every partition of a 100 TB tier."""
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        day = 86400
+        store.overwrite(
+            0,
+            spark.createDataFrame(
+                [("m", d * day + 60 * i, 1.0)
+                 for d in range(10) for i in range(3)],
+                ["metric", "ts", "value"],
+            ),
+        )
+        now = 10 * day
+        grid = store.fetch(["m"], now - 2 * day, now - day, now)
+        p = plan_of(grid)
+        assert "PartitionFilters" in p
+        # the partition filter actually constrains day (not empty [])
+        pf_line = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+        assert "day" in pf_line
+        # correctness unchanged: full grid, values where stored
+        assert grid.count() == 1440  # 1 day at 60s
+        assert grid.where("value is not null").count() == 3
