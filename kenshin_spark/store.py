@@ -41,6 +41,13 @@ from kenshin_spark.config import AGG_SQL, Schema
 from kenshin_spark.operators.align import align_ts
 
 DAY = 86400
+HOUR = 3600
+
+#: tiers whose whole retention fits in this many seconds partition hourly —
+#: hot tiers get fine-grained partitions so a micro-batch upsert rewrites
+#: ~an hour of data, not a whole day (the closest COW-parquet analog of the
+#: reference's O(1) ring write, kenshin/storage.py:499-503)
+HOT_RETENTION_CUTOFF = 2 * DAY
 
 STORED_SCHEMA = T.StructType(
     [
@@ -61,20 +68,68 @@ CATALOG_SCHEMA = T.StructType(
 
 
 class ParquetTieredStore:
-    def __init__(self, spark: SparkSession, schema: Schema, root: str):
+    """``mode="cow"`` (default): every upsert merges and rewrites the
+    touched partitions — reads are cheapest, writes pay partition-sized
+    amplification. ``mode="mor"`` (merge-on-read): upserts APPEND rows
+    stamped with a sequence number and reads resolve last-write-wins per
+    slot — writes cost O(batch) like the reference's ring write
+    (kenshin/storage.py:499-503), reads pay a resolve aggregation until
+    ``compact()`` folds the log back to one row per slot. Pick per tier
+    usage: mor for high-frequency hot ingest, cow for read-heavy tiers."""
+
+    def __init__(
+        self, spark: SparkSession, schema: Schema, root: str, mode: str = "cow"
+    ):
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown store mode {mode!r}")
         self.spark = spark
         self.schema = schema
         self.root = root
+        self.mode = mode
+        self._seq_counter = 0
         # dynamic mode: .partitionBy().mode("overwrite") rewrites only the
         # partitions present in the written frame — the MERGE primitive here
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def _next_seq(self) -> int:
+        """Monotonic per-store-instance write stamp. In mor mode later
+        stamps win at read time; across restarts the max existing stamp
+        seeds the counter (read once, lazily)."""
+        if self._seq_counter == 0:
+            mx = 0
+            for i in range(len(self.schema.archives)):
+                path = self.tier_path(i)
+                if os.path.exists(path):
+                    df = self.spark.read.parquet(path)
+                    if "_seq" in df.columns:
+                        row = df.agg(F.max("_seq")).collect()[0]
+                        mx = max(mx, int(row[0] or 0))
+            self._seq_counter = mx
+        self._seq_counter += 1
+        return self._seq_counter
 
     # -- paths ------------------------------------------------------------
 
     def tier_path(self, i: int) -> str:
         return os.path.join(self.root, f"tier={i}")
 
+    def part_unit(self, i: int) -> int:
+        """Partition granularity of tier i in seconds: hourly while the
+        tier's retention is short (hot data, frequent upserts), daily for
+        the long coarse tiers. The ``day`` column stores ``ts // unit``."""
+        return HOUR if self.schema.archives[i].retention <= HOT_RETENTION_CUTOFF else DAY
+
     # -- read -------------------------------------------------------------
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """mor: collapse the append log to the winning row per slot."""
+        if "_seq" not in df.columns:
+            return df.select("metric", "ts", "value")
+        return (
+            df.groupBy("metric", "ts")
+            .agg(F.max(F.struct("_seq", "value")).alias("_w"))
+            .select("metric", "ts", F.col("_w.value").alias("value"))
+        )
 
     def read(self, i: int) -> DataFrame:
         """Tier i as ``(metric, ts, value)``; empty frame if never written."""
@@ -83,7 +138,7 @@ class ParquetTieredStore:
             return self.spark.createDataFrame([], STORED_SCHEMA).select(
                 "metric", "ts", "value"
             )
-        return self.spark.read.parquet(path).select("metric", "ts", "value")
+        return self._resolve(self.spark.read.parquet(path))
 
     def read_range(self, i: int, from_ts: int, until_ts: int) -> DataFrame:
         """Tier i restricted to ``[from_ts, until_ts)`` — the ts filter is
@@ -96,15 +151,14 @@ class ParquetTieredStore:
             return self.spark.createDataFrame([], STORED_SCHEMA).select(
                 "metric", "ts", "value"
             )
-        return (
-            self.spark.read.parquet(path)
-            .where(
-                (F.col("day") >= from_ts // DAY)
-                & (F.col("day") <= (until_ts - 1) // DAY)
+        unit = self.part_unit(i)
+        return self._resolve(
+            self.spark.read.parquet(path).where(
+                (F.col("day") >= from_ts // unit)
+                & (F.col("day") <= (until_ts - 1) // unit)
                 & (F.col("ts") >= from_ts)
                 & (F.col("ts") < until_ts)
             )
-            .select("metric", "ts", "value")
         )
 
     def tiers(self) -> list[DataFrame]:
@@ -112,17 +166,21 @@ class ParquetTieredStore:
 
     # -- write ------------------------------------------------------------
 
-    def _with_day(self, df: DataFrame) -> DataFrame:
+    def _with_day(self, df: DataFrame, i: int) -> DataFrame:
+        unit = self.part_unit(i)
         return df.select(
             F.col("metric").cast("string"),
             F.col("ts").cast("long"),
             F.col("value").cast("double"),
-            (F.col("ts").cast("long") / DAY).cast("long").alias("day"),
+            (F.col("ts").cast("long") / unit).cast("long").alias("day"),
         )
 
     def overwrite(self, i: int, slots: DataFrame) -> None:
         """Full rewrite of a tier (initial load / schema-change rebuild)."""
-        self._with_day(slots).write.mode("overwrite").partitionBy("day").parquet(
+        out = self._with_day(slots, i)
+        if self.mode == "mor":
+            out = out.withColumn("_seq", F.lit(self._next_seq()))
+        out.write.mode("overwrite").partitionBy("day").parquet(
             self.tier_path(i)
         )
 
@@ -132,7 +190,13 @@ class ParquetTieredStore:
         (kenshin/storage.py:468-480). Reads and rewrites ONLY the day
         partitions the batch touches."""
         path = self.tier_path(i)
-        new = self._with_day(slots)
+        new = self._with_day(slots, i)
+        if self.mode == "mor":
+            # O(batch) append; the read path resolves last-write-wins
+            new.withColumn("_seq", F.lit(self._next_seq())).write.mode(
+                "append"
+            ).partitionBy("day").parquet(path)
+            return
         if not os.path.exists(path):
             new.write.mode("overwrite").partitionBy("day").parquet(path)
             return
@@ -163,7 +227,7 @@ class ParquetTieredStore:
             path = self.tier_path(i)
             if not os.path.exists(path):
                 continue
-            cutoff_day = (now - arch.retention) // DAY  # keep days ≥ this
+            cutoff_day = (now - arch.retention) // self.part_unit(i)
             gone = []
             for d in os.listdir(path):
                 if d.startswith("day="):
@@ -251,9 +315,19 @@ class ParquetTieredStore:
         path = self.tier_path(i)
         if not os.path.exists(path):
             return
-        df = self.spark.read.parquet(path).select(
-            "metric", "ts", "value", "day"
-        )
+        raw = self.spark.read.parquet(path)
+        if "_seq" in raw.columns:
+            # fold the mor append log to one row per slot, stamp 0
+            df = (
+                raw.groupBy("metric", "ts", "day")
+                .agg(F.max(F.struct("_seq", "value")).alias("_w"))
+                .select(
+                    "metric", "ts", F.col("_w.value").alias("value"),
+                    "day", F.lit(0).alias("_seq"),
+                )
+            )
+        else:
+            df = raw.select("metric", "ts", "value", "day")
         tmp = path + ".compact"
         if target_files_per_day == 1:
             shaped = df.repartition("day")  # each day → exactly one task
@@ -282,10 +356,9 @@ class ParquetTieredStore:
             path = self.tier_path(i)
             if not os.path.exists(path):
                 continue
-            kept = (
-                self.spark.read.parquet(path)
-                .where(~F.col("metric").isin(metrics))
-                .select("metric", "ts", "value", "day")
+            raw = self.spark.read.parquet(path)
+            kept = raw.where(~F.col("metric").isin(metrics)).select(
+                *raw.columns
             )
             tmp = path + ".tmp"
             kept.write.mode("overwrite").partitionBy("day").parquet(tmp)

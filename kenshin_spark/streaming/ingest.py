@@ -91,6 +91,7 @@ class StreamingIngest:
         max_creates_per_minute: int | None = None,
         clock=time.time,
         dead_letter_path: str | None = None,
+        store_mode: str = "cow",
     ):
         self.spark = spark
         self.schemas = schemas
@@ -99,6 +100,10 @@ class StreamingIngest:
         #: them, rurouni/protocols.py:40-42 — a dead-letter table is the
         #: replayable upgrade)
         self.dead_letter_path = dead_letter_path
+        #: "cow" rewrites touched partitions per flush; "mor" appends a
+        #: log and resolves at read (O(batch) writes — pick for
+        #: high-frequency triggers, run store.compact() periodically)
+        self.store_mode = store_mode
         self.stats = IngestStats()
         self.clock = clock  # injectable: age routing + tests (SURVEY §7.3)
         self.bucket: TokenBucket | None = (
@@ -113,7 +118,10 @@ class StreamingIngest:
     def store_for(self, schema: Schema) -> ParquetTieredStore:
         if schema.name not in self._stores:
             self._stores[schema.name] = ParquetTieredStore(
-                self.spark, schema, f"{self.root}/{schema.name}"
+                self.spark,
+                schema,
+                f"{self.root}/{schema.name}",
+                mode=self.store_mode,
             )
         return self._stores[schema.name]
 

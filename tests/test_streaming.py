@@ -225,8 +225,9 @@ class TestStore:
         )
         store.overwrite(0, pts)
         dropped = store.expire(now=9 * day + 3600)
-        # tier0 keeps 1 day → days 0 and 5 drop, day 9 survives
-        assert dropped == {0: [0, 5]}
+        # tier0 (1d retention → hourly partitions) keeps 1 day: the hour
+        # tokens 0 and 120 (day 5) drop, day 9's token 216 survives
+        assert dropped == {0: [0, 120]}
         assert rows(store.read(0)) == [("m", 9 * day, 3.0)]
 
     def test_upsert_touches_only_affected_days(self, spark, tmp_path):
@@ -542,3 +543,61 @@ class TestStatefulRate:
         assert got[1010] == 3.0           # (130-100)/10
         assert got[1030] == 3.0           # (190-130)/20 — NEEDS state
         assert got[1040] is None          # counter reset
+
+
+class TestMergeOnRead:
+    def test_mor_equals_cow_semantics(self, spark, tmp_path):
+        """Same upsert sequence through both modes → identical reads;
+        mor compaction folds the log without changing results."""
+        schema = Schema.from_strings("s", ".*", "60s:1d,300s:7d", xff=1.0)
+        cow = ParquetTieredStore(spark, schema, str(tmp_path / "cow"))
+        mor = ParquetTieredStore(
+            spark, schema, str(tmp_path / "mor"), mode="mor"
+        )
+        batches = [
+            [("m1", 0, 1.0), ("m2", 60, 2.0)],
+            [("m1", 0, 9.0), ("m1", 120, 3.0)],   # overwrite + new
+            [("m2", 60, None), ("m3", 0, 5.0)],   # NULL overwrite + create
+        ]
+        for b in batches:
+            df = spark.createDataFrame(b, "metric string, ts long, value double")
+            cow.upsert(0, df)
+            mor.upsert(0, df)
+        assert rows(cow.read(0)) == rows(mor.read(0))
+        # range reads resolve identically
+        assert rows(cow.read_range(0, 0, 100)) == rows(mor.read_range(0, 0, 100))
+        before = rows(mor.read(0))
+        mor.compact(0)
+        assert rows(mor.read(0)) == before
+        # after compaction the log is one row per slot
+        raw = spark.read.parquet(mor.tier_path(0))
+        assert raw.count() == len(before)
+
+    def test_mor_append_is_o_batch(self, spark, tmp_path):
+        """mor upsert appends exactly the batch's rows — no rewrite of
+        existing data (file count grows, bytes ∝ batch)."""
+        import glob
+
+        schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+        mor = ParquetTieredStore(
+            spark, schema, str(tmp_path / "mor"), mode="mor"
+        )
+        big = spark.createDataFrame(
+            [("m%d" % i, 0, 1.0) for i in range(1000)],
+            "metric string, ts long, value double",
+        )
+        mor.upsert(0, big)
+        files_before = set(
+            glob.glob(str(tmp_path / "mor" / "tier=0" / "day=0" / "*.parquet"))
+        )
+        tiny = spark.createDataFrame(
+            [("m1", 0, 2.0)], "metric string, ts long, value double"
+        )
+        mor.upsert(0, tiny)
+        files_after = set(
+            glob.glob(str(tmp_path / "mor" / "tier=0" / "day=0" / "*.parquet"))
+        )
+        assert files_before < files_after          # strictly appended
+        # the winner is the later write
+        got = {r["metric"]: r["value"] for r in mor.read(0).collect()}
+        assert got["m1"] == 2.0
