@@ -81,7 +81,7 @@ def embedding_neardup_pairs_lsh(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     a = tagged.select(
         F.col("_id").alias("vec_a"),

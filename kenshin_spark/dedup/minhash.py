@@ -39,16 +39,19 @@ def shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc: ``(doc_id, shingle)``."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    # array_distinct inside the row replaces a global distinct(): doc_id is
+    # constant per row, so per-row dedup is equivalent — and one full
+    # shuffle of the shingle stream disappears
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
     )
     from kenshin_spark.dedup.fanout import fan_out
 
-    return (
-        fan_out(docs)
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .distinct()
+    return fan_out(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
     )
 
 

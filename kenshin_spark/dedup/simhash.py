@@ -4,10 +4,16 @@ Charikar's simhash over word tokens: each token hashes to 60 bits; bit j of
 the fingerprint is set iff Σ_tokens (±1 for bit j of the token hash) > 0.
 Near-dups are fingerprints within small Hamming distance.
 
-Implementation: one explode + one groupBy with 60 conditional-sum
-aggregates — a single shuffle keyed by doc, no UDFs. The token hash is the
-portable md5-prefix hash, so the DuckDB oracle reproduces the fingerprint
-bit-for-bit.
+Implementation: ``array_distinct`` dedups tokens inside the row and a
+single ``transform`` hashes each token once (no pre-shuffle distinct),
+then the hashes explode to ``(doc_id, h BIGINT)`` and 60 conditional sums
+fold the ±1 bit votes inside whole-stage codegen. The only shuffle moves
+map-side partial aggregates (one 60-column row per doc per task), not the
+token stream. This beat the zero-shuffle formulation (60 higher-order
+``aggregate`` expressions) 3x: higher-order functions are CodegenFallback
+and evaluate interpreted, while conditional sums stay codegen'd.
+The token hash is the portable md5-prefix hash, so the DuckDB oracle
+reproduces the fingerprint bit-for-bit.
 """
 
 from __future__ import annotations
@@ -24,34 +30,31 @@ def simhash_fingerprints(
     """``(doc_id, simhash BIGINT)`` over distinct lowercase word tokens."""
     from kenshin_spark.dedup.fanout import fan_out
 
-    toks = (
-        fan_out(docs).select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-        )
-        .where(F.col("tok") != "")
-        .distinct()
-        .withColumn(
-            "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-        )
-    )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"b{j}")
+    # One templated spark.sql call: the 60-aggregate expression tree parses
+    # JVM-side in a single round-trip. Building it Column-by-Column costs
+    # ~9000 Py4J round-trips (~2s of driver time per invocation).
+    bit_sums = ", ".join(
+        f"sum(IF(shiftright(h, {j}) & 1 = 1, 1, -1)) AS b{j}"
         for j in range(N_BITS)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    fp = None
-    for j in range(N_BITS):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, j)
-        fp = term if fp is None else fp + term
-    return agg.select("doc_id", fp.alias("simhash"))
+    )
+    fp = " + ".join(
+        f"shiftleft(IF(b{j} > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)), {j})"
+        for j in range(N_BITS)
+    )
+    sql = rf"""
+    WITH hashed AS (
+      SELECT {id_col} AS doc_id,
+             explode(transform(
+               array_distinct(filter(
+                 split(trim(lower({text_col})), '\\s+'), t -> t <> '')),
+               t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)
+             )) AS h
+      FROM {{d}}
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM bits
+    """
+    return docs.sparkSession.sql(sql, d=fan_out(docs))
 
 
 def hamming_distance(a, b):

@@ -415,7 +415,11 @@ def q_ts_line_protocol(spark, sf_dir):
         [("garbage",), ("a b",), ("x 1 2 3",), ("   ",), ("m nan_v 12",)],
         ["line"],
     )
-    parsed = parse_metric_lines(lines.unionByName(corrupt), line_col="line")
+    from kenshin_spark.dedup.fanout import fan_out
+
+    parsed = parse_metric_lines(
+        fan_out(lines).unionByName(corrupt), line_col="line"
+    )
     return parsed.where(F.col("corrupt").isNull()).select("metric", "ts", "value")
 
 

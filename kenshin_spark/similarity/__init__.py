@@ -73,21 +73,26 @@ def _hyperplane(dim: int, n_planes: int, seed: str = "ksp") -> list[list[float]]
     return planes
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Signature bucket id: bit p = sign(v · plane_p)."""
-    sig = F.lit(0).cast("long")
+def lsh_bucket(vec_col: str, planes: list[list[float]]):
+    """Signature bucket id: bit p = sign(v · plane_p).
+
+    ``vec_col`` is a column NAME; the whole signature builds as one SQL
+    string parsed JVM-side in a single call — the Column-by-Column version
+    costs ~500 ``F.lit`` Py4J round-trips for the plane constants alone
+    (~1s of driver time per invocation). ``repr(float)`` round-trips IEEE
+    doubles exactly, so the constants are bit-identical either way.
+    """
+    terms = []
     for p, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda v, w: v.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        consts = ",".join(f"{x!r}D" for x in plane)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({consts}), "
+            f"(v, w) -> CAST(v AS DOUBLE) * w), 0.0D, (acc, x) -> acc + x)"
         )
-        sig = sig + F.shiftleft(F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), p)
-    return sig
+        terms.append(
+            f"shiftleft(IF({dot} >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)), {p})"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def lsh_topk(
@@ -106,12 +111,12 @@ def lsh_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -150,43 +155,80 @@ def ivf_topk(
     the probe becomes partition pruning; the centroid table
     (n_cells x dim) broadcasts everywhere.
 
+    The quantizer trains driver-side on a bounded, hash-ordered sample
+    (the FAISS approach — IVF quantizers train on a subset regardless of
+    corpus size), so training is one small collect + local Lloyd
+    iterations instead of a multi-job distributed KMeans; assignment and
+    probing stay distributed JVM-side expressions.
+
     Approximate (recall grows with n_probe); same output schema as
     ``brute_force_topk``.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("features", array_to_vector(F.col("_cv").cast("array<double>")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(corpus)
-    assigned = model.transform(corpus).withColumnRenamed("prediction", "cell")
-
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-
-    def _cell_dists(vec):
-        """Squared L2 distance to every centroid, as an array column."""
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda v, w: (v.cast("double") - w)
-                        * (v.cast("double") - w),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in centroids
-            ]
+    sample = (
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
         )
+        # hash-ordered → uniform, deterministic sample independent of layout
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id"))
+        .limit(4096)
+        .collect()
+    )
+    X = np.array([r._v for r in sample], dtype=np.float64)
+    n_cells = min(n_cells, len(X))
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    xx = (X * X).sum(axis=1)
+    for _ in range(10):
+        # ||x-c||² = ||x||² - 2x·c + ||c||² (matmul form, BLAS-fast)
+        d2 = xx[:, None] - 2.0 * (X @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    centroids = [list(map(float, c)) for c in cent]
+
+    def _cell_dists(vec_col: str):
+        """Squared L2 distance to every centroid, as an array column.
+
+        One SQL string parsed JVM-side — the Column-builder version costs
+        n_cells x dim ``F.lit`` Py4J round-trips. ``repr(float)``
+        round-trips IEEE doubles exactly.
+        """
+        cells = []
+        for c in centroids:
+            consts = ",".join(f"{x!r}D" for x in c)
+            cells.append(
+                f"aggregate(zip_with({vec_col}, array({consts}), "
+                f"(v, w) -> (CAST(v AS DOUBLE) - w) * (CAST(v AS DOUBLE) - w)), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+        return F.expr("array(" + ",".join(cells) + ")")
+
+    # nearest-centroid assignment as a codegen-able expression: argmin of
+    # the distance array (first index of the min — deterministic ties)
+    assigned = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        .withColumn("_d", _cell_dists("_cv"))
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("_d")
+    )
 
     probe = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
         )
-        .withColumn("_d", _cell_dists(F.col("_qv")))
+        .withColumn("_d", _cell_dists("_qv"))
         .select(
             "query_id",
             "_qv",

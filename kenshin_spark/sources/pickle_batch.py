@@ -74,8 +74,13 @@ def pack_points_to_batches(points: DataFrame, batch_size: int = 500) -> DataFram
             blobs.append(_pickle.dumps(batch, protocol=2))
         return pd.DataFrame({"payload": blobs})
 
+    from kenshin_spark.dedup.fanout import fan_out
+
     return (
-        points.select("metric", "ts", "value")
+        # fan_out: a single-partition input would otherwise collapse into
+        # ONE pack group (spark_partition_id is the group key) and pack
+        # serially on one core
+        fan_out(points.select("metric", "ts", "value"))
         .groupBy(F.spark_partition_id().alias("_p"))
         .applyInPandas(pack, "payload binary")
     )

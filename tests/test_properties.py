@@ -76,7 +76,9 @@ def test_fetch_equals_grid(spark, batches):
         if exp is None:
             assert v is None, f"({m},{ts}): got {v}, want NULL"
         else:
-            assert v is not None and math.isclose(v, exp), (
+            # abs_tol: values in [-100,100] can cancel to ~0, where
+            # relative isclose fails on summation-order noise
+            assert v is not None and math.isclose(v, exp, abs_tol=1e-9), (
                 f"({m},{ts}): got {v}, want {exp}"
             )
 
@@ -112,7 +114,7 @@ def test_cascade_matches_hand_agg(spark, batches, agg):
     }
     assert got.keys() == want.keys()
     for k in want:
-        assert math.isclose(got[k], want[k]), (k, got[k], want[k])
+        assert math.isclose(got[k], want[k], abs_tol=1e-9), (k, got[k], want[k])
 
 
 @settings(max_examples=6, deadline=None,
