@@ -74,61 +74,67 @@ def minhash_lsh_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Near-duplicate pairs ``(doc_a, doc_b, jaccard)`` with true Jaccard ≥
-    threshold among LSH band candidates; jaccard rounded to 6dp."""
-    sh = shingles(docs, n, id_col, text_col).cache()
-    sig = minhash_signatures(sh, k)
+    threshold among LSH band candidates; jaccard rounded to 6dp.
+
+    Each document is ONE row, so the shingle set, the k minhashes, and the
+    band keys are all row-local expressions (``array_min(transform(...))``)
+    — the explode → groupBy roundtrip that shuffles the whole shingle
+    stream disappears. The band self-join shuffles only the narrow
+    ``(doc_id, band, band_key)`` rows, and verification broadcasts the
+    small candidate-pair set against the per-row shingle arrays
+    (``array_intersect``), so the corpus itself is never shuffled at all.
+    One templated spark.sql call keeps the wide expression tree to a
+    single JVM parse (no per-Column Py4J round-trips).
+    """
     r = k // bands
-    # one pass over sig: band keys as an array + posexplode (a 4-way union
-    # would recompute the signature aggregation per band)
-    keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"h{b * r + i}").cast("string") for i in range(r)]
-                )
-            )
-            for b in range(bands)
-        ]
+    mins = ", ".join(
+        f"array_min(transform(sh, x -> CAST(conv(substring("
+        f"md5(concat('{s}|', x)), 1, 15), 16, 10) AS BIGINT))) AS h{s}"
+        for s in range(k)
     )
-    band_rows = sig.select(
-        "doc_id", F.posexplode(keys).alias("band", "band_key")
+    keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(h{b * r + i} AS STRING)" for i in range(r))
+        + "))"
+        for b in range(bands)
     )
+    sql = rf"""
+    WITH sharr AS (
+      SELECT {id_col} AS doc_id,
+             array_distinct(transform(
+               sequence(0, size(split(trim(lower({text_col})), '\\s+')) - {n}),
+               i -> concat_ws(' ',
+                 slice(split(trim(lower({text_col})), '\\s+'), i + 1, {n}))
+             )) AS sh
+      FROM {{d}}
+    ),
+    band_rows AS (
+      SELECT doc_id, posexplode(array({keys})) AS (band, band_key)
+      FROM (SELECT doc_id, {mins} FROM sharr)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band_rows a JOIN band_rows b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    pa AS (
+      SELECT /*+ BROADCAST(cand) */ doc_a, doc_b, sh AS sh_a
+      FROM sharr JOIN cand ON doc_id = doc_a
+    ),
+    pb AS (
+      SELECT /*+ BROADCAST(cand) */ doc_a, doc_b, sh AS sh_b
+      FROM sharr JOIN cand ON doc_id = doc_b
+    ),
+    scored AS (
+      SELECT pa.doc_a, pa.doc_b,
+             round(size(array_intersect(sh_a, sh_b)) /
+                   (size(sh_a) + size(sh_b)
+                    - size(array_intersect(sh_a, sh_b))), 6) AS jaccard
+      FROM pa JOIN pb ON pa.doc_a = pb.doc_a AND pa.doc_b = pb.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold!r}
+    """
+    from kenshin_spark.dedup.fanout import fan_out
 
-    a = band_rows.alias("a")
-    b2 = band_rows.alias("b")
-    cand = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                   .withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return docs.sparkSession.sql(sql, d=fan_out(docs))
