@@ -64,42 +64,82 @@ def embedding_neardup_pairs(
 def embedding_neardup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = 8,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """The 100 TB scale path: random-hyperplane LSH buckets bound the pair
-    space to Σ|bucket|² instead of n²; candidates sharing a bucket get the
-    exact cosine verify. Same output schema as the brute-force variant;
-    approximate recall (raise n_planes-probes for more)."""
-    from kenshin_spark.functions.vectors import l2_norm
-    from kenshin_spark.similarity import _hyperplane, lsh_bucket
+    """The 100 TB scale path: banded random-hyperplane LSH bounds the pair
+    space to Σ|bucket|² per band instead of n²; a pair is a candidate iff
+    it collides in ANY band (OR-amplification — recall for per-plane
+    agreement p is 1-(1-p^r)^b, ~94% at this corpus' cosine-0.4 floor),
+    then gets the exact cosine verify. Same output schema as the
+    brute-force variant.
 
-    planes = _hyperplane(dim, n_planes)
-    tagged = embeddings.select(
+    Plan shape mirrors dedup/minhash.py: the corpus explodes to narrow
+    ``(id, band, sig)`` rows (map-local), the self-join is per-(band,sig)
+    bucket, only distinct candidate id-pairs are shuffled, and the verify
+    step broadcasts the candidate set into two corpus scans. The corpus
+    vectors themselves are shuffled only keyed by the candidate pairs.
+    """
+    from kenshin_spark.dedup.fanout import fan_out
+    from kenshin_spark.functions.vectors import l2_norm
+    from kenshin_spark.similarity import (
+        N_BANDS,
+        PLANES_PER_BAND,
+        _band_rows,
+        _hyperplane,
+    )
+
+    bands = N_BANDS if bands is None else bands
+    rows_per_band = PLANES_PER_BAND if rows_per_band is None else rows_per_band
+    planes = _hyperplane(dim, bands * rows_per_band)
+    emb = fan_out(embeddings)
+    band_rows = _band_rows(
+        emb, planes, bands, rows_per_band, "_id", id_col, vec_col
+    )
+    cand = (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("vec_a"), F.col("b._id").alias("vec_b"))
+        .distinct()
+    )
+    tagged = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
     )
-    a = tagged.select(
-        F.col("_id").alias("vec_a"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-        "bucket",
-    )
-    b = tagged.select(
-        F.col("_id").alias("vec_b"),
+    pa = tagged.join(
+        F.broadcast(cand), F.col("_id") == F.col("vec_a")
+    ).select("vec_a", "vec_b", F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    pb = tagged.join(
+        F.broadcast(cand), F.col("_id") == F.col("vec_b")
+    ).select(
+        F.col("vec_a").alias("_wa"),
+        F.col("vec_b").alias("_wb"),
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
-        "bucket",
     )
     denom = F.col("_na") * F.col("_nb")
     cosine = F.when(denom != 0, dot_product(F.col("_va"), F.col("_vb")) / denom)
+    # prefilter in the join condition (as the brute-force variant does):
+    # sub-threshold candidates die after one dot product
+    prefilter = dot_product(F.col("_va"), F.col("_vb")) >= (
+        F.lit(threshold - 5e-7) * denom
+    )
     return (
-        a.join(b, ["bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
+        pa.join(
+            pb,
+            (F.col("vec_a") == F.col("_wa"))
+            & (F.col("vec_b") == F.col("_wb"))
+            & prefilter,
+        )
         .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

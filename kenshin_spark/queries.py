@@ -1249,12 +1249,70 @@ def q_sim_topk_bruteforce(spark, sf_dir):
     return brute_force_topk(emb, queries, k=10)
 
 
+def _duck_plane(p: list[float]) -> str:
+    # %.17e keeps DuckDB literals DOUBLE-typed: plain decimals parse as
+    # DECIMAL first, and DECIMAL -> DOUBLE is NOT value-preserving
+    # (measured ~12% off-by-ULP). Exponent literals parse as DOUBLE.
+    return "[" + ",".join(f"{x:.17e}" for x in p) + "]::DOUBLE[]"
+
+
+def _duck_band_sigs(vec: str, bands: int, r: int, dim: int = 64) -> str:
+    """DuckDB twin of similarity.band_signatures_udf: a list of ``bands``
+    band signatures (list is 1-indexed in DuckDB)."""
+    from kenshin_spark.similarity import _hyperplane
+
+    planes = _hyperplane(dim, bands * r)
+    exprs = []
+    for b in range(bands):
+        bits = [
+            f"(CASE WHEN list_dot_product({vec}::DOUBLE[], "
+            f"{_duck_plane(planes[b * r + i])}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(r)
+        ]
+        exprs.append(" + ".join(bits))
+    return "[" + ", ".join(exprs) + "]"
+
+
+def _lsh_topk_oracle(bands: int, r: int) -> str:
+    # candidate iff some band signature is within Hamming-1 of the
+    # query's (multi-probe): xor of the band sigs in {0} ∪ {1<<i}
+    flips = ",".join(str(1 << i) for i in range(r))
+    collide = " OR ".join(
+        f"(c.s[{j + 1}] = q.s[{j + 1}] OR "
+        f"xor(c.s[{j + 1}], q.s[{j + 1}]) IN ({flips}))"
+        for j in range(bands)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {_duck_band_sigs('embedding', bands, r)} AS s
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM sigs WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cosine
+      FROM sigs c, q
+      WHERE q.vec_id <> c.vec_id AND ({collide})
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rnk FROM scored
+    ) t WHERE rnk <= 10
+    """
+
+
 @register(
     "sim_topk_lsh",
-    None,  # approximate (bucket-pruned) — rows-only check
-    "ANN scale path: random-hyperplane LSH bucketing; compares only "
-    "within the query's bucket. Deterministic planes (md5-derived), no "
-    "SQL oracle because the plane constants would be a 512-literal query",
+    _lsh_topk_oracle(16, 4),
+    "ANN scale path: banded hyperplane LSH (16 bands x 4 planes, "
+    "OR-amplified) + Hamming-1 multi-probe on the query side; exact "
+    "cosine verify over candidates only. Oracle recomputes the identical "
+    "md5-derived planes and sign tests in SQL",
 )
 def q_sim_topk_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1267,12 +1325,44 @@ def q_sim_topk_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _lsh_neardup_oracle(bands: int, r: int, threshold: float) -> str:
+    collide = " OR ".join(
+        f"a.s[{j + 1}] = b.s[{j + 1}]" for j in range(bands)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {_duck_band_sigs('embedding', bands, r)} AS s
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+      WHERE {collide}
+    )
+    SELECT vec_a, vec_b,
+           round(
+             list_dot_product(ea::DOUBLE[], eb::DOUBLE[]) /
+             (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[])) *
+              sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[]))),
+             6) AS cosine
+    FROM cand
+    WHERE round(
+             list_dot_product(ea::DOUBLE[], eb::DOUBLE[]) /
+             (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[])) *
+              sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[]))),
+             6) >= {threshold!r}
+    """
+
+
 @register(
     "dedup_embedding_lsh",
-    None,  # approximate (bucket-pruned candidates) — rows-only check
-    "embedding near-dup at scale: hyperplane-LSH buckets bound the pair "
-    "space to Σ|bucket|²; exact cosine verify inside buckets (verified "
-    "subset-of-exact in tests). No SQL oracle: 512 plane constants",
+    _lsh_neardup_oracle(16, 4, 0.4),
+    "embedding near-dup at scale: banded hyperplane LSH (16 bands x 4 "
+    "planes, OR-amplified) bounds the pair space to Σ|bucket|² per band; "
+    "exact cosine verify over candidates (~97% recall of the exact pairs "
+    "at sf0.01, subset-of-exact by construction). Oracle recomputes the "
+    "identical planes and sign tests in SQL",
 )
 def q_dedup_embedding_lsh(spark, sf_dir):
     from kenshin_spark.dedup.embedding import embedding_neardup_pairs_lsh
@@ -1287,7 +1377,9 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     None,  # approximate (cell-pruned) — rows-only check
     "IVF ANN: seeded k-means coarse quantizer, n_probe=3 cells scanned "
     "per query; at scale cells are Parquet partitions (partition-pruned "
-    "probes). No SQL oracle (KMeans training isn't SQL-expressible)",
+    "probes). No SQL oracle for the PRUNED variant (which cells get "
+    "probed depends on KMeans training) — sim_topk_ivf_fullprobe is the "
+    "oracled twin",
 )
 def q_sim_topk_ivf(spark, sf_dir):
     from kenshin_spark.similarity import ivf_topk
@@ -1295,6 +1387,39 @@ def q_sim_topk_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=10)
+
+
+@register(
+    "sim_topk_ivf_fullprobe",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cosine
+      FROM embeddings c, q
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rnk FROM scored
+    ) t WHERE rnk <= 10
+    """,
+    "IVF with n_probe = n_cells: every cell is scanned, so the result "
+    "must EQUAL brute force — the oracle is the exact top-k SQL. Proves "
+    "the IVF machinery (quantizer, assignment, probe join) loses nothing "
+    "except by cell pruning",
+)
+def q_sim_topk_ivf_fullprobe(spark, sf_dir):
+    from kenshin_spark.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=8)
 
 
 @register(

@@ -1,22 +1,44 @@
 """Similarity search over embedding columns.
 
 - ``brute_force_topk``: exact cosine top-k — the correctness baseline.
-- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path: queries
-  only compare against vectors sharing a signature bucket (probe multiple
-  buckets for recall). Hyperplanes are derived deterministically from
-  md5(seed, dim), so both engines (and reruns) agree without an RNG.
+- ``lsh_topk``: banded random-hyperplane LSH — the scale path. Signatures
+  are ``bands`` independent ``rows_per_band``-bit sketches; a candidate
+  must collide in ANY band (OR-amplification), optionally widened by
+  multi-probe (Hamming-1 bit flips of the query's band signatures).
+  Hyperplanes are derived deterministically from md5(seed, plane, dim),
+  so both engines (and reruns) agree without an RNG.
 - ``ivf_topk``: IVF (inverted-file) ANN — a k-means coarse quantizer
   partitions the corpus into cells; a query scans only its ``n_probe``
   nearest cells. The classic 100 TB layout: cells map to Parquet
   partitions, so a probe is a partition-pruned scan.
+
+Vectorization: signature and cell-assignment math is one Arrow
+``pandas_udf`` (numpy matmul per batch) — Spark's higher-order functions
+(``aggregate``/``zip_with``) are CodegenFallback (interpreted), and at
+64 planes x 64 dims the interpreted per-row cost would dominate the job
+at scale. The *verify* cosine stays a JVM ``zip_with``/``aggregate``
+fold so its 6-dp rounded value is bit-aligned with the DuckDB oracle
+(numpy BLAS changes summation order; sign tests tolerate that, rounded
+cosines might not).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from kenshin_spark.functions.vectors import cosine_similarity
+
+# Band geometry for hyperplane LSH. At near-dup thresholds (cosine >= 0.8)
+# a band is selective AND recalls well; the synthetic corpus' 0.4
+# threshold (theta ~ 66 deg) is the hard regime — 16 bands x 4 planes
+# gives ~94% pair recall there. Tune per workload: recall of a pair with
+# per-plane agreement p is 1 - (1 - p^rows_per_band)^bands.
+N_BANDS = 16
+PLANES_PER_BAND = 4
 
 
 def brute_force_topk(
@@ -73,54 +95,98 @@ def _hyperplane(dim: int, n_planes: int, seed: str = "ksp") -> list[list[float]]
     return planes
 
 
-def lsh_bucket(vec_col: str, planes: list[list[float]]):
-    """Signature bucket id: bit p = sign(v · plane_p).
+def band_signatures_udf(planes: list[list[float]], bands: int, rows_per_band: int):
+    """Arrow pandas_udf: embedding -> array of ``bands`` band signatures,
+    band b's signature packing the sign bits of planes
+    ``[b*rows_per_band, (b+1)*rows_per_band)`` little-endian.
 
-    ``vec_col`` is a column NAME; the whole signature builds as one SQL
-    string parsed JVM-side in a single call — the Column-by-Column version
-    costs ~500 ``F.lit`` Py4J round-trips for the plane constants alone
-    (~1s of driver time per invocation). ``repr(float)`` round-trips IEEE
-    doubles exactly, so the constants are bit-identical either way.
+    One numpy matmul per Arrow batch ((n, dim) @ (dim, planes)); the sign
+    test matches the oracle's ``list_dot_product(...) >= 0`` — summation
+    order differs (BLAS) but plane dots are O(1) magnitude, so a sign flip
+    needs |dot| at float rounding scale (~1e-16; measured corpus minimum
+    margin is 1e-5).
     """
-    terms = []
-    for p, plane in enumerate(planes):
-        consts = ",".join(f"{x!r}D" for x in plane)
-        dot = (
-            f"aggregate(zip_with({vec_col}, array({consts}), "
-            f"(v, w) -> CAST(v AS DOUBLE) * w), 0.0D, (acc, x) -> acc + x)"
-        )
-        terms.append(
-            f"shiftleft(IF({dot} >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)), {p})"
-        )
-    return F.expr(" + ".join(terms))
+    P = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        bits = ((X @ P) >= 0).astype(np.int64)
+        M = (bits.reshape(len(X), bands, rows_per_band) * weights).sum(axis=2)
+        return pd.Series(list(M))
+
+    return _sigs
+
+
+def _band_rows(
+    df: DataFrame, planes, bands: int, rows_per_band: int, id_alias: str,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """``(id, band, sig)`` — one row per (vector, band)."""
+    sigs = band_signatures_udf(planes, bands, rows_per_band)
+    return df.select(
+        F.col(id_col).alias(id_alias), sigs(F.col(vec_col)).alias("_sigs")
+    ).select(id_alias, F.posexplode("_sigs").alias("band", "sig"))
 
 
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    bands: int = N_BANDS,
+    rows_per_band: int = PLANES_PER_BAND,
     dim: int = 64,
+    multi_probe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: compare only within the query's hyperplane bucket.
-    Approximate — recall depends on n_planes; same output schema as
-    ``brute_force_topk``."""
-    planes = _hyperplane(dim, n_planes)
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
-    )
+    """ANN top-k with banded OR-amplification: a corpus vector is a
+    candidate for a query iff they share ANY band signature; with
+    ``multi_probe`` the query also probes every Hamming-1 neighbor of
+    each band signature (``rows_per_band`` bit flips — r extra buckets
+    per band on the tiny query side only, recall of a near-miss band
+    goes from p^r to p^r + r*p^(r-1)*(1-p)).
+
+    Plan shape (scale path): corpus explodes to ``bands`` narrow
+    ``(id, band, sig)`` rows joined against the BROADCAST probe rows —
+    the corpus is never shuffled; only the candidate id-pairs pass
+    through a distinct. Verify joins the candidate set (broadcast) back
+    against the corpus scan for the exact cosine. Same output schema as
+    ``brute_force_topk``.
+    """
+    planes = _hyperplane(dim, bands * rows_per_band)
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    c_bands = _band_rows(
+        embeddings, planes, bands, rows_per_band, "neighbor_id", id_col, vec_col
+    )
+    q_bands = _band_rows(
+        queries, planes, bands, rows_per_band, "query_id", id_col, vec_col
+    )
+    if multi_probe:
+        probe_set = F.array(
+            F.col("sig"),
+            *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(rows_per_band)],
+        )
+        q_bands = q_bands.select(
+            "query_id", "band", F.explode(probe_set).alias("sig")
+        )
+    cand = (
+        c_bands.join(F.broadcast(q_bands), ["band", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    candv = cand.join(F.broadcast(q), "query_id")
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        .join(F.broadcast(candv), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -158,14 +224,14 @@ def ivf_topk(
     The quantizer trains driver-side on a bounded, hash-ordered sample
     (the FAISS approach — IVF quantizers train on a subset regardless of
     corpus size), so training is one small collect + local Lloyd
-    iterations instead of a multi-job distributed KMeans; assignment and
-    probing stay distributed JVM-side expressions.
+    iterations instead of a multi-job distributed KMeans. Cell assignment
+    is one Arrow ``pandas_udf`` (numpy ``X @ C.T`` per batch) — the
+    former per-row ``aggregate(zip_with(...))`` expressions were
+    CodegenFallback (interpreted) and dominated the whole bench.
 
     Approximate (recall grows with n_probe); same output schema as
     ``brute_force_topk``.
     """
-    import numpy as np
-
     sample = (
         embeddings.select(
             F.col(id_col).alias("_id"),
@@ -189,67 +255,38 @@ def ivf_topk(
             members = X[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
-    centroids = [list(map(float, c)) for c in cent]
+    C = cent.copy()  # (n_cells, dim), closure-captured by the udfs
+    cc = (C * C).sum(axis=1)
 
-    def _cell_dists(vec_col: str):
-        """Squared L2 distance to every centroid, as an array column.
+    def _dists(v: pd.Series) -> np.ndarray:
+        X = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        # argmin/argsort of squared L2; ||x||² is row-constant, drop it
+        return -2.0 * (X @ C.T) + cc[None, :]
 
-        One SQL string parsed JVM-side — the Column-builder version costs
-        n_cells x dim ``F.lit`` Py4J round-trips. ``repr(float)``
-        round-trips IEEE doubles exactly.
-        """
-        cells = []
-        for c in centroids:
-            consts = ",".join(f"{x!r}D" for x in c)
-            cells.append(
-                f"aggregate(zip_with({vec_col}, array({consts}), "
-                f"(v, w) -> (CAST(v AS DOUBLE) - w) * (CAST(v AS DOUBLE) - w)), "
-                f"0.0D, (acc, x) -> acc + x)"
-            )
-        return F.expr("array(" + ",".join(cells) + ")")
+    @pandas_udf("int")
+    def _assign_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        # np.argmin takes the FIRST minimum — deterministic ties
+        return pd.Series(_dists(v).argmin(axis=1).astype("int32"))
 
-    # nearest-centroid assignment as a codegen-able expression: argmin of
-    # the distance array (first index of the min — deterministic ties)
-    assigned = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-        )
-        .withColumn("_d", _cell_dists("_cv"))
-        .withColumn(
-            "cell",
-            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1).cast(
-                "int"
-            ),
-        )
-        .drop("_d")
+    @pandas_udf("array<int>")
+    def _probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        order = np.argsort(_dists(v), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _assign_cell(F.col(vec_col)).alias("cell"),
     )
 
-    probe = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        )
-        .withColumn("_d", _cell_dists("_qv"))
-        .select(
-            "query_id",
-            "_qv",
-            F.explode(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.transform(
-                                F.col("_d"),
-                                lambda d, i: F.struct(
-                                    d.alias("dist"), i.alias("cell")
-                                ),
-                            )
-                        ),
-                        lambda s: s["cell"],
-                    ),
-                    1,
-                    n_probe,
-                )
-            ).alias("cell"),
-        )
+    probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
     )
 
     scored = (

@@ -448,12 +448,15 @@ class TestCli:
 
 
 class TestEmbeddingLsh:
-    def test_lsh_pairs_subset_of_exact(self, spark):
+    def test_lsh_pairs_recall_sf001(self, spark):
+        """Banded OR-amplification must recover >=80% of the exact pairs
+        at the correctness scale factor (sf0.01), with zero false
+        positives (candidates get the exact cosine verify)."""
         from kenshin_spark.dedup import embedding_neardup_pairs
         from kenshin_spark.dedup.embedding import embedding_neardup_pairs_lsh
         from kenshin_spark.io import load_table
 
-        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
         exact = {
             (r["vec_a"], r["vec_b"])
             for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
@@ -463,4 +466,18 @@ class TestEmbeddingLsh:
             for r in embedding_neardup_pairs_lsh(emb, threshold=0.4).collect()
         }
         assert lsh <= exact          # no false positives (exact verify)
-        assert len(lsh) > 0          # finds a real share of near-dups
+        assert len(exact) > 0
+        assert len(lsh) / len(exact) >= 0.8  # OR-amplified recall
+
+    def test_lsh_topk_matches_bruteforce_here(self, spark):
+        """With 16 bands + Hamming-1 multi-probe the candidate set covers
+        this corpus' true neighbors: the top-k lists agree exactly."""
+        from kenshin_spark.io import load_table
+        from kenshin_spark.similarity import brute_force_topk, lsh_topk
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.where(F.col("vec_id") < 3)
+        bf = rows(brute_force_topk(emb, queries, k=10))
+        ls = rows(lsh_topk(emb, queries, k=10))
+        assert len(ls) == len(bf) == 30
+        assert ls == bf
