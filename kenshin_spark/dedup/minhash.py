@@ -41,13 +41,18 @@ def shingles(
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     # array_distinct inside the row replaces a global distinct(): doc_id is
     # constant per row, so per-row dedup is equivalent — and one full
-    # shuffle of the shingle stream disappears
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    # shuffle of the shingle stream disappears. Docs shorter than n tokens
+    # have no shingles (empty array — sequence(0, size-n) would raise on
+    # its descending bounds for them).
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     from kenshin_spark.dedup.fanout import fan_out
 
     return fan_out(docs).select(
@@ -101,16 +106,21 @@ def minhash_lsh_pairs(
     sql = rf"""
     WITH sharr AS (
       SELECT {id_col} AS doc_id,
-             array_distinct(transform(
+             CASE WHEN size(split(trim(lower({text_col})), '\\s+')) >= {n}
+             THEN array_distinct(transform(
                sequence(0, size(split(trim(lower({text_col})), '\\s+')) - {n}),
                i -> concat_ws(' ',
                  slice(split(trim(lower({text_col})), '\\s+'), i + 1, {n}))
-             )) AS sh
+             ))
+             ELSE CAST(array() AS ARRAY<STRING>) END AS sh
       FROM {{d}}
     ),
     band_rows AS (
+      -- shingle-less docs (< n tokens) are excluded from banding: their
+      -- minhashes are all NULL, which would put every one of them in a
+      -- single shared bucket; they can never verify above threshold
       SELECT doc_id, posexplode(array({keys})) AS (band, band_key)
-      FROM (SELECT doc_id, {mins} FROM sharr)
+      FROM (SELECT doc_id, {mins} FROM sharr WHERE size(sh) > 0)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

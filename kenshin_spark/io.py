@@ -44,9 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
-        # BIGINT nanos → TimestampType; integer division keeps it exact to
-        # the microsecond, identical to DuckDB's nanosecond truncation.
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # BIGINT nanos → TimestampType via `div` (integer division —
+        # `/` is double arithmetic in Spark, and epoch nanos ~1.7e18
+        # exceed 2^53, so float division can be off by a microsecond vs
+        # DuckDB's exact truncation).
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

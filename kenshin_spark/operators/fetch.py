@@ -94,6 +94,20 @@ def grid_fill(
     else:
         metrics_df = metrics.select("metric").distinct()
 
+    if until_r <= from_r:
+        # zero-width window after rounding (e.g. a sub-step query window
+        # containing no step boundary): the reference returns an empty
+        # series (kenshin/storage.py:646-660); sequence() would raise on
+        # the descending bounds.
+        return (
+            metrics_df.select(
+                "metric",
+                F.lit(None).cast("long").alias(ts_col),
+                F.lit(None).cast("double").alias(value_col),
+            )
+            .where(F.lit(False))
+        )
+
     grid = metrics_df.select(
         "metric",
         F.explode(

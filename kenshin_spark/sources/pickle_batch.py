@@ -9,13 +9,17 @@ explodes it to point rows. Python is unavoidable here (pickle IS Python),
 but it runs vectorized per Arrow batch, not per row, and only at the edge —
 everything downstream is JVM-side.
 
-Security note: ``pickle.loads`` on untrusted bytes is unsafe; the reference
-accepts it from its LAN peers (rurouni/protocols.py:45-62) and so do we,
-gated behind this explicit source.
+Security note: the wire format is pure containers + scalars
+(``[(str, (int, float)), ...]``), so deserialization uses a restricted
+Unpickler that refuses ALL global lookups — a crafted payload cannot make
+executors import or call anything (generic ``pickle.loads`` would). The
+reference trusts its LAN peers (rurouni/protocols.py:45-62); we don't
+have to.
 """
 
 from __future__ import annotations
 
+import io
 import pickle
 from collections.abc import Iterator
 
@@ -25,6 +29,21 @@ from pyspark.sql import DataFrame
 POINT_SCHEMA = "metric string, ts long, value double"
 
 
+class _RestrictedUnpickler(pickle.Unpickler):
+    """The point wire format needs no classes or functions: any GLOBAL /
+    STACK_GLOBAL opcode (the arbitrary-code-execution vector) is refused
+    and the batch is dropped as corrupt."""
+
+    def find_class(self, module: str, name: str):  # noqa: ARG002
+        raise pickle.UnpicklingError(
+            f"global '{module}.{name}' forbidden by the point wire format"
+        )
+
+
+def _safe_loads(blob: bytes):
+    return _RestrictedUnpickler(io.BytesIO(blob)).load()
+
+
 def _unpickle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows: list[tuple[str, int, float]] = []
@@ -32,9 +51,9 @@ def _unpickle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             if blob is None:
                 continue
             try:
-                datapoints = pickle.loads(bytes(blob))
+                datapoints = _safe_loads(bytes(blob))
             except Exception:
-                continue  # corrupt batch → dropped, mirroring the reference
+                continue  # corrupt/forbidden batch → dropped
             for metric, (ts, value) in datapoints:
                 rows.append((str(metric), int(ts), None if value is None else float(value)))
         yield pd.DataFrame(rows, columns=["metric", "ts", "value"])

@@ -144,39 +144,49 @@ class StreamingIngest:
     def _admit(self, points: DataFrame, now: int) -> DataFrame:
         """Returns points joined with ``schema_name``; unknown metrics are
         created (catalog insert) subject to the token bucket; points of
-        denied metrics are dropped (rurouni/cache.py:119-143)."""
+        denied metrics are dropped (rurouni/cache.py:119-143).
+
+        Fully distributed: unknown metrics are found with a left-anti join
+        against the catalog, counted with one aggregate, and admitted via
+        a deterministic ``orderBy().limit(grant)`` whose size the token
+        bucket bounds (≤ creates/min). Schema routing is the declarative
+        CASE regex chain (P5), so the catalog insert never leaves the
+        executors — the driver only ever sees two scalars. At the
+        reference's own fleet scale (3M metrics) the former
+        collect-all-batch-metrics version moved millions of strings
+        through the driver per micro-batch.
+        """
         catalog = self._catalog_store.catalog().select("metric", "schema_name")
-        batch_metrics = {r["metric"] for r in points.select("metric").distinct().collect()}
-        known = {
-            r["metric"]
-            for r in catalog.join(
-                F.broadcast(
-                    self.spark.createDataFrame(
-                        [(m,) for m in batch_metrics] or [("",)], ["metric"]
-                    )
-                ),
-                "metric",
-            ).collect()
-        }
-        new = sorted(batch_metrics - known)
-        if new:
-            grant = self.bucket.drain(len(new)) if self.bucket else len(new)
-            admitted, denied = new[:grant], new[grant:]
-            self.stats.creates += len(admitted)
-            self.stats.dropped_creates += len(denied)
-            if admitted:
-                rows = [
-                    (m, self.schemas.match(m).name, int(now)) for m in admitted
-                ]
+        new_df = (
+            points.select("metric")
+            .distinct()
+            .join(catalog.select("metric"), "metric", "left_anti")
+        )
+        n_new = new_df.count()
+        if n_new:
+            grant = min(
+                self.bucket.drain(n_new) if self.bucket else n_new, n_new
+            )
+            self.stats.creates += grant
+            self.stats.dropped_creates += n_new - grant
+            if grant:
+                # deterministic admission order (name order); denied
+                # metrics simply stay out of the catalog and are dropped
+                # by the inner routing join below
+                admitted = new_df.orderBy("metric").limit(grant)
                 self._catalog_store.catalog_add(
-                    self.spark.createDataFrame(
-                        rows, ["metric", "schema_name", "created_ts"]
+                    admitted.select(
+                        "metric",
+                        F.expr(self.schemas.match_sql_case()).alias(
+                            "schema_name"
+                        ),
+                        F.lit(int(now)).alias("created_ts"),
                     )
                 )
-            if denied:
-                points = points.where(~F.col("metric").isin(denied))
         catalog = self._catalog_store.catalog().select("metric", "schema_name")
-        return points.join(F.broadcast(catalog), "metric")
+        # catalog ≪ points in the common case; AQE picks broadcast when it
+        # fits and falls back to shuffle join at fleet-scale catalogs
+        return points.join(catalog, "metric")
 
     # -- the foreachBatch body (direct mode) ------------------------------
 
@@ -322,10 +332,37 @@ class StreamingIngest:
         straight out of the aggregated-mode state store via the Spark 4
         state data source. These are exactly the points a fetch would miss
         in the cold store (rurouni/cache.py:161-169 serves the same rows
-        over the pickle cache-query port)."""
+        over the pickle cache-query port).
+
+        The max_by agg buffer field names (``valueWithExtremumOrdering`` /
+        ``extremumOrdering``) are an internal layout of the state store,
+        stable across Spark 4.x but not API-guaranteed — assert them up
+        front so a future Spark bump fails loudly here instead of
+        silently breaking the hot-read path and shutdown_flush."""
         state = self.spark.read.format("statestore").load(checkpoint)
-        # the max_by agg buffer stores (valueWithExtremumOrdering,
-        # extremumOrdering) = (current winning value, its ordering key)
+        names = {f.name for f in state.schema}
+        want_key = {"metric", "window"}
+        value_fields = (
+            {f.name for f in state.schema["value"].dataType}
+            if "value" in names
+            else set()
+        )
+        key_fields = (
+            {f.name for f in state.schema["key"].dataType}
+            if "key" in names
+            else set()
+        )
+        if not (
+            want_key <= key_fields
+            and "valueWithExtremumOrdering" in value_fields
+        ):
+            raise RuntimeError(
+                "statestore layout changed (expected key.{metric,window} and "
+                "value.valueWithExtremumOrdering for the max_by buffer; got "
+                f"key={sorted(key_fields)} value={sorted(value_fields)}). "
+                "This build pins the Spark 4.x windowed-max_by state layout "
+                "— update hot_points() for the new Spark version."
+            )
         return state.select(
             F.col("key.metric").alias("metric"),
             F.unix_timestamp("key.window.start").cast("long").alias("ts"),

@@ -481,3 +481,84 @@ class TestEmbeddingLsh:
         ls = rows(lsh_topk(emb, queries, k=10))
         assert len(ls) == len(bf) == 30
         assert ls == bf
+
+
+class TestShortDocs:
+    """ADVICE r1: documents with fewer than n tokens crashed the whole
+    shingle pipeline (descending sequence() bounds). Short/empty docs are
+    routine in real corpora — they must contribute no shingles, no
+    crashes, and no candidate pairs."""
+
+    DOCS = [
+        (1, "a"),                      # 1 token < n=3
+        (2, ""),                       # empty
+        (3, "one two"),                # 2 tokens < n=3
+        (4, "the quick brown fox jumps over dog"),
+        (5, "the quick brown fox jumps over dog"),  # exact near-dup of 4
+    ]
+
+    def test_shingles_skip_short_docs(self, spark):
+        from kenshin_spark.dedup.minhash import shingles
+
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        got = shingles(docs).groupBy("doc_id").count().collect()
+        assert {r["doc_id"] for r in got} == {4, 5}
+
+    def test_minhash_pairs_survive_short_docs(self, spark):
+        from kenshin_spark.dedup import minhash_lsh_pairs
+
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+        assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [
+            (4, 5, 1.0)
+        ]
+
+    def test_ngram_jaccard_survives_short_docs(self, spark):
+        from kenshin_spark.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        pairs = ngram_jaccard_pairs(docs, threshold=0.4).collect()
+        assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [
+            (4, 5, 1.0)
+        ]
+
+
+class TestRestrictedUnpickler:
+    def test_wire_format_roundtrips(self, spark):
+        from kenshin_spark.sources.pickle_batch import (
+            _safe_loads,
+            pack_pickle_batch,
+        )
+
+        batch = [("sys.cpu", (1000, 1.5)), ("sys.mem", (1001, None))]
+        assert _safe_loads(pack_pickle_batch(batch)) == batch
+
+    def test_globals_are_refused(self, spark):
+        import pickle
+
+        from kenshin_spark.sources.pickle_batch import _safe_loads
+
+        evil = pickle.dumps(print)  # any global lookup, however benign
+        with pytest.raises(pickle.UnpicklingError):
+            _safe_loads(evil)
+
+    def test_malicious_payload_dropped_not_executed(self, spark):
+        """A reduce-style RCE payload must be dropped as corrupt by the
+        parse path, not executed."""
+        import pickle
+
+        from kenshin_spark.sources.pickle_batch import parse_pickle_batches
+
+        class Evil:
+            def __reduce__(self):
+                return (os.system, ("echo pwned",))
+
+        good = pickle.dumps([("ok.metric", (1000, 2.0))], protocol=2)
+        blobs = spark.createDataFrame(
+            [(bytearray(pickle.dumps(Evil())),), (bytearray(good),)],
+            "payload binary",
+        )
+        got = parse_pickle_batches(blobs).collect()
+        assert [(r["metric"], r["ts"], r["value"]) for r in got] == [
+            ("ok.metric", 1000, 2.0)
+        ]

@@ -203,3 +203,25 @@ def test_fetch_outside_retention_returns_none(spark, small_store):
 def test_fetch_inverted_range_raises(spark, small_store):
     with pytest.raises(ValueError):
         run_fetch(small_store, NOW, NOW - 5, NOW)
+
+
+def test_fetch_zero_width_window_empty(spark):
+    """A window narrower than the tier step containing no step boundary
+    rounds to zero width — the reference returns an empty series
+    (kenshin/storage.py:646-660); sequence() must not be asked for
+    descending bounds (ADVICE r1: IllegalArgumentException)."""
+    from kenshin_spark.operators.fetch import grid_fill
+
+    store = TieredStore(spark, make_schema([(60, 60), (300, 84)], 1.0))
+    store.update(points_df(spark, range(1, 6)), NOW)
+    tiers = [store.tier(i) for i in range(2)]
+    # last 30 s: from/until round to the same 60 s boundary
+    from_ts = roundup(NOW, 60) - 59
+    until_ts = from_ts + 30
+    df = fetch(
+        tiers, list(store.schema.archives), ["m0"], from_ts, until_ts, NOW
+    )
+    assert df is not None and df.count() == 0
+    assert df.columns == ["metric", "ts", "value"]
+    # direct grid_fill with an equal rounded window behaves the same
+    assert grid_fill(tiers[0], ["m0"], 121, 130, 60).count() == 0
