@@ -127,6 +127,27 @@ def import_whisper_to_store(
     return build_tiers_from_layered(spark, pts, schema, root, now)
 
 
+def import_kenshin_to_store(
+    spark: SparkSession,
+    path_glob: str,
+    schema: Schema,
+    root: str,
+    now: int,
+) -> ParquetTieredStore:
+    """M7, kenshin-source flavor — the reference's rehash merges EXISTING
+    kenshin .hs files as well as whisper trees
+    (bin/kenshin-rehash.py:103-214, ``src_type == 'kenshin'``): read the
+    reference's own data files, re-shard + re-aggregate into a tiered
+    store. Same distributed shape as the whisper import — the shuffle IS
+    the re-shard."""
+    from kenshin_spark.sources.kenshin_hs import read_kenshin_points
+
+    pts = read_kenshin_points(spark, path_glob).select(
+        "metric", "ts", "value", "sec_per_point"
+    )
+    return build_tiers_from_layered(spark, pts, schema, root, now)
+
+
 @dataclass
 class SchemaChangeResult:
     action: str

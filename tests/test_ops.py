@@ -562,3 +562,90 @@ class TestRestrictedUnpickler:
         assert [(r["metric"], r["ts"], r["value"]) for r in got] == [
             ("ok.metric", 1000, 2.0)
         ]
+
+
+class TestKenshinHsImport:
+    """Golden fixtures built from the reference's documented .hs layout
+    (kenshin/storage.py:281-348): metadata !2Lf3L, TAB-joined tag string
+    with trailing reserved element, archive infos !3L, point rings
+    !L{n}d with ts==0 empty slots and NULL_VALUE sentinels."""
+
+    def _fixture(self, d, now=100_000):
+        from kenshin_spark.sources.kenshin_hs import write_kenshin_hs
+
+        os.makedirs(d, exist_ok=True)
+        write_kenshin_hs(
+            str(d / "shard0.hs"),
+            metrics=["sys.cpu.user", "sys.cpu.idle"],
+            archives=[(10, 360), (60, 1440)],
+            points_per_archive=[
+                [
+                    (now - 20, [1.0, 10.0]),
+                    (now - 10, [3.0, None]),  # NULL sentinel for idle
+                ],
+                [(now - 7200, [5.0, 50.0])],
+            ],
+            agg_method="max",
+            xff=0.5,
+        )
+        write_kenshin_hs(
+            str(d / "shard1.hs"),
+            metrics=["web.req"],
+            archives=[(10, 360)],
+            points_per_archive=[[(now - 10, [7.0])]],
+        )
+
+    def test_points_roundtrip(self, spark, tmp_path):
+        from kenshin_spark.sources.kenshin_hs import read_kenshin_points
+
+        d = tmp_path / "hs"
+        now = 100_000
+        self._fixture(d, now)
+        got = rows(read_kenshin_points(spark, str(d) + "/*.hs"))
+        assert ("sys.cpu.user", 0, 10, 3600, now - 20, 1.0) in got
+        assert ("sys.cpu.idle", 0, 10, 3600, now - 20, 10.0) in got
+        # the NULL sentinel arrives as a real NULL
+        assert ("sys.cpu.idle", 0, 10, 3600, now - 10, None) in got
+        assert ("sys.cpu.user", 1, 60, 86400, now - 7200, 5.0) in got
+        assert ("web.req", 0, 10, 3600, now - 10, 7.0) in got
+        assert len(got) == 7  # 2 metrics x 3 slots + 1 x 1 slot; rings empty
+
+    def test_headers(self, spark, tmp_path):
+        from kenshin_spark.sources.kenshin_hs import read_kenshin_headers
+
+        d = tmp_path / "hs"
+        self._fixture(d)
+        heads = {
+            tuple(r["metrics"]): r
+            for r in read_kenshin_headers(spark, str(d) + "/*.hs").collect()
+        }
+        h = heads[("sys.cpu.user", "sys.cpu.idle")]
+        assert h["agg_method"] == "max"
+        assert h["archive_count"] == 2
+        assert h["max_retention"] == 86400
+        assert abs(h["xff"] - 0.5) < 1e-6
+        assert h["point_size"] == 4 + 2 * 8
+        assert heads[("web.req",)]["agg_method"] == "average"
+
+    def test_import_lands_in_tiered_store(self, spark, tmp_path):
+        from kenshin_spark.operators.schema_change import (
+            import_kenshin_to_store,
+        )
+
+        d = tmp_path / "hs"
+        now = 100_000
+        self._fixture(d, now)
+        schema = Schema.from_strings(
+            "s", ".*", "20s:1h,60s:1d", xff=1.0, agg_method="average"
+        )
+        store = import_kenshin_to_store(
+            spark, str(d) + "/*.hs", schema, str(tmp_path / "st"), now
+        )
+        t0 = rows(store.read(0))
+        # 10s points re-agg to the 20s grid: user 99980 avg(1,3)=2.0;
+        # idle's NULL drops, leaving its 10.0
+        assert ("sys.cpu.user", 99980, 2.0) in t0
+        assert ("sys.cpu.idle", 99980, 10.0) in t0
+        assert ("web.req", 99980, 7.0) in t0
+        t1 = rows(store.read(1))
+        assert ("sys.cpu.user", 92760, 5.0) in t1
