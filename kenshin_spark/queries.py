@@ -140,6 +140,51 @@ def q_ts_align_lww(spark, sf_dir):
 
 
 @register(
+    "ts_tag_filter",
+    f"""
+    WITH pts AS (
+      SELECT event_type || ';shard=' || CAST(user_id % 4 AS VARCHAR)
+               AS metric,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+             value, event_id AS arrival
+      FROM events
+    )
+    SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+    FROM pts
+    WHERE regexp_extract(metric, ';shard=([^;]*)', 1) = '2'
+    GROUP BY 1, 2
+    """,
+    "key/value series tags (SURVEY §1.1; Graphite 1.1 tagged-series "
+    "syntax, reference series names tests/test_storage.py:42-45): the "
+    "full tagged string is the series identity; tags project out as a "
+    "MAP<STRING,STRING> via str_to_map (pure JVM) and the tag filter "
+    "prunes the metric set BEFORE the LWW align",
+)
+def q_ts_tag_filter(spark, sf_dir):
+    from kenshin_spark.functions.tags import metrics_matching_tags
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(";shard="),
+            (F.col("user_id") % 4).cast("string"),
+        ).alias("metric"),
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+        "value",
+        F.col("event_id").alias("arrival"),
+    )
+    # catalog-style lookup: tag match selects the series set, then the
+    # (broadcastable) set prunes the point stream before aggregation
+    wanted = metrics_matching_tags(
+        pts.select("metric").distinct(), {"shard": "2"}
+    )
+    return last_write_wins(
+        pts.join(F.broadcast(wanted), "metric"), 60, arrival_col="arrival"
+    )
+
+
+@register(
     "ts_agg_kernel",
     f"""
     WITH pts AS ({PTS})

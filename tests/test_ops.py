@@ -649,3 +649,57 @@ class TestKenshinHsImport:
         assert ("web.req", 99980, 7.0) in t0
         t1 = rows(store.read(1))
         assert ("sys.cpu.user", 92760, 5.0) in t1
+
+
+class TestSeriesTags:
+    def test_parse_and_format_roundtrip(self, spark):
+        from kenshin_spark.functions.tags import (
+            format_series,
+            series_name,
+            series_tags,
+            with_tags,
+        )
+
+        df = spark.createDataFrame(
+            [("a.b;host=web01;cpu=0",), ("plain.metric",), ("x;k=",)],
+            ["metric"],
+        )
+        got = {
+            r["metric"]: (r["name"], r["tags"])
+            for r in with_tags(df).collect()
+        }
+        assert got["a.b;host=web01;cpu=0"] == (
+            "a.b", {"host": "web01", "cpu": "0"}
+        )
+        assert got["plain.metric"] == ("plain.metric", {})
+        assert got["x;k="] == ("x", {"k": ""})
+        # canonical re-format sorts tag keys
+        canon = df.select(
+            format_series(series_name("metric"), series_tags("metric")).alias("s")
+        ).collect()
+        assert {r["s"] for r in canon} == {
+            "a.b;cpu=0;host=web01", "plain.metric", "x;k=",
+        }
+
+    def test_tag_lookup_feeds_fetch(self, spark):
+        from kenshin_spark.functions.tags import metrics_matching_tags
+        from kenshin_spark.operators.fetch import grid_fill
+
+        pts = spark.createDataFrame(
+            [
+                ("req;host=a", 60, 1.0),
+                ("req;host=b", 60, 2.0),
+                ("req;host=a;dc=eu", 120, 3.0),
+            ],
+            ["metric", "ts", "value"],
+        )
+        wanted = metrics_matching_tags(pts.select("metric").distinct(),
+                                       {"host": "a"})
+        grid = grid_fill(pts.join(wanted, "metric"), wanted, 60, 180, 60)
+        got = sorted(tuple(r) for r in grid.collect())
+        assert got == [
+            ("req;host=a", 60, 1.0),
+            ("req;host=a", 120, None),
+            ("req;host=a;dc=eu", 60, None),
+            ("req;host=a;dc=eu", 120, 3.0),
+        ]
