@@ -28,14 +28,18 @@ from kenshin_spark.operators.retention import apply_retention
 
 
 class KenshinEngine:
-    def __init__(self, schema: Schema):
+    def __init__(self, schema: Schema, skew_salts: int | None = None):
         self.schema = schema
+        #: spread hot metrics' LWW align over N reducers (SURVEY §7.3)
+        self.skew_salts = skew_salts
 
     def ingest(self, points: DataFrame, arrival_col: str | None = None) -> DataFrame:
         """Raw points → tier-0: align to the finest step, last-write-wins
         per slot (W5, kenshin/storage.py:427-445)."""
         step = self.schema.archives[0].sec_per_point
-        return last_write_wins(points, step, arrival_col=arrival_col)
+        return last_write_wins(
+            points, step, arrival_col=arrival_col, skew_salts=self.skew_salts
+        )
 
     def tiers(self, points: DataFrame, arrival_col: str | None = None) -> list[DataFrame]:
         """The full cascade, tier 0..n-1 (W7, kenshin/storage.py:482-586)."""

@@ -36,6 +36,7 @@ def last_write_wins(
     arrival_col: str | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
+    skew_salts: int | None = None,
 ) -> DataFrame:
     """Align to ``step`` and keep one value per (metric, slot).
 
@@ -44,10 +45,33 @@ def last_write_wins(
     (later point wins — the reference's within-batch sort order,
     kenshin/storage.py:441-444).
 
+    ``skew_salts``: the SURVEY §7.3 hot-key path. Spark's map-side
+    partial aggregation already absorbs most metric skew, but when one
+    (metric, slot) is hot enough that even its partials overload a
+    reducer (or partial agg falls back), a deterministic salt spreads
+    stage 1 over ``skew_salts`` reducers and stage 2 merges the partial
+    winners — ``max_by`` is algebraic, so the decomposition is exact:
+    the winner of the winners is the global winner (same tie semantics
+    as the single-stage form when order keys repeat).
+
     Returns ``(metric, ts, value)`` with ts aligned.
     """
     order_col = arrival_col or ts_col
-    return df.groupBy(
-        F.col("metric"),
-        align_ts(F.col(ts_col).cast("long"), step).alias(ts_col),
-    ).agg(F.expr(f"max_by({value_col}, {order_col})").alias(value_col))
+    slot = align_ts(F.col(ts_col).cast("long"), step).alias(ts_col)
+    if skew_salts:
+        from kenshin_spark.operators.skew import with_salt
+
+        stage1 = (
+            with_salt(df, skew_salts)
+            .groupBy(F.col("metric"), slot, F.col("_salt"))
+            .agg(
+                F.expr(f"max_by({value_col}, {order_col})").alias("_v"),
+                F.max(order_col).alias("_o"),
+            )
+        )
+        return stage1.groupBy("metric", ts_col).agg(
+            F.expr("max_by(_v, _o)").alias(value_col)
+        )
+    return df.groupBy(F.col("metric"), slot).agg(
+        F.expr(f"max_by({value_col}, {order_col})").alias(value_col)
+    )

@@ -92,10 +92,14 @@ class StreamingIngest:
         clock=time.time,
         dead_letter_path: str | None = None,
         store_mode: str = "cow",
+        skew_salts: int | None = None,
     ):
         self.spark = spark
         self.schemas = schemas
         self.root = root
+        #: spread hot metrics' LWW align over N reducers (SURVEY §7.3);
+        #: None = single-stage (map-side partials usually suffice)
+        self.skew_salts = skew_salts
         #: corrupt lines land here as parquet (the reference only logs
         #: them, rurouni/protocols.py:40-42 — a dead-letter table is the
         #: replayable upgrade)
@@ -238,7 +242,10 @@ class StreamingIngest:
                     if sub.isEmpty():
                         continue
                     slots = last_write_wins(
-                        sub, arch.sec_per_point, arrival_col=arrival
+                        sub,
+                        arch.sec_per_point,
+                        arrival_col=arrival,
+                        skew_salts=self.skew_salts,
                     )
                     store.upsert(i, slots)
                     store.propagate(slots, from_tier=i)

@@ -162,3 +162,60 @@ class TestStoreFetchPruning:
         # correctness unchanged: full grid, values where stored
         assert grid.count() == 1440  # 1 day at 60s
         assert grid.where("value is not null").count() == 3
+
+
+class TestSkewWiring:
+    def test_salted_lww_two_stage_identical(self, spark):
+        """SURVEY §7.3 hot-key path: skew_salts turns the LWW align into a
+        salted two-stage aggregation — the plan shows the salt key in the
+        first exchange and a second merge exchange on (metric, ts) — and
+        a skewed fixture (one metric carrying 99% of rows) produces
+        byte-identical results to the single-stage form."""
+        from kenshin_spark.operators.align import last_write_wins
+
+        rows = [("hot.metric", 1000 + (i % 300), float(i), i)
+                for i in range(3000)]
+        rows += [(f"cold.{i}", 1000 + i, 1.0, 10_000 + i) for i in range(30)]
+        df = spark.createDataFrame(rows, ["metric", "ts", "value", "arrival"])
+
+        plain = last_write_wins(df, 60, arrival_col="arrival")
+        salted = last_write_wins(df, 60, arrival_col="arrival",
+                                 skew_salts=8)
+        p = plan_of(salted)
+        assert "_salt" in p                       # stage 1 keyed by salt
+        assert p.count("ENSURE_REQUIREMENTS") == 2  # salt stage + merge
+        assert "partial_max_by" in p              # map-side combine kept
+        got_p = sorted(tuple(r) for r in plain.collect())
+        got_s = sorted(tuple(r) for r in salted.collect())
+        assert got_s == got_p
+
+    def test_ingest_wires_skew_salts(self, spark, tmp_path):
+        """The production ingest path applies the salted align when
+        configured: same stored tiers either way."""
+        from kenshin_spark.config import Schema, SchemaSet
+        from kenshin_spark.ratelimit import FakeClock
+        from kenshin_spark.streaming import StreamingIngest
+
+        schemas = SchemaSet(
+            (Schema.from_strings("s", ".*", "60s:1d", xff=1.0,
+                                 agg_method="sum"),)
+        )
+        # unique arrivals: with tied order keys max_by is free to pick
+        # either row, so single- vs two-stage could legitimately differ
+        pts = spark.createDataFrame(
+            [("hot", 900 + i % 120, float(i), i) for i in range(500)],
+            ["metric", "ts", "value", "arrival"],
+        )
+        stores = {}
+        for name, salts in (("plain", None), ("salted", 8)):
+            ing = StreamingIngest(
+                spark, schemas, str(tmp_path / name), clock=FakeClock(1200),
+                skew_salts=salts,
+            )
+            ing.process_batch(pts, 0)
+            stores[name] = sorted(
+                tuple(r)
+                for r in ing.store_for(schemas.schemas[0]).read(0).collect()
+            )
+        assert stores["salted"] == stores["plain"]
+        assert len(stores["plain"]) > 0
