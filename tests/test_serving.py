@@ -1,0 +1,101 @@
+"""S3 serving-layer integration: queries cross a real network boundary
+(TCP wire protocol + HTTP JSON) into Spark-backed lookups."""
+
+import json
+import pickle
+import socket
+import struct
+import urllib.request
+
+import pytest
+
+from kenshin_spark.config import Schema
+from kenshin_spark.serving import CacheQueryServer, HttpFetchServer, cache_query
+from kenshin_spark.store import ParquetTieredStore
+
+SCHEMA = Schema.from_strings(
+    "s", ".*", "60s:1d,300s:7d", xff=1.0, agg_method="average"
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "st"))
+    st.overwrite(
+        0,
+        spark.createDataFrame(
+            [("sys.cpu", 60, 1.0), ("sys.cpu", 120, 2.0), ("sys.mem", 60, 9.0)],
+            ["metric", "ts", "value"],
+        ),
+    )
+    return st
+
+
+class TestCacheQueryServer:
+    def test_wire_roundtrip_against_spark(self, spark, store):
+        def lookup(metric):
+            return [
+                (r["ts"], r["value"])
+                for r in store.read(0).where(f"metric = '{metric}'").collect()
+            ]
+
+        srv = CacheQueryServer(lookup)
+        host, port = srv.start()
+        try:
+            got = cache_query(host, port, "sys.cpu")
+            assert sorted(got) == [(60, 1.0), (120, 2.0)]
+            assert cache_query(host, port, "ghost") == []
+        finally:
+            srv.stop()
+
+    def test_malicious_request_dropped_server_survives(self, spark):
+        srv = CacheQueryServer(lambda m: [(1, 1.0)])
+        host, port = srv.start()
+        try:
+            class Evil:
+                def __reduce__(self):
+                    import os
+
+                    return (os.system, ("echo pwned",))
+
+            with socket.create_connection((host, port)) as s:
+                payload = pickle.dumps(Evil())
+                s.sendall(struct.pack("!L", len(payload)) + payload)
+                # server refuses the global lookup and drops the conn
+                assert s.recv(4) == b""
+            # a well-formed request still works afterwards
+            assert cache_query(host, port, "m") == [(1, 1.0)]
+        finally:
+            srv.stop()
+
+
+class TestHttpFetchServer:
+    def test_fetch_over_http(self, spark, store):
+        def fetch_fn(metrics, frm, until, now):
+            df = store.fetch(metrics, frm, until, now)
+            return (
+                []
+                if df is None
+                else [(r["metric"], r["ts"], r["value"]) for r in df.collect()]
+            )
+
+        srv = HttpFetchServer(fetch_fn, hot_fn=lambda m: [(5, 1.5)])
+        host, port = srv.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/fetch?metric=sys.cpu&from=60&until=180&now=200"
+            ) as resp:
+                body = json.load(resp)
+            rows = {(m, t): v for m, t, v in body["rows"]}
+            assert rows[("sys.cpu", 60)] == 1.0
+            assert rows[("sys.cpu", 120)] == 2.0
+
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/hot?metric=x"
+            ) as resp:
+                assert json.load(resp)["datapoints"] == [[5, 1.5]]
+
+            with pytest.raises(urllib.error.HTTPError):
+                urllib.request.urlopen(f"http://{host}:{port}/fetch")
+        finally:
+            srv.stop()
