@@ -75,6 +75,59 @@ def cmd_expire(args) -> None:
     print(json.dumps({str(k): v for k, v in dropped.items()}))
 
 
+def cmd_change_schema(args) -> None:
+    """bin/kenshin-change-schema.py:25-125 — diff the live schema against
+    the new retentions/agg/xff; CHANGE_META rewraps in place, REBUILD
+    re-aggregates into a fresh store and swaps with a .bak."""
+    from kenshin_spark.operators.schema_change import change_schema
+
+    store = _store(args)
+    new_schema = Schema.from_strings(
+        "cli", ".*", args.new_retentions,
+        xff=args.new_xff if args.new_xff is not None else args.xff,
+        agg_method=args.new_agg or args.agg,
+    )
+    now = args.now or int(time.time())
+    res = change_schema(store.spark, store, new_schema, now)
+    print(json.dumps({"action": res.action, "root": res.store.root}))
+
+
+def cmd_import(args) -> None:
+    """bin/kenshin-rehash.py:22-100 — migrate a whisper (.wsp) or kenshin
+    (.hs) tree into the tiered store: the shuffle IS the re-shard, each
+    tier build is one distributed aggregation."""
+    from kenshin_spark.operators.schema_change import (
+        import_kenshin_to_store,
+        import_whisper_to_store,
+    )
+
+    spark = get_spark("kenshin-cli", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    schema = Schema.from_strings(
+        "cli", ".*", args.retentions, xff=args.xff, agg_method=args.agg
+    )
+    now = args.now or int(time.time())
+    if args.format == "whisper":
+        store = import_whisper_to_store(
+            spark, args.source, schema, args.root, now, base=args.base
+        )
+    else:
+        store = import_kenshin_to_store(spark, args.source, schema, args.root, now)
+    n = store.read(0).count()
+    print(json.dumps({"root": store.root, "tier0_rows": n}))
+
+
+def cmd_gc(args) -> None:
+    """bin/kenshin-find-file.py:51-73 — cataloged metrics with no live
+    points (everything expired): the delete candidates."""
+    from kenshin_spark.operators.maintenance import gc_candidates
+
+    store = _store(args)
+    cands = gc_candidates(store.catalog(), store.read(0))
+    for r in cands.select("metric").collect():
+        print(r["metric"])
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kenshin-spark")
     p.add_argument("--root", required=True)
@@ -96,6 +149,17 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--metric", required=True)
     e = sub.add_parser("expire")
     e.add_argument("--now", type=int, default=None)
+    c = sub.add_parser("change-schema")
+    c.add_argument("--new-retentions", required=True)
+    c.add_argument("--new-agg", default=None)
+    c.add_argument("--new-xff", type=float, default=None)
+    c.add_argument("--now", type=int, default=None)
+    i = sub.add_parser("import")
+    i.add_argument("--source", required=True, help="glob of .wsp/.hs files")
+    i.add_argument("--format", choices=("whisper", "kenshin"), required=True)
+    i.add_argument("--base", default=None, help="whisper tree root for metric names")
+    i.add_argument("--now", type=int, default=None)
+    sub.add_parser("gc")
 
     args = p.parse_args(argv)
     {
@@ -104,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
         "search": cmd_search,
         "delete": cmd_delete,
         "expire": cmd_expire,
+        "change-schema": cmd_change_schema,
+        "import": cmd_import,
+        "gc": cmd_gc,
     }[args.cmd](args)
     return 0
 

@@ -703,3 +703,92 @@ class TestSeriesTags:
             ("req;host=a;dc=eu", 60, None),
             ("req;host=a;dc=eu", 120, 3.0),
         ]
+
+
+class TestCliOpsTools:
+    """CLI verbs for the remaining bin/ tools: change-schema, import, gc
+    (bin/kenshin-change-schema.py:25-125, bin/kenshin-rehash.py:22-100,
+    bin/kenshin-find-file.py:51-73)."""
+
+    def test_change_schema_verb(self, spark, tmp_path, capsys):
+        import json
+
+        from kenshin_spark import cli
+
+        root = str(tmp_path / "st")
+        store = ParquetTieredStore(
+            spark,
+            Schema.from_strings("cli", ".*", "60s:1d,300s:7d,3600s:90d",
+                                xff=20.0, agg_method="average"),
+            root,
+        )
+        now = 100_020
+        store.upsert(
+            0,
+            spark.createDataFrame(
+                [("m", now - 120, 2.0), ("m", now - 60, 4.0)],
+                ["metric", "ts", "value"],
+            ),
+        )
+        cli.main([
+            "--root", root, "--cpus", "2",
+            "change-schema", "--new-retentions", "120s:1d,600s:7d,3600s:90d",
+            "--now", str(now),
+        ])
+        out = json.loads(capsys.readouterr().out)
+        assert out["action"] == "REBUILD"
+        rebuilt = ParquetTieredStore(
+            spark,
+            Schema.from_strings("cli", ".*", "120s:1d,600s:7d,3600s:90d",
+                                xff=20.0, agg_method="average"),
+            out["root"],
+        )
+        got = rows(rebuilt.read(0))
+        # 60s slots 99900(2.0) + 99960(4.0) re-agg onto the 120s grid
+        assert got == [("m", 99840, 2.0), ("m", 99960, 4.0)]
+
+    def test_import_verb_kenshin(self, spark, tmp_path, capsys):
+        import json
+
+        from kenshin_spark import cli
+        from kenshin_spark.sources.kenshin_hs import write_kenshin_hs
+
+        d = tmp_path / "hs"
+        os.makedirs(d)
+        now = 100_000
+        write_kenshin_hs(
+            str(d / "s0.hs"), ["a.b"], [(60, 60)],
+            [[(now - 60, [3.0]), (now - 120, [5.0])]],
+        )
+        root = str(tmp_path / "st")
+        cli.main([
+            "--root", root, "--retentions", "60s:1d", "--cpus", "2",
+            "import", "--source", str(d) + "/*.hs", "--format", "kenshin",
+            "--now", str(now),
+        ])
+        out = json.loads(capsys.readouterr().out)
+        assert out["tier0_rows"] == 2
+
+    def test_gc_verb(self, spark, tmp_path, capsys):
+        from kenshin_spark import cli
+
+        root = str(tmp_path / "st")
+        store = ParquetTieredStore(
+            spark,
+            Schema.from_strings("cli", ".*", "60s:1d,300s:7d,3600s:90d",
+                                xff=20.0),
+            root,
+        )
+        store.catalog_add(
+            spark.createDataFrame(
+                [("live.m", "cli", 1), ("dead.m", "cli", 1)],
+                ["metric", "schema_name", "created_ts"],
+            )
+        )
+        store.upsert(
+            0,
+            spark.createDataFrame([("live.m", 60, 1.0)],
+                                  ["metric", "ts", "value"]),
+        )
+        cli.main(["--root", root, "--cpus", "2", "gc"])
+        assert capsys.readouterr().out.strip() == "dead.m"
