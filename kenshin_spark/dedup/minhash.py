@@ -42,17 +42,18 @@ def shingles(
     # array_distinct inside the row replaces a global distinct(): doc_id is
     # constant per row, so per-row dedup is equivalent — and one full
     # shuffle of the shingle stream disappears. Docs shorter than n tokens
-    # have no shingles (empty array — sequence(0, size-n) would raise on
-    # its descending bounds for them).
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    # have no shingles: the gram count is bounded by slicing the token
+    # array to its first max(len-n+1, 0) elements (empty for short docs)
+    # and shingling via the (element, index) transform lambda. NOT a CASE
+    # around the whole expression — conditional branches are excluded
+    # from Spark's runtime subexpression elimination, so a CASE
+    # re-evaluates the regex split() per use (measured 4x slower).
+    grams = F.array_distinct(
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda x, j: F.concat_ws(" ", F.slice(toks, j + 1, n)),
+        )
+    )
     from kenshin_spark.dedup.fanout import fan_out
 
     return fan_out(docs).select(
@@ -106,21 +107,28 @@ def minhash_lsh_pairs(
     sql = rf"""
     WITH sharr AS (
       SELECT {id_col} AS doc_id,
-             CASE WHEN size(split(trim(lower({text_col})), '\\s+')) >= {n}
-             THEN array_distinct(transform(
-               sequence(0, size(split(trim(lower({text_col})), '\\s+')) - {n}),
-               i -> concat_ws(' ',
-                 slice(split(trim(lower({text_col})), '\\s+'), i + 1, {n}))
-             ))
-             ELSE CAST(array() AS ARRAY<STRING>) END AS sh
+             array_distinct(transform(
+               slice(split(trim(lower({text_col})), '\\s+'), 1,
+                     greatest(
+                       size(split(trim(lower({text_col})), '\\s+'))
+                         - {n - 1}, 0)),
+               (x, j) -> concat_ws(' ',
+                 slice(split(trim(lower({text_col})), '\\s+'), j + 1, {n}))
+             )) AS sh
       FROM {{d}}
     ),
     band_rows AS (
       -- shingle-less docs (< n tokens) are excluded from banding: their
-      -- minhashes are all NULL, which would put every one of them in a
-      -- single shared bucket; they can never verify above threshold
-      SELECT doc_id, posexplode(array({keys})) AS (band, band_key)
-      FROM (SELECT doc_id, {mins} FROM sharr WHERE size(sh) > 0)
+      -- minhashes are all NULL → band_key = md5(''), which would put
+      -- every one of them in a single shared bucket; they can never
+      -- verify above threshold. Filtering the GENERATOR OUTPUT is key:
+      -- a WHERE size(sh) > 0 on the inner projection inlines the whole
+      -- shingle expression into the filter (no CSE across it; measured
+      -- ~2x slower), while band_key here is already materialized.
+      SELECT * FROM (
+        SELECT doc_id, posexplode(array({keys})) AS (band, band_key)
+        FROM (SELECT doc_id, {mins} FROM sharr)
+      ) WHERE band_key <> md5('')
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

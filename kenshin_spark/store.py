@@ -91,21 +91,44 @@ class ParquetTieredStore:
         # partitions present in the written frame — the MERGE primitive here
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    @property
+    def _seq_sidecar(self) -> str:
+        return os.path.join(self.root, "_seq.json")
+
     def _next_seq(self) -> int:
-        """Monotonic per-store-instance write stamp. In mor mode later
-        stamps win at read time; across restarts the max existing stamp
-        seeds the counter (read once, lazily)."""
+        """Monotonic write stamp (mor mode: later stamps win at read).
+
+        The last-issued stamp lives in a tiny sidecar file (store
+        metadata, like the reference's packed header) — a driver-local
+        read, not a max(_seq) scan over the whole tier, which at 100 TB
+        would be a full-table aggregate just to open the store. Stamps
+        are pre-allocated (sidecar written before the data write), so a
+        crash wastes a stamp instead of ever reusing one. Legacy stores
+        without a sidecar fall back to the tier scan once."""
         if self._seq_counter == 0:
-            mx = 0
-            for i in range(len(self.schema.archives)):
-                path = self.tier_path(i)
-                if os.path.exists(path):
-                    df = self.spark.read.parquet(path)
-                    if "_seq" in df.columns:
-                        row = df.agg(F.max("_seq")).collect()[0]
-                        mx = max(mx, int(row[0] or 0))
-            self._seq_counter = mx
+            if os.path.exists(self._seq_sidecar):
+                import json
+
+                with open(self._seq_sidecar) as f:
+                    self._seq_counter = int(json.load(f)["last_seq"])
+            else:
+                mx = 0
+                for i in range(len(self.schema.archives)):
+                    path = self.tier_path(i)
+                    if os.path.exists(path):
+                        df = self.spark.read.parquet(path)
+                        if "_seq" in df.columns:
+                            row = df.agg(F.max("_seq")).collect()[0]
+                            mx = max(mx, int(row[0] or 0))
+                self._seq_counter = mx
         self._seq_counter += 1
+        import json
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._seq_sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_seq": self._seq_counter}, f)
+        os.replace(tmp, self._seq_sidecar)
         return self._seq_counter
 
     # -- paths ------------------------------------------------------------

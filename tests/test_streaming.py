@@ -632,3 +632,35 @@ class TestMergeOnRead:
         # the winner is the later write
         got = {r["metric"]: r["value"] for r in mor.read(0).collect()}
         assert got["m1"] == 2.0
+
+    def test_mor_seq_survives_restart_via_sidecar(self, spark, tmp_path):
+        """A fresh store instance on an existing mor root continues the
+        write-stamp sequence from the sidecar (no tier scan): its writes
+        still win over the previous instance's."""
+        import json
+        import os
+
+        schema = Schema.from_strings("s", ".*", "60s:1d,300s:7d", xff=1.0)
+        root = str(tmp_path / "mor")
+        a = ParquetTieredStore(spark, schema, root, mode="mor")
+        a.upsert(0, spark.createDataFrame(
+            [("m", 0, 1.0)], "metric string, ts long, value double"))
+        a.upsert(0, spark.createDataFrame(
+            [("m", 0, 2.0)], "metric string, ts long, value double"))
+        side = json.load(open(os.path.join(root, "_seq.json")))
+        assert side["last_seq"] == 2
+
+        b = ParquetTieredStore(spark, schema, root, mode="mor")
+        b.upsert(0, spark.createDataFrame(
+            [("m", 0, 7.0)], "metric string, ts long, value double"))
+        assert rows(b.read(0)) == [("m", 0, 7.0)]  # newest stamp wins
+        assert json.load(
+            open(os.path.join(root, "_seq.json"))
+        )["last_seq"] == 3
+
+        # legacy store (no sidecar): falls back to the tier scan once
+        os.remove(os.path.join(root, "_seq.json"))
+        c = ParquetTieredStore(spark, schema, root, mode="mor")
+        c.upsert(0, spark.createDataFrame(
+            [("m", 0, 9.0)], "metric string, ts long, value double"))
+        assert rows(c.read(0)) == [("m", 0, 9.0)]
