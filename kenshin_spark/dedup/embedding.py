@@ -110,19 +110,23 @@ def embedding_neardup_pairs_lsh(
         .select(F.col("a._id").alias("vec_a"), F.col("b._id").alias("vec_b"))
         .distinct()
     )
+    # verify: enrich the narrow candidate pairs with each side's vector in
+    # a two-join CHAIN, leaving build-side choice to AQE — locally the
+    # corpus side broadcasts (512 KB), at 100 TB AQE falls back to
+    # shuffle joins co-partitioned on the id. (The alternative — forcing
+    # broadcast of the candidate set into two corpus scans and re-joining
+    # the two halves per pair — shuffles the wide vector rows twice and
+    # measured 2.4x slower at sf0.1.)
     tagged = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         l2_norm(F.col(vec_col)).alias("_n"),
     )
-    pa = tagged.join(
-        F.broadcast(cand), F.col("_id") == F.col("vec_a")
-    ).select("vec_a", "vec_b", F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    pb = tagged.join(
-        F.broadcast(cand), F.col("_id") == F.col("vec_b")
-    ).select(
-        F.col("vec_a").alias("_wa"),
-        F.col("vec_b").alias("_wb"),
+    enriched_a = cand.join(tagged, F.col("vec_a") == F.col("_id")).select(
+        "vec_a", "vec_b", F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    side_b = tagged.select(
+        F.col("_id").alias("_idb"),
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
@@ -134,12 +138,7 @@ def embedding_neardup_pairs_lsh(
         F.lit(threshold - 5e-7) * denom
     )
     return (
-        pa.join(
-            pb,
-            (F.col("vec_a") == F.col("_wa"))
-            & (F.col("vec_b") == F.col("_wb"))
-            & prefilter,
-        )
+        enriched_a.join(side_b, (F.col("vec_b") == F.col("_idb")) & prefilter)
         .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
