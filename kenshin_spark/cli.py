@@ -128,6 +128,23 @@ def cmd_gc(args) -> None:
         print(r["metric"])
 
 
+def cmd_keepalive(args) -> None:
+    """bin/kenshin-send-zero-metric.py:26-45 — write a 0-value point at
+    now for every cataloged metric dormant longer than --dormant-after,
+    so it survives a migration window."""
+    from kenshin_spark.operators.maintenance import keep_alive_points
+
+    store = _store(args)
+    now = args.now or int(time.time())
+    pts = keep_alive_points(
+        store.catalog(), store.read(0), now, dormant_after=args.dormant_after
+    )
+    n = pts.count()
+    if n:
+        store.upsert(0, pts)
+    print(json.dumps({"kept_alive": n}))
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kenshin-spark")
     p.add_argument("--root", required=True)
@@ -160,6 +177,9 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--base", default=None, help="whisper tree root for metric names")
     i.add_argument("--now", type=int, default=None)
     sub.add_parser("gc")
+    ka = sub.add_parser("keepalive")
+    ka.add_argument("--dormant-after", type=int, default=86400)
+    ka.add_argument("--now", type=int, default=None)
 
     args = p.parse_args(argv)
     {
@@ -171,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
         "change-schema": cmd_change_schema,
         "import": cmd_import,
         "gc": cmd_gc,
+        "keepalive": cmd_keepalive,
     }[args.cmd](args)
     return 0
 

@@ -124,3 +124,59 @@ def summarize(grid: DataFrame, bucket_seconds: int, agg: str = "sum") -> DataFra
     from kenshin_spark.operators.downsample import downsample
 
     return downsample(grid, bucket_seconds, agg)
+
+
+def per_second(grid: DataFrame) -> DataFrame:
+    """Graphite perSecond: counter delta divided by the slot's time delta;
+    counter resets (negative deltas) become NULL, like
+    nonNegativeDerivative."""
+    w = _series_window()
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = F.col("ts") - F.lag("ts").over(w)
+    return grid.select(
+        "metric", "ts", F.when(dv >= 0, dv / dt).alias("value")
+    )
+
+
+def integral(grid: DataFrame) -> DataFrame:
+    """Graphite integral: running sum from the series start (NULL-ignoring;
+    slots before the first value stay NULL)."""
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    running = F.sum("value").over(w)
+    return grid.select(
+        "metric",
+        "ts",
+        F.when(F.col("value").isNotNull(), running).alias("value"),
+    )
+
+
+def offset(grid: DataFrame, amount: float) -> DataFrame:
+    """Graphite offset(series, amount)."""
+    return grid.select(
+        "metric", "ts", (F.col("value") + F.lit(amount)).alias("value")
+    )
+
+
+def clamp(grid: DataFrame, lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """Graphite clampMin/clampMax (both at once here)."""
+    v = F.col("value")
+    if lo is not None:
+        v = F.greatest(v, F.lit(float(lo)))
+    if hi is not None:
+        v = F.least(v, F.lit(float(hi)))
+    return grid.select("metric", "ts", v.alias("value"))
+
+
+def highest_average(grid: DataFrame, n: int) -> DataFrame:
+    """Graphite highestAverage(series_list, n): keep the n series with the
+    highest mean value — series SELECTION, the other half of the render
+    API. One aggregate over the grid ranks the series; the (tiny) winner
+    set broadcast-joins back to prune the stream."""
+    ranked = (
+        grid.groupBy("metric")
+        .agg(F.avg("value").alias("_avg"))
+        .orderBy(F.col("_avg").desc(), F.col("metric"))
+        .limit(n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(ranked), "metric")

@@ -641,6 +641,68 @@ def q_render_keep_last_value(spark, sf_dir):
 
 
 @register(
+    "render_per_second",
+    # NO round(): dv, dt, and dv/dt are computed from identical doubles
+    # in identical order in both engines, so the raw quotient is
+    # bit-identical — while round() itself diverges at repr boundaries
+    # (Spark rounds the shortest decimal repr HALF_UP, DuckDB rounds the
+    # binary value; measured one 6th-decimal flip at sf0.01).
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           CASE WHEN value - lag(value) OVER w >= 0
+                THEN (value - lag(value) OVER w)
+                     / (ts - lag(ts) OVER w) END AS value
+    FROM t0
+    WINDOW w AS (PARTITION BY metric ORDER BY ts)
+    """,
+    "graphite perSecond(series) over tier0 — counter delta / time delta, "
+    "resets (negative deltas) → NULL",
+)
+def q_render_per_second(spark, sf_dir):
+    from kenshin_spark.functions.render import per_second
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return per_second(t0)
+
+
+@register(
+    "render_integral_top2",
+    # the running sum goes through DECIMAL (the repo's money-math
+    # discipline): DuckDB evaluates window sums with a segment tree, so
+    # a DOUBLE running sum accumulates in a different order than Spark's
+    # sequential frame (measured ulp drift); exact decimal math is
+    # order-free, with ONE cast back to DOUBLE at the end
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    top2 AS (
+      SELECT metric FROM t0
+      GROUP BY metric ORDER BY avg(value) DESC, metric LIMIT 2
+    )
+    SELECT t0.metric, ts,
+           CAST(CASE WHEN value IS NOT NULL THEN
+             sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY t0.metric ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) END AS DOUBLE) AS value
+    FROM t0 JOIN top2 ON t0.metric = top2.metric
+    """,
+    "graphite integral(highestAverage(series_list, 2)) — series "
+    "SELECTION (one aggregate ranks series, the winner set broadcasts "
+    "back) composed with the running-sum transform; render functions "
+    "compose over the grid contract",
+)
+def q_render_integral_top2(spark, sf_dir):
+    from kenshin_spark.functions.render import highest_average, integral
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    dec = highest_average(t0, 2).withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    return integral(dec).withColumn("value", F.col("value").cast("double"))
+
+
+@register(
     "ts_debug_discontinuities",
     f"""
     WITH pts AS ({PTS}), t0 AS ({LWW60})

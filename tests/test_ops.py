@@ -792,3 +792,84 @@ class TestCliOpsTools:
         )
         cli.main(["--root", root, "--cpus", "2", "gc"])
         assert capsys.readouterr().out.strip() == "dead.m"
+
+
+class TestRenderFunctionsExtra:
+    def grid(self, spark):
+        return spark.createDataFrame(
+            [("a", 0, 10.0), ("a", 60, 16.0), ("a", 120, 4.0),   # reset
+             ("a", 180, None), ("a", 240, 7.0),
+             ("b", 0, 1.0), ("b", 60, 1.0), ("b", 120, 1.0),
+             ("b", 180, 1.0), ("b", 240, 1.0)],
+            "metric string, ts long, value double",
+        )
+
+    def test_per_second(self, spark):
+        from kenshin_spark.functions.render import per_second
+
+        got = {(r["metric"], r["ts"]): r["value"]
+               for r in per_second(self.grid(spark)).collect()}
+        assert got[("a", 0)] is None          # series start
+        assert got[("a", 60)] == 0.1          # (16-10)/60
+        assert got[("a", 120)] is None        # counter reset
+        assert got[("b", 120)] == 0.0
+
+    def test_integral_and_offset_clamp(self, spark):
+        from kenshin_spark.functions.render import clamp, integral, offset
+
+        g = self.grid(spark)
+        integ = {(r["metric"], r["ts"]): r["value"]
+                 for r in integral(g).collect()}
+        assert integ[("a", 120)] == 30.0      # 10+16+4
+        assert integ[("a", 180)] is None      # NULL slot stays NULL
+        assert integ[("a", 240)] == 37.0      # resumes accumulating
+        off = {(r["metric"], r["ts"]): r["value"]
+               for r in offset(g, 2.0).collect()}
+        assert off[("a", 0)] == 12.0 and off[("a", 180)] is None
+        cl = {(r["metric"], r["ts"]): r["value"]
+              for r in clamp(g, lo=4.0, hi=12.0).collect()}
+        assert cl[("a", 0)] == 10.0 and cl[("a", 60)] == 12.0
+        assert cl[("b", 0)] == 4.0
+
+    def test_highest_average_selects_series(self, spark):
+        from kenshin_spark.functions.render import highest_average
+
+        got = {r["metric"] for r in
+               highest_average(self.grid(spark), 1).collect()}
+        assert got == {"a"}  # avg(a)=9.25 > avg(b)=1
+
+
+class TestCliKeepalive:
+    def test_keepalive_verb(self, spark, tmp_path, capsys):
+        import json
+
+        from kenshin_spark import cli
+
+        root = str(tmp_path / "st")
+        store = ParquetTieredStore(
+            spark,
+            Schema.from_strings("cli", ".*", "60s:1d,300s:7d,3600s:90d",
+                                xff=20.0),
+            root,
+        )
+        now = 200_000
+        store.catalog_add(
+            spark.createDataFrame(
+                [("fresh.m", "cli", 1), ("dormant.m", "cli", 1)],
+                ["metric", "schema_name", "created_ts"],
+            )
+        )
+        store.upsert(
+            0,
+            spark.createDataFrame(
+                [("fresh.m", now - 60, 1.0), ("dormant.m", now - 172800, 2.0)],
+                ["metric", "ts", "value"],
+            ),
+        )
+        cli.main(["--root", root, "--cpus", "2", "keepalive",
+                  "--now", str(now)])
+        assert json.loads(capsys.readouterr().out)["kept_alive"] == 1
+        got = {(r["metric"], r["ts"]): r["value"]
+               for r in store.read(0).collect()}
+        assert got[("dormant.m", now)] == 0.0
+        assert ("fresh.m", now) not in got
