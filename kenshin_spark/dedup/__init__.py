@@ -1,3 +1,8 @@
+from kenshin_spark.dedup.cluster import (
+    canonical_survivors,
+    connected_components,
+    duplicate_clusters,
+)
 from kenshin_spark.dedup.exact import exact_dedup
 from kenshin_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
 from kenshin_spark.dedup.ngram import ngram_jaccard_pairs
@@ -5,6 +10,9 @@ from kenshin_spark.dedup.simhash import simhash_fingerprints
 from kenshin_spark.dedup.embedding import embedding_neardup_pairs
 
 __all__ = [
+    "canonical_survivors",
+    "connected_components",
+    "duplicate_clusters",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",

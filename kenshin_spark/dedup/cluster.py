@@ -1,0 +1,105 @@
+"""Duplicate-cluster assignment: distributed connected components over
+near-duplicate candidate pairs.
+
+Pair detectors (MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup)
+emit *edges*; a dedup pipeline needs *clusters* — "docs {3, 17, 96} are
+the same document, keep one". That grouping is connected components over
+the pair graph, and at 100 TB the pair set itself can be billions of
+edges, so the CC computation must be distributed too.
+
+Algorithm: iterative min-label propagation —
+
+    lbl(v) ← min(lbl(v), min_{(u,v) ∈ E} lbl(u))
+
+repeated to fixpoint. Each round is two shuffles (edge-label join keyed
+by node + a min-aggregate keyed by src), both AQE-sized; rounds needed is
+the graph diameter, and near-dup clusters are small-diameter by nature
+(every member pairs with most others), so 2-4 rounds is typical. For
+adversarially long path graphs the alternating large-star/small-star
+scheme of Kiveris et al. ("Connected Components in MapReduce and
+Beyond", SoCC'14) converges in O(log n) rounds; min-label propagation is
+chosen here because dedup graphs are dense-clustered, and it keeps every
+round a plain join+agg that Catalyst/AQE optimizes.
+
+Fixpoint detection is one scalar aggregate per round: labels only ever
+decrease, so Σ lbl is strictly decreasing until convergence — comparing
+successive sums needs no join against the previous labelling.
+
+``localCheckpoint`` truncates lineage each round (iterative plans
+otherwise grow exponentially); on a real cluster use ``checkpoint`` with
+a reliable dir instead — noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``(node, cluster_id)`` for every node appearing in ``pairs``;
+    ``cluster_id`` is the minimum node id of the component (stable,
+    order-independent)."""
+    und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        # reused every round — pin it (on a cluster: .checkpoint() to a
+        # reliable dir so executor loss doesn't recompute the detector).
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                labels["node"],
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:  # labels are non-increasing → fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """``(doc_id, cluster_id, cluster_size)`` — cluster assignment plus
+    member count (one extra shuffle keyed by cluster_id)."""
+    cc = connected_components(pairs, a=a, b=b)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        sizes, "cluster_id"
+    )
+
+
+def canonical_survivors(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """``(doc_id, keep)`` dedup verdict for every clustered doc: the
+    canonical survivor of each cluster is its minimum doc_id (== the
+    cluster_id label), everything else is a removal candidate."""
+    cc = connected_components(pairs, a=a, b=b)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    )

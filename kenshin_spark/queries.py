@@ -1238,6 +1238,46 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _clusters_oracle() -> str:
+    # The oracle recomputes the MinHash-LSH pair set, then resolves
+    # connected components by recursive label reachability: (node, lbl)
+    # holds every label reachable from node along pair edges, so
+    # min(lbl) per node is the component minimum — exactly the
+    # cluster_id the Spark min-label propagation converges to.
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    """
+
+
+@register(
+    "dedup_clusters",
+    _clusters_oracle(),
+    "Duplicate clusters: connected components (iterative min-label "
+    "propagation, localCheckpoint per round) over the MinHash-LSH pair "
+    "graph; cluster_id = min doc_id of the component. The oracle resolves "
+    "the same components with a recursive reachability CTE.",
+)
+def q_dedup_clusters(spark, sf_dir):
+    from kenshin_spark.dedup import duplicate_clusters
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""

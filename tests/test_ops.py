@@ -523,6 +523,53 @@ class TestShortDocs:
         ]
 
 
+class TestConnectedComponents:
+    """Cluster assignment over near-dup pairs (dedup/cluster.py): min-label
+    propagation must resolve exactly the graph's connected components,
+    regardless of edge order or path length."""
+
+    def test_components_on_mixed_graph(self, spark):
+        from kenshin_spark.dedup import connected_components
+
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+        edges = [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20),
+        }
+
+    def test_long_path_converges(self, spark):
+        from kenshin_spark.dedup import connected_components
+
+        # 12-node path: worst case for label propagation (diameter 11);
+        # must still reach the fixpoint within max_iter.
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)], ["doc_a", "doc_b"]
+        )
+        got = connected_components(pairs).collect()
+        assert all(r["cluster_id"] == 1 for r in got) and len(got) == 12
+
+    def test_cluster_sizes_and_survivors(self, spark):
+        from kenshin_spark.dedup import canonical_survivors, duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], ["doc_a", "doc_b"]
+        )
+        sizes = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert sizes == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
+        keep = {r["doc_id"]: r["keep"] for r in canonical_survivors(pairs).collect()}
+        assert keep == {1: True, 2: False, 3: False, 7: True, 8: False}
+
+
 class TestRestrictedUnpickler:
     def test_wire_format_roundtrips(self, spark):
         from kenshin_spark.sources.pickle_batch import (
