@@ -109,3 +109,39 @@ def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
         chunks, lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
     )
     return F.array_min(hashes)
+
+
+# Gopher-style document quality rules (Rae et al. 2021 §A1.1, adapted to
+# this corpus's ranges). Every rule is an integer comparison on raw counts
+# — no float division — so the verdict is bit-identical across engines.
+QUALITY_MIN_TOKENS = 25
+QUALITY_MAX_TOKENS = 100_000
+QUALITY_MEAN_TOKEN_LEN = (3, 10)  # inclusive bounds, chars per token
+QUALITY_MIN_STOPWORDS = 2
+QUALITY_ALPHA_RATIO = (41, 50)  # n_alpha/n_chars >= 41/50 (= 0.82)
+
+
+def quality_verdict(text: Column | str) -> dict[str, Column]:
+    """Per-rule booleans plus the combined ``keep`` verdict — the
+    filter stage of a training-data pipeline. All rules are expressed as
+    integer cross-multiplications (``n_alpha * 50 >= n_chars * 41``
+    instead of ``ratio >= 0.82``) so Spark and any SQL oracle agree
+    exactly, with no float-rounding discipline needed."""
+    t = _c(text)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    n_stop = stopword_count(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    lo, hi = QUALITY_MEAN_TOKEN_LEN
+    num, den = QUALITY_ALPHA_RATIO
+    len_ok = (n_tok >= QUALITY_MIN_TOKENS) & (n_tok <= QUALITY_MAX_TOKENS)
+    mean_ok = (n_chars >= lo * n_tok) & (n_chars <= hi * n_tok)
+    stop_ok = n_stop >= QUALITY_MIN_STOPWORDS
+    alpha_ok = n_alpha * den >= n_chars * num
+    return {
+        "len_ok": len_ok,
+        "mean_token_ok": mean_ok,
+        "stopword_ok": stop_ok,
+        "alpha_ok": alpha_ok,
+        "keep": len_ok & mean_ok & stop_ok & alpha_ok,
+    }

@@ -1069,6 +1069,42 @@ def q_text_quality(spark, sf_dir):
     return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
+@register(
+    "text_quality_filter",
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stopwords,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             n_tokens >= 25 AND n_tokens <= 100000 AS len_ok,
+             n_chars >= 3 * n_tokens AND n_chars <= 10 * n_tokens
+               AS mean_token_ok,
+             n_stopwords >= 2 AS stopword_ok,
+             n_alpha * 50 >= n_chars * 41 AS alpha_ok
+      FROM f
+    )
+    SELECT doc_id, len_ok, mean_token_ok, stopword_ok, alpha_ok,
+           len_ok AND mean_token_ok AND stopword_ok AND alpha_ok AS keep
+    FROM r
+    """,
+    "Gopher-style quality filter verdict: every rule an integer "
+    "cross-multiplication on raw counts (no float division), so the "
+    "keep/drop decision is bit-identical across engines",
+)
+def q_text_quality_filter(spark, sf_dir):
+    from kenshin_spark.functions.text import quality_verdict
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_verdict("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
 def _lang_oracle() -> str:
     score = {
         lang: f"len(regexp_extract_all(lower(text), '{marker_regex(w)}'))"
