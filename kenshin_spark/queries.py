@@ -256,6 +256,39 @@ def q_ts_downsample_cascade(spark, sf_dir):
 
 
 @register(
+    "ts_asof_join",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    t1 AS (
+      SELECT metric, ts - ts % 300 AS ts, round(avg(value), 6) AS value
+      FROM t0 GROUP BY 1, 2
+    ),
+    l AS (SELECT metric, ts, value FROM pts),
+    j AS (
+      SELECT l.metric, l.ts, l.value, r.ts AS rts, r.value AS rvalue
+      FROM l ASOF LEFT JOIN t1 r
+        ON l.metric = r.metric AND l.ts >= r.ts
+    )
+    SELECT metric, ts, value,
+           CASE WHEN ts - rts <= 900 THEN rts END AS ts_right,
+           CASE WHEN ts - rts <= 900 THEN rvalue END AS value_right
+    FROM j
+    """,
+    "As-of join: every raw point annotated with the most recent tier-1 "
+    "(300s) rollup at-or-before it, tolerance 900s — union-tag + window "
+    "carry-forward (ONE shuffle, no range-join explosion); the oracle is "
+    "DuckDB's native ASOF LEFT JOIN",
+)
+def q_ts_asof_join(spark, sf_dir):
+    from kenshin_spark.operators.asof import asof_join
+
+    pts = _points(spark, sf_dir).select("metric", "ts", "value")
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    t1 = downsample(t0, 300, "average").withColumn("value", F.round("value", 6))
+    return asof_join(pts, t1, tolerance=900)
+
+
+@register(
     "ts_fetch_grid",
     f"""
     WITH pts AS ({PTS}), now_t AS ({NOW_T}),

@@ -523,6 +523,73 @@ class TestShortDocs:
         ]
 
 
+class TestAsofJoin:
+    """operators/asof.py — backward-inclusive point-in-time semantics
+    (DuckDB ASOF / pandas merge_asof), forward mirror, and tolerance."""
+
+    L = [("m1", 100, 1.0), ("m1", 205, 2.0), ("m1", 300, 3.0),
+         ("m2", 50, 4.0), ("m3", 10, 5.0)]
+    R = [("m1", 100, 10.0), ("m1", 200, 20.0),
+         ("m2", 40, 40.0), ("m2", 60, 60.0)]
+
+    def _dfs(self, spark):
+        return (
+            spark.createDataFrame(self.L, ["metric", "ts", "value"]),
+            spark.createDataFrame(self.R, ["metric", "ts", "rv"]),
+        )
+
+    def test_backward_inclusive(self, spark):
+        from kenshin_spark.operators.asof import asof_join
+
+        left, right = self._dfs(spark)
+        got = {
+            (r["metric"], r["ts"]): (r["ts_right"], r["rv"])
+            for r in asof_join(left, right).collect()
+        }
+        assert got == {
+            ("m1", 100): (100, 10.0),   # exact-ts right row matches
+            ("m1", 205): (200, 20.0),
+            ("m1", 300): (200, 20.0),
+            ("m2", 50): (40, 40.0),     # not 60 (future)
+            ("m3", 10): (None, None),   # key absent on right
+        }
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        from kenshin_spark.operators.asof import asof_join
+
+        left, right = self._dfs(spark)
+        got = {
+            (r["metric"], r["ts"]): r["ts_right"]
+            for r in asof_join(left, right, tolerance=10).collect()
+        }
+        assert got[("m1", 205)] == 200      # distance 5 <= 10
+        assert got[("m1", 300)] is None     # distance 100 > 10
+
+    def test_forward_direction(self, spark):
+        from kenshin_spark.operators.asof import asof_join
+
+        left, right = self._dfs(spark)
+        got = {
+            (r["metric"], r["ts"]): r["ts_right"]
+            for r in asof_join(left, right, direction="forward").collect()
+        }
+        assert got == {("m1", 100): 100, ("m1", 205): None,
+                       ("m1", 300): None, ("m2", 50): 60, ("m3", 10): None}
+
+    def test_single_shuffle(self, spark):
+        from kenshin_spark.operators.asof import asof_join
+        from tests.test_plans import plan_of
+
+        left, right = self._dfs(spark)
+        p = plan_of(asof_join(left, right))
+        # formatted explain prints each node twice (tree + details):
+        # 2 occurrences == ONE physical node. The whole as-of is a single
+        # Exchange into a single Window — no join, no range-explosion.
+        assert p.count("Exchange") == 2
+        assert p.count("Window") == 2
+        assert "Join" not in p and "CartesianProduct" not in p
+
+
 class TestConnectedComponents:
     """Cluster assignment over near-dup pairs (dedup/cluster.py): min-label
     propagation must resolve exactly the graph's connected components,
