@@ -1431,6 +1431,24 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+@register(
+    "emb_centroids",
+    """
+    SELECT label, t.dim, round(avg(embedding[t.dim + 1]), 6) AS centroid,
+           count(*) AS n_vecs
+    FROM embeddings, range(64) t(dim)
+    GROUP BY 1, 2
+    """,
+    "per-label mean embedding (flat (label, dim) rows): posexplode + "
+    "map-side-combined avg — the exchange carries |labels| x dim rows per "
+    "task regardless of corpus size",
+)
+def q_emb_centroids(spark, sf_dir):
+    from kenshin_spark.functions.vectors import centroid_rows
+
+    return centroid_rows(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (LLM-data-pipeline layer, on `embeddings`)
 # ---------------------------------------------------------------------------

@@ -523,6 +523,23 @@ class TestShortDocs:
         ]
 
 
+class TestCentroids:
+    def test_centroid_assembly_matches_flat_rows(self, spark):
+        from kenshin_spark.functions.vectors import centroid_rows, centroids
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 20.0])],
+            ["label", "embedding"],
+        )
+        flat = {
+            (r["label"], r["dim"]): (r["centroid"], r["n_vecs"])
+            for r in centroid_rows(df).collect()
+        }
+        assert flat == {(0, 0): (2.0, 2), (0, 1): (4.0, 2), (1, 0): (10.0, 1), (1, 1): (20.0, 1)}
+        arrs = {r["label"]: (r["centroid"], r["n_vecs"]) for r in centroids(df).collect()}
+        assert arrs == {0: ([2.0, 4.0], 2), 1: ([10.0, 20.0], 1)}
+
+
 class TestAsofJoin:
     """operators/asof.py — backward-inclusive point-in-time semantics
     (DuckDB ASOF / pandas merge_asof), forward mirror, and tolerance."""
