@@ -167,6 +167,43 @@ def clamp(grid: DataFrame, lo: float | None = None, hi: float | None = None) -> 
     return grid.select("metric", "ts", v.alias("value"))
 
 
+def percentile_of_series(
+    grid: DataFrame, p: float, name: str = "percentileOfSeries"
+) -> DataFrame:
+    """Graphite percentileOfSeries(series_list, p): the pointwise exact
+    p-th percentile across all series at each timestamp, emitted as one
+    combined series. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share linear-interpolation semantics, so the
+    render output oracles exactly. One shuffle keyed by ts (map-side
+    partial collection per slot)."""
+    return (
+        grid.groupBy("ts")
+        .agg(F.percentile("value", F.lit(p)).alias("value"))
+        .select(F.lit(name).alias("metric"), "ts", "value")
+    )
+
+
+def zscore(grid: DataFrame, window: int = 12) -> DataFrame:
+    """Trailing-window z-score per series: (value − mean) / stddev over
+    the previous ``window`` points (current point EXCLUDED, so a spike
+    scores against normal history, not against itself). NULL while the
+    window has < 2 points or zero variance — anomaly detection's
+    standard first pass."""
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(-window, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return grid.select(
+        "metric",
+        "ts",
+        "value",
+        F.when(sd != 0, (F.col("value") - mu) / sd).alias("zscore"),
+    )
+
+
 def highest_average(grid: DataFrame, n: int) -> DataFrame:
     """Graphite highestAverage(series_list, n): keep the n series with the
     highest mean value — series SELECTION, the other half of the render

@@ -736,6 +736,54 @@ def q_render_integral_top2(spark, sf_dir):
 
 
 @register(
+    "render_percentile_of_series",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT 'percentileOfSeries' AS metric, ts,
+           round(quantile_cont(value, 0.9), 6) AS value
+    FROM t0 GROUP BY ts
+    """,
+    "graphite percentileOfSeries(series_list, 90) — pointwise exact "
+    "percentile across series; Spark percentile() and DuckDB "
+    "quantile_cont share linear interpolation",
+)
+def q_render_percentile_of_series(spark, sf_dir):
+    from kenshin_spark.functions.render import percentile_of_series
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return percentile_of_series(t0, 0.9).withColumn(
+        "value", F.round("value", 6)
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    s AS (
+      SELECT metric, ts, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd
+      FROM t0
+      WINDOW w AS (PARTITION BY metric ORDER BY ts
+                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT metric, ts, value,
+           round(CASE WHEN sd <> 0 THEN (value - mu) / sd END, 6) AS zscore
+    FROM s
+    """,
+    "trailing-window z-score anomaly scores: each point against the mean/"
+    "stddev of its previous 12 slots (current excluded) — one window "
+    "shuffle per series",
+)
+def q_ts_anomaly_zscore(spark, sf_dir):
+    from kenshin_spark.functions.render import zscore
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return zscore(t0, 12).withColumn("zscore", F.round("zscore", 6))
+
+
+@register(
     "ts_debug_discontinuities",
     f"""
     WITH pts AS ({PTS}), t0 AS ({LWW60})
