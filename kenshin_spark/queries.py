@@ -1100,6 +1100,48 @@ QUERIES["q_event_sessions"] = QuerySpec(
 )
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kenshin_spark.operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    sessions = spark.sql(
+        SESSIONS_SQL.replace("floor(epoch(ts))", "unix_timestamp(ts)")
+    ).select("user_id", "session_id", "session_start", "session_end")
+    pts = ev.select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("long").alias("ts")
+    )
+    return interval_join(
+        pts,
+        sessions,
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        on="user_id",
+        bucket=3600,
+    )
+
+
+QUERIES["q_interval_join"] = QuerySpec(
+    fn=_q_interval_join,
+    oracle=f"""
+    WITH s AS ({SESSIONS_SQL}),
+    e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts
+      FROM events
+    )
+    SELECT e.user_id, e.event_id, e.ts,
+           s.session_id, s.session_start, s.session_end
+    FROM e JOIN s ON e.user_id = s.user_id
+                 AND e.ts BETWEEN s.session_start AND s.session_end
+    """,
+    doc="bucketized interval join (operators/interval.py): events "
+    "equi-joined to their containing session windows on (user_id, time "
+    "bucket) + exact containment post-filter — no nested-loop join; the "
+    "oracle is the plain theta join",
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (LLM-data-pipeline layer, on `documents`)
 # ---------------------------------------------------------------------------

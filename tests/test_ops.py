@@ -523,6 +523,42 @@ class TestShortDocs:
         ]
 
 
+class TestIntervalJoin:
+    """operators/interval.py — bucketized containment join semantics and
+    plan shape (equi-join, never a nested loop)."""
+
+    def test_containment_semantics(self, spark):
+        from kenshin_spark.operators.interval import interval_join
+
+        pts = spark.createDataFrame(
+            [("u1", 1, 100), ("u1", 2, 7300), ("u1", 3, 9000), ("u2", 4, 100)],
+            ["user_id", "event_id", "ts"],
+        )
+        # i10 spans 3 buckets at bucket=3600; i11 is disjoint; u2 has no iv
+        ivs = spark.createDataFrame(
+            [("u1", 10, 50, 7300), ("u1", 11, 8000, 8500)],
+            ["user_id", "iv_id", "start", "end"],
+        )
+        got = {
+            (r["event_id"], r["iv_id"])
+            for r in interval_join(
+                pts, ivs, on="user_id", bucket=3600
+            ).collect()
+        }
+        # event 2 at ts=7300 == end → inclusive; event 3 matches nothing
+        assert got == {(1, 10), (2, 10)}
+
+    def test_no_nested_loop_plan(self, spark):
+        from kenshin_spark.operators.interval import interval_join
+        from tests.test_plans import plan_of
+
+        pts = spark.createDataFrame([("u1", 1, 100)], ["user_id", "event_id", "ts"])
+        ivs = spark.createDataFrame([("u1", 10, 50, 200)], ["user_id", "iv_id", "start", "end"])
+        p = plan_of(interval_join(pts, ivs, on="user_id"))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+
 class TestCentroids:
     def test_centroid_assembly_matches_flat_rows(self, spark):
         from kenshin_spark.functions.vectors import centroid_rows, centroids
