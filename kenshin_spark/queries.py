@@ -1539,6 +1539,47 @@ def q_emb_centroids(spark, sf_dir):
     return centroid_rows(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "emb_nearest_centroid",
+    """
+    WITH c AS (
+      SELECT label AS pred_label, t.dim,
+             round(avg(embedding[t.dim + 1]), 6) AS cv
+      FROM embeddings, range(64) t(dim) GROUP BY 1, 2
+    ),
+    carr AS (
+      SELECT pred_label, list(cv ORDER BY dim) AS cvec
+      FROM c GROUP BY pred_label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, ca.pred_label,
+             list_dot_product(e.embedding::DOUBLE[], ca.cvec) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(ca.cvec, ca.cvec))) AS cos
+      FROM embeddings e CROSS JOIN carr ca
+    ),
+    best AS (
+      SELECT vec_id, label, pred_label, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, pred_label) AS rn
+      FROM scored
+    )
+    SELECT vec_id, label, pred_label, round(cos, 6) AS cosine,
+           label = pred_label AS correct
+    FROM best WHERE rn = 1
+    """,
+    "nearest-centroid classification: exact per-label mean centroids "
+    "(rounded, so both engines score identical inputs), Arrow-matmul "
+    "argmax emitting only the tie-safe label, then ONE sequential "
+    "zip_with dot against the chosen centroid for the reported cosine",
+)
+def q_emb_nearest_centroid(spark, sf_dir):
+    from kenshin_spark.similarity.classify import nearest_centroid
+
+    return nearest_centroid(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (LLM-data-pipeline layer, on `embeddings`)
 # ---------------------------------------------------------------------------
