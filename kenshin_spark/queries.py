@@ -1438,6 +1438,36 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "sample_stratified",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5('ksp|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000
+          < CASE WHEN source = 'src1' THEN 800000
+                 WHEN source = 'src2' THEN 500000
+                 ELSE 200000 END
+    """,
+    "deterministic stratified hash sample: membership is a pure function "
+    "of (seed, doc_id) — layout/cluster independent, re-run stable, "
+    "consistent across rates — with per-source rates (src1 80%, src2 "
+    "50%, rest 20%); the oracle reproduces exact membership, not an "
+    "approximate count",
+)
+def q_sample_stratified(spark, sf_dir):
+    from kenshin_spark.functions.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs,
+        {"src1": 0.8, "src2": 0.5},
+        stratum_col="source",
+        key_col="doc_id",
+        default_rate=0.2,
+    ).select("doc_id", "source")
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS ({_SHINGLES}),

@@ -523,6 +523,36 @@ class TestShortDocs:
         ]
 
 
+class TestHashSampling:
+    """functions/sampling.py — the properties that make hash sampling
+    worth having over df.sample(): layout independence and nested rates."""
+
+    def test_layout_independent_and_nested(self, spark):
+        from kenshin_spark.functions.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        s10 = {r["k"] for r in hash_sample(df, 0.10, "k").collect()}
+        s50 = {r["k"] for r in hash_sample(df, 0.50, "k").collect()}
+        assert s10 <= s50  # consistent sampling: smaller rate nests
+        assert 120 <= len(s10) <= 280 and 850 <= len(s50) <= 1150
+        # membership survives an arbitrary repartition (df.sample doesn't)
+        rep = {r["k"] for r in hash_sample(df.repartition(17), 0.10, "k").collect()}
+        assert rep == s10
+
+    def test_stratified_rates(self, spark):
+        from kenshin_spark.functions.sampling import stratified_hash_sample
+
+        df = spark.range(0, 3000).selectExpr(
+            "id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS s"
+        )
+        out = stratified_hash_sample(
+            df, {"a": 0.5}, stratum_col="s", key_col="k", default_rate=0.1
+        ).groupBy("s").count().collect()
+        counts = {r["s"]: r["count"] for r in out}
+        assert 600 <= counts["a"] <= 900      # ~750 of 1500
+        assert 90 <= counts["b"] <= 220       # ~150 of 1500
+
+
 class TestIntervalJoin:
     """operators/interval.py — bucketized containment join semantics and
     plan shape (equi-join, never a nested loop)."""
