@@ -185,6 +185,52 @@ def q_ts_tag_filter(spark, sf_dir):
 
 
 @register(
+    "ts_tag_catalog",
+    """
+    WITH m AS (
+      SELECT DISTINCT event_type || ';env='
+             || CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'dev' END
+             || ';shard=' || CAST(user_id % 4 AS VARCHAR) AS metric
+      FROM events
+    ),
+    kv AS (
+      SELECT metric, 'env' AS tag_key,
+             regexp_extract(metric, ';env=([^;]*)', 1) AS tag_value FROM m
+      UNION ALL
+      SELECT metric, 'shard',
+             regexp_extract(metric, ';shard=([^;]*)', 1) FROM m
+    )
+    SELECT tag_key, tag_value, count(*) AS n_series
+    FROM kv GROUP BY 1, 2
+    """,
+    "tag catalog (the Graphite /tags autocomplete API): every tag key/"
+    "value with its series count, from exploding the str_to_map tag "
+    "projection over the distinct series set — catalog-sized input, not "
+    "the point stream",
+)
+def q_ts_tag_catalog(spark, sf_dir):
+    from kenshin_spark.functions.tags import series_tags
+
+    ev = load_table(spark, sf_dir, "events")
+    metrics = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(";env="),
+            F.when(F.col("user_id") % 2 == 0, "prod").otherwise("dev"),
+            F.lit(";shard="),
+            (F.col("user_id") % 4).cast("string"),
+        ).alias("metric")
+    ).distinct()
+    return (
+        metrics.select(
+            F.explode(series_tags("metric")).alias("tag_key", "tag_value")
+        )
+        .groupBy("tag_key", "tag_value")
+        .agg(F.count("*").alias("n_series"))
+    )
+
+
+@register(
     "ts_agg_kernel",
     f"""
     WITH pts AS ({PTS})
