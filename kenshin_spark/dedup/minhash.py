@@ -156,3 +156,126 @@ def minhash_lsh_pairs(
     from kenshin_spark.dedup.fanout import fan_out
 
     return docs.sparkSession.sql(sql, d=fan_out(docs))
+
+
+def _sharr_sql(src: str, n: int, id_col: str, text_col: str) -> str:
+    """Row-local distinct word-n-gram shingle array (same slice-bounded
+    form as minhash_lsh_pairs — empty for docs shorter than n tokens)."""
+    return rf"""
+      SELECT {id_col} AS doc_id,
+             array_distinct(transform(
+               slice(split(trim(lower({text_col})), '\\s+'), 1,
+                     greatest(
+                       size(split(trim(lower({text_col})), '\\s+'))
+                         - {n - 1}, 0)),
+               (x, j) -> concat_ws(' ',
+                 slice(split(trim(lower({text_col})), '\\s+'), j + 1, {n}))
+             )) AS sh
+      FROM {src}"""
+
+
+def _mins_sql(k: int) -> str:
+    return ", ".join(
+        f"array_min(transform(sh, x -> CAST(conv(substring("
+        f"md5(concat('{s}|', x)), 1, 15), 16, 10) AS BIGINT))) AS h{s}"
+        for s in range(k)
+    )
+
+
+def _keys_sql(k: int, bands: int) -> str:
+    r = k // bands
+    return ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(h{b * r + i} AS STRING)" for i in range(r))
+        + "))"
+        for b in range(bands)
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, band, band_key)`` — the persistable dedup INDEX.
+
+    At 100 TB you never re-shingle the corpus per batch: compute this
+    once, write it partitioned by ``band_key`` prefix, and every
+    incoming batch joins against it (``minhash_pairs_against_index``).
+    Index size is |corpus| × bands narrow rows — a fraction of the text
+    itself."""
+    sql = f"""
+    WITH sharr AS ({_sharr_sql('{d}', n, id_col, text_col)})
+    SELECT * FROM (
+      SELECT doc_id, posexplode(array({_keys_sql(k, bands)})) AS (band, band_key)
+      FROM (SELECT doc_id, {_mins_sql(k)} FROM sharr)
+    ) WHERE band_key <> md5('')
+    """
+    from kenshin_spark.dedup.fanout import fan_out
+
+    return docs.sparkSession.sql(sql, d=fan_out(docs))
+
+
+def minhash_pairs_against_index(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index: DataFrame,
+    n: int = 3,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup: ``(corpus_id, new_id, jaccard)`` near-dup pairs
+    between an incoming batch and an already-indexed corpus.
+
+    The production daily-ingest shape: only the NEW batch is shingled
+    and banded (row-local); the corpus contributes its precomputed band
+    index to the bucket join, and its text is re-shingled only for the
+    candidate docs that actually collide (semi-join bounded). Cost per
+    batch: O(|new| + |collisions|), independent of corpus size outside
+    the index join."""
+    sql = f"""
+    WITH nsh AS ({_sharr_sql('{nd}', n, id_col, text_col)}),
+    nband AS (
+      SELECT * FROM (
+        SELECT doc_id, posexplode(array({_keys_sql(k, bands)})) AS (band, band_key)
+        FROM (SELECT doc_id, {_mins_sql(k)} FROM nsh)
+      ) WHERE band_key <> md5('')
+    ),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS corpus_id, nb.doc_id AS new_id
+      FROM {{ix}} i JOIN nband nb
+        ON i.band = nb.band AND i.band_key = nb.band_key
+    ),
+    csh AS (
+      SELECT * FROM ({_sharr_sql('{cd}', n, id_col, text_col)})
+      WHERE doc_id IN (SELECT corpus_id FROM cand)
+    ),
+    pa AS (
+      SELECT /*+ BROADCAST(cand) */ corpus_id, new_id, sh AS sh_a
+      FROM csh JOIN cand ON doc_id = corpus_id
+    ),
+    pb AS (
+      SELECT /*+ BROADCAST(cand) */ corpus_id, new_id, sh AS sh_b
+      FROM nsh JOIN cand ON doc_id = new_id
+    ),
+    scored AS (
+      SELECT pa.corpus_id, pa.new_id,
+             round(size(array_intersect(sh_a, sh_b)) /
+                   (size(sh_a) + size(sh_b)
+                    - size(array_intersect(sh_a, sh_b))), 6) AS jaccard
+      FROM pa JOIN pb
+        ON pa.corpus_id = pb.corpus_id AND pa.new_id = pb.new_id
+    )
+    SELECT corpus_id, new_id, jaccard FROM scored WHERE jaccard >= {threshold!r}
+    """
+    from kenshin_spark.dedup.fanout import fan_out
+
+    return new_docs.sparkSession.sql(
+        sql, nd=fan_out(new_docs), cd=corpus_docs, ix=index
+    )

@@ -1443,6 +1443,66 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _minhash_incremental_oracle() -> str:
+    mins = ", ".join(
+        f"min({_DH.format(x=chr(39) + str(s) + '|' + chr(39) + ' || shingle')}) AS h{s}"
+        for s in range(8)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(CAST(h{2*b} AS VARCHAR) || ',' || "
+        f"CAST(h{2*b+1} AS VARCHAR)) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.corpus_id, c.new_id, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.corpus_id
+      JOIN sh sb ON sb.doc_id = c.new_id AND sb.shingle = sa.shingle
+      GROUP BY c.corpus_id, c.new_id
+    )
+    SELECT i.corpus_id, i.new_id,
+           round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.corpus_id
+    JOIN sizes zb ON zb.doc_id = i.new_id
+    WHERE round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6) >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_incremental",
+    _minhash_incremental_oracle(),
+    "incremental dedup — the daily-ingest shape: the corpus (doc_id % 10 "
+    "<> 0) contributes its PRECOMPUTED band index; only the new batch "
+    "(doc_id % 10 = 0) is shingled and banded, and corpus text is "
+    "re-shingled only for colliding candidates (semi-join bounded)",
+)
+def q_dedup_minhash_incremental(spark, sf_dir):
+    from kenshin_spark.dedup.minhash import (
+        minhash_band_index,
+        minhash_pairs_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where("doc_id % 10 = 0")
+    corpus = docs.where("doc_id % 10 <> 0")
+    return minhash_pairs_against_index(
+        new, corpus, minhash_band_index(corpus), threshold=0.5
+    )
+
+
 def _clusters_oracle() -> str:
     # The oracle recomputes the MinHash-LSH pair set, then resolves
     # connected components by recursive label reachability: (node, lbl)

@@ -523,6 +523,44 @@ class TestShortDocs:
         ]
 
 
+class TestIncrementalMinhash:
+    def test_matches_cross_side_subset_of_full(self, spark):
+        """Incremental (new batch vs corpus index) must find exactly the
+        cross-side pairs the full self-join finds — no more, no less."""
+        from kenshin_spark.dedup import minhash_lsh_pairs
+        from kenshin_spark.dedup.minhash import (
+            minhash_band_index,
+            minhash_pairs_against_index,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " tail"),               # near-dup of 1
+                (3, "completely different words entirely here now friend"),
+                (10, base),                         # new side, dup of 1/2
+                (11, "completely different words entirely here now friend"),
+                (12, "short"),
+            ],
+            ["doc_id", "text"],
+        )
+        corpus = docs.where("doc_id < 10")
+        new = docs.where("doc_id >= 10")
+        inc = {
+            (r["corpus_id"], r["new_id"], r["jaccard"])
+            for r in minhash_pairs_against_index(
+                new, corpus, minhash_band_index(corpus), threshold=0.5
+            ).collect()
+        }
+        full = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+            if (r["doc_a"] < 10) != (r["doc_b"] < 10)
+        }
+        assert inc == full and len(inc) >= 2
+
+
 class TestHashSampling:
     """functions/sampling.py — the properties that make hash sampling
     worth having over df.sample(): layout independence and nested rates."""
