@@ -154,6 +154,16 @@ class ParquetTieredStore:
             .select("metric", "ts", F.col("_w.value").alias("value"))
         )
 
+    def last_seq(self) -> int:
+        """The newest committed write stamp (0 if nothing written) — pass
+        to ``read_at`` for a stable snapshot."""
+        if os.path.exists(self._seq_sidecar):
+            import json
+
+            with open(self._seq_sidecar) as f:
+                return int(json.load(f)["last_seq"])
+        return 0
+
     def read(self, i: int) -> DataFrame:
         """Tier i as ``(metric, ts, value)``; empty frame if never written."""
         path = self.tier_path(i)
@@ -162,6 +172,28 @@ class ParquetTieredStore:
                 "metric", "ts", "value"
             )
         return self._resolve(self.spark.read.parquet(path))
+
+    def read_at(self, i: int, as_of_seq: int) -> DataFrame:
+        """Snapshot read (mor mode only): tier i as it stood after write
+        stamp ``as_of_seq`` — rows appended later are excluded BEFORE the
+        log is collapsed. Every upsert stamps its whole batch with one
+        seq, so snapshots are batch-atomic: a long pipeline job pins
+        ``last_seq()`` once and every read it does is consistent, while
+        ingest keeps appending. History only reaches back to the last
+        ``compact()`` (compaction folds the log and resets stamps) —
+        snapshot-pinning jobs and compaction must be scheduled apart,
+        like any MVCC vacuum."""
+        if self.mode != "mor":
+            raise ValueError("read_at requires mode='mor' (cow keeps no history)")
+        path = self.tier_path(i)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], STORED_SCHEMA).select(
+                "metric", "ts", "value"
+            )
+        raw = self.spark.read.parquet(path)
+        if "_seq" in raw.columns:
+            raw = raw.where(F.col("_seq") <= as_of_seq)
+        return self._resolve(raw)
 
     def read_range(self, i: int, from_ts: int, until_ts: int) -> DataFrame:
         """Tier i restricted to ``[from_ts, until_ts)`` — the ts filter is

@@ -604,6 +604,28 @@ class TestMergeOnRead:
         raw = spark.read.parquet(mor.tier_path(0))
         assert raw.count() == len(before)
 
+    def test_snapshot_read_at(self, spark, tmp_path):
+        """read_at(seq) pins the store state after that write stamp:
+        later appends are invisible, snapshots are batch-atomic, and cow
+        mode (no history) refuses."""
+        schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
+        mor = ParquetTieredStore(spark, schema, str(tmp_path / "m"), mode="mor")
+        mor.upsert(0, spark.createDataFrame(
+            [("m1", 0, 1.0), ("m2", 60, 2.0)],
+            "metric string, ts long, value double"))
+        s1 = mor.last_seq()
+        mor.upsert(0, spark.createDataFrame(
+            [("m1", 0, 9.0), ("m3", 0, 5.0)],
+            "metric string, ts long, value double"))
+        assert rows(mor.read_at(0, s1)) == [("m1", 0, 1.0), ("m2", 60, 2.0)]
+        assert rows(mor.read_at(0, mor.last_seq())) == rows(mor.read(0))
+        assert ("m1", 0, 9.0) in rows(mor.read(0))
+        cow = ParquetTieredStore(spark, schema, str(tmp_path / "c"))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            cow.read_at(0, 1)
+
     def test_mor_append_is_o_batch(self, spark, tmp_path):
         """mor upsert appends exactly the batch's rows — no rewrite of
         existing data (file count grows, bytes ∝ batch)."""
