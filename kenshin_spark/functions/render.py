@@ -126,6 +126,37 @@ def summarize(grid: DataFrame, bucket_seconds: int, agg: str = "sum") -> DataFra
     return downsample(grid, bucket_seconds, agg)
 
 
+def max_datapoints(
+    grid: DataFrame,
+    max_points: int,
+    base_step: int,
+    anchor: int,
+    span_slots: int,
+    agg: str = "average",
+) -> DataFrame:
+    """Graphite's maxDataPoints render-API consolidation: pick the
+    smallest integer multiple of the tier step that brings the series
+    under ``max_points``, then consolidate (avg by default) into buckets
+    anchored at the window start. ``span_slots`` is the slot count of the
+    full window ((until-from)/step + 1); callers compute it from the
+    fetch bounds — a pure-integer derivation both engines reproduce."""
+    factor = (span_slots + max_points - 1) // max_points
+    step = base_step * factor
+    from kenshin_spark.config import AGG_SQL
+
+    agg_expr = AGG_SQL[agg].format(v="value", t="ts")
+    return (
+        grid.groupBy(
+            "metric",
+            (
+                F.lit(anchor)
+                + F.expr(f"(ts - {anchor}) div {step}") * step
+            ).cast("long").alias("ts"),
+        )
+        .agg(F.expr(agg_expr).alias("value"))
+    )
+
+
 def per_second(grid: DataFrame) -> DataFrame:
     """Graphite perSecond: counter delta divided by the slot's time delta;
     counter resets (negative deltas) become NULL, like

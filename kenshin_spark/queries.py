@@ -782,6 +782,38 @@ def q_render_integral_top2(spark, sf_dir):
 
 
 @register(
+    "render_max_datapoints",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    b AS (
+      SELECT min(ts) AS t_lo,
+             ((max(ts) - min(ts)) // 60 + 1 + 49) // 50 AS factor
+      FROM t0
+    )
+    SELECT metric,
+           t_lo + ((ts - t_lo) // (60 * factor)) * (60 * factor) AS ts,
+           max(value) AS value
+    FROM t0, b
+    GROUP BY 1, 2
+    """,
+    "Graphite maxDataPoints + consolidateBy(series,'max'): the smallest "
+    "multiple of the tier step that fits the window under 50 points, "
+    "max-consolidated into buckets anchored at the window start — "
+    "pure-integer step derivation and an order-free agg, so the result "
+    "is bit-exact cross-engine (avg consolidation exists in the API but "
+    "its big-bucket double summation rounds engine-dependently)",
+)
+def q_render_max_datapoints(spark, sf_dir):
+    from kenshin_spark.functions.render import max_datapoints
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    lo, hi = t0.agg(F.min("ts"), F.max("ts")).first()
+    return max_datapoints(
+        t0, 50, 60, anchor=lo, span_slots=(hi - lo) // 60 + 1, agg="max"
+    )
+
+
+@register(
     "render_percentile_of_series",
     f"""
     WITH pts AS ({PTS}), t0 AS ({LWW60})
