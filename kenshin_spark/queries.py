@@ -2003,3 +2003,27 @@ def q_mm_frame_sample(spark, sf_dir):
 def q_mm_image_metadata(spark, sf_dir):
     docs = attach_fake_payload(load_table(spark, sf_dir, "documents"))
     return image_metadata(docs)
+
+
+@register(
+    "mm_audio_features",
+    """
+    SELECT doc_id,
+           (length(text) // 2) * 1000 // 16000 AS duration_ms,
+           16000 AS sample_rate,
+           round((list_sum(list_transform(string_split(text, ''),
+                                          x -> ascii(x)))
+                  * 1.0 / length(text)) / 255.0, 6) AS rms,
+           length(text) // 2 AS n_samples
+    FROM documents
+    """,
+    "multimodal audio: payload bytes → duration/sample-count/RMS via the "
+    "Arrow mapInPandas kernel (stub decoder — librosa/torchaudio slot in "
+    "here); the oracle recomputes the byte arithmetic from the utf-8 "
+    "payload, proving the Spark-side plumbing end-to-end",
+)
+def q_mm_audio_features(spark, sf_dir):
+    from kenshin_spark.multimodal.transforms import audio_features
+
+    docs = attach_fake_payload(load_table(spark, sf_dir, "documents"))
+    return audio_features(docs).withColumn("rms", F.round("rms", 6))
