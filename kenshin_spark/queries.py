@@ -1178,6 +1178,55 @@ QUERIES["q_event_sessions"] = QuerySpec(
 )
 
 
+def _q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kenshin_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+    )
+    return funnel(ev, ["view", "click", "purchase"], within=7 * 86400)
+
+
+QUERIES["q_event_funnel"] = QuerySpec(
+    fn=_q_event_funnel,
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= s1.t_view AND e.ts <= s1.t_view + 604800
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= s2.t_click AND e.ts <= s2.t_click + 604800
+      GROUP BY 1
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    doc="sequential funnel (operators/funnel.py): first view, first "
+    "click within 7d of it, first purchase within 7d of that — one "
+    "filtered user-keyed aggregate + join per step, no full-stream "
+    "windows; drop-offs keep NULL step columns",
+)
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kenshin_spark.operators.interval import interval_join
 

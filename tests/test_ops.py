@@ -523,6 +523,34 @@ class TestShortDocs:
         ]
 
 
+class TestFunnel:
+    def test_step_semantics_and_dropoffs(self, spark):
+        from kenshin_spark.operators.funnel import funnel
+
+        ev = spark.createDataFrame(
+            [
+                # u1 completes: view@10, click@20, purchase@25
+                ("u1", "view", 10), ("u1", "click", 20), ("u1", "purchase", 25),
+                # u2: click BEFORE first view never counts; no click after
+                ("u2", "click", 5), ("u2", "view", 10), ("u2", "purchase", 30),
+                # u3: click too late (outside window)
+                ("u3", "view", 10), ("u3", "click", 200),
+                # u4: never viewed → no row
+                ("u4", "purchase", 10),
+            ],
+            ["user_id", "event_type", "ts"],
+        )
+        got = {
+            r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+            for r in funnel(ev, ["view", "click", "purchase"], within=100).collect()
+        }
+        assert got == {
+            "u1": (10, 20, 25),
+            "u2": (10, None, None),
+            "u3": (10, None, None),
+        }
+
+
 class TestIncrementalMinhash:
     def test_matches_cross_side_subset_of_full(self, spark):
         """Incremental (new batch vs corpus index) must find exactly the
