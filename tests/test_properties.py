@@ -140,3 +140,67 @@ def test_store_upsert_idempotent(spark, tmp_path_factory, batch):
     store.upsert(0, df)  # replay the same micro-batch (checkpoint recovery)
     twice = sorted(tuple(r) for r in store.read(0).collect())
     assert once == twice
+
+
+# -- 4. as-of join ≡ pandas merge_asof ---------------------------------------
+
+asof_rows = st.tuples(
+    st.sampled_from(["k1", "k2"]),
+    st.integers(min_value=0, max_value=500),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(asof_rows, min_size=1, max_size=25),
+    right=st.lists(asof_rows, min_size=1, max_size=25),
+    tolerance=st.one_of(st.none(), st.integers(min_value=0, max_value=100)),
+)
+def test_asof_matches_pandas_merge_asof(spark, left, right, tolerance):
+    """operators/asof.py ≡ pandas.merge_asof (backward, inclusive, by-key,
+    tolerance) for random inputs — an independent reference
+    implementation of the same published semantics."""
+    import pandas as pd
+
+    from kenshin_spark.operators.asof import asof_join
+
+    # merge_asof requires unique right (key, ts) rows for a well-defined
+    # match; our operator picks the last row in sort order on duplicates,
+    # so dedupe to keep the comparison exact.
+    right = sorted(set(right))
+    left = sorted(left)
+    ldf = spark.createDataFrame(
+        [(k, t, float(i)) for i, (k, t) in enumerate(left)],
+        "metric string, ts long, lv double",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(100 + i)) for i, (k, t) in enumerate(right)],
+        "metric string, ts long, rv double",
+    )
+    got = {
+        (r["metric"], r["ts"], r["lv"]): (r["ts_right"], r["rv"])
+        for r in asof_join(ldf, rdf, tolerance=tolerance).collect()
+    }
+
+    lp = pd.DataFrame(left, columns=["metric", "ts"])
+    lp["lv"] = [float(i) for i in range(len(left))]
+    rp = pd.DataFrame(right, columns=["metric", "ts"])
+    rp["rv"] = [float(100 + i) for i in range(len(right))]
+    merged = pd.merge_asof(
+        lp.sort_values("ts", kind="stable"),
+        rp.sort_values("ts", kind="stable").rename(columns={"ts": "ts_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        by="metric",
+        direction="backward",
+        tolerance=tolerance,
+    )
+    want = {
+        (r.metric, int(r.ts), r.lv): (
+            None if pd.isna(r.ts_r) else int(r.ts_r),
+            None if pd.isna(r.rv) else r.rv,
+        )
+        for r in merged.itertuples()
+    }
+    assert got == want
