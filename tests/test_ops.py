@@ -523,6 +523,50 @@ class TestShortDocs:
         ]
 
 
+class TestHllSketches:
+    """functions/sketches.py — tolerance vs exact (approximation has no
+    cross-engine oracle by design) and the mergeability contract."""
+
+    def test_estimate_within_tolerance(self, spark):
+        from kenshin_spark.functions.sketches import hll_distinct
+
+        df = spark.range(0, 20_000).selectExpr(
+            "CAST(id % 5000 AS STRING) AS user", "id div 5000 AS day"
+        )
+        total = hll_distinct(df, "user").first()["approx_distinct"]
+        assert abs(total - 5000) / 5000 < 0.05
+        per_day = {
+            r["day"]: r["approx_distinct"]
+            for r in hll_distinct(df, "user", "day").collect()
+        }
+        assert len(per_day) == 4
+        assert all(abs(v - 5000) / 5000 < 0.05 for v in per_day.values())
+
+    def test_rollup_of_persisted_sketches(self, spark, tmp_path):
+        from kenshin_spark.functions.sketches import hll_rollup, hll_sketches
+
+        # days 0/1 see users 0..2999, days 2/3 see 2000..4999 → union 5000
+        df = spark.range(0, 40_000).selectExpr(
+            "id div 10000 AS day",
+            "CAST(CASE WHEN id div 10000 < 2 THEN id % 3000"
+            "     ELSE 2000 + id % 3000 END AS STRING) AS user",
+        )
+        path = str(tmp_path / "daily_sketches")
+        hll_sketches(df, "user", "day").write.parquet(path)  # persist once
+        stored = spark.read.parquet(path)
+        total = hll_rollup(stored).first()["approx_distinct"]
+        assert abs(total - 5000) / 5000 < 0.05
+        # re-aggregation: pairs of days, still from stored state only
+        halves = {
+            r["half"]: r["approx_distinct"]
+            for r in hll_rollup(
+                stored.withColumn("half", F.col("day") < 2), "half"
+            ).collect()
+        }
+        assert abs(halves[True] - 3000) / 3000 < 0.05
+        assert abs(halves[False] - 3000) / 3000 < 0.05
+
+
 class TestFunnel:
     def test_step_semantics_and_dropoffs(self, spark):
         from kenshin_spark.operators.funnel import funnel
