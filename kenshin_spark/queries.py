@@ -862,6 +862,43 @@ def q_ts_anomaly_zscore(spark, sf_dir):
 
 
 @register(
+    "ts_metric_correlation",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT a.metric AS metric_a, b.metric AS metric_b,
+           round(corr(a.value, b.value), 6) AS r,
+           count(*) AS n_slots
+    FROM t0 a JOIN t0 b ON a.ts = b.ts AND a.metric < b.metric
+    WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "pairwise Pearson correlation between metrics over co-observed "
+    "60s slots: grid self-join on ts (shuffle keyed by ts), one corr "
+    "aggregate per pair — the fleet-wide 'which metrics move together' "
+    "diagnostic",
+)
+def q_ts_metric_correlation(spark, sf_dir):
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    a, b = t0.alias("a"), t0.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ts") == F.col("b.ts"))
+            & (F.col("a.metric") < F.col("b.metric")),
+        )
+        .where(F.col("a.value").isNotNull() & F.col("b.value").isNotNull())
+        .groupBy(
+            F.col("a.metric").alias("metric_a"),
+            F.col("b.metric").alias("metric_b"),
+        )
+        .agg(
+            F.round(F.corr("a.value", "b.value"), 6).alias("r"),
+            F.count("*").alias("n_slots"),
+        )
+    )
+
+
+@register(
     "ts_debug_discontinuities",
     f"""
     WITH pts AS ({PTS}), t0 AS ({LWW60})
