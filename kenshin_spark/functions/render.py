@@ -214,6 +214,35 @@ def percentile_of_series(
     )
 
 
+def level_shift(grid: DataFrame, window: int = 6) -> DataFrame:
+    """Step-change score per point: difference between the means of the
+    LEADING ``window`` points (current included) and the TRAILING
+    ``window`` points (current excluded). A sustained level shift scores
+    ≈ the step height at the change point, where a single-point spike
+    (z-score territory) only moves it by height/window — the two
+    detectors are complementary. NULL until both windows are full, so
+    scores never compare half-windows."""
+    trail = (
+        Window.partitionBy("metric").orderBy("ts").rowsBetween(-window, -1)
+    )
+    lead = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    full = (F.count("value").over(trail) == window) & (
+        F.count("value").over(lead) == window
+    )
+    return grid.select(
+        "metric",
+        "ts",
+        "value",
+        F.when(
+            full, F.avg("value").over(lead) - F.avg("value").over(trail)
+        ).alias("shift"),
+    )
+
+
 def zscore(grid: DataFrame, window: int = 12) -> DataFrame:
     """Trailing-window z-score per series: (value − mean) / stddev over
     the previous ``window`` points (current point EXCLUDED, so a spike

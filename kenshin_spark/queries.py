@@ -862,6 +862,38 @@ def q_ts_anomaly_zscore(spark, sf_dir):
 
 
 @register(
+    "ts_level_shift",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    s AS (
+      SELECT metric, ts, value,
+             avg(value) OVER wt AS m_trail,
+             count(value) OVER wt AS n_trail,
+             avg(value) OVER wl AS m_lead,
+             count(value) OVER wl AS n_lead
+      FROM t0
+      WINDOW wt AS (PARTITION BY metric ORDER BY ts
+                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+             wl AS (PARTITION BY metric ORDER BY ts
+                    ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+    )
+    SELECT metric, ts, value,
+           round(CASE WHEN n_trail = 6 AND n_lead = 6
+                      THEN m_lead - m_trail END, 6) AS shift
+    FROM s
+    """,
+    "level-shift (step-change) score: leading-window mean minus "
+    "trailing-window mean per point, NULL until both windows are full — "
+    "the sustained-change complement to the z-score spike detector",
+)
+def q_ts_level_shift(spark, sf_dir):
+    from kenshin_spark.functions.render import level_shift
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return level_shift(t0, 6).withColumn("shift", F.round("shift", 6))
+
+
+@register(
     "ts_metric_correlation",
     f"""
     WITH pts AS ({PTS}), t0 AS ({LWW60})
