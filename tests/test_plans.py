@@ -111,6 +111,43 @@ class TestAggShape:
         assert "partial_avg" in p  # cascade keeps map-side combine too
 
 
+class TestExtensionOpShapes:
+    """Plan shapes for the extension operators: the properties that make
+    them scale-safe must be visible in the physical plan."""
+
+    def test_asof_join_is_one_window_no_join(self, spark):
+        p = plan_of(QUERIES["ts_asof_join"].fn(spark, SF))
+        # the as-of itself: a Window, never a join between points and
+        # rollups (the rollup agg's SortMergeJoin would say "Join")
+        assert p.count("Window") == 2  # formatted explain: 2 == one node
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_interval_join_is_equi_join(self, spark):
+        p = plan_of(QUERIES["q_interval_join"].fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_funnel_is_equi_joins_only(self, spark):
+        p = plan_of(QUERIES["q_event_funnel"].fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        # step filters reach the scan: event_type pushes down
+        assert "PushedFilters" in p and "event_type" in p
+
+    def test_sampling_is_pure_filter(self, spark):
+        p = plan_of(QUERIES["sample_stratified"].fn(spark, SF))
+        assert "ENSURE_REQUIREMENTS" not in p  # zero shuffles
+        assert "Exchange" not in p
+
+    def test_centroids_partial_agg_single_shuffle(self, spark):
+        p = plan_of(QUERIES["emb_centroids"].fn(spark, SF))
+        # explode fans out rows, but map-side partial aggregation
+        # collapses them before the single exchange
+        assert "partial_avg" in p
+        assert p.count("ENSURE_REQUIREMENTS") == 1
+
+
 class TestPythonBoundary:
     # row-at-a-time Python UDFs would appear as BatchEvalPython; Arrow
     # paths appear as ArrowEvalPython / MapInPandas — the only allowed ones
