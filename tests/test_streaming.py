@@ -686,3 +686,47 @@ class TestMergeOnRead:
         c.upsert(0, spark.createDataFrame(
             [("m", 0, 9.0)], "metric string, ts long, value double"))
         assert rows(c.read(0)) == [("m", 0, 9.0)]
+
+
+class TestStreamingIncrementalDedup:
+    def test_cross_batch_pairs_via_persisted_index(self, spark, tmp_path):
+        """The streaming shape of incremental dedup: each micro-batch is
+        checked against the PERSISTED band index of everything ingested
+        before it, then its own band rows are appended to the index.
+        Duplicates across batches are caught without ever re-shingling
+        the accumulated corpus."""
+        import os
+
+        from kenshin_spark.dedup.minhash import (
+            minhash_band_index,
+            minhash_pairs_against_index,
+        )
+
+        ix_path = str(tmp_path / "band_index")
+        corpus_path = str(tmp_path / "corpus")
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        batches = [
+            [(1, base), (2, "completely different words entirely here now")],
+            [(10, base + " tail"), (11, "unrelated fresh content this time")],
+            [(20, base)],  # dup of batch-0's doc 1 AND batch-1's doc 10
+        ]
+        found = []
+
+        def process(batch_df):
+            # the foreachBatch body a production job would run
+            if os.path.exists(ix_path):
+                ix = spark.read.parquet(ix_path)
+                corpus = spark.read.parquet(corpus_path)
+                found.extend(
+                    (r["corpus_id"], r["new_id"])
+                    for r in minhash_pairs_against_index(
+                        batch_df, corpus, ix, threshold=0.5
+                    ).collect()
+                )
+            minhash_band_index(batch_df).write.mode("append").parquet(ix_path)
+            batch_df.write.mode("append").parquet(corpus_path)
+
+        for b in batches:
+            process(spark.createDataFrame(b, ["doc_id", "text"]))
+
+        assert sorted(found) == [(1, 10), (1, 20), (10, 20)]
