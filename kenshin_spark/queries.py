@@ -1694,6 +1694,120 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "text_vocab_topk",
+    r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    df_counts AS (
+      SELECT tok, count(*) AS doc_freq FROM tok GROUP BY tok
+    )
+    SELECT tok, doc_freq FROM df_counts
+    ORDER BY doc_freq DESC, tok LIMIT 50
+    """,
+    "vocabulary statistics: top-50 tokens by document frequency "
+    "(distinct per doc), deterministic tie-break by token — the "
+    "corpus-profiling pass before tokenizer/filter decisions",
+)
+def q_text_vocab_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "tok")
+        .limit(50)
+    )
+
+
+@register(
+    "text_collocations",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i + 1]
+             )) AS bigram
+      FROM toks
+    ),
+    uni AS (
+      SELECT unnest(ts) AS tok FROM toks
+    ),
+    nb AS (SELECT count(*) AS n_bigrams FROM bg),
+    uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    bc AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram)
+    SELECT bc.bigram, bc.c AS pair_count,
+           round(bc.c * 1.0 * (SELECT n_bigrams FROM nb) /
+                 (ua.c * ub.c), 6) AS lift
+    FROM bc
+    JOIN uc ua ON ua.tok = string_split(bc.bigram, ' ')[1]
+    JOIN uc ub ON ub.tok = string_split(bc.bigram, ' ')[2]
+    WHERE bc.c >= 20
+    """,
+    "collocation mining: bigram lift = P(ab) / (P(a)P(b)) computed as an "
+    "exact integer-derived rational (no log PMI — libm last-ulp differs "
+    "across engines), min support 20",
+)
+def q_text_collocations(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.lower("text")), r"\s+").alias("ts")
+    )
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))
+                ),
+                lambda x, i: F.concat_ws(
+                    " ", F.slice(F.col("ts"), i + 1, 2)
+                ),
+            )
+        ).alias("bigram")
+    )
+    uni = toks.select(F.explode("ts").alias("tok"))
+    n_bigrams = bg.count()
+    uc = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    bc = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("pair_count"))
+        .where(F.col("pair_count") >= 20)
+    )
+    a = F.split(F.col("bigram"), " ")[0]
+    b = F.split(F.col("bigram"), " ")[1]
+    ua, ub = uc.alias("ua"), uc.alias("ub")
+    return (
+        bc.join(ua, a == F.col("ua.tok"))
+        .join(ub, b == F.col("ub.tok"))
+        .select(
+            "bigram",
+            "pair_count",
+            F.round(
+                F.col("pair_count") * F.lit(float(n_bigrams)) /
+                (F.col("ua.c") * F.col("ub.c")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
     "sample_stratified",
     """
     SELECT doc_id, source
