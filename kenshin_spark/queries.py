@@ -1807,6 +1807,121 @@ def q_text_collocations(spark, sf_dir):
     )
 
 
+def _curation_oracle() -> str:
+    # the full pipeline, one SQL program: quality rules → MinHash pairs on
+    # the kept set → connected components → drop non-canonical members →
+    # deterministic hash sample → per-source stats
+    mins = ", ".join(
+        f"min({_DH.format(x=chr(39) + str(s) + '|' + chr(39) + ' || shingle')}) AS h{s}"
+        for s in range(8)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(CAST(h{2*b} AS VARCHAR) || ',' || "
+        f"CAST(h{2*b+1} AS VARCHAR)) AS band_key FROM sig"
+        for b in range(4)
+    )
+    ntok = r"len(string_split_regex(trim(text), '\s+'))"
+    nalpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    return rf"""
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE {ntok} BETWEEN 25 AND 100000
+        AND length(text) >= 3 * {ntok} AND length(text) <= 10 * {ntok}
+        AND len(regexp_extract_all(lower(text), '{_STOP_RE}')) >= 2
+        AND {nalpha} * 50 >= length(text) * 41
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> array_to_string(toks[i : i + 2], ' ')
+               )) AS shingle
+        FROM (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM kept
+        )
+      )
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6)
+            >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM cc WHERE node <> cluster_id),
+    curated AS (
+      SELECT k.* FROM kept k
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+        AND ('0x' || substr(md5('ksp|' || CAST(k.doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT % 1000000 < 500000
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum({ntok}) AS BIGINT) AS total_tokens
+    FROM curated GROUP BY source
+    """
+
+
+@register(
+    "pipeline_corpus_curation",
+    _curation_oracle(),
+    "the capstone training-data pipeline, END-TO-END in one plan: Gopher "
+    "quality rules → MinHash-LSH pairs on the kept set → connected "
+    "components → drop non-canonical cluster members → 50% deterministic "
+    "hash sample → per-source doc/token stats. Every stage is the same "
+    "oracled operator the standalone queries use — the oracle replays "
+    "the whole program in SQL, recursion included",
+)
+def q_pipeline_corpus_curation(spark, sf_dir):
+    from kenshin_spark.dedup import canonical_survivors, minhash_lsh_pairs
+    from kenshin_spark.functions.sampling import hash_sample
+    from kenshin_spark.functions.text import quality_verdict, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(quality_verdict("text")["keep"]).select(
+        "doc_id", "text", "source"
+    )
+    pairs = minhash_lsh_pairs(kept, threshold=0.5)
+    dropped = (
+        canonical_survivors(pairs).where(~F.col("keep")).select("doc_id")
+    )
+    curated = hash_sample(
+        kept.join(dropped, "doc_id", "left_anti"), 0.5, "doc_id"
+    )
+    return curated.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
 @register(
     "sample_stratified",
     """
