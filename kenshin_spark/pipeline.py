@@ -1,0 +1,156 @@
+"""Corpus-curation pipeline stages beyond per-document scoring.
+
+The training-data preparation steps every large pipeline runs between raw
+crawl and tokenizer, on top of the per-doc quality rules in
+``functions.text`` and the dedup family in ``dedup/``:
+
+- repetition filtering (Gopher-style, Rae et al. 2021 §A1.1): documents
+  dominated by a few repeated n-grams are boilerplate/spam;
+- benchmark decontamination (GPT-3 appendix C style): drop training docs
+  that share long n-grams with an evaluation set;
+- source-mixture rebalancing: downsample over-represented sources to a
+  target mixture with a deterministic, layout-independent hash rule;
+- PII scrubbing: regex redaction of emails / IPv4 addresses.
+
+Everything is integer or md5 arithmetic over JVM expressions — no Python
+in the row path — so a SQL oracle reproduces results exactly, and every
+decision is a pure function of the data (re-run-stable at any
+partitioning / cluster size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kenshin_spark.dedup.minhash import shingles
+from kenshin_spark.functions.sampling import DEN, sample_bucket
+
+# Repetition thresholds, adapted to token 2-grams (the corpus has no
+# newlines, so Gopher's line/paragraph rules map to n-gram rules here):
+# the most frequent 2-gram may cover at most 1/8 of all 2-gram slots, and
+# 2-grams occurring >= 2 times may cover at most 3/10 of the slots. Both
+# are integer cross-multiplications — no float ratio discipline needed.
+TOP_GRAM_MAX = (1, 8)
+DUP_GRAM_MAX = (3, 10)
+
+
+def gram_stream(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional (multiset) word n-grams: ``(doc_id, gram)`` WITH
+    repeats — unlike dedup's ``shingles()``, repetition measures need the
+    duplicates. Same slice-bounded gram construction (empty for docs
+    shorter than n tokens, no CASE guard — see shingles() for why)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda x, j: F.concat_ws(" ", F.slice(toks, j + 1, n)),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition profile: ``(doc_id, n_grams, top_gram_count,
+    dup_gram_count, rep_ok)``.
+
+    Two aggregations, both keyed by doc (partial-agg/combine friendly;
+    the second exchange carries one row per distinct gram per doc, which
+    is bounded by document length — scale-safe). Docs shorter than n
+    tokens emit no grams and are absent from the result (nothing to
+    measure).
+    """
+    per = (
+        gram_stream(docs, n, id_col, text_col)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_num, top_den = TOP_GRAM_MAX
+    dup_num, dup_den = DUP_GRAM_MAX
+    stats = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_gram_count"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_gram_count"
+        ),
+    )
+    rep_ok = (
+        F.col("top_gram_count") * top_den <= F.col("n_grams") * top_num
+    ) & (F.col("dup_gram_count") * dup_den <= F.col("n_grams") * dup_num)
+    return stats.select(
+        "doc_id", "n_grams", "top_gram_count", "dup_gram_count", rep_ok.alias("rep_ok")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: ``(doc_id, n_overlap)`` for every corpus
+    doc sharing at least one word ``n``-gram with the benchmark set
+    (n_overlap = distinct contaminated shingles).
+
+    The benchmark shingle set is tiny relative to the corpus (eval suites
+    are thousands of docs, the corpus is billions) — AQE broadcasts it, so
+    the corpus side is a map-side semi-join: no corpus shuffle at all
+    before the per-doc count, which is keyed by doc.
+    """
+    bench_sh = shingles(benchmark, n, id_col, text_col).select("shingle").distinct()
+    return (
+        shingles(corpus, n, id_col, text_col)
+        .join(bench_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def rebalance_to_min(
+    df: DataFrame, stratum_col: str, key_col: str, seed: str = "mix"
+) -> DataFrame:
+    """Downsample every stratum to (approximately) the size of the
+    smallest one — the mixture-flattening step of corpus assembly.
+
+    Keep rule: ``bucket(key) * cnt_stratum < min_cnt * DEN`` — pure
+    integer arithmetic, so membership is exact, layout-independent, and
+    consistent (a doc kept at one mixture stays kept when the target
+    grows). The per-stratum counts and the global min are tiny aggregates
+    broadcast back; the big table is never shuffled.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    floor_cnt = counts.agg(F.min("_cnt").alias("_min_cnt"))
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .crossJoin(F.broadcast(floor_cnt))
+        .where(
+            sample_bucket(key_col, seed) * F.col("_cnt")
+            < F.col("_min_cnt") * F.lit(DEN)
+        )
+        .drop("_cnt", "_min_cnt")
+    )
+
+
+# PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)
+# treat identically: character classes, bounded repeats, \b word bounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(t, F.lit(EMAIL_RE)).cast("long"),
+        "n_ips": F.regexp_count(t, F.lit(IPV4_RE)).cast("long"),
+    }
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails then IPv4 addresses with fixed placeholder tags."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )

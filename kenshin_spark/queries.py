@@ -1923,6 +1923,182 @@ def q_pipeline_corpus_curation(spark, sf_dir):
 
 
 @register(
+    "text_repetition_filter",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> array_to_string(toks[i : i + 1], ' ')
+             )) AS gram
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+      )
+    ),
+    per AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_grams,
+             CAST(max(cnt) AS BIGINT) AS top_gram_count,
+             CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS dup_gram_count
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, top_gram_count, dup_gram_count,
+           (top_gram_count * 8 <= n_grams
+            AND dup_gram_count * 10 <= n_grams * 3) AS rep_ok
+    FROM s
+    """,
+    "Gopher-style repetition filter on token 2-grams (the corpus has no "
+    "lines/paragraphs): top-gram slot share <= 1/8 AND duplicated-gram "
+    "slot share <= 3/10, both as integer cross-multiplications. Two "
+    "doc-keyed aggregations, no float ratios",
+)
+def q_text_repetition_filter(spark, sf_dir):
+    from kenshin_spark.pipeline import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+_BENCH_BUCKET = (
+    "('0x' || substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    " % 1000000"
+)
+
+
+@register(
+    "pipeline_decontaminate",
+    rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - 3),
+                 i -> array_to_string(toks[i : i + 3], ' ')
+               )) AS shingle
+        FROM (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        )
+      )
+    ),
+    bench_ids AS (
+      SELECT doc_id FROM documents WHERE {_BENCH_BUCKET} < 50000
+    ),
+    bench_sh AS (
+      SELECT DISTINCT shingle FROM sh JOIN bench_ids USING (doc_id)
+    )
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM sh s JOIN bench_sh USING (shingle)
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+    GROUP BY s.doc_id
+    """,
+    "benchmark decontamination (GPT-3 appendix-C style): flag corpus docs "
+    "sharing any word 4-gram with a 5% held-out 'benchmark' split. The "
+    "benchmark shingle set broadcasts; the corpus side is a map-side "
+    "semi-join + doc-keyed count — no corpus shuffle",
+)
+def q_pipeline_decontaminate(spark, sf_dir):
+    from kenshin_spark.functions.sampling import sample_bucket
+    from kenshin_spark.pipeline import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = sample_bucket("doc_id", "bench") < 50000
+    return decontaminate(docs.where(~is_bench), docs.where(is_bench), n=4)
+
+
+@register(
+    "pipeline_source_mixture",
+    """
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT min(cnt) AS mn FROM c)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+    WHERE (('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000) * c.cnt
+          < m.mn * 1000000
+    GROUP BY d.lang
+    """,
+    "corpus-mixture rebalancing: downsample every language to the "
+    "smallest language's size (the corpus is ~3x en-heavy) with the "
+    "exact-integer hash rule bucket*cnt < min*DEN — membership is a pure "
+    "function of the row, the mixture aggregates broadcast, the corpus "
+    "never shuffles",
+)
+def q_pipeline_source_mixture(spark, sf_dir):
+    from kenshin_spark.pipeline import rebalance_to_min
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = rebalance_to_min(docs, "lang", "doc_id")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH decorated AS (
+      SELECT doc_id, source,
+             text
+             || (CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com now' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST(doc_id % 100 AS VARCHAR) ELSE '' END) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+             AS scrubbed_fp
+    FROM decorated
+    """,
+    "PII scrubbing: redact emails + IPv4s with fixed tags. The corpus is "
+    "synthetic, so deterministic PII is injected per doc_id first; the "
+    "oracle hashes the scrubbed text — redaction is verified byte-exact",
+)
+def q_text_pii_scrub(spark, sf_dir):
+    from kenshin_spark.pipeline import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", t.alias("t"))
+    c = pii_counts("t")
+    return d.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        F.md5(scrub_pii("t")).alias("scrubbed_fp"),
+    )
+
+
+@register(
     "sample_stratified",
     """
     SELECT doc_id, source
