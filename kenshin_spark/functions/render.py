@@ -53,6 +53,20 @@ def moving_average(grid: DataFrame, n_points: int) -> DataFrame:
     )
 
 
+def moving_median(grid: DataFrame, n_points: int) -> DataFrame:
+    """Graphite movingMedian(series, N): EXACT median of the trailing N
+    slots (``percentile``, not ``approx_percentile`` — the render layer
+    feeds alerts, where approximation is a liability). NULLs ignored;
+    even counts interpolate the middle pair, matching SQL
+    ``quantile_cont``."""
+    w = _series_window().rowsBetween(-(n_points - 1), 0)
+    return grid.select(
+        "metric",
+        "ts",
+        F.expr("percentile(value, 0.5)").over(w).alias("value"),
+    )
+
+
 def derivative(grid: DataFrame) -> DataFrame:
     """Graphite derivative: value - previous value (NULL at series start
     or across a NULL neighbor)."""

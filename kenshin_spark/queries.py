@@ -656,6 +656,28 @@ def q_render_moving_average(spark, sf_dir):
 
 
 @register(
+    "render_moving_median",
+    f"""
+    WITH pts AS ({{PTS}}), t0 AS ({{LWW60}})
+    SELECT metric, ts,
+           round(median(value) OVER (
+             PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 6) AS value
+    FROM t0
+    """.format(PTS=PTS, LWW60=LWW60),
+    "graphite movingMedian(series, 5) over tier0 — EXACT trailing-window "
+    "median (percentile, not approx_percentile: the render layer feeds "
+    "alerts), NULL-ignoring, interpolating even counts like quantile_cont",
+)
+def q_render_moving_median(spark, sf_dir):
+    from kenshin_spark.functions.render import moving_median
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return moving_median(t0, 5).withColumn("value", F.round("value", 6))
+
+
+@register(
     "render_derivative",
     f"""
     WITH pts AS ({PTS}), t0 AS ({LWW60})
@@ -1244,6 +1266,77 @@ QUERIES["q_event_sessions"] = QuerySpec(
     doc="event sessionization: 30-min-gap session ids via lag + running "
     "sum windows, then per-session stats — the classic stream-analytics "
     "pattern over the events table",
+)
+
+
+_PROFILE_NUM = ("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_TXT = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM + _PROFILE_TXT:
+        lo, hi = (
+            (
+                f"CAST(CAST(min({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+                f"CAST(CAST(max({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+            )
+            if c in _PROFILE_NUM
+            else (f"min({c})", f"max({c})")
+        )
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+              CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_nulls,
+              CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+              {lo} AS min_value, {hi} AS max_value
+            FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profiler (the data-quality step every ingestion
+    pipeline runs before training): nulls, exact distinct counts, and
+    min/max — ONE scan via a multi-distinct aggregate (Catalyst expands
+    to grouping-id form: one Expand + one exchange, not one scan per
+    column) + stack() unpivot. Numeric bounds go through DECIMAL(18,2) so
+    the string repr is engine-neutral."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_NUM + _PROFILE_TXT:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__n")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__d"))
+        if c in _PROFILE_NUM:
+            aggs.append(
+                F.min(c).cast("decimal(18,2)").cast("string").alias(f"{c}__lo")
+            )
+            aggs.append(
+                F.max(c).cast("decimal(18,2)").cast("string").alias(f"{c}__hi")
+            )
+        else:
+            aggs.append(F.min(c).alias(f"{c}__lo"))
+            aggs.append(F.max(c).alias(f"{c}__hi"))
+    prof = li.agg(*aggs)
+    cols = _PROFILE_NUM + _PROFILE_TXT
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__lo, {c}__hi" for c in cols
+    )
+    return prof.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+QUERIES["q_table_profile"] = QuerySpec(
+    fn=_q_table_profile,
+    oracle=_profile_oracle(),
+    doc="per-column profiler over lineitem: nulls / exact distincts / "
+    "min-max in ONE scan (multi-distinct agg + stack unpivot)",
 )
 
 
@@ -2230,10 +2323,10 @@ def q_emb_centroids(spark, sf_dir):
     return centroid_rows(load_table(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "emb_nearest_centroid",
-    """
-    WITH c AS (
+#: nearest-centroid assignment CTEs — shared by emb_nearest_centroid and
+#: the SemDeDup oracle (dedup_semantic)
+_NN_CTES = """
+    c AS (
       SELECT label AS pred_label, t.dim,
              round(avg(embedding[t.dim + 1]), 6) AS cv
       FROM embeddings, range(64) t(dim) GROUP BY 1, 2
@@ -2256,6 +2349,13 @@ def q_emb_centroids(spark, sf_dir):
                                 ORDER BY cos DESC, pred_label) AS rn
       FROM scored
     )
+"""
+
+
+@register(
+    "emb_nearest_centroid",
+    f"""
+    WITH {_NN_CTES.strip()}
     SELECT vec_id, label, pred_label, round(cos, 6) AS cosine,
            label = pred_label AS correct
     FROM best WHERE rn = 1
@@ -2269,6 +2369,83 @@ def q_emb_nearest_centroid(spark, sf_dir):
     from kenshin_spark.similarity.classify import nearest_centroid
 
     return nearest_centroid(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH {_NN_CTES.strip()},
+    asg AS (SELECT vec_id, pred_label FROM best WHERE rn = 1),
+    e AS (
+      SELECT m.vec_id, m.embedding, g.pred_label
+      FROM embeddings m JOIN asg g ON m.vec_id = g.vec_id
+    )
+    SELECT x.pred_label AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+           round(
+             list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+             6) AS cosine
+    FROM e x JOIN e y
+      ON x.pred_label = y.pred_label AND x.vec_id < y.vec_id
+    WHERE round(
+             list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))),
+             6) >= 0.4
+    """,
+    "SemDeDup-style blocked near-dup: nearest-centroid cells bound the "
+    "pairwise verify to Σ|cell|² instead of n²; pairs are a strict subset "
+    "of dedup_embedding_neardup (cross-cell pairs are the traded recall). "
+    "Assignment + verify replay exactly in SQL — cells are deterministic "
+    "per-label means, not an RNG k-means",
+)
+def q_dedup_semantic(spark, sf_dir):
+    from kenshin_spark.dedup.semantic import semantic_neardup_pairs
+
+    return semantic_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "sim_topk_quantized",
+    """
+    WITH q0 AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(e, x ->
+               floor(x * 127 / (CASE WHEN s = 0 THEN 1 ELSE s END) + 0.5)
+             ) AS qe
+      FROM q0
+    ),
+    q AS (SELECT * FROM qv WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qe, c.qe) AS BIGINT) AS dot
+      FROM qv c, q WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, dot FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY dot DESC, neighbor_id
+      ) AS rnk FROM scored
+    ) t WHERE rnk <= 10
+    """,
+    "int8-quantized top-k (FAISS SQ-style max-abs scalar quantization): "
+    "integer dot products are exact under any summation order, so the "
+    "Arrow matmul fast path hash-matches the SQL oracle with no float "
+    "rounding discipline — 4x smaller vectors at 100 TB",
+)
+def q_sim_topk_quantized(spark, sf_dir):
+    from kenshin_spark.similarity.quantize import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -1180,3 +1180,53 @@ class TestCliKeepalive:
                for r in store.read(0).collect()}
         assert got[("dormant.m", now)] == 0.0
         assert ("fresh.m", now) not in got
+
+
+class TestSemanticDedup:
+    def test_pairs_subset_of_exhaustive(self, spark):
+        """SemDeDup blocking may only LOSE pairs vs the exhaustive n²
+        scan, never invent or rescore them."""
+        from kenshin_spark.dedup import embedding_neardup_pairs
+        from kenshin_spark.dedup.semantic import semantic_neardup_pairs
+        from kenshin_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        full = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+        }
+        blocked = semantic_neardup_pairs(emb, threshold=0.4).collect()
+        assert len(blocked) > 0
+        for r in blocked:
+            assert full[(r["vec_a"], r["vec_b"])] == r["cosine"]
+
+
+class TestQuantizedTopk:
+    def test_quantized_ranking_close_to_exact(self, spark):
+        """Int8 quantization keeps ~cosine ranking: every quantized
+        top-3 neighbor should sit in the exact top-10."""
+        from kenshin_spark.io import load_table
+        from kenshin_spark.similarity import brute_force_topk
+        from kenshin_spark.similarity.quantize import quantized_topk
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.where("vec_id < 5")
+        exact = brute_force_topk(emb, q, k=10).collect()
+        quant = quantized_topk(emb, q, k=3).collect()
+        exact_by_q = {}
+        for r in exact:
+            exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert len(quant) == 15  # 5 queries x top-3
+        hits = sum(
+            1 for r in quant if r["neighbor_id"] in exact_by_q[r["query_id"]]
+        )
+        assert hits >= 12  # >= 80% of quantized top-3 in exact top-10
+
+    def test_codes_bounded(self, spark):
+        from kenshin_spark.io import load_table
+        from kenshin_spark.similarity.quantize import quantize_int8
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        qz = quantize_int8()
+        row = emb.select(qz("embedding").alias("q")).first()
+        assert max(abs(v) for v in row["q"]) <= 127
