@@ -67,6 +67,30 @@ def moving_median(grid: DataFrame, n_points: int) -> DataFrame:
     )
 
 
+def time_shift(grid: DataFrame, shift_seconds: int) -> DataFrame:
+    """Graphite timeShift: the same series moved forward by ``shift``
+    seconds (the day-over-day / week-over-week overlay primitive) —
+    timestamps move, values don't."""
+    return grid.select(
+        "metric", (F.col("ts") + F.lit(shift_seconds)).alias("ts"), "value"
+    )
+
+
+def seasonal_profile(
+    grid: DataFrame, period: int = 86400, bucket: int = 3600
+) -> DataFrame:
+    """Per-metric seasonal baseline: mean value per bucket-of-period
+    (default: hour-of-day). The anomaly-detection companion — subtract
+    the profile from the live series to de-season it. One doc-keyed
+    aggregation; bucket count is period/bucket regardless of history
+    length, so the result broadcasts."""
+    b = F.floor((F.col("ts") % period) / bucket).cast("long")
+    return grid.groupBy("metric", b.alias("bucket_of_period")).agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count("value").alias("n_slots"),
+    )
+
+
 def derivative(grid: DataFrame) -> DataFrame:
     """Graphite derivative: value - previous value (NULL at series start
     or across a NULL neighbor)."""

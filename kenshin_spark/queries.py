@@ -678,6 +678,57 @@ def q_render_moving_median(spark, sf_dir):
 
 
 @register(
+    "render_time_shift",
+    f"""
+    WITH pts AS ({{PTS}}), t0 AS ({{LWW60}})
+    SELECT a.metric, a.ts, a.value, b.value AS value_shifted,
+           round(a.value - b.value, 6) AS delta
+    FROM t0 a LEFT JOIN t0 b
+      ON a.metric = b.metric AND b.ts = a.ts - 86400
+    """.format(PTS=PTS, LWW60=LWW60),
+    "graphite timeShift(series, '1d') overlay: today's slot joined to "
+    "yesterday's (same-key self-join — co-partitioned, no extra shuffle "
+    "beyond the tier0 alignment) with the day-over-day delta",
+)
+def q_render_time_shift(spark, sf_dir):
+    from kenshin_spark.functions.render import time_shift
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    shifted = time_shift(t0, 86400).withColumnRenamed("value", "value_shifted")
+    return (
+        t0.join(shifted, ["metric", "ts"], "left")
+        .select(
+            "metric",
+            "ts",
+            "value",
+            "value_shifted",
+            F.round(F.col("value") - F.col("value_shifted"), 6).alias("delta"),
+        )
+    )
+
+
+@register(
+    "ts_seasonal_profile",
+    f"""
+    WITH pts AS ({{PTS}}), t0 AS ({{LWW60}})
+    SELECT metric,
+           CAST(floor((ts % 86400) / 3600) AS BIGINT) AS bucket_of_period,
+           round(avg(value), 6) AS mean_value,
+           CAST(count(value) AS BIGINT) AS n_slots
+    FROM t0 GROUP BY 1, 2
+    """.format(PTS=PTS, LWW60=LWW60),
+    "per-metric hour-of-day seasonal baseline over tier0 — the "
+    "de-seasoning companion to ts_anomaly_zscore; 24 buckets/metric "
+    "regardless of history length, so the profile broadcasts",
+)
+def q_ts_seasonal_profile(spark, sf_dir):
+    from kenshin_spark.functions.render import seasonal_profile
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return seasonal_profile(t0)
+
+
+@register(
     "render_derivative",
     f"""
     WITH pts AS ({PTS}), t0 AS ({LWW60})
@@ -1184,6 +1235,64 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+           AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+Q16_SQL = """
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+         AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_type <> 'PROMO' AND p_size IN (1, 9, 19, 29, 39, 49)
+GROUP BY p_brand, p_size
+"""
+
+Q19_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+       AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 50)
+"""
+
+
 def _sql_query(sql: str, tables: tuple[str, ...]):
     """Build a queries() callable that registers the needed views and runs
     the SAME SQL text Catalyst and DuckDB both accept."""
@@ -1212,6 +1321,32 @@ QUERIES["q5_local_supplier"] = QuerySpec(
                            "nation", "region")),
     oracle=Q5_SQL,
     doc="TPC-H Q5-style: 6-way join with co-nation predicate",
+)
+QUERIES["q4_late_orders"] = QuerySpec(
+    fn=_sql_query(Q4_SQL, ("orders", "lineitem")),
+    oracle=Q4_SQL,
+    doc="TPC-H Q4-style: EXISTS semi-join (orders with a late-shipped "
+    "line) + priority counts — Catalyst plans a left-semi hash join",
+)
+QUERIES["q7_nation_volume"] = QuerySpec(
+    fn=_sql_query(
+        Q7_SQL, ("lineitem", "orders", "customer", "supplier", "nation")
+    ),
+    oracle=Q7_SQL,
+    doc="TPC-H Q7-style: bidirectional two-nation shipping volume by "
+    "year; nation dims broadcast, fact table never shuffles for the dims",
+)
+QUERIES["q16_supplier_cnt"] = QuerySpec(
+    fn=_sql_query(Q16_SQL, ("part", "lineitem")),
+    oracle=Q16_SQL,
+    doc="TPC-H Q16-style: distinct-supplier counts per brand/size bucket "
+    "(multi-distinct agg over a dim join)",
+)
+QUERIES["q19_disjunctive"] = QuerySpec(
+    fn=_sql_query(Q19_SQL, ("lineitem", "part")),
+    oracle=Q19_SQL,
+    doc="TPC-H Q19-style: three OR-blocks of brand/size/quantity "
+    "predicates — exercises disjunctive predicate pushdown",
 )
 QUERIES["q_window_topk_customers"] = QuerySpec(
     fn=_sql_query(TOPK_SQL, ("customer", "nation")),

@@ -256,3 +256,25 @@ class TestSkewWiring:
             )
         assert stores["salted"] == stores["plain"]
         assert len(stores["plain"]) > 0
+
+
+class TestNewTpcPlans:
+    def test_q7_all_dims_broadcast_no_exchange(self, spark):
+        """Five-way dim join: every dim broadcasts; the only shuffle is
+        the final aggregation — the fact table never moves for a join."""
+        p = plan_of(QUERIES["q7_nation_volume"].fn(spark, SF))
+        assert p.count("BroadcastHashJoin") // 2 == 5
+        assert p.count("ENSURE_REQUIREMENTS") <= 1
+
+    def test_q19_disjunction_pushed_to_scan(self, spark):
+        p = plan_of(QUERIES["q19_disjunctive"].fn(spark, SF))
+        assert "Or(Or(" in p  # the OR-blocks reach PushedFilters
+        assert "BroadcastHashJoin" in p
+
+    def test_q4_plans_semi_join(self, spark):
+        p = plan_of(QUERIES["q4_late_orders"].fn(spark, SF))
+        assert "LeftSemi" in p
+
+    def test_seasonal_profile_single_shuffle_partial_agg(self, spark):
+        p = plan_of(QUERIES["ts_seasonal_profile"].fn(spark, SF))
+        assert "partial_avg" in p or "partial_" in p
