@@ -1433,38 +1433,47 @@ def _profile_oracle() -> str:
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data profiler (the data-quality step every ingestion
     pipeline runs before training): nulls, exact distinct counts, and
-    min/max — ONE scan via a multi-distinct aggregate (Catalyst expands
-    to grouping-id form: one Expand + one exchange, not one scan per
-    column) + stack() unpivot. Numeric bounds go through DECIMAL(18,2) so
-    the string repr is engine-neutral."""
+    min/max — ONE sub-aggregate per column, unioned.
+
+    Why not one multi-distinct aggregate: six ``count_distinct`` columns
+    in a single agg make Catalyst expand to grouping-id form — an Expand
+    that multiplies the full scan ×7 before the exchange (measured 14 s
+    at sf0.1, the slowest query in the repo; a 100 TB fact table would
+    shuffle 700 TB). Per-column sub-aggregates each scan ONE pruned
+    parquet column with a single-distinct two-stage agg (partial distinct
+    map-side, no Expand): total bytes read equals one 6-column scan and
+    every exchange carries only distinct values. Numeric bounds go
+    through DECIMAL(18,2) so the string repr is engine-neutral."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
+    parts = []
     for c in _PROFILE_NUM + _PROFILE_TXT:
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias(f"{c}__n")
-        )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__d"))
         if c in _PROFILE_NUM:
-            aggs.append(
-                F.min(c).cast("decimal(18,2)").cast("string").alias(f"{c}__lo")
-            )
-            aggs.append(
-                F.max(c).cast("decimal(18,2)").cast("string").alias(f"{c}__hi")
-            )
+            lo = F.min(c).cast("decimal(18,2)").cast("string")
+            hi = F.max(c).cast("decimal(18,2)").cast("string")
         else:
-            aggs.append(F.min(c).alias(f"{c}__lo"))
-            aggs.append(F.max(c).alias(f"{c}__hi"))
-    prof = li.agg(*aggs)
-    cols = _PROFILE_NUM + _PROFILE_TXT
-    stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__d, {c}__lo, {c}__hi" for c in cols
-    )
-    return prof.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(col_name, n_nulls, n_distinct, min_value, max_value)"
-    )
+            lo, hi = F.min(c), F.max(c)
+        parts.append(
+            li.select(F.col(c))
+            .agg(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                lo.alias("min_value"),
+                hi.alias("max_value"),
+            )
+            .select(
+                F.lit(c).alias("col_name"),
+                "n_nulls",
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 QUERIES["q_table_profile"] = QuerySpec(

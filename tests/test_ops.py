@@ -1200,6 +1200,23 @@ class TestSemanticDedup:
         for r in blocked:
             assert full[(r["vec_a"], r["vec_b"])] == r["cosine"]
 
+    def test_subcells_subset_of_label_cells(self, spark):
+        """The k-means sub-cell refinement (the 100 TB path where cell
+        count scales with n, not |labels|) may only shrink the pair set
+        further — and must keep cosines identical."""
+        from kenshin_spark.dedup.semantic import semantic_neardup_pairs
+        from kenshin_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        label_cells = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in semantic_neardup_pairs(emb, threshold=0.4).collect()
+        }
+        sub = semantic_neardup_pairs(emb, threshold=0.4, subcells=8).collect()
+        assert len(sub) > 0
+        for r in sub:
+            assert label_cells[(r["vec_a"], r["vec_b"])] == r["cosine"]
+
 
 class TestQuantizedTopk:
     def test_quantized_ranking_close_to_exact(self, spark):
