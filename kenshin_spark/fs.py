@@ -1,0 +1,140 @@
+"""Filesystem abstraction for store metadata and maintenance operations.
+
+Every filesystem manipulation the store performs outside a Spark write —
+partition drops, directory swaps, the sequence sidecar — goes through the
+Hadoop FileSystem API (the same abstraction Spark's own committers use),
+resolved from the session's Hadoop configuration. A store rooted at a
+plain local path, a ``file:`` URI, ``hdfs://`` or ``s3a://`` all take the
+same code path; nothing touches ``os``/``shutil`` directly, which only
+ever worked on a single node.
+
+Commit protocol for directory swaps (``compact`` / ``delete_metrics``):
+
+    1. write the replacement to ``<live>.tmp``  (a normal Spark write)
+    2. rename ``<live>``  → ``<live>.bak``
+    3. rename ``<live>.tmp`` → ``<live>``
+    4. delete ``<live>.bak``
+
+A crash between 2 and 3 leaves no live directory but an intact ``.bak``;
+``recover_swap`` restores it (the reference's analog is the ``.bak``
+rename dance in bin/kenshin-change-schema.py:103-112). On HDFS each
+rename is atomic. On S3-style object stores a rename is a copy, so the
+swap is not transactional — there the store layout maps 1:1 onto a table
+format (Delta/Iceberg) whose commit log provides the same protocol with
+real atomicity; this class is the least-common-denominator fallback.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import SparkSession
+
+
+class HadoopFS:
+    """Thin py4j wrapper over ``org.apache.hadoop.fs.FileSystem``."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self._jvm = spark._jvm
+        self._gw = spark.sparkContext._gateway
+        conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.Path(base).getFileSystem(
+            conf
+        )
+        # Hadoop's local FS is checksummed by default; sidecar .crc files
+        # would shadow every metadata write (and a file replaced outside
+        # this API would fail verification). Store metadata carries its
+        # own integrity (atomic tmp+rename of whole small files).
+        self._fs.setWriteChecksum(False)
+        self._fs.setVerifyChecksum(False)
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    # -- predicates / listing ---------------------------------------------
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._p(path))
+
+    def list_names(self, path: str) -> list[str]:
+        """Basenames of the direct children of ``path`` ([] if absent)."""
+        if not self.exists(path):
+            return []
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._p(path))
+        ]
+
+    # -- mutation ----------------------------------------------------------
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def delete(self, path: str) -> bool:
+        """Recursive delete; False if the path didn't exist."""
+        return self._fs.delete(self._p(path), True)
+
+    def rename(self, src: str, dst: str) -> bool:
+        return self._fs.rename(self._p(src), self._p(dst))
+
+    def create_exclusive(self, path: str) -> bool:
+        """Atomically create an empty file; False if it already exists —
+        the CAS primitive the seq allocator builds on (atomic on local
+        filesystems and HDFS; object stores should use a table format's
+        commit log instead, see module docstring)."""
+        return self._fs.createNewFile(self._p(path))
+
+    # -- small-file IO (store metadata, not data) --------------------------
+
+    def read_text(self, path: str) -> str:
+        # py4j passes byte[] ARGUMENTS by value (a filled buffer never
+        # comes back) — read via a method whose RETURN is the byte[]
+        stream = self._fs.open(self._p(path))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """Write via ``<path>.tmp`` + rename so readers never observe a
+        torn file."""
+        tmp = path + ".tmp"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if self.exists(path):
+            self._fs.delete(self._p(path), False)
+        self.rename(tmp, path)
+
+    # -- the swap commit protocol -----------------------------------------
+
+    def swap(self, live: str, tmp: str) -> None:
+        """Replace ``live`` with ``tmp`` under the ``.bak`` protocol
+        (module docstring). ``tmp`` must exist; ``live`` may not (first
+        write)."""
+        bak = live + ".bak"
+        if self.exists(bak):  # debris from a prior crash after step 3
+            self.delete(bak)
+        had_live = self.exists(live)
+        if had_live and not self.rename(live, bak):
+            raise IOError(f"swap: could not stage {live} -> {bak}")
+        if not self.rename(tmp, live):
+            if had_live:
+                self.rename(bak, live)  # roll back
+            raise IOError(f"swap: could not promote {tmp} -> {live}")
+        if had_live:
+            self.delete(bak)
+
+    def recover_swap(self, live: str) -> bool:
+        """Crash recovery: if ``live`` is missing but ``live.bak`` exists
+        (a swap died between stage and promote), restore it. Returns True
+        if a restore happened."""
+        bak = live + ".bak"
+        if not self.exists(live) and self.exists(bak):
+            return self.rename(bak, live)
+        return False

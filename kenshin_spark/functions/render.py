@@ -110,14 +110,6 @@ def non_negative_derivative(grid: DataFrame) -> DataFrame:
     )
 
 
-def time_shift(grid: DataFrame, shift_seconds: int) -> DataFrame:
-    """Graphite timeShift: move the series along the time axis (positive =
-    newer timestamps show older data)."""
-    return grid.select(
-        "metric", (F.col("ts") + F.lit(shift_seconds)).alias("ts"), "value"
-    )
-
-
 def scale(grid: DataFrame, factor: float) -> DataFrame:
     """Graphite scale(series, factor)."""
     return grid.select(

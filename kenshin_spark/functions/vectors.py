@@ -1,8 +1,13 @@
 """Vector math over ``array<float|double>`` columns — all JVM built-ins.
 
-``F.zip_with`` + ``F.aggregate`` keep the dot product inside whole-stage
-codegen; no Python crosses the wire. Used by similarity search and
-embedding near-dup.
+No Python crosses the wire, but note: ``F.zip_with``/``F.aggregate`` are
+higher-order functions, which Catalyst evaluates as CodegenFallback
+(interpreted) — NOT whole-stage codegen. They are kept for the VERIFY
+path only, where the sequential left-fold summation order must stay
+bit-aligned with the DuckDB oracle's ``list_dot_product`` (numpy BLAS
+reorders the sum; a 6-dp rounded cosine could flip at a boundary). Bulk
+signature/assignment math belongs in Arrow ``pandas_udf`` batch matmuls —
+see ``similarity/__init__.py``.
 """
 
 from __future__ import annotations

@@ -18,6 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def kafka_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The reader option set, as a plain dict (testable without a broker
+    or connector JAR). ``maxOffsetsPerTrigger`` bounds micro-batch size —
+    the backpressure analog of the reference's 2 MB receive cap
+    (rurouni/protocols.py:46)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_reader(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -25,21 +46,12 @@ def kafka_reader(
     starting_offsets: str = "latest",
     max_offsets_per_trigger: int | None = None,
 ):
-    """The shared reader config. ``maxOffsetsPerTrigger`` bounds micro-batch
-    size — the backpressure analog of the reference's 2 MB receive cap
-    (rurouni/protocols.py:46)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option(
-            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+    """A ``readStream`` builder carrying :func:`kafka_options`."""
+    return spark.readStream.format("kafka").options(
+        **kafka_options(
+            bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
         )
-    return reader
+    )
 
 
 def kafka_lines(

@@ -30,14 +30,15 @@ Spark-native equivalent, designed for 100 TB:
 
 from __future__ import annotations
 
+import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kenshin_spark.config import AGG_SQL, Schema
+from kenshin_spark.fs import HadoopFS
 from kenshin_spark.operators.align import align_ts
 
 DAY = 86400
@@ -86,7 +87,9 @@ class ParquetTieredStore:
         self.schema = schema
         self.root = root
         self.mode = mode
-        self._seq_counter = 0
+        #: all non-Spark filesystem ops go through the Hadoop FS API so
+        #: the store behaves identically on file:/hdfs:/object stores
+        self.fs = HadoopFS(spark, root)
         # dynamic mode: .partitionBy().mode("overwrite") rewrites only the
         # partitions present in the written frame — the MERGE primitive here
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -95,41 +98,42 @@ class ParquetTieredStore:
     def _seq_sidecar(self) -> str:
         return os.path.join(self.root, "_seq.json")
 
+    @property
+    def _seq_claims(self) -> str:
+        return os.path.join(self.root, "_seq.d")
+
     def _next_seq(self) -> int:
         """Monotonic write stamp (mor mode: later stamps win at read).
 
-        The last-issued stamp lives in a tiny sidecar file (store
-        metadata, like the reference's packed header) — a driver-local
-        read, not a max(_seq) scan over the whole tier, which at 100 TB
-        would be a full-table aggregate just to open the store. Stamps
-        are pre-allocated (sidecar written before the data write), so a
-        crash wastes a stamp instead of ever reusing one. Legacy stores
-        without a sidecar fall back to the tier scan once."""
-        if self._seq_counter == 0:
-            if os.path.exists(self._seq_sidecar):
-                import json
-
-                with open(self._seq_sidecar) as f:
-                    self._seq_counter = int(json.load(f)["last_seq"])
-            else:
-                mx = 0
-                for i in range(len(self.schema.archives)):
-                    path = self.tier_path(i)
-                    if os.path.exists(path):
-                        df = self.spark.read.parquet(path)
-                        if "_seq" in df.columns:
-                            row = df.agg(F.max("_seq")).collect()[0]
-                            mx = max(mx, int(row[0] or 0))
-                self._seq_counter = mx
-        self._seq_counter += 1
-        import json
-
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._seq_sidecar + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_seq": self._seq_counter}, f)
-        os.replace(tmp, self._seq_sidecar)
-        return self._seq_counter
+        Allocation is a filesystem CAS: stamp n is CLAIMED by exclusively
+        creating marker ``_seq.d/<n>`` — two concurrent writers can never
+        issue the same stamp (the loser's create fails and it probes the
+        next n). The sidecar ``_seq.json`` is a monotonic hint re-read on
+        every allocation, so a store open for hours doesn't trust a stale
+        in-memory counter; it is written AFTER the claim, so a crash
+        wastes a stamp instead of ever reusing one. No max(_seq) scan
+        over the tier — at 100 TB that would be a full-table aggregate
+        just to open the store. Legacy stores without a sidecar fall back
+        to the tier scan once."""
+        n = self.last_seq()
+        if n == 0 and not self.fs.exists(self._seq_sidecar):
+            for i in range(len(self.schema.archives)):
+                path = self.tier_path(i)
+                if not self._tier_empty(path):
+                    df = self.spark.read.parquet(path)
+                    if "_seq" in df.columns:
+                        row = df.agg(F.max("_seq")).collect()[0]
+                        n = max(n, int(row[0] or 0))
+        while True:
+            n += 1
+            if self.fs.create_exclusive(
+                os.path.join(self._seq_claims, str(n))
+            ):
+                break
+        self.fs.write_text_atomic(
+            self._seq_sidecar, json.dumps({"last_seq": n})
+        )
+        return n
 
     # -- paths ------------------------------------------------------------
 
@@ -157,17 +161,25 @@ class ParquetTieredStore:
     def last_seq(self) -> int:
         """The newest committed write stamp (0 if nothing written) — pass
         to ``read_at`` for a stable snapshot."""
-        if os.path.exists(self._seq_sidecar):
-            import json
-
-            with open(self._seq_sidecar) as f:
-                return int(json.load(f)["last_seq"])
+        if self.fs.exists(self._seq_sidecar):
+            return int(
+                json.loads(self.fs.read_text(self._seq_sidecar))["last_seq"]
+            )
         return 0
+
+    def _tier_empty(self, path: str) -> bool:
+        """True when the tier has no data partitions — absent entirely, or
+        expiry dropped every day= child (schema inference would fail)."""
+        if not self.fs.exists(path):
+            return True
+        return not any(
+            n.startswith("day=") for n in self.fs.list_names(path)
+        )
 
     def read(self, i: int) -> DataFrame:
         """Tier i as ``(metric, ts, value)``; empty frame if never written."""
         path = self.tier_path(i)
-        if not os.path.exists(path):
+        if self._tier_empty(path):
             return self.spark.createDataFrame([], STORED_SCHEMA).select(
                 "metric", "ts", "value"
             )
@@ -186,7 +198,7 @@ class ParquetTieredStore:
         if self.mode != "mor":
             raise ValueError("read_at requires mode='mor' (cow keeps no history)")
         path = self.tier_path(i)
-        if not os.path.exists(path):
+        if self._tier_empty(path):
             return self.spark.createDataFrame([], STORED_SCHEMA).select(
                 "metric", "ts", "value"
             )
@@ -202,7 +214,7 @@ class ParquetTieredStore:
         day = ts // 86400). This is the read path every time-bounded
         query must take at 100 TB."""
         path = self.tier_path(i)
-        if not os.path.exists(path):
+        if self._tier_empty(path):
             return self.spark.createDataFrame([], STORED_SCHEMA).select(
                 "metric", "ts", "value"
             )
@@ -252,7 +264,7 @@ class ParquetTieredStore:
                 "append"
             ).partitionBy("day").parquet(path)
             return
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             new.write.mode("overwrite").partitionBy("day").parquet(path)
             return
         days = [r["day"] for r in new.select("day").distinct().collect()]
@@ -280,15 +292,15 @@ class ParquetTieredStore:
         dropped: dict[int, list[int]] = {}
         for i, arch in enumerate(self.schema.archives):
             path = self.tier_path(i)
-            if not os.path.exists(path):
+            if not self.fs.exists(path):
                 continue
             cutoff_day = (now - arch.retention) // self.part_unit(i)
             gone = []
-            for d in os.listdir(path):
+            for d in self.fs.list_names(path):
                 if d.startswith("day="):
                     day = int(d.split("=", 1)[1])
                     if day < cutoff_day:
-                        shutil.rmtree(os.path.join(path, d))
+                        self.fs.delete(os.path.join(path, d))
                         gone.append(day)
             if gone:
                 dropped[i] = sorted(gone)
@@ -368,7 +380,7 @@ class ParquetTieredStore:
         from its preallocated format (README.md:63-66). Run it like the
         reference's maintenance scripts — off the hot path."""
         path = self.tier_path(i)
-        if not os.path.exists(path):
+        if self._tier_empty(path):
             return
         raw = self.spark.read.parquet(path)
         if "_seq" in raw.columns:
@@ -396,8 +408,9 @@ class ParquetTieredStore:
             .partitionBy("day")
             .parquet(tmp)
         )
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        # .bak swap protocol (fs.py): a crash mid-swap is recoverable via
+        # recover(), never a half-deleted tier
+        self.fs.swap(path, tmp)
 
     # -- delete (M5) ------------------------------------------------------
 
@@ -409,7 +422,7 @@ class ParquetTieredStore:
         metadata-level ``DELETE WHERE metric IN (...)``."""
         for i in range(len(self.schema.archives)):
             path = self.tier_path(i)
-            if not os.path.exists(path):
+            if self._tier_empty(path):
                 continue
             raw = self.spark.read.parquet(path)
             kept = raw.where(~F.col("metric").isin(metrics)).select(
@@ -417,15 +430,28 @@ class ParquetTieredStore:
             )
             tmp = path + ".tmp"
             kept.write.mode("overwrite").partitionBy("day").parquet(tmp)
-            shutil.rmtree(path)
-            os.rename(tmp, path)
+            self.fs.swap(path, tmp)
         cat_path = self.catalog_path
-        if os.path.exists(cat_path):
+        if self.fs.exists(cat_path):
             kept_cat = self.catalog().where(~F.col("metric").isin(metrics))
             tmp = cat_path + ".tmp"
             kept_cat.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(cat_path)
-            os.rename(tmp, cat_path)
+            self.fs.swap(cat_path, tmp)
+
+    def recover(self) -> list[str]:
+        """Crash recovery for interrupted ``compact``/``delete_metrics``
+        swaps: restore any ``.bak`` whose live directory is missing
+        (reference analog: the change-schema .bak dance,
+        bin/kenshin-change-schema.py:103-112). Returns restored paths.
+        Call on store open after an unclean shutdown."""
+        restored = []
+        for i in range(len(self.schema.archives)):
+            p = self.tier_path(i)
+            if self.fs.recover_swap(p):
+                restored.append(p)
+        if self.fs.recover_swap(self.catalog_path):
+            restored.append(self.catalog_path)
+        return restored
 
     # -- catalog (M1, the index) ------------------------------------------
 
@@ -434,7 +460,7 @@ class ParquetTieredStore:
         return os.path.join(self.root, "_catalog")
 
     def catalog(self) -> DataFrame:
-        if not os.path.exists(self.catalog_path):
+        if not self.fs.exists(self.catalog_path):
             return self.spark.createDataFrame([], CATALOG_SCHEMA)
         return self.spark.read.parquet(self.catalog_path)
 

@@ -688,6 +688,75 @@ class TestMergeOnRead:
         assert rows(c.read(0)) == [("m", 0, 9.0)]
 
 
+class TestObjectStoreSafety:
+    """Store ops route through the Hadoop FS abstraction (fs.py): they
+    must behave identically on a ``file:`` URI root (the portability
+    shim for hdfs://s3a roots), survive a crash mid-swap, and never
+    double-issue a write stamp across concurrent store handles."""
+
+    def test_store_ops_on_file_uri_root(self, spark, tmp_path):
+        schema = Schema.from_strings("s", ".*", "60s:1d,300s:7d", xff=1.0)
+        root = "file://" + str(tmp_path / "uri_store")
+        st = ParquetTieredStore(spark, schema, root, mode="mor")
+        st.upsert(0, spark.createDataFrame(
+            [("m1", 0, 1.0), ("m2", 60, 2.0)],
+            "metric string, ts long, value double"))
+        st.upsert(0, spark.createDataFrame(
+            [("m1", 0, 9.0)], "metric string, ts long, value double"))
+        assert rows(st.read(0)) == [("m1", 0, 9.0), ("m2", 60, 2.0)]
+        st.compact(0)
+        assert rows(st.read(0)) == [("m1", 0, 9.0), ("m2", 60, 2.0)]
+        st.delete_metrics(["m2"])
+        assert rows(st.read(0)) == [("m1", 0, 9.0)]
+        # expiry drops the day partition once it ages out
+        assert st.expire(now=10 * 86400) == {0: [0]}
+        assert rows(st.read(0)) == []
+
+    def test_swap_crash_recovery(self, spark, tmp_path):
+        """A compact/delete that dies between 'stage live -> .bak' and
+        'promote tmp -> live' leaves no live tier; recover() restores
+        the .bak (the change-schema .bak dance, atomicity half)."""
+        schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
+        root = str(tmp_path / "crash")
+        st = ParquetTieredStore(spark, schema, root)
+        st.upsert(0, spark.createDataFrame(
+            [("m", 0, 4.0)], "metric string, ts long, value double"))
+        before = rows(st.read(0))
+        # simulate the crash window: live staged away, promote never ran
+        st.fs.rename(st.tier_path(0), st.tier_path(0) + ".bak")
+        assert rows(st.read(0)) == []
+        assert st.recover() == [st.tier_path(0)]
+        assert rows(st.read(0)) == before
+        # idempotent once healthy
+        assert st.recover() == []
+
+    def test_concurrent_handles_never_share_a_stamp(self, spark, tmp_path):
+        """Two store handles on one root interleave upserts: the CAS
+        claim (_seq.d markers) forces distinct, increasing stamps even
+        when a handle's in-memory view is stale."""
+        import json
+        import os
+
+        schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
+        root = str(tmp_path / "cc")
+        a = ParquetTieredStore(spark, schema, root, mode="mor")
+        b = ParquetTieredStore(spark, schema, root, mode="mor")
+        df = lambda v: spark.createDataFrame(  # noqa: E731
+            [("m", 0, v)], "metric string, ts long, value double")
+        a.upsert(0, df(1.0))
+        b.upsert(0, df(2.0))
+        a.upsert(0, df(3.0))
+        assert rows(a.read(0)) == [("m", 0, 3.0)]  # last writer won
+        # force a stale sidecar: allocation must probe past the claimed
+        # markers instead of re-issuing stamp 1
+        with open(os.path.join(root, "_seq.json"), "w") as f:
+            json.dump({"last_seq": 0}, f)
+        b.upsert(0, df(9.0))
+        assert rows(b.read(0)) == [("m", 0, 9.0)]
+        claims = sorted(int(x) for x in os.listdir(os.path.join(root, "_seq.d")))
+        assert claims == [1, 2, 3, 4]  # one marker per issued stamp
+
+
 class TestStreamingIncrementalDedup:
     def test_cross_batch_pairs_via_persisted_index(self, spark, tmp_path):
         """The streaming shape of incremental dedup: each micro-batch is
