@@ -2874,6 +2874,155 @@ def q_mm_audio_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-style round-3 additions (q8/q15/q17 adapted to the available columns;
+# the testdata has no partsupp/commitdate/shipmode/phone, so q2/q9/q11/q12/
+# q20/q21/q22 cannot be expressed) + grouping-sets/window/percentile surface
+# ---------------------------------------------------------------------------
+
+Q8_SQL = """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN nat = 'NATION_1' THEN volume END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+           AS volume,
+         n2.n_name AS nat
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+#: Q17's classic form compares l_quantity < 0.2*avg(...) — a DOUBLE
+#: threshold whose last-ulp depends on summation order, so the two engines
+#: could disagree at a razor-edge boundary. Cross-multiplied DECIMAL form
+#: (5·q·count < sum ⟺ q < 0.2·avg) is ORDER-EXACT in both engines while
+#: still exercising correlated-scalar-subquery decorrelation (twice).
+Q17_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size <= 15
+  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 *
+        (SELECT count(*) FROM lineitem l2
+         WHERE l2.l_partkey = p_partkey)
+      < (SELECT sum(CAST(l3.l_quantity AS DECIMAL(12,2)))
+         FROM lineitem l3 WHERE l3.l_partkey = p_partkey)
+"""
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+CUME_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT d, round(CAST(rev AS DOUBLE), 2) AS day_revenue,
+       round(CAST(sum(rev) OVER (
+         ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS cum_revenue
+FROM daily
+"""
+
+#: identical SQL up to each engine's exact-interpolated-percentile name:
+#: Spark `percentile`, DuckDB `quantile_cont` (both type R-7 linear
+#: interpolation over the same parquet doubles — bit-equal)
+PCT_SQL = """
+SELECT l_returnflag,
+       round(CAST(percentile(l_extendedprice, 0.25) AS DOUBLE), 4) AS p25,
+       round(CAST(percentile(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(percentile(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+QUERIES["q8_market_share"] = QuerySpec(
+    fn=_sql_query(
+        Q8_SQL,
+        ("part", "lineitem", "orders", "customer", "nation", "region",
+         "supplier"),
+    ),
+    oracle=Q8_SQL,
+    doc="TPC-H Q8-style: one nation's market share inside a region's "
+    "part-type market by order year — 8-way star join where every dim "
+    "broadcasts; conditional/total DECIMAL sums divided as DOUBLE",
+)
+QUERIES["q15_top_supplier"] = QuerySpec(
+    fn=_sql_query(Q15_SQL, ("supplier", "lineitem")),
+    oracle=Q15_SQL,
+    doc="TPC-H Q15-style: top supplier by quarterly revenue — CTE reuse "
+    "+ scalar-subquery max, DECIMAL-exact equality (no float ties)",
+)
+QUERIES["q17_small_quantity"] = QuerySpec(
+    fn=_sql_query(Q17_SQL, ("lineitem", "part")),
+    oracle=Q17_SQL,
+    doc="TPC-H Q17-style: lines below 1/5 of their part's mean quantity "
+    "— two correlated scalar subqueries (Catalyst decorrelates both "
+    "into aggregated joins), cross-multiplied DECIMAL so the threshold "
+    "is order-exact across engines",
+)
+QUERIES["q_cube_orders"] = QuerySpec(
+    fn=_sql_query(CUBE_SQL, ("orders",)),
+    oracle=CUBE_SQL,
+    doc="GROUP BY CUBE (status × priority): all four grouping levels in "
+    "one pass — completes the grouping-sets surface next to ROLLUP",
+)
+QUERIES["q_cumulative_revenue"] = QuerySpec(
+    fn=_sql_query(CUME_SQL, ("orders",)),
+    oracle=CUME_SQL,
+    doc="running-total window over a daily rollup: cumulative revenue by "
+    "day, DECIMAL-exact prefix sums rendered as DOUBLE",
+)
+QUERIES["q_price_percentiles"] = QuerySpec(
+    fn=_sql_query(PCT_SQL, ("lineitem",)),
+    oracle=PCT_SQL.replace("percentile(", "quantile_cont("),
+    doc="exact interpolated price percentiles per return flag — Spark "
+    "`percentile` vs DuckDB `quantile_cont`, same R-7 linear "
+    "interpolation over identical parquet doubles",
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
