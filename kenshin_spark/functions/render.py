@@ -307,3 +307,50 @@ def highest_average(grid: DataFrame, n: int) -> DataFrame:
         .select("metric")
     )
     return grid.join(F.broadcast(ranked), "metric")
+
+
+def ewma(grid: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Graphite exponentialMovingAverage(series, alpha):
+    ``EWMA_t = α·v_t + (1-α)·EWMA_{t-1}`` (first non-NULL value seeds the
+    state; a NULL slot emits NULL and carries state forward unchanged).
+
+    Inherently recursive, so NOT a window expression — the kernel is a
+    per-series Arrow ``applyInPandas`` scan. Render-layer inputs are
+    bounded per series (maxDataPoints consolidation runs upstream), so a
+    group's batch is small by construction and the scan parallelizes
+    across series. Float discipline: ``α·v + (1-α)·s`` with ``(1-α)``
+    COMPUTED (not a pre-simplified literal: 1-0.3 ≠ 0.7 in binary64), so
+    an oracle writing the same expression is bit-equal."""
+    import pandas as pd
+
+    a = float(alpha)
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        out, state = [], None
+        for v in pdf["value"]:
+            if pd.isna(v):
+                out.append(None)
+            else:
+                state = v if state is None else a * v + (1 - a) * state
+                out.append(state)
+        pdf = pdf.assign(value=pd.array(out, dtype="float64"))
+        return pdf[["metric", "ts", "value"]]
+
+    return grid.select("metric", "ts", "value").groupBy("metric").applyInPandas(
+        _scan, "metric string, ts long, value double"
+    )
+
+
+def group_by_node(grid: DataFrame, node: int, agg: str = "sum") -> DataFrame:
+    """Graphite groupByNode(series_list, n, 'sum'): group series whose
+    dotted path shares segment ``node`` (0-based) and combine aligned
+    slots — the sumSeries/averageSeries family generalized. One keyed
+    aggregation, entirely JVM expressions."""
+    if agg not in ("sum", "avg", "min", "max"):
+        raise ValueError(f"unsupported combine {agg!r}")
+    seg = F.element_at(F.split(F.col("metric"), r"\."), node + 1)
+    return (
+        grid.groupBy(seg.alias("metric"), "ts")
+        .agg(getattr(F, agg)("value").alias("value"))
+    )

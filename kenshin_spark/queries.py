@@ -2949,12 +2949,12 @@ GROUP BY CUBE(o_orderstatus, o_orderpriority)
 
 CUME_SQL = """
 WITH daily AS (
-  SELECT CAST(o_orderdate AS DATE) AS d,
+  SELECT CAST(CAST(o_orderdate AS DATE) AS STRING) AS d,
          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
     AND o_orderdate < TIMESTAMP '1996-07-01'
-  GROUP BY CAST(o_orderdate AS DATE)
+  GROUP BY CAST(CAST(o_orderdate AS DATE) AS STRING)
 )
 SELECT d, round(CAST(rev AS DOUBLE), 2) AS day_revenue,
        round(CAST(sum(rev) OVER (
@@ -3020,6 +3020,84 @@ QUERIES["q_price_percentiles"] = QuerySpec(
     "`percentile` vs DuckDB `quantile_cont`, same R-7 linear "
     "interpolation over identical parquet doubles",
 )
+
+
+@register(
+    "render_ewma",
+    f"""
+    WITH RECURSIVE pts AS ({PTS}),
+    t0 AS (
+      SELECT metric, ts - ts % 3600 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT metric, ts, value,
+             row_number() OVER (PARTITION BY metric ORDER BY ts) AS rn
+      FROM t0
+    ),
+    rec AS (
+      SELECT metric, ts, value, rn, value AS ew FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.metric, o.ts, o.value, o.rn,
+             CASE WHEN o.value IS NULL THEN r.ew
+                  WHEN r.ew IS NULL THEN o.value
+                  ELSE 0.3 * o.value + (1 - 0.3) * r.ew END
+      FROM ordered o JOIN rec r ON o.metric = r.metric AND o.rn = r.rn + 1
+    )
+    SELECT metric, ts,
+           round(CASE WHEN value IS NULL THEN NULL ELSE ew END, 6) AS value
+    FROM rec
+    """,
+    "graphite exponentialMovingAverage(series, 0.3) over hourly tier — "
+    "inherently recursive (not a window expression): Spark side is a "
+    "per-series Arrow applyInPandas scan, oracle replays the recurrence "
+    "with a RECURSIVE CTE; (1-α) kept as a computed expression in both "
+    "engines so the float math is op-for-op identical",
+)
+def q_render_ewma(spark, sf_dir):
+    from kenshin_spark.functions.render import ewma
+
+    t0 = last_write_wins(_points(spark, sf_dir), 3600, arrival_col="arrival")
+    return ewma(t0, 0.3).withColumn("value", F.round("value", 6))
+
+
+@register(
+    "render_group_by_node",
+    """
+    WITH dotted AS (
+      SELECT event_type || '.s' || CAST(user_id % 3 AS VARCHAR) AS metric,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+             value, event_id AS arrival
+      FROM events
+    ),
+    t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM dotted GROUP BY 1, 2
+    )
+    SELECT string_split(metric, '.')[2] AS metric, ts,
+           round(sum(value), 6) AS value
+    FROM t0 GROUP BY 1, 2
+    """,
+    "graphite groupByNode(series_list, 1, 'sum') — series paths split on "
+    "dots, slots combined per shared segment (the sumSeries family "
+    "generalized); dotted paths synthesized as event_type.s<user shard>",
+)
+def q_render_group_by_node(spark, sf_dir):
+    from kenshin_spark.functions.render import group_by_node
+
+    ev = load_table(spark, sf_dir, "events")
+    dotted = ev.select(
+        F.concat_ws(
+            "", F.col("event_type"), F.lit(".s"), (F.col("user_id") % 3)
+        ).alias("metric"),
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+        "value",
+        F.col("event_id").alias("arrival"),
+    )
+    t0 = last_write_wins(dotted, 60, arrival_col="arrival")
+    return group_by_node(t0, 1, "sum").withColumn(
+        "value", F.round("value", 6)
+    )
 
 
 # ---------------------------------------------------------------------------
