@@ -278,3 +278,50 @@ class TestNewTpcPlans:
     def test_seasonal_profile_single_shuffle_partial_agg(self, spark):
         p = plan_of(QUERIES["ts_seasonal_profile"].fn(spark, SF))
         assert "partial_avg" in p or "partial_" in p
+
+
+class TestRound3Plans:
+    def test_table_profile_has_no_expand(self, spark):
+        """The profiler must stay per-column single-distinct unions — a
+        multi-distinct agg would plan an Expand that multiplies the full
+        scan by (distinct columns + 1)."""
+        p = plan_of(QUERIES["q_table_profile"].fn(spark, SF))
+        assert "Expand" not in p
+        # each branch scans exactly one pruned column (formatted plans
+        # print every scan twice: tree line + detail block)
+        import re
+
+        assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 6
+
+    def test_repetition_stats_shuffle_free(self, spark):
+        """Row-local gram fold: the only exchange allowed is the fan-out
+        repartition of the input scan — no aggregation exchange, since
+        every stat is computed inside its own row."""
+        from kenshin_spark.pipeline import repetition_stats
+
+        docs = load_table(spark, SF, "documents")
+        p = plan_of(repetition_stats(docs))
+        assert "HashAggregate" not in p and "SortAggregate" not in p
+
+    def test_q8_star_join_all_dims_broadcast(self, spark):
+        """8-way star: part/orders/customer/supplier/nation×2/region all
+        broadcast; the lineitem fact never shuffles for a join."""
+        p = plan_of(QUERIES["q8_market_share"].fn(spark, SF))
+        assert p.count("BroadcastHashJoin") // 2 == 7
+        assert p.count("ENSURE_REQUIREMENTS") <= 1
+
+    def test_semantic_dedup_broadcast_fanout(self, spark):
+        """SemDeDup pair join: build side broadcasts and the streamed
+        side is repartitioned across cores — a plain ~10-key join would
+        collapse to ~10 tasks."""
+        from kenshin_spark.dedup.semantic import semantic_neardup_pairs
+
+        emb = load_table(spark, SF, "embeddings")
+        p = plan_of(semantic_neardup_pairs(emb, threshold=0.4))
+        assert "BroadcastHashJoin" in p
+        assert "RoundRobinPartitioning" in p
+
+    def test_cube_single_expand_partial_agg(self, spark):
+        p = plan_of(QUERIES["q_cube_orders"].fn(spark, SF))
+        assert "Expand" in p  # grouping sets NEED one Expand — over 4 sets
+        assert "partial_" in p
