@@ -75,6 +75,15 @@ def cmd_expire(args) -> None:
     print(json.dumps({str(k): v for k, v in dropped.items()}))
 
 
+def cmd_recover(args) -> None:
+    """Crash recovery after an interrupted compact/delete swap: restore
+    any .bak whose live directory is missing (the change-schema .bak
+    dance, bin/kenshin-change-schema.py:103-112). Run on store open
+    after an unclean shutdown."""
+    store = _store(args)
+    print(json.dumps({"restored": store.recover()}))
+
+
 def cmd_change_schema(args) -> None:
     """bin/kenshin-change-schema.py:25-125 — diff the live schema against
     the new retentions/agg/xff; CHANGE_META rewraps in place, REBUILD
@@ -166,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--metric", required=True)
     e = sub.add_parser("expire")
     e.add_argument("--now", type=int, default=None)
+    sub.add_parser("recover")
     c = sub.add_parser("change-schema")
     c.add_argument("--new-retentions", required=True)
     c.add_argument("--new-agg", default=None)
@@ -188,6 +198,7 @@ def main(argv: list[str] | None = None) -> int:
         "search": cmd_search,
         "delete": cmd_delete,
         "expire": cmd_expire,
+        "recover": cmd_recover,
         "change-schema": cmd_change_schema,
         "import": cmd_import,
         "gc": cmd_gc,

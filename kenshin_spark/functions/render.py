@@ -354,3 +354,70 @@ def group_by_node(grid: DataFrame, node: int, agg: str = "sum") -> DataFrame:
         grid.groupBy(seg.alias("metric"), "ts")
         .agg(getattr(F, agg)("value").alias("value"))
     )
+
+
+def holt_linear(
+    grid: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+    gamma: float = 0.1,
+) -> DataFrame:
+    """Holt double-exponential smoothing with an EWMA absolute-deviation
+    band — the aberration-detection primitive behind Graphite's
+    holtWinters* family (graphite-web's defaults for α/β; seasonality is
+    provided separately by ``seasonal_profile``):
+
+        forecast_t = level_{t-1} + trend_{t-1}            (one-step-ahead)
+        level_t    = α·v_t + (1-α)·(level_{t-1} + trend_{t-1})
+        trend_t    = β·(level_t - level_{t-1}) + (1-β)·trend_{t-1}
+        dev_t      = γ·|v_t - forecast_t| + (1-γ)·dev_{t-1}
+        aberrant_t = |v_t - forecast_t| > 3·dev_{t-1}
+
+    Output: ``(metric, ts, value, forecast, deviation, aberrant)``;
+    the first slot has no prior state (forecast/aberrant NULL). Same
+    execution shape as ``ewma``: recursive, so a per-series Arrow
+    ``applyInPandas`` scan; every coefficient expression is written
+    op-for-op the way the recursive-CTE oracle writes it (computed
+    ``1-α``, not pre-simplified literals), so results are bit-equal."""
+    import pandas as pd
+
+    a, b, g = float(alpha), float(beta), float(gamma)
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        n = len(pdf)
+        fc = [None] * n
+        dv = [None] * n
+        ab = [None] * n
+        level = trend = dev = None
+        for i, v in enumerate(pdf["value"]):
+            if pd.isna(v):
+                continue
+            if level is None:
+                level, trend, dev = v, 0.0, 0.0
+                dv[i] = dev
+                continue
+            forecast = level + trend
+            fc[i] = forecast
+            ab[i] = abs(v - forecast) > 3 * dev
+            new_level = a * v + (1 - a) * (level + trend)
+            new_trend = b * (new_level - level) + (1 - b) * trend
+            dev = g * abs(v - forecast) + (1 - g) * dev
+            dv[i] = dev
+            level, trend = new_level, new_trend
+        return pd.DataFrame(
+            {
+                "metric": pdf["metric"].values,
+                "ts": pdf["ts"].values,
+                "value": pdf["value"].values,
+                "forecast": pd.array(fc, dtype="float64"),
+                "deviation": pd.array(dv, dtype="float64"),
+                "aberrant": pd.array(ab, dtype="boolean"),
+            }
+        )
+
+    return grid.select("metric", "ts", "value").groupBy("metric").applyInPandas(
+        _scan,
+        "metric string, ts long, value double, forecast double, "
+        "deviation double, aberrant boolean",
+    )

@@ -3062,6 +3062,57 @@ def q_render_ewma(spark, sf_dir):
 
 
 @register(
+    "render_holt_forecast",
+    f"""
+    WITH RECURSIVE pts AS ({PTS}),
+    t0 AS (
+      SELECT metric, ts - ts % 3600 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT metric, ts, value,
+             row_number() OVER (PARTITION BY metric ORDER BY ts) AS rn
+      FROM t0
+    ),
+    rec AS (
+      SELECT metric, ts, value, rn,
+             value AS level, CAST(0 AS DOUBLE) AS trend,
+             CAST(0 AS DOUBLE) AS dev,
+             CAST(NULL AS DOUBLE) AS forecast,
+             CAST(NULL AS BOOLEAN) AS aberrant
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.metric, o.ts, o.value, o.rn,
+             0.1 * o.value + (1 - 0.1) * (r.level + r.trend),
+             0.0035 * ((0.1 * o.value + (1 - 0.1) * (r.level + r.trend))
+                       - r.level) + (1 - 0.0035) * r.trend,
+             0.1 * abs(o.value - (r.level + r.trend)) + (1 - 0.1) * r.dev,
+             r.level + r.trend,
+             abs(o.value - (r.level + r.trend)) > 3 * r.dev
+      FROM ordered o JOIN rec r ON o.metric = r.metric AND o.rn = r.rn + 1
+    )
+    SELECT metric, ts, value, round(forecast, 6) AS forecast,
+           round(dev, 6) AS deviation, aberrant
+    FROM rec
+    """,
+    "Holt double-exponential forecast + EWMA deviation band + 3-sigma "
+    "aberration flag (the holtWinters* primitive; season handled by "
+    "seasonal_profile) — recursive, so Arrow applyInPandas per series; "
+    "oracle replays all three recurrences in one RECURSIVE CTE with "
+    "op-for-op identical float expressions",
+)
+def q_render_holt_forecast(spark, sf_dir):
+    from kenshin_spark.functions.render import holt_linear
+
+    t0 = last_write_wins(_points(spark, sf_dir), 3600, arrival_col="arrival")
+    return (
+        holt_linear(t0)
+        .withColumn("forecast", F.round("forecast", 6))
+        .withColumn("deviation", F.round("deviation", 6))
+    )
+
+
+@register(
     "render_group_by_node",
     """
     WITH dotted AS (

@@ -1012,6 +1012,28 @@ class TestSeriesTags:
         ]
 
 
+class TestCliRecover:
+    def test_recover_verb_restores_staged_tier(self, spark, tmp_path, capsys):
+        import json
+
+        from kenshin_spark import cli
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        root = str(tmp_path / "st")
+        schema = Schema.from_strings("cli", ".*", "60s:1d", xff=20.0)
+        store = ParquetTieredStore(spark, schema, root)
+        store.upsert(0, spark.createDataFrame(
+            [("m", 0, 1.0)], ["metric", "ts", "value"]))
+        # simulate a swap that died between stage and promote
+        store.fs.rename(store.tier_path(0), store.tier_path(0) + ".bak")
+        cli.main(["--root", root, "--retentions", "60s:1d", "--cpus", "2",
+                  "recover"])
+        out = json.loads(capsys.readouterr().out)
+        assert out == {"restored": [store.tier_path(0)]}
+        assert [tuple(r) for r in store.read(0).collect()] == [("m", 0, 1.0)]
+
+
 class TestCliOpsTools:
     """CLI verbs for the remaining bin/ tools: change-schema, import, gc
     (bin/kenshin-change-schema.py:25-125, bin/kenshin-rehash.py:22-100,
