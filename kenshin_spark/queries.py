@@ -2750,6 +2750,22 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 @register(
+    "sim_topk_pq",
+    None,  # approximate (codebook quantization) — rows-only check
+    "product-quantization ANN (Jégou 2011): m=16 subspace codebooks, "
+    "asymmetric-distance table lookups instead of full dot products — "
+    "the 16×-smaller-scan memory path; approximate, so no SQL oracle "
+    "(pytest asserts recall vs brute force + ADC arithmetic exactness)",
+)
+def q_sim_topk_pq(spark, sf_dir):
+    from kenshin_spark.similarity.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, k=10)
+
+
+@register(
     "sim_topk_ivf",
     None,  # approximate (cell-pruned) — rows-only check
     "IVF ANN: seeded k-means coarse quantizer, n_probe=3 cells scanned "

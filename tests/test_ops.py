@@ -1240,6 +1240,45 @@ class TestSemanticDedup:
             assert label_cells[(r["vec_a"], r["vec_b"])] == r["cosine"]
 
 
+class TestPqTopk:
+    def test_pq_recall_and_adc_exactness(self, spark):
+        """PQ top-5 should mostly land in the exact top-10 (recall), and
+        the ADC table-lookup score must EQUAL dot(query, reconstructed
+        corpus vector) — the lookup is an exact evaluation of an
+        approximate representation."""
+        import numpy as np
+
+        from kenshin_spark.io import load_table
+        from kenshin_spark.similarity import brute_force_topk
+        from kenshin_spark.similarity.pq import pq_topk, train_codebooks
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.where("vec_id < 5")
+        exact = brute_force_topk(emb, q, k=10).collect()
+        got = pq_topk(emb, q, k=5).collect()
+        assert len(got) == 25  # 5 queries × top-5
+        exact_by_q = {}
+        for r in exact:
+            exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(
+            1 for r in got if r["neighbor_id"] in exact_by_q[r["query_id"]]
+        )
+        assert hits >= 13  # >= ~52% of PQ top-5 in exact top-10
+
+        # ADC exactness: recompute one score from the codebooks
+        C = train_codebooks(emb, 16, 16)
+        m, ksub, dsub = C.shape
+        rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.where("vec_id < 200").collect()}
+        r0 = next(r for r in got if r["neighbor_id"] in rows)
+        qv, cv = rows[r0["query_id"]], rows[r0["neighbor_id"]]
+        recon = np.concatenate([
+            C[j][np.argmin(((cv[j*dsub:(j+1)*dsub] - C[j]) ** 2).sum(axis=1))]
+            for j in range(m)
+        ])
+        assert abs(float(np.dot(qv, recon)) - r0["score"]) < 1e-6
+
+
 class TestQuantizedTopk:
     def test_quantized_ranking_close_to_exact(self, spark):
         """Int8 quantization keeps ~cosine ranking: every quantized
