@@ -421,3 +421,43 @@ def holt_linear(
         "metric string, ts long, value double, forecast double, "
         "deviation double, aberrant boolean",
     )
+
+
+def moving_stdev(grid: DataFrame, n_points: int) -> DataFrame:
+    """Graphite movingStdDev-style trailing sample deviation — written as
+    the EXPLICIT two-sum formula ``sqrt((Σv² - (Σv)²/n) / (n-1))`` rather
+    than the engine's stddev aggregate: Spark and DuckDB implement
+    stddev with different streaming algorithms (different rounding
+    paths), while two window sums + the same scalar expression are
+    op-for-op identical across engines. Slots with <2 trailing values
+    are NULL."""
+    w = _series_window().rowsBetween(-(n_points - 1), 0)
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    n = F.count("value").over(w).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    return grid.select(
+        "metric",
+        "ts",
+        F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("value"),
+    )
+
+
+def remove_above_percentile(grid: DataFrame, pct: float) -> DataFrame:
+    """Graphite removeAbovePercentile(series, p): slots above the
+    series' exact interpolated p-th percentile become NULL (outlier
+    clipping before aggregation). The per-series percentile is a tiny
+    aggregate broadcast back onto the stream."""
+    cuts = grid.groupBy("metric").agg(
+        F.expr(f"percentile(value, {pct / 100.0})").alias("_cut")
+    )
+    return (
+        grid.join(F.broadcast(cuts), "metric")
+        .select(
+            "metric",
+            "ts",
+            F.when(F.col("value") <= F.col("_cut"), F.col("value")).alias(
+                "value"
+            ),
+        )
+    )

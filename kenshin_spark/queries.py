@@ -3078,6 +3078,61 @@ def q_render_ewma(spark, sf_dir):
 
 
 @register(
+    "render_moving_stdev",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    sums AS (
+      SELECT metric, ts,
+             sum(value) OVER w AS s1,
+             sum(value * value) OVER w AS s2,
+             CAST(count(value) OVER w AS DOUBLE) AS n
+      FROM t0
+      WINDOW w AS (PARTITION BY metric ORDER BY ts
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT metric, ts,
+           round(CASE WHEN n >= 2 THEN
+             sqrt(greatest((s2 - s1 * s1 / n) / (n - 1.0), 0.0))
+           END, 6) AS value
+    FROM sums
+    """,
+    "graphite movingStdDev(series, 5): trailing sample deviation via the "
+    "EXPLICIT two-sum formula in both engines (their native stddev "
+    "aggregates use different streaming algorithms with different "
+    "rounding paths; two window sums + one scalar expression are "
+    "op-for-op identical)",
+)
+def q_render_moving_stdev(spark, sf_dir):
+    from kenshin_spark.functions.render import moving_stdev
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return moving_stdev(t0, 5).withColumn("value", F.round("value", 6))
+
+
+@register(
+    "render_remove_above_percentile",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    cuts AS (
+      SELECT metric, quantile_cont(value, 0.95) AS _cut
+      FROM t0 GROUP BY metric
+    )
+    SELECT t0.metric, ts,
+           CASE WHEN value <= _cut THEN value END AS value
+    FROM t0 JOIN cuts ON t0.metric = cuts.metric
+    """,
+    "graphite removeAbovePercentile(series, 95): slots above the exact "
+    "interpolated per-series P95 become NULL (outlier clipping); the "
+    "tiny percentile aggregate broadcasts back onto the stream",
+)
+def q_render_remove_above_percentile(spark, sf_dir):
+    from kenshin_spark.functions.render import remove_above_percentile
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return remove_above_percentile(t0, 95.0)
+
+
+@register(
     "render_holt_forecast",
     f"""
     WITH RECURSIVE pts AS ({PTS}),
