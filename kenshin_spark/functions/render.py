@@ -356,6 +356,25 @@ def group_by_node(grid: DataFrame, node: int, agg: str = "sum") -> DataFrame:
     )
 
 
+def holt_step(state, v, a, b, g):
+    """One Holt recurrence step (the single source of truth shared by the
+    batch ``holt_linear`` scan and the streaming
+    ``with_holt_aberration`` operator — state layout ``(level, trend,
+    dev)`` or None before seeding). Returns ``(new_state, forecast,
+    deviation, aberrant)``; forecast/aberrant are None on the seeding
+    step. Expression order matters: it must stay op-for-op identical to
+    the RECURSIVE-CTE oracle in queries.py."""
+    if state is None:
+        return (v, 0.0, 0.0), None, 0.0, None
+    level, trend, dev = state
+    forecast = level + trend
+    aberrant = abs(v - forecast) > 3 * dev
+    new_level = a * v + (1 - a) * (level + trend)
+    new_trend = b * (new_level - level) + (1 - b) * trend
+    new_dev = g * abs(v - forecast) + (1 - g) * dev
+    return (new_level, new_trend, new_dev), forecast, new_dev, aberrant
+
+
 def holt_linear(
     grid: DataFrame,
     alpha: float = 0.1,
@@ -389,22 +408,11 @@ def holt_linear(
         fc = [None] * n
         dv = [None] * n
         ab = [None] * n
-        level = trend = dev = None
+        state = None
         for i, v in enumerate(pdf["value"]):
             if pd.isna(v):
                 continue
-            if level is None:
-                level, trend, dev = v, 0.0, 0.0
-                dv[i] = dev
-                continue
-            forecast = level + trend
-            fc[i] = forecast
-            ab[i] = abs(v - forecast) > 3 * dev
-            new_level = a * v + (1 - a) * (level + trend)
-            new_trend = b * (new_level - level) + (1 - b) * trend
-            dev = g * abs(v - forecast) + (1 - g) * dev
-            dv[i] = dev
-            level, trend = new_level, new_trend
+            state, fc[i], dv[i], ab[i] = holt_step(state, float(v), a, b, g)
         return pd.DataFrame(
             {
                 "metric": pdf["metric"].values,

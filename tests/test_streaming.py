@@ -576,6 +576,71 @@ class TestStatefulRate:
         assert got[1040] is None          # counter reset
 
 
+class TestStatefulHolt:
+    def test_streaming_equals_batch_scan(self, spark, tmp_path):
+        """Two micro-batches through with_holt_aberration must emit
+        EXACTLY what the batch holt_linear scan emits over the
+        concatenated series — forecasting state carries across batches,
+        and both paths share one step function, so alert thresholds are
+        portable between backfill and live ingest."""
+        from kenshin_spark.functions.render import holt_linear
+        from kenshin_spark.sources.line_protocol import parse_metric_lines
+        from kenshin_spark.streaming.holt import with_holt_aberration
+
+        in_dir, cp = str(tmp_path / "in"), str(tmp_path / "cp")
+        out_rows = []
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+        def sink(batch, batch_id):
+            out_rows.extend(tuple(r) for r in batch.collect())
+
+        def run_once(expect_rows: int):
+            import time as _t
+
+            lines = spark.readStream.format("text").load(in_dir)
+            pts = parse_metric_lines(lines, line_col="value").where(
+                F.col("corrupt").isNull()
+            ).select("metric", "ts", "value")
+            q = (
+                with_holt_aberration(pts)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            deadline = _t.time() + 90
+            while _t.time() < deadline and q.isActive:
+                if len(out_rows) >= expect_rows:
+                    break
+                _t.sleep(0.5)
+            if q.isActive:
+                q.stop()
+            q.awaitTermination(60)
+
+        series = [
+            ("m", 1000, 10.0), ("m", 1010, 12.0), ("m", 1020, 11.0),
+            ("m", 1030, 15.0), ("m", 1040, 90.0),  # the spike
+        ]
+        try:
+            write_lines(in_dir, "b1.txt",
+                        [f"{m} {v} {t}" for m, t, v in series[:3]])
+            run_once(expect_rows=3)
+            write_lines(in_dir, "b2.txt",
+                        [f"{m} {v} {t}" for m, t, v in series[3:]])
+            run_once(expect_rows=5)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+        grid = spark.createDataFrame(
+            series, "metric string, ts long, value double"
+        )
+        batch = [tuple(r) for r in holt_linear(grid).orderBy("ts").collect()]
+        assert sorted(out_rows, key=lambda r: r[1]) == batch
+        # the spike actually trips the 3-sigma band
+        assert batch[-1][5] is True
+
+
 class TestMergeOnRead:
     def test_mor_equals_cow_semantics(self, spark, tmp_path):
         """Same upsert sequence through both modes → identical reads;
