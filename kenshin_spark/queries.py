@@ -3163,14 +3163,18 @@ def q_render_remove_above_percentile(spark, sf_dir):
       FROM ordered o JOIN rec r ON o.metric = r.metric AND o.rn = r.rn + 1
     )
     SELECT metric, ts, value, round(forecast, 6) AS forecast,
-           round(dev, 6) AS deviation, aberrant
+           round(dev, 6) AS deviation,
+           CAST(aberrant AS INTEGER) AS aberrant
     FROM rec
     """,
     "Holt double-exponential forecast + EWMA deviation band + 3-sigma "
     "aberration flag (the holtWinters* primitive; season handled by "
     "seasonal_profile) — recursive, so Arrow applyInPandas per series; "
     "oracle replays all three recurrences in one RECURSIVE CTE with "
-    "op-for-op identical float expressions",
+    "op-for-op identical float expressions. The flag travels as a "
+    "nullable INTEGER: NULL booleans render as None on Spark but NaN on "
+    "DuckDB through pandas, which breaks order-insensitive comparison; "
+    "NULL ints become float64-NaN on BOTH sides",
 )
 def q_render_holt_forecast(spark, sf_dir):
     from kenshin_spark.functions.render import holt_linear
@@ -3180,6 +3184,7 @@ def q_render_holt_forecast(spark, sf_dir):
         holt_linear(t0)
         .withColumn("forecast", F.round("forecast", 6))
         .withColumn("deviation", F.round("deviation", 6))
+        .withColumn("aberrant", F.col("aberrant").cast("int"))
     )
 
 
