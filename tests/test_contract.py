@@ -1,0 +1,33 @@
+"""Driver-contract invariants (the things that silently cost a round if
+they drift — see VERDICT r2: 37 queries fell out of the evaluated
+window)."""
+
+from kenshin_spark.queries import DRIVER_VERIFIED, QUERIES, driver_order
+
+DRIVER_WINDOW = 50  # the driver evaluates this many queries() entries
+
+
+def test_driver_order_is_a_permutation():
+    o = driver_order()
+    assert sorted(o) == sorted(QUERIES)
+    assert DRIVER_VERIFIED <= set(QUERIES)
+
+
+def test_unverified_queries_fill_the_window_front():
+    o = driver_order()
+    n_unverified = len(QUERIES) - len(DRIVER_VERIFIED)
+    front = o[:n_unverified]
+    assert all(n not in DRIVER_VERIFIED for n in front)
+    # every query without a prior driver CORRECTNESS row must sit inside
+    # the evaluated window — if this trips, either promote r3-green names
+    # into DRIVER_VERIFIED or stop adding window-hungry queries
+    assert n_unverified <= DRIVER_WINDOW, (
+        f"{n_unverified} never-driver-verified queries exceed the "
+        f"{DRIVER_WINDOW}-slot window; the newest would go unevaluated"
+    )
+
+
+def test_every_query_has_doc_and_callable():
+    for name, spec in QUERIES.items():
+        assert callable(spec.fn), name
+        assert spec.doc, f"{name} has no doc string in the registry"
