@@ -1970,6 +1970,82 @@ def q_text_vocab_topk(spark, sf_dir):
 
 
 @register(
+    "text_oov_rate",
+    r"""
+    WITH occ AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    tokd AS (SELECT DISTINCT doc_id, tok FROM occ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS doc_freq FROM tokd GROUP BY tok
+      ) ORDER BY doc_freq DESC, tok LIMIT 100
+    )
+    SELECT o.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM occ o LEFT JOIN vocab v USING (tok)
+    GROUP BY o.doc_id
+    """,
+    "tokenizer-coverage check: per-doc out-of-vocabulary rate against "
+    "the corpus' own top-100 doc-frequency vocabulary (deterministic "
+    "tie-break) — the tiny vocab broadcasts, the occurrence stream "
+    "map-side-joins it, and the only exchange carries per-doc partial "
+    "counts",
+)
+def q_text_oov_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    vocab = (
+        tokd.groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "tok")
+        .limit(100)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    occ = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    return (
+        occ.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov") * F.lit(1.0) / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
     "text_collocations",
     r"""
     WITH toks AS (
