@@ -325,3 +325,38 @@ class TestRound3Plans:
         p = plan_of(QUERIES["q_cube_orders"].fn(spark, SF))
         assert "Expand" in p  # grouping sets NEED one Expand — over 4 sets
         assert "partial_" in p
+
+
+class TestBucketing:
+    def test_cobucketed_join_has_no_exchange(self, spark):
+        """Two tables bucketed by metric with equal bucket counts join
+        with NO exchange on either side — the write-once, never-reshard
+        layout (reference analog: N metrics per .hs file on a stable
+        fnv1a shard)."""
+        from kenshin_spark.bucketing import cobucketed_join, write_bucketed
+
+        df = spark.createDataFrame(
+            [("m%d" % (i % 20), i * 60, float(i)) for i in range(400)],
+            ["metric", "ts", "value"],
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(df, "bkt_a", n_buckets=4)
+            write_bucketed(df.withColumnRenamed("value", "v2"), "bkt_b",
+                           n_buckets=4)
+            # shuffle elimination requires join keys == bucket keys
+            joined = cobucketed_join(spark, "bkt_a", "bkt_b", ["metric"])
+            p = plan_of(joined)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p  # co-located: no shuffle at all
+            # and the result is right: 20 metrics × 20×20 pairs
+            assert joined.count() == 8000
+            # an UNBUCKETED copy of the same join DOES shuffle — the
+            # control proving the bucket layout is what removed it
+            plain = df.join(df.withColumnRenamed("value", "v2"), ["metric"])
+            assert "Exchange" in plan_of(plain)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS bkt_a")
+            spark.sql("DROP TABLE IF EXISTS bkt_b")
