@@ -469,3 +469,89 @@ def remove_above_percentile(grid: DataFrame, pct: float) -> DataFrame:
             ),
         )
     )
+
+
+def invert(grid: DataFrame) -> DataFrame:
+    """Graphite invert(series): 1/x; zero slots become NULL (no ±inf in
+    the grid contract)."""
+    return grid.select(
+        "metric",
+        "ts",
+        F.when(F.col("value") != 0, F.lit(1.0) / F.col("value")).alias("value"),
+    )
+
+
+def logarithm(grid: DataFrame, base: float = 10.0) -> DataFrame:
+    """Graphite logarithm(series, base); non-positive slots become NULL
+    (Graphite draws them as None too)."""
+    return grid.select(
+        "metric",
+        "ts",
+        F.when(F.col("value") > 0, F.log(float(base), "value")).alias("value"),
+    )
+
+
+def alias_by_node(grid: DataFrame, node: int) -> DataFrame:
+    """Graphite aliasByNode(series, n): rename each series to one dotted
+    path segment (0-based) — display-name surgery, values untouched."""
+    return grid.select(
+        F.element_at(F.split(F.col("metric"), r"\."), node + 1).alias("metric"),
+        "ts",
+        "value",
+    )
+
+
+def divide_series(grid: DataFrame, divisor_grid: DataFrame) -> DataFrame:
+    """Graphite divideSeries(dividend, divisor): slot-wise ratio of two
+    grids joined on (metric, ts) — co-partitioned self-join shape, the
+    same-key join Catalyst plans without an extra shuffle beyond
+    alignment. Divisor 0 or a missing slot → NULL."""
+    d = divisor_grid.select(
+        "metric", "ts", F.col("value").alias("_div")
+    )
+    return (
+        grid.join(d, ["metric", "ts"], "left")
+        .select(
+            "metric",
+            "ts",
+            F.when(F.col("_div") != 0, F.col("value") / F.col("_div")).alias(
+                "value"
+            ),
+        )
+    )
+
+
+def as_percent(grid: DataFrame) -> DataFrame:
+    """Graphite asPercent(series_list): each slot as a percentage of the
+    slot's total across series — one window sum per ts, no join."""
+    total = F.sum("value").over(Window.partitionBy("ts"))
+    return grid.select(
+        "metric",
+        "ts",
+        F.when(total != 0, F.col("value") * 100.0 / total).alias("value"),
+    )
+
+
+def n_percentile(grid: DataFrame, pct: float) -> DataFrame:
+    """Graphite nPercentile(series, p): every slot of a series replaced
+    by the series' exact p-th percentile (the flat-line reference)."""
+    cuts = grid.groupBy("metric").agg(
+        F.expr(f"percentile(value, {pct / 100.0})").alias("_cut")
+    )
+    return (
+        grid.join(F.broadcast(cuts), "metric")
+        .select("metric", "ts", F.col("_cut").alias("value"))
+    )
+
+
+def sort_by_maxima(grid: DataFrame, n: int) -> DataFrame:
+    """Graphite sortByMaxima + limit: keep the n series with the highest
+    peak — same selection shape as highest_average."""
+    ranked = (
+        grid.groupBy("metric")
+        .agg(F.max("value").alias("_peak"))
+        .orderBy(F.col("_peak").desc(), F.col("metric"))
+        .limit(n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(ranked), "metric")

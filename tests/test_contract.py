@@ -31,3 +31,22 @@ def test_every_query_has_doc_and_callable():
     for name, spec in QUERIES.items():
         assert callable(spec.fn), name
         assert spec.doc, f"{name} has no doc string in the registry"
+
+
+def test_no_duplicate_defs_in_package():
+    """A later duplicate def silently shadows the earlier one (the r2
+    time_shift defect, nearly repeated with offset in r3) — scan every
+    module for repeated top-level def names."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "kenshin_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        tree = ast.parse(py.read_text())
+        names = [n.name for n in tree.body
+                 if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+        dups = {n for n in names if names.count(n) > 1}
+        if dups:
+            offenders.append((str(py), sorted(dups)))
+    assert not offenders, f"duplicate top-level defs: {offenders}"

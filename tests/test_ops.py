@@ -1308,3 +1308,61 @@ class TestQuantizedTopk:
         qz = quantize_int8()
         row = emb.select(qz("embedding").alias("q")).first()
         assert max(abs(v) for v in row["q"]) <= 127
+
+
+class TestRenderSeriesArithmetic:
+    def grid(self, spark):
+        return spark.createDataFrame(
+            [("a.one", 0, 10.0), ("a.one", 60, 0.0), ("a.one", 120, None),
+             ("b.two", 0, 30.0), ("b.two", 60, 10.0), ("b.two", 120, 4.0)],
+            "metric string, ts long, value double",
+        )
+
+    def test_invert_logarithm_alias_by_node(self, spark):
+        from kenshin_spark.functions.render import (
+            alias_by_node,
+            invert,
+            logarithm,
+        )
+
+        g = self.grid(spark)
+        inv = {(r["metric"], r["ts"]): r["value"] for r in invert(g).collect()}
+        assert inv[("a.one", 0)] == 0.1
+        assert inv[("a.one", 60)] is None     # zero → NULL, not inf
+        assert inv[("a.one", 120)] is None
+        lg = {(r["metric"], r["ts"]): r["value"]
+              for r in logarithm(g, 10.0).collect()}
+        assert lg[("a.one", 0)] == 1.0
+        assert lg[("a.one", 60)] is None      # log(0) → NULL
+        names = {r["metric"] for r in alias_by_node(g, 1).collect()}
+        assert names == {"one", "two"}
+
+    def test_divide_series_and_as_percent(self, spark):
+        from kenshin_spark.functions.render import as_percent, divide_series
+
+        g = self.grid(spark)
+        a = g.where("metric = 'a.one'")
+        b = g.where("metric = 'b.two'").select(
+            F.lit("a.one").alias("metric"), "ts", "value"
+        )
+        ratio = {r["ts"]: r["value"] for r in divide_series(a, b).collect()}
+        assert ratio[0] == 10.0 / 30.0
+        assert ratio[60] == 0.0
+        assert ratio[120] is None             # NULL dividend
+        pct = {(r["metric"], r["ts"]): r["value"]
+               for r in as_percent(g).collect()}
+        assert pct[("a.one", 0)] == 25.0      # 10 of 40
+        assert pct[("b.two", 0)] == 75.0
+
+    def test_n_percentile_and_sort_by_maxima(self, spark):
+        from kenshin_spark.functions.render import (
+            n_percentile,
+            sort_by_maxima,
+        )
+
+        g = self.grid(spark)
+        flat = {(r["metric"], r["ts"]): r["value"]
+                for r in n_percentile(g, 50.0).collect()}
+        assert flat[("a.one", 0)] == flat[("a.one", 120)] == 5.0  # median
+        top = {r["metric"] for r in sort_by_maxima(g, 1).collect()}
+        assert top == {"b.two"}               # peak 30 beats 10
