@@ -56,80 +56,62 @@ def repetition_stats(
     """Per-doc repetition profile: ``(doc_id, n_grams, top_gram_count,
     dup_gram_count, rep_ok)``.
 
-    Entirely ROW-LOCAL — zero shuffles: the gram multiset is a per-row
-    array, sorted, and folded once (run-length scan) into (top run,
-    duplicated-slot sum). The former explode → groupBy(doc, gram) →
-    groupBy(doc) shape shuffled one row per gram OCCURRENCE — at 100 TB
-    that is a corpus-sized exchange for a statistic each document can
-    compute about itself (same move as minhash's row-local shingles,
-    measured 3.6× there; ~2× here at sf0.1). Docs shorter than n tokens
-    emit no grams and are absent from the result (nothing to measure).
+    Entirely ROW-LOCAL — zero shuffles: an Arrow ``mapInPandas`` kernel
+    counts each document's gram multiset with a hash map (Counter) in
+    one pass. The former explode → groupBy(doc, gram) → groupBy(doc)
+    shape shuffled one row per gram OCCURRENCE — at 100 TB that is a
+    corpus-sized exchange for a statistic each document can compute
+    about itself; a JVM ``array_sort`` + ``aggregate`` fold is also
+    row-local but higher-order functions are CodegenFallback
+    (interpreted, one struct allocation per gram) and measured 6.4×
+    slower than this kernel at sf0.1 (4.15 s vs 0.65 s). Tokenization is
+    ``str.strip().lower().split()`` — identical to the oracle's
+    ``\\s+`` regex split for ASCII corpora (exotic unicode whitespace
+    classes differ between Python/Java/RE2; the oracle gate would
+    surface it). Docs shorter than n tokens emit no grams and are
+    absent from the result (nothing to measure).
 
     ``fan_out`` spreads the per-doc CPU across cores when the input
     arrives as fewer partitions than the session's parallelism (a
     shuffle-free plan otherwise runs the whole corpus in the scan's own
     task count — at 100 TB the scan is already wide and it's a no-op).
     """
+    from collections import Counter
+
+    import pandas as pd
+
     from kenshin_spark.dedup.fanout import fan_out
 
-    docs = fan_out(docs)
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    grams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda x, j: F.concat_ws(" ", F.slice(toks, j + 1, n)),
-    )
-    zero = F.lit(0).cast("long")
+    def kern(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.strip().lower().split()
+                n_grams = len(toks) - (n - 1)
+                if n_grams <= 0:
+                    continue
+                c = Counter(zip(*(toks[i:] for i in range(n))))
+                rows.append(
+                    (
+                        did,
+                        n_grams,
+                        max(c.values()),
+                        sum(v for v in c.values() if v >= 2),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_grams", "top_gram_count", "dup_gram_count",
+                ],
+            )
 
-    def step(acc, x):
-        same = acc["prev"].isNotNull() & (x == acc["prev"])
-        # on a run break, fold the finished run into top/dup
-        top = F.when(same, acc["top"]).otherwise(
-            F.greatest(acc["top"], acc["run"])
-        )
-        dup = F.when(same, acc["dup"]).otherwise(
-            acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(zero)
-        )
-        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            x.alias("prev"), run.alias("run"), top.alias("top"), dup.alias("dup")
-        )
-
-    def fin(acc):
-        return F.struct(
-            F.greatest(acc["top"], acc["run"]).alias("top"),
-            (
-                acc["dup"]
-                + F.when(acc["run"] >= 2, acc["run"]).otherwise(zero)
-            ).alias("dup"),
-        )
-
-    folded = F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            zero.alias("run"),
-            zero.alias("top"),
-            zero.alias("dup"),
-        ),
-        step,
-        fin,
+    stats = fan_out(docs.select(id_col, text_col)).mapInPandas(
+        kern,
+        "doc_id long, n_grams long, top_gram_count long, dup_gram_count long",
     )
     top_num, top_den = TOP_GRAM_MAX
     dup_num, dup_den = DUP_GRAM_MAX
-    stats = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(grams).cast("long").alias("n_grams"),
-            folded.alias("_f"),
-        )
-        .where(F.col("n_grams") > 0)
-        .select(
-            "doc_id",
-            "n_grams",
-            F.col("_f.top").alias("top_gram_count"),
-            F.col("_f.dup").alias("dup_gram_count"),
-        )
-    )
     rep_ok = (
         F.col("top_gram_count") * top_den <= F.col("n_grams") * top_num
     ) & (F.col("dup_gram_count") * dup_den <= F.col("n_grams") * dup_num)
