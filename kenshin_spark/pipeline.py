@@ -190,3 +190,48 @@ def scrub_pii(text: Column | str) -> Column:
     return F.regexp_replace(
         F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    eval_rate: float = 0.1,
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Train/eval split that can NEVER leak a near-duplicate across the
+    boundary: documents are split by their duplicate-CLUSTER
+    representative, not by their own id, so every member of a near-dup
+    cluster lands on the same side (the decontamination failure mode a
+    naive per-doc hash split reintroduces — a train doc whose near-twin
+    sits in eval).
+
+    ``pairs`` is any pair-detector output (MinHash-LSH, SimHash,
+    embedding near-dup: columns doc_a/doc_b). Plan shape: connected
+    components label the paired minority of the corpus; the label table
+    (≤ |paired docs|, usually ≪ corpus) left-joins back and unpaired
+    docs fall through to their own id — the big table is never shuffled
+    beyond that one AQE-sized join. The split rule is the same
+    deterministic md5 bucket as ``functions.sampling`` (layout- and
+    rerun-stable).
+
+    Returns ``df`` + ``split`` ('train' | 'eval')."""
+    from kenshin_spark.dedup.cluster import connected_components
+    from kenshin_spark.functions.sampling import DEN, sample_bucket
+
+    labels = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("_rep")
+    )
+    rep = F.coalesce(F.col("_rep"), F.col(id_col))
+    return (
+        df.join(labels, id_col, "left")
+        .withColumn(
+            "split",
+            F.when(
+                sample_bucket(rep.cast("string"), seed)
+                < F.lit(int(eval_rate * DEN)),
+                F.lit("eval"),
+            ).otherwise(F.lit("train")),
+        )
+        .drop("_rep")
+    )

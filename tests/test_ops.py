@@ -1366,3 +1366,30 @@ class TestRenderSeriesArithmetic:
         assert flat[("a.one", 0)] == flat[("a.one", 120)] == 5.0  # median
         top = {r["metric"] for r in sort_by_maxima(g, 1).collect()}
         assert top == {"b.two"}               # peak 30 beats 10
+
+
+class TestLeakageSafeSplit:
+    def test_near_dup_pairs_never_straddle(self, spark):
+        """Every near-dup pair must land on ONE side of the split; the
+        split must be deterministic and roughly honor the rate."""
+        from kenshin_spark.dedup import minhash_lsh_pairs
+        from kenshin_spark.io import load_table
+        from kenshin_spark.pipeline import leakage_safe_split
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+        out = leakage_safe_split(docs, pairs, eval_rate=0.2)
+        side = {r["doc_id"]: r["split"] for r in out.collect()}
+        n_pairs = 0
+        for p in pairs.collect():
+            n_pairs += 1
+            assert side[p["doc_a"]] == side[p["doc_b"]], (
+                f"pair {p['doc_a']}/{p['doc_b']} straddles the split"
+            )
+        assert n_pairs > 0  # the corpus does contain near-dups
+        n_eval = sum(1 for s in side.values() if s == "eval")
+        assert 0.05 < n_eval / len(side) < 0.45  # rate in the ballpark
+        # deterministic: a second run produces the identical assignment
+        again = {r["doc_id"]: r["split"]
+                 for r in leakage_safe_split(docs, pairs, 0.2).collect()}
+        assert again == side
