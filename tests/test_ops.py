@@ -1393,3 +1393,31 @@ class TestLeakageSafeSplit:
         again = {r["doc_id"]: r["split"]
                  for r in leakage_safe_split(docs, pairs, 0.2).collect()}
         assert again == side
+
+
+class TestPcaProjection:
+    def test_variance_ordering_orthonormality_determinism(self, spark):
+        import numpy as np
+
+        from kenshin_spark.io import load_table
+        from kenshin_spark.similarity.pca import pca_project, train_pca
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        mean, comps, ev = train_pca(emb, k=8)
+        # components orthonormal, eigenvalues descending
+        assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-9)
+        assert all(ev[i] >= ev[i + 1] for i in range(7))
+        # deterministic retrain (sign convention included)
+        m2, c2, e2 = train_pca(emb, k=8)
+        assert np.array_equal(comps, c2) and np.array_equal(mean, m2)
+
+        out = pca_project(emb, k=8).collect()
+        P = np.array([r["projection"] for r in out])
+        assert P.shape[1] == 8
+        # projected variance per axis tracks the eigenvalues' ORDER
+        var = P.var(axis=0, ddof=1)
+        assert all(var[i] >= var[i + 1] * 0.5 for i in range(7))
+        # projection really is (x - mean) @ comps.T for a sample row
+        r0 = out[0]
+        x = np.array(r0["embedding"], dtype=np.float64)
+        assert np.allclose((x - mean) @ comps.T, r0["projection"], atol=1e-9)
