@@ -235,3 +235,76 @@ def leakage_safe_split(
         )
         .drop("_rep")
     )
+
+
+def token_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    monitoring step between re-crawls (did the source mix shift under
+    us?). For every token in either snapshot's vocabulary:
+
+        ``(token, old_count, new_count, old_ppm, new_ppm, chi2)``
+
+    where ppm is occurrences per million tokens and chi2 is the token's
+    two-sample chi-square contribution ``Σ (o - e)² / e`` over both
+    snapshots (expected counts from the pooled distribution). Ordered by
+    chi2 descending, top_k rows — the tokens that moved most.
+
+    Plan: each snapshot is one explode → token-keyed count (map-side
+    partial agg collapses to |vocab| rows before the exchange), then a
+    full outer join of two vocab-sized tables — corpus bytes are
+    touched exactly once per side.
+    """
+    def counts(docs, name):
+        return (
+            docs.select(
+                F.explode(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                ).alias("token")
+            )
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    old_c = counts(old_docs, "old_count")
+    new_c = counts(new_docs, "new_count")
+    joined = old_c.join(new_c, "token", "full_outer").select(
+        "token",
+        F.coalesce("old_count", F.lit(0)).alias("old_count"),
+        F.coalesce("new_count", F.lit(0)).alias("new_count"),
+    )
+    tot = joined.agg(
+        F.sum("old_count").alias("_to"), F.sum("new_count").alias("_tn")
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    pooled = (F.col("old_count") + F.col("new_count")) / (
+        F.col("_to") + F.col("_tn")
+    )
+    e_old = pooled * F.col("_to")
+    e_new = pooled * F.col("_tn")
+    chi2 = (
+        (F.col("old_count") - e_old) ** 2 / e_old
+        + (F.col("new_count") - e_new) ** 2 / e_new
+    )
+    return (
+        j.select(
+            "token",
+            "old_count",
+            "new_count",
+            F.round(F.col("old_count") * 1e6 / F.col("_to"), 3).alias(
+                "old_ppm"
+            ),
+            F.round(F.col("new_count") * 1e6 / F.col("_tn"), 3).alias(
+                "new_ppm"
+            ),
+            F.round(chi2, 6).alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "token")
+        .limit(top_k)
+    )

@@ -1421,3 +1421,37 @@ class TestPcaProjection:
         r0 = out[0]
         x = np.array(r0["embedding"], dtype=np.float64)
         assert np.allclose((x - mean) @ comps.T, r0["projection"], atol=1e-9)
+
+
+class TestTokenDrift:
+    def test_identical_snapshots_have_zero_drift(self, spark):
+        from kenshin_spark.io import load_table
+        from kenshin_spark.pipeline import token_drift
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = token_drift(docs, docs, top_k=20).collect()
+        assert len(out) == 20
+        assert all(r["chi2"] == 0.0 for r in out)
+        assert all(r["old_ppm"] == r["new_ppm"] for r in out)
+
+    def test_injected_shift_ranks_first(self, spark):
+        from pyspark.sql import functions as F
+
+        from kenshin_spark.io import load_table
+        from kenshin_spark.pipeline import token_drift
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        # new snapshot: half the docs get a flood of one synthetic token
+        flooded = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat_ws(
+                    " ", F.col("text"),
+                    F.lit("zzdrift zzdrift zzdrift zzdrift zzdrift"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        out = token_drift(docs, flooded, top_k=5).collect()
+        assert out[0]["token"] == "zzdrift"
+        assert out[0]["old_count"] == 0 and out[0]["new_count"] > 0
