@@ -207,6 +207,19 @@ class ParquetTieredStore:
             raw = raw.where(F.col("_seq") <= as_of_seq)
         return self._resolve(raw)
 
+    def changed_between(
+        self, i: int, seq_a: int, seq_b: int
+    ) -> DataFrame:
+        """CDC over the mor log: slots whose RESOLVED value differs
+        between snapshot ``seq_a`` and the later ``seq_b`` — new metrics,
+        overwritten slots, NULL-overwrites included (the store has no
+        deletes below metric granularity). Implemented as
+        ``read_at(b) EXCEPT ALL read_at(a)``: both sides collapse their
+        log prefix first, so the diff is over resolved states, not raw
+        appends. Feed downstream incremental jobs (re-downsample only
+        changed slots) instead of re-reading the tier."""
+        return self.read_at(i, seq_b).exceptAll(self.read_at(i, seq_a))
+
     def read_range(self, i: int, from_ts: int, until_ts: int) -> DataFrame:
         """Tier i restricted to ``[from_ts, until_ts)`` — the ts filter is
         mirrored onto the ``day`` partition column so the scan prunes

@@ -864,3 +864,25 @@ class TestStreamingIncrementalDedup:
             process(spark.createDataFrame(b, ["doc_id", "text"]))
 
         assert sorted(found) == [(1, 10), (1, 20), (10, 20)]
+
+
+class TestChangeDataFeed:
+    def test_changed_between_stamps(self, spark, tmp_path):
+        """changed_between(a, b) returns exactly the slots whose RESOLVED
+        value moved — overwrites and creates, not untouched rows."""
+        schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
+        mor = ParquetTieredStore(
+            spark, schema, str(tmp_path / "cdc"), mode="mor"
+        )
+        mor.upsert(0, spark.createDataFrame(
+            [("m1", 0, 1.0), ("m2", 60, 2.0)],
+            "metric string, ts long, value double"))
+        s1 = mor.last_seq()
+        mor.upsert(0, spark.createDataFrame(
+            [("m1", 0, 9.0), ("m3", 0, 5.0)],  # overwrite + create
+            "metric string, ts long, value double"))
+        s2 = mor.last_seq()
+        changed = rows(mor.changed_between(0, s1, s2))
+        assert changed == [("m1", 0, 9.0), ("m3", 0, 5.0)]
+        # untouched m2 is absent; a no-op window diffs empty
+        assert rows(mor.changed_between(0, s2, s2)) == []
