@@ -354,6 +354,21 @@ class ParquetTieredStore:
             self.upsert(i, re_agg)
             touched = re_agg.select("metric", "ts")
 
+    def propagate_from_seq(self, since_seq: int, from_tier: int = 0) -> int:
+        """Catch-up propagation (mor): re-downsample ONLY the slots tier
+        ``from_tier`` changed since write stamp ``since_seq`` — the
+        recovery path when writes bypassed the per-batch cascade
+        (imports, restored ``.bak`` tiers, manual upserts, a crashed
+        ingest that flushed tier0 but died before cascading). Cost is
+        ∝ changed slots, not tier size: the CDC diff collapses the log
+        prefix on both sides and ``propagate`` re-aggregates only the
+        touched coarse windows. Returns the stamp to pass as
+        ``since_seq`` next time (checkpoint it)."""
+        upto = self.last_seq()
+        changed = self.changed_between(from_tier, since_seq, upto)
+        self.propagate(changed.select("metric", "ts"), from_tier)
+        return upto
+
     # -- fetch (R1-R3) ----------------------------------------------------
 
     def fetch(

@@ -886,3 +886,33 @@ class TestChangeDataFeed:
         assert changed == [("m1", 0, 9.0), ("m3", 0, 5.0)]
         # untouched m2 is absent; a no-op window diffs empty
         assert rows(mor.changed_between(0, s2, s2)) == []
+
+
+class TestCatchUpPropagation:
+    def test_propagate_from_seq_backfills_coarse_tiers(self, spark, tmp_path):
+        """A tier0 write that bypassed the cascade (import/backfill) is
+        caught up by propagate_from_seq — only since the given stamp,
+        and a second catch-up from the returned stamp is a no-op."""
+        schema = Schema.from_strings(
+            "s", ".*", "60s:1d,300s:7d", xff=1.0, agg_method="average"
+        )
+        mor = ParquetTieredStore(
+            spark, schema, str(tmp_path / "cb"), mode="mor"
+        )
+        # normal cascaded write
+        first = spark.createDataFrame(
+            [("m", 0, 2.0), ("m", 60, 4.0)],
+            "metric string, ts long, value double")
+        mor.upsert(0, first)
+        mor.propagate(first)
+        s1 = mor.last_seq()
+        assert rows(mor.read(1)) == [("m", 0, 3.0)]
+        # backfill lands in tier0 WITHOUT cascading
+        mor.upsert(0, spark.createDataFrame(
+            [("m", 120, 12.0)], "metric string, ts long, value double"))
+        assert rows(mor.read(1)) == [("m", 0, 3.0)]  # stale coarse tier
+        s2 = mor.propagate_from_seq(s1)
+        assert rows(mor.read(1)) == [("m", 0, 6.0)]  # avg(2,4,12)
+        # idempotent from the returned checkpoint
+        mor.propagate_from_seq(s2)
+        assert rows(mor.read(1)) == [("m", 0, 6.0)]
