@@ -3055,17 +3055,40 @@ SELECT d, round(CAST(rev AS DOUBLE), 2) AS day_revenue,
 FROM daily
 """
 
-#: identical SQL up to each engine's exact-interpolated-percentile name:
-#: Spark `percentile`, DuckDB `quantile_cont` (both type R-7 linear
-#: interpolation over the same parquet doubles — bit-equal)
+#: one percentile aggregate evaluating all three quantiles in a single
+#: pass over each group (the three-separate-aggregates form re-built the
+#: per-group value buffer three times — measured ~2× slower). Engines
+#: differ in list syntax (Spark `array(...)`/0-based, DuckDB `[...]`/
+#: 1-based) but both do R-7 linear interpolation over the same parquet
+#: doubles — bit-equal.
 PCT_SQL = """
 SELECT l_returnflag,
-       round(CAST(percentile(l_extendedprice, 0.25) AS DOUBLE), 4) AS p25,
-       round(CAST(percentile(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
-       round(CAST(percentile(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95,
-       CAST(count(*) AS BIGINT) AS n_lines
-FROM lineitem
-GROUP BY l_returnflag
+       round(CAST(ps[0] AS DOUBLE), 4) AS p25,
+       round(CAST(ps[1] AS DOUBLE), 4) AS p50,
+       round(CAST(ps[2] AS DOUBLE), 4) AS p95,
+       n_lines
+FROM (
+  SELECT l_returnflag,
+         percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D)) AS ps,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+"""
+
+PCT_ORACLE = """
+SELECT l_returnflag,
+       round(CAST(ps[1] AS DOUBLE), 4) AS p25,
+       round(CAST(ps[2] AS DOUBLE), 4) AS p50,
+       round(CAST(ps[3] AS DOUBLE), 4) AS p95,
+       n_lines
+FROM (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]) AS ps,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  GROUP BY l_returnflag
+)
 """
 
 QUERIES["q8_market_share"] = QuerySpec(
@@ -3107,7 +3130,7 @@ QUERIES["q_cumulative_revenue"] = QuerySpec(
 )
 QUERIES["q_price_percentiles"] = QuerySpec(
     fn=_sql_query(PCT_SQL, ("lineitem",)),
-    oracle=PCT_SQL.replace("percentile(", "quantile_cont("),
+    oracle=PCT_ORACLE,
     doc="exact interpolated price percentiles per return flag — Spark "
     "`percentile` vs DuckDB `quantile_cont`, same R-7 linear "
     "interpolation over identical parquet doubles",
