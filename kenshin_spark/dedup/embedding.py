@@ -142,3 +142,42 @@ def embedding_neardup_pairs_lsh(
         .select("vec_a", "vec_b", F.round(cosine, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def cross_neardup_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bipartite near-dup: ``(left_id, right_id, cosine)`` for pairs
+    ACROSS two sets with cosine ≥ threshold — the semantic-
+    decontamination primitive (drop training docs whose embedding sits
+    too close to an eval-set embedding; catches paraphrases the n-gram
+    overlap check misses). Same plan shape as the self-join variant:
+    norms once per vector, the small side (the benchmark) broadcast,
+    the threshold prefilter inside the join condition, the big side
+    repartitioned so the join fans out."""
+    spark = left.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    a = left.select(
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    ).repartition(par)
+    b = right.select(
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    denom = F.col("_na") * F.col("_nb")
+    cosine = F.when(denom != 0, dot_product(F.col("_va"), F.col("_vb")) / denom)
+    prefilter = dot_product(F.col("_va"), F.col("_vb")) >= (
+        F.lit(threshold - 5e-7) * denom
+    )
+    return (
+        a.join(F.broadcast(b), prefilter)
+        .select("left_id", "right_id", F.round(cosine, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

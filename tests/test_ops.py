@@ -1455,3 +1455,56 @@ class TestTokenDrift:
         out = token_drift(docs, flooded, top_k=5).collect()
         assert out[0]["token"] == "zzdrift"
         assert out[0]["old_count"] == 0 and out[0]["new_count"] > 0
+
+
+class TestCrossNearDup:
+    def test_bipartite_subset_of_self_join(self, spark):
+        """Splitting the corpus and running the bipartite detector must
+        find exactly the self-join pairs that straddle the split."""
+        from kenshin_spark.dedup import embedding_neardup_pairs
+        from kenshin_spark.dedup.embedding import cross_neardup_pairs
+        from kenshin_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        left = emb.where("vec_id % 2 = 0")
+        right = emb.where("vec_id % 2 = 1")
+        full = {
+            (min(r["vec_a"], r["vec_b"]), max(r["vec_a"], r["vec_b"])): r["cosine"]
+            for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+        }
+        straddling = {k: v for k, v in full.items() if (k[0] + k[1]) % 2 == 1}
+        got = {
+            (min(r["left_id"], r["right_id"]), max(r["left_id"], r["right_id"])): r["cosine"]
+            for r in cross_neardup_pairs(left, right, threshold=0.4).collect()
+        }
+        assert got == straddling
+
+
+class TestUnigramScore:
+    def test_degenerate_doc_scores_high_and_rare_low(self, spark):
+        from kenshin_spark.functions.text import unigram_logprob_score
+        from kenshin_spark.io import load_table
+
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        top_tok = (
+            docs.select(F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+            .where("t <> ''").groupBy("t").count()
+            .orderBy(F.col("count").desc(), "t").first()["t"]
+        )
+        probe = spark.createDataFrame(
+            [(900001, " ".join([top_tok] * 8)),
+             (900002, "qzxv1 qzxv2 qzxv3 qzxv4 qzxv5 qzxv6")],
+            "doc_id long, text string")
+        scored = {r["doc_id"]: r for r in unigram_logprob_score(
+            docs.select("doc_id", "text").unionByName(probe)).collect()}
+        corpus_mean = sum(
+            r["mean_logprob"] for d, r in scored.items() if d < 900000
+        ) / sum(1 for d in scored if d < 900000)
+        # all-frequent-token doc beats the corpus mean; all-OOV doc is
+        # far below it — both tails separable
+        assert scored[900001]["mean_logprob"] > corpus_mean
+        assert scored[900002]["mean_logprob"] < corpus_mean - 2.0
+        assert scored[900002]["n_tokens"] == 6
