@@ -204,3 +204,99 @@ def test_asof_matches_pandas_merge_asof(spark, left, right, tolerance):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewma_bounded_by_running_extrema(spark, series):
+    """EWMA is a convex combination of observed values: every non-NULL
+    output lies within the [min, max] of the non-NULL prefix; NULL slots
+    emit NULL and leave state untouched."""
+    from kenshin_spark.functions.render import ewma
+
+    grid = spark.createDataFrame(
+        [("m", ts * 60, v) for ts, v in series],
+        "metric string, ts long, value double",
+    )
+    out = {r["ts"]: r["value"]
+           for r in ewma(grid, alpha=0.3).collect()}
+    lo = hi = None
+    for ts, v in sorted(series):
+        if v is None:
+            assert out[ts * 60] is None
+            continue
+        lo = v if lo is None else min(lo, v)
+        hi = v if hi is None else max(hi, v)
+        got = out[ts * 60]
+        assert got is not None
+        assert lo - 1e-9 <= got <= hi + 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e5, max_value=1e5,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_moving_stdev_nonnegative_and_null_rule(spark, vals):
+    """Trailing stdev is >= 0 wherever defined, and NULL exactly on the
+    first slot (window of one)."""
+    from kenshin_spark.functions.render import moving_stdev
+
+    grid = spark.createDataFrame(
+        [("m", i * 60, v) for i, v in enumerate(vals)],
+        "metric string, ts long, value double",
+    )
+    rows = sorted(
+        moving_stdev(grid, 5).collect(), key=lambda r: r["ts"]
+    )
+    assert rows[0]["value"] is None
+    for r in rows[1:]:
+        assert r["value"] is not None and r["value"] >= 0.0
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e5, max_value=1e5,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=30,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_holt_state_invariants(spark, vals):
+    """Holt scan invariants on arbitrary series: deviation is always
+    >= 0 and finite; forecast is NULL only on the seed slot; the flag is
+    NULL exactly where forecast is."""
+    from kenshin_spark.functions.render import holt_linear
+
+    grid = spark.createDataFrame(
+        [("m", i * 60, v) for i, v in enumerate(vals)],
+        "metric string, ts long, value double",
+    )
+    rows = sorted(holt_linear(grid).collect(), key=lambda r: r["ts"])
+    assert rows[0]["forecast"] is None and rows[0]["aberrant"] is None
+    assert rows[0]["deviation"] == 0.0
+    for r in rows[1:]:
+        assert r["forecast"] is not None
+        assert r["aberrant"] is not None
+        assert r["deviation"] is not None
+        assert r["deviation"] >= 0.0 and math.isfinite(r["deviation"])
