@@ -1480,7 +1480,8 @@ QUERIES["q_table_profile"] = QuerySpec(
     fn=_q_table_profile,
     oracle=_profile_oracle(),
     doc="per-column profiler over lineitem: nulls / exact distincts / "
-    "min-max in ONE scan (multi-distinct agg + stack unpivot)",
+    "min-max via per-column single-distinct sub-aggregates unioned — no "
+    "Expand, each scan reads one pruned parquet column",
 )
 
 
