@@ -2266,8 +2266,9 @@ def q_pipeline_corpus_curation(spark, sf_dir):
     """,
     "Gopher-style repetition filter on token 2-grams (the corpus has no "
     "lines/paragraphs): top-gram slot share <= 1/8 AND duplicated-gram "
-    "slot share <= 3/10, both as integer cross-multiplications. Two "
-    "doc-keyed aggregations, no float ratios",
+    "slot share <= 3/10, both as integer cross-multiplications. "
+    "Row-local Arrow Counter kernel — zero shuffles; the oracle replays "
+    "the multiset via explode + two grouped aggs",
 )
 def q_text_repetition_filter(spark, sf_dir):
     from kenshin_spark.pipeline import repetition_stats
