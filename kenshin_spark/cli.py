@@ -75,6 +75,31 @@ def cmd_expire(args) -> None:
     print(json.dumps({str(k): v for k, v in dropped.items()}))
 
 
+def cmd_backup(args) -> None:
+    """Copy the whole store (tiers + catalog + seq sidecar) to another
+    root — local, file:, hdfs: or s3a all take the same path."""
+    store = _store(args)
+    copied = store.backup_to(args.dest)
+    print(json.dumps({"dest": args.dest, "copied": copied}))
+
+
+def cmd_explain(args) -> None:
+    """Print the formatted physical plan of a registry query at the
+    given sf dir — the plan-audit tool the repo's own scale reviews use
+    (pushed filters / broadcasts / exchanges at a glance)."""
+    from kenshin_spark.queries import QUERIES
+    from kenshin_spark.session import get_spark
+
+    spark = get_spark("kenshin-explain", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[args.query].fn(spark, args.sf_dir)
+    print(
+        df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    )
+
+
 def cmd_recover(args) -> None:
     """Crash recovery after an interrupted compact/delete swap: restore
     any .bak whose live directory is missing (the change-schema .bak
@@ -176,6 +201,11 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire")
     e.add_argument("--now", type=int, default=None)
     sub.add_parser("recover")
+    bk = sub.add_parser("backup")
+    bk.add_argument("--dest", required=True)
+    ex = sub.add_parser("explain")
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     c = sub.add_parser("change-schema")
     c.add_argument("--new-retentions", required=True)
     c.add_argument("--new-agg", default=None)
@@ -199,6 +229,8 @@ def main(argv: list[str] | None = None) -> int:
         "delete": cmd_delete,
         "expire": cmd_expire,
         "recover": cmd_recover,
+        "backup": cmd_backup,
+        "explain": cmd_explain,
         "change-schema": cmd_change_schema,
         "import": cmd_import,
         "gc": cmd_gc,

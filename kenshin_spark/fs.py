@@ -130,6 +130,16 @@ class HadoopFS:
         if had_live:
             self.delete(bak)
 
+    def copy_tree(self, src: str, dst: str) -> bool:
+        """Recursive copy (no delete of source) — the backup primitive.
+        Goes through Hadoop's FileUtil so a local→hdfs or hdfs→s3a copy
+        is the same call."""
+        conf = self._fs.getConf()
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+        return FileUtil.copy(
+            self._fs, self._p(src), self._fs, self._p(dst), False, True, conf
+        )
+
     def recover_swap(self, live: str) -> bool:
         """Crash recovery: if ``live`` is missing but ``live.bak`` exists
         (a swap died between stage and promote), restore it. Returns True

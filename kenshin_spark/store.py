@@ -354,6 +354,32 @@ class ParquetTieredStore:
             self.upsert(i, re_agg)
             touched = re_agg.select("metric", "ts")
 
+    def backup_to(self, dest_root: str) -> list[str]:
+        """Copy every tier, the catalog, and the seq sidecar to
+        ``dest_root`` (same filesystem semantics as the store root —
+        local, file:, hdfs:, s3a). A plain recursive copy is a CRASH-
+        CONSISTENT backup here because tier data is immutable-once-
+        written parquet plus an append log; for a point-in-time snapshot
+        under concurrent writes, pin ``last_seq()`` first and restore
+        with ``read_at`` semantics. Returns the paths copied."""
+        copied = []
+        for i in range(len(self.schema.archives)):
+            p = self.tier_path(i)
+            if self.fs.exists(p):
+                self.fs.copy_tree(p, os.path.join(dest_root, f"tier={i}"))
+                copied.append(p)
+        if self.fs.exists(self.catalog_path):
+            self.fs.copy_tree(
+                self.catalog_path, os.path.join(dest_root, "_catalog")
+            )
+            copied.append(self.catalog_path)
+        if self.fs.exists(self._seq_sidecar):
+            self.fs.copy_tree(
+                self._seq_sidecar, os.path.join(dest_root, "_seq.json")
+            )
+            copied.append(self._seq_sidecar)
+        return copied
+
     def propagate_from_seq(self, since_seq: int, from_tier: int = 0) -> int:
         """Catch-up propagation (mor): re-downsample ONLY the slots tier
         ``from_tier`` changed since write stamp ``since_seq`` — the

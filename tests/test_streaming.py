@@ -916,3 +916,28 @@ class TestCatchUpPropagation:
         # idempotent from the returned checkpoint
         mor.propagate_from_seq(s2)
         assert rows(mor.read(1)) == [("m", 0, 6.0)]
+
+
+class TestBackup:
+    def test_backup_to_copies_everything_restorable(self, spark, tmp_path):
+        schema = Schema.from_strings("s", ".*", "60s:1d,300s:7d", xff=1.0)
+        src = ParquetTieredStore(
+            spark, schema, str(tmp_path / "live"), mode="mor"
+        )
+        src.upsert(0, spark.createDataFrame(
+            [("m", 0, 1.0), ("m", 60, 2.0)],
+            "metric string, ts long, value double"))
+        src.catalog_add(spark.createDataFrame(
+            [("m", "s", 0)], "metric string, schema_name string, created_ts long"))
+        copied = src.backup_to(str(tmp_path / "bak"))
+        assert len(copied) == 3  # tier0 + catalog + sidecar (tier1 empty)
+        restored = ParquetTieredStore(
+            spark, schema, str(tmp_path / "bak"), mode="mor"
+        )
+        assert rows(restored.read(0)) == rows(src.read(0))
+        assert restored.last_seq() == src.last_seq()
+        assert restored.catalog().count() == 1
+        # the restored handle continues the stamp sequence safely
+        restored.upsert(0, spark.createDataFrame(
+            [("m", 0, 9.0)], "metric string, ts long, value double"))
+        assert rows(restored.read(0)) == [("m", 0, 9.0), ("m", 60, 2.0)]
