@@ -32,7 +32,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # normalize missing markers first: Spark hands None where
+            # DuckDB hands NaN (seen with nullable booleans) — astype(str)
+            # would sort 'None' and 'nan' differently and misalign rows
+            df[c] = df[c].map(
+                lambda v: None if v is None or v is pd.NA
+                or (isinstance(v, float) and pd.isna(v)) else v
+            ).astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
