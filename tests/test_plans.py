@@ -360,3 +360,46 @@ class TestBucketing:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS bkt_a")
             spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+class TestIoBudget:
+    """The reference's signature CI test is an IO budget
+    (tests/test_io_performance.py:49-72 — ≤1152 file IOs per file-day).
+    The Spark analog, measured from the EXECUTED plan's scan metrics:
+    a time-bounded fetch must read a number of files proportional to
+    the WINDOW, never the store."""
+
+    @staticmethod
+    def _files_read(df) -> int:
+        df.collect()  # materialize so scan metrics are populated
+        plan = df._jdf.queryExecution().executedPlan()
+        total = 0
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numFiles"):
+                total += int(m.apply("numFiles").value())
+        return total
+
+    def test_one_day_fetch_reads_one_file_of_thirty(self, spark, tmp_path):
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        day = 86400
+        store.overwrite(0, spark.createDataFrame(
+            [("m", d * day + 60 * i, 1.0)
+             for d in range(30) for i in range(10)],
+            ["metric", "ts", "value"]))
+        store.compact(0, target_files_per_day=1)  # 30 files on disk
+
+        ranged = store.read_range(0, 5 * day, 6 * day)
+        assert self._files_read(ranged) == 1
+        # the full Graphite-style fetch (clamp + tier select + grid
+        # fill) stays within a one-partition-per-boundary slack
+        now = 30 * day - 60
+        grid = store.fetch(["m"], 5 * day, 6 * day, now)
+        assert self._files_read(grid) <= 2
+        # control: an unbounded read pays the whole store
+        assert self._files_read(store.read(0)) == 30
