@@ -8,6 +8,8 @@ bin/kenshin-rebuild-index.py) and never drifts.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,3 +88,37 @@ def keep_alive_points(
         F.lit(now).cast("long").alias("ts"),
         F.lit(value).cast("double").alias("value"),
     )
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Graphite target glob → anchored regex: ``*`` matches within one
+    dotted path segment, ``?`` one char, ``{a,b}`` alternation,
+    ``[...]`` character class (graphite-web's node-matching rules —
+    ``sys.cpu.*`` must NOT match ``sys.cpu.core0.user``)."""
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "*":
+            out.append(r"[^.]*")
+        elif ch == "?":
+            out.append(r"[^.]")
+        elif ch == "{":
+            j = pattern.index("}", i)
+            out.append("(" + "|".join(
+                re.escape(p) for p in pattern[i + 1 : j].split(",")
+            ) + ")")
+            i = j
+        elif ch == "[":
+            j = pattern.index("]", i)
+            out.append(pattern[i : j + 1])
+            i = j
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def glob_search(points: DataFrame, target: str) -> DataFrame:
+    """Graphite-style glob target resolution over the metric namespace —
+    the front half of every render request."""
+    return metric_search(points, [glob_to_regex(target)])

@@ -424,6 +424,28 @@ class ParquetTieredStore:
         )
         return grid_fill(pts, metrics, from_time, until_time, step)
 
+    def fetch_glob(
+        self, target: str, from_time: int, until_time: int, now: int
+    ) -> DataFrame | None:
+        """Graphite render-target entry point: resolve a glob target
+        (``sys.cpu.*``, ``app.{web,api}.latency``) against the metric
+        namespace — the catalog when present (tiny dim scan), else the
+        tier-0 metric column — then fetch the matching series. The
+        resolved set stays a DataFrame end-to-end (no driver collect);
+        grid-fill crosses it with the slot sequence."""
+        from kenshin_spark.operators.maintenance import glob_to_regex
+
+        pat = glob_to_regex(target)
+        src = (
+            self.catalog()
+            if self.fs.exists(self.catalog_path)
+            else self.read(0)
+        )
+        metrics = (
+            src.select("metric").where(F.col("metric").rlike(pat)).distinct()
+        )
+        return self.fetch(metrics, from_time, until_time, now)
+
     # -- compaction -------------------------------------------------------
 
     def compact(self, i: int, target_files_per_day: int = 1) -> None:

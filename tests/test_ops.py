@@ -1508,3 +1508,38 @@ class TestUnigramScore:
         assert scored[900001]["mean_logprob"] > corpus_mean
         assert scored[900002]["mean_logprob"] < corpus_mean - 2.0
         assert scored[900002]["n_tokens"] == 6
+
+
+class TestGlobTargets:
+    def test_glob_to_regex_node_semantics(self):
+        import re as _re
+
+        from kenshin_spark.operators.maintenance import glob_to_regex
+
+        r = glob_to_regex("sys.cpu.*")
+        assert _re.match(r, "sys.cpu.user")
+        assert not _re.match(r, "sys.cpu.core0.user")  # * stays in-node
+        assert not _re.match(r, "sys.cpux.user")
+        r = glob_to_regex("app.{web,api}.lat?ncy")
+        assert _re.match(r, "app.web.latency")
+        assert _re.match(r, "app.api.latency")
+        assert not _re.match(r, "app.worker.latency")
+        r = glob_to_regex("host[0-2].load")
+        assert _re.match(r, "host1.load")
+        assert not _re.match(r, "host9.load")
+
+    def test_fetch_glob_resolves_and_grids(self, spark, tmp_path):
+        from kenshin_spark.store import ParquetTieredStore
+
+        schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
+        store.upsert(0, spark.createDataFrame(
+            [("sys.cpu.user", 60, 1.0), ("sys.cpu.sys", 120, 2.0),
+             ("sys.cpu.core0.idle", 60, 3.0), ("web.req", 60, 4.0)],
+            "metric string, ts long, value double"))
+        grid = store.fetch_glob("sys.cpu.*", 0, 180, now=180)
+        got = {r["metric"] for r in grid.collect()}
+        assert got == {"sys.cpu.user", "sys.cpu.sys"}  # one-node star
+        vals = {(r["metric"], r["ts"]): r["value"] for r in grid.collect()}
+        assert vals[("sys.cpu.user", 60)] == 1.0
+        assert vals[("sys.cpu.sys", 60)] is None  # grid NULL-fills
