@@ -555,3 +555,62 @@ def sort_by_maxima(grid: DataFrame, n: int) -> DataFrame:
         .select("metric")
     )
     return grid.join(F.broadcast(ranked), "metric")
+
+
+def delay(grid: DataFrame, steps: int) -> DataFrame:
+    """Graphite delay(series, steps): each slot shows the value from
+    ``steps`` slots earlier (NULL before history exists) — unlike
+    time_shift, the time axis stays put."""
+    w = _series_window()
+    return grid.select(
+        "metric", "ts", F.lag("value", steps).over(w).alias("value")
+    )
+
+
+def changed(grid: DataFrame) -> DataFrame:
+    """Graphite changed(series): 1 where the value differs from the
+    previous slot, else 0 (NULL-safe comparison; first slot is 0)."""
+    w = _series_window()
+    prev = F.lag("value").over(w)
+    first = F.lag("ts").over(w).isNull()
+    return grid.select(
+        "metric",
+        "ts",
+        F.when(first | F.col("value").eqNullSafe(prev), 0.0)
+        .otherwise(1.0)
+        .alias("value"),
+    )
+
+
+def count_series(grid: DataFrame, name: str = "countSeries") -> DataFrame:
+    """Graphite countSeries(series_list): how many series have a
+    non-NULL value in each slot."""
+    return (
+        grid.groupBy("ts")
+        .agg(F.count("value").cast("double").alias("value"))
+        .select(F.lit(name).alias("metric"), "ts", "value")
+    )
+
+
+def minimum_above(grid: DataFrame, n: float) -> DataFrame:
+    """Graphite minimumAbove(series_list, n): keep series whose minimum
+    exceeds n — series selection, same shape as highest_average."""
+    keep = (
+        grid.groupBy("metric")
+        .agg(F.min("value").alias("_m"))
+        .where(F.col("_m") > n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(keep), "metric")
+
+
+def maximum_below(grid: DataFrame, n: float) -> DataFrame:
+    """Graphite maximumBelow(series_list, n): keep series whose maximum
+    stays under n."""
+    keep = (
+        grid.groupBy("metric")
+        .agg(F.max("value").alias("_m"))
+        .where(F.col("_m") < n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(keep), "metric")

@@ -1543,3 +1543,40 @@ class TestGlobTargets:
         vals = {(r["metric"], r["ts"]): r["value"] for r in grid.collect()}
         assert vals[("sys.cpu.user", 60)] == 1.0
         assert vals[("sys.cpu.sys", 60)] is None  # grid NULL-fills
+
+
+class TestRenderSelectionExtras:
+    def grid(self, spark):
+        return spark.createDataFrame(
+            [("a", 0, 5.0), ("a", 60, 5.0), ("a", 120, 7.0),
+             ("b", 0, 1.0), ("b", 60, None), ("b", 120, 2.0)],
+            "metric string, ts long, value double",
+        )
+
+    def test_delay_changed(self, spark):
+        from kenshin_spark.functions.render import changed, delay
+
+        g = self.grid(spark)
+        d = {(r["metric"], r["ts"]): r["value"]
+             for r in delay(g, 1).collect()}
+        assert d[("a", 0)] is None and d[("a", 60)] == 5.0
+        assert d[("b", 120)] is None  # delayed NULL propagates
+        c = {(r["metric"], r["ts"]): r["value"]
+             for r in changed(g).collect()}
+        assert c[("a", 0)] == 0.0      # first slot
+        assert c[("a", 60)] == 0.0     # unchanged
+        assert c[("a", 120)] == 1.0    # changed
+        assert c[("b", 60)] == 1.0     # value -> NULL counts as change
+
+    def test_count_series_and_selection(self, spark):
+        from kenshin_spark.functions.render import (
+            count_series,
+            maximum_below,
+            minimum_above,
+        )
+
+        g = self.grid(spark)
+        n = {r["ts"]: r["value"] for r in count_series(g).collect()}
+        assert n[0] == 2.0 and n[60] == 1.0 and n[120] == 2.0
+        assert {r["metric"] for r in minimum_above(g, 2.0).collect()} == {"a"}
+        assert {r["metric"] for r in maximum_below(g, 6.0).collect()} == {"b"}
