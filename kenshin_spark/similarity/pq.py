@@ -152,3 +152,54 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long"), "score")
     )
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates: int = 100,
+    m: int = 16,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval (the standard ANN serving stack): PQ ADC
+    recalls a ``candidates``-sized pool per query from the compressed
+    codes, then the EXACT cosine re-ranks just that pool against the raw
+    vectors. Output schema matches ``brute_force_topk`` —
+    ``(query_id, neighbor_id, rank, cosine)`` — so it's a drop-in,
+    with the full-corpus exact scan replaced by |candidates| exact dots
+    per query. Recall approaches exact as ``candidates`` grows; the
+    compressed first pass is the only corpus-wide read."""
+    from kenshin_spark.functions.vectors import cosine_similarity
+
+    pool = pq_topk(
+        embeddings, queries, k=candidates, m=m, ksub=ksub, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(pool.join(F.broadcast(q), "query_id")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("_qv"), F.col("_cv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cosine")
+    )

@@ -1580,3 +1580,34 @@ class TestRenderSelectionExtras:
         assert n[0] == 2.0 and n[60] == 1.0 and n[120] == 2.0
         assert {r["metric"] for r in minimum_above(g, 2.0).collect()} == {"a"}
         assert {r["metric"] for r in maximum_below(g, 6.0).collect()} == {"b"}
+
+
+class TestPqRerank:
+    def test_rerank_beats_raw_pq_recall(self, spark):
+        """Exact re-ranking of a PQ candidate pool must recall at least
+        as much of the exact top-k as raw PQ, and its cosines are the
+        TRUE cosines (not ADC approximations)."""
+        from kenshin_spark.io import load_table
+        from kenshin_spark.similarity import brute_force_topk
+        from kenshin_spark.similarity.pq import pq_rerank_topk, pq_topk
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.where("vec_id < 5")
+        exact = brute_force_topk(emb, q, k=5).collect()
+        exact_map = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+                     for r in exact}
+
+        def hits(rows):
+            return sum(1 for r in rows
+                       if (r["query_id"], r["neighbor_id"]) in exact_map)
+
+        raw = pq_topk(emb, q, k=5).collect()
+        rer = pq_rerank_topk(emb, q, k=5, candidates=100).collect()
+        assert len(rer) == 25
+        assert hits(rer) >= hits(raw)
+        assert hits(rer) >= 20  # >= 80% of the exact top-5 recovered
+        # re-ranked cosines are exact, not ADC scores
+        for r in rer:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_map:
+                assert r["cosine"] == exact_map[key]
