@@ -614,3 +614,61 @@ def maximum_below(grid: DataFrame, n: float) -> DataFrame:
         .select("metric")
     )
     return grid.join(F.broadcast(keep), "metric")
+
+
+#: Graphite-API function names → grid transforms, for string-driven
+#: render pipelines (the serving layer's `target=fn2(fn1(glob),arg)`
+#: form). Only functions whose arguments are scalars appear — series-
+#: combining forms (divideSeries) need structured calls.
+RENDER_REGISTRY = {
+    "absolute": absolute,
+    "alias": alias_series,
+    "aliasByNode": alias_by_node,
+    "asPercent": as_percent,
+    "averageSeries": avg_series,
+    "changed": changed,
+    "countSeries": count_series,
+    "delay": delay,
+    "derivative": derivative,
+    "exponentialMovingAverage": ewma,
+    "groupByNode": group_by_node,
+    "highestAverage": highest_average,
+    "integral": integral,
+    "invert": invert,
+    "keepLastValue": keep_last_value,
+    "logarithm": logarithm,
+    "maximumBelow": maximum_below,
+    "minimumAbove": minimum_above,
+    "movingAverage": moving_average,
+    "movingMedian": moving_median,
+    "movingStdDev": moving_stdev,
+    "nPercentile": n_percentile,
+    "nonNegativeDerivative": non_negative_derivative,
+    "offset": offset,
+    "perSecond": per_second,
+    "removeAbovePercentile": remove_above_percentile,
+    "scale": scale,
+    "sortByMaxima": sort_by_maxima,
+    "sumSeries": sum_series,
+    "summarize": summarize,
+    "timeShift": time_shift,
+}
+
+
+def apply_chain(grid: DataFrame, chain) -> DataFrame:
+    """Apply a graphite-style function pipeline to a fetched grid:
+
+        apply_chain(grid, [("movingAverage", 3), ("scale", 8.0), "absolute"])
+
+    Each element is a registry name or ``(name, *args)``; functions
+    compose left-to-right, each preserving the grid contract. The
+    serving layer parses ``target=`` strings into exactly this form."""
+    for step in chain:
+        if isinstance(step, str):
+            name, args = step, ()
+        else:
+            name, *args = step
+        if name not in RENDER_REGISTRY:
+            raise KeyError(f"unknown render function {name!r}")
+        grid = RENDER_REGISTRY[name](grid, *args)
+    return grid

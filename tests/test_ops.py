@@ -1611,3 +1611,53 @@ class TestPqRerank:
             key = (r["query_id"], r["neighbor_id"])
             if key in exact_map:
                 assert r["cosine"] == exact_map[key]
+
+
+class TestRenderChain:
+    def test_chain_composes_left_to_right(self, spark):
+        from kenshin_spark.functions.render import (
+            apply_chain,
+            moving_average,
+            scale,
+        )
+
+        g = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 60, 2.0), ("a", 120, 3.0)],
+            "metric string, ts long, value double",
+        )
+        chained = apply_chain(g, [("movingAverage", 2), ("scale", 10.0)])
+        manual = scale(moving_average(g, 2), 10.0)
+        assert sorted(map(tuple, chained.collect())) == sorted(
+            map(tuple, manual.collect())
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            apply_chain(g, ["noSuchFunction"])
+
+    def test_registry_entries_all_runnable(self, spark):
+        """Every registry function accepts a grid (plus defaults or one
+        obvious scalar) — the serving layer can trust the table."""
+        from kenshin_spark.functions.render import RENDER_REGISTRY, apply_chain
+
+        g = spark.createDataFrame(
+            [("a.x", 0, 1.0), ("a.x", 60, 4.0), ("b.y", 0, 2.0),
+             ("b.y", 60, 8.0)],
+            "metric string, ts long, value double",
+        )
+        needs_arg = {
+            "alias": ("z",), "aliasByNode": (0,), "delay": (1,),
+            "exponentialMovingAverage": (0.3,), "groupByNode": (0,),
+            "highestAverage": (1,), "logarithm": (10.0,),
+            "maximumBelow": (100.0,), "minimumAbove": (0.0,),
+            "movingAverage": (2,), "movingMedian": (2,),
+            "movingStdDev": (2,), "nPercentile": (50.0,),
+            "offset": (1.0,), "removeAbovePercentile": (95.0,),
+            "scale": (2.0,), "sortByMaxima": (1,), "summarize": (120,),
+            "timeShift": (60,),
+        }
+        for name in RENDER_REGISTRY:
+            args = needs_arg.get(name, ())
+            out = apply_chain(g, [(name, *args)])
+            out.collect()  # must execute
+            assert set(out.columns) >= {"metric", "ts"}
