@@ -3,7 +3,10 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": N}
+
+Per-query timings are checkpointed to bench_partial.json after every query;
+the stdout line is kept compact so the driver's tail capture always sees it.
 
 Each query is timed end-to-end (plan + execute) against the `noop` sink so
 we measure engine throughput, not driver-side collect/serialization.
@@ -48,6 +51,22 @@ def _payload(timings: dict[str, float], sf: float | None) -> str:
     )
 
 
+def _summary_line(timings: dict[str, float], sf: float | None) -> str:
+    # The driver tail-captures stdout: a 100-query dict (~3.5 KB) overflowed
+    # the capture in r2/r3 and the round shipped no parsed number. The final
+    # stdout line therefore stays compact (<120 bytes); the full per-query
+    # payload lives in bench_partial.json.
+    return json.dumps(
+        {
+            "metric": "total_wall_all_queries",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+        }
+    )
+
+
 def main() -> None:
     from kenshin_spark.queries import QUERIES, driver_order
     from kenshin_spark.session import get_spark
@@ -86,7 +105,7 @@ def main() -> None:
         os.replace(tmp, PARTIAL)
         spark.catalog.clearCache()
 
-    print(_payload(timings, sf), flush=True)
+    print(_summary_line(timings, sf), flush=True)
     sys.stdout.flush()
     spark.stop()
 

@@ -3339,23 +3339,41 @@ def q_render_group_by_node(spark, sf_dir):
 #: they stay regression-guarded by tests/test_queries_oracle.py which runs
 #: the same oracle gate over the FULL registry at sf0.001.
 DRIVER_VERIFIED = frozenset({
-    "ts_align_lww", "ts_tag_filter", "ts_tag_catalog", "ts_agg_kernel",
-    "ts_downsample_tier1", "ts_downsample_cascade", "ts_asof_join",
-    "ts_fetch_grid", "ts_tier_selection", "ts_retention_expiry",
-    "ts_schema_match", "ts_index_rebuild", "ts_metric_search",
-    "ts_metric_delete", "ts_merge_series", "ts_line_protocol",
-    "ts_shard_routing", "ts_propagation_ready", "ts_hot_cold_union",
-    "render_moving_average", "render_moving_median", "render_time_shift",
-    "ts_seasonal_profile", "render_derivative", "render_keep_last_value",
-    "render_per_second", "render_integral_top2", "render_max_datapoints",
-    "render_percentile_of_series", "ts_anomaly_zscore", "ts_level_shift",
-    "ts_metric_correlation", "ts_debug_discontinuities",
-    "ts_pickle_roundtrip", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier", "q4_late_orders", "q7_nation_volume",
-    "q16_supplier_cnt", "q19_disjunctive", "q_window_topk_customers",
-    "q_events_daily", "q6_forecast_revenue", "q10_returned_items",
-    "q13_order_distribution", "q14_promo_effect", "q18_large_orders",
-    "q_rollup_orders", "q_event_sessions",
+    "dedup_clusters", "dedup_embedding_lsh", "dedup_embedding_neardup",
+    "dedup_exact", "dedup_minhash_incremental", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
+    "emb_centroids", "emb_nearest_centroid", "mm_audio_features",
+    "mm_frame_sample", "mm_image_metadata", "pipeline_corpus_curation",
+    "pipeline_decontaminate", "pipeline_source_mixture",
+    "q10_returned_items", "q13_order_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
+    "q18_large_orders", "q19_disjunctive", "q1_pricing_summary",
+    "q3_shipping_priority", "q4_late_orders", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q_cube_orders", "q_cumulative_revenue", "q_event_funnel",
+    "q_event_sessions", "q_events_daily", "q_interval_join",
+    "q_price_percentiles", "q_rollup_orders", "q_table_profile",
+    "q_window_topk_customers", "render_derivative", "render_ewma",
+    "render_group_by_node", "render_holt_forecast", "render_integral_top2",
+    "render_keep_last_value", "render_max_datapoints",
+    "render_moving_average", "render_moving_median", "render_moving_stdev",
+    "render_per_second", "render_percentile_of_series",
+    "render_remove_above_percentile", "render_time_shift",
+    "sample_stratified", "sim_topk_bruteforce", "sim_topk_ivf_fullprobe",
+    "sim_topk_lsh", "sim_topk_quantized", "text_collocations",
+    "text_fingerprint", "text_language_id", "text_oov_rate",
+    "text_pii_scrub", "text_quality", "text_quality_filter",
+    "text_repetition_filter", "text_rolling_fingerprint", "text_token_count",
+    "text_token_count_bpe", "text_vocab_topk", "ts_agg_kernel",
+    "ts_align_lww", "ts_anomaly_zscore", "ts_asof_join",
+    "ts_debug_discontinuities", "ts_downsample_cascade",
+    "ts_downsample_tier1", "ts_fetch_grid", "ts_hot_cold_union",
+    "ts_index_rebuild", "ts_level_shift", "ts_line_protocol",
+    "ts_merge_series", "ts_metric_correlation", "ts_metric_delete",
+    "ts_metric_search", "ts_pickle_roundtrip", "ts_propagation_ready",
+    "ts_retention_expiry", "ts_schema_match", "ts_seasonal_profile",
+    "ts_shard_routing", "ts_tag_catalog", "ts_tag_filter",
+    "ts_tier_selection",
 })
 
 
