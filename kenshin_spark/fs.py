@@ -37,7 +37,9 @@ class HadoopFS:
     def __init__(self, spark: SparkSession, base: str):
         self._jvm = spark._jvm
         self._gw = spark.sparkContext._gateway
-        conf = spark._jsc.hadoopConfiguration()
+        self._base = base
+        self._conf = conf = spark._jsc.hadoopConfiguration()
+        self._fc = None  # lazy FileContext (only overwrite-renames need it)
         self._fs = self._jvm.org.apache.hadoop.fs.Path(base).getFileSystem(
             conf
         )
@@ -77,6 +79,21 @@ class HadoopFS:
     def rename(self, src: str, dst: str) -> bool:
         return self._fs.rename(self._p(src), self._p(dst))
 
+    def rename_overwrite(self, src: str, dst: str) -> None:
+        """Single-op rename that replaces ``dst`` if present —
+        ``FileContext.rename(..., Options.Rename.OVERWRITE)``, which is
+        atomic on local filesystems and HDFS. The plain ``FileSystem``
+        API can only delete-then-rename, a window where readers see no
+        file at all."""
+        if self._fc is None:
+            self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._p(self._base).toUri(), self._conf
+            )
+        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gw.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE
+        self._fc.rename(self._p(src), self._p(dst), opts)
+
     def create_exclusive(self, path: str) -> bool:
         """Atomically create an empty file; False if it already exists —
         the CAS primitive the seq allocator builds on (atomic on local
@@ -107,9 +124,7 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        if self.exists(path):
-            self._fs.delete(self._p(path), False)
-        self.rename(tmp, path)
+        self.rename_overwrite(tmp, path)
 
     # -- the swap commit protocol -----------------------------------------
 

@@ -90,11 +90,7 @@ def keep_alive_points(
     )
 
 
-def glob_to_regex(pattern: str) -> str:
-    """Graphite target glob → anchored regex: ``*`` matches within one
-    dotted path segment, ``?`` one char, ``{a,b}`` alternation,
-    ``[...]`` character class (graphite-web's node-matching rules —
-    ``sys.cpu.*`` must NOT match ``sys.cpu.core0.user``)."""
+def _glob_body(pattern: str) -> str:
     out, i = [], 0
     while i < len(pattern):
         ch = pattern[i]
@@ -103,19 +99,36 @@ def glob_to_regex(pattern: str) -> str:
         elif ch == "?":
             out.append(r"[^.]")
         elif ch == "{":
-            j = pattern.index("}", i)
-            out.append("(" + "|".join(
-                re.escape(p) for p in pattern[i + 1 : j].split(",")
-            ) + ")")
-            i = j
+            j = pattern.find("}", i)
+            if j == -1:  # unbalanced brace → literal, like graphite/fnmatch
+                out.append(re.escape(ch))
+            else:
+                # alternatives may themselves contain globs ({web*,api?}):
+                # translate each branch recursively, don't escape it
+                out.append("(" + "|".join(
+                    _glob_body(p) for p in pattern[i + 1 : j].split(",")
+                ) + ")")
+                i = j
         elif ch == "[":
-            j = pattern.index("]", i)
-            out.append(pattern[i : j + 1])
-            i = j
+            j = pattern.find("]", i)
+            if j == -1:  # unbalanced bracket → literal
+                out.append(re.escape(ch))
+            else:
+                out.append(pattern[i : j + 1])
+                i = j
         else:
             out.append(re.escape(ch))
         i += 1
-    return "^" + "".join(out) + "$"
+    return "".join(out)
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Graphite target glob → anchored regex: ``*`` matches within one
+    dotted path segment, ``?`` one char, ``{a,b}`` alternation (branches
+    may nest globs), ``[...]`` character class (graphite-web's
+    node-matching rules — ``sys.cpu.*`` must NOT match
+    ``sys.cpu.core0.user``). Unbalanced ``{``/``[`` are literals."""
+    return "^" + _glob_body(pattern) + "$"
 
 
 def glob_search(points: DataFrame, target: str) -> DataFrame:

@@ -86,6 +86,9 @@ def repetition_stats(
         for pdf in it:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue  # NULL doc: nothing to measure (old explode
+                    # plan silently skipped these too)
                 toks = text.strip().lower().split()
                 n_grams = len(toks) - (n - 1)
                 if n_grams <= 0:

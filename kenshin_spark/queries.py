@@ -979,28 +979,17 @@ def q_ts_level_shift(spark, sf_dir):
     """,
     "pairwise Pearson correlation between metrics over co-observed "
     "60s slots: grid self-join on ts (shuffle keyed by ts), one corr "
-    "aggregate per pair — the fleet-wide 'which metrics move together' "
-    "diagnostic",
+    "aggregate per pair. Pair space is O(M²/2) per slot — this "
+    "unrestricted form is the test-scale oracle twin; production calls "
+    "operators.correlate.metric_correlation with a targets/glob/seeds "
+    "scope that bounds pairs to |scope|²/2 (or |seeds|×M), see its "
+    "module docstring and tests/test_ops.py::TestMetricCorrelationScope",
 )
 def q_ts_metric_correlation(spark, sf_dir):
+    from kenshin_spark.operators.correlate import metric_correlation
+
     t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
-    a, b = t0.alias("a"), t0.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.ts") == F.col("b.ts"))
-            & (F.col("a.metric") < F.col("b.metric")),
-        )
-        .where(F.col("a.value").isNotNull() & F.col("b.value").isNotNull())
-        .groupBy(
-            F.col("a.metric").alias("metric_a"),
-            F.col("b.metric").alias("metric_b"),
-        )
-        .agg(
-            F.round(F.corr("a.value", "b.value"), 6).alias("r"),
-            F.count("*").alias("n_slots"),
-        )
-    )
+    return metric_correlation(t0)
 
 
 @register(
@@ -2827,37 +2816,209 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def _pinned_sample_cte(n: int) -> str:
+    """The n corpus vectors with smallest md5(cast(vec_id as string)) —
+    DuckDB twin of ``similarity.pinned.md5_sample``: ``(c, cv)``."""
+    return f"""
+      SELECT c, cv FROM (
+        SELECT row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+               embedding::DOUBLE[] AS cv
+        FROM embeddings
+      ) WHERE c < {n}
+    """
+
+
+def _ivf_pinned_oracle(n_cells: int, n_probe: int, k: int) -> str:
+    """Replays ``ivf_topk_pinned`` bit-for-bit: same md5-sample centroids,
+    same ``cc - 2·(x·c)`` fold-exact distance, same ``(d2, cell)``
+    tie-break for assignment and probe selection."""
+    return f"""
+    WITH cent AS (
+      SELECT c, cv, list_dot_product(cv, cv) AS cc
+      FROM ({_pinned_sample_cte(n_cells)})
+    ),
+    asg AS (
+      SELECT vec_id, ev, cell FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, cent.c AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY cent.cc
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], cent.cv),
+                   cent.c
+               ) AS rn
+        FROM embeddings e, cent
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv,
+               cent.c AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY cent.cc
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], cent.cv),
+                   cent.c
+               ) AS rn
+        FROM embeddings e, cent WHERE e.vec_id < 5
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(
+               list_dot_product(p.qv, a.ev) /
+               (sqrt(list_dot_product(p.qv, p.qv)) *
+                sqrt(list_dot_product(a.ev, a.ev))),
+               6) AS cosine
+      FROM asg a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rnk FROM scored
+    ) t WHERE rnk <= {k}
+    """
+
+
+def _pq_pinned_ctes(m: int, ksub: int, dim: int = 64) -> str:
+    """Shared CTE chain replaying ``pinned._pq_scored_pinned``: codebook j
+    = j-th subvector slice of the ksub md5-sample rows; codes by fold-exact
+    subspace argmin (ties → smallest code); score = list_dot_product of the
+    query against the flattened reconstruction (the exact fold the Spark
+    side mirrors). Ends with ``scored(query_id, neighbor_id, qv, score)``."""
+    dsub = dim // m
+    sl = f"js.j * {dsub} + 1, js.j * {dsub} + {dsub}"
+    return f"""
+    samp AS ({_pinned_sample_cte(ksub)}),
+    js AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+    cb AS (
+      SELECT js.j, samp.c,
+             list_slice(samp.cv, {sl}) AS cw,
+             list_dot_product(list_slice(samp.cv, {sl}),
+                              list_slice(samp.cv, {sl})) AS cc
+      FROM samp, js
+    ),
+    subv AS (
+      SELECT e.vec_id, js.j,
+             list_slice(e.embedding::DOUBLE[], {sl}) AS sv
+      FROM embeddings e, js
+    ),
+    codes AS (
+      SELECT vec_id, j, cw FROM (
+        SELECT s.vec_id, s.j, cb.cw,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY cb.cc - 2 * list_dot_product(s.sv, cb.cw), cb.c
+               ) AS rn
+        FROM subv s JOIN cb ON s.j = cb.j
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(cw ORDER BY j)) AS rv
+      FROM codes GROUP BY vec_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id, q.qv,
+             round(list_dot_product(q.qv, r.rv), 6) AS score
+      FROM recon r, q WHERE q.query_id <> r.vec_id
+    )
+    """
+
+
+def _pq_pinned_oracle(m: int, ksub: int, k: int) -> str:
+    return f"""
+    WITH {_pq_pinned_ctes(m, ksub)}
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, score FROM (
+      SELECT query_id, neighbor_id, score, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id
+      ) AS rnk FROM scored
+    ) t WHERE rnk <= {k}
+    """
+
+
+def _pq_rerank_pinned_oracle(m: int, ksub: int, candidates: int, k: int) -> str:
+    return f"""
+    WITH {_pq_pinned_ctes(m, ksub)},
+    pool AS (
+      SELECT query_id, neighbor_id, qv FROM (
+        SELECT query_id, neighbor_id, qv, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id
+        ) AS rnk FROM scored
+      ) t WHERE rnk <= {candidates}
+    ),
+    rer AS (
+      SELECT p.query_id, p.neighbor_id,
+             round(
+               list_dot_product(p.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(p.qv, p.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))),
+               6) AS cosine
+      FROM pool p JOIN embeddings e ON p.neighbor_id = e.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rnk FROM rer
+    ) t WHERE rnk <= {k}
+    """
+
+
 @register(
     "sim_topk_pq",
-    None,  # approximate (codebook quantization) — rows-only check
+    _pq_pinned_oracle(16, 16, 10),
     "product-quantization ANN (Jégou 2011): m=16 subspace codebooks, "
-    "asymmetric-distance table lookups instead of full dot products — "
-    "the 16×-smaller-scan memory path; approximate, so no SQL oracle "
-    "(pytest asserts recall vs brute force + ADC arithmetic exactness)",
+    "asymmetric-distance scoring over 1-byte codes — the 16×-smaller-scan "
+    "memory path. Registered with the PINNED quantizer (codebooks = the "
+    "md5-sample k-means init state, distances as sequential left-folds) "
+    "so the oracle replays encode + ADC bit-for-bit in SQL; the "
+    "Lloyd-trained production path (similarity/pq.py) is pytest "
+    "recall-asserted",
 )
 def q_sim_topk_pq(spark, sf_dir):
-    from kenshin_spark.similarity.pq import pq_topk
+    from kenshin_spark.similarity.pinned import pq_topk_pinned
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return pq_topk(emb, queries, k=10)
+    return pq_topk_pinned(emb, queries, k=10)
+
+
+@register(
+    "sim_topk_pq_rerank",
+    _pq_rerank_pinned_oracle(16, 16, 50, 10),
+    "two-stage ANN serving stack: PQ ADC over compressed codes recalls a "
+    "50-candidate pool per query (the only corpus-wide read), exact "
+    "cosine re-ranks the pool against raw vectors. Pinned codebooks make "
+    "both stages SQL-replayable — the oracle reproduces pool AND re-rank",
+)
+def q_sim_topk_pq_rerank(spark, sf_dir):
+    from kenshin_spark.similarity.pinned import pq_rerank_topk_pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_rerank_topk_pinned(emb, queries, k=10, candidates=50)
 
 
 @register(
     "sim_topk_ivf",
-    None,  # approximate (cell-pruned) — rows-only check
-    "IVF ANN: seeded k-means coarse quantizer, n_probe=3 cells scanned "
-    "per query; at scale cells are Parquet partitions (partition-pruned "
-    "probes). No SQL oracle for the PRUNED variant (which cells get "
-    "probed depends on KMeans training) — sim_topk_ivf_fullprobe is the "
-    "oracled twin",
+    _ivf_pinned_oracle(8, 3, 10),
+    "IVF ANN: coarse-quantizer cells, n_probe=3 cells scanned per query; "
+    "at scale cells are Parquet partitions (partition-pruned probes). "
+    "Registered with the PINNED quantizer (centroids = md5-sample rows, "
+    "fold-exact distances, (d2, cell) tie-breaks) so assignment AND probe "
+    "selection replay in SQL; the Lloyd-trained path (ivf_topk) keeps the "
+    "pytest recall assertion",
 )
 def q_sim_topk_ivf(spark, sf_dir):
-    from kenshin_spark.similarity import ivf_topk
+    from kenshin_spark.similarity.pinned import ivf_topk_pinned
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=10)
+    return ivf_topk_pinned(emb, queries, k=10, n_cells=8, n_probe=3)
 
 
 @register(

@@ -135,6 +135,26 @@ class ParquetTieredStore:
         )
         return n
 
+    def prune_seq_claims(self) -> int:
+        """GC the CAS claim markers below the committed sidecar hint —
+        they are only load-bearing ABOVE it (a marker ≤ the persisted
+        last_seq can never be probed again). Without this, one empty
+        file accumulates per write forever: costly LIST growth on object
+        stores, and a stale sidecar would pay O(gap) failed create
+        probes. Runs with ``expire`` (off the hot path); returns the
+        number of markers removed."""
+        keep_above = self.last_seq()
+        removed = 0
+        for name in self.fs.list_names(self._seq_claims):
+            try:
+                stamp = int(name)
+            except ValueError:
+                continue
+            if stamp <= keep_above:
+                self.fs.delete(os.path.join(self._seq_claims, name))
+                removed += 1
+        return removed
+
     # -- paths ------------------------------------------------------------
 
     def tier_path(self, i: int) -> str:
@@ -317,6 +337,7 @@ class ParquetTieredStore:
                         gone.append(day)
             if gone:
                 dropped[i] = sorted(gone)
+        self.prune_seq_claims()
         return dropped
 
     # -- propagation (W7) -------------------------------------------------

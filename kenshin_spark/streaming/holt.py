@@ -50,11 +50,15 @@ def make_holt_fn(alpha: float = 0.1, beta: float = 0.0035, gamma: float = 0.1):
         out = []
         for ts, v in zip(pts["ts"], pts["value"]):
             if pd.isna(v):
+                # keep the row, like the batch scan: NULL forecast/dev/
+                # aberrant, state untouched (a NaN is a gap, not a zero)
+                out.append((metric, int(ts), None, None, None, None))
                 continue
             st, forecast, dev, aberrant = holt_step(st, float(v), a, b, g)
             out.append((metric, int(ts), float(v), forecast, dev, aberrant))
 
-        state.update(st)
+        if st is not None:  # NaN-only history → nothing to persist yet
+            state.update(st)
         state.setTimeoutDuration(3_600_000)  # 1 h idle → state expires
         yield pd.DataFrame(
             out,

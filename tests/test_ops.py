@@ -1528,6 +1528,31 @@ class TestGlobTargets:
         assert _re.match(r, "host1.load")
         assert not _re.match(r, "host9.load")
 
+    def test_glob_wildcards_inside_alternation(self):
+        """Graphite alternation branches may themselves contain globs:
+        {web*,api?} must translate the inner * and ?, not escape them."""
+        import re as _re
+
+        from kenshin_spark.operators.maintenance import glob_to_regex
+
+        r = glob_to_regex("app.{web*,api?}.latency")
+        assert _re.match(r, "app.web01.latency")
+        assert _re.match(r, "app.api1.latency")
+        assert not _re.match(r, "app.api12.latency")  # ? is one char
+        assert not _re.match(r, "app.worker.latency")
+
+    def test_glob_unbalanced_braces_are_literals(self):
+        """Unbalanced { or [ must not raise; they match literally."""
+        import re as _re
+
+        from kenshin_spark.operators.maintenance import glob_to_regex
+
+        r = glob_to_regex("a{b.c")
+        assert _re.match(r, "a{b.c")
+        r = glob_to_regex("a[0.load")
+        assert _re.match(r, "a[0.load")
+        assert not _re.match(r, "a0.load")
+
     def test_fetch_glob_resolves_and_grids(self, spark, tmp_path):
         from kenshin_spark.store import ParquetTieredStore
 
@@ -1661,3 +1686,167 @@ class TestRenderChain:
             out = apply_chain(g, [(name, *args)])
             out.collect()  # must execute
             assert set(out.columns) >= {"metric", "ts"}
+
+
+class TestPinnedAnn:
+    """The driver-oracled pinned-quantizer ANN variants: sane recall (the
+    quantizer is the k-means INIT state, so below the Lloyd-trained paths
+    but far above random), and the two-stage re-rank recovers most of it.
+    Cross-engine bit-equality is covered by test_queries_oracle."""
+
+    def _exact_sets(self, spark):
+        from kenshin_spark.io import load_table
+        from kenshin_spark.similarity import brute_force_topk
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.where("vec_id < 5")
+        eby = {}
+        for r in brute_force_topk(emb, q, k=10).collect():
+            eby.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return emb, q, eby
+
+    def _hits(self, rows, eby):
+        return sum(1 for r in rows if r["neighbor_id"] in eby[r["query_id"]])
+
+    def test_pinned_ivf_recall(self, spark):
+        from kenshin_spark.similarity.pinned import ivf_topk_pinned
+
+        emb, q, eby = self._exact_sets(spark)
+        rows = ivf_topk_pinned(emb, q, k=10, n_cells=8, n_probe=3).collect()
+        assert len(rows) == 50
+        assert self._hits(rows, eby) >= 20  # measured 23/50 (3 of 8 cells)
+
+    def test_pinned_pq_and_rerank_recall(self, spark):
+        from kenshin_spark.similarity.pinned import (
+            pq_rerank_topk_pinned,
+            pq_topk_pinned,
+        )
+
+        emb, q, eby = self._exact_sets(spark)
+        raw = pq_topk_pinned(emb, q, k=10).collect()
+        rer = pq_rerank_topk_pinned(emb, q, k=10, candidates=50).collect()
+        assert len(raw) == 50 and len(rer) == 50
+        assert self._hits(raw, eby) >= 16          # measured 20/50
+        assert self._hits(rer, eby) >= 35          # measured 39/50
+        assert self._hits(rer, eby) >= self._hits(raw, eby)
+
+
+class TestRepetitionNullDocs:
+    def test_null_text_rows_are_skipped(self, spark):
+        """A NULL text cell must be skipped like the old explode plan did,
+        not crash the Arrow kernel (ADVICE r3)."""
+        from kenshin_spark.pipeline import repetition_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, None), (3, "x y")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+        assert set(rows) == {1, 3}
+        assert rows[1]["n_grams"] == 3
+
+
+class TestSeqClaimGc:
+    def test_expire_prunes_committed_claim_markers(self, spark, tmp_path):
+        """One CAS marker accumulates per write; expire() must GC every
+        marker at or below the committed sidecar hint, and allocation
+        stays monotonic afterward (ADVICE r3)."""
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
+        store = ParquetTieredStore(
+            spark, schema, str(tmp_path / "st"), mode="mor"
+        )
+        df = spark.createDataFrame(
+            [("m", 60, 1.0)], "metric string, ts long, value double"
+        )
+        for _ in range(3):
+            store.upsert(0, df)
+        claims = store.fs.list_names(store._seq_claims)
+        assert len(claims) == 3
+        store.expire(now=60)
+        assert store.fs.list_names(store._seq_claims) == []
+        n = store._next_seq()
+        assert n == 4  # sidecar hint survives the prune
+
+
+class TestAtomicSidecarWrite:
+    def test_overwrite_rename_never_unlinks(self, spark, tmp_path):
+        """write_text_atomic must replace via a single overwrite-rename —
+        after every rewrite the destination exists with the new content
+        and no .tmp debris remains (ADVICE r3: the old delete-then-rename
+        had a reader-visible missing-file window)."""
+        from kenshin_spark.fs import HadoopFS
+
+        base = str(tmp_path)
+        fs = HadoopFS(spark, base)
+        p = base + "/_seq.json"
+        for i in range(5):
+            fs.write_text_atomic(p, f'{{"last_seq": {i}}}')
+            assert fs.read_text(p) == f'{{"last_seq": {i}}}'
+            assert not fs.exists(p + ".tmp")
+
+    def test_rename_overwrite_replaces_existing(self, spark, tmp_path):
+        from kenshin_spark.fs import HadoopFS
+
+        base = str(tmp_path)
+        fs = HadoopFS(spark, base)
+        fs.write_text_atomic(base + "/a", "new")
+        fs.write_text_atomic(base + "/b", "old")
+        fs.rename_overwrite(base + "/a", base + "/b")
+        assert fs.read_text(base + "/b") == "new"
+        assert not fs.exists(base + "/a")
+
+
+class TestMetricCorrelationScope:
+    """The scoped forms of metric_correlation (the scale contract: pair
+    space bounded by the scope) must agree with the unrestricted oracle
+    computed over the same scope."""
+
+    def _grid(self, spark):
+        from kenshin_spark.operators.align import last_write_wins
+        from kenshin_spark.queries import _points
+
+        return last_write_wins(
+            _points(spark, "/root/testdata/sf0.001"), 60,
+            arrival_col="arrival",
+        )
+
+    def test_targets_scope_matches_all_pairs_restriction(self, spark):
+        from kenshin_spark.operators.correlate import metric_correlation
+
+        grid = self._grid(spark)
+        all_pairs = metric_correlation(grid).collect()
+        assert all_pairs, "sf0.001 grid has no co-observed pairs?"
+        # scope = the metrics of the first observed pair (+1 more if any)
+        scope = sorted({all_pairs[0]["metric_a"], all_pairs[0]["metric_b"]}
+                       | {all_pairs[-1]["metric_b"]})
+        scoped = {
+            (r["metric_a"], r["metric_b"]): (r["r"], r["n_slots"])
+            for r in metric_correlation(grid, targets=scope).collect()
+        }
+        full = {
+            (r["metric_a"], r["metric_b"]): (r["r"], r["n_slots"])
+            for r in all_pairs
+            if r["metric_a"] in scope and r["metric_b"] in scope
+        }
+        assert scoped == full and len(scoped) > 0
+
+    def test_seeds_scope_is_one_vs_fleet(self, spark):
+        from kenshin_spark.operators.correlate import metric_correlation
+
+        grid = self._grid(spark)
+        seed = grid.select("metric").distinct().orderBy("metric").first()[0]
+        rows = metric_correlation(grid, seeds=[seed]).collect()
+        assert len(rows) > 0
+        assert all(r["metric_a"] == seed for r in rows)
+        assert all(r["metric_b"] != seed for r in rows)
+
+    def test_glob_scope(self, spark):
+        from kenshin_spark.operators.correlate import metric_correlation
+
+        grid = self._grid(spark)
+        got = metric_correlation(grid, glob="*").collect()
+        want = metric_correlation(grid).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -941,3 +941,84 @@ class TestBackup:
         restored.upsert(0, spark.createDataFrame(
             [("m", 0, 9.0)], "metric string, ts long, value double"))
         assert rows(restored.read(0)) == [("m", 0, 9.0), ("m", 60, 2.0)]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the holt kernel directly."""
+
+    def __init__(self):
+        self._v = None
+        self.exists = False
+        self.hasTimedOut = False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        if v is None:
+            raise ValueError("state.update(None)")
+        self._v = tuple(v)
+        self.exists = True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+
+class TestHoltNanHandling:
+    """ADVICE r3: a NaN-only first batch crashed state.update(None), and
+    NaN rows were dropped from streaming output while the batch scan
+    keeps them — breaking the streaming==batch invariant."""
+
+    def test_nan_only_first_batch_does_not_crash(self):
+        import math
+
+        import pandas as pd
+
+        from kenshin_spark.streaming.holt import make_holt_fn
+
+        fn = make_holt_fn()
+        st = _FakeState()
+        out = list(fn(("m",), iter([pd.DataFrame(
+            {"ts": [1000, 1010], "value": [math.nan, math.nan]}
+        )]), st))
+        rows = pd.concat(out)
+        # rows kept with NULL outputs, no state persisted yet
+        assert len(rows) == 2
+        assert rows["forecast"].isna().all()
+        assert not st.exists
+
+    def test_nan_rows_match_batch_scan(self, spark):
+        import math
+
+        import pandas as pd
+
+        from kenshin_spark.functions.render import holt_linear
+        from kenshin_spark.streaming.holt import make_holt_fn
+
+        series = [(1000, 10.0), (1010, math.nan), (1020, 11.0),
+                  (1030, 15.0)]
+        fn = make_holt_fn()
+        st = _FakeState()
+        out = pd.concat(list(fn(("m",), iter([pd.DataFrame(
+            {"ts": [t for t, _ in series],
+             "value": [v for _, v in series]}
+        )]), st)))
+        grid = spark.createDataFrame(
+            [("m", t, None if math.isnan(v) else v) for t, v in series],
+            "metric string, ts long, value double",
+        )
+        batch = holt_linear(grid).orderBy("ts").collect()
+        got = list(out.sort_values("ts").itertuples(index=False))
+        assert len(got) == len(batch) == 4
+        for g, b in zip(got, batch):
+            for gv, bv in zip(g, tuple(b)):
+                if isinstance(gv, float) and math.isnan(gv):
+                    assert bv is None or (isinstance(bv, float) and math.isnan(bv))
+                else:
+                    assert gv == bv
+        # streaming state seeded despite the gap row
+        assert st.exists
