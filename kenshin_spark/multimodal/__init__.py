@@ -32,15 +32,44 @@ def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
-    """STUB codec. Deterministic pseudo-metadata derived from the bytes —
-    replace with PIL.Image.open for real decoding.
+#: magic-byte prefixes of real image containers (PNG, any JPEG, RIFF)
+REAL_IMAGE_MAGIC = (b"\x89PNG", b"\xff\xd8\xff", b"RIFF")
 
-    Raises NotImplementedError for payloads that would need a real codec
-    (magic bytes of actual image formats), making the stub boundary loud.
-    """
-    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
-        raise NotImplementedError("real image decoding needs PIL/ffmpeg")
+
+def is_real_image(payload: bytes) -> bool:
+    return payload.startswith(REAL_IMAGE_MAGIC)
+
+
+def _real_decode(payload: bytes) -> tuple[str, int, int, str]:
+    """Real codec path, used whenever PIL is importable — exercised by
+    ``pytest -m codecs`` (tests/test_codecs.py) so this seam can't rot
+    silently in environments without codec libraries."""
+    from io import BytesIO
+
+    from PIL import Image  # noqa: F401 — optional dependency
+
+    img = Image.open(BytesIO(payload))
+    return (
+        hashlib.md5(payload).hexdigest(),
+        int(img.width),
+        int(img.height),
+        (img.format or "unknown").lower(),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
+    """Codec step. Real image bytes (magic-byte sniff) go to PIL when it
+    is importable; without PIL they raise, keeping the stub boundary
+    loud. Anything else gets deterministic pseudo-metadata derived from
+    the bytes — the testable stand-in this container runs on (no
+    image/audio libs are shipped)."""
+    if is_real_image(payload):
+        try:
+            return _real_decode(payload)
+        except ImportError:
+            raise NotImplementedError(
+                "real image decoding needs PIL/ffmpeg"
+            ) from None
     digest = hashlib.md5(payload).hexdigest()
     width = 64 + int(digest[:4], 16) % 1024
     height = 64 + int(digest[4:8], 16) % 1024

@@ -38,11 +38,32 @@ AUDIO_SCHEMA = (
 )
 
 
+def _real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real codec path (PIL), exercised by ``pytest -m codecs``: resize
+    and re-encode as PNG (a deterministic lossless container)."""
+    from io import BytesIO
+
+    from PIL import Image  # noqa: F401 — optional dependency
+
+    img = Image.open(BytesIO(payload)).resize((width, height))
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
-    """STUB codec (would be PIL.Image.resize): deterministic bytes derived
-    from (payload digest, target size)."""
-    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0", b"RIFF"):
-        raise NotImplementedError("real image resizing needs PIL")
+    """Codec step: real image bytes go through PIL when importable (raise
+    loudly without it); other payloads get deterministic stand-in bytes
+    derived from (payload digest, target size)."""
+    from kenshin_spark.multimodal import is_real_image
+
+    if is_real_image(payload):
+        try:
+            return _real_resize(payload, width, height)
+        except ImportError:
+            raise NotImplementedError(
+                "real image resizing needs PIL"
+            ) from None
     seed = hashlib.md5(payload + f"|{width}x{height}".encode()).digest()
     return (seed * ((width * height * 3) // len(seed) + 1))[: width * height * 3]
 

@@ -1850,3 +1850,52 @@ class TestMetricCorrelationScope:
         got = metric_correlation(grid, glob="*").collect()
         want = metric_correlation(grid).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestStarConnectedComponents:
+    """The large-star/small-star CC fallback (Kiveris SoCC'14): same
+    labels as min-label propagation on random graphs, and it handles the
+    adversarial chain graph in O(log n) rounds where label propagation
+    needs diameter rounds."""
+
+    def _labels(self, spark, edges, algorithm, max_iter=25):
+        from kenshin_spark.dedup.cluster import connected_components
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                df, max_iter=max_iter, algorithm=algorithm
+            ).collect()
+        }
+
+    def test_star_matches_label_prop_on_random_graphs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 40
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+            ]
+            edges = [(x, y) for x, y in edges if x != y]
+            star = self._labels(spark, edges, "star")
+            label = self._labels(spark, edges, "label")
+            assert star == label, f"trial {trial}"
+
+    def test_star_converges_on_chain_in_log_rounds(self, spark):
+        """A 200-node chain has diameter 199; star must finish within
+        max_iter=10 (~log2 n) while labeling the whole chain to node 0."""
+        edges = [(i, i + 1) for i in range(199)]
+        star = self._labels(spark, edges, "star", max_iter=10)
+        assert set(star.values()) == {0}
+        assert len(star) == 200
+
+    def test_unknown_algorithm_rejected(self, spark):
+        import pytest as _pytest
+
+        from kenshin_spark.dedup.cluster import connected_components
+
+        df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        with _pytest.raises(ValueError):
+            connected_components(df, algorithm="bogus")
