@@ -20,7 +20,7 @@ partitioning / cluster size).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kenshin_spark.dedup.minhash import shingles
@@ -310,4 +310,154 @@ def token_drift(
         )
         .orderBy(F.col("chi2").desc(), "token")
         .limit(top_k)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+) -> DataFrame:
+    """Training-sequence packing, concatenate-then-chunk form: assign
+    every document a position in a fixed-length token-sequence stream —
+    ``(doc_id, shard, n_tokens, start_tok, seq_in_shard, seq_offset)``.
+
+    This is the layout step between curation and the trainer: documents
+    are concatenated (in a deterministic shuffled order) and the stream
+    is cut into ``seq_len``-token training sequences, docs spanning cut
+    points. The whole assignment is a pure function of (seed, doc_id,
+    token counts):
+
+    - ``shard`` = portable md5-bucket of the id — the parallel unit, so
+      the only window sort runs per shard, not globally (a global
+      orderBy would serialize the corpus through one task at 100 TB);
+    - order within a shard = (md5 hash, id) — the deterministic
+      "shuffle" every trainer wants, layout/cluster independent;
+    - ``start_tok`` = running token count before the doc (one window
+      cumsum co-partitioned with the shard); ``seq_in_shard`` /
+      ``seq_offset`` are integer div/mod by ``seq_len``.
+
+    All integer/md5 arithmetic — the SQL oracle replays assignment
+    exactly. Emitting (doc → position) rather than materialized token
+    arrays keeps the operator metadata-sized; the trainer's loader joins
+    positions back to text."""
+    from kenshin_spark.functions.text import token_count
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        h.alias("_h"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    ).withColumn("shard", (F.col("_h") % n_shards).cast("long"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return base.select("doc_id", "shard", "n_tokens", start).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok DIV {int(seq_len)}").alias("seq_in_shard"),
+        (F.col("start_tok") % seq_len).alias("seq_offset"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk: int = 64,
+    step: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping chunking: every document becomes
+    ``ceil(n_tokens/step)``-ish windows of ``chunk`` tokens advancing by
+    ``step`` (overlap = chunk - step) — ``(doc_id, chunk_idx, start_tok,
+    chunk_tokens, chunk_text)``.
+
+    Entirely row-local (sequence + posexplode + slice — JVM expressions,
+    zero shuffles): scales as a map over the corpus, and the chunk count
+    per doc is bounded by its own length. The chunk text is re-joined
+    from the token slice so downstream embedding/indexing reads one
+    column."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(chunk), F.col("_n") - F.col("start_tok"))
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("start_tok") + 1, F.lit(chunk)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf with LINEAR idf (``tf * N /
+    doc_freq``): ``(doc_id, term, tf, doc_freq, score, rank)``.
+
+    Linear idf is chosen over log idf deliberately: the score is then one
+    exact-integer product divided once (bit-identical across engines —
+    ``ln`` is not correctly rounded in libm and could flip a 6-dp rank
+    at a tie), and it induces the same per-document ranking order as
+    log idf whenever doc_freq differs. Ties break by term.
+
+    Plan shape: one explode + two partial-aggregated shuffles (tf by
+    (doc, term), doc_freq by term), one AQE join tf↔doc_freq (vocab side
+    small after aggregation), one per-doc window. N comes from a scalar
+    count — no data collect."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    ).where(F.col("term") != "")
+    n_docs = docs.count()  # scalar agg (the oracle's SELECT count(*))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("term").agg(F.count("*").alias("doc_freq"))
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "doc_freq",
+        ((F.col("tf") * n_docs) / F.col("doc_freq")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id", "term", "tf", "doc_freq", "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

@@ -2339,6 +2339,124 @@ def q_pipeline_source_mixture(spark, sf_dir):
 
 
 @register(
+    "pipeline_sequence_packing",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS h,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, h % 8 AS shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY h % 8 ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) - n_tokens AS start_tok
+      FROM base
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(start_tok // 2048 AS BIGINT) AS seq_in_shard,
+           CAST(start_tok % 2048 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+    "training-sequence packing (concatenate-then-chunk): deterministic "
+    "md5 shard + shuffle order, per-shard window cumsum → every doc's "
+    "(sequence, offset) position in fixed 2048-token training sequences. "
+    "Pure integer/md5 arithmetic, window co-partitioned with the shard "
+    "(no global sort) — the oracle replays assignment exactly",
+)
+def q_pipeline_sequence_packing(spark, sf_dir):
+    from kenshin_spark.pipeline import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=2048, n_shards=8)
+
+
+@register(
+    "text_chunking",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 48))
+               AS start_tok,
+             generate_subscripts(
+               generate_series(0, greatest(len(toks) - 1, 0), 48), 1
+             ) - 1 AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(64, n - start_tok) AS BIGINT) AS chunk_tokens,
+           array_to_string(toks[start_tok + 1 : start_tok + 64], ' ')
+             AS chunk_text
+    FROM ex
+    """,
+    "RAG-style overlapping chunking: 64-token windows advancing by 48 "
+    "(16-token overlap), row-local JVM expressions (sequence + "
+    "posexplode + slice) — zero shuffles, chunk text re-joined from the "
+    "token slice",
+)
+def q_text_chunking(spark, sf_dir):
+    from kenshin_spark.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk=64, step=48)
+
+
+@register(
+    "text_tfidf_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, tok AS term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, count(*) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             (tf.tf * n.n_docs) / dfreq.doc_freq AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, doc_freq, score, CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+      ) AS rnk FROM scored
+    ) t WHERE rnk <= 5
+    """,
+    "per-doc top-5 terms by tf-idf with LINEAR idf (tf*N/doc_freq): one "
+    "exact integer product + one division keeps the score bit-identical "
+    "across engines (libm ln is not correctly rounded — a log-idf rank "
+    "could flip at a tie); same ranking as log idf when doc_freq "
+    "differs. Two partial-agg shuffles + one AQE vocab join + one "
+    "per-doc window",
+)
+def q_text_tfidf_topk(spark, sf_dir):
+    from kenshin_spark.pipeline import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=5)
+
+
+@register(
     "text_pii_scrub",
     r"""
     WITH decorated AS (
