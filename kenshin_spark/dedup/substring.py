@@ -1,0 +1,158 @@
+"""Exact substring-level deduplication: find w-token windows whose exact
+text recurs anywhere in the corpus (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better" — the ExactSubstr side of
+that paper; the doc-level near-dup side lives in dedup/minhash.py).
+
+The reference engine has no analog (douban/Kenshin is a TSDB); this is
+part of the LLM-pipeline extension surface.
+
+Spark-first shape: windows are generated row-locally (sequence +
+explode + slice — pure JVM expressions), then immediately reduced to a
+portable 60-bit md5-prefix hash so ONLY 8-byte keys ever shuffle, never
+window text. Corpus-wide duplicate detection is one partial-aggregated
+groupBy over the hashes; attribution back to documents is a hash-keyed
+join. Cost is linear in total tokens — there is no pairwise step at
+all, which is what lets exact-substring dedup run where Jaccard-style
+pairwise methods need banding.
+
+Scale notes (100 TB):
+- the gram stream is ~n_tokens rows of (doc_id, int64) — 16 bytes/token
+  ≈ the size of the tokenized corpus; both aggregations partial-combine
+  map-side, and AQE handles the skew of stop-phrases.
+- ``suffix-array`` implementations find *maximal* duplicated spans;
+  fixed-w windows are the standard distributed relaxation (a duplicated
+  span of length L ≥ w is detected by all its L-w+1 windows).
+- the gram stream is computed once and reused for the duplicate set and
+  the attribution join (cached here; at cluster scale prefer a shuffle
+  reuse or an explicit checkpoint to cheap storage over recompute,
+  since recompute re-reads and re-splits the full text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_hash(gram: F.Column) -> F.Column:
+    """Portable 60-bit hash: md5 prefix as BIGINT (same scheme as the
+    rest of the repo — any SQL engine replays it bit-exactly)."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def gram_hashes(
+    docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, pos, gh)`` — one row per w-token window position with
+    the window's 60-bit hash. Row-local: zero shuffles."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    )
+    gram = F.array_join(F.slice("_toks", F.col("pos") + 1, F.lit(w)), " ")
+    return (
+        base.where(F.col("_n") >= w)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - w)).alias("pos"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                _gram_hash(gram).alias("gh"))
+    )
+
+
+def duplicated_ngram_profile(
+    docs: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-substring profile: ``(doc_id, n_grams,
+    dup_grams, dup_frac)`` where dup_grams counts window positions whose
+    exact w-token text occurs ≥ min_count times corpus-wide (intra-doc
+    repeats included — a doc repeating its own boilerplate is a dup).
+
+    dup_frac is the trainer-facing signal: the fraction of the document
+    that is memorized-elsewhere text. Docs shorter than w tokens emit
+    n_grams = 0 and NULL dup_frac.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = gram_hashes(docs, w, id_col, text_col).cache()
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("gh")
+    )
+    per = (
+        grams.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+    )
+    n_grams = F.greatest(F.size(toks) - (w - 1), F.lit(0)).cast("long")
+    dupc = F.coalesce(F.col("_dup"), F.lit(0)).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), n_grams.alias("n_grams"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            dupc.alias("dup_grams"),
+            F.when(
+                F.col("n_grams") > 0, F.round(dupc / F.col("n_grams"), 6)
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def top_duplicated_grams(
+    docs: DataFrame,
+    w: int = 8,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The k most-repeated w-token windows WITH their text recovered:
+    ``(gram_text, occurrences, n_docs)`` — the boilerplate audit view.
+
+    Text is carried only for the k winners: occurrence counting runs on
+    hashes, then one semi-join pulls the text of the top-k hashes back
+    out of the (row-local, recomputed) gram stream. first() is safe —
+    equal hashes ⇒ equal text (60-bit space; collisions would need
+    ~2^30 distinct grams per bucket)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    )
+    gram = F.array_join(F.slice("_toks", F.col("pos") + 1, F.lit(w)), " ")
+    withtext = (
+        base.where(F.col("_n") >= w)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - w)).alias("pos"),
+        )
+        .select("doc_id", gram.alias("gram_text"))
+        .withColumn("gh", _gram_hash(F.col("gram_text")))
+    )
+    counts = withtext.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("occurrences").desc(), F.col("gh")).limit(k)
+    return (
+        withtext.join(F.broadcast(top), "gh")
+        .groupBy("gh", "occurrences", "n_docs")
+        .agg(F.min("gram_text").alias("gram_text"))
+        .orderBy(F.col("occurrences").desc(), "gh")
+        .select("gram_text", "occurrences", "n_docs")
+    )

@@ -189,3 +189,52 @@ def unigram_logprob_score(
             F.round(F.avg(logp), 6).alias("mean_logprob"),
         )
     )
+
+
+# Pinned-integer-weight linear quality model (fasttext-style classifier
+# distilled to exact arithmetic). A monotone link function (sigmoid)
+# never changes a thresholded keep decision, so the logit is kept in
+# integer space: bit-identical across engines, no libm anywhere.
+QM_WEIGHT_STOPWORDS = 30
+QM_WEIGHT_TOKENS = 2
+QM_WEIGHT_PUNCT = -5
+QM_WEIGHT_DIGITS = -2
+QM_TOKEN_CAP = 500  # saturate the length feature (long ≠ better forever)
+QM_THRESHOLD = 100
+QM_MIN_TOKENS = 25
+
+#: ASCII punctuation as a negated char class (!-/ :-@ [-` {-~)
+PUNCT_NEG_PATTERN = r"[^!-/:-@\[-`{-~]"
+
+
+def quality_model_score(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Model-based quality filter: ``(doc_id, n_tokens, n_stopwords,
+    n_digits, n_punct, score, keep)`` where score is a pinned-weight
+    linear combination of count features and ``keep`` thresholds it.
+
+    Stands in for the learned-classifier stage of a curation pipeline
+    (fasttext / logistic quality models): features are exact counts,
+    weights are integers, so the decision replays bit-exactly in any
+    SQL engine. Row-local, zero shuffles — scales as a pure map."""
+    t = F.col(text_col)
+    n_tok = token_count(t).cast("long")
+    n_stop = stopword_count(t).cast("long")
+    n_digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long")
+    n_punct = F.length(F.regexp_replace(t, PUNCT_NEG_PATTERN, "")).cast("long")
+    score = (
+        QM_WEIGHT_STOPWORDS * n_stop
+        + QM_WEIGHT_TOKENS * F.least(n_tok, F.lit(QM_TOKEN_CAP))
+        + QM_WEIGHT_PUNCT * n_punct
+        + QM_WEIGHT_DIGITS * n_digits
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_digits.alias("n_digits"),
+        n_punct.alias("n_punct"),
+        score.alias("score"),
+        ((score >= QM_THRESHOLD) & (n_tok >= QM_MIN_TOKENS)).alias("keep"),
+    )

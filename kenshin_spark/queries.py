@@ -3608,6 +3608,174 @@ def q_render_group_by_node(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact substring-level dedup (Lee et al. 2022 ExactSubstr relaxation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_substring_ngram",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 8], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 8)) AS i
+        FROM t WHERE len(toks) >= 8
+      )
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    per AS (
+      SELECT g.doc_id, count(*) AS dup_grams
+      FROM g JOIN dup USING (gh) GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.toks) - 7, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(per.dup_grams, 0) AS BIGINT) AS dup_grams,
+           CASE WHEN len(t.toks) >= 8 THEN
+             round(CAST(coalesce(per.dup_grams, 0) AS DOUBLE)
+                   / (len(t.toks) - 7), 6)
+           END AS dup_frac
+    FROM t LEFT JOIN per USING (doc_id)
+    """,
+    "exact substring-level dedup profile (Lee et al. 2022 relaxed to "
+    "fixed 8-token windows): per-doc fraction of windows whose exact "
+    "text recurs corpus-wide. Windows are row-local JVM expressions "
+    "reduced to 60-bit md5 hashes before any shuffle — only 8-byte keys "
+    "move, cost linear in total tokens, NO pairwise step",
+)
+def q_dedup_substring_ngram(spark, sf_dir):
+    from kenshin_spark.dedup.substring import duplicated_ngram_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_ngram_profile(docs, w=8, min_count=2)
+
+
+@register(
+    "dedup_substring_top",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(toks[i + 1 : i + 8], ' ') AS gram_text
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 8)) AS i
+        FROM t WHERE len(toks) >= 8
+      )
+    ),
+    counts AS (
+      SELECT ('0x' || substr(md5(gram_text), 1, 15))::BIGINT AS gh,
+             min(gram_text) AS gram_text,
+             count(*) AS occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY 1
+    )
+    SELECT gram_text, occurrences, n_docs
+    FROM counts ORDER BY occurrences DESC, gh LIMIT 20
+    """,
+    "boilerplate audit: the 20 most-repeated exact 8-token windows with "
+    "their text recovered — counting runs on hashes, text is pulled back "
+    "only for the winners via a broadcast semi-join; ties broken by hash "
+    "for cross-engine determinism",
+)
+def q_dedup_substring_top(spark, sf_dir):
+    from kenshin_spark.dedup.substring import top_duplicated_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_duplicated_grams(docs, w=8, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention over events
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    wk AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           wk.week - f.cohort_week AS week_offset,
+           count(DISTINCT wk.user_id) AS n_users
+    FROM wk JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "classic cohort-retention matrix: users bucketed by epoch-week of "
+    "first activity, counted at each later active week offset. Two "
+    "partial-agg shuffles on user_id (co-partitioned — AQE reuses the "
+    "exchange) + one join + one final agg; all integer week arithmetic",
+)
+def q_retention_cohorts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    weeks = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        weeks.join(firsts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (pinned-weight linear classifier)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_quality_model",
+    r"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT)
+               AS n_stopwords,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+               AS n_digits,
+             CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+               AS BIGINT) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stopwords, n_digits, n_punct,
+           30 * n_stopwords + 2 * least(n_tokens, 500)
+             - 5 * n_punct - 2 * n_digits AS score,
+           (30 * n_stopwords + 2 * least(n_tokens, 500)
+             - 5 * n_punct - 2 * n_digits >= 100
+            AND n_tokens >= 25) AS keep
+    FROM feat
+    """,
+    "model-based quality filter: a pinned-INTEGER-weight linear scorer "
+    "over count features (fasttext-style classifier distilled to exact "
+    "arithmetic — a monotone sigmoid never changes the keep decision, "
+    "so the logit threshold is evaluated in integer space and is "
+    "bit-identical across engines). Row-local, zero shuffles",
+)
+def q_text_quality_model(spark, sf_dir):
+    from kenshin_spark.functions.text import quality_model_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_model_score(docs)
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 

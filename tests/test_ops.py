@@ -1899,3 +1899,147 @@ class TestStarConnectedComponents:
         df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
         with _pytest.raises(ValueError):
             connected_components(df, algorithm="bogus")
+
+
+class TestSubstringDedup:
+    """Exact substring-level dedup (Lee et al. fixed-window relaxation)."""
+
+    def _docs(self, spark):
+        boiler = "all rights reserved contact us at example dot com"  # 9 toks
+        return spark.createDataFrame(
+            [
+                (1, f"alpha beta gamma {boiler} delta"),
+                (2, f"unrelated words here {boiler} epsilon zeta"),
+                (3, "totally unique text with no repeats at all whatsoever"),
+                (4, "short doc"),
+                (5, f"{boiler} {boiler}"),  # intra-doc repeat
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_profile_flags_shared_boilerplate(self, spark):
+        from kenshin_spark.dedup.substring import duplicated_ngram_profile
+
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in duplicated_ngram_profile(self._docs(spark), w=8).collect()
+        }
+        # docs 1, 2, 5 share the 9-token boilerplate → both its 8-gram
+        # windows are corpus-duplicated; doc 3 has none; doc 4 is too short
+        assert out[3]["dup_grams"] == 0
+        assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] is None
+        assert out[1]["dup_grams"] >= 2
+        assert out[2]["dup_grams"] >= 2
+        assert out[5]["dup_grams"] >= 2
+        for d in (1, 2, 5):
+            assert 0 < out[d]["dup_frac"] <= 1
+
+    def test_intra_doc_repeat_counts(self, spark):
+        from kenshin_spark.dedup.substring import duplicated_ngram_profile
+
+        solo = spark.createDataFrame(
+            [(1, "x y z w x y z w x y z w a b c")],  # "x y z w" cycles
+            "doc_id long, text string",
+        )
+        out = duplicated_ngram_profile(solo, w=4).collect()[0]
+        # window "x y z w" occurs at positions 0, 4, 8 → duplicated even
+        # with a single document in the corpus
+        assert out["dup_grams"] >= 3
+
+    def test_top_grams_recovers_text(self, spark):
+        from kenshin_spark.dedup.substring import top_duplicated_grams
+
+        top = top_duplicated_grams(self._docs(spark), w=8, k=5).collect()
+        assert top, "expected at least one duplicated gram"
+        assert top[0]["occurrences"] >= top[-1]["occurrences"]
+        assert any(
+            r["gram_text"].startswith("all rights reserved") for r in top
+        )
+
+    def test_gram_count_arithmetic(self, spark):
+        from kenshin_spark.dedup.substring import gram_hashes
+
+        n = (
+            gram_hashes(self._docs(spark), w=8)
+            .groupBy("doc_id")
+            .count()
+            .collect()
+        )
+        counts = {r["doc_id"]: r["count"] for r in n}
+        assert counts[1] == 13 - 8 + 1  # 13 tokens → 6 windows
+        assert 4 not in counts  # 2 tokens < w → no rows
+
+
+class TestQualityModel:
+    def test_integer_score_and_threshold(self, spark):
+        from kenshin_spark.functions.text import (
+            QM_MIN_TOKENS,
+            QM_THRESHOLD,
+            quality_model_score,
+        )
+
+        good = " ".join(["the quick brown fox jumps over it and"] * 8)  # stopword-rich
+        bad = " ".join(["#$%! 123 456 ???"] * 20)  # punct/digit-heavy
+        df = spark.createDataFrame(
+            [(1, good), (2, bad)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r.asDict() for r in quality_model_score(df).collect()}
+        g, b = rows[1], rows[2]
+        assert g["keep"] and not b["keep"]
+        assert g["score"] >= QM_THRESHOLD and g["n_tokens"] >= QM_MIN_TOKENS
+        assert b["score"] < QM_THRESHOLD
+        # exact feature arithmetic on the good doc: 8 tokens/rep × 8 reps
+        assert g["n_tokens"] == 64
+        # 'the', 'it', 'and' hit per repeat → 24 stopword hits
+        assert g["n_stopwords"] == 24
+        assert g["score"] == 30 * 24 + 2 * 64 - 5 * g["n_punct"] - 2 * g["n_digits"]
+
+    def test_keep_monotone_in_stopwords(self, spark):
+        from kenshin_spark.functions.text import quality_model_score
+
+        base = "word " * 30
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " the and of is it in to or a an")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["score"] for r in quality_model_score(df).collect()}
+        assert rows[2] > rows[1]
+
+
+class TestRetentionCohorts:
+    def test_cohort_matrix(self, spark):
+        from kenshin_spark.queries import QUERIES
+        import tempfile, os, datetime as dt
+        import pandas as pd
+
+        with tempfile.TemporaryDirectory() as d:
+            wk = 604800
+            t0 = dt.datetime(2024, 1, 8)  # mid-epoch-week anchor
+            rows = [
+                # user 1: weeks 0, 1, 3 ; user 2: week 0 only ; user 3: 1, 2
+                (1, t0), (1, t0 + dt.timedelta(seconds=wk)),
+                (1, t0 + dt.timedelta(seconds=3 * wk)),
+                (2, t0 + dt.timedelta(hours=5)),
+                (3, t0 + dt.timedelta(seconds=wk)),
+                (3, t0 + dt.timedelta(seconds=2 * wk)),
+            ]
+            pd.DataFrame(
+                {
+                    "event_id": range(len(rows)),
+                    "ts": [ts for _, ts in rows],
+                    "user_id": [u for u, _ in rows],
+                    "event_type": "x",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            ).to_parquet(os.path.join(d, "events.parquet"))
+            out = QUERIES["q_retention_cohorts"].fn(spark, d).collect()
+        m = {(r["cohort_week"] - min(x["cohort_week"] for x in out),
+              r["week_offset"]): r["n_users"] for r in out}
+        base = 0
+        assert m[(base, 0)] == 2          # users 1 and 2 start week 0
+        assert m[(base, 1)] == 1          # user 1 returns week 1
+        assert m[(base, 3)] == 1          # user 1 returns week 3
+        assert m[(base + 1, 0)] == 1      # user 3's cohort is week 1
+        assert m[(base + 1, 1)] == 1      # user 3 active its week 1
+        assert (base, 2) not in m
