@@ -3311,6 +3311,83 @@ WHERE p_brand = 'Brand#1' AND p_size <= 15
          FROM lineitem l3 WHERE l3.l_partkey = p_partkey)
 """
 
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum({_DISC_PRICE}) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+Q22_SQL = """
+WITH tot AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+       count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer, tot
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+QUERIES["q9_nation_revenue"] = QuerySpec(
+    fn=_sql_query(Q9_SQL, ("lineitem", "orders", "supplier", "nation",
+                           "part")),
+    oracle=Q9_SQL,
+    doc="TPC-H Q9-style (adapted: testdata has no partsupp/supplycost, "
+    "so revenue stands in for profit): 5-way join — fact table joins "
+    "three broadcastable dims + orders — grouped by supplier nation × "
+    "order year; DECIMAL money math",
+)
+QUERIES["q21_sole_return_supplier"] = QuerySpec(
+    fn=_sql_query(Q21_SQL, ("supplier", "lineitem", "orders")),
+    oracle=Q21_SQL,
+    doc="TPC-H Q21-style (adapted: no commit/receipt dates in testdata, "
+    "returnflag='R' stands in for late delivery): suppliers who were "
+    "the SOLE returning supplier on a multi-supplier finished order — "
+    "correlated EXISTS + NOT EXISTS, which Catalyst decorrelates into "
+    "left-semi and left-anti hash joins on l_orderkey",
+)
+QUERIES["q22_dormant_customers"] = QuerySpec(
+    fn=_sql_query(Q22_SQL, ("customer", "orders")),
+    oracle=Q22_SQL,
+    doc="TPC-H Q22-style (adapted: above-mean acctbal via exact DECIMAL "
+    "cross-multiplication instead of a float avg threshold; dormant = "
+    "no order since 2000-01-01): scalar aggregate broadcast + "
+    "NOT EXISTS anti join, grouped by nation",
+)
+
 CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
