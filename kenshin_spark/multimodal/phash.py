@@ -1,0 +1,156 @@
+"""Perceptual-hash image deduplication (average-hash family).
+
+The classic aHash pipeline: downsample the image to an 8×8 grayscale
+grid, threshold each pixel against the image mean → 64-bit fingerprint;
+near-duplicate images differ in a few bits, so pairs are found by exact
+Hamming distance. The reference engine has no analog (LLM-pipeline
+extension surface).
+
+Spark-first shape — every step is a JVM expression (no Python UDFs):
+
+- pixels → bits → 8×8-bit bands are row-local ``transform``/``aggregate``
+  higher-order functions;
+- candidate pairs come from a banded equi-join (8 bands × 8 bits). By
+  pigeonhole, two hashes within Hamming distance 7 MUST agree on at
+  least one band — so for the default threshold (≤ 6) band matching is
+  a COMPLETE candidate generator, not an approximation;
+- exact Hamming distance re-verifies candidates via
+  ``zip_with + bit_count`` over the band arrays.
+
+Codec boundary: this container ships no image libs, so the pixel grid
+here is a deterministic md5-derived fake (same convention as
+multimodal/transforms.py — meaning only exact-duplicate payloads
+collide; real decoded grayscale restores the perceptual behavior).
+``ahash_bands`` is codec-agnostic: hand it any 64-int pixel column.
+
+Scale notes (100 TB): fingerprints are 4 rows of 16 bytes per image —
+the banded join shuffles ~64 bytes per image, never pixels or payloads;
+candidate cost is Σ|bucket|² over 8-bit band buckets (bounded, and
+skew-resistant because a uniform hash family spreads buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PIXELS = 64
+N_BANDS = 8
+BAND_BITS = 8
+DEFAULT_MAX_HAMMING = 6  # < N_BANDS-1 keeps band candidates complete
+
+
+def fake_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Deterministic stand-in for decode+resize: 64 pseudo-grayscale
+    bytes derived from the payload md5 (replayable in any SQL engine).
+    Adds ``pixels: array<int>``."""
+    return df.withColumn("_h", F.md5(F.col(payload_col))).withColumn(
+        "pixels",
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            "cast(conv(substr(md5(concat(_h, '|', cast(i as string))), 1, 2),"
+            " 16, 10) as int))"
+        ),
+    ).drop("_h")
+
+
+def ahash_bands(df: DataFrame, pixels_col: str = "pixels") -> DataFrame:
+    """Average-hash fingerprint as 8 bands of 8 bits: adds
+    ``bands: array<int>`` (each 0..255). The mean threshold is the exact
+    integer cross-multiplication ``pixel * 64 >= sum(pixels)``.
+
+    Implementation note: one expression using the ``transform(array(e),
+    x -> ...)`` let-binding idiom. Chained withColumns would let
+    CollapseProject inline the pixel-source expression into every bit
+    reference — with an md5-derived pixel source that's a 64×64×64
+    interpreted-md5 blowup per row (higher-order functions don't get
+    codegen CSE). Binding pixels (and their sum) to lambda variables
+    evaluates each exactly once per row."""
+    expr = (
+        f"element_at(transform(array({pixels_col}), px -> "
+        f"  element_at(transform(array(aggregate(px, 0, (a, x) -> a + x)), "
+        f"tot -> "
+        f"    transform(sequence(0, {N_BANDS - 1}), b -> "
+        f"      aggregate(sequence(0, {BAND_BITS - 1}), 0, (acc, j) -> "
+        f"        acc + CASE WHEN element_at(px, b * {BAND_BITS} + j + 1) "
+        f"                        * {N_PIXELS} >= tot "
+        f"              THEN shiftleft(1, j) ELSE 0 END))), 1)), 1)"
+    )
+    return df.withColumn("bands", F.expr(expr))
+
+
+def perturb_pixels(
+    df: DataFrame,
+    indices: tuple[int, ...] = (5, 17, 42),
+    delta: int = 16,
+    pixels_col: str = "pixels",
+) -> DataFrame:
+    """Deterministically bump a few grid cells — the golden-perturbation
+    harness for exercising the near-dup detector without real codecs
+    (a fake decoder has no perceptual locality: only controlled pixel
+    edits can produce close-but-not-equal fingerprints)."""
+    idx = ", ".join(str(i) for i in indices)
+    return df.withColumn(
+        pixels_col,
+        F.expr(
+            f"transform({pixels_col}, (x, i) -> "
+            f"CASE WHEN array_contains(array({idx}), i) "
+            f"THEN x + {delta} ELSE x END)"
+        ),
+    )
+
+
+def phash_neardup_pairs(
+    docs_with_pixels: DataFrame,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_a, doc_b, hamming)`` for image pairs within Hamming
+    distance ``max_hamming`` of each other's aHash. Complete (not
+    approximate) for ``max_hamming < N_BANDS``, by pigeonhole over the
+    banded candidate join. Input must carry a ``pixels`` column (from a
+    real decoder at 8×8, or ``fake_pixels`` in this container)."""
+    # referenced three times (band explode + two attribute joins);
+    # fingerprints are ~64 bytes/image so caching beats recomputing the
+    # decode at any scale
+    sigs = ahash_bands(
+        docs_with_pixels.select(F.col(id_col).alias("doc_id"), "pixels")
+    ).select("doc_id", "bands").cache()
+    banded = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        cand.join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("bands").alias("_ba")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("bands").alias("_bb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "hamming",
+            F.expr(
+                "aggregate(zip_with(_ba, _bb, (x, y) -> bit_count(x ^ y)), "
+                "0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

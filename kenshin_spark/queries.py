@@ -3853,6 +3853,118 @@ def q_text_quality_model(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (multimodal extension)
+# ---------------------------------------------------------------------------
+
+#: DuckDB replay of the fake 8×8 pixel grid (multimodal/phash.py:fake_pixels)
+_PHASH_PX0 = """
+  SELECT doc_id, i,
+         ('0x' || substr(md5(h || '|' || CAST(i AS VARCHAR)), 1, 2))::BIGINT
+           AS p
+  FROM (SELECT doc_id, md5(text) AS h,
+               unnest(generate_series(0, 63)) AS i
+        FROM documents)
+"""
+
+#: pixels → mean-threshold bits → 8 bands of 8 bits (shared oracle tail)
+_PHASH_BANDS = """
+tot AS (SELECT doc_id, sum(p) AS s FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, i, CASE WHEN p * 64 >= s THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, i // 8 AS band_idx,
+         sum(bit * (1 << (i % 8))) AS band_val
+  FROM bits GROUP BY doc_id, i // 8
+)
+"""
+
+
+@register(
+    "mm_phash_bands",
+    f"""
+    WITH px AS ({_PHASH_PX0}),
+    {_PHASH_BANDS}
+    SELECT doc_id, CAST(band_idx AS BIGINT) AS band_idx,
+           CAST(band_val AS BIGINT) AS band_val
+    FROM bands
+    """,
+    "average-hash image fingerprints as 8×8-bit bands: decode(stub) → "
+    "64-cell grid → exact integer mean threshold → banded 64-bit hash. "
+    "All row-local JVM higher-order functions (transform/aggregate), "
+    "zero shuffles; 8 rows × 16 bytes per image is all that ever moves",
+)
+def q_mm_phash_bands(spark, sf_dir):
+    from kenshin_spark.multimodal.phash import ahash_bands, fake_pixels
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = fake_pixels(attach_fake_payload(docs).select("doc_id", "payload"))
+    return ahash_bands(base).select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+    ).select(
+        "doc_id",
+        F.col("band_idx").cast("long").alias("band_idx"),
+        F.col("band_val").cast("long").alias("band_val"),
+    )
+
+
+@register(
+    "mm_phash_neardup",
+    f"""
+    WITH px0 AS ({_PHASH_PX0}),
+    px AS (
+      SELECT doc_id, i, p FROM px0
+      UNION ALL
+      SELECT doc_id + 100000, i,
+             CASE WHEN i IN (5, 17, 42) THEN p + 16 ELSE p END
+      FROM px0
+    ),
+    {_PHASH_BANDS},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ham AS (
+      SELECT c.doc_a, c.doc_b,
+             sum(bit_count(CAST(xor(x.band_val, y.band_val) AS BIGINT)))
+               AS hamming
+      FROM cand c
+      JOIN bands x ON x.doc_id = c.doc_a
+      JOIN bands y ON y.doc_id = c.doc_b AND y.band_idx = x.band_idx
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM ham WHERE hamming <= 6
+    """,
+    "perceptual-hash near-dup image pairs at Hamming ≤ 6 over the corpus "
+    "plus deterministically perturbed clones (the golden-perturbation "
+    "harness — a fake decoder has no perceptual locality, so controlled "
+    "pixel edits stand in for re-encoded images). Banded equi-join is a "
+    "COMPLETE candidate generator by pigeonhole (6 < 8 bands); exact "
+    "bit_count re-verify; only 64-byte fingerprints shuffle",
+)
+def q_mm_phash_neardup(spark, sf_dir):
+    from kenshin_spark.multimodal.phash import (
+        fake_pixels,
+        perturb_pixels,
+        phash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = fake_pixels(
+        attach_fake_payload(docs).select("doc_id", "payload")
+    ).select("doc_id", "pixels")
+    clones = perturb_pixels(
+        base.withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return phash_neardup_pairs(base.unionByName(clones))
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 

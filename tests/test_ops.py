@@ -2043,3 +2043,91 @@ class TestRetentionCohorts:
         assert m[(base + 1, 0)] == 1      # user 3's cohort is week 1
         assert m[(base + 1, 1)] == 1      # user 3 active its week 1
         assert (base, 2) not in m
+
+
+class TestPerceptualHash:
+    def _with_pixels(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, pixels array<int>"
+        )
+
+    def test_band_packing_and_mean_threshold(self, spark):
+        from kenshin_spark.multimodal.phash import ahash_bands
+
+        # first 32 pixels bright (200), last 32 dark (10): mean = 105 →
+        # bits 0..31 set, 32..63 clear → bands 0..3 = 255, bands 4..7 = 0
+        df = self._with_pixels(spark, [(1, [200] * 32 + [10] * 32)])
+        bands = ahash_bands(df).collect()[0]["bands"]
+        assert bands == [255, 255, 255, 255, 0, 0, 0, 0]
+
+    def test_neardup_hamming_exact(self, spark):
+        from kenshin_spark.multimodal.phash import phash_neardup_pairs
+
+        base = [200] * 32 + [10] * 32
+        three_flips = list(base)
+        for i in (0, 20, 40):  # flip bits 0, 20 (set→clear), 40 (clear→set)
+            three_flips[i] = 210 - three_flips[i]
+        far = [10] * 32 + [200] * 32  # all 64 bits differ
+        df = self._with_pixels(
+            spark, [(1, base), (2, list(base)), (3, three_flips), (4, far)]
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in phash_neardup_pairs(df, max_hamming=6).collect()
+        }
+        assert got[(1, 2)] == 0
+        assert got[(1, 3)] == 3 and got[(2, 3)] == 3
+        assert not any(4 in p for p in got)
+
+    def test_pigeonhole_completeness(self, spark):
+        """Any pair within hamming ≤ 6 MUST be found (bands are a complete
+        candidate generator, not approximate): exhaustive check against a
+        brute-force python hamming on a batch of random-ish patterns."""
+        from kenshin_spark.multimodal.phash import ahash_bands, phash_neardup_pairs
+        import hashlib
+
+        def pix(seed):
+            h = hashlib.md5(str(seed).encode()).hexdigest()
+            return [
+                int(hashlib.md5(f"{h}|{i}".encode()).hexdigest()[:2], 16)
+                for i in range(64)
+            ]
+
+        rows = [(i, pix(i // 3)) for i in range(12)]  # triplets of equals
+        df = self._with_pixels(spark, rows)
+        sigs = {
+            r["doc_id"]: r["bands"] for r in ahash_bands(df).collect()
+        }
+
+        def ham(a, b):
+            return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+        want = {
+            (i, j)
+            for i in sigs
+            for j in sigs
+            if i < j and ham(sigs[i], sigs[j]) <= 6
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in phash_neardup_pairs(df, max_hamming=6).collect()
+        }
+        assert got == want and len(want) >= 12  # 4 triplets → ≥12 pairs
+
+    def test_perturbation_stays_near(self, spark):
+        from kenshin_spark.multimodal.phash import (
+            ahash_bands,
+            fake_pixels,
+            perturb_pixels,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(1, b"hello world payload")], "doc_id long, payload binary"
+        )
+        base = fake_pixels(docs)
+        pert = perturb_pixels(base)
+        a = ahash_bands(base).collect()[0]["bands"]
+        b = ahash_bands(pert).collect()[0]["bands"]
+        d = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        assert d <= 6  # small pixel bumps → small fingerprint distance
