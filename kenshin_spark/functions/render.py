@@ -143,6 +143,43 @@ def keep_last_value(grid: DataFrame, limit: int | None = None) -> DataFrame:
     )
 
 
+def interpolate(grid: DataFrame, limit: int | None = None) -> DataFrame:
+    """Graphite interpolate(series): linearly fill interior NULL runs
+    between the surrounding non-NULL points; leading/trailing NULLs stay
+    NULL. ``limit`` caps the fillable run length in slots.
+
+    The lerp is one expression — ``prev + (next - prev) * (ts - prev_ts)
+    / (next_ts - prev_ts)`` — evaluated op-for-op identically by any
+    engine (two int-difference doubles, one divide, one multiply, one
+    add), so results are bit-replayable. Two windows per series (one
+    backward, one forward scan), co-partitioned with the grid."""
+    wb = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    wf = _series_window().rowsBetween(0, Window.unboundedFollowing)
+    marker = F.when(F.col("value").isNotNull(), F.col("ts"))
+    prev_v = F.last("value", ignorenulls=True).over(wb)
+    prev_t = F.last(marker, ignorenulls=True).over(wb)
+    next_v = F.first("value", ignorenulls=True).over(wf)
+    next_t = F.first(marker, ignorenulls=True).over(wf)
+    lerp = prev_v + (next_v - prev_v) * (F.col("ts") - prev_t) / (
+        next_t - prev_t
+    )
+    fill = lerp
+    if limit is not None:
+        step = F.min(F.col("ts") - F.lag("ts").over(_series_window())).over(
+            Window.partitionBy("metric")
+        )
+        fill = F.when((next_t - prev_t) / step <= limit + 1, lerp)
+    return grid.select(
+        "metric",
+        "ts",
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .otherwise(
+            F.when(prev_t.isNotNull() & next_t.isNotNull(), fill)
+        )
+        .alias("value"),
+    )
+
+
 def absolute(grid: DataFrame) -> DataFrame:
     """Graphite absolute(series)."""
     return grid.select("metric", "ts", F.abs("value").alias("value"))
@@ -634,6 +671,7 @@ RENDER_REGISTRY = {
     "groupByNode": group_by_node,
     "highestAverage": highest_average,
     "integral": integral,
+    "interpolate": interpolate,
     "invert": invert,
     "keepLastValue": keep_last_value,
     "logarithm": logarithm,

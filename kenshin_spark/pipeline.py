@@ -461,3 +461,71 @@ def tfidf_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def bigram_coherence(
+    docs: DataFrame,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM coherence score: the corpus' own bigram distribution is
+    the LM; each document scores the mean conditional probability of its
+    token transitions — ``(doc_id, n_bigrams, mean_scaled_prob)``.
+
+    Shuffled/garbled text draws improbable transitions and scores low;
+    degenerate repetition scores near ``scale`` — both tails are filter
+    candidates (the bigram companion to ``unigram_logprob_score``; the
+    arithmetic mean of probabilities stands in for perplexity).
+
+    Cross-engine float discipline: each transition probability is the
+    INTEGER ``(bigram_count * scale) DIV prefix_count`` (libm-free,
+    order-independent), per-doc sums are exact integers, and only the
+    final mean divides once — bit-replayable by any SQL engine.
+
+    Plan: row-local bigram construction (transform + explode), two
+    partial-aggregated vocab counts, two vocab joins (AQE sizes them;
+    co-keyed on w1), one doc-keyed agg. The corpus text shuffles never —
+    only (doc_id, w1, w2) triples and vocab-sized tables move."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        F.size(toks).alias("_n"),
+    )
+    bg = (
+        base.where(F.col("_n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, _n - 1), i -> "
+                    "struct(element_at(_t, i) AS w1, "
+                    "element_at(_t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    sc = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .select("doc_id", F.expr(f"c2 * {int(scale)} DIV c1").alias("s"))
+    )
+    per = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("s").alias("_tot")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("_tot") / F.col("n_bigrams"), 6),
+            ).alias("mean_scaled_prob"),
+        )
+    )

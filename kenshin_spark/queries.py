@@ -793,6 +793,68 @@ def q_render_keep_last_value(spark, sf_dir):
 
 
 @register(
+    "render_interpolate",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    bounds AS (
+      SELECT ((now - 21600 + 299) // 300) * 300 AS from_r,
+             ((now + 299) // 300) * 300 AS until_r
+      FROM now_t
+    ),
+    tier1 AS (
+      SELECT metric, ts - ts % 300 AS ts, round(avg(value), 6) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT m.metric,
+             unnest(generate_series(b.from_r, b.until_r - 300, 300)) AS ts
+      FROM (SELECT DISTINCT metric FROM pts) m, bounds b
+    ),
+    g AS (
+      SELECT g.metric, g.ts, t.value
+      FROM grid g LEFT JOIN tier1 t ON g.metric = t.metric AND g.ts = t.ts
+    ),
+    scans AS (
+      SELECT metric, ts, value,
+             last_value(value IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN value IS NOT NULL THEN ts END
+                        IGNORE NULLS) OVER wb AS prev_t,
+             first_value(value IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN value IS NOT NULL THEN ts END
+                         IGNORE NULLS) OVER wf AS next_t
+      FROM g
+      WINDOW wb AS (PARTITION BY metric ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY metric ORDER BY ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT metric, ts,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN prev_t IS NOT NULL AND next_t IS NOT NULL THEN
+                  prev_v + (next_v - prev_v) * (ts - prev_t)
+                         / (next_t - prev_t)
+           END AS value
+    FROM scans
+    """,
+    "graphite interpolate(series): linear fill of interior NULL runs "
+    "over a NULL-filled fetch grid — two IGNORE NULLS window scans per "
+    "series + a single lerp expression evaluated op-for-op identically "
+    "by both engines (no round needed); leading/trailing NULLs stay NULL",
+)
+def q_render_interpolate(spark, sf_dir):
+    from kenshin_spark.functions.render import interpolate
+
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    tier1 = downsample(pts, 300, "average").withColumn(
+        "value", F.round("value", 6)
+    )
+    metrics = pts.select("metric").distinct()
+    grid = grid_fill(tier1, metrics, now - 21600, now, 300)
+    return interpolate(grid)
+
+
+@register(
     "render_per_second",
     # NO round(): dv, dt, and dv/dt are computed from identical doubles
     # in identical order in both engines, so the raw quotient is
@@ -3962,6 +4024,53 @@ def q_mm_phash_neardup(spark, sf_dir):
         base.withColumn("doc_id", F.col("doc_id") + 100000)
     )
     return phash_neardup_pairs(base.unionByName(clones))
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM coherence
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_lm",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2
+      )
+    ),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    sc AS (
+      SELECT bg.doc_id, (big.c2 * 1000000) // uni.c1 AS s
+      FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1)
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_bigrams, sum(s) AS tot
+      FROM sc GROUP BY 1
+    )
+    SELECT toks.doc_id,
+           CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN per.n_bigrams > 0 THEN
+             round(CAST(per.tot AS DOUBLE) / per.n_bigrams, 6)
+           END AS mean_scaled_prob
+    FROM toks LEFT JOIN per USING (doc_id)
+    """,
+    "bigram-LM coherence: mean corpus-conditional transition probability "
+    "per document (the perplexity stand-in next to the unigram LM score) "
+    "— every probability is the integer (c2*1e6) DIV c1, per-doc sums "
+    "are exact, one final division; libm-free and bit-replayable",
+)
+def q_text_bigram_lm(spark, sf_dir):
+    from kenshin_spark.pipeline import bigram_coherence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_coherence(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -2131,3 +2131,67 @@ class TestPerceptualHash:
         b = ahash_bands(pert).collect()[0]["bands"]
         d = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
         assert d <= 6  # small pixel bumps → small fingerprint distance
+
+
+class TestInterpolate:
+    def _grid(self, spark, vals, step=60):
+        rows = [("m", i * step, v) for i, v in enumerate(vals)]
+        return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+    def test_interior_gap_linear(self, spark):
+        from kenshin_spark.functions.render import interpolate
+
+        out = interpolate(self._grid(spark, [1.0, None, None, 4.0])).collect()
+        got = {r["ts"]: r["value"] for r in out}
+        assert got[0] == 1.0 and got[180] == 4.0
+        assert got[60] == 2.0 and got[120] == 3.0
+
+    def test_edges_stay_null(self, spark):
+        from kenshin_spark.functions.render import interpolate
+
+        out = interpolate(self._grid(spark, [None, 2.0, None, 6.0, None])).collect()
+        got = {r["ts"]: r["value"] for r in out}
+        assert got[0] is None and got[240] is None  # no neighbor on one side
+        assert got[120] == 4.0
+
+    def test_limit_refuses_long_gaps(self, spark):
+        from kenshin_spark.functions.render import interpolate
+
+        vals = [0.0, None, None, None, 8.0, None, 10.0]
+        out = interpolate(self._grid(spark, vals), limit=2).collect()
+        got = {r["ts"]: r["value"] for r in out}
+        assert got[60] is None and got[120] is None and got[180] is None
+        assert got[300] == 9.0  # 1-slot gap still fills
+
+    def test_registered_in_render_chain(self, spark):
+        from kenshin_spark.functions.render import RENDER_REGISTRY
+
+        assert "interpolate" in RENDER_REGISTRY
+
+
+class TestBigramCoherence:
+    def test_repetition_scores_high_novel_low(self, spark):
+        from kenshin_spark.pipeline import bigram_coherence
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a b a b a b"),   # one dominant transition
+                (2, "a c b d a e b f a g"),   # transitions unique
+                (3, "solo"),                  # < 2 tokens
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r.asDict() for r in bigram_coherence(docs).collect()}
+        assert got[1]["mean_scaled_prob"] > got[2]["mean_scaled_prob"]
+        assert got[3]["n_bigrams"] == 0 and got[3]["mean_scaled_prob"] is None
+        assert got[1]["n_bigrams"] == 9
+
+    def test_uniform_corpus_scores_scale(self, spark):
+        from kenshin_spark.pipeline import bigram_coherence
+
+        # every 'x' is followed by 'y' and every 'y' by 'x': P = 1
+        docs = spark.createDataFrame(
+            [(1, "x y x y x"), (2, "y x y x y")], "doc_id long, text string"
+        )
+        for r in bigram_coherence(docs).collect():
+            assert r["mean_scaled_prob"] == 1_000_000.0
