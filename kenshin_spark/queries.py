@@ -4074,6 +4074,48 @@ def q_text_bigram_lm(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Native session windows (streaming-capable operator, batch-verified)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_event_sessions_native",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+      ) AS sid FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+    "Spark's NATIVE session_window operator (the streaming-capable one — "
+    "same call tree serves live streams with watermark state eviction) "
+    "verified against the lag+cumsum SQL sessionization: merge boundary "
+    "is INCLUSIVE (events exactly gap apart merge, probed empirically), "
+    "session_end = last event + gap, microsecond-exact timestamps, "
+    "DECIMAL-exact value sums",
+)
+def q_event_sessions_native(spark, sf_dir):
+    from kenshin_spark.streaming.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 

@@ -1022,3 +1022,83 @@ class TestHoltNanHandling:
                     assert gv == bv
         # streaming state seeded despite the gap row
         assert st.exists
+
+
+class TestSessionWindows:
+    """Native session_window + watermarked dedup — streaming ≡ batch."""
+
+    def _events_json(self, tmp_path, name, rows):
+        """rows: (user_id, iso_ts, value) → one json-lines file."""
+        import json
+
+        d = str(tmp_path / "sess_in")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, name), "w") as f:
+            for u, ts, v in rows:
+                f.write(json.dumps({"user_id": u, "ts": ts, "value": v}) + "\n")
+        return d
+
+    _SCHEMA = "user_id long, ts timestamp, value double"
+
+    _ROWS = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),   # same session (gap 10m)
+        (1, "2024-01-01 01:00:00", 4.0),   # new session (gap 50m)
+        (2, "2024-01-01 00:05:00", 8.0),
+    ]
+
+    def test_streaming_equals_batch(self, spark, tmp_path):
+        from kenshin_spark.streaming.sessions import sessionize
+
+        in_dir = self._events_json(tmp_path, "b1.json", self._ROWS)
+        batch_df = spark.read.schema(self._SCHEMA).json(in_dir)
+        want = sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["sum_value"])
+            for r in sessionize(batch_df, gap="30 minutes").collect()
+        )
+        assert len(want) == 3  # user1 × 2 sessions + user2 × 1
+
+        stream = spark.readStream.schema(self._SCHEMA).json(in_dir)
+        q = (
+            sessionize(stream.withWatermark("ts", "10 minutes"),
+                       gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        )
+        assert got == want
+
+    def test_dedup_within_watermark_drops_resends(self, spark, tmp_path):
+        from kenshin_spark.streaming.sessions import dedup_within_watermark
+
+        rows = self._ROWS + [self._ROWS[0], self._ROWS[3]]  # re-sends
+        in_dir = self._events_json(tmp_path, "b1.json", rows)
+
+        stream = spark.readStream.schema(self._SCHEMA).json(in_dir)
+        deduped = dedup_within_watermark(
+            stream, ["user_id", "ts"], watermark="1 hour"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT user_id, ts, value FROM dedup_out").collect()
+        assert len(got) == len(self._ROWS)  # duplicates dropped
+        # batch fallback gives the same multiset
+        batch = dedup_within_watermark(
+            spark.read.schema(self._SCHEMA).json(in_dir), ["user_id", "ts"]
+        )
+        assert batch.count() == len(self._ROWS)
