@@ -59,3 +59,49 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed containment near-dup: ``(doc_a, doc_b, containment)``
+    where containment = |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥
+    threshold — doc_a is (nearly) contained in doc_b.
+
+    Catches the asymmetric cases Jaccard misses: a copied article with
+    a long appended comment section scores low Jaccard (union grows)
+    but containment ≈ 1 for the original inside the copy. Same
+    inverted-index join as ``ngram_jaccard_pairs`` — cost Σ|shingle
+    bucket|², never all-pairs; ``max_df`` caps stop-shingle buckets."""
+    sh = shingles(docs, n, id_col, text_col)
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.where(F.col("df") <= max_df), "shingle").select(
+            "doc_id", "shingle"
+        )
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cont = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )

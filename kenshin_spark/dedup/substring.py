@@ -156,3 +156,50 @@ def top_duplicated_grams(
         .orderBy(F.col("occurrences").desc(), "gh")
         .select("gram_text", "occurrences", "n_docs")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The actionable form of substring dedup (Lee et al. REMOVE the
+    duplicated spans, they don't drop documents): maximal runs of
+    consecutive duplicated window positions per document —
+    ``(doc_id, span_start, n_windows, span_tokens)`` where the span
+    covers tokens [span_start, span_start + span_tokens).
+
+    A duplicated region of L ≥ w tokens appears as L - w + 1 consecutive
+    duplicated windows, so ``span_tokens = n_windows + w - 1`` recovers
+    its full extent. Islands are grouped with the classic
+    ``pos - row_number()`` trick — one window function over the (small)
+    duplicated-position set, keyed by document."""
+    from pyspark.sql import Window
+
+    grams = gram_hashes(docs, w, id_col, text_col).cache()
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("gh")
+    )
+    pos = grams.join(dup, "gh").select("doc_id", "pos")
+    isl = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        pos.withColumn("_isl", isl)
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            (F.col("n_windows") + (w - 1)).cast("long").alias("span_tokens"),
+        )
+    )

@@ -4116,6 +4116,83 @@ def q_event_sessions_native(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Containment near-dup + duplicated-span extraction
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / za.n_sh, 6) AS containment
+    FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+    WHERE round(i.n_inter * 1.0 / za.n_sh, 6) >= 0.5
+    """,
+    "directed containment near-dup (|A∩B|/|A| ≥ 0.5): the asymmetric "
+    "companion to Jaccard — a copied article inside a longer page "
+    "scores containment ≈ 1 where Jaccard dilutes; same inverted-index "
+    "shingle join, Σ|bucket|² cost, never all-pairs",
+)
+def q_dedup_containment(spark, sf_dir):
+    from kenshin_spark.dedup.ngram import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 8], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 8)) AS i
+        FROM t WHERE len(toks) >= 8
+      )
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    pos AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS grp
+      FROM pos
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) + 7 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+    "the actionable output of substring dedup (Lee et al. remove SPANS, "
+    "not documents): maximal runs of consecutive duplicated 8-token "
+    "windows per doc via the pos - row_number() island trick; a "
+    "duplicated region of L tokens yields span_tokens = L exactly",
+)
+def q_dedup_substring_spans(spark, sf_dir):
+    from kenshin_spark.dedup.substring import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, w=8, min_count=2)
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 

@@ -2195,3 +2195,78 @@ class TestBigramCoherence:
         )
         for r in bigram_coherence(docs).collect():
             assert r["mean_scaled_prob"] == 1_000_000.0
+
+
+class TestContainment:
+    def test_asymmetric_superset_detected(self, spark):
+        from kenshin_spark.dedup.ngram import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        article = " ".join(f"w{i}" for i in range(30))
+        page = article + " " + " ".join(f"c{i}" for i in range(90))
+        docs = spark.createDataFrame(
+            [(1, article), (2, page)], "doc_id long, text string"
+        )
+        cont = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.5).collect()
+        }
+        # article fully contained in page; page NOT contained in article
+        assert cont[(1, 2)] >= 0.9
+        assert (2, 1) not in cont
+        # Jaccard at the same strength misses the pair (union dilution)
+        jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        assert not jac
+
+    def test_max_df_prunes_stop_shingles(self, spark):
+        from kenshin_spark.dedup.ngram import containment_pairs
+
+        boiler = "the same three words"
+        docs = spark.createDataFrame(
+            [(i, f"{boiler} unique{i} tail{i} extra{i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        loose = containment_pairs(docs, threshold=0.3).count()
+        strict = containment_pairs(docs, threshold=0.3, max_df=2).count()
+        assert strict < loose  # stop-shingle buckets removed
+
+
+class TestDuplicatedSpans:
+    def test_span_recovers_full_region(self, spark):
+        from kenshin_spark.dedup.substring import duplicated_spans
+
+        region = " ".join(f"dup{i}" for i in range(12))  # 12-token block
+        docs = spark.createDataFrame(
+            [
+                (1, f"a b c d e f {region} x y z w v u"),
+                (2, f"p q r s t u v w {region}"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = {
+            r["doc_id"]: r.asDict()
+            for r in duplicated_spans(docs, w=8).collect()
+        }
+        # 12-token duplicated region → 5 consecutive windows → 12 tokens
+        assert spans[1]["n_windows"] == 5 and spans[1]["span_tokens"] == 12
+        assert spans[1]["span_start"] == 6
+        assert spans[2]["span_start"] == 8
+        assert spans[2]["span_tokens"] == 12
+
+    def test_disjoint_regions_make_two_spans(self, spark):
+        from kenshin_spark.dedup.substring import duplicated_spans
+
+        r1 = " ".join(f"a{i}" for i in range(8))
+        r2 = " ".join(f"b{i}" for i in range(8))
+        mid = " ".join(f"m{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(1, f"{r1} {mid} {r2}"), (2, f"{r1} z0 z1 z2 {r2}")],
+            "doc_id long, text string",
+        )
+        per_doc = {}
+        for r in duplicated_spans(docs, w=8).collect():
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(per_doc[1]) == 2  # two islands, not one merged span
+        assert sorted(s["span_tokens"] for s in per_doc[1]) == [8, 8]
