@@ -4193,6 +4193,44 @@ def q_dedup_substring_spans(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Per-metric value histogram (Prometheus-style distribution over tier0)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_value_histogram",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric,
+           CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_slots
+    FROM t0 WHERE value IS NOT NULL
+    GROUP BY metric, floor(value / 25.0)
+    """,
+    "Prometheus-style per-metric value distribution over the LWW tier0 "
+    "stream: fixed-width histogram buckets via floor(value/width) — one "
+    "double division then floor, bit-identical across engines; a "
+    "single partial-aggregated shuffle keyed (metric, bucket), output "
+    "is bounded by metrics × occupied buckets so it always broadcasts "
+    "back for alerting joins",
+)
+def q_ts_value_histogram(spark, sf_dir):
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    bucket = F.floor(F.col("value") / 25.0).cast("long")
+    return (
+        t0.where(F.col("value").isNotNull())
+        .groupBy("metric", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .select(
+            "metric",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("bucket_lo"),
+            "n_slots",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
