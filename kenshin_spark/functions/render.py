@@ -657,7 +657,125 @@ def maximum_below(grid: DataFrame, n: float) -> DataFrame:
 #: render pipelines (the serving layer's `target=fn2(fn1(glob),arg)`
 #: form). Only functions whose arguments are scalars appear — series-
 #: combining forms (divideSeries) need structured calls.
+def average_above(grid: DataFrame, n: float) -> DataFrame:
+    """Graphite averageAbove(series_list, n): keep series whose mean is
+    above n."""
+    keep = (
+        grid.groupBy("metric")
+        .agg(F.avg("value").alias("_m"))
+        .where(F.col("_m") > n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(keep), "metric")
+
+
+def average_below(grid: DataFrame, n: float) -> DataFrame:
+    """Graphite averageBelow(series_list, n)."""
+    keep = (
+        grid.groupBy("metric")
+        .agg(F.avg("value").alias("_m"))
+        .where(F.col("_m") < n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(keep), "metric")
+
+
+def current_above(grid: DataFrame, n: float) -> DataFrame:
+    """Graphite currentAbove(series_list, n): keep series whose LAST
+    non-NULL value is above n — max_by over non-NULL slots."""
+    keep = (
+        grid.where(F.col("value").isNotNull())
+        .groupBy("metric")
+        .agg(F.expr("max_by(value, ts)").alias("_last"))
+        .where(F.col("_last") > n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(keep), "metric")
+
+
+def current_below(grid: DataFrame, n: float) -> DataFrame:
+    """Graphite currentBelow(series_list, n)."""
+    keep = (
+        grid.where(F.col("value").isNotNull())
+        .groupBy("metric")
+        .agg(F.expr("max_by(value, ts)").alias("_last"))
+        .where(F.col("_last") < n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(keep), "metric")
+
+
+def limit_series(grid: DataFrame, n: int) -> DataFrame:
+    """Graphite limit(series_list, n): keep the first n series in
+    deterministic (metric-name) order."""
+    keep = (
+        grid.select("metric").distinct().orderBy("metric").limit(n)
+    )
+    return grid.join(F.broadcast(keep), "metric")
+
+
+def most_deviant(grid: DataFrame, n: int) -> DataFrame:
+    """Graphite mostDeviant(series_list, n): the n series with the
+    largest variance — explicit two-sum population variance (engine
+    stddev aggregates stream differently; see moving_stdev)."""
+    ranked = (
+        grid.where(F.col("value").isNotNull())
+        .groupBy("metric")
+        .agg(
+            F.sum("value").alias("_s1"),
+            F.sum(F.col("value") * F.col("value")).alias("_s2"),
+            F.count("value").cast("double").alias("_n"),
+        )
+        .select(
+            "metric",
+            ((F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n"))
+             / F.col("_n")).alias("_var"),
+        )
+        .orderBy(F.col("_var").desc(), "metric")
+        .limit(n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(ranked), "metric")
+
+
+def alias_sub(grid: DataFrame, pattern: str, replacement: str) -> DataFrame:
+    """Graphite aliasSub(series_list, search, replace): regex-rewrite
+    the series name."""
+    return grid.select(
+        F.regexp_replace("metric", pattern, replacement).alias("metric"),
+        "ts",
+        "value",
+    )
+
+
+def scale_to_seconds(grid: DataFrame, seconds: int, step: int) -> DataFrame:
+    """Graphite scaleToSeconds(series, seconds): normalize each slot to
+    a per-``seconds`` rate given the grid step."""
+    factor = float(seconds) / float(step)
+    return grid.select(
+        "metric", "ts", (F.col("value") * factor).alias("value")
+    )
+
+
+def time_slice(grid: DataFrame, start_ts: int, end_ts: int) -> DataFrame:
+    """Graphite timeSlice(series, start, end): NULL out slots outside
+    [start, end) while keeping the grid shape."""
+    inside = (F.col("ts") >= start_ts) & (F.col("ts") < end_ts)
+    return grid.select(
+        "metric", "ts", F.when(inside, F.col("value")).alias("value")
+    )
+
+
 RENDER_REGISTRY = {
+    "aliasSub": alias_sub,
+    "averageAbove": average_above,
+    "averageBelow": average_below,
+    "currentAbove": current_above,
+    "currentBelow": current_below,
+    "limit": limit_series,
+    "mostDeviant": most_deviant,
+    "scaleToSeconds": scale_to_seconds,
+    "timeSlice": time_slice,
     "absolute": absolute,
     "alias": alias_series,
     "aliasByNode": alias_by_node,

@@ -2270,3 +2270,71 @@ class TestDuplicatedSpans:
             per_doc.setdefault(r["doc_id"], []).append(r)
         assert len(per_doc[1]) == 2  # two islands, not one merged span
         assert sorted(s["span_tokens"] for s in per_doc[1]) == [8, 8]
+
+
+class TestRenderSelectionMore:
+    def _grid(self, spark):
+        rows = []
+        for m, vals in {
+            "flat": [5.0, 5.0, 5.0, 5.0],
+            "spiky": [0.0, 20.0, 0.0, 20.0],
+            "low": [1.0, 1.0, 1.0, None],
+        }.items():
+            rows += [(m, i * 60, v) for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows, "metric string, ts long, value double"
+        )
+
+    def test_average_above_below(self, spark):
+        from kenshin_spark.functions.render import average_above, average_below
+
+        g = self._grid(spark)
+        assert {r["metric"] for r in average_above(g, 4.0).collect()} == {
+            "flat", "spiky"
+        }
+        assert {r["metric"] for r in average_below(g, 4.0).collect()} == {"low"}
+
+    def test_current_above_ignores_trailing_null(self, spark):
+        from kenshin_spark.functions.render import current_above
+
+        got = {r["metric"] for r in current_above(self._grid(spark), 0.5).collect()}
+        # 'low' ends in NULL but its last non-NULL is 1.0 > 0.5
+        assert got == {"flat", "spiky", "low"}
+
+    def test_most_deviant_picks_spiky(self, spark):
+        from kenshin_spark.functions.render import most_deviant
+
+        got = {r["metric"] for r in most_deviant(self._grid(spark), 1).collect()}
+        assert got == {"spiky"}
+
+    def test_limit_alias_sub_time_slice(self, spark):
+        from kenshin_spark.functions.render import (
+            alias_sub,
+            limit_series,
+            time_slice,
+        )
+
+        g = self._grid(spark)
+        assert {r["metric"] for r in limit_series(g, 2).collect()} == {
+            "flat", "low"
+        }  # first two in name order
+        renamed = {r["metric"] for r in alias_sub(g, "^sp", "SP").collect()}
+        assert "SPiky" in renamed
+        sliced = time_slice(g, 60, 180).collect()
+        vals = {(r["metric"], r["ts"]): r["value"] for r in sliced}
+        assert vals[("flat", 0)] is None and vals[("flat", 60)] == 5.0
+        assert len(sliced) == 12  # grid shape kept
+
+    def test_scale_to_seconds(self, spark):
+        from kenshin_spark.functions.render import scale_to_seconds
+
+        got = scale_to_seconds(self._grid(spark), 1, 60).collect()
+        v = {(r["metric"], r["ts"]): r["value"] for r in got}
+        assert v[("flat", 0)] == pytest.approx(5.0 / 60.0)
+
+    def test_registry_has_new_ops(self):
+        from kenshin_spark.functions.render import RENDER_REGISTRY
+
+        for name in ("aliasSub", "averageAbove", "currentBelow", "limit",
+                     "mostDeviant", "scaleToSeconds", "timeSlice"):
+            assert name in RENDER_REGISTRY
