@@ -2873,6 +2873,36 @@ def q_sim_topk_bruteforce(spark, sf_dir):
     return brute_force_topk(emb, queries, k=10)
 
 
+@register(
+    "sim_range_search",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+             6) AS cosine
+    FROM embeddings c, q
+    WHERE q.vec_id <> c.vec_id
+      AND round(
+            list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+            6) >= 0.25
+    """,
+    "range query (radius companion to top-k): every neighbor with "
+    "cosine ≥ 0.25 of each query vector — scan-and-filter with NO "
+    "per-query sort or window; corpus stays partitioned, queries "
+    "broadcast; the banded LSH/IVF variants bound the scan identically",
+)
+def q_sim_range_search(spark, sf_dir):
+    from kenshin_spark.similarity import range_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return range_search(emb, emb.where(F.col("vec_id") < 5), threshold=0.25)
+
+
 def _duck_plane(p: list[float]) -> str:
     # %.17e keeps DuckDB literals DOUBLE-typed: plain decimals parse as
     # DECIMAL first, and DECIMAL -> DOUBLE is NOT value-preserving

@@ -308,3 +308,40 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long"), "cosine")
     )
+
+
+def range_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range query — ALL neighbors within cosine ≥ threshold of each
+    query vector: ``(query_id, neighbor_id, cosine)``. The radius
+    companion to top-k (dedup/recall audits want "everything this
+    close", not a fixed k).
+
+    Same scale shape as brute_force_topk: the corpus stays partitioned,
+    queries broadcast, and the threshold filter replaces the window —
+    so there is NO per-query sort at all, just a scan-and-filter
+    (cheaper than top-k at scale). The LSH/IVF banded variants bound
+    the scan the same way they bound top-k probes."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("_qv"), F.col("_cv")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

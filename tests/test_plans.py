@@ -433,3 +433,41 @@ class TestTpcPlanPins:
         assert "SortMergeJoin" not in p
         assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
         assert "partial_sum" in p
+
+
+class TestRound4Plans:
+    def test_substring_dedup_no_pairwise_step(self, spark):
+        p = plan_of(QUERIES["dedup_substring_ngram"].fn(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "Expand" not in p
+        # corpus-side aggregations keep map-side partial combine
+        assert "partial_count" in p
+
+    def test_phash_let_binding_keeps_plan_small(self, spark):
+        """Regression guard for the transform(array(e)) let-binding: if
+        ahash_bands ever reverts to chained withColumns, projection
+        collapse re-inlines the 64-md5 pixel source per bit and the
+        plan string (and runtime) explodes by ~3 orders of magnitude."""
+        p = plan_of(QUERIES["mm_phash_neardup"].fn(spark, SF))
+        assert len(p) < 200_000, f"plan blew up to {len(p)} chars"
+        assert "CartesianProduct" not in p
+
+    def test_bigram_lm_no_cartesian_and_partial_aggs(self, spark):
+        p = plan_of(QUERIES["text_bigram_lm"].fn(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "partial_count" in p
+
+    def test_session_native_single_merge_shuffle(self, spark):
+        p = plan_of(QUERIES["q_event_sessions_native"].fn(spark, SF))
+        # one exchange for the gap merge keyed by user — not two
+        assert p.count("ENSURE_REQUIREMENTS") == 1
+        assert "SessionWindow" in p or "session_window" in p
+
+    def test_containment_is_inverted_index_join(self, spark):
+        p = plan_of(QUERIES["dedup_containment"].fn(spark, SF))
+        assert "CartesianProduct" not in p
+
+    def test_retention_cohorts_reuses_user_partitioning(self, spark):
+        p = plan_of(QUERIES["q_retention_cohorts"].fn(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "partial_min" in p or "partial_count" in p
