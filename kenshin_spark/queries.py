@@ -4261,6 +4261,104 @@ def q_ts_value_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus quality report + IVF index health
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_quality_report",
+    rf"""
+    WITH f AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stopwords,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             (n_tokens >= 25 AND n_tokens <= 100000
+              AND n_chars >= 3 * n_tokens AND n_chars <= 10 * n_tokens
+              AND n_stopwords >= 2
+              AND n_alpha * 50 >= n_chars * 41) AS keep
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS keep_rate
+    FROM r GROUP BY source
+    """,
+    "the curation dashboard: per-source doc/token counts, Gopher-rule "
+    "keep counts and keep rate — what a data-engineering team reviews "
+    "before committing a training mix. Row-local rules + one "
+    "partial-agg shuffle keyed by source; all-integer rule arithmetic",
+)
+def q_pipeline_quality_report(spark, sf_dir):
+    from kenshin_spark.functions.text import quality_verdict, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = quality_verdict("text")["keep"]
+    base = docs.select(
+        "source",
+        keep.alias("_keep"),
+        token_count("text").cast("long").alias("_tok"),
+    )
+    kept1 = F.when(F.col("_keep"), 1).otherwise(0)
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept1).alias("n_kept"),
+        F.sum("_tok").alias("n_tokens"),
+        F.sum(F.when(F.col("_keep"), F.col("_tok")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+        F.round(F.sum(kept1) * 1.0 / F.count(F.lit(1)), 6).alias("keep_rate"),
+    )
+
+
+@register(
+    "emb_ivf_cell_stats",
+    f"""
+    WITH cent AS (
+      SELECT c, cv, list_dot_product(cv, cv) AS cc
+      FROM ({_pinned_sample_cte(8)})
+    ),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, cent.c AS cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY cent.cc
+                   - 2 * list_dot_product(e.embedding::DOUBLE[], cent.cv),
+                   cent.c
+               ) AS rn
+        FROM embeddings e, cent
+      ) WHERE rn = 1
+    ),
+    tot AS (SELECT count(*) AS n FROM embeddings)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(count(*) * 8.0 / tot.n, 6) AS balance
+    FROM asg, tot GROUP BY cell, tot.n
+    """,
+    "IVF index health: per-cell population and balance factor of the "
+    "pinned coarse quantizer (balance = n·cells/N; a hot cell means "
+    "probe over-scan and a skewed Parquet partition at 100 TB) — the "
+    "monitoring query after every index (re)build; assignment replayed "
+    "bit-exactly by the oracle",
+)
+def q_emb_ivf_cell_stats(spark, sf_dir):
+    from kenshin_spark.similarity.pinned import ivf_cell_stats_pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cell_stats_pinned(emb, n_cells=8)
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 

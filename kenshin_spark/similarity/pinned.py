@@ -277,3 +277,47 @@ def pq_rerank_topk_pinned(
         ),
     )
     return _topk(scored, k, "cosine")
+
+
+def ivf_cell_stats_pinned(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-health view of the pinned IVF coarse quantizer: per-cell
+    population and balance factor — ``(cell, n_vectors, balance)`` where
+    balance = n_vectors · n_cells / N (1.0 = perfectly even; a hot cell
+    >> 1 means probes over-scan and, at 100 TB, a skewed Parquet
+    partition).
+
+    This is the monitoring query run after (re)building an IVF index;
+    assignment arithmetic is identical to ``ivf_topk_pinned`` so the SQL
+    oracle replays it bit-for-bit. One partial-agg shuffle keyed by
+    cell id; output is n_cells rows."""
+    C = md5_sample(embeddings, n_cells, id_col, vec_col)
+    cc = _fold_self(C)
+
+    def _d2(v: pd.Series) -> np.ndarray:
+        X = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        return cc[None, :] - 2.0 * _fold_dots(X, C)
+
+    @pandas_udf("int")
+    def _assign_cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(_d2(v).argmin(axis=1).astype("int32"))
+
+    total = embeddings.count()  # scalar agg (oracle's count(*))
+    return (
+        embeddings.select(_assign_cell(F.col(vec_col)).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.round(F.col("n_vectors") * float(n_cells) / total, 6).alias(
+                "balance"
+            ),
+        )
+    )
