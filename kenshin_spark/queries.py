@@ -4359,6 +4359,100 @@ def q_emb_ivf_cell_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hopping (sliding) windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_events_hopping_window",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts, value
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value, (ts - ts % 1800) - k * 1800 AS w_start
+      FROM e, generate_series(0, 1) s(k)
+    )
+    SELECT event_type,
+           w_start AS window_start,
+           w_start + 3600 AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+    "Spark's native HOPPING window (1 h windows sliding every 30 min — "
+    "the streaming-dashboard staple next to tumbling q_events_daily and "
+    "session q_event_sessions_native): each event lands in dur/slide "
+    "aligned windows; the oracle replays the assignment with a "
+    "generate_series fan-out. Epoch-aligned starts, DECIMAL-exact sums; "
+    "one partial-agg shuffle keyed (window, type)",
+)
+def q_events_hopping_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("window.start").cast("long").alias("window_start"),
+            F.unix_timestamp("window.end").cast("long").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster-size distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_cluster_stats",
+    f"""
+    WITH base AS ({_clusters_oracle()}),
+    sizes AS (
+      SELECT cluster_id, count(*) AS sz FROM base GROUP BY cluster_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+    "the dedup dashboard: duplicate-cluster size distribution (how much "
+    "of the corpus is 2x, 3x, Nx duplicated) over the same connected "
+    "components as dedup_clusters; two tiny aggregations on top of the "
+    "CC output — at scale run against the materialized cluster table, "
+    "not a recompute",
+)
+def q_dedup_cluster_stats(spark, sf_dir):
+    from kenshin_spark.dedup import duplicate_clusters
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    cc = duplicate_clusters(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .groupBy(F.col("_sz").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
