@@ -203,3 +203,70 @@ def duplicated_spans(
             (F.col("n_windows") + (w - 1)).cast("long").alias("span_tokens"),
         )
     )
+
+
+def substring_gram_index(
+    corpus: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persistable side of incremental substring dedup: corpus-wide
+    gram-hash occurrence counts ``(gh, occ)``. At scale this table is
+    maintained across ingest batches (upsert occ += batch counts) and is
+    tiny relative to the corpus — 16 bytes per DISTINCT gram."""
+    return (
+        gram_hashes(corpus, w, id_col, text_col)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+
+
+def duplicated_profile_against_index(
+    new_batch: DataFrame,
+    gram_index: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental substring dedup — the daily-ingest shape: profile
+    ONLY the new batch against the precomputed corpus gram index. A
+    batch window is duplicated if its corpus count plus its batch count
+    reaches ``min_count`` (so intra-batch repeats still count, exactly
+    as the full-corpus profile would).
+
+    Only the batch is tokenized; the corpus contributes its (gh, occ)
+    index via one hash-keyed join — per-batch cost is O(batch tokens +
+    index collisions), never a corpus re-scan."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = gram_hashes(new_batch, w, id_col, text_col).cache()
+    batch_occ = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_bocc"))
+    dup = (
+        batch_occ.join(gram_index, "gh", "left")
+        .where(
+            F.col("_bocc") + F.coalesce(F.col("occ"), F.lit(0)) >= min_count
+        )
+        .select("gh")
+    )
+    per = (
+        grams.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+    )
+    n_grams = F.greatest(F.size(toks) - (w - 1), F.lit(0)).cast("long")
+    dupc = F.coalesce(F.col("_dup"), F.lit(0)).cast("long")
+    return (
+        new_batch.select(
+            F.col(id_col).alias("doc_id"), n_grams.alias("n_grams")
+        )
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            dupc.alias("dup_grams"),
+            F.when(
+                F.col("n_grams") > 0, F.round(dupc / F.col("n_grams"), 6)
+            ).alias("dup_frac"),
+        )
+    )

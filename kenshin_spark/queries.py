@@ -4409,6 +4409,71 @@ def q_events_hopping_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incremental substring dedup (daily-ingest shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_substring_incremental",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 8], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 8)) AS i
+        FROM t WHERE len(toks) >= 8
+      )
+    ),
+    idx AS (
+      SELECT gh, count(*) AS occ FROM g WHERE doc_id % 10 <> 0 GROUP BY gh
+    ),
+    bg AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+    bocc AS (SELECT gh, count(*) AS bocc FROM bg GROUP BY gh),
+    dup AS (
+      SELECT gh FROM bocc LEFT JOIN idx USING (gh)
+      WHERE bocc + coalesce(occ, 0) >= 2
+    ),
+    per AS (
+      SELECT bg.doc_id, count(*) AS dup_grams
+      FROM bg JOIN dup USING (gh) GROUP BY bg.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.toks) - 7, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(per.dup_grams, 0) AS BIGINT) AS dup_grams,
+           CASE WHEN len(t.toks) >= 8 THEN
+             round(CAST(coalesce(per.dup_grams, 0) AS DOUBLE)
+                   / (len(t.toks) - 7), 6)
+           END AS dup_frac
+    FROM t LEFT JOIN per USING (doc_id)
+    WHERE t.doc_id % 10 = 0
+    """,
+    "incremental substring dedup — the daily-ingest shape next to "
+    "dedup_minhash_incremental: only the new batch (doc_id % 10 = 0) is "
+    "tokenized; the corpus contributes its persisted (gram-hash, occ) "
+    "index through one hash-keyed join. Per-batch cost is O(batch "
+    "tokens + collisions); intra-batch repeats still count via "
+    "batch_occ + corpus_occ >= 2",
+)
+def q_dedup_substring_incremental(spark, sf_dir):
+    from kenshin_spark.dedup.substring import (
+        duplicated_profile_against_index,
+        substring_gram_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where("doc_id % 10 = 0")
+    corpus = docs.where("doc_id % 10 <> 0")
+    return duplicated_profile_against_index(
+        new, substring_gram_index(corpus, w=8), w=8, min_count=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup cluster-size distribution
 # ---------------------------------------------------------------------------
 

@@ -2338,3 +2338,62 @@ class TestRenderSelectionMore:
         for name in ("aliasSub", "averageAbove", "currentBelow", "limit",
                      "mostDeviant", "scaleToSeconds", "timeSlice"):
             assert name in RENDER_REGISTRY
+
+
+class TestSubstringIncremental:
+    def test_incremental_equals_full_profile_on_batch(self, spark):
+        """The incremental path must agree exactly with the full-corpus
+        profile restricted to batch docs: occurrences across corpus +
+        batch are the same multiset either way."""
+        from kenshin_spark.dedup.substring import (
+            duplicated_ngram_profile,
+            duplicated_profile_against_index,
+            substring_gram_index,
+        )
+
+        boiler = " ".join(f"b{i}" for i in range(9))
+        docs = spark.createDataFrame(
+            [
+                (10, f"batch doc one {boiler} tail a b"),     # batch
+                (20, f"batch doc two only unique words here x y"),  # batch
+                (1, f"corpus doc {boiler} something else k"),  # corpus
+                (2, "corpus doc with its own distinct words z"),
+            ],
+            "doc_id long, text string",
+        )
+        new = docs.where("doc_id % 10 = 0")
+        corpus = docs.where("doc_id % 10 <> 0")
+        inc = {
+            r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_frac"])
+            for r in duplicated_profile_against_index(
+                new, substring_gram_index(corpus, w=8), w=8
+            ).collect()
+        }
+        full = {
+            r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_frac"])
+            for r in duplicated_ngram_profile(docs, w=8)
+            .where("doc_id % 10 = 0")
+            .collect()
+        }
+        assert inc == full
+        assert inc[10][1] >= 2  # shares the boilerplate with corpus doc 1
+
+    def test_intra_batch_repeats_count(self, spark):
+        from kenshin_spark.dedup.substring import (
+            duplicated_profile_against_index,
+            substring_gram_index,
+        )
+
+        block = " ".join(f"r{i}" for i in range(8))
+        new = spark.createDataFrame(
+            [(10, f"{block} mid1 mid2 mid3 {block}")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, "entirely unrelated corpus text with many words")],
+            "doc_id long, text string",
+        )
+        out = duplicated_profile_against_index(
+            new, substring_gram_index(corpus, w=8), w=8
+        ).collect()[0]
+        assert out["dup_grams"] >= 2  # the block repeats within the batch
