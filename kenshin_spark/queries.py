@@ -4518,6 +4518,157 @@ def q_dedup_cluster_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Token diversity, embedding norm profile, Pareto analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_diversity",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           round(1.0 - CAST(sum(tf * tf) AS DOUBLE)
+                       / (sum(tf) * sum(tf)), 6) AS simpson
+    FROM tf GROUP BY doc_id
+    """,
+    "token-level Simpson diversity (1 - Σtf²/n²): the numeric "
+    "concentration score next to the rule-based repetition filter — "
+    "degenerate repeated-token text scores near 0, diverse text near "
+    "1. Exact integer sums, one division; two partial-agg shuffles",
+)
+def q_text_token_diversity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.round(
+            1.0
+            - F.sum(F.col("tf") * F.col("tf")).cast("double")
+            / (F.sum("tf") * F.sum("tf")),
+            6,
+        ).alias("simpson"),
+    )
+
+
+@register(
+    "emb_norm_profile",
+    """
+    WITH norms AS (
+      SELECT label,
+             round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])), 6) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(nrm) AS min_norm,
+           max(nrm) AS max_norm,
+           round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_norm
+    FROM norms GROUP BY label
+    """,
+    "embedding data-quality profile: per-label vector-norm range and "
+    "mean (unnormalized or zero vectors break cosine retrieval — this "
+    "is the check before building any index). Norms are row-local "
+    "sequential folds rounded to 6dp, then summed through DECIMAL so "
+    "the mean is order-exact; one partial-agg shuffle keyed by label",
+)
+def q_emb_norm_profile(spark, sf_dir):
+    from kenshin_spark.functions.vectors import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(dot_product(F.col("embedding"), F.col("embedding"))), 6
+    )
+    return (
+        emb.select("label", nrm.alias("_nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("_nrm").alias("min_norm"),
+            F.max("_nrm").alias("max_norm"),
+            F.round(
+                F.sum(F.col("_nrm").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_norm"),
+        )
+    )
+
+
+@register(
+    "q_customer_pareto",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(r) AS t FROM rev),
+    ranked AS (
+      SELECT o_custkey, r,
+             row_number() OVER (ORDER BY r DESC, o_custkey) AS rnk,
+             sum(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    )
+    SELECT o_custkey,
+           CAST(rnk AS BIGINT) AS rank,
+           round(CAST(r AS DOUBLE), 2) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+             AS cum_share
+    FROM ranked, tot WHERE rnk <= 100
+    """,
+    "Pareto / top-contributor analysis: customers ranked by lifetime "
+    "revenue with the cumulative revenue share ('does 20% of customers "
+    "drive 80%?'). DECIMAL-exact running sums (order-free), one "
+    "deterministic global window over the customer-level aggregate "
+    "(small after the groupBy — never over raw orders)",
+)
+def q_customer_pareto(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_r")
+    )
+    total = rev.agg(F.sum("_r")).collect()[0][0]  # scalar agg
+    w = Window.orderBy(F.col("_r").desc(), "o_custkey")
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "_cum",
+            F.sum("_r").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .where(F.col("rank") <= 100)
+        .select(
+            "o_custkey",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("_r").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.col("_cum").cast("double") / float(total), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
