@@ -1680,6 +1680,10 @@ class TestRenderChain:
             "offset": (1.0,), "removeAbovePercentile": (95.0,),
             "scale": (2.0,), "sortByMaxima": (1,), "summarize": (120,),
             "timeShift": (60,),
+            "aliasSub": ("^a", "A"), "averageAbove": (0.0,),
+            "averageBelow": (100.0,), "currentAbove": (0.0,),
+            "currentBelow": (100.0,), "limit": (1,), "mostDeviant": (1,),
+            "scaleToSeconds": (1, 60), "timeSlice": (0, 60),
         }
         for name in RENDER_REGISTRY:
             args = needs_arg.get(name, ())
