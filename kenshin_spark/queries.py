@@ -4669,6 +4669,63 @@ def q_customer_pareto(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Integer-scaled PageRank over the token-transition graph
+# ---------------------------------------------------------------------------
+
+def _pagerank_iter(prev: str) -> str:
+    return f"""
+  SELECT n.tok, 150000 + (85 * coalesce(s.contrib, 0)) // 100 AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.w2 AS tok, sum((p.pr * e.c) // o.tot) AS contrib
+    FROM e JOIN {prev} p ON p.tok = e.w1 JOIN outd o ON o.w1 = e.w1
+    GROUP BY e.w2) s ON s.tok = n.tok
+"""
+
+
+@register(
+    "text_token_pagerank",
+    rf"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks)
+    ),
+    e AS (
+      SELECT w1, w2, count(*) AS c FROM bg
+      GROUP BY 1, 2 HAVING count(*) >= 10
+    ),
+    outd AS (SELECT w1, sum(c) AS tot FROM e GROUP BY w1),
+    nodes AS (
+      SELECT DISTINCT tok FROM (
+        SELECT w1 AS tok FROM e UNION ALL SELECT w2 FROM e)
+    ),
+    p0 AS (SELECT tok, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+    it1 AS ({_pagerank_iter('p0')}),
+    it2 AS ({_pagerank_iter('it1')}),
+    it3 AS ({_pagerank_iter('it2')})
+    SELECT tok, CAST(pr AS BIGINT) AS pagerank
+    FROM it3 ORDER BY pr DESC, tok LIMIT 50
+    """,
+    "weighted PageRank over the token-transition graph (3 power "
+    "iterations, edges = bigrams with support ≥ 10) — an ITERATIVE "
+    "numeric graph algorithm with a bit-exact oracle: ranks are "
+    "integer-scaled (×1e6), damping is ×85//100, contributions are "
+    "integer floor divisions, so sums are order-free and the SQL "
+    "oracle unrolls the identical iterations. Pregel step = 2 hash "
+    "joins + 1 partial-agg shuffle per round, vocab-sized state",
+)
+def q_text_token_pagerank(spark, sf_dir):
+    from kenshin_spark.functions.graph import token_pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_pagerank(docs, min_support=10, iters=3, k=50)
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 

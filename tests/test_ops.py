@@ -2401,3 +2401,34 @@ class TestSubstringIncremental:
             new, substring_gram_index(corpus, w=8), w=8
         ).collect()[0]
         assert out["dup_grams"] >= 2  # the block repeats within the batch
+
+
+class TestTokenPagerank:
+    def test_hub_token_ranks_highest(self, spark):
+        from kenshin_spark.functions.graph import token_pagerank
+
+        # 'hub' receives edges from many distinct tokens; spokes only
+        # ever receive from 'hub' — hub must out-rank every spoke
+        doc = " ".join(f"s{i} hub" for i in range(6)) + " "
+        docs = spark.createDataFrame(
+            [(1, doc * 3)], "doc_id long, text string"
+        )
+        ranks = {
+            r["tok"]: r["pagerank"]
+            for r in token_pagerank(docs, min_support=2, iters=3, k=50).collect()
+        }
+        assert ranks["hub"] == max(ranks.values())
+        assert all(ranks["hub"] > v for t, v in ranks.items() if t != "hub")
+
+    def test_integer_determinism_across_runs(self, spark):
+        from kenshin_spark.functions.graph import token_pagerank
+
+        docs = spark.createDataFrame(
+            [(i, "a b c a b c b c a") for i in range(4)],
+            "doc_id long, text string",
+        )
+        a = token_pagerank(docs, min_support=2, iters=3).collect()
+        b = token_pagerank(
+            docs.repartition(7), min_support=2, iters=3
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
