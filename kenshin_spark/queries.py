@@ -4726,6 +4726,105 @@ def q_text_token_pagerank(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured (JSON) property extraction + batch counter rate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_events_json_props",
+    r"""
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_even
+    FROM x GROUP BY event_type
+    """,
+    "semi-structured property extraction: parse the events.props JSON "
+    "column (Spark get_json_object ≡ DuckDB json_extract_string) and "
+    "aggregate the extracted integer per event type — the schema-on-read "
+    "path every event pipeline needs; JSON parsing is JVM-side, "
+    "all-integer aggregates, one partial-agg shuffle",
+)
+def q_events_json_props(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    x = ev.select("event_type", k.alias("k"))
+    return x.groupBy("event_type").agg(
+        F.count("k").cast("long").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even"),
+    )
+
+
+@register(
+    "ts_counter_rate",
+    f"""
+    WITH pts AS ({PTS}),
+    mono AS (
+      SELECT metric, ts,
+             sum(CAST(floor(value) AS BIGINT)) OVER (
+               PARTITION BY metric ORDER BY ts, arrival
+               ROWS UNBOUNDED PRECEDING
+             ) AS counter
+      FROM pts
+    ),
+    d AS (
+      SELECT metric, ts,
+             counter - lag(counter) OVER w AS dv,
+             ts - lag(ts) OVER w AS dt
+      FROM mono WINDOW w AS (PARTITION BY metric ORDER BY ts)
+    )
+    SELECT metric, ts,
+           CASE WHEN dt > 0 AND dv >= 0 THEN dv / dt END AS rate
+    FROM d
+    """,
+    "Prometheus-style counter rate (batch twin of the streaming "
+    "with_counter_rate): per-sample positive delta over elapsed time, "
+    "negative deltas (counter resets) -> NULL instead of a huge "
+    "negative spike. Monotone counter synthesized by a running sum so "
+    "the semantics are exercised on this corpus; dv and dt come from "
+    "the same lag windows in both engines; the counter accumulates "
+    "INTEGER increments (floor(value)) because engines associate "
+    "windowed float sums differently (segment tree vs running) — "
+    "integer sums are association-free, then rate is one exact "
+    "division",
+)
+def q_ts_counter_rate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir)
+    wsum = (
+        Window.partitionBy("metric")
+        .orderBy("ts", "arrival")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mono = pts.select(
+        "metric",
+        "ts",
+        F.sum(F.floor("value").cast("long")).over(wsum).alias("counter"),
+    )
+    w = Window.partitionBy("metric").orderBy("ts")
+    dv = F.col("counter") - F.lag("counter").over(w)
+    dt = F.col("ts") - F.lag("ts").over(w)
+    return mono.select(
+        "metric",
+        "ts",
+        F.when((dt > 0) & (dv >= 0), dv / dt).alias("rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
