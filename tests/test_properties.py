@@ -300,3 +300,51 @@ def test_holt_state_invariants(spark, vals):
         assert r["aberrant"] is not None
         assert r["deviation"] is not None
         assert r["deviation"] >= 0.0 and math.isfinite(r["deviation"])
+
+
+# --- substring dedup vs a brute-force python reference ---------------------
+
+_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_corpus)
+def test_substring_profile_matches_bruteforce(spark, texts):
+    """duplicated_ngram_profile ≡ a direct python count of duplicated
+    w-token windows, on random tiny-alphabet corpora (small alphabet →
+    dup windows arise naturally)."""
+    from collections import Counter
+
+    from kenshin_spark.dedup.substring import duplicated_ngram_profile
+
+    w = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"])
+        for r in duplicated_ngram_profile(docs, w=w).collect()
+    }
+
+    def toks(t):
+        t = t.strip()
+        return t.split() if t else [""]
+
+    grams = Counter()
+    per_doc = {}
+    for i, t in enumerate(texts):
+        tt = toks(t)
+        gs = [tuple(tt[j : j + w]) for j in range(max(0, len(tt) - w + 1))]
+        per_doc[i] = gs
+        grams.update(gs)
+    for i, gs in per_doc.items():
+        want_n = len(gs)
+        want_dup = sum(1 for g in gs if grams[g] >= 2)
+        assert got[i] == (want_n, want_dup), (i, texts)
