@@ -4825,6 +4825,137 @@ def q_ts_counter_rate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Pivot, availability SLA, inter-order gaps
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_orders_pivot",
+    """
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+             AS ym,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS P
+    FROM orders GROUP BY 1
+    """,
+    "Spark's pivot API (groupBy(ym).pivot(status, [F,O,P]).count()): "
+    "month × order-status wide counts — the explicit value list keeps "
+    "the plan a single pass (no distinct-values pre-query) and the "
+    "output schema deterministic; oracle spells the same table as CASE "
+    "sums",
+)
+def q_orders_pivot(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
+    out = (
+        orders.groupBy(ym.alias("ym"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "ym",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "ts_availability",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    bounds AS (
+      SELECT ((now - 86400 + 59) // 60) * 60 AS from_r,
+             ((now + 59) // 60) * 60 AS until_r
+      FROM now_t
+    ),
+    slots AS (
+      SELECT metric, count(DISTINCT ts - ts % 60) AS n_present
+      FROM pts, bounds
+      WHERE ts >= from_r AND ts < until_r
+      GROUP BY metric
+    )
+    SELECT s.metric,
+           CAST(s.n_present AS BIGINT) AS present_slots,
+           CAST((b.until_r - b.from_r) / 60 AS BIGINT) AS expected_slots,
+           round(s.n_present * 1.0 / ((b.until_r - b.from_r) / 60), 6)
+             AS availability
+    FROM slots s, bounds b
+    """,
+    "SLA availability: per metric, the fraction of expected tier0 slots "
+    "carrying at least one point over the trailing 24 h — the uptime "
+    "dashboard every TSDB serves; exact integer slot counts, one "
+    "division",
+)
+def q_ts_availability(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    from_r = -(-(now - 86400) // 60) * 60
+    until_r = -(-now // 60) * 60
+    expected = (until_r - from_r) // 60
+    return (
+        pts.where((F.col("ts") >= from_r) & (F.col("ts") < until_r))
+        .groupBy("metric")
+        .agg(
+            F.countDistinct(F.col("ts") - F.col("ts") % 60).alias("_p")
+        )
+        .select(
+            "metric",
+            F.col("_p").cast("long").alias("present_slots"),
+            F.lit(expected).cast("long").alias("expected_slots"),
+            F.round(F.col("_p") * 1.0 / expected, 6).alias("availability"),
+        )
+    )
+
+
+@register(
+    "q_median_order_gap",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               - lag(CAST(floor(epoch(o_orderdate)) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                 ) AS gap
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(CAST(quantile_cont(gap, 0.5) AS DOUBLE) / 86400.0, 6)
+             AS median_gap_days
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY o_custkey HAVING count(gap) >= 3
+    """,
+    "repeat-purchase cadence: per customer, the exact interpolated "
+    "median gap between consecutive orders (lag window + grouped "
+    "percentile, R-7 interpolation in both engines over exact integer "
+    "second gaps), customers with ≥ 3 gaps",
+)
+def q_median_order_gap(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    ep = F.unix_timestamp("o_orderdate").cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey", (ep - F.lag(ep).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.round(
+                F.expr("percentile(gap, 0.5)") / 86400.0, 6
+            ).alias("median_gap_days"),
+        )
+        .where(F.col("n_gaps") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
