@@ -4956,6 +4956,81 @@ def q_median_order_gap(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Unpivot (melt) + higher-order-function filter
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_lineitem_unpivot",
+    """
+    WITH long AS (
+      SELECT 'l_quantity' AS measure,
+             CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2))
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+    )
+    SELECT measure,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(min(v) AS DOUBLE), 2) AS min_v,
+           round(CAST(max(v) AS DOUBLE), 2) AS max_v,
+           round(CAST(sum(v) AS DOUBLE), 2) AS sum_v
+    FROM long GROUP BY measure
+    """,
+    "Spark's unpivot/melt API: four numeric lineitem measures to long "
+    "form, then one grouped profile — wide→long is the standard reshape "
+    "before per-measure statistics; DECIMAL casts keep the sums exact; "
+    "oracle spells the melt as UNION ALL",
+)
+def q_lineitem_unpivot(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.select(
+        *[F.col(c).cast("decimal(18,2)").alias(c) for c in cols]
+    ).unpivot([], cols, "measure", "v")
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("v").cast("double"), 2).alias("min_v"),
+        F.round(F.max("v").cast("double"), 2).alias("max_v"),
+        F.round(F.sum("v").cast("double"), 2).alias("sum_v"),
+    )
+
+
+@register(
+    "emb_sparsity",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding::DOUBLE[],
+                                x -> abs(x) < 0.05)) AS BIGINT)
+             AS n_small,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(len(list_filter(embedding::DOUBLE[],
+                                 x -> abs(x) < 0.05)) * 1.0
+                 / len(embedding), 6) AS small_frac
+    FROM embeddings
+    """,
+    "embedding sparsity profile via the filter higher-order function "
+    "(JVM lambda, zero shuffles): per-vector count and fraction of "
+    "near-zero components — dead dimensions waste index memory and "
+    "distort cosine; exact double comparison, one division",
+)
+def q_emb_sparsity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_small = F.size(
+        F.filter("embedding", lambda x: F.abs(x) < 0.05)
+    ).cast("long")
+    return emb.select(
+        "vec_id",
+        n_small.alias("n_small"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(n_small * 1.0 / F.size("embedding"), 6).alias("small_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
