@@ -5031,6 +5031,75 @@ def q_emb_sparsity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Render pipeline chain (the serving path, end-to-end)
+# ---------------------------------------------------------------------------
+
+@register(
+    "render_chain_pipeline",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    bounds AS (
+      SELECT ((now - 21600 + 299) // 300) * 300 AS from_r,
+             ((now + 299) // 300) * 300 AS until_r
+      FROM now_t
+    ),
+    tier1 AS (
+      SELECT metric, ts - ts % 300 AS ts, round(avg(value), 6) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT m.metric,
+             unnest(generate_series(b.from_r, b.until_r - 300, 300)) AS ts
+      FROM (SELECT DISTINCT metric FROM pts) m, bounds b
+    ),
+    g AS (
+      SELECT g.metric, g.ts, t.value
+      FROM grid g LEFT JOIN tier1 t ON g.metric = t.metric AND g.ts = t.ts
+    ),
+    filled AS (
+      SELECT metric, ts,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY metric ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS value
+      FROM g
+    ),
+    smoothed AS (
+      SELECT metric, ts,
+             avg(value) OVER (
+               PARTITION BY metric ORDER BY ts
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) AS value
+      FROM filled
+    )
+    SELECT metric, ts, round(value * 2.0, 6) AS value FROM smoothed
+    """,
+    "a graphite-api target pipeline end-to-end through apply_chain: "
+    "keepLastValue() | movingAverage(5) | scale(2) over a fetched grid "
+    "— proves the registry composes the way the serving layer chains "
+    "user requests; each stage reuses the oracled single-op shapes",
+)
+def q_render_chain_pipeline(spark, sf_dir):
+    from kenshin_spark.functions.render import apply_chain
+
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    tier1 = downsample(pts, 300, "average").withColumn(
+        "value", F.round("value", 6)
+    )
+    grid = grid_fill(tier1, pts.select("metric").distinct(), now - 21600,
+                     now, 300)
+    out = apply_chain(
+        grid,
+        [("keepLastValue",), ("movingAverage", 5), ("scale", 2.0)],
+    )
+    # one terminal 6dp round absorbs windowed-avg association noise
+    # (segment tree vs running accumulation), same as the single-op
+    # render queries
+    return out.withColumn("value", F.round("value", 6))
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
