@@ -50,3 +50,20 @@ def test_no_duplicate_defs_in_package():
         if dups:
             offenders.append((str(py), sorted(dups)))
     assert not offenders, f"duplicate top-level defs: {offenders}"
+
+
+def test_driver_order_fronts_unverified():
+    """The driver evaluates a 50-slot prefix: every not-yet-verified
+    query must sit inside it (else it can never earn a CORRECTNESS row),
+    with remaining slots backfilled by verified queries for
+    re-verification coverage."""
+    from kenshin_spark.queries import DRIVER_VERIFIED, QUERIES, driver_order
+
+    order = driver_order()
+    assert sorted(order) == sorted(QUERIES)  # permutation, no dupes/drops
+    unverified = [n for n in order if n not in DRIVER_VERIFIED]
+    assert len(unverified) <= 50, (
+        f"{len(unverified)} unverified queries exceed the 50-slot window; "
+        "promote driver-verified names before adding more"
+    )
+    assert order[: len(unverified)] == unverified  # all fronted
