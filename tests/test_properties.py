@@ -348,3 +348,91 @@ def test_substring_profile_matches_bruteforce(spark, texts):
         want_n = len(gs)
         want_dup = sum(1 for g in gs if grams[g] >= 2)
         assert got[i] == (want_n, want_dup), (i, texts)
+
+
+# --- line-protocol fuzz: arbitrary text never crashes the parser -----------
+
+_line = st.one_of(
+    st.text(alphabet=" .-_abc0123456789\t", min_size=0, max_size=30),
+    st.builds(
+        lambda m, v, t: f"{m} {v} {t}",
+        st.sampled_from(["cpu.user", "mem", "a.b.c"]),
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6),
+        st.integers(min_value=0, max_value=2**31),
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lines=st.lists(_line, min_size=1, max_size=20))
+def test_line_protocol_total_function(spark, lines):
+    """Every input row lands in exactly one bucket (parsed XOR
+    dead-letter) — the parser is total: no exception, no dropped rows,
+    and well-formed rows always parse."""
+    from kenshin_spark.sources.line_protocol import parse_metric_lines
+
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    out = parse_metric_lines(df, line_col="line").collect()
+    assert len(out) == len(lines)
+    for r in out:
+        parsed = r["corrupt"] is None
+        assert parsed == (
+            r["metric"] is not None
+            and r["ts"] is not None
+            and r["value"] is not None
+        )
+
+
+# --- session windows ≡ pandas gap-merge reference --------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user
+        st.integers(min_value=0, max_value=7200),       # seconds offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_events)
+def test_sessionize_matches_gap_merge(spark, evs):
+    import datetime as dt
+
+    from kenshin_spark.streaming.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(seconds=s), 1.0) for u, s in evs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, gap="10 minutes").collect()
+    )
+
+    # reference: sort per user, split where gap > 600 s (inclusive merge)
+    want = []
+    per = {}
+    for u, s in sorted(evs):
+        per.setdefault(u, []).append(s)
+    for u, ss in per.items():
+        ss.sort()
+        start = prev = ss[0]
+        n = 1
+        for s in ss[1:]:
+            if s - prev > 600:
+                want.append((u, start, prev + 600, n))
+                start, n = s, 0
+            n += 1
+            prev = s
+        want.append((u, start, prev + 600, n))
+    want = sorted(
+        (u, t0 + dt.timedelta(seconds=a), t0 + dt.timedelta(seconds=b), n)
+        for u, a, b, n in want
+    )
+    assert got == want, evs
