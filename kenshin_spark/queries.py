@@ -5100,6 +5100,149 @@ def q_render_chain_pipeline(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Rolling distinct users + flatline detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rolling_weekly_users",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM act),
+    contrib AS (
+      SELECT user_id, day + k AS report_day
+      FROM act, generate_series(0, 6) s(k)
+    )
+    SELECT d.day AS report_day,
+           count(DISTINCT c.user_id) AS wau
+    FROM days d JOIN contrib c ON c.report_day = d.day
+    GROUP BY d.day
+    """,
+    "rolling 7-day active users (WAU) per observed day — the sliding "
+    "COUNT DISTINCT that window functions can't express: each (user, "
+    "day) activity row fans out to the 7 report days it supports "
+    "(generate_series explode), then one distinct-agg per day. "
+    "Contribution fan-out is 7x the per-day activity table (tiny), "
+    "never 7x the event stream",
+)
+def q_rolling_weekly_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    days = act.select("day").distinct()
+    contrib = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("report_day"),
+    )
+    return (
+        days.join(contrib, days["day"] == contrib["report_day"])
+        .groupBy(days["day"].alias("report_day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@register(
+    "ts_flatline_detect",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    bounds AS (
+      SELECT ((now - 21600 + 299) // 300) * 300 AS from_r,
+             ((now + 299) // 300) * 300 AS until_r
+      FROM now_t
+    ),
+    tier1 AS (
+      SELECT metric, ts - ts % 300 AS ts, round(avg(value), 6) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT m.metric,
+             unnest(generate_series(b.from_r, b.until_r - 300, 300)) AS ts
+      FROM (SELECT DISTINCT metric FROM pts) m, bounds b
+    ),
+    g AS (
+      SELECT g.metric, g.ts, t.value
+      FROM grid g LEFT JOIN tier1 t ON g.metric = t.metric AND g.ts = t.ts
+    ),
+    filled AS (
+      SELECT metric, ts,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY metric ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS value
+      FROM g
+    ),
+    marked AS (
+      SELECT metric, ts, value,
+             CASE WHEN value IS NOT NULL
+                   AND value = lag(value) OVER w
+                  THEN 0 ELSE 1 END AS brk
+      FROM filled WINDOW w AS (PARTITION BY metric ORDER BY ts)
+    ),
+    runs AS (
+      SELECT metric, ts, value,
+             sum(brk) OVER (PARTITION BY metric ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    )
+    SELECT metric,
+           CAST(min(ts) AS BIGINT) AS run_start,
+           CAST(count(*) AS BIGINT) AS run_len,
+           min(value) AS value
+    FROM runs WHERE value IS NOT NULL
+    GROUP BY metric, run_id HAVING count(*) >= 3
+    """,
+    "stale/stuck-series detection over the keepLastValue-filled grid "
+    "(a flat run of ≥ 3 slots = no fresh data for 15+ min — exactly how "
+    "a stuck dashboard looks): value = lag(value) breaks + running-sum "
+    "run ids (the island trick); exact double equality, integer run "
+    "arithmetic",
+)
+def q_ts_flatline_detect(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.functions.render import keep_last_value
+
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    tier1 = downsample(pts, 300, "average").withColumn(
+        "value", F.round("value", 6)
+    )
+    grid = grid_fill(tier1, pts.select("metric").distinct(), now - 21600,
+                     now, 300)
+    t0 = keep_last_value(grid)
+    w = Window.partitionBy("metric").orderBy("ts")
+    brk = F.when(
+        F.col("value").isNotNull()
+        & (F.col("value") == F.lag("value").over(w)),
+        0,
+    ).otherwise(1)
+    runs = t0.select(
+        "metric",
+        "ts",
+        "value",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run_id"),
+    )
+    return (
+        runs.where(F.col("value").isNotNull())
+        .groupBy("metric", "run_id")
+        .agg(
+            F.min("ts").cast("long").alias("run_start"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("value").alias("value"),
+        )
+        .where(F.col("run_len") >= 3)
+        .select("metric", "run_start", "run_len", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
