@@ -270,3 +270,54 @@ def duplicated_profile_against_index(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    w: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal step completing the Lee et al. pipeline: drop every
+    token covered by a duplicated span and re-join the survivors —
+    ``(doc_id, n_tokens, removed_tokens, kept_tokens, clean_md5)``.
+
+    A position is covered if any duplicated window includes it
+    (positions p..p+w-1 for each duplicated window start p). The span
+    set per doc is tiny (bounded by dup windows), so it is collected
+    into an array per doc and the scrub is ONE row-local filter
+    expression over the token array — no token-level shuffle, the
+    corpus is touched once. clean_md5 fingerprints the scrubbed text so
+    downstream stages (and the SQL oracle) can verify the edit
+    byte-exactly without moving text."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = gram_hashes(docs, w, id_col, text_col).cache()
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("gh")
+    )
+    spans = (
+        grams.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    ).join(spans, "doc_id", "left")
+    # covered(i) = exists start s with s <= i <= s + w - 1
+    kept = F.expr(
+        f"filter(_toks, (x, i) -> _starts IS NULL OR NOT exists(_starts, "
+        f"s -> s <= i AND i <= s + {w - 1}))"
+    )
+    return base.select(
+        "doc_id",
+        F.col("_n").cast("long").alias("n_tokens"),
+        (F.col("_n") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )

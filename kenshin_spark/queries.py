@@ -5243,6 +5243,69 @@ def q_ts_flatline_detect(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Substring-dedup removal (the scrub step)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_substring_scrub",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(toks[i + 1 : i + 8], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 8)) AS i
+        FROM t WHERE len(toks) >= 8
+      )
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + k AS i
+      FROM g JOIN dup USING (gh), generate_series(0, 7) s(k)
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS i
+      FROM t
+    ),
+    keptagg AS (
+      SELECT tp.doc_id,
+             count(*) AS kept,
+             string_agg(tp.tok, ' ' ORDER BY tp.i) AS clean
+      FROM tokpos tp
+      LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.i = tp.i
+      WHERE cov.i IS NULL
+      GROUP BY tp.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(k.kept, 0) AS BIGINT)
+             AS removed_tokens,
+           CAST(coalesce(k.kept, 0) AS BIGINT) AS kept_tokens,
+           md5(coalesce(k.clean, '')) AS clean_md5
+    FROM t LEFT JOIN keptagg k USING (doc_id)
+    """,
+    "the REMOVAL step completing exact substring dedup (Lee et al. "
+    "scrub duplicated spans, keep the rest): per doc, every token "
+    "covered by a duplicated window is dropped and the survivors "
+    "re-joined; the scrub itself is ONE row-local filter expression "
+    "over the token array (span starts collected per doc — tiny), and "
+    "clean_md5 verifies the edited text byte-exactly without shuffling "
+    "text",
+)
+def q_dedup_substring_scrub(spark, sf_dir):
+    from kenshin_spark.dedup.substring import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, w=8, min_count=2)
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
