@@ -5306,6 +5306,63 @@ def q_dedup_substring_scrub(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Year-over-year growth
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_orders_yoy_growth",
+    """
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS ym,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT cur.ym,
+           round(CAST(cur.rev AS DOUBLE), 2) AS revenue,
+           round(CAST(prev.rev AS DOUBLE), 2) AS prev_year_revenue,
+           CASE WHEN prev.rev IS NOT NULL THEN
+             round(CAST(cur.rev - prev.rev AS DOUBLE)
+                   / CAST(prev.rev AS DOUBLE), 6)
+           END AS yoy_growth
+    FROM m cur LEFT JOIN m prev ON prev.ym = cur.ym - 100
+    """,
+    "year-over-year monthly revenue growth: monthly DECIMAL rollup "
+    "self-joined on ym-100 (an equi-join on the month key — no window "
+    "sort over raw orders); growth ratio divides exact decimals once; "
+    "months without a prior year keep NULL growth",
+)
+def q_orders_yoy_growth(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
+    m = orders.groupBy(ym.alias("ym")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    cur = m.alias("cur")
+    prev = m.select(
+        (F.col("ym") + 100).alias("_ym"), F.col("rev").alias("_prev")
+    )
+    return (
+        cur.join(prev, F.col("ym") == F.col("_ym"), "left")
+        .select(
+            "ym",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(F.col("_prev").cast("double"), 2).alias(
+                "prev_year_revenue"
+            ),
+            F.when(
+                F.col("_prev").isNotNull(),
+                F.round(
+                    (F.col("rev") - F.col("_prev")).cast("double")
+                    / F.col("_prev").cast("double"),
+                    6,
+                ),
+            ).alias("yoy_growth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver evaluation-window ordering
 # ---------------------------------------------------------------------------
 
