@@ -766,8 +766,47 @@ def time_slice(grid: DataFrame, start_ts: int, end_ts: int) -> DataFrame:
     )
 
 
+def remove_above_value(grid: DataFrame, n: float) -> DataFrame:
+    """Graphite removeAboveValue(series, n): slots above n become NULL."""
+    return grid.select(
+        "metric", "ts",
+        F.when(F.col("value") <= n, F.col("value")).alias("value"),
+    )
+
+
+def remove_below_value(grid: DataFrame, n: float) -> DataFrame:
+    """Graphite removeBelowValue(series, n): slots below n become NULL."""
+    return grid.select(
+        "metric", "ts",
+        F.when(F.col("value") >= n, F.col("value")).alias("value"),
+    )
+
+
+def average_outside_percentile(grid: DataFrame, n: float) -> DataFrame:
+    """Graphite averageOutsidePercentile(series_list, n): keep series
+    whose mean lies OUTSIDE the [100-n, n] percentile band of all
+    series means (n normalized to the upper half) — the outlier-series
+    selector."""
+    hi = n if n >= 50.0 else 100.0 - n
+    lo = 100.0 - hi
+    means = grid.groupBy("metric").agg(F.avg("value").alias("_m"))
+    cuts = means.agg(
+        F.expr(f"percentile(_m, {lo / 100.0})").alias("_lo"),
+        F.expr(f"percentile(_m, {hi / 100.0})").alias("_hi"),
+    )
+    keep = (
+        means.crossJoin(F.broadcast(cuts))
+        .where((F.col("_m") < F.col("_lo")) | (F.col("_m") > F.col("_hi")))
+        .select("metric")
+    )
+    return grid.join(F.broadcast(keep), "metric")
+
+
 RENDER_REGISTRY = {
     "aliasSub": alias_sub,
+    "averageOutsidePercentile": average_outside_percentile,
+    "removeAboveValue": remove_above_value,
+    "removeBelowValue": remove_below_value,
     "averageAbove": average_above,
     "averageBelow": average_below,
     "currentAbove": current_above,

@@ -1684,6 +1684,8 @@ class TestRenderChain:
             "averageBelow": (100.0,), "currentAbove": (0.0,),
             "currentBelow": (100.0,), "limit": (1,), "mostDeviant": (1,),
             "scaleToSeconds": (1, 60), "timeSlice": (0, 60),
+            "removeAboveValue": (100.0,), "removeBelowValue": (0.0,),
+            "averageOutsidePercentile": (75.0,),
         }
         for name in RENDER_REGISTRY:
             args = needs_arg.get(name, ())
@@ -2476,3 +2478,47 @@ class TestSubstringScrub:
         toks = F.split(F.trim(F.col("text")), r"\s+")
         scrub = remove_duplicated_spans(docs, w=8)
         assert scrub.where(F.col("removed_tokens") != 12).count() == 0
+
+
+class TestRenderValueFilters:
+    def _grid(self, spark):
+        rows = []
+        for m, vals in {
+            "mid1": [10.0, 11.0], "mid2": [10.5, 11.5],
+            "low": [0.0, 1.0], "high": [99.0, 100.0],
+        }.items():
+            rows += [(m, i * 60, v) for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows, "metric string, ts long, value double"
+        )
+
+    def test_remove_above_below_value(self, spark):
+        from kenshin_spark.functions.render import (
+            remove_above_value,
+            remove_below_value,
+        )
+
+        g = self._grid(spark)
+        above = {(r["metric"], r["ts"]): r["value"]
+                 for r in remove_above_value(g, 50.0).collect()}
+        assert above[("high", 0)] is None and above[("mid1", 0)] == 10.0
+        assert len(above) == 8  # grid shape kept
+        below = {(r["metric"], r["ts"]): r["value"]
+                 for r in remove_below_value(g, 5.0).collect()}
+        assert below[("low", 0)] is None and below[("high", 0)] == 99.0
+
+    def test_average_outside_percentile_keeps_outliers(self, spark):
+        from kenshin_spark.functions.render import average_outside_percentile
+
+        got = {
+            r["metric"]
+            for r in average_outside_percentile(self._grid(spark), 75.0).collect()
+        }
+        assert got == {"low", "high"}
+
+    def test_registry_wired(self):
+        from kenshin_spark.functions.render import RENDER_REGISTRY
+
+        for n in ("removeAboveValue", "removeBelowValue",
+                  "averageOutsidePercentile"):
+            assert n in RENDER_REGISTRY
