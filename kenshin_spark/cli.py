@@ -53,6 +53,24 @@ def cmd_fetch(args) -> None:
         print(f"{r['ts']}\t{r['value']}")
 
 
+def cmd_render(args) -> None:
+    """graphite-web /render — parse a nested target expression, resolve
+    the glob, fetch the grid, apply the function chain."""
+    from kenshin_spark.functions.render import apply_chain
+    from kenshin_spark.functions.targets import parse_target
+
+    store = _store(args)
+    glob, chain = parse_target(args.target)
+    now = args.now or int(time.time())
+    grid = store.fetch_glob(glob, args.from_ts, args.until_ts, now)
+    if grid is None:
+        print("null")
+        return
+    out = apply_chain(grid, chain)
+    for r in out.orderBy("metric", "ts").collect():
+        print(f"{r['metric']}\t{r['ts']}\t{r['value']}")
+
+
 def cmd_search(args) -> None:
     """bin/kenshin-get-metrics.py — regex search over stored metrics."""
     store = _store(args)
@@ -194,6 +212,12 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--from", dest="from_ts", type=int, required=True)
     f.add_argument("--until", dest="until_ts", type=int, required=True)
     f.add_argument("--now", type=int, default=None)
+    r = sub.add_parser("render")
+    r.add_argument("--target", required=True,
+                   help="graphite target, e.g. scale(movingAverage(a.*,5),2)")
+    r.add_argument("--from", dest="from_ts", type=int, required=True)
+    r.add_argument("--until", dest="until_ts", type=int, required=True)
+    r.add_argument("--now", type=int, default=None)
     s = sub.add_parser("search")
     s.add_argument("--pattern", required=True)
     d = sub.add_parser("delete")
@@ -225,6 +249,7 @@ def main(argv: list[str] | None = None) -> int:
     {
         "info": cmd_info,
         "fetch": cmd_fetch,
+        "render": cmd_render,
         "search": cmd_search,
         "delete": cmd_delete,
         "expire": cmd_expire,

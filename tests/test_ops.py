@@ -2522,3 +2522,87 @@ class TestRenderValueFilters:
         for n in ("removeAboveValue", "removeBelowValue",
                   "averageOutsidePercentile"):
             assert n in RENDER_REGISTRY
+
+
+class TestTargetParser:
+    def test_nested_calls_compose_inside_out(self):
+        from kenshin_spark.functions.targets import parse_target
+
+        glob, chain = parse_target(
+            "scale(movingAverage(sys.cpu.*, 5), 2)"
+        )
+        assert glob == "sys.cpu.*"
+        assert chain == [("movingAverage", 5), ("scale", 2.0)]
+
+    def test_bare_series_and_string_args(self):
+        from kenshin_spark.functions.targets import parse_target
+
+        assert parse_target("sys.cpu.user") == ("sys.cpu.user", [])
+        g, c = parse_target("alias(sys.mem, 'memory')")
+        assert g == "sys.mem" and c == [("alias", "memory")]
+
+    def test_globs_survive(self):
+        from kenshin_spark.functions.targets import parse_target
+
+        g, c = parse_target("sumSeries(sys.{cpu,mem}.[su]*)")
+        assert g == "sys.{cpu,mem}.[su]*" and c == [("sumSeries",)]
+
+    def test_errors_are_syntax_errors(self):
+        import pytest as _pytest
+
+        from kenshin_spark.functions.targets import (
+            TargetSyntaxError,
+            parse_target,
+        )
+
+        for bad in ("noSuchFn(a.b)", "scale(a.b", "scale(a.b,)",
+                    "alias(a.b, 'x)", "", "bad name()"):
+            with _pytest.raises(TargetSyntaxError):
+                parse_target(bad)
+
+    def test_end_to_end_with_apply_chain(self, spark):
+        from kenshin_spark.functions.render import apply_chain
+        from kenshin_spark.functions.targets import parse_target
+
+        g = spark.createDataFrame(
+            [("sys.cpu", 0, 2.0), ("sys.cpu", 60, 4.0)],
+            "metric string, ts long, value double",
+        )
+        glob, chain = parse_target("scale(delay(sys.cpu, 1), 10)")
+        assert glob == "sys.cpu"
+        out = {r["ts"]: r["value"] for r in apply_chain(g, chain).collect()}
+        assert out[0] is None and out[60] == 20.0
+
+
+class TestCliRender:
+    def test_render_verb_parses_and_applies_chain(self, spark, tmp_path, capsys):
+        from kenshin_spark import cli
+
+        root = str(tmp_path / "st")
+        store = ParquetTieredStore(
+            spark,
+            Schema.from_strings("cli", ".*", "60s:1d,300s:7d,3600s:90d",
+                                xff=20.0),
+            root,
+        )
+        now = 199_980  # 60-aligned; store rows are ingest-aligned slots
+        store.upsert(
+            0,
+            spark.createDataFrame(
+                [("sys.cpu", now - 120, 3.0), ("sys.cpu", now - 60, 5.0),
+                 ("sys.mem", now - 60, 7.0)],
+                ["metric", "ts", "value"],
+            ),
+        )
+        cli.main([
+            "--root", root, "--cpus", "2", "render",
+            "--target", "scale(sys.cpu, 2)",
+            "--from", str(now - 180), "--until", str(now),
+            "--now", str(now),
+        ])
+        lines = [l.split("\t") for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        vals = [v for m, _, v in lines if m == "sys.cpu"]
+        # LWW-aligned grid slots carry the scaled values (3→6, 5→10)
+        assert "6.0" in vals and "10.0" in vals
+        assert all(m == "sys.cpu" for m, _, _ in lines)  # glob resolved
