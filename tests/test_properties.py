@@ -376,13 +376,16 @@ def test_line_protocol_total_function(spark, lines):
     df = spark.createDataFrame([(l,) for l in lines], ["line"])
     out = parse_metric_lines(df, line_col="line").collect()
     assert len(out) == len(lines)
-    for r in out:
-        parsed = r["corrupt"] is None
-        assert parsed == (
-            r["metric"] is not None
-            and r["ts"] is not None
-            and r["value"] is not None
-        )
+    for r, raw in zip(out, lines):
+        if r["corrupt"] is None:
+            # accepted rows always carry a complete point...
+            assert r["metric"] is not None
+            assert r["ts"] is not None and r["value"] is not None
+            # ...and only exactly-3-token lines are accepted
+            assert len(raw.split()) == 3
+        else:
+            # dead letters preserve the raw line for replay
+            assert r["corrupt"] == raw
 
 
 # --- session windows ≡ pandas gap-merge reference --------------------------
