@@ -3480,6 +3480,118 @@ QUERIES["q22_dormant_customers"] = QuerySpec(
     "NOT EXISTS anti join, grouped by nation",
 )
 
+#: Q2's ps_supplycost has no testdata analog (no partsupp table), so the
+#: observed unit price min(l_extendedprice / l_quantity) per
+#: (part, supplier) stands in for the catalog supply cost. The division
+#: is one IEEE op on two parquet doubles — bit-identical in both engines
+#: — and the correlated min + outer equality compare those exact doubles,
+#: so no rounding is needed until display.
+Q2_SQL = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+       round(CAST(unit_price AS DOUBLE), 6) AS unit_price
+FROM part, unit, supplier, nation, region
+WHERE p_partkey = unit.l_partkey AND s_suppkey = unit.l_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE' AND p_size <= 10 AND p_type = 'LARGE'
+  AND unit_price = (
+    SELECT min(u2.unit_price)
+    FROM unit u2, supplier s2, nation n2, region r2
+    WHERE u2.l_partkey = p_partkey AND s2.s_suppkey = u2.l_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       round(CAST(v AS DOUBLE), 2) AS total_value
+FROM val
+WHERE v * (SELECT count(*) FROM val) * 2 > (SELECT sum(v) FROM val) * 3
+"""
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+Q20_SQL = """
+SELECT s_name, round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 100)
+"""
+
+QUERIES["q2_min_cost_supplier"] = QuerySpec(
+    fn=_sql_query(Q2_SQL, ("part", "lineitem", "supplier", "nation",
+                           "region")),
+    oracle=Q2_SQL,
+    doc="TPC-H Q2-style (adapted: observed min unit price from lineitem "
+    "stands in for the missing partsupp supply cost): for each small "
+    "LARGE-type part, the EUROPE supplier(s) matching the region-wide "
+    "minimum unit price — a correlated scalar-min subquery over a "
+    "4-way join that Catalyst decorrelates into an aggregate + "
+    "broadcast-joined equality; totally-ordered top-100",
+)
+QUERIES["q11_important_parts"] = QuerySpec(
+    fn=_sql_query(Q11_SQL, ("lineitem", "supplier", "nation")),
+    oracle=Q11_SQL,
+    doc="TPC-H Q11-style (adapted: revenue by part from one nation's "
+    "suppliers stands in for partsupp stock value; threshold is 2× the "
+    "mean share so it stays scale-invariant, unlike Q11's fixed "
+    "fraction/SF): filter against two broadcast scalar aggregates, "
+    "DECIMAL cross-multiplied (2·v·n > 3·Σv ⟺ v > 1.5·Σv/n) so the "
+    "threshold is order-exact in both engines",
+)
+QUERIES["q12_priority_lines"] = QuerySpec(
+    fn=_sql_query(Q12_SQL, ("orders", "lineitem")),
+    oracle=Q12_SQL,
+    doc="TPC-H Q12-style (adapted: no l_shipmode/commitdate in testdata "
+    "— returnflag classes stand in for ship modes, shipdate-year for "
+    "the receipt window): two-class CASE counting of urgent vs other "
+    "order priorities per class — pushed date filter, one "
+    "shuffle-keyed join, conditional aggregation",
+)
+QUERIES["q20_promotion_suppliers"] = QuerySpec(
+    fn=_sql_query(Q20_SQL, ("supplier", "nation", "lineitem", "part")),
+    oracle=Q20_SQL,
+    doc="TPC-H Q20-style (adapted: shipped volume above threshold "
+    "stands in for the missing partsupp availqty comparison): "
+    "suppliers of widget parts who moved >100 units in 1996 — nested "
+    "IN subqueries (part semi-join inside a grouped HAVING semi-join) "
+    "that Catalyst turns into two left-semi hash joins; completes the "
+    "22/22 TPC-H-style derivative suite",
+)
+
 CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
