@@ -3551,16 +3551,48 @@ WHERE n_name = 'NATION_3'
     HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 100)
 """
 
+#: Spark-side formulation of Q2: the correlated scalar-min subquery would
+#: make Catalyst aggregate lineitem TWICE (a WITH body is inlined per
+#: reference, and each inlining is a full (part,supp) shuffle — measured
+#: 7.1 s at sf0.1). A window min over the region-filtered unit table is
+#: the same value set in ONE lineitem pass + one vocab-sized window
+#: shuffle (measured 3.2 s). The DuckDB oracle keeps the classic
+#: correlated form — two independent formulations agreeing is a stronger
+#: check than replaying one.
+Q2_SPARK_SQL = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT u.l_partkey, u.unit_price, s_acctbal, s_name, n_name,
+         min(u.unit_price) OVER (PARTITION BY u.l_partkey) AS min_price
+  FROM unit u
+  JOIN supplier ON s_suppkey = u.l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+       round(CAST(unit_price AS DOUBLE), 6) AS unit_price
+FROM eu JOIN part ON p_partkey = eu.l_partkey
+WHERE p_size <= 10 AND p_type = 'LARGE' AND unit_price = min_price
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
 QUERIES["q2_min_cost_supplier"] = QuerySpec(
-    fn=_sql_query(Q2_SQL, ("part", "lineitem", "supplier", "nation",
-                           "region")),
+    fn=_sql_query(Q2_SPARK_SQL, ("part", "lineitem", "supplier", "nation",
+                                 "region")),
     oracle=Q2_SQL,
     doc="TPC-H Q2-style (adapted: observed min unit price from lineitem "
     "stands in for the missing partsupp supply cost): for each small "
     "LARGE-type part, the EUROPE supplier(s) matching the region-wide "
-    "minimum unit price — a correlated scalar-min subquery over a "
-    "4-way join that Catalyst decorrelates into an aggregate + "
-    "broadcast-joined equality; totally-ordered top-100",
+    "minimum unit price. Spark runs the single-pass window-min "
+    "formulation (one lineitem aggregate, dims broadcast); the oracle "
+    "runs the classic correlated scalar-min subquery — independent "
+    "formulations, identical rows; totally-ordered top-100",
 )
 QUERIES["q11_important_parts"] = QuerySpec(
     fn=_sql_query(Q11_SQL, ("lineitem", "supplier", "nation")),
@@ -5472,6 +5504,140 @@ def q_orders_yoy_growth(spark, sf_dir):
             ).alias("yoy_growth"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Promotions: pytest-only components -> driver-green rows
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    # Replays the full chain in SQL: MinHash-LSH pairs -> connected
+    # components (recursive reachability, min label = the Spark
+    # min-label-propagation fixpoint) -> md5 split bucket on the cluster
+    # representative (the sampling module's SQL twin), unpaired docs
+    # falling through to their own id.
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(lbl) AS rep FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CASE WHEN ('0x' || substr(md5('split|' ||
+                  CAST(coalesce(cc.rep, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000 < 100000
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    """
+
+
+@register(
+    "pipeline_leakage_split",
+    _leakage_split_oracle(),
+    "leakage-safe train/eval split: documents are bucketed by their "
+    "duplicate-CLUSTER representative (connected components over the "
+    "MinHash-LSH pair graph), so a near-dup can never straddle the "
+    "boundary; unpaired docs hash on their own id. Only the label table "
+    "(<= |paired docs|) shuffles — the corpus takes one AQE-sized left "
+    "join. The oracle replays pairs, components, and the md5 bucket",
+)
+def q_pipeline_leakage_split(spark, sf_dir):
+    from kenshin_spark.pipeline import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return leakage_safe_split(docs, pairs, eval_rate=0.1, seed="split").select(
+        "doc_id", "split"
+    )
+
+
+@register(
+    "dedup_cross_neardup",
+    """
+    WITH bench AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
+    corpus AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 0)
+    SELECT c.vec_id AS left_id, b.vec_id AS right_id,
+           round(
+             list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine
+    FROM corpus c, bench b
+    WHERE round(
+             list_dot_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) >= 0.4
+    """,
+    "bipartite embedding decontamination: corpus x benchmark cosine "
+    "pairs >= 0.4 — the semantic twin of shingle decontamination "
+    "(catches paraphrases n-gram overlap misses). The benchmark side "
+    "broadcasts, the threshold prefilters inside the join condition, "
+    "and the corpus never shuffles — at 100 TB the only moving part is "
+    "the small eval set",
+)
+def q_dedup_cross_neardup(spark, sf_dir):
+    from kenshin_spark.dedup.embedding import cross_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 20 == 0)
+    corpus = emb.where(F.col("vec_id") % 20 != 0)
+    return cross_neardup_pairs(corpus, bench, threshold=0.4)
+
+
+@register(
+    "text_token_drift",
+    r"""
+    WITH old_c AS (
+      SELECT tok AS token, count(*) AS old_count FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents WHERE CAST(substr(source, 4, 10) AS INT) < 10
+      ) WHERE tok <> '' GROUP BY 1
+    ),
+    new_c AS (
+      SELECT tok AS token, count(*) AS new_count FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents WHERE CAST(substr(source, 4, 10) AS INT) >= 10
+      ) WHERE tok <> '' GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(o.token, n.token) AS token,
+             coalesce(o.old_count, 0) AS old_count,
+             coalesce(n.new_count, 0) AS new_count
+      FROM old_c o FULL OUTER JOIN new_c n ON o.token = n.token
+    ),
+    tot AS (SELECT sum(old_count) AS t_o, sum(new_count) AS t_n FROM j)
+    SELECT token, old_count, new_count,
+           round(old_count * 1e6 / t_o, 3) AS old_ppm,
+           round(new_count * 1e6 / t_n, 3) AS new_ppm,
+           round(power(old_count - (old_count + new_count) / (t_o + t_n) * t_o, 2)
+                   / ((old_count + new_count) / (t_o + t_n) * t_o)
+                 + power(new_count - (old_count + new_count) / (t_o + t_n) * t_n, 2)
+                   / ((old_count + new_count) / (t_o + t_n) * t_n),
+                 6) AS chi2
+    FROM j, tot
+    ORDER BY chi2 DESC, token LIMIT 50
+    """,
+    "token-distribution drift between two corpus snapshots (sources "
+    "src0-9 vs src10-19): per-token chi-square contribution against the "
+    "pooled distribution, top-50 movers. One explode + vocab-sized "
+    "count per side, a vocab x vocab full-outer join, totals broadcast "
+    "— corpus bytes are read exactly once per side",
+)
+def q_text_token_drift(spark, sf_dir):
+    from kenshin_spark.pipeline import token_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap = F.expr("CAST(substring(source, 4, 10) AS INT)")
+    return token_drift(docs.where(snap < 10), docs.where(snap >= 10), top_k=50)
 
 
 # ---------------------------------------------------------------------------
