@@ -471,3 +471,59 @@ class TestRound4Plans:
         p = plan_of(QUERIES["q_retention_cohorts"].fn(spark, SF))
         assert "CartesianProduct" not in p
         assert "partial_min" in p or "partial_count" in p
+
+
+class TestRound4bPlans:
+    """Plan pins for the 22/22 TPC completion + the pytest-to-driver
+    promotions (q2/q11/q12/q20, leakage split, cross near-dup, drift)."""
+
+    def test_q2_single_lineitem_aggregate(self, spark):
+        """The window-min rewrite exists precisely so lineitem is
+        aggregated once; the correlated form scanned+shuffled it twice
+        (7.1 s -> 1.6 s at sf0.1). Pin one scan and no cartesian."""
+        p = plan_of(QUERIES["q2_min_cost_supplier"].fn(spark, SF))
+        assert p.count("lineitem.parquet") == 1
+        assert "Window" in p  # the min-price window replaced the subquery
+        assert "CartesianProduct" not in p
+        assert "partial_min" in p  # map-side combine on the unit agg
+
+    def test_q11_broadcast_scalar_thresholds(self, spark):
+        p = plan_of(QUERIES["q11_important_parts"].fn(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p  # nation/region/supplier dims
+        assert "partial_sum" in p
+
+    def test_q12_single_shuffle_conditional_agg(self, spark):
+        p = plan_of(QUERIES["q12_priority_lines"].fn(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "partial_sum" in p
+        # the date filter must reach the lineitem scan
+        assert "PushedFilters" in p
+
+    def test_q20_semi_join_chain(self, spark):
+        p = plan_of(QUERIES["q20_promotion_suppliers"].fn(spark, SF))
+        assert "CartesianProduct" not in p
+        assert "LeftSemi" in p  # both IN subqueries become semi joins
+
+    def test_leakage_split_corpus_single_join(self, spark):
+        """The corpus side must take exactly one join against the
+        (small) label table — never a shuffle keyed on text."""
+        p = plan_of(QUERIES["pipeline_leakage_split"].fn(spark, SF))
+        assert "CartesianProduct" not in p
+
+    def test_cross_neardup_broadcasts_benchmark(self, spark):
+        """Bipartite decontam: the benchmark side broadcasts (BNLJ with
+        the threshold prefilter IS the design — the corpus never
+        shuffles); no shuffle-based join may appear."""
+        p = plan_of(QUERIES["dedup_cross_neardup"].fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_token_drift_partial_counts_before_exchange(self, spark):
+        """Each snapshot collapses to vocab-sized counts map-side; the
+        full-outer vocab join may SMJ (correct for full-outer), but the
+        corpus-sized explode must aggregate before any exchange."""
+        p = plan_of(QUERIES["text_token_drift"].fn(spark, SF))
+        assert "partial_count" in p
+        assert "CartesianProduct" not in p
