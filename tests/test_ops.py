@@ -1906,6 +1906,40 @@ class TestStarConnectedComponents:
         with _pytest.raises(ValueError):
             connected_components(df, algorithm="bogus")
 
+    def test_auto_driver_unionfind_matches_label_prop(self, spark):
+        """Under the gate, auto solves with driver union-find; the
+        labelling (component-min representatives) must be identical to
+        the distributed fixpoint on random graphs incl. self-loops."""
+        import random
+
+        rng = random.Random(13)
+        for trial in range(3):
+            n = 50
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(60)
+            ]
+            auto = self._labels(spark, edges, "auto")
+            label = self._labels(spark, [
+                (x, y) for x, y in edges if x != y
+            ], "label")
+            # label-prop drops pure self-loop nodes with the filter
+            # above; auto keeps them as singletons — compare the union
+            for k, v in label.items():
+                assert auto[k] == v, f"trial {trial} node {k}"
+
+    def test_auto_over_gate_falls_back_to_distributed(self, spark, monkeypatch):
+        from kenshin_spark.dedup import cluster as mod
+
+        monkeypatch.setattr(mod, "DRIVER_CC_GATE", 0)
+        got = self._labels(spark, [(1, 2), (2, 3), (7, 8)], "auto")
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    def test_auto_empty_pairs(self, spark):
+        from kenshin_spark.dedup.cluster import connected_components
+
+        df = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert connected_components(df).count() == 0
+
 
 class TestSubstringDedup:
     """Exact substring-level dedup (Lee et al. fixed-window relaxation)."""
