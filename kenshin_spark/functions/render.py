@@ -802,7 +802,191 @@ def average_outside_percentile(grid: DataFrame, n: float) -> DataFrame:
     return grid.join(F.broadcast(keep), "metric")
 
 
+def max_series(grid: DataFrame, name: str = "maxSeries") -> DataFrame:
+    """Graphite maxSeries(series_list): per-slot maximum across series
+    (NULL-ignoring; all-NULL slots stay NULL)."""
+    return (
+        grid.groupBy("ts")
+        .agg(F.max("value").alias("value"))
+        .select(F.lit(name).alias("metric"), "ts", "value")
+    )
+
+
+def min_series(grid: DataFrame, name: str = "minSeries") -> DataFrame:
+    """Graphite minSeries(series_list): per-slot minimum across series."""
+    return (
+        grid.groupBy("ts")
+        .agg(F.min("value").alias("value"))
+        .select(F.lit(name).alias("metric"), "ts", "value")
+    )
+
+
+def range_of_series(grid: DataFrame, name: str = "rangeOfSeries") -> DataFrame:
+    """Graphite rangeOfSeries(series_list): per-slot max - min across
+    series (the spread band)."""
+    return (
+        grid.groupBy("ts")
+        .agg((F.max("value") - F.min("value")).alias("value"))
+        .select(F.lit(name).alias("metric"), "ts", "value")
+    )
+
+
+def stddev_series(grid: DataFrame, name: str = "stddevSeries") -> DataFrame:
+    """Graphite stddevSeries(series_list): per-slot population standard
+    deviation across series (graphite divides by N, not N-1)."""
+    return (
+        grid.groupBy("ts")
+        .agg(F.stddev_pop("value").alias("value"))
+        .select(F.lit(name).alias("metric"), "ts", "value")
+    )
+
+
+def diff_series(grid: DataFrame, name: str = "diffSeries") -> DataFrame:
+    """Graphite diffSeries(series_list): the FIRST series (lowest metric
+    name — the grid is unordered, so lexicographic is the deterministic
+    stand-in for argument order) minus the per-slot sum of the rest;
+    slots where every series is NULL stay NULL."""
+    first = grid.select(F.min("metric").alias("_first"))
+    signed = grid.crossJoin(F.broadcast(first)).select(
+        "ts",
+        F.when(F.col("metric") == F.col("_first"), F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("_sv"),
+    )
+    return (
+        signed.groupBy("ts")
+        .agg(F.sum("_sv").alias("value"))
+        .select(F.lit(name).alias("metric"), "ts", "value")
+    )
+
+
+def moving_sum(grid: DataFrame, n_points: int) -> DataFrame:
+    """Graphite movingSum(series, N): sum of the trailing N slots."""
+    w = _series_window().rowsBetween(-(n_points - 1), 0)
+    return grid.select(
+        "metric", "ts", F.sum("value").over(w).alias("value")
+    )
+
+
+def moving_min(grid: DataFrame, n_points: int) -> DataFrame:
+    """Graphite movingMin(series, N): minimum of the trailing N slots."""
+    w = _series_window().rowsBetween(-(n_points - 1), 0)
+    return grid.select(
+        "metric", "ts", F.min("value").over(w).alias("value")
+    )
+
+
+def moving_max(grid: DataFrame, n_points: int) -> DataFrame:
+    """Graphite movingMax(series, N): maximum of the trailing N slots."""
+    w = _series_window().rowsBetween(-(n_points - 1), 0)
+    return grid.select(
+        "metric", "ts", F.max("value").over(w).alias("value")
+    )
+
+
+def hitcount(
+    grid: DataFrame, bucket_seconds: int, step_seconds: int = 60
+) -> DataFrame:
+    """Graphite hitcount(series, interval): convert a per-second RATE
+    series into total hits per bucket — Σ value·step over each bucket
+    (graphite multiplies each datapoint by its slot width; the grid's
+    slot width is ``step_seconds``). Buckets with no data stay NULL."""
+    bucket = (F.col("ts") - F.col("ts") % bucket_seconds).alias("ts")
+    return (
+        grid.groupBy("metric", bucket)
+        .agg(F.sum(F.col("value") * step_seconds).alias("value"))
+    )
+
+
+def grep_series(grid: DataFrame, pattern: str) -> DataFrame:
+    """Graphite grep(series_list, pattern): keep series whose name
+    matches the regex (substring search, like graphite's re.search)."""
+    return grid.where(F.col("metric").rlike(pattern))
+
+
+def exclude_series(grid: DataFrame, pattern: str) -> DataFrame:
+    """Graphite exclude(series_list, pattern): drop series whose name
+    matches the regex."""
+    return grid.where(~F.col("metric").rlike(pattern))
+
+
+def highest_current(grid: DataFrame, n: int) -> DataFrame:
+    """Graphite highestCurrent(series_list, n): the n series with the
+    highest LAST non-NULL value — selection by the freshest reading."""
+    last = (
+        grid.where(F.col("value").isNotNull())
+        .groupBy("metric")
+        .agg(F.max_by("value", "ts").alias("_cur"))
+        .orderBy(F.col("_cur").desc(), F.col("metric"))
+        .limit(n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(last), "metric")
+
+
+def highest_max(grid: DataFrame, n: int) -> DataFrame:
+    """Graphite highestMax(series_list, n): the n series with the
+    highest peak (sortByMaxima without the reorder contract)."""
+    return sort_by_maxima(grid, n)
+
+
+def lowest_average(grid: DataFrame, n: int) -> DataFrame:
+    """Graphite lowestAverage(series_list, n): the n series with the
+    lowest mean — the inverse selection of highestAverage."""
+    ranked = (
+        grid.groupBy("metric")
+        .agg(F.avg("value").alias("_avg"))
+        .orderBy(F.col("_avg").asc(), F.col("metric"))
+        .limit(n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(ranked), "metric")
+
+
+def lowest_current(grid: DataFrame, n: int) -> DataFrame:
+    """Graphite lowestCurrent(series_list, n): the n series with the
+    lowest last non-NULL value."""
+    last = (
+        grid.where(F.col("value").isNotNull())
+        .groupBy("metric")
+        .agg(F.max_by("value", "ts").alias("_cur"))
+        .orderBy(F.col("_cur").asc(), F.col("metric"))
+        .limit(n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(last), "metric")
+
+
+def sort_by_total(grid: DataFrame, n: int) -> DataFrame:
+    """Graphite sortByTotal + limit: the n series with the highest
+    NULL-ignoring sum — same selection shape as highest_average."""
+    ranked = (
+        grid.groupBy("metric")
+        .agg(F.sum("value").alias("_tot"))
+        .orderBy(F.col("_tot").desc(), F.col("metric"))
+        .limit(n)
+        .select("metric")
+    )
+    return grid.join(F.broadcast(ranked), "metric")
+
+
 RENDER_REGISTRY = {
+    "diffSeries": diff_series,
+    "exclude": exclude_series,
+    "grep": grep_series,
+    "highestCurrent": highest_current,
+    "highestMax": highest_max,
+    "hitcount": hitcount,
+    "lowestAverage": lowest_average,
+    "lowestCurrent": lowest_current,
+    "maxSeries": max_series,
+    "minSeries": min_series,
+    "movingMax": moving_max,
+    "movingMin": moving_min,
+    "movingSum": moving_sum,
+    "rangeOfSeries": range_of_series,
+    "sortByTotal": sort_by_total,
+    "stddevSeries": stddev_series,
     "aliasSub": alias_sub,
     "averageOutsidePercentile": average_outside_percentile,
     "removeAboveValue": remove_above_value,

@@ -1686,6 +1686,11 @@ class TestRenderChain:
             "scaleToSeconds": (1, 60), "timeSlice": (0, 60),
             "removeAboveValue": (100.0,), "removeBelowValue": (0.0,),
             "averageOutsidePercentile": (75.0,),
+            "grep": ("^a",), "exclude": ("^b",),
+            "highestCurrent": (1,), "highestMax": (1,),
+            "lowestAverage": (1,), "lowestCurrent": (1,),
+            "sortByTotal": (1,), "hitcount": (120, 60),
+            "movingSum": (2,), "movingMin": (2,), "movingMax": (2,),
         }
         for name in RENDER_REGISTRY:
             args = needs_arg.get(name, ())
@@ -2640,3 +2645,87 @@ class TestCliRender:
         # LWW-aligned grid slots carry the scaled values (3→6, 5→10)
         assert "6.0" in vals and "10.0" in vals
         assert all(m == "sys.cpu" for m, _, _ in lines)  # glob resolved
+
+
+class TestRenderCombinators2:
+    """Semantics for the round-4b combinator batch: diff/max/min/range/
+    stddev series, moving sum/min/max, hitcount, grep/exclude, and the
+    current/total selections."""
+
+    def _grid(self, spark):
+        rows = [
+            ("a", 0, 10.0), ("a", 60, 20.0), ("a", 120, None),
+            ("b", 0, 1.0), ("b", 60, 2.0), ("b", 120, None),
+            ("c", 0, 4.0), ("c", 60, None), ("c", 120, None),
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, ts long, value double"
+        )
+
+    def _by_ts(self, df):
+        return {r["ts"]: r["value"] for r in df.collect()}
+
+    def test_diff_series_first_minus_rest(self, spark):
+        from kenshin_spark.functions.render import diff_series
+
+        got = self._by_ts(diff_series(self._grid(spark)))
+        assert got[0] == 10.0 - 1.0 - 4.0
+        assert got[60] == 20.0 - 2.0
+        assert got[120] is None  # all-NULL slot stays NULL
+
+    def test_max_min_range_stddev_series(self, spark):
+        from kenshin_spark.functions.render import (
+            max_series, min_series, range_of_series, stddev_series,
+        )
+
+        g = self._grid(spark)
+        assert self._by_ts(max_series(g))[0] == 10.0
+        assert self._by_ts(min_series(g))[0] == 1.0
+        assert self._by_ts(range_of_series(g))[0] == 9.0
+        # population stddev of {10, 1, 4}
+        import statistics
+        assert abs(
+            self._by_ts(stddev_series(g))[0]
+            - statistics.pstdev([10.0, 1.0, 4.0])
+        ) < 1e-12
+
+    def test_moving_sum_min_max(self, spark):
+        from kenshin_spark.functions.render import (
+            moving_max, moving_min, moving_sum,
+        )
+
+        g = self._grid(spark).where("metric = 'a'")
+        s = {r["ts"]: r["value"] for r in moving_sum(g, 2).collect()}
+        assert s[0] == 10.0 and s[60] == 30.0 and s[120] == 20.0
+        assert {r["ts"]: r["value"] for r in moving_min(g, 2).collect()}[60] == 10.0
+        assert {r["ts"]: r["value"] for r in moving_max(g, 2).collect()}[60] == 20.0
+
+    def test_hitcount_integrates_rate_over_buckets(self, spark):
+        from kenshin_spark.functions.render import hitcount
+
+        g = self._grid(spark).where("metric = 'a'")
+        got = {r["ts"]: r["value"] for r in hitcount(g, 120, 60).collect()}
+        # bucket [0,120): (10 + 20) * 60 s; bucket [120,240): all NULL
+        assert got[0] == 1800.0
+        assert got[120] is None
+
+    def test_grep_exclude(self, spark):
+        from kenshin_spark.functions.render import exclude_series, grep_series
+
+        g = self._grid(spark)
+        assert {r["metric"] for r in grep_series(g, "^[ab]$").collect()} == {"a", "b"}
+        assert {r["metric"] for r in exclude_series(g, "^a$").collect()} == {"b", "c"}
+
+    def test_current_and_total_selections(self, spark):
+        from kenshin_spark.functions.render import (
+            highest_current, lowest_average, lowest_current, sort_by_total,
+        )
+
+        g = self._grid(spark)
+        # last non-NULL: a=20, b=2, c=4
+        assert {r["metric"] for r in highest_current(g, 1).collect()} == {"a"}
+        assert {r["metric"] for r in lowest_current(g, 1).collect()} == {"b"}
+        # means: a=15, b=1.5, c=4
+        assert {r["metric"] for r in lowest_average(g, 1).collect()} == {"b"}
+        # totals: a=30, b=3, c=4
+        assert {r["metric"] for r in sort_by_total(g, 2).collect()} == {"a", "c"}
