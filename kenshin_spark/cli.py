@@ -118,6 +118,29 @@ def cmd_explain(args) -> None:
     )
 
 
+def cmd_validate(args) -> None:
+    """Deequ-lite ingest gate: run a constraint suite against a parquet
+    table and print the report (one fused scan for row-local checks).
+    Default suite = the documents-corpus gate; --checks takes a JSON
+    list of {kind, column, ...} objects for custom suites."""
+    from kenshin_spark.quality import Check, DOCUMENT_CHECKS, validate
+
+    spark = get_spark("kenshin-validate", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.table)
+    if args.checks:
+        checks = [Check(**c) for c in json.loads(args.checks)]
+    else:
+        checks = DOCUMENT_CHECKS
+    report = validate(df, checks)
+    failed = 0
+    for r in report.collect():
+        print(json.dumps(r.asDict()))
+        failed += 0 if r["passed"] else 1
+    if failed:
+        sys.exit(1)  # gate semantics: nonzero on any violation
+
+
 def cmd_recover(args) -> None:
     """Crash recovery after an interrupted compact/delete swap: restore
     any .bak whose live directory is missing (the change-schema .bak
@@ -244,6 +267,10 @@ def main(argv: list[str] | None = None) -> int:
     ka = sub.add_parser("keepalive")
     ka.add_argument("--dormant-after", type=int, default=86400)
     ka.add_argument("--now", type=int, default=None)
+    v = sub.add_parser("validate")
+    v.add_argument("--table", required=True, help="parquet path to gate")
+    v.add_argument("--checks", default=None,
+                   help='JSON list of {"kind": ..., "column": ...} checks')
 
     args = p.parse_args(argv)
     {
@@ -260,6 +287,7 @@ def main(argv: list[str] | None = None) -> int:
         "import": cmd_import,
         "gc": cmd_gc,
         "keepalive": cmd_keepalive,
+        "validate": cmd_validate,
     }[args.cmd](args)
     return 0
 
