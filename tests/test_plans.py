@@ -156,6 +156,9 @@ class TestPythonBoundary:
         df = QUERIES[name].fn(spark, SF)
         p = plan_of(df)
         assert "BatchEvalPython" not in p, f"{name} uses a row-Python UDF"
+        # unbroadcast all-pairs joins must never appear either — every
+        # crossJoin in the repo is broadcast-small-side by construction
+        assert "CartesianProduct" not in p, f"{name} has a cartesian join"
 
 
 class TestParallelism:
