@@ -66,6 +66,7 @@ class IngestStats:
     dropped_old_points: int = 0
     update_operations: int = 0
     batches: int = 0
+    quality_rejected: int = 0
 
     def as_points(self, now: int) -> list[tuple[str, int, float]]:
         """Counters as ``rurouni.*`` self-metric points (S8)."""
@@ -93,6 +94,7 @@ class StreamingIngest:
         dead_letter_path: str | None = None,
         store_mode: str = "cow",
         skew_salts: int | None = None,
+        quality_checks=None,
     ):
         self.spark = spark
         self.schemas = schemas
@@ -108,6 +110,18 @@ class StreamingIngest:
         #: log and resolves at read (O(batch) writes — pick for
         #: high-frequency triggers, run store.compact() periodically)
         self.store_mode = store_mode
+        #: optional row-local quality gate (quality.Check list): rows
+        #: violating ANY check are routed to the dead-letter path instead
+        #: of the store — one filter expression folded into the batch
+        #: pass, no extra scan. Aggregate kinds (unique, distinct-ratio)
+        #: are meaningless per-micro-batch and rejected up front.
+        self.quality_checks = list(quality_checks or [])
+        for c in self.quality_checks:
+            if c.violation_expr() is None:
+                raise ValueError(
+                    f"streaming gate needs row-local checks; {c.label()} "
+                    "is aggregate-scoped — run it in batch validate()"
+                )
         self.stats = IngestStats()
         self.clock = clock  # injectable: age routing + tests (SURVEY §7.3)
         self.bucket: TokenBucket | None = (
@@ -214,6 +228,21 @@ class StreamingIngest:
                         F.lit(batch_id).alias("batch_id"),
                     ).write.mode("append").parquet(self.dead_letter_path)
                 batch = batch.where(F.col("corrupt").isNull()).drop("corrupt")
+            if self.quality_checks:
+                viol = None
+                for c in self.quality_checks:
+                    e = c.violation_expr()
+                    viol = e if viol is None else (viol | e)
+                bad_rows = batch.where(viol)
+                n_rej = bad_rows.count()
+                if n_rej:
+                    self.stats.quality_rejected += n_rej
+                    if self.dead_letter_path:
+                        bad_rows.select(
+                            F.to_json(F.struct("*")).alias("line"),
+                            F.lit(batch_id).alias("batch_id"),
+                        ).write.mode("append").parquet(self.dead_letter_path)
+                    batch = batch.where(~F.coalesce(viol, F.lit(False)))
             n = batch.count()
             if n == 0:
                 return

@@ -1102,3 +1102,51 @@ class TestSessionWindows:
             spark.read.schema(self._SCHEMA).json(in_dir), ["user_id", "ts"]
         )
         assert batch.count() == len(self._ROWS)
+
+
+class TestStreamingQualityGate:
+    """Row-local Deequ-lite checks folded into the ingest batch pass:
+    violating rows go to dead-letter, clean rows flow to the store."""
+
+    def test_gate_rejects_rows_not_batches(self, spark, tmp_path):
+        from kenshin_spark.quality import in_range, predicate
+
+        in_dir, cp, root, dl = (
+            str(tmp_path / "in"), str(tmp_path / "cp"),
+            str(tmp_path / "store"), str(tmp_path / "dead"),
+        )
+        write_lines(
+            in_dir, "b1.txt",
+            [
+                "web.req 10.0 1000",
+                "web.req nan 1030",       # NaN value → gate
+                "web.req -5.0 1060",      # negative → gate
+                "web.req 20.0 1090",
+            ],
+        )
+        ingest = StreamingIngest(
+            spark, SCHEMAS, root, clock=FakeClock(1200),
+            dead_letter_path=dl,
+            quality_checks=[
+                in_range("value", 0.0, 1e6),
+                predicate("NOT isnan(value)", name="not_nan"),
+            ],
+        )
+        run_stream(spark, ingest, in_dir, cp)
+
+        assert ingest.stats.quality_rejected == 2
+        stored = rows(ingest.store_for(SCHEMAS.schemas[1]).read(0))
+        assert [m for m, _, _ in stored] == ["web.req", "web.req"]
+        assert all(v >= 0 for _, _, v in stored)
+        dead = spark.read.parquet(dl)
+        assert dead.count() == 2
+        assert set(dead.columns) == {"line", "batch_id"}
+
+    def test_aggregate_checks_rejected_up_front(self, spark, tmp_path):
+        from kenshin_spark.quality import unique
+
+        with pytest.raises(ValueError, match="row-local"):
+            StreamingIngest(
+                spark, SCHEMAS, str(tmp_path / "s"),
+                quality_checks=[unique("metric")],
+            )
