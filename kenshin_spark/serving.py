@@ -118,15 +118,20 @@ def _recv_exact(sock, n: int) -> bytes | None:
 
 
 class HttpFetchServer:
-    """``/fetch`` + ``/hot`` as JSON. ``fetch_fn(metrics, from, until,
-    now)`` returns ``[(metric, ts, value), ...]`` (e.g. a lambda over
+    """``/fetch`` + ``/hot`` (+ optional ``/render``) as JSON.
+    ``fetch_fn(metrics, from, until, now)`` returns
+    ``[(metric, ts, value), ...]`` (e.g. a lambda over
     ``ParquetTieredStore.fetch(...).collect()``); ``hot_fn(metric)``
-    returns datapoints."""
+    returns datapoints; ``render_fn(target, from, until, now)`` resolves
+    a graphite target expression (glob + function chain — see
+    ``functions.targets.parse_target``) to the same row shape, giving
+    the wire surface graphite-web's /render parity."""
 
     def __init__(
         self,
         fetch_fn: Callable[[list[str], int, int, int], list[tuple]],
         hot_fn: Callable[[str], Datapoints] | None = None,
+        render_fn: Callable[[str, int, int, int], list[tuple]] | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
     ):
@@ -154,6 +159,14 @@ class HttpFetchServer:
                                 list(p) for p in outer.hot_fn(q["metric"][0])
                             ]
                         }
+                    elif url.path == "/render" and outer.render_fn is not None:
+                        rows = outer.render_fn(
+                            q["target"][0],
+                            int(q["from"][0]),
+                            int(q["until"][0]),
+                            int(q["now"][0]),
+                        )
+                        body = {"rows": [list(r) for r in rows]}
                     else:
                         self.send_error(404)
                         return
@@ -169,6 +182,7 @@ class HttpFetchServer:
 
         self.fetch_fn = fetch_fn
         self.hot_fn = hot_fn
+        self.render_fn = render_fn
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.address: tuple[str, int] = self._server.server_address[:2]
         self._thread: threading.Thread | None = None
@@ -183,3 +197,25 @@ class HttpFetchServer:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+
+
+def store_render_fn(store) -> Callable[[str, int, int, int], list[tuple]]:
+    """Wire a ``ParquetTieredStore`` to the ``/render`` endpoint: parse
+    the graphite target (nested function calls around a metric glob),
+    glob-fetch the grid, apply the chain — the same path the CLI render
+    verb runs, packaged for the HTTP server."""
+    from kenshin_spark.functions.render import apply_chain
+    from kenshin_spark.functions.targets import parse_target
+
+    def render_fn(target: str, frm: int, until: int, now: int) -> list[tuple]:
+        glob, chain = parse_target(target)
+        grid = store.fetch_glob(glob, frm, until, now)
+        if grid is None:
+            return []
+        out = apply_chain(grid, chain)
+        return [
+            (r["metric"], r["ts"], r["value"])
+            for r in out.orderBy("metric", "ts").collect()
+        ]
+
+    return render_fn

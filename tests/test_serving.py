@@ -5,6 +5,7 @@ import json
 import pickle
 import socket
 import struct
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -97,5 +98,41 @@ class TestHttpFetchServer:
 
             with pytest.raises(urllib.error.HTTPError):
                 urllib.request.urlopen(f"http://{host}:{port}/fetch")
+        finally:
+            srv.stop()
+
+
+class TestHttpRender:
+    def test_render_target_over_http(self, spark, store):
+        from kenshin_spark.serving import store_render_fn
+
+        srv = HttpFetchServer(
+            lambda *a: [], render_fn=store_render_fn(store)
+        )
+        host, port = srv.start()
+        try:
+            url = (
+                f"http://{host}:{port}/render?"
+                + urllib.parse.urlencode(
+                    {"target": "scale(sys.*,2)", "from": 60,
+                     "until": 180, "now": 200}
+                )
+            )
+            with urllib.request.urlopen(url) as resp:
+                body = json.load(resp)
+            rows = {(m, t): v for m, t, v in body["rows"]}
+            assert rows[("sys.cpu", 60)] == 2.0   # 1.0 scaled by 2
+            assert rows[("sys.cpu", 120)] == 4.0  # 2.0 scaled by 2
+
+            # no render_fn wired → 404 (the default server shape)
+            bare = HttpFetchServer(lambda *a: [])
+            h2, p2 = bare.start()
+            try:
+                with pytest.raises(urllib.error.HTTPError):
+                    urllib.request.urlopen(
+                        f"http://{h2}:{p2}/render?target=x&from=0&until=1&now=1"
+                    )
+            finally:
+                bare.stop()
         finally:
             srv.stop()
