@@ -350,3 +350,112 @@ GROUP BY dim
 )
 def q_emb_dim_profile(spark, sf_dir):
     return _sql_query(DIM_PROFILE_SPARK_SQL, ("embeddings",))(spark, sf_dir)
+
+
+# -- corpus novelty curve ---------------------------------------------------
+
+NOVELTY_SQL = r"""
+WITH g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i : i + 2], ' ')
+           )) AS gram
+    FROM (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+  )
+),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_rate
+FROM g JOIN firsts f ON f.gram = g.gram
+GROUP BY g.doc_id
+"""
+
+NOVELTY_SPARK_SQL = r"""
+WITH g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           explode(transform(
+             sequence(0, size(toks) - 3),
+             i -> concat_ws(' ', slice(toks, i + 1, 3))
+           )) AS gram
+    FROM (
+      SELECT doc_id, split(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ) WHERE size(toks) >= 3
+  )
+),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_rate
+FROM g JOIN firsts f ON f.gram = g.gram
+GROUP BY g.doc_id
+"""
+
+
+@stage(
+    "text_ngram_novelty",
+    NOVELTY_SQL,
+    "corpus novelty curve: per doc, the fraction of its distinct "
+    "3-grams whose FIRST corpus occurrence (by doc_id) is this doc — "
+    "the ingest-ordering diagnostic behind 'is the new crawl adding "
+    "anything'. Grams reduce to a gram-keyed min + one join back; "
+    "text shuffles as 3-token grams only",
+)
+def q_text_ngram_novelty(spark, sf_dir):
+    return _sql_query(NOVELTY_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+# -- supplier revenue concentration (HHI) ----------------------------------
+
+#: Spark uses `DIV`, DuckDB uses `//` for integer floor division — the
+#: only divergence between the two texts; every operand is an exact
+#: BIGINT (cents), so the ppm shares and the HHI sum are bit-identical.
+HHI_CORE = """
+WITH rev AS (
+  SELECT s_nationkey,
+         l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, l_suppkey
+),
+tot AS (
+  SELECT s_nationkey, sum(cents) AS total_cents FROM rev GROUP BY s_nationkey
+)
+SELECT CAST(r.s_nationkey AS BIGINT) AS nation_key,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(ppm * ppm) AS BIGINT) AS hhi_e12
+FROM (
+  SELECT r.s_nationkey, r.l_suppkey,
+         r.cents * 1000000 {DIV} t.total_cents AS ppm
+  FROM rev r JOIN tot t ON r.s_nationkey = t.s_nationkey
+) r
+GROUP BY r.s_nationkey
+"""
+
+
+@stage(
+    "q_supplier_hhi",
+    HHI_CORE.format(DIV="//"),
+    "supplier revenue concentration per nation: Herfindahl index over "
+    "exact-integer ppm shares (cents * 1e6 floor-div total) so the sum "
+    "of squares is order-free and bit-identical across engines — a "
+    "single-supplier nation scores 1e12; broadcast totals, two "
+    "partial-agg shuffles",
+)
+def q_supplier_hhi(spark, sf_dir):
+    return _sql_query(HHI_CORE.format(DIV="DIV"),
+                      ("lineitem", "supplier"))(spark, sf_dir)
