@@ -15,6 +15,7 @@ display-only float outputs.
 
 from __future__ import annotations
 
+from kenshin_spark.io import load_table
 from kenshin_spark.queries import QuerySpec, _sql_query
 
 STAGED: dict[str, QuerySpec] = {}
@@ -459,3 +460,215 @@ GROUP BY r.s_nationkey
 def q_supplier_hhi(spark, sf_dir):
     return _sql_query(HHI_CORE.format(DIV="DIV"),
                       ("lineitem", "supplier"))(spark, sf_dir)
+
+
+# -- k-NN graph over a query subset ----------------------------------------
+
+KNN_GRAPH_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         round(
+           list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+           6) AS cosine
+  FROM embeddings c, q WHERE q.vec_id <> c.vec_id
+)
+SELECT src, dst, CAST(rnk AS BIGINT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY src ORDER BY cosine DESC, dst
+  ) AS rnk FROM scored
+) t WHERE rnk <= 3
+"""
+
+
+@stage(
+    "sim_knn_graph",
+    KNN_GRAPH_SQL,
+    "k-NN graph construction (the HNSW/NN-descent building block): "
+    "top-3 neighbors for each of the first 50 vectors — same "
+    "broadcast-queries/partitioned-corpus shape as sim_topk_bruteforce; "
+    "at scale the seed set is the graph frontier, not a prefix",
+)
+def q_sim_knn_graph(spark, sf_dir):
+    from kenshin_spark.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 50")
+    out = brute_force_topk(emb, q, k=3)
+    return out.selectExpr(
+        "query_id AS src", "neighbor_id AS dst", "rank", "cosine"
+    )
+
+
+# -- centroid-distance outliers --------------------------------------------
+
+#: both engines ROUND the centroid to 6dp before the distance arithmetic:
+#: a float mean is summation-order-dependent at the last ulp, and rounding
+#: first makes every downstream op run on identical operands.
+CENTROID_OUT_SQL = """
+WITH c AS (
+  SELECT label, t.dim, round(avg(embedding[t.dim + 1]), 6) AS cv
+  FROM embeddings, range(64) t(dim) GROUP BY 1, 2
+),
+dots AS (
+  SELECT e.vec_id, e.label,
+         sum(e.embedding[c.dim + 1] * c.cv) AS dot,
+         sum(e.embedding[c.dim + 1] * e.embedding[c.dim + 1]) AS n2v,
+         sum(c.cv * c.cv) AS n2c
+  FROM embeddings e JOIN c ON c.label = e.label
+  GROUP BY e.vec_id, e.label
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+       round(dot / (sqrt(n2v) * sqrt(n2c)), 6) AS centroid_cosine
+FROM dots
+WHERE round(dot / (sqrt(n2v) * sqrt(n2c)), 6) < 0.2
+"""
+
+CENTROID_OUT_SPARK_SQL = """
+WITH c AS (
+  SELECT label, dim, round(avg(v), 6) AS cv
+  FROM (SELECT label, posexplode(embedding) AS (dim, v) FROM embeddings)
+  GROUP BY 1, 2
+),
+e AS (SELECT vec_id, label, posexplode(embedding) AS (dim, v)
+      FROM embeddings),
+dots AS (
+  SELECT e.vec_id, e.label,
+         sum(e.v * c.cv) AS dot,
+         sum(e.v * e.v) AS n2v,
+         sum(c.cv * c.cv) AS n2c
+  FROM e JOIN c ON c.label = e.label AND c.dim = e.dim
+  GROUP BY e.vec_id, e.label
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+       round(dot / (sqrt(n2v) * sqrt(n2c)), 6) AS centroid_cosine
+FROM dots
+WHERE round(dot / (sqrt(n2v) * sqrt(n2c)), 6) < 0.2
+"""
+
+
+@stage(
+    "emb_centroid_outliers",
+    CENTROID_OUT_SQL,
+    "label-coherence outliers: vectors whose cosine to their OWN label "
+    "centroid falls under 0.2 (mislabeled / noise candidates — the "
+    "embedding-space analog of the quality filter). Centroids are "
+    "rounded to 6dp BEFORE the distance so float mean ulp-noise cannot "
+    "flip the threshold; label-sized centroid table broadcasts",
+)
+def q_emb_centroid_outliers(spark, sf_dir):
+    return _sql_query(CENTROID_OUT_SPARK_SQL, ("embeddings",))(spark, sf_dir)
+
+
+# -- cross-region trade balance --------------------------------------------
+
+TRADE_SQL = """
+SELECT sr.r_name AS supplier_region, cr.r_name AS customer_region,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+GROUP BY sr.r_name, cr.r_name
+"""
+
+
+@stage(
+    "q_region_trade_matrix",
+    TRADE_SQL,
+    "cross-region trade matrix: revenue by (supplier region x customer "
+    "region) — an 8-way star join where every dimension broadcasts "
+    "(nation/region twice under different roles), one partial-agg "
+    "shuffle on the 25-cell matrix key; DECIMAL money math",
+)
+def q_region_trade_matrix(spark, sf_dir):
+    return _sql_query(
+        TRADE_SQL,
+        ("lineitem", "orders", "customer", "supplier", "nation", "region"),
+    )(spark, sf_dir)
+
+
+# -- lines-per-order histogram ---------------------------------------------
+
+LINES_HIST_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM per_order GROUP BY n_lines
+"""
+
+
+@stage(
+    "q_order_lines_histogram",
+    LINES_HIST_SQL,
+    "order-width histogram (lines per order): two partial-agg shuffles, "
+    "second one over the tiny 1..7 domain — the cardinality profile "
+    "feeding join-planning assumptions like the market-basket bound",
+)
+def q_order_lines_histogram(spark, sf_dir):
+    return _sql_query(LINES_HIST_SQL, ("lineitem",))(spark, sf_dir)
+
+
+# -- shingle document-frequency histogram ----------------------------------
+
+SHINGLE_DF_SQL = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> array_to_string(toks[i : i + 2], ' ')
+           )) AS shingle
+    FROM (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+  )
+),
+df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+SELECT CAST(n_docs AS BIGINT) AS doc_frequency,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM df GROUP BY n_docs
+"""
+
+SHINGLE_DF_SPARK_SQL = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           explode(transform(
+             sequence(0, size(toks) - 3),
+             i -> concat_ws(' ', slice(toks, i + 1, 3))
+           )) AS shingle
+    FROM (
+      SELECT doc_id, split(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ) WHERE size(toks) >= 3
+  )
+),
+df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+SELECT CAST(n_docs AS BIGINT) AS doc_frequency,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM df GROUP BY n_docs
+"""
+
+
+@stage(
+    "dedup_shingle_df",
+    SHINGLE_DF_SQL,
+    "shingle document-frequency histogram: how many 3-gram shingles "
+    "appear in exactly k docs — the tuning curve behind MinHash band "
+    "thresholds and the decontamination false-positive rate; grams "
+    "collapse map-side, the final histogram is domain-sized",
+)
+def q_dedup_shingle_df(spark, sf_dir):
+    return _sql_query(SHINGLE_DF_SPARK_SQL, ("documents",))(spark, sf_dir)
