@@ -181,3 +181,103 @@ def cross_neardup_pairs(
         .select("left_id", "right_id", F.round(cosine, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def hyperplane_band_index(
+    corpus: DataFrame,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, band, sig)`` — the persistable embedding near-dup
+    INDEX, the vector analog of ``minhash_band_index``.
+
+    At 100 TB the corpus is signed ONCE (row-local Arrow matmul), the
+    index (|corpus| x bands narrow rows, a fraction of the vectors
+    themselves) is written partitioned by ``sig`` prefix, and every
+    incoming batch joins against it — no per-batch re-signing of the
+    corpus, no pairwise step. The hyperplanes are seeded/deterministic
+    (``_hyperplane``), so index and batch signatures always agree."""
+    from kenshin_spark.dedup.fanout import fan_out
+    from kenshin_spark.similarity import (
+        N_BANDS,
+        PLANES_PER_BAND,
+        _band_rows,
+        _hyperplane,
+    )
+
+    bands = N_BANDS if bands is None else bands
+    rows_per_band = PLANES_PER_BAND if rows_per_band is None else rows_per_band
+    planes = _hyperplane(dim, bands * rows_per_band)
+    return _band_rows(
+        fan_out(corpus), planes, bands, rows_per_band, id_col, id_col, vec_col
+    )
+
+
+def cross_neardup_against_index(
+    new: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.4,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental embedding near-dup: ``(corpus_id, new_id, cosine)``
+    pairs between an incoming batch and an indexed corpus — the daily
+    embedding-ingest shape mirroring ``minhash_pairs_against_index``.
+
+    Only the NEW batch is signed (row-local); the corpus contributes its
+    persisted band index to the bucket join, and corpus VECTORS are read
+    only for docs that actually collide (semi-join bounded). Per-batch
+    cost: O(|new| + |collisions|), independent of corpus size outside
+    the index join. The exact-cosine verify keeps the same expression
+    shape as every other embedding query, so thresholds agree."""
+    from kenshin_spark.similarity import (
+        N_BANDS,
+        PLANES_PER_BAND,
+        _band_rows,
+        _hyperplane,
+    )
+
+    bands = N_BANDS if bands is None else bands
+    rows_per_band = PLANES_PER_BAND if rows_per_band is None else rows_per_band
+    planes = _hyperplane(dim, bands * rows_per_band)
+    nband = _band_rows(new, planes, bands, rows_per_band, "_nid", id_col,
+                       vec_col)
+    cand = (
+        index.join(
+            nband,
+            (index["band"] == nband["band"]) & (index["sig"] == nband["sig"]),
+        )
+        .where(F.col(id_col) != F.col("_nid"))
+        .select(F.col(id_col).alias("corpus_id"), F.col("_nid").alias("new_id"))
+        .distinct()
+    )
+    ctag = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    ntag = new.select(
+        F.col(id_col).alias("_nid2"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    enriched = cand.join(ctag, F.col("corpus_id") == F.col("_cid"))
+    denom = F.col("_na") * F.col("_nb")
+    cosine = F.when(denom != 0, dot_product(F.col("_va"), F.col("_vb")) / denom)
+    prefilter = dot_product(F.col("_va"), F.col("_vb")) >= (
+        F.lit(threshold - 5e-7) * denom
+    )
+    return (
+        enriched.join(ntag, (F.col("new_id") == F.col("_nid2")) & prefilter)
+        .select(
+            "corpus_id", "new_id", F.round(cosine, 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )

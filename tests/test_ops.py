@@ -2729,3 +2729,83 @@ class TestRenderCombinators2:
         assert {r["metric"] for r in lowest_average(g, 1).collect()} == {"b"}
         # totals: a=30, b=3, c=4
         assert {r["metric"] for r in sort_by_total(g, 2).collect()} == {"a", "c"}
+
+
+class TestIncrementalEmbeddingIndex:
+    """hyperplane_band_index + cross_neardup_against_index — the vector
+    analog of the incremental MinHash index."""
+
+    def _emb(self, spark):
+        from kenshin_spark.io import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def test_incremental_subset_of_exact_with_exact_cosines(self, spark):
+        """Every pair the index path reports must appear in the exact
+        bipartite join with the SAME cosine (LSH may miss — recall —
+        but must never invent or mis-score a pair)."""
+        from kenshin_spark.dedup.embedding import (
+            cross_neardup_against_index,
+            cross_neardup_pairs,
+            hyperplane_band_index,
+        )
+
+        emb = self._emb(spark)
+        new = emb.where("vec_id % 10 = 0")
+        corpus = emb.where("vec_id % 10 <> 0")
+        inc = {
+            (r["corpus_id"], r["new_id"]): r["cosine"]
+            for r in cross_neardup_against_index(
+                new, corpus, hyperplane_band_index(corpus), threshold=0.4
+            ).collect()
+        }
+        exact = {
+            (r["left_id"], r["right_id"]): r["cosine"]
+            for r in cross_neardup_pairs(
+                corpus, new, threshold=0.4
+            ).collect()
+        }
+        assert set(inc) <= set(exact)
+        for k, c in inc.items():
+            assert c == exact[k]
+        # recall on the planted near-dups: the OR-amplified 16x4 banding
+        # recovers the large majority of true pairs
+        if exact:
+            assert len(inc) / len(exact) >= 0.8
+
+    def test_index_roundtrips_through_parquet(self, spark, tmp_path):
+        """The index is persistable: write, read back, use — signatures
+        must agree because the hyperplanes are seeded."""
+        from kenshin_spark.dedup.embedding import (
+            cross_neardup_against_index,
+            hyperplane_band_index,
+        )
+
+        emb = self._emb(spark)
+        new = emb.where("vec_id % 10 = 0")
+        corpus = emb.where("vec_id % 10 <> 0")
+        p = str(tmp_path / "emb_index")
+        hyperplane_band_index(corpus).write.parquet(p)
+        live = cross_neardup_against_index(
+            new, corpus, hyperplane_band_index(corpus), threshold=0.4
+        ).collect()
+        persisted = cross_neardup_against_index(
+            new, corpus, spark.read.parquet(p), threshold=0.4
+        ).collect()
+        assert sorted(map(tuple, live)) == sorted(map(tuple, persisted))
+
+    def test_index_grows_incrementally(self, spark):
+        """Appending the new batch's band rows = re-indexing the union:
+        the index update is a pure insert, never a rebuild."""
+        from kenshin_spark.dedup.embedding import hyperplane_band_index
+
+        emb = self._emb(spark)
+        a = emb.where("vec_id < 250")
+        b = emb.where("vec_id >= 250")
+        union_ix = hyperplane_band_index(emb)
+        appended = hyperplane_band_index(a).unionByName(
+            hyperplane_band_index(b)
+        )
+        assert sorted(
+            map(tuple, union_ix.collect())
+        ) == sorted(map(tuple, appended.collect()))
