@@ -672,3 +672,64 @@ FROM df GROUP BY n_docs
 )
 def q_dedup_shingle_df(spark, sf_dir):
     return _sql_query(SHINGLE_DF_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+# -- incremental embedding near-dup ----------------------------------------
+
+def _incremental_lsh_oracle(bands: int, r: int, threshold: float) -> str:
+    from kenshin_spark.queries import _duck_band_sigs
+
+    collide = " OR ".join(
+        f"a.s[{j + 1}] = b.s[{j + 1}]" for j in range(bands)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             {_duck_band_sigs('embedding', bands, r)} AS s
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS corpus_id, b.vec_id AS new_id,
+             a.embedding AS ea, b.embedding AS eb
+      FROM sigs a JOIN sigs b
+        ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+       AND a.vec_id <> b.vec_id
+      WHERE {collide}
+    )
+    SELECT corpus_id, new_id,
+           round(
+             list_dot_product(ea::DOUBLE[], eb::DOUBLE[]) /
+             (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[])) *
+              sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[]))),
+             6) AS cosine
+    FROM cand
+    WHERE round(
+             list_dot_product(ea::DOUBLE[], eb::DOUBLE[]) /
+             (sqrt(list_dot_product(ea::DOUBLE[], ea::DOUBLE[])) *
+              sqrt(list_dot_product(eb::DOUBLE[], eb::DOUBLE[]))),
+             6) >= {threshold!r}
+    """
+
+
+@stage(
+    "dedup_embedding_incremental",
+    _incremental_lsh_oracle(16, 4, 0.4),
+    "incremental embedding near-dup — the daily-ingest shape for the "
+    "vector corpus (mirrors dedup_minhash_incremental): only the new "
+    "batch (vec_id % 10 = 0) is hyperplane-signed; the corpus "
+    "contributes its persisted (vec_id, band, sig) index through the "
+    "bucket join and its vectors only for colliding ids. The oracle "
+    "recomputes the identical seeded planes and sign tests in SQL",
+)
+def q_dedup_embedding_incremental(spark, sf_dir):
+    from kenshin_spark.dedup.embedding import (
+        cross_neardup_against_index,
+        hyperplane_band_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.where("vec_id % 10 = 0")
+    corpus = emb.where("vec_id % 10 <> 0")
+    return cross_neardup_against_index(
+        new, corpus, hyperplane_band_index(corpus), threshold=0.4
+    )
