@@ -733,3 +733,131 @@ def q_dedup_embedding_incremental(spark, sf_dir):
     return cross_neardup_against_index(
         new, corpus, hyperplane_band_index(corpus), threshold=0.4
     )
+
+
+# -- DAU / MAU stickiness ---------------------------------------------------
+
+STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+mau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, mau.mau,
+       round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day
+"""
+
+STICKINESS_SPARK_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+mau AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, mau.mau,
+       round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day
+"""
+
+
+@stage(
+    "q_events_stickiness",
+    STICKINESS_SQL,
+    "DAU/MAU stickiness per day: the rolling-28-day distinct-user count "
+    "via a day-domain range join (|days| is calendar-sized, so the "
+    "range join fans out day x active-day rows, never events x events); "
+    "one exact integer division per day",
+)
+def q_events_stickiness(spark, sf_dir):
+    return _sql_query(STICKINESS_SPARK_SQL, ("events",))(spark, sf_dir)
+
+
+# -- per-metric trend slope -------------------------------------------------
+
+#: least-squares slope with ts CENTERED per metric before any product:
+#: raw epoch seconds (~1.7e9) would burn 10 digits of the double mantissa
+#: on the offset and make the slope noise-dominated; centered covariance
+#: keeps relative error ~1e-13 so the 4dp-rounded per-day slope is stable
+#: across engines and partition orders.
+TREND_SQL = """
+WITH pts AS (
+  SELECT event_type AS metric,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts, value
+  FROM events WHERE value IS NOT NULL
+),
+c AS (
+  SELECT metric, avg(ts * 1.0) AS mt, avg(value) AS mv FROM pts GROUP BY metric
+)
+SELECT p.metric,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum((p.ts - c.mt) * (p.value - c.mv))
+             / sum((p.ts - c.mt) * (p.ts - c.mt)) * 86400, 4)
+         AS slope_per_day
+FROM pts p JOIN c ON p.metric = c.metric
+GROUP BY p.metric
+"""
+
+TREND_SPARK_SQL = """
+WITH pts AS (
+  SELECT event_type AS metric,
+         CAST(floor(unix_timestamp(ts)) AS BIGINT) AS ts, value
+  FROM events WHERE value IS NOT NULL
+),
+c AS (
+  SELECT metric, avg(ts * 1.0) AS mt, avg(value) AS mv FROM pts GROUP BY metric
+)
+SELECT p.metric,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum((p.ts - c.mt) * (p.value - c.mv))
+             / sum((p.ts - c.mt) * (p.ts - c.mt)) * 86400, 4)
+         AS slope_per_day
+FROM pts p JOIN c ON p.metric = c.metric
+GROUP BY p.metric
+"""
+
+
+@stage(
+    "ts_trend_slope",
+    TREND_SQL,
+    "per-metric least-squares trend (units/day): centered covariance "
+    "over broadcast per-metric means — ts is centered BEFORE the "
+    "products so epoch magnitude doesn't eat the mantissa; 4dp rounding "
+    "absorbs the remaining association noise (~1e-10 relative)",
+)
+def q_ts_trend_slope(spark, sf_dir):
+    return _sql_query(TREND_SPARK_SQL, ("events",))(spark, sf_dir)
+
+
+# -- order seasonality ------------------------------------------------------
+
+SEASONALITY_SQL = """
+SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders GROUP BY month(o_orderdate)
+"""
+
+
+@stage(
+    "q_orders_seasonality",
+    SEASONALITY_SQL,
+    "month-of-year order seasonality across all years: one partial-agg "
+    "shuffle onto a 12-row domain, DECIMAL money math",
+)
+def q_orders_seasonality(spark, sf_dir):
+    return _sql_query(SEASONALITY_SQL, ("orders",))(spark, sf_dir)
