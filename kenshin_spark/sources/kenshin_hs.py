@@ -251,3 +251,116 @@ def write_kenshin_hs(
         out += ring
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def export_kenshin_hs(
+    tiers: list[DataFrame],
+    archives: list[tuple[int, int]],
+    out_dir: str,
+    n_files: int = 16,
+    agg_method: str = "average",
+    xff: float = 0.5,
+) -> DataFrame:
+    """Distributed EXPORT to the reference's .hs format — the reverse
+    migration (spark → kenshin), closing the loop the import connector
+    opened. A deployment can leave and come back.
+
+    ``tiers[i]`` is the tier-i grid ``(metric, ts, value)`` matching
+    ``archives[i] = (sec_per_point, count)``. Metrics are grouped
+    ``n_files``-ways by the reference's OWN placement hash (fnv1a
+    instance sharding, ``functions.hashing.shard_of``) so the exported
+    layout matches what a kenshin fleet would have built; each group
+    packs one .hs file executor-side (Arrow ``applyInPandas`` — the
+    pack is row-local per file, embarrassingly parallel like the
+    import). Ring slots are placed at ``(ts // spp) % count`` — the
+    wraparound ring position — and empty slots stay ts==0.
+
+    Writes ``bucket_<id>.hs`` under ``out_dir`` (executor-visible path:
+    local dir in local mode, shared FS on a cluster) and returns a
+    manifest ``(file_id, path, n_metrics, n_bytes)``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kenshin_spark.functions.hashing import shard_of
+
+    os.makedirs(out_dir, exist_ok=True)
+    tagged = None
+    for i, t in enumerate(tiers):
+        part = t.select(
+            "metric", "ts", "value", F.lit(i).alias("tier")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    tagged = tagged.withColumn("file_id", shard_of(F.col("metric"), n_files))
+
+    arch = list(archives)
+    agg = agg_method
+    x = xff
+    out = out_dir
+
+    def pack(key, pdf):
+        fid = int(key[0])
+        metrics = sorted(pdf["metric"].unique())
+        m_idx = {m: i for i, m in enumerate(metrics)}
+        rings: list[list[tuple[int, list]]] = []
+        for t, (spp, cnt) in enumerate(arch):
+            sub = pdf[pdf["tier"] == t]
+            slots: dict[int, list] = {}
+            for m, ts, v in zip(sub["metric"], sub["ts"], sub["value"]):
+                ts = int(ts)
+                slot_ts = ts - ts % spp
+                vals = slots.setdefault(slot_ts, [None] * len(metrics))
+                vals[m_idx[m]] = None if pd.isna(v) else float(v)
+            rings.append(sorted(slots.items()))
+        path = os.path.join(out, f"bucket_{fid:05d}.hs")
+        _write_rings(path, metrics, arch, rings, agg, x)
+        return pd.DataFrame(
+            [(fid, path, len(metrics), os.path.getsize(path))],
+            columns=["file_id", "path", "n_metrics", "n_bytes"],
+        )
+
+    return tagged.groupBy("file_id").applyInPandas(
+        pack,
+        "file_id int, path string, n_metrics int, n_bytes long",
+    )
+
+
+def _write_rings(
+    path: str,
+    metrics: list[str],
+    archives: list[tuple[int, int]],
+    rings: list[list[tuple[int, list]]],
+    agg_method: str,
+    xff: float,
+) -> None:
+    """Pack one .hs file with ring-positioned slots — shares the layout
+    code path with ``write_kenshin_hs`` but places each point at its
+    wraparound position ``(ts // spp) % count`` instead of sequentially."""
+    agg_id = KENSHIN_AGG.index(agg_method)
+    inter_tag = "\t".join(list(metrics) + [""])
+    tag_bytes = inter_tag.encode("utf-8")
+    point_fmt = f"!L{len(metrics)}d"
+    point_size = struct.calcsize(point_fmt)
+    meta_size = struct.calcsize(METADATA_FMT)
+    info_size = struct.calcsize(ARCHIVE_INFO_FMT)
+    max_ret = max(spp * cnt for spp, cnt in archives)
+    out = bytearray()
+    out += struct.pack(
+        METADATA_FMT, agg_id, max_ret, xff, len(archives),
+        len(tag_bytes), point_size,
+    )
+    out += tag_bytes
+    offset = meta_size + len(tag_bytes) + info_size * len(archives)
+    for spp, cnt in archives:
+        out += struct.pack(ARCHIVE_INFO_FMT, offset, spp, cnt)
+        offset += cnt * point_size
+    for (spp, cnt), pts in zip(archives, rings):
+        ring = bytearray(cnt * point_size)
+        for ts, vals in pts:
+            j = (ts // spp) % cnt
+            packed = [NULL_VALUE if v is None else float(v) for v in vals]
+            struct.pack_into(point_fmt, ring, j * point_size, ts, *packed)
+        out += ring
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -2809,3 +2809,76 @@ class TestIncrementalEmbeddingIndex:
         assert sorted(
             map(tuple, union_ix.collect())
         ) == sorted(map(tuple, appended.collect()))
+
+
+class TestKenshinHsExport:
+    """export_kenshin_hs — the reverse migration: spark tiers → .hs
+    files the import connector (and the reference) can read back."""
+
+    def _tiers(self, spark):
+        # tier grids are slot-aligned (as the store produces them); the
+        # exporter re-aligns defensively but the fixture mirrors reality
+        t0 = spark.createDataFrame(
+            [("sys.cpu", 960, 1.5), ("sys.cpu", 1020, 2.5),
+             ("sys.mem", 960, 7.0), ("sys.mem", 1020, None),
+             ("web.req", 1020, 9.0)],
+            "metric string, ts long, value double",
+        )
+        t1 = spark.createDataFrame(
+            [("sys.cpu", 900, 2.0), ("sys.mem", 900, 7.0),
+             ("web.req", 900, 9.0)],
+            "metric string, ts long, value double",
+        )
+        return [t0, t1], [(60, 60), (300, 24)]
+
+    def test_roundtrip_through_import_connector(self, spark, tmp_path):
+        from kenshin_spark.sources.kenshin_hs import (
+            export_kenshin_hs,
+            read_kenshin_headers,
+            read_kenshin_points,
+        )
+
+        tiers, archives = self._tiers(spark)
+        out = str(tmp_path / "hs")
+        manifest = export_kenshin_hs(
+            tiers, archives, out, n_files=2, agg_method="sum", xff=1.0
+        ).collect()
+        assert sum(r["n_metrics"] for r in manifest) == 3
+        assert all(r["n_bytes"] > 0 for r in manifest)
+
+        back = read_kenshin_points(spark, out + "/*.hs")
+        got = {
+            (r["metric"], r["archive_idx"], r["ts"]): r["value"]
+            for r in back.collect()
+        }
+        assert got[("sys.cpu", 0, 960)] == 1.5
+        assert got[("sys.cpu", 0, 1020)] == 2.5
+        assert got[("sys.mem", 0, 1020)] is None  # NULL → sentinel → NULL
+        assert got[("web.req", 1, 900)] == 9.0
+        # the N-metrics-per-file layout materializes co-located NULL
+        # slots (a slot written for one metric carries the sentinel for
+        # its file-mates) — faithful to the format; every non-null input
+        # survives exactly
+        assert sum(1 for v in got.values() if v is not None) == 7
+
+        hdr = read_kenshin_headers(spark, out + "/*.hs").collect()
+        assert all(r["agg_method"] == "sum" for r in hdr)
+        assert all(r["archive_count"] == 2 for r in hdr)
+
+    def test_placement_matches_reference_sharding(self, spark, tmp_path):
+        """Metric→file grouping must be the fnv1a instance shard — the
+        layout a kenshin fleet itself would have produced."""
+        from kenshin_spark.functions.hashing import fnv1a_32
+        from kenshin_spark.sources.kenshin_hs import (
+            export_kenshin_hs,
+            read_kenshin_headers,
+        )
+
+        tiers, archives = self._tiers(spark)
+        out = str(tmp_path / "hs")
+        export_kenshin_hs(tiers, archives, out, n_files=2).collect()
+        for r in read_kenshin_headers(spark, out + "/*.hs").collect():
+            fid = int(r["path"].rsplit("_", 1)[1].split(".")[0])
+            for m in r["metrics"]:
+                if m:  # Python % on the signed digest IS floor-mod
+                    assert fnv1a_32(m) % 2 == fid
