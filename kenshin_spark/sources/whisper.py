@@ -203,3 +203,76 @@ def write_whisper(
         out += ring
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def export_whisper(
+    tiers: list[DataFrame],
+    archives: list[tuple[int, int]],
+    out_dir: str,
+    agg_method: str = "average",
+    xff: float = 0.5,
+) -> DataFrame:
+    """Distributed EXPORT to Whisper .wsp — Graphite interop in the
+    outbound direction (one metric per file, the Whisper model). The
+    metric's dotted name becomes the ``a/b/c.wsp`` tree path exactly as
+    ``metric_from_path`` inverts it, so a graphite-web pointed at
+    ``out_dir`` serves the exported data unchanged.
+
+    ``tiers[i]`` is the tier-i grid ``(metric, ts, value)`` matching
+    ``archives[i]``; each metric's file packs every tier's ring with
+    slots at the wraparound position ``(ts // spp) % count`` (gaps stay
+    ts==0 — Whisper has no NULL sentinel, a missing slot IS the null).
+    One ``applyInPandas`` group per metric; returns a manifest
+    ``(metric, path, n_bytes)``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    tagged = None
+    for i, t in enumerate(tiers):
+        part = t.where(F.col("value").isNotNull()).select(
+            "metric", "ts", "value", F.lit(i).alias("tier")
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    arch = list(archives)
+    agg_id = {v: k for k, v in WHISPER_AGG.items()}[agg_method]
+    x = xff
+    out = out_dir
+
+    def pack(key, pdf):
+        metric = str(key[0])
+        rel = os.path.join(*metric.split(".")) + ".wsp"
+        path = os.path.join(out, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        meta_size = struct.calcsize(METADATA_FMT)
+        info_size = struct.calcsize(ARCHIVE_INFO_FMT)
+        point_size = struct.calcsize(POINT_FMT)
+        max_ret = max(spp * cnt for spp, cnt in arch)
+        blob = bytearray()
+        blob += struct.pack(METADATA_FMT, agg_id, max_ret, x, len(arch))
+        offset = meta_size + info_size * len(arch)
+        for spp, cnt in arch:
+            blob += struct.pack(ARCHIVE_INFO_FMT, offset, spp, cnt)
+            offset += cnt * point_size
+        for t, (spp, cnt) in enumerate(arch):
+            sub = pdf[pdf["tier"] == t]
+            ring = bytearray(cnt * point_size)
+            for ts, v in zip(sub["ts"], sub["value"]):
+                ts = int(ts) - int(ts) % spp
+                struct.pack_into(
+                    POINT_FMT, ring, ((ts // spp) % cnt) * point_size,
+                    ts, float(v),
+                )
+            blob += ring
+        with open(path, "wb") as f:
+            f.write(bytes(blob))
+        return pd.DataFrame(
+            [(metric, path, len(blob))],
+            columns=["metric", "path", "n_bytes"],
+        )
+
+    return tagged.groupBy("metric").applyInPandas(
+        pack, "metric string, path string, n_bytes long"
+    )

@@ -2882,3 +2882,50 @@ class TestKenshinHsExport:
             for m in r["metrics"]:
                 if m:  # Python % on the signed digest IS floor-mod
                     assert fnv1a_32(m) % 2 == fid
+
+
+class TestWhisperExport:
+    def test_roundtrip_and_tree_layout(self, spark, tmp_path):
+        from kenshin_spark.sources.whisper import (
+            export_whisper,
+            read_whisper_headers,
+            read_whisper_points,
+        )
+
+        t0 = spark.createDataFrame(
+            [("sys.cpu.user", 960, 1.5), ("sys.cpu.user", 1020, 2.5),
+             ("web.req", 1020, 9.0)],
+            "metric string, ts long, value double",
+        )
+        t1 = spark.createDataFrame(
+            [("sys.cpu.user", 900, 2.0)],
+            "metric string, ts long, value double",
+        )
+        out = str(tmp_path / "wsp")
+        manifest = {
+            r["metric"]: r["path"]
+            for r in export_whisper(
+                [t0, t1], [(60, 60), (300, 24)], out, agg_method="max"
+            ).collect()
+        }
+        # dotted names become the graphite tree
+        assert manifest["sys.cpu.user"].endswith("sys/cpu/user.wsp")
+        assert manifest["web.req"].endswith("web/req.wsp")
+
+        back = read_whisper_points(spark, out + "/*/*", base=out)
+        got = {
+            (r["metric"], r["archive_idx"], r["ts"]): r["value"]
+            for r in back.unionByName(
+                read_whisper_points(spark, out + "/*/*/*", base=out)
+            ).collect()
+        }
+        assert got[("sys.cpu.user", 0, 960)] == 1.5
+        assert got[("sys.cpu.user", 0, 1020)] == 2.5
+        assert got[("sys.cpu.user", 1, 900)] == 2.0
+        assert got[("web.req", 0, 1020)] == 9.0
+        assert len(got) == 4  # one file per metric: no co-located NULLs
+
+        hdr = read_whisper_headers(
+            spark, out + "/*/*/*", base=out
+        ).collect()
+        assert all(r["agg_method"] == "max" for r in hdr)
