@@ -192,6 +192,35 @@ def cmd_import(args) -> None:
     print(json.dumps({"root": store.root, "tier0_rows": n}))
 
 
+def cmd_export(args) -> None:
+    """Reverse migration: dump the tiered store to kenshin .hs (fnv1a-
+    grouped, N metrics/file) or whisper .wsp (one metric/file, graphite
+    tree) — a deployment can leave this engine as easily as it arrived."""
+    store = _store(args)
+    schema = store.schema
+    archives = [(a.sec_per_point, a.count) for a in schema.archives]
+    tiers = [store.read(i) for i in range(len(archives))]
+    if args.format == "whisper":
+        from kenshin_spark.sources.whisper import export_whisper
+
+        manifest = export_whisper(
+            tiers, archives, args.dest,
+            agg_method=schema.agg_method, xff=schema.xff,
+        )
+    else:
+        from kenshin_spark.sources.kenshin_hs import export_kenshin_hs
+
+        manifest = export_kenshin_hs(
+            tiers, archives, args.dest, n_files=args.n_files,
+            agg_method=schema.agg_method, xff=schema.xff,
+        )
+    rows = manifest.collect()
+    print(json.dumps({
+        "files": len(rows),
+        "bytes": sum(r["n_bytes"] for r in rows),
+    }))
+
+
 def cmd_gc(args) -> None:
     """bin/kenshin-find-file.py:51-73 — cataloged metrics with no live
     points (everything expired): the delete candidates."""
@@ -271,6 +300,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True, help="parquet path to gate")
     v.add_argument("--checks", default=None,
                    help='JSON list of {"kind": ..., "column": ...} checks')
+    xp = sub.add_parser("export")
+    xp.add_argument("--dest", required=True)
+    xp.add_argument("--format", choices=("whisper", "kenshin"),
+                    required=True)
+    xp.add_argument("--n-files", type=int, default=16,
+                    help="kenshin format: metrics are fnv1a-grouped "
+                    "into this many .hs files")
 
     args = p.parse_args(argv)
     {
@@ -288,6 +324,7 @@ def main(argv: list[str] | None = None) -> int:
         "gc": cmd_gc,
         "keepalive": cmd_keepalive,
         "validate": cmd_validate,
+        "export": cmd_export,
     }[args.cmd](args)
     return 0
 

@@ -2929,3 +2929,45 @@ class TestWhisperExport:
             spark, out + "/*/*/*", base=out
         ).collect()
         assert all(r["agg_method"] == "max" for r in hdr)
+
+
+class TestCliExport:
+    def test_export_verb_whisper_and_kenshin(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from kenshin_spark import cli
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        root = str(tmp_path / "st")
+        schema = Schema.from_strings(
+            "cli", ".*", "60s:1d,300s:7d", xff=20.0
+        )
+        store = ParquetTieredStore(spark, schema, root)
+        store.upsert(
+            0,
+            spark.createDataFrame(
+                [("sys.cpu", 960, 5.0), ("web.req", 1020, 7.0)],
+                ["metric", "ts", "value"],
+            ),
+        )
+        base = ["--root", root, "--cpus", "2",
+                "--retentions", "60s:1d,300s:7d"]
+        cli.main(base + ["export", "--dest", str(tmp_path / "wsp"),
+                         "--format", "whisper"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["files"] == 2 and out["bytes"] > 0
+
+        cli.main(base + ["export", "--dest", str(tmp_path / "hs"),
+                         "--format", "kenshin", "--n-files", "2"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["files"] >= 1 and out["bytes"] > 0
+
+        from kenshin_spark.sources.kenshin_hs import read_kenshin_points
+
+        back = read_kenshin_points(spark, str(tmp_path / "hs") + "/*.hs")
+        vals = {
+            (r["metric"], r["ts"]): r["value"]
+            for r in back.collect() if r["value"] is not None
+        }
+        assert vals == {("sys.cpu", 960): 5.0, ("web.req", 1020): 7.0}
