@@ -439,3 +439,82 @@ def test_sessionize_matches_gap_merge(spark, evs):
         for u, a, b, n in want
     )
     assert got == want, evs
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer/encoder (pure functions — no Spark needed)
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=8)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(_word, st.integers(1, 20)), min_size=1,
+                max_size=20))
+def test_bpe_encode_is_lossless(word_freqs):
+    """Detokenization inverts encoding for EVERY vocabulary: merges only
+    ever concatenate adjacent symbols of the same word, so joining the
+    output symbols must reproduce word + EOW exactly."""
+    from kenshin_spark.bpe import EOW, encode_word, train_bpe_merges
+
+    merges = train_bpe_merges(word_freqs, n_merges=30)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in word_freqs:
+        assert "".join(encode_word(w, ranks)) == w + EOW
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(_word, st.integers(1, 20)), min_size=1,
+                max_size=20))
+def test_bpe_training_input_order_invariant(word_freqs):
+    """The learned merge list must not depend on the order the word
+    table arrives in (the distributed collect has no defined order)."""
+    from kenshin_spark.bpe import train_bpe_merges
+
+    a = train_bpe_merges(sorted(word_freqs), 15)
+    b = train_bpe_merges(list(reversed(sorted(word_freqs))), 15)
+    assert a == b
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(_word, st.integers(1, 20)), min_size=1,
+                max_size=15))
+def test_bpe_more_merges_never_lengthen(word_freqs):
+    from kenshin_spark.bpe import encode_word, train_bpe_merges
+
+    merges = train_bpe_merges(word_freqs, 25)
+    r_few = {p: i for i, p in enumerate(merges[:5])}
+    r_all = {p: i for i, p in enumerate(merges)}
+    for w, _ in word_freqs:
+        assert len(encode_word(w, r_all)) <= len(encode_word(w, r_few))
+
+
+# ---------------------------------------------------------------------------
+# Connected components: three algorithms agree on arbitrary graphs
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=40))
+def test_cc_unionfind_label_star_agree(spark, edges):
+    from kenshin_spark.dedup.cluster import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    lbl = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(df, algorithm="label").collect()
+    }
+    auto = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(df, algorithm="auto").collect()
+    }
+    star = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert lbl == auto == star
