@@ -63,3 +63,21 @@ def test_staged_query_matches_oracle(spark, duck, name):
     for col in got.columns:
         for i, (a, b) in enumerate(zip(got[col], want[col])):
             assert values_equal(a, b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+@pytest.mark.parametrize("name", ["ts_trend_slope", "emb_centroid_outliers"])
+def test_float_sensitive_staged_queries_partition_stable(spark, name):
+    """The two staged queries whose outputs pass through float
+    aggregation noise margins: the rounded results must be identical
+    under different shuffle partition counts (different summation
+    orders), or the driver row would be flaky."""
+    spec = STAGED[name]
+    base = canon(spec.fn(spark, SF_DIR).toPandas())
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            again = canon(spec.fn(spark, SF_DIR).toPandas())
+            assert base.equals(again), f"{name} unstable at {parts} parts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
