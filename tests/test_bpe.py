@@ -16,13 +16,10 @@ from kenshin_spark.bpe import (
 
 class TestTrainer:
     def test_known_corpus_learns_expected_first_merge(self):
-        # classic Sennrich example shape: 'low' family dominates
-        wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
-        merges = train_bpe_merges(wf, 3)
-        # 'es' appears in newest+widest = 9 weighted — wait: 'e','s'
-        # freq = 6+3 = 9; 'l','o' = 5+2 = 7; 's','t' = 9; 't',EOW = 9.
-        # 9-way tie breaks lexicographically: ('e','s') < ('s','t') <
-        # ('t', '</w>')
+        # classic Sennrich example: pair weights are ('e','s') = 6+3 =
+        # 9, ('s','t') = 9, ('t',EOW) = 9, ('l','o') = 7; the three-way
+        # 9 tie breaks lexicographically: ('e','s') < ('s','t') <
+        # ('t','</w>')
         assert merges[0] == ("e", "s")
         assert merges[1] == ("es", "t")  # now 'est' freq 9
         assert merges[2] == ("est", EOW)
@@ -104,3 +101,54 @@ class TestDistributed:
         few = tokenize(docs, m1[:10]).agg({"n_tokens": "sum"}).first()[0]
         many = tokenize(docs, m1).agg({"n_tokens": "sum"}).first()[0]
         assert many <= few
+
+
+class TestStreamingApply:
+    def test_tokenize_runs_on_a_stream(self, spark, tmp_path):
+        """The Arrow encoder is a row-local mapInPandas — the SAME call
+        tokenizes a streaming DataFrame (the ingest-side use: encode
+        documents as they arrive, merges trained offline)."""
+        import json
+        import os
+
+        from kenshin_spark.bpe import fit, tokenize
+
+        batch = spark.createDataFrame(
+            [(1, "low low lower"), (2, "newest widest")],
+            "doc_id long, text string",
+        )
+        merges = fit(batch, n_merges=6)
+
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+        with open(os.path.join(in_dir, "b.jsonl"), "w") as f:
+            for i, t in [(10, "low newest"), (11, "widest lower")]:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(in_dir)
+        )
+        q = (
+            tokenize(stream, merges)
+            .writeStream.format("memory")
+            .queryName("bpe_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r["doc_id"]: r for r in spark.sql(
+            "SELECT * FROM bpe_stream").collect()}
+        assert set(rows) == {10, 11}
+        # stream output matches the batch encoding of the same text
+        batch_out = {
+            r["doc_id"]: r["tokens"]
+            for r in tokenize(
+                spark.createDataFrame(
+                    [(10, "low newest"), (11, "widest lower")],
+                    "doc_id long, text string",
+                ),
+                merges,
+            ).collect()
+        }
+        for did in (10, 11):
+            assert rows[did]["tokens"] == batch_out[did]
