@@ -20,6 +20,8 @@ class TestTrainer:
         # 9, ('s','t') = 9, ('t',EOW) = 9, ('l','o') = 7; the three-way
         # 9 tie breaks lexicographically: ('e','s') < ('s','t') <
         # ('t','</w>')
+        wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = train_bpe_merges(wf, 3)
         assert merges[0] == ("e", "s")
         assert merges[1] == ("es", "t")  # now 'est' freq 9
         assert merges[2] == ("est", EOW)
