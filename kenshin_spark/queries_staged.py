@@ -861,3 +861,149 @@ FROM orders GROUP BY month(o_orderdate)
 )
 def q_orders_seasonality(spark, sf_dir):
     return _sql_query(SEASONALITY_SQL, ("orders",))(spark, sf_dir)
+
+
+# -- new vs returning users -------------------------------------------------
+
+NEW_RETURNING_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+firsts AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+SELECT ud.day,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users
+FROM ud JOIN firsts f ON ud.user_id = f.user_id
+GROUP BY ud.day
+"""
+
+NEW_RETURNING_SPARK_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+firsts AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+SELECT ud.day,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users
+FROM ud JOIN firsts f ON ud.user_id = f.user_id
+GROUP BY ud.day
+"""
+
+
+@stage(
+    "q_new_vs_returning",
+    NEW_RETURNING_SQL,
+    "daily new-vs-returning user split: per-user first-day aggregate "
+    "joined back onto the (user, day) activity set — two partial-agg "
+    "shuffles co-partitioned on user_id (AQE reuses the exchange), "
+    "all-integer day arithmetic",
+)
+def q_new_vs_returning(spark, sf_dir):
+    return _sql_query(NEW_RETURNING_SPARK_SQL, ("events",))(spark, sf_dir)
+
+
+# -- document length histogram ----------------------------------------------
+
+LENGTH_HIST_SQL = """
+SELECT CAST(n_chars // 100 AS BIGINT) AS bucket_100chars,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY n_chars // 100
+"""
+
+LENGTH_HIST_SPARK_SQL = """
+SELECT CAST(n_chars DIV 100 AS BIGINT) AS bucket_100chars,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY n_chars DIV 100
+"""
+
+
+@stage(
+    "text_length_histogram",
+    LENGTH_HIST_SQL,
+    "document-length histogram in 100-char buckets (the length-filter "
+    "tuning view): one integer floor-division, one partial-agg shuffle "
+    "onto the bucket domain",
+)
+def q_text_length_histogram(spark, sf_dir):
+    return _sql_query(LENGTH_HIST_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+# -- order value outliers ---------------------------------------------------
+
+#: round-then-compare: the per-class mean and stddev are ROUNDED to 4dp
+#: before the threshold test, so aggregation-order ulp noise cannot flip
+#: membership — the same determinism trick as emb_centroid_outliers.
+OUTLIER_SQL = """
+WITH stats AS (
+  SELECT o_orderpriority,
+         round(avg(o_totalprice), 4) AS mu,
+         round(stddev_pop(o_totalprice), 4) AS sigma
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT CAST(o_orderkey AS BIGINT) AS orderkey, o.o_orderpriority,
+       round(o_totalprice, 2) AS totalprice,
+       round(mu, 2) AS class_mean
+FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+WHERE o_totalprice > mu + 1.5 * sigma
+"""
+
+
+@stage(
+    "q_order_value_outliers",
+    OUTLIER_SQL,
+    "per-priority-class order value outliers (> mean + 1.5 sigma — "
+    "totalprice is a bounded sum-of-lines, so its tails end near 2 "
+    "sigma): class "
+    "stats broadcast, mean/stddev rounded to 4dp BEFORE the threshold "
+    "so both engines compare identical operands; one scan + one "
+    "broadcast join",
+)
+def q_order_value_outliers(spark, sf_dir):
+    return _sql_query(OUTLIER_SQL, ("orders",))(spark, sf_dir)
+
+
+# -- weekly activity heatmap ------------------------------------------------
+
+#: dow convention differs: DuckDB dayofweek = 0(Sun)..6(Sat), Spark
+#: dayofweek = 1(Sun)..7(Sat) — the Spark text subtracts 1.
+HEATMAP_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM events GROUP BY dayofweek(ts), hour(ts)
+"""
+
+
+HEATMAP_SPARK_SQL = """
+SELECT CAST(dayofweek(ts) - 1 AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM events GROUP BY dayofweek(ts), hour(ts)
+"""
+
+
+@stage(
+    "q_events_hourly_heatmap",
+    HEATMAP_SQL,
+    "week-hour activity heatmap (dow x hour matrix, the dashboard "
+    "staple): one partial-agg shuffle onto a 168-cell domain; values "
+    "summed through DECIMAL so the matrix is order-exact",
+)
+def q_events_hourly_heatmap(spark, sf_dir):
+    return _sql_query(HEATMAP_SPARK_SQL, ("events",))(spark, sf_dir)
