@@ -529,3 +529,153 @@ def bigram_coherence(
             ).alias("mean_scaled_prob"),
         )
     )
+
+
+class StreamingCorpusIngest:
+    """The components composed into ONE incremental corpus-ingest job:
+    per micro-batch — quality gate → exact dedup (vs corpus + batch) →
+    MinHash near-dup against the PERSISTED band index → BPE tokenize →
+    append docs + tokens + index rows.
+
+    This is the shape a training-data pipeline actually runs daily: the
+    corpus is never rescanned (its contribution is the band index and an
+    md5 set, both persisted parquet), each batch pays O(batch +
+    collisions), and every stage is the same operator the standalone
+    driver queries verify. State lives under ``root``:
+
+    - ``docs/``    admitted documents (doc_id, text, source)
+    - ``tokens/``  BPE encodings (doc_id, tokens, n_tokens)
+    - ``index/``   MinHash band rows (doc_id, band, band_key)
+    - ``md5/``     exact-dup fingerprints (doc_id, text_md5)
+    - ``dead/``    rejected rows with a ``reason`` column
+
+    Pass the ``ingest`` method to ``foreachBatch`` for streaming, or
+    call it directly with a batch DataFrame (same code path, like
+    ``StreamingIngest.process_batch``)."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        merges: list[tuple[str, str]],
+        quality_checks=None,
+        neardup_threshold: float = 0.5,
+    ):
+        from kenshin_spark.quality import not_null, predicate
+
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.merges = merges
+        self.threshold = neardup_threshold
+        self.checks = list(
+            quality_checks
+            if quality_checks is not None
+            else [
+                not_null("text"),
+                predicate("length(trim(text)) > 0", name="non_empty"),
+            ]
+        )
+        self.stats = {
+            "received": 0, "quality_rejected": 0, "exact_dups": 0,
+            "near_dups": 0, "admitted": 0,
+        }
+
+    def _read(self, part: str, schema: str) -> DataFrame:
+        import os
+
+        path = f"{self.root}/{part}"
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(path)
+
+    def _dead(self, df: DataFrame, reason: str, batch_id: int) -> None:
+        n = df.count()
+        if n:
+            self.stats[reason] += n
+            df.select(
+                F.to_json(F.struct("*")).alias("row"),
+                F.lit(reason).alias("reason"),
+                F.lit(batch_id).alias("batch_id"),
+            ).write.mode("append").parquet(f"{self.root}/dead")
+
+    def ingest(self, batch: DataFrame, batch_id: int) -> None:
+        from kenshin_spark.bpe import tokenize
+        from kenshin_spark.dedup.minhash import (
+            minhash_band_index,
+            minhash_pairs_against_index,
+        )
+
+        batch = batch.persist()
+        try:
+            self.stats["received"] += batch.count()
+            # 1. quality gate (row-local, one filter expression)
+            viol = None
+            for c in self.checks:
+                e = c.violation_expr()
+                viol = e if viol is None else (viol | e)
+            self._dead(batch.where(viol), "quality_rejected", batch_id)
+            batch = batch.where(~F.coalesce(viol, F.lit(False)))
+
+            # 2. exact dedup: batch-internal (keep min doc_id) then
+            # against the persisted md5 set — 16-byte keys only
+            fp = batch.withColumn("text_md5", F.md5("text"))
+            w_min = fp.groupBy("text_md5").agg(
+                F.min("doc_id").alias("_keep")
+            )
+            fp = fp.join(w_min, "text_md5")
+            intra = fp.where(F.col("doc_id") != F.col("_keep"))
+            fp = fp.where(F.col("doc_id") == F.col("_keep")).drop("_keep")
+            seen = self._read("md5", "doc_id long, text_md5 string")
+            cross = fp.join(
+                seen.select("text_md5"), "text_md5", "left_semi"
+            )
+            self._dead(
+                intra.drop("_keep").unionByName(cross),
+                "exact_dups", batch_id,
+            )
+            fresh = fp.join(
+                seen.select("text_md5"), "text_md5", "left_anti"
+            ).drop("text_md5").persist()
+
+            # 3. near-dup vs the persisted band index (only the batch is
+            # shingled; corpus text read just for colliding candidates)
+            corpus = self._read("docs", "doc_id long, text string, source string")
+            index = self._read("index", "doc_id long, band int, band_key string")
+            if index.isEmpty():
+                near_ids = None
+            else:
+                pairs = minhash_pairs_against_index(
+                    fresh, corpus, index, threshold=self.threshold
+                )
+                near_ids = pairs.select(
+                    F.col("new_id").alias("doc_id")
+                ).distinct()
+            if near_ids is not None:
+                self._dead(
+                    fresh.join(near_ids, "doc_id", "left_semi"),
+                    "near_dups", batch_id,
+                )
+                fresh = fresh.join(near_ids, "doc_id", "left_anti")
+            # the admitted set's lineage READS docs/ and index/ — the
+            # same paths the appends below write. Truncate it (cluster:
+            # .checkpoint() to a reliable dir) so the writes can't
+            # re-evaluate against their own output.
+            fresh = fresh.localCheckpoint(eager=True)
+
+            n_admit = fresh.count()
+            if n_admit == 0:
+                return
+            self.stats["admitted"] += n_admit
+            # 4. append docs, tokens, fingerprints, index rows
+            fresh.write.mode("append").parquet(f"{self.root}/docs")
+            tokenize(fresh, self.merges).write.mode("append").parquet(
+                f"{self.root}/tokens"
+            )
+            fresh.select(
+                "doc_id", F.md5("text").alias("text_md5")
+            ).write.mode("append").parquet(f"{self.root}/md5")
+            minhash_band_index(fresh).write.mode("append").parquet(
+                f"{self.root}/index"
+            )
+        finally:
+            batch.unpersist()

@@ -1,0 +1,121 @@
+"""StreamingCorpusIngest — the LLM-pipeline components composed into one
+incremental job: quality gate → exact dedup → near-dup vs persisted
+index → BPE tokenize → append state. Driven through the real
+Structured Streaming machinery and directly as batches."""
+
+import json
+import os
+
+import pytest
+
+from kenshin_spark.bpe import fit
+from kenshin_spark.pipeline import StreamingCorpusIngest
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+@pytest.fixture()
+def train_docs(spark):
+    return spark.createDataFrame(
+        [(900, BASE), (901, "completely different material here now")],
+        "doc_id long, text string",
+    )
+
+
+class TestBatchPath:
+    def _mk(self, spark, tmp_path, train_docs):
+        merges = fit(train_docs, n_merges=20)
+        return StreamingCorpusIngest(
+            spark, str(tmp_path / "corpus"), merges
+        )
+
+    def test_first_batch_admits_and_builds_state(
+        self, spark, tmp_path, train_docs
+    ):
+        ing = self._mk(spark, tmp_path, train_docs)
+        b1 = spark.createDataFrame(
+            [
+                (1, BASE, "web"),
+                (2, "some other totally unrelated document body", "web"),
+                (3, None, "web"),           # quality: NULL
+                (4, BASE, "web"),           # intra-batch exact dup of 1
+            ],
+            "doc_id long, text string, source string",
+        )
+        ing.ingest(b1, 0)
+        assert ing.stats == {
+            "received": 4, "quality_rejected": 1, "exact_dups": 1,
+            "near_dups": 0, "admitted": 2,
+        }
+        docs = spark.read.parquet(f"{ing.root}/docs")
+        assert {r["doc_id"] for r in docs.collect()} == {1, 2}
+        toks = spark.read.parquet(f"{ing.root}/tokens")
+        assert toks.count() == 2
+        assert toks.where("n_tokens <= 0").count() == 0
+        assert spark.read.parquet(f"{ing.root}/index").count() > 0
+        dead = spark.read.parquet(f"{ing.root}/dead")
+        assert {r["reason"] for r in dead.collect()} == {
+            "quality_rejected", "exact_dups",
+        }
+
+    def test_second_batch_dedups_against_state(
+        self, spark, tmp_path, train_docs
+    ):
+        ing = self._mk(spark, tmp_path, train_docs)
+        ing.ingest(
+            spark.createDataFrame(
+                [(1, BASE, "web")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        b2 = spark.createDataFrame(
+            [
+                (10, BASE, "web"),              # exact dup of stored 1
+                (11, BASE + " tail", "web"),    # NEAR dup of stored 1
+                (12, "fresh genuinely novel content of its own", "web"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        ing.ingest(b2, 1)
+        assert ing.stats["exact_dups"] == 1
+        assert ing.stats["near_dups"] == 1
+        docs = {r["doc_id"]
+                for r in spark.read.parquet(f"{ing.root}/docs").collect()}
+        assert docs == {1, 12}
+        # the index grew to cover the new admission
+        ix_docs = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{ing.root}/index").collect()
+        }
+        assert ix_docs == {1, 12}
+
+
+class TestStreamPath:
+    def test_foreachbatch_over_file_stream(self, spark, tmp_path, train_docs):
+        merges = fit(train_docs, n_merges=20)
+        ing = StreamingCorpusIngest(
+            spark, str(tmp_path / "corpus"), merges
+        )
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+        with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+            for d in [
+                {"doc_id": 1, "text": BASE, "source": "web"},
+                {"doc_id": 2, "text": BASE, "source": "web"},  # dup
+                {"doc_id": 3, "text": "novel standalone words", "source": "b"},
+            ]:
+                f.write(json.dumps(d) + "\n")
+        stream = spark.readStream.schema(
+            "doc_id long, text string, source string"
+        ).json(in_dir)
+        q = (
+            stream.writeStream.foreachBatch(ing.ingest)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert ing.stats["admitted"] == 2
+        assert ing.stats["exact_dups"] == 1
+        assert spark.read.parquet(f"{ing.root}/tokens").count() == 2
