@@ -15,6 +15,8 @@ display-only float outputs.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kenshin_spark.io import load_table
 from kenshin_spark.queries import QuerySpec, _sql_query
 
@@ -1007,3 +1009,93 @@ FROM events GROUP BY dayofweek(ts), hour(ts)
 )
 def q_events_hourly_heatmap(spark, sf_dir):
     return _sql_query(HEATMAP_SPARK_SQL, ("events",))(spark, sf_dir)
+
+
+# -- render combinators from the round-4b batch -----------------------------
+
+from kenshin_spark.queries import LWW60, PTS, _points  # noqa: E402  (shared CTE fragments)
+
+
+@stage(
+    "render_moving_sum",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           round(sum(value) OVER (
+             PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 6) AS value
+    FROM t0
+    """,
+    "graphite movingSum(series, 3) over tier0 — trailing-window sum, "
+    "NULL-ignoring; both engines evaluate the 3-row ROWS window "
+    "sequentially so the float sum order is identical (the same "
+    "contract render_moving_average already holds)",
+)
+def q_render_moving_sum(spark, sf_dir):
+    from kenshin_spark.functions.render import moving_sum
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return moving_sum(t0, 3).withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_hitcount",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts - ts % 600 AS ts,
+           round(sum(value * 60), 6) AS value
+    FROM t0 GROUP BY metric, ts - ts % 600
+    """,
+    "graphite hitcount(series, '10min') over tier0: rate-to-total "
+    "bucketing (sum of value x 60 s slot width per 600 s bucket); the "
+    "per-bucket float sum is <= 10 terms of identical operands",
+)
+def q_render_hitcount(spark, sf_dir):
+    from kenshin_spark.functions.render import hitcount
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return hitcount(t0, 600, 60).withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_diff_series",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    f AS (SELECT min(metric) AS first FROM t0)
+    SELECT 'diffSeries' AS metric, ts,
+           round(sum(CASE WHEN metric = first THEN value
+                          ELSE -value END), 6) AS value
+    FROM t0, f GROUP BY ts
+    """,
+    "graphite diffSeries(series_list) over tier0: the lexicographically "
+    "first series minus the per-slot sum of the rest (all-NULL slots "
+    "stay NULL); the scalar first-metric aggregate broadcasts",
+)
+def q_render_diff_series(spark, sf_dir):
+    from kenshin_spark.functions.render import diff_series
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return diff_series(t0).withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_range_of_series",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT 'rangeOfSeries' AS metric, ts,
+           round(max(value) - min(value), 6) AS value
+    FROM t0 GROUP BY ts
+    """,
+    "graphite rangeOfSeries(series_list) over tier0: per-slot max - min "
+    "across series — order-free extrema, exact in both engines",
+)
+def q_render_range_of_series(spark, sf_dir):
+    from kenshin_spark.functions.render import range_of_series
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return range_of_series(t0).withColumn("value", F.round("value", 6))
