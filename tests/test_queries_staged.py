@@ -81,3 +81,15 @@ def test_float_sensitive_staged_queries_partition_stable(spark, name):
             assert base.equals(again), f"{name} unstable at {parts} parts"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_plan_antipatterns(spark, name):
+    """Same plan discipline as the live registry sweep: no row-Python
+    UDFs, no cartesian joins — checked BEFORE promotion, not after."""
+    df = STAGED[name].fn(spark, SF_DIR)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in p, f"{name} uses a row-Python UDF"
+    assert "CartesianProduct" not in p, f"{name} has a cartesian join"
