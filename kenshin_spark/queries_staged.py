@@ -1099,3 +1099,128 @@ def q_render_range_of_series(spark, sf_dir):
 
     t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
     return range_of_series(t0).withColumn("value", F.round("value", 6))
+
+
+# -- seasonal decomposition (STL-lite) --------------------------------------
+
+#: round-then-derive: trend and seasonal are each rounded to 6dp before
+#: the residual subtraction, so every downstream value is computed from
+#: identical operands in both engines (ROWS windows evaluate
+#: sequentially in both — the render_moving_average contract).
+DECOMP_CORE = """
+WITH pts AS ({PTS}),
+t0 AS (
+  SELECT metric, ts - ts % 3600 AS ts, {ARGMAX} AS value
+  FROM pts GROUP BY 1, 2
+),
+tr AS (
+  SELECT metric, ts, value,
+         round(avg(value) OVER (
+           PARTITION BY metric ORDER BY ts
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+         ), 6) AS trend
+  FROM t0
+),
+se AS (
+  SELECT metric, ts, value, trend,
+         round(avg(value - trend) OVER (
+           PARTITION BY metric, (ts % 86400)
+         ), 6) AS seasonal
+  FROM tr
+)
+SELECT metric, ts, value, trend, seasonal,
+       round(value - trend - seasonal, 6) AS residual
+FROM se
+"""
+
+
+@stage(
+    "ts_seasonal_decompose",
+    DECOMP_CORE.format(
+        PTS=PTS, ARGMAX="arg_max(value, arrival)"
+    ),
+    "STL-lite decomposition over hourly tier0: centered 5-slot moving "
+    "trend, hour-of-day seasonal means of the detrended series, "
+    "residual = value - trend - seasonal — each component ROUNDED "
+    "before the next subtraction so both engines derive from identical "
+    "operands; two window scans co-partitioned with the metric",
+)
+def q_ts_seasonal_decompose(spark, sf_dir):
+    spark_sql = DECOMP_CORE.format(
+        PTS="""
+  SELECT event_type AS metric,
+         CAST(floor(unix_timestamp(ts)) AS BIGINT) AS ts,
+         value, event_id AS arrival
+  FROM events
+""",
+        ARGMAX="max_by(value, arrival)",
+    )
+    return _sql_query(spark_sql, ("events",))(spark, sf_dir)
+
+
+# -- token-graph triangle counting ------------------------------------------
+
+TRIANGLE_SQL = r"""
+WITH big AS (
+  SELECT t1 AS a, t2 AS b FROM (
+    SELECT tok AS t1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM (
+      SELECT doc_id, tok, row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS pos
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+                 AS tok,
+               generate_subscripts(string_split_regex(trim(lower(text)),
+                 '\s+'), 1) AS pos
+        FROM documents
+      ) WHERE tok <> ''
+    )
+  ) WHERE t2 IS NOT NULL AND t1 <> t2
+),
+edges AS (
+  SELECT least(a, b) AS a, greatest(a, b) AS b
+  FROM big GROUP BY 1, 2 HAVING count(*) >= 10
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+TRIANGLE_SPARK_SQL = r"""
+WITH big AS (
+  SELECT t1 AS a, t2 AS b FROM (
+    SELECT tok AS t1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM (
+      SELECT doc_id, posexplode(split(trim(lower(text)), '\\s+'))
+               AS (pos, tok)
+      FROM documents
+    ) WHERE tok <> ''
+  ) WHERE t2 IS NOT NULL AND t1 <> t2
+),
+edges AS (
+  SELECT least(a, b) AS a, greatest(a, b) AS b
+  FROM big GROUP BY 1, 2 HAVING count(*) >= 10
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
+@stage(
+    "graph_triangle_count",
+    TRIANGLE_SQL,
+    "triangle count on the token co-occurrence graph (support >= 10 "
+    "bigram edges, canonical a<b orientation): the standard two-join "
+    "wedge-closure shape — each wedge (e1, e2) around a shared low "
+    "endpoint probes for its closing edge; the support threshold bounds "
+    "the edge set so wedge fan-out stays small. Graph-analytics "
+    "companion to the PageRank query",
+)
+def q_graph_triangle_count(spark, sf_dir):
+    return _sql_query(TRIANGLE_SPARK_SQL, ("documents",))(spark, sf_dir)
