@@ -1224,3 +1224,108 @@ JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
 )
 def q_graph_triangle_count(spark, sf_dir):
     return _sql_query(TRIANGLE_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+# -- funnel conversion time -------------------------------------------------
+
+CONV_SQL = """
+WITH v AS (
+  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_conv, min(v.t_view) AS t_view
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= v.t_view
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(t_conv - t_view, 0.5), 4) AS median_s,
+       round(quantile_cont(t_conv - t_view, 0.9), 4) AS p90_s
+FROM p
+"""
+
+CONV_SPARK_SQL = """
+WITH v AS (
+  SELECT user_id, min(CAST(floor(unix_timestamp(ts)) AS BIGINT)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         min(CAST(floor(unix_timestamp(e.ts)) AS BIGINT)) AS t_conv, min(v.t_view) AS t_view
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(unix_timestamp(e.ts)) AS BIGINT) >= v.t_view
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(percentile(t_conv - t_view, 0.5), 4) AS median_s,
+       round(percentile(t_conv - t_view, 0.9), 4) AS p90_s
+FROM p
+"""
+
+
+@stage(
+    "q_funnel_conversion_time",
+    CONV_SQL,
+    "view-to-purchase conversion latency: first view per user, first "
+    "purchase at-or-after it, exact interpolated median/p90 of the gap "
+    "(percentile == quantile_cont, R-7 over identical integers — the "
+    "q_price_percentiles contract); two user-keyed partial aggregates",
+)
+def q_funnel_conversion_time(spark, sf_dir):
+    return _sql_query(CONV_SPARK_SQL, ("events",))(spark, sf_dir)
+
+
+# -- int8 scalar-quantization error profile ---------------------------------
+
+SQ_ERR_SQL = """
+WITH q AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         (CASE WHEN list_max(list_transform(embedding::DOUBLE[],
+                 x -> abs(x))) = 0 THEN 1.0
+               ELSE list_max(list_transform(embedding::DOUBLE[],
+                 x -> abs(x))) END) AS s
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+       round(list_sum(list_transform(
+         list_zip(v, list_transform(v,
+           x -> floor(x * 127.0 / s + 0.5) * s / 127.0)),
+         p -> (p[1] - p[2]) * (p[1] - p[2])
+       )), 12) AS sq_err2
+FROM q
+"""
+
+SQ_ERR_SPARK_SQL = """
+WITH q AS (
+  SELECT vec_id, label, embedding AS v,
+         (CASE WHEN array_max(transform(embedding, x -> abs(x))) = 0D
+               THEN 1.0D
+               ELSE array_max(transform(embedding, x -> abs(x))) END) AS s
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+       round(aggregate(
+         zip_with(v,
+           transform(v, x -> floor(x * 127.0D / s + 0.5D) * s / 127.0D),
+           (a, b) -> (a - b) * (a - b)),
+         0.0D, (acc, e) -> acc + e
+       ), 12) AS sq_err2
+FROM q
+"""
+
+
+@stage(
+    "emb_sq_error_profile",
+    SQ_ERR_SQL,
+    "int8 scalar-quantization reconstruction error per vector "
+    "(quantize -> dequantize -> sum of squared deltas): the index-"
+    "quality profile behind sim_topk_quantized. Entirely row-local "
+    "sequential folds of identical IEEE op chains (the cosine-query "
+    "contract), no cross-row float aggregation at all",
+)
+def q_emb_sq_error_profile(spark, sf_dir):
+    return _sql_query(SQ_ERR_SPARK_SQL, ("embeddings",))(spark, sf_dir)
