@@ -518,3 +518,60 @@ def test_cc_unionfind_label_star_agree(spark, edges):
         for r in connected_components(df, algorithm="star").collect()
     }
     assert lbl == auto == star
+
+
+# ---------------------------------------------------------------------------
+# Render target parser: totality + roundtrip (pure, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=60))
+def test_parse_target_total(s):
+    """Arbitrary input either parses or raises TargetSyntaxError —
+    never any other exception (the serving layer's 400 contract)."""
+    from kenshin_spark.functions.targets import (
+        TargetSyntaxError,
+        parse_target,
+    )
+
+    try:
+        glob, chain = parse_target(s)
+    except TargetSyntaxError:
+        return
+    assert isinstance(glob, str)
+    assert all(isinstance(c, tuple) and c for c in chain)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.from_regex(r"[a-z][a-z0-9.]{0,10}(\.\*)?", fullmatch=True),
+    st.lists(
+        st.sampled_from(
+            [("scale", 2.0), ("movingAverage", 3), ("absolute",),
+             ("derivative",), ("offset", 1.5), ("keepLastValue",),
+             ("timeShift", 60), ("movingSum", 2), ("grep", "a"),
+             ("hitcount", 120)]
+        ),
+        max_size=4,
+    ),
+)
+def test_parse_target_roundtrip(glob, chain):
+    """Formatting a (glob, chain) back to the nested-call string and
+    re-parsing recovers the same structure."""
+    from kenshin_spark.functions.targets import parse_target
+
+    expr = glob
+    for fn, *args in chain:
+        rendered = ", ".join(
+            repr(a) if isinstance(a, str) else str(a) for a in args
+        )
+        expr = f"{fn}({expr}{', ' if rendered else ''}{rendered})"
+    g2, c2 = parse_target(expr)
+    assert g2 == glob
+    assert [c[0] for c in c2] == [c[0] for c in chain]
+    for (_, *want), (_, *got) in zip(chain, c2):
+        assert [float(w) if isinstance(w, (int, float)) else w
+                for w in want] == [
+            float(g) if isinstance(g, (int, float)) else g for g in got
+        ]
