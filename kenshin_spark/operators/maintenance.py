@@ -110,11 +110,20 @@ def _glob_body(pattern: str) -> str:
                 ) + ")")
                 i = j
         elif ch == "[":
-            j = pattern.find("]", i)
-            if j == -1:  # unbalanced bracket → literal
+            # fnmatch rule: a ']' in the FIRST class position is a
+            # literal member, so the closing bracket is searched past it
+            # — this also rejects the empty class '[]' (invalid regex)
+            j = pattern.find("]", i + 2)
+            cls = pattern[i : j + 1] if j != -1 else None
+            if cls is not None:
+                try:
+                    re.compile(cls)
+                except re.error:
+                    cls = None  # malformed class → literal bracket
+            if cls is None:
                 out.append(re.escape(ch))
             else:
-                out.append(pattern[i : j + 1])
+                out.append(cls)
                 i = j
         else:
             out.append(re.escape(ch))

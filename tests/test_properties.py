@@ -575,3 +575,29 @@ def test_parse_target_roundtrip(glob, chain):
                 for w in want] == [
             float(g) if isinstance(g, (int, float)) else g for g in got
         ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc.*?[]{},-^$", min_size=0, max_size=24))
+def test_glob_to_regex_total_and_compiles(pattern):
+    """Any glob-ish input (balanced or not) yields a COMPILABLE regex —
+    the ADVICE-r3 crash on unbalanced braces/brackets must stay fixed."""
+    import re
+
+    from kenshin_spark.operators.maintenance import glob_to_regex
+
+    rx = glob_to_regex(pattern)
+    re.compile(rx)  # must not raise
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.from_regex(r"[a-z]{1,4}(\.([a-z]{1,4}|\*))*", fullmatch=True))
+def test_glob_to_regex_matches_its_own_literal(g):
+    """A glob with only literal segments and '*' wildcards matches the
+    string produced by substituting any literal for each '*'."""
+    import re
+
+    from kenshin_spark.operators.maintenance import glob_to_regex
+
+    concrete = g.replace("*", "xyz")
+    assert re.fullmatch(glob_to_regex(g).rstrip("$").lstrip("^"), concrete)
