@@ -1329,3 +1329,126 @@ FROM q
 )
 def q_emb_sq_error_profile(spark, sf_dir):
     return _sql_query(SQ_ERR_SPARK_SQL, ("embeddings",))(spark, sf_dir)
+
+
+# -- nearest-centroid confusion matrix --------------------------------------
+
+from kenshin_spark.queries import _NN_CTES  # noqa: E402  (shared CTEs)
+
+
+@stage(
+    "emb_label_confusion",
+    f"""
+    WITH {_NN_CTES.strip()}
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM best WHERE rn = 1
+    GROUP BY label, pred_label
+    """,
+    "nearest-centroid confusion matrix: true x predicted label counts "
+    "over the emb_nearest_centroid assignment (same rounded-centroid "
+    "CTEs, so assignment is identical) — the label-quality dashboard "
+    "view; output is |labels|^2-bounded",
+)
+def q_emb_label_confusion(spark, sf_dir):
+    from kenshin_spark.similarity.classify import nearest_centroid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        nearest_centroid(emb)
+        .groupBy(
+            F.col("label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+# -- near-dup rate by source ------------------------------------------------
+
+def _source_dup_oracle() -> str:
+    from kenshin_spark.queries import _minhash_oracle
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    dup_docs AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION
+      SELECT doc_b FROM pairs
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs
+    FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+    GROUP BY d.source
+    """
+
+
+@stage(
+    "dedup_rate_by_source",
+    _source_dup_oracle(),
+    "near-duplication rate per source (which crawls are redundant — "
+    "the mixture-weighting input): docs appearing in any MinHash-LSH "
+    "pair, counted per source; the pair set is the oracled "
+    "dedup_minhash_lsh machinery, the rollup is source-domain-sized",
+)
+def q_dedup_rate_by_source(spark, sf_dir):
+    from kenshin_spark.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    dup = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dup").alias("n_dup_docs"),
+        )
+    )
+
+
+# -- daily error rate -------------------------------------------------------
+
+ERR_RATE_SQL = """
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT day, n_events, n_errors,
+       round(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate
+FROM d
+"""
+
+ERR_RATE_SPARK_SQL = """
+WITH d AS (
+  SELECT CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT day, n_events, n_errors,
+       round(CAST(n_errors AS DOUBLE) / n_events, 6) AS error_rate
+FROM d
+"""
+
+
+@stage(
+    "q_events_error_rate",
+    ERR_RATE_SQL,
+    "daily error-rate SLI: one partial-agg shuffle onto the day domain, "
+    "one exact integer division per day — the alerting input next to "
+    "ts_availability's uptime view",
+)
+def q_events_error_rate(spark, sf_dir):
+    return _sql_query(ERR_RATE_SPARK_SQL, ("events",))(spark, sf_dir)
