@@ -1452,3 +1452,178 @@ FROM d
 )
 def q_events_error_rate(spark, sf_dir):
     return _sql_query(ERR_RATE_SPARK_SQL, ("events",))(spark, sf_dir)
+
+
+# -- explicit GROUPING SETS -------------------------------------------------
+
+GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+@stage(
+    "q_orders_grouping_sets",
+    GSETS_SQL,
+    "explicit GROUPING SETS (status | priority | both): the irregular-"
+    "lattice companion to the CUBE/ROLLUP queries — one Expand over the "
+    "partial aggregate, DECIMAL money math",
+)
+def q_orders_grouping_sets(spark, sf_dir):
+    return _sql_query(GSETS_SQL, ("orders",))(spark, sf_dir)
+
+
+# -- session length histogram -----------------------------------------------
+
+SESSION_HIST_CORE = """
+WITH e AS (
+  SELECT user_id, CAST(floor({EPOCH}(ts)) AS BIGINT) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+),
+d AS (
+  SELECT user_id, session_id, max(ts) - min(ts) AS duration_s
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT CAST(duration_s {DIV} 300 AS BIGINT) AS bucket_5min,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(min(duration_s) AS BIGINT) AS min_s,
+       CAST(max(duration_s) AS BIGINT) AS max_s
+FROM d GROUP BY duration_s {DIV} 300
+"""
+
+
+@stage(
+    "q_session_length_histogram",
+    SESSION_HIST_CORE.format(EPOCH="epoch", DIV="//"),
+    "session-duration histogram in 5-minute buckets over the lag+cumsum "
+    "sessionization (the same session definition q_event_sessions "
+    "verifies) — engagement-distribution view, all-integer bucketing",
+)
+def q_session_length_histogram(spark, sf_dir):
+    return _sql_query(
+        SESSION_HIST_CORE.format(EPOCH="unix_timestamp", DIV="DIV"),
+        ("events",),
+    )(spark, sf_dir)
+
+
+# -- discount distribution --------------------------------------------------
+
+DISCOUNT_SQL = """
+SELECT round(CAST(CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE), 2)
+         AS discount,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS revenue
+FROM lineitem GROUP BY CAST(l_discount AS DECIMAL(4,2))
+"""
+
+
+@stage(
+    "q_discount_distribution",
+    DISCOUNT_SQL,
+    "discount-level distribution: lines and revenue per exact DECIMAL "
+    "discount step (grouping on the DECIMAL, not the float, so bucket "
+    "identity is exact) — one partial-agg shuffle onto the ~10-value "
+    "discount domain",
+)
+def q_discount_distribution(spark, sf_dir):
+    return _sql_query(DISCOUNT_SQL, ("lineitem",))(spark, sf_dir)
+
+
+# -- per-type event value percentiles ---------------------------------------
+
+TYPE_PCT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+TYPE_PCT_SPARK_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(percentile(value, 0.5D), 6) AS p50,
+       round(percentile(value, 0.95D), 6) AS p95,
+       round(percentile(value, 0.99D), 6) AS p99
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@stage(
+    "q_events_value_percentiles",
+    TYPE_PCT_SQL,
+    "latency-style per-type value percentiles (p50/p95/p99): exact "
+    "interpolated percentile == quantile_cont over identical parquet "
+    "doubles (the q_price_percentiles contract), grouped by type",
+)
+def q_events_value_percentiles(spark, sf_dir):
+    return _sql_query(TYPE_PCT_SPARK_SQL, ("events",))(spark, sf_dir)
+
+
+# -- word length profile ----------------------------------------------------
+
+WORDLEN_SQL = r"""
+WITH w AS (
+  SELECT doc_id, length(tok) AS wl FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+             AS tok
+    FROM documents
+  ) WHERE tok <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wl) AS BIGINT) AS total_chars,
+       CAST(max(wl) AS BIGINT) AS max_word_len,
+       round(CAST(sum(wl) AS DOUBLE) / count(*), 6) AS mean_word_len
+FROM w GROUP BY doc_id
+"""
+
+WORDLEN_SPARK_SQL = r"""
+WITH w AS (
+  SELECT doc_id, length(tok) AS wl FROM (
+    SELECT doc_id, explode(split(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wl) AS BIGINT) AS total_chars,
+       CAST(max(wl) AS BIGINT) AS max_word_len,
+       round(CAST(sum(wl) AS DOUBLE) / count(*), 6) AS mean_word_len
+FROM w GROUP BY doc_id
+"""
+
+
+@stage(
+    "text_word_length_profile",
+    WORDLEN_SQL,
+    "per-doc word-length profile (a Gopher-family signal: machine-"
+    "generated text skews word length): exact integer sums, one "
+    "division at the end — one explode + one partial-agg shuffle",
+)
+def q_text_word_length_profile(spark, sf_dir):
+    return _sql_query(WORDLEN_SPARK_SQL, ("documents",))(spark, sf_dir)
