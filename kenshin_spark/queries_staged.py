@@ -1627,3 +1627,326 @@ FROM w GROUP BY doc_id
 )
 def q_text_word_length_profile(spark, sf_dir):
     return _sql_query(WORDLEN_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+# -- counter monotonicity violations ----------------------------------------
+
+MONO_CORE = """
+WITH pts AS (
+  SELECT event_type AS metric,
+         CAST(floor({EPOCH}(ts)) AS BIGINT) AS ts, value,
+         event_id AS arrival
+  FROM events WHERE value IS NOT NULL
+),
+o AS (
+  SELECT metric, ts, value,
+         lag(value) OVER (PARTITION BY metric ORDER BY ts, arrival)
+           AS prev
+  FROM pts
+)
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_decreases,
+       round(CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS decrease_rate
+FROM o GROUP BY metric
+"""
+
+
+@stage(
+    "ts_monotonic_violations",
+    MONO_CORE.format(EPOCH="epoch"),
+    "counter-discipline audit: per metric, how often the raw series "
+    "DECREASES (the reset events ts_counter_rate nulls out) — exact "
+    "double comparisons over a (ts, arrival)-ordered lag window",
+)
+def q_ts_monotonic_violations(spark, sf_dir):
+    return _sql_query(
+        MONO_CORE.format(EPOCH="unix_timestamp"), ("events",)
+    )(spark, sf_dir)
+
+
+# -- weekday seasonal profile -----------------------------------------------
+
+WKD_CORE = """
+WITH pts AS (
+  SELECT event_type AS metric,
+         CAST(floor({EPOCH}(ts)) AS BIGINT) AS ts, value
+  FROM events WHERE value IS NOT NULL
+)
+SELECT metric,
+       CAST((ts {DIV} 86400 + 4) % 7 AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(avg(value), 6) AS mean_value
+FROM pts GROUP BY metric, (ts {DIV} 86400 + 4) % 7
+"""
+
+
+@stage(
+    "ts_weekday_profile",
+    WKD_CORE.format(EPOCH="epoch", DIV="//"),
+    "day-of-week seasonal profile per metric (epoch-day + 4 mod 7 — "
+    "pure integer arithmetic, no calendar functions to disagree on): "
+    "the weekly companion to the hourly ts_seasonal_profile; 6dp-"
+    "rounded means over identical doubles",
+)
+def q_ts_weekday_profile(spark, sf_dir):
+    return _sql_query(
+        WKD_CORE.format(EPOCH="unix_timestamp", DIV="DIV"), ("events",)
+    )(spark, sf_dir)
+
+
+# -- render asPercent + sortByTotal -----------------------------------------
+
+@stage(
+    "render_as_percent",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           round(CASE WHEN sum(value) OVER (PARTITION BY ts) <> 0
+                      THEN value * 100.0 / sum(value) OVER (PARTITION BY ts)
+                 END, 6) AS value
+    FROM t0
+    """,
+    "graphite asPercent(series_list) over tier0: per-slot share of the "
+    "cross-series total — one window sum keyed by ts; zero-total slots "
+    "stay NULL; the handful-of-series slot sum rounds at 6dp",
+)
+def q_render_as_percent(spark, sf_dir):
+    from kenshin_spark.functions.render import as_percent
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return as_percent(t0).withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_sort_by_total",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    keep AS (
+      SELECT metric FROM t0
+      GROUP BY metric ORDER BY sum(value) DESC, metric LIMIT 2
+    )
+    SELECT t0.metric, ts, value FROM t0 JOIN keep ON t0.metric = keep.metric
+    """,
+    "graphite sortByTotal + limit(2) over tier0: keep the two series "
+    "with the highest NULL-ignoring totals (well-separated on this "
+    "corpus, so the float totals order identically in both engines); "
+    "series selection via a broadcast semi-join",
+)
+def q_render_sort_by_total(spark, sf_dir):
+    from kenshin_spark.functions.render import sort_by_total
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return sort_by_total(t0, 2)
+
+
+# -- part-type revenue share ------------------------------------------------
+
+#: Spark DIV vs DuckDB // again; every operand is an exact BIGINT of
+#: cents, so the ppm share is integer-exact in both engines (DECIMAL
+#: division was tried first and the engines pick different result
+#: scales — floor-div sidesteps the type negotiation entirely).
+PART_SHARE_CORE = """
+WITH r AS (
+  SELECT p_type,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type
+),
+tot AS (SELECT sum(cents) AS t FROM r)
+SELECT p_type,
+       round(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+       CAST(cents * 1000000 {DIV} t AS BIGINT) AS share_ppm
+FROM r, tot
+"""
+
+
+@stage(
+    "q_part_type_share",
+    PART_SHARE_CORE.format(DIV="//"),
+    "revenue share per part type: BIGINT-cents sums with the share as "
+    "an exact integer ppm (cents x 1e6 floor-div total) — no float "
+    "division at all; part dim broadcasts, one partial-agg shuffle",
+)
+def q_part_type_share(spark, sf_dir):
+    return _sql_query(
+        PART_SHARE_CORE.format(DIV="DIV"), ("lineitem", "part")
+    )(spark, sf_dir)
+
+
+# -- props value histogram --------------------------------------------------
+
+PROPS_HIST_SQL = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+            AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE props IS NOT NULL
+GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+"""
+
+PROPS_HIST_SPARK_SQL = """
+SELECT CAST(CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10
+            AS BIGINT) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE props IS NOT NULL
+GROUP BY CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10
+"""
+
+
+@stage(
+    "q_events_props_histogram",
+    PROPS_HIST_SQL,
+    "schema-on-read histogram of the JSON property: decade buckets of "
+    "the extracted integer (get_json_object == json_extract_string), "
+    "one partial-agg shuffle onto the bucket domain",
+)
+def q_events_props_histogram(spark, sf_dir):
+    return _sql_query(PROPS_HIST_SPARK_SQL, ("events",))(spark, sf_dir)
+
+
+# -- digit ratio -------------------------------------------------------------
+
+DIGIT_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+         AS n_digits,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  AS DOUBLE) / length(text), 6) AS digit_ratio
+FROM documents WHERE length(text) > 0
+"""
+
+DIGIT_SPARK_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)
+         AS n_digits,
+       round(CAST(length(regexp_replace(text, '[^0-9]', ''))
+                  AS DOUBLE) / length(text), 6) AS digit_ratio
+FROM documents WHERE length(text) > 0
+"""
+
+
+@stage(
+    "text_digit_ratio",
+    DIGIT_SQL,
+    "per-doc digit density (a boilerplate/table-dump signal the "
+    "quality rules consume): strip-and-measure via regexp_replace "
+    "(global by default in Spark, 'g' flag in DuckDB) — exact integer "
+    "counts, one division",
+)
+def q_text_digit_ratio(spark, sf_dir):
+    return _sql_query(DIGIT_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+# -- customer order value range ---------------------------------------------
+
+CUST_RANGE_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS min_order,
+       round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS max_order,
+       round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2)))
+                  - min(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS order_range
+FROM orders GROUP BY o_custkey HAVING count(*) >= 2
+"""
+
+
+@stage(
+    "q_customer_order_range",
+    CUST_RANGE_SQL,
+    "per-customer order-value spread (repeat customers only): DECIMAL "
+    "extrema and exact difference — one partial-agg shuffle keyed by "
+    "customer",
+)
+def q_customer_order_range(spark, sf_dir):
+    return _sql_query(CUST_RANGE_SQL, ("orders",))(spark, sf_dir)
+
+
+# -- centroid pair distances ------------------------------------------------
+
+CENT_PAIR_SQL = """
+WITH c AS (
+  SELECT label, t.dim, round(avg(embedding[t.dim + 1]), 6) AS cv
+  FROM embeddings, range(64) t(dim) GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.cv * b.cv) AS dot,
+         sum(a.cv * a.cv) AS n2a,
+         sum(b.cv * b.cv) AS n2b
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS BIGINT) AS label_a,
+       CAST(label_b AS BIGINT) AS label_b,
+       round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS centroid_cosine
+FROM dots
+"""
+
+CENT_PAIR_SPARK_SQL = """
+WITH c AS (
+  SELECT label, dim, round(avg(v), 6) AS cv
+  FROM (SELECT label, posexplode(embedding) AS (dim, v) FROM embeddings)
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.cv * b.cv) AS dot,
+         sum(a.cv * a.cv) AS n2a,
+         sum(b.cv * b.cv) AS n2b
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS BIGINT) AS label_a,
+       CAST(label_b AS BIGINT) AS label_b,
+       round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS centroid_cosine
+FROM dots
+"""
+
+
+@stage(
+    "emb_centroid_pair_distance",
+    CENT_PAIR_SQL,
+    "label-separability matrix: cosine between every pair of class "
+    "centroids (centroids rounded to 6dp first — round-then-derive, so "
+    "the 64-term dot products run on identical operands); |labels|^2/2 "
+    "output rows",
+)
+def q_emb_centroid_pair_distance(spark, sf_dir):
+    return _sql_query(CENT_PAIR_SPARK_SQL, ("embeddings",))(spark, sf_dir)
+
+
+# -- metric value profile ---------------------------------------------------
+
+VRANGE_CORE = """
+WITH pts AS (
+  SELECT event_type AS metric, value
+  FROM events WHERE value IS NOT NULL
+)
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(max(value) - min(value), 6) AS value_range
+FROM pts GROUP BY metric
+"""
+
+
+@stage(
+    "ts_value_profile",
+    VRANGE_CORE,
+    "per-metric value-range profile (order-free extrema — the "
+    "dashboard's y-axis bounds and the range input to histogram bucket "
+    "sizing): one partial-agg shuffle",
+)
+def q_ts_value_profile(spark, sf_dir):
+    return _sql_query(VRANGE_CORE, ("events",))(spark, sf_dir)
