@@ -116,17 +116,24 @@ class RetentionParser:
         if not dur_s:
             raise ValueError(f"invalid retention def: {s!r}")
         precision = cls.parse_time_str(prec_s)
+        if precision <= 0:  # '0s:...' would divide by zero below
+            raise ValueError(f"zero precision in {s!r}")
         dur_s = dur_s.strip().lower()
         if dur_s.isdigit():
             count = int(dur_s)
         else:
             count = cls.parse_time_str(dur_s) // precision
+        if count <= 0:  # retention shorter than one point
+            raise ValueError(f"empty archive in {s!r}")
         return precision, count
 
     @classmethod
     def parse_retentions(cls, s: str) -> list[tuple[int, int]]:
         """``'10s:12h,60s:2d'`` → [(10, 4320), (60, 2880)]."""
-        return [cls.parse_retention_def(p) for p in s.split(",") if p.strip()]
+        out = [cls.parse_retention_def(p) for p in s.split(",") if p.strip()]
+        if not out:
+            raise ValueError(f"no archives in retention string {s!r}")
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -601,3 +601,59 @@ def test_glob_to_regex_matches_its_own_literal(g):
 
     concrete = g.replace("*", "xyz")
     assert re.fullmatch(glob_to_regex(g).rstrip("$").lstrip("^"), concrete)
+
+
+# ---------------------------------------------------------------------------
+# Retention-string parser (pure, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="0123456789smhdwy:,. ", min_size=0, max_size=30))
+def test_retention_parser_total(s):
+    """Arbitrary retention-ish input either parses to positive
+    (sec_per_point, count) pairs or raises ValueError — never any other
+    exception, never nonsense values (the config-validation contract)."""
+    from kenshin_spark.config import RetentionParser
+
+    try:
+        out = RetentionParser.parse_retentions(s)
+    except ValueError:
+        return
+    assert out, "parse succeeded but returned no archives"
+    for spp, cnt in out:
+        assert isinstance(spp, int) and spp > 0
+        assert isinstance(cnt, int) and cnt > 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 999),
+            st.sampled_from("smhdwy"),
+            st.integers(1, 999),
+            st.sampled_from("smhdwy"),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_retention_parser_roundtrip_units(specs):
+    """Well-formed '<n><unit>:<n><unit>' strings parse with the exact
+    unit multipliers (s/m/h/d/w/y), count = retention // precision."""
+    from kenshin_spark.config import RetentionParser
+
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800,
+            "y": 86400 * 365}
+    text = ",".join(f"{a}{u1}:{b}{u2}" for a, u1, b, u2 in specs)
+    try:
+        out = RetentionParser.parse_retentions(text)
+    except ValueError:
+        # retention shorter than precision is legitimately rejected
+        assert any(b * mult[u2] < a * mult[u1] for a, u1, b, u2 in specs)
+        return
+    assert len(out) == len(specs)
+    for (a, u1, b, u2), (spp, cnt) in zip(specs, out):
+        assert spp == a * mult[u1]
+        assert cnt == (b * mult[u2]) // (a * mult[u1])
