@@ -115,12 +115,18 @@ def unpack_kenshin(content: bytes) -> tuple[dict, list[dict]]:
     return header, archives
 
 
-def _points_kernel():
+def _points_kernel(skip_corrupt: bool = False):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                header, archives = unpack_kenshin(bytes(content))
+                try:
+                    header, archives = unpack_kenshin(bytes(content))
+                except (struct.error, AssertionError, IndexError,
+                        UnicodeDecodeError):
+                    if skip_corrupt:
+                        continue  # one bad file must not kill a 100 TB run
+                    raise
                 metrics = header["metrics"]
                 for a in archives:
                     for ts, vals in a["points"]:
@@ -185,14 +191,20 @@ def _header_kernel():
     return kernel
 
 
-def read_kenshin_points(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_kenshin_points(
+    spark: SparkSession, path_glob: str, skip_corrupt: bool = False
+) -> DataFrame:
     """All points of all archives of all matched .hs files, exploded to
     the tall model: ``(metric, archive_idx, sec_per_point, retention, ts,
-    value)`` — NULL sentinels arrive as real NULLs."""
+    value)`` — NULL sentinels arrive as real NULLs.
+
+    ``skip_corrupt=True`` drops undecodable files instead of failing the
+    job — at migration scale a single truncated file should cost its own
+    rows, not the run (count the gap by diffing file and header counts)."""
     files = (
         spark.read.format("binaryFile").load(path_glob).select("path", "content")
     )
-    return files.mapInPandas(_points_kernel(), POINTS_SCHEMA)
+    return files.mapInPandas(_points_kernel(skip_corrupt), POINTS_SCHEMA)
 
 
 def read_kenshin_headers(spark: SparkSession, path_glob: str) -> DataFrame:

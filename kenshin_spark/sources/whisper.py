@@ -95,13 +95,18 @@ def unpack_whisper(content: bytes) -> tuple[dict, list[dict]]:
     return header, archives
 
 
-def _points_kernel(base: str | None):
+def _points_kernel(base: str | None, skip_corrupt: bool = False):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 metric = metric_from_path(str(path), base)
-                _, archives = unpack_whisper(bytes(content))
+                try:
+                    _, archives = unpack_whisper(bytes(content))
+                except (struct.error, IndexError):
+                    if skip_corrupt:
+                        continue  # cost the file its rows, not the run
+                    raise
                 for a in archives:
                     rows.extend(
                         (
@@ -159,12 +164,15 @@ def _header_kernel(base: str | None):
 
 
 def read_whisper_points(
-    spark: SparkSession, path_glob: str, base: str | None = None
+    spark: SparkSession, path_glob: str, base: str | None = None,
+    skip_corrupt: bool = False
 ) -> DataFrame:
     """All points of all archives of all matched .wsp files:
-    ``(metric, archive_idx, sec_per_point, retention, ts, value)``."""
+    ``(metric, archive_idx, sec_per_point, retention, ts, value)``.
+    ``skip_corrupt=True`` drops undecodable files instead of failing the
+    migration (same contract as read_kenshin_points)."""
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
-    return files.mapInPandas(_points_kernel(base), POINTS_SCHEMA)
+    return files.mapInPandas(_points_kernel(base, skip_corrupt), POINTS_SCHEMA)
 
 
 def read_whisper_headers(

@@ -2971,3 +2971,52 @@ class TestCliExport:
             for r in back.collect() if r["value"] is not None
         }
         assert vals == {("sys.cpu", 960): 5.0, ("web.req", 1020): 7.0}
+
+
+class TestCorruptMigrationFiles:
+    """skip_corrupt: a truncated file costs its own rows, never the
+    100 TB migration run."""
+
+    def test_hs_reader_skips_garbage(self, spark, tmp_path):
+        from kenshin_spark.sources.kenshin_hs import (
+            read_kenshin_points,
+            write_kenshin_hs,
+        )
+
+        good = str(tmp_path / "good.hs")
+        write_kenshin_hs(
+            good, ["m.a"], [(60, 4)], [[(960, [1.0]), (1020, [2.0])]]
+        )
+        (tmp_path / "bad.hs").write_bytes(b"definitely not a kenshin file")
+        glob = str(tmp_path / "*.hs")
+        got = read_kenshin_points(spark, glob, skip_corrupt=True).collect()
+        assert {(r["metric"], r["ts"]) for r in got} == {
+            ("m.a", 960), ("m.a", 1020),
+        }
+        import pytest as _pytest
+        from pyspark.errors.exceptions.captured import PythonException
+
+        with _pytest.raises(PythonException):  # strict mode fails loud
+            read_kenshin_points(spark, glob).collect()
+
+    def test_wsp_reader_skips_garbage(self, spark, tmp_path):
+        from kenshin_spark.sources.whisper import (
+            read_whisper_points,
+            write_whisper,
+        )
+
+        good = str(tmp_path / "sys")
+        import os
+        os.makedirs(good)
+        write_whisper(
+            os.path.join(good, "cpu.wsp"), [(60, 4)], [[(960, 1.5)]]
+        )
+        with open(os.path.join(good, "mem.wsp"), "wb") as f:
+            f.write(b"xx")  # truncated header
+        got = read_whisper_points(
+            spark, str(tmp_path / "sys" / "*.wsp"),
+            base=str(tmp_path), skip_corrupt=True,
+        ).collect()
+        assert [(r["metric"], r["ts"], r["value"]) for r in got] == [
+            ("sys.cpu", 960, 1.5)
+        ]
