@@ -89,12 +89,18 @@ def unpack_kenshin(content: bytes) -> tuple[dict, list[dict]]:
     assert struct.calcsize(point_fmt) == point_size, (
         f"point_size {point_size} != calcsize({point_fmt})"
     )
+    # bound every loop by blob capacity so corrupt headers raise instead
+    # of spinning on absurd claimed counts
+    if arch_cnt > max(0, len(content) - meta_size - tag_size) // info_size:
+        raise struct.error(f"archive_count {arch_cnt} exceeds blob capacity")
     archives = []
     for i in range(arch_cnt):
         off = meta_size + tag_size + i * info_size
         offset, spp, count = struct.unpack(
             ARCHIVE_INFO_FMT, content[off : off + info_size]
         )
+        if count > len(content) // point_size:
+            raise struct.error(f"point count {count} exceeds blob size")
         pts = []
         for j in range(count):
             p_off = offset + j * point_size

@@ -72,12 +72,21 @@ def unpack_whisper(content: bytes) -> tuple[dict, list[dict]]:
     }
     info_size = struct.calcsize(ARCHIVE_INFO_FMT)
     point_size = struct.calcsize(POINT_FMT)
+    # a corrupt header can claim absurd archive/point counts; bound every
+    # loop by what the blob could actually hold, so garbage raises
+    # instead of spinning (struct.error on the short slice)
+    if arch_count > (len(content) - meta_size) // info_size:
+        raise struct.error(
+            f"archive_count {arch_count} exceeds blob capacity"
+        )
     archives = []
     for i in range(arch_count):
         off = meta_size + i * info_size
         offset, spp, count = struct.unpack(
             ARCHIVE_INFO_FMT, content[off : off + info_size]
         )
+        if count > len(content) // point_size:
+            raise struct.error(f"point count {count} exceeds blob size")
         pts = []
         for j in range(count):
             p_off = offset + j * point_size

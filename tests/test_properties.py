@@ -657,3 +657,42 @@ def test_retention_parser_roundtrip_units(specs):
     for (a, u1, b, u2), (spp, cnt) in zip(specs, out):
         assert spp == a * mult[u1]
         assert cnt == (b * mult[u2]) // (a * mult[u1])
+
+
+# ---------------------------------------------------------------------------
+# Migration decoders: totality on arbitrary bytes (pure, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_unpack_whisper_total(blob):
+    """Arbitrary bytes either decode or raise struct/Unicode errors
+    QUICKLY — corrupt headers claiming huge ring counts must be bounded
+    by the blob size, never spun on (the skip_corrupt contract)."""
+    import struct as _struct
+
+    from kenshin_spark.sources.whisper import unpack_whisper
+
+    try:
+        header, archives = unpack_whisper(blob)
+    except (_struct.error, IndexError):
+        return
+    assert header["archive_count"] == len(archives)
+    for a in archives:
+        assert len(a["points"]) <= len(blob)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_unpack_kenshin_total(blob):
+    import struct as _struct
+
+    from kenshin_spark.sources.kenshin_hs import unpack_kenshin
+
+    try:
+        header, archives = unpack_kenshin(blob)
+    except (_struct.error, AssertionError, IndexError,
+            UnicodeDecodeError):
+        return
+    assert header["archive_count"] == len(archives)
