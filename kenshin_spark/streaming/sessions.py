@@ -81,3 +81,54 @@ def dedup_within_watermark(
             keys
         )
     return stream.dropDuplicates(keys)
+
+
+def attribute_conversions(
+    clicks: DataFrame,
+    conversions: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join — the attribution primitive: every
+    (conversion, prior click) pair by the same key where the click
+    happened within ``window`` BEFORE the conversion. Output columns:
+    ``(user_id, click_ts, conv_ts, lag_s)``.
+
+    On streaming inputs both sides carry a watermark and the join's time
+    range bounds the state Spark must hold (clicks age out once no
+    conversion can still match them — the canonical watermarked
+    stream-stream join). On batch inputs the SAME call is a plain
+    interval join, so backfill and live attribution can't drift; the
+    most-recent-click reduction (``min_by`` over lag_s) is left to the
+    caller because chaining an aggregate after a stream-stream join
+    constrains output modes — pairs compose with either.
+    """
+    c = clicks.select(
+        F.col(key_col).alias("_ck"), F.col(ts_col).alias("click_ts")
+    )
+    v = conversions.select(
+        F.col(key_col).alias(key_col), F.col(ts_col).alias("conv_ts")
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if conversions.isStreaming:
+        v = v.withWatermark("conv_ts", watermark)
+    joined = v.join(
+        c,
+        (F.col(key_col) == F.col("_ck"))
+        & (F.col("click_ts") <= F.col("conv_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {window}")
+        ),
+    )
+    return joined.select(
+        key_col,
+        "click_ts",
+        "conv_ts",
+        (
+            F.unix_timestamp("conv_ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_s"),
+    )

@@ -1150,3 +1150,59 @@ class TestStreamingQualityGate:
                 spark, SCHEMAS, str(tmp_path / "s"),
                 quality_checks=[unique("metric")],
             )
+
+
+class TestStreamStreamAttribution:
+    """attribute_conversions: the watermarked stream-stream interval
+    join, with the streaming==batch invariant."""
+
+    def _write_events(self, d, name, rows):
+        import json as _json
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, name), "w") as f:
+            for uid, ts in rows:
+                f.write(_json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+    def test_streaming_equals_batch(self, spark, tmp_path):
+        from kenshin_spark.streaming.sessions import attribute_conversions
+
+        clicks = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:20:00"),
+                  (2, "2024-01-01 10:00:00"), (3, "2024-01-01 09:00:00")]
+        convs = [(1, "2024-01-01 10:25:00"),   # matches both user-1 clicks
+                 (2, "2024-01-01 11:00:00"),   # 60 min after click: outside
+                 (3, "2024-01-01 09:10:00")]   # matches the early click
+        cd, vd = str(tmp_path / "clicks"), str(tmp_path / "convs")
+        self._write_events(cd, "a.jsonl", clicks)
+        self._write_events(vd, "a.jsonl", convs)
+        schema = "user_id long, ts timestamp"
+
+        batch = attribute_conversions(
+            spark.createDataFrame(clicks, "user_id long, ts string")
+            .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts"),
+            spark.createDataFrame(convs, "user_id long, ts string")
+            .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts"),
+        )
+        want = sorted(
+            (r["user_id"], str(r["click_ts"]), str(r["conv_ts"]), r["lag_s"])
+            for r in batch.collect()
+        )
+        assert [w[0] for w in want] == [1, 1, 3]
+        assert want[0][3] in (300, 1500) and want[1][3] in (300, 1500)
+
+        stream = attribute_conversions(
+            spark.readStream.schema(schema).json(cd),
+            spark.readStream.schema(schema).json(vd),
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("attrib")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["user_id"], str(r["click_ts"]), str(r["conv_ts"]), r["lag_s"])
+            for r in spark.sql("SELECT * FROM attrib").collect()
+        )
+        assert got == want
