@@ -599,12 +599,23 @@ class StreamingCorpusIngest:
             ).write.mode("append").parquet(f"{self.root}/dead")
 
     def ingest(self, batch: DataFrame, batch_id: int) -> None:
+        import os
+
         from kenshin_spark.bpe import tokenize
         from kenshin_spark.dedup.minhash import (
             minhash_band_index,
             minhash_pairs_against_index,
         )
 
+        # foreachBatch replays a batch after failures with the SAME id —
+        # appends are not idempotent, so a commit marker per batch_id
+        # makes re-delivery a no-op (the standard foreachBatch pattern;
+        # on object stores use a table format's transaction log instead)
+        marker_dir = f"{self.root}/_batches"
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = f"{marker_dir}/{batch_id}"
+        if os.path.exists(marker):
+            return
         batch = batch.persist()
         try:
             self.stats["received"] += batch.count()
@@ -677,5 +688,7 @@ class StreamingCorpusIngest:
             minhash_band_index(fresh).write.mode("append").parquet(
                 f"{self.root}/index"
             )
+            with open(marker, "w") as f:
+                f.write("committed")
         finally:
             batch.unpersist()

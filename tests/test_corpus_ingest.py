@@ -119,3 +119,27 @@ class TestStreamPath:
         assert ing.stats["admitted"] == 2
         assert ing.stats["exact_dups"] == 1
         assert spark.read.parquet(f"{ing.root}/tokens").count() == 2
+
+
+class TestIdempotentReplay:
+    def test_same_batch_id_is_a_noop(self, spark, tmp_path, train_docs):
+        """foreachBatch re-delivers a batch with the SAME id after a
+        failure — the commit marker must make the replay a no-op
+        instead of appending duplicates."""
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(
+            spark, str(tmp_path / "corpus"), merges
+        )
+        b = spark.createDataFrame(
+            [(1, BASE, "web"), (2, "other words entirely", "web")],
+            "doc_id long, text string, source string",
+        )
+        ing.ingest(b, 7)
+        n_docs = spark.read.parquet(f"{ing.root}/docs").count()
+        n_ix = spark.read.parquet(f"{ing.root}/index").count()
+        ing.ingest(b, 7)  # replay
+        assert spark.read.parquet(f"{ing.root}/docs").count() == n_docs
+        assert spark.read.parquet(f"{ing.root}/index").count() == n_ix
+        # a NEW batch id still processes (and dedups against state)
+        ing.ingest(b, 8)
+        assert spark.read.parquet(f"{ing.root}/docs").count() == n_docs
