@@ -609,8 +609,11 @@ class StreamingCorpusIngest:
 
         # foreachBatch replays a batch after failures with the SAME id —
         # appends are not idempotent, so a commit marker per batch_id
-        # makes re-delivery a no-op (the standard foreachBatch pattern;
-        # on object stores use a table format's transaction log instead)
+        # makes re-delivery a no-op (the standard foreachBatch pattern).
+        # The marker covers the common case (whole-batch success then
+        # redelivery); a crash BETWEEN the four appends still replays
+        # them all — plain parquet has no multi-table transaction, which
+        # is exactly what a table format's commit log buys at scale
         marker_dir = f"{self.root}/_batches"
         os.makedirs(marker_dir, exist_ok=True)
         marker = f"{marker_dir}/{batch_id}"
