@@ -970,7 +970,35 @@ def sort_by_total(grid: DataFrame, n: int) -> DataFrame:
     return grid.join(F.broadcast(ranked), "metric")
 
 
+def pow_series(grid: DataFrame, exponent: float) -> DataFrame:
+    """Graphite pow(series, n): each value raised to the exponent."""
+    return grid.select(
+        "metric", "ts", F.pow("value", F.lit(exponent)).alias("value")
+    )
+
+
+def square_root(grid: DataFrame) -> DataFrame:
+    """Graphite squareRoot(series): negative values go NULL (graphite
+    emits None there too — sqrt of a negative is not a datapoint)."""
+    return grid.select(
+        "metric", "ts",
+        F.when(F.col("value") >= 0, F.sqrt("value")).alias("value"),
+    )
+
+
+def alias_by_metric(grid: DataFrame) -> DataFrame:
+    """Graphite aliasByMetric(series): keep only the last dotted path
+    segment as the display name."""
+    return grid.select(
+        F.element_at(F.split("metric", r"\."), -1).alias("metric"),
+        "ts", "value",
+    )
+
+
 RENDER_REGISTRY = {
+    "aliasByMetric": alias_by_metric,
+    "pow": pow_series,
+    "squareRoot": square_root,
     "diffSeries": diff_series,
     "exclude": exclude_series,
     "grep": grep_series,

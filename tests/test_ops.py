@@ -1691,6 +1691,7 @@ class TestRenderChain:
             "lowestAverage": (1,), "lowestCurrent": (1,),
             "sortByTotal": (1,), "hitcount": (120, 60),
             "movingSum": (2,), "movingMin": (2,), "movingMax": (2,),
+            "pow": (2.0,),
         }
         for name in RENDER_REGISTRY:
             args = needs_arg.get(name, ())
@@ -3020,3 +3021,20 @@ class TestCorruptMigrationFiles:
         assert [(r["metric"], r["ts"], r["value"]) for r in got] == [
             ("sys.cpu", 960, 1.5)
         ]
+
+
+class TestRenderScalarExtras:
+    def test_pow_sqrt_alias_by_metric(self, spark):
+        from kenshin_spark.functions.render import (
+            alias_by_metric, pow_series, square_root,
+        )
+
+        g = spark.createDataFrame(
+            [("a.b.c", 0, 4.0), ("a.b.c", 60, -9.0)],
+            "metric string, ts long, value double",
+        )
+        p = {r["ts"]: r["value"] for r in pow_series(g, 2.0).collect()}
+        assert p[0] == 16.0 and p[60] == 81.0
+        s = {r["ts"]: r["value"] for r in square_root(g).collect()}
+        assert s[0] == 2.0 and s[60] is None  # negative → NULL
+        assert {r["metric"] for r in alias_by_metric(g).collect()} == {"c"}
