@@ -833,11 +833,31 @@ def range_of_series(grid: DataFrame, name: str = "rangeOfSeries") -> DataFrame:
 
 def stddev_series(grid: DataFrame, name: str = "stddevSeries") -> DataFrame:
     """Graphite stddevSeries(series_list): per-slot population standard
-    deviation across series (graphite divides by N, not N-1)."""
+    deviation across series (graphite divides by N, not N-1) — explicit
+    two-sum formula so the float path is op-for-op identical to the SQL
+    oracle (native stddev aggregates stream differently per engine; the
+    same discipline as moving_stdev)."""
     return (
         grid.groupBy("ts")
-        .agg(F.stddev_pop("value").alias("value"))
-        .select(F.lit(name).alias("metric"), "ts", "value")
+        .agg(
+            F.sum("value").alias("_s1"),
+            F.sum(F.col("value") * F.col("value")).alias("_s2"),
+            F.count("value").cast("double").alias("_n"),
+        )
+        .select(
+            F.lit(name).alias("metric"),
+            "ts",
+            F.when(
+                F.col("_n") >= 1,
+                F.sqrt(
+                    F.greatest(
+                        (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n"))
+                        / F.col("_n"),
+                        F.lit(0.0),
+                    )
+                ),
+            ).alias("value"),
+        )
     )
 
 

@@ -1,0 +1,460 @@
+"""Second staged batch — oracle-verified now, registered in ROUND 6.
+
+Same mechanism as ``queries_staged`` (the round-5 bank): the driver
+evaluates a 50-slot window of never-verified queries per round, round 5's
+window is exactly filled by ``queries_staged.STAGED``, so this batch is
+held out until round 6 frees slots. Every entry runs the identical
+Spark-vs-DuckDB gate (``tests/test_queries_staged_r6.py``).
+
+Float discipline matches queries.py: exact DECIMAL/BIGINT arithmetic
+wherever a threshold, rank, or bucket boundary could flip; 6dp rounding
+on display-only float outputs; op-for-op identical scalar expressions
+when a recurrence or formula must match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kenshin_spark.io import load_table
+from kenshin_spark.queries import (
+    PTS,
+    LWW60,
+    QuerySpec,
+    _points,
+    _sql_query,
+)
+from kenshin_spark.operators.align import last_write_wins
+
+STAGED_R6: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        STAGED_R6[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+#: hourly last-write-wins tier, DuckDB side (render queries' coarse grid)
+LWW3600 = """
+  SELECT metric, ts - ts % 3600 AS ts, arg_max(value, arrival) AS value
+  FROM pts GROUP BY 1, 2
+"""
+
+
+def _grid60(spark, sf_dir):
+    return last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+
+
+def _grid3600(spark, sf_dir):
+    return last_write_wins(_points(spark, sf_dir), 3600, arrival_col="arrival")
+
+
+# ---------------------------------------------------------------------------
+# Render library — driver rows for the not-yet-oracled Graphite functions
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "render_nonneg_derivative",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+    d AS (
+      SELECT metric, ts,
+             value - lag(value) OVER (PARTITION BY metric ORDER BY ts)
+               AS delta
+      FROM t0
+    )
+    SELECT metric, ts,
+           round(CASE WHEN delta >= 0 THEN delta END, 6) AS value
+    FROM d
+    """,
+    "graphite nonNegativeDerivative over the hourly tier: counter resets "
+    "(negative deltas) become NULL — one lag window co-partitioned with "
+    "the series key, no extra shuffle past the LWW align",
+)
+def q_render_nonneg_derivative(spark, sf_dir):
+    from kenshin_spark.functions.render import non_negative_derivative
+
+    out = non_negative_derivative(_grid3600(spark, sf_dir))
+    return out.withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_logarithm",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           round(CASE WHEN value > 0 THEN ln(value) / ln(10.0) END, 6)
+             AS value
+    FROM t0
+    """,
+    "graphite logarithm(series, 10): non-positive slots go NULL (graphite "
+    "draws None there) — ln(x)/ln(10) written identically in both engines "
+    "so the float division path matches op-for-op",
+)
+def q_render_logarithm(spark, sf_dir):
+    from kenshin_spark.functions.render import logarithm
+
+    return logarithm(_grid60(spark, sf_dir), 10.0).withColumn(
+        "value", F.round("value", 6)
+    )
+
+
+@stage(
+    "render_offset_scale",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts, round((value + 100.0) * 0.5, 6) AS value
+    FROM t0
+    """,
+    "graphite scale(offset(series, 100), 0.5) — a two-stage scalar chain "
+    "through apply_chain; Catalyst collapses both projections into the "
+    "aligning aggregate (zero extra stages)",
+)
+def q_render_offset_scale(spark, sf_dir):
+    from kenshin_spark.functions.render import apply_chain
+
+    out = apply_chain(
+        _grid60(spark, sf_dir), [("offset", 100.0), ("scale", 0.5)]
+    )
+    return out.withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_value_clamp",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE least(greatest(value, 10.0), 250.0) END AS value
+    FROM t0
+    """,
+    "graphite clampMin(10)+clampMax(250): slot values pinned into a band "
+    "— raw parquet doubles pass through greatest/least untouched, so no "
+    "rounding is needed for the hash match",
+)
+def q_render_value_clamp(spark, sf_dir):
+    from kenshin_spark.functions.render import clamp
+
+    return clamp(_grid60(spark, sf_dir), lo=10.0, hi=250.0)
+
+
+@stage(
+    "render_highest_max",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    keep AS (
+      SELECT metric FROM t0 GROUP BY metric
+      ORDER BY max(value) DESC, metric LIMIT 3
+    )
+    SELECT t0.metric, ts, value FROM t0 JOIN keep ON t0.metric = keep.metric
+    """,
+    "graphite highestMax(series_list, 3): series selection by peak value "
+    "— per-series max is a tiny aggregate broadcast back against the "
+    "grid; raw doubles compare exactly so the rank is engine-stable",
+)
+def q_render_highest_max(spark, sf_dir):
+    from kenshin_spark.functions.render import highest_max
+
+    return highest_max(_grid60(spark, sf_dir), 3)
+
+
+@stage(
+    "render_count_series",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT 'countSeries' AS metric, ts,
+           CAST(count(value) AS DOUBLE) AS value
+    FROM t0 GROUP BY ts
+    """,
+    "graphite countSeries: how many series report a non-NULL value per "
+    "slot — integer count cast to the grid's DOUBLE contract, exact in "
+    "both engines",
+)
+def q_render_count_series(spark, sf_dir):
+    from kenshin_spark.functions.render import count_series
+
+    return count_series(_grid60(spark, sf_dir))
+
+
+@stage(
+    "render_stddev_series",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+    s AS (
+      SELECT ts, sum(value) AS s1, sum(value * value) AS s2,
+             CAST(count(value) AS DOUBLE) AS n
+      FROM t0 GROUP BY ts
+    )
+    SELECT 'stddevSeries' AS metric, ts,
+           round(CASE WHEN n >= 1 THEN
+             sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) END, 6) AS value
+    FROM s
+    """,
+    "graphite stddevSeries over the hourly tier: cross-series population "
+    "deviation per slot — explicit two-sum formula (native stddev "
+    "aggregates stream differently across engines); <= 5 addends per "
+    "slot so 6dp rounding clears the reorder noise",
+)
+def q_render_stddev_series(spark, sf_dir):
+    from kenshin_spark.functions.render import stddev_series
+
+    out = stddev_series(_grid3600(spark, sf_dir))
+    return out.withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_summarize_avg",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    b AS (
+      SELECT metric, ts - ts % 1800 AS ts, avg(value) AS value
+      FROM t0 GROUP BY 1, 2
+    )
+    SELECT metric, ts, round(value, 6) AS value FROM b
+    """,
+    "graphite summarize(series, '30min', 'avg'): re-bucket the minute "
+    "grid onto 30-min boundaries with mean — the downsample cascade "
+    "machinery under a render name; <= 30 addends/bucket, 6dp-rounded",
+)
+def q_render_summarize_avg(spark, sf_dir):
+    from kenshin_spark.functions.render import summarize
+
+    out = summarize(_grid60(spark, sf_dir), 1800, "average")
+    return out.withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_changed",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    d AS (
+      SELECT metric, ts, value,
+             lag(value) OVER (PARTITION BY metric ORDER BY ts) AS prev,
+             row_number() OVER (PARTITION BY metric ORDER BY ts) AS rn
+      FROM t0
+    )
+    SELECT metric, ts,
+           CASE WHEN rn = 1 THEN 0.0
+                WHEN value IS NOT DISTINCT FROM prev THEN 0.0
+                ELSE 1.0 END AS value
+    FROM d
+    """,
+    "graphite changed(series): 1 where the slot differs from its "
+    "predecessor (NULL-safe compare), 0 elsewhere and on the first slot",
+)
+def q_render_changed(spark, sf_dir):
+    from kenshin_spark.functions.render import changed
+
+    return changed(_grid60(spark, sf_dir))
+
+
+@stage(
+    "render_most_deviant",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+    v AS (
+      SELECT metric, sum(value) AS s1, sum(value * value) AS s2,
+             CAST(count(value) AS DOUBLE) AS n
+      FROM t0 WHERE value IS NOT NULL GROUP BY metric
+    ),
+    keep AS (
+      SELECT metric FROM v
+      ORDER BY (s2 - s1 * s1 / n) / n DESC, metric LIMIT 2
+    )
+    SELECT t0.metric, ts, value FROM t0 JOIN keep ON t0.metric = keep.metric
+    """,
+    "graphite mostDeviant(series_list, 2): selection by per-series "
+    "population variance — two-sum formula on the hourly tier; variance "
+    "gaps between the 5 synthetic series are orders of magnitude above "
+    "fp noise, so the rank is engine- and partition-stable",
+)
+def q_render_most_deviant(spark, sf_dir):
+    from kenshin_spark.functions.render import most_deviant
+
+    return most_deviant(_grid3600(spark, sf_dir), 2)
+
+
+@stage(
+    "render_pow_roundtrip",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts, round(sqrt(value * value), 6) AS value
+    FROM t0
+    """,
+    "graphite squareRoot(pow(series, 2)) — the exponent/rooting pair "
+    "chained; pow(x,2) is computed as x*x and sqrt applied on top in "
+    "both engines, op-for-op identical (and ≈|x| up to one ulp)",
+)
+def q_render_pow_roundtrip(spark, sf_dir):
+    grid = _grid60(spark, sf_dir)
+    v = F.col("value") * F.col("value")
+    return grid.select(
+        "metric", "ts", F.round(F.sqrt(v), 6).alias("value")
+    )
+
+
+@stage(
+    "render_delay",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600})
+    SELECT metric, ts,
+           lag(value, 3) OVER (PARTITION BY metric ORDER BY ts) AS value
+    FROM t0
+    """,
+    "graphite delay(series, 3): each slot shows the value 3 slots back "
+    "(NULL before history) — unlike timeShift the time axis stays put; "
+    "raw doubles pass through the lag untouched",
+)
+def q_render_delay(spark, sf_dir):
+    from kenshin_spark.functions.render import delay
+
+    return delay(_grid3600(spark, sf_dir), 3)
+
+
+@stage(
+    "render_moving_extrema",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600})
+    SELECT metric, ts,
+           min(value) OVER w AS value_min,
+           max(value) OVER w AS value_max
+    FROM t0
+    WINDOW w AS (PARTITION BY metric ORDER BY ts
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    "graphite movingMin(series,5) + movingMax(series,5) as one envelope "
+    "— two frames over the same window spec share a single sort/shuffle "
+    "in Catalyst; min/max of doubles are exact (no rounding needed)",
+)
+def q_render_moving_extrema(spark, sf_dir):
+    from pyspark.sql import Window
+
+    grid = _grid3600(spark, sf_dir)
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts")
+        .rowsBetween(-4, 0)
+    )
+    return grid.select(
+        "metric",
+        "ts",
+        F.min("value").over(w).alias("value_min"),
+        F.max("value").over(w).alias("value_max"),
+    )
+
+
+@stage(
+    "render_slice_scale",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    bounds AS (
+      SELECT min(ts) + 86400 AS lo, max(ts) - 86400 AS hi FROM t0
+    )
+    SELECT metric, ts,
+           round(CASE WHEN ts >= lo AND ts < hi
+                      THEN value * (300.0 / 60.0) END, 6) AS value
+    FROM t0, bounds
+    """,
+    "graphite scaleToSeconds(timeSlice(series, +1d, -1d), 300): NULL out "
+    "the first/last day (timeSlice keeps the grid shape) then "
+    "renormalize the per-60s slots to a per-300s rate — both steps fold "
+    "into one projection over the aligning aggregate",
+)
+def q_render_slice_scale(spark, sf_dir):
+    from kenshin_spark.functions.render import scale_to_seconds, time_slice
+
+    grid = _grid60(spark, sf_dir)
+    lo, hi = grid.agg(
+        (F.min("ts") + 86400).alias("lo"), (F.max("ts") - 86400).alias("hi")
+    ).first()
+    out = scale_to_seconds(time_slice(grid, int(lo), int(hi)), 300, 60)
+    return out.withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_average_above",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    keep AS (
+      SELECT metric FROM t0 GROUP BY metric
+      HAVING avg(value) > 50.0
+    )
+    SELECT t0.metric, ts, value FROM t0 JOIN keep ON t0.metric = keep.metric
+    """,
+    "graphite averageAbove(series_list, 50): keep series whose mean "
+    "exceeds the bar — per-series means sit far from 50.0 relative to "
+    "summation noise (verified at both SFs), so the filter is stable; "
+    "surviving rows are raw passthrough doubles",
+)
+def q_render_average_above(spark, sf_dir):
+    from kenshin_spark.functions.render import average_above
+
+    return average_above(_grid60(spark, sf_dir), 50.0)
+
+
+@stage(
+    "render_grep_exclude",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts, value FROM t0
+    WHERE regexp_matches(metric, '^(click|view|error)')
+      AND NOT regexp_matches(metric, 'error')
+    """,
+    "graphite exclude(grep(series_list, '^(click|view|error)'), 'error') "
+    "— name-pattern selection composed; both predicates collapse into "
+    "one scan filter (Spark rlike is re.search-style like graphite's)",
+)
+def q_render_grep_exclude(spark, sf_dir):
+    from kenshin_spark.functions.render import exclude_series, grep_series
+
+    return exclude_series(
+        grep_series(_grid60(spark, sf_dir), "^(click|view|error)"), "error"
+    )
+
+
+@stage(
+    "render_n_percentile",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+    p AS (
+      SELECT metric, quantile_cont(value, 0.95) AS pv
+      FROM t0 WHERE value IS NOT NULL GROUP BY metric
+    )
+    SELECT t0.metric, ts, round(pv, 6) AS value
+    FROM t0 JOIN p ON t0.metric = p.metric
+    """,
+    "graphite nPercentile(series, 95): each series becomes a flat line "
+    "at its own p95 — Spark `percentile` and DuckDB `quantile_cont` use "
+    "the same R-7 interpolation over identical parquet doubles, rounded "
+    "6dp",
+)
+def q_render_n_percentile(spark, sf_dir):
+    from kenshin_spark.functions.render import n_percentile
+
+    out = n_percentile(_grid3600(spark, sf_dir), 95.0)
+    return out.withColumn("value", F.round("value", 6))
+
+
+@stage(
+    "render_lowest_average",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+    keep AS (
+      SELECT metric FROM t0 GROUP BY metric
+      ORDER BY avg(value) ASC, metric LIMIT 2
+    )
+    SELECT t0.metric, ts, value FROM t0 JOIN keep ON t0.metric = keep.metric
+    """,
+    "graphite lowestAverage(series_list, 2): inverse selection of "
+    "highestAverage — per-series means on the hourly tier are separated "
+    "by >> fp noise (checked at both SFs), rank is stable; rows are raw "
+    "passthrough doubles",
+)
+def q_render_lowest_average(spark, sf_dir):
+    from kenshin_spark.functions.render import lowest_average
+
+    return lowest_average(_grid3600(spark, sf_dir), 2)
