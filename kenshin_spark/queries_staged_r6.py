@@ -458,3 +458,344 @@ def q_render_lowest_average(spark, sf_dir):
     from kenshin_spark.functions.render import lowest_average
 
     return lowest_average(_grid3600(spark, sf_dir), 2)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse analytics — shared-SQL rows widening the TPC-H-style surface
+# ---------------------------------------------------------------------------
+
+_DISC = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+)
+
+ABC_SQL = f"""
+WITH pr AS (
+  SELECT l_partkey, sum({_DISC}) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+         sum(rev) OVER () AS tot
+  FROM pr
+)
+SELECT l_partkey AS partkey, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+            WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@stage(
+    "q_abc_analysis",
+    ABC_SQL,
+    "ABC inventory classification: parts bucketed by cumulative revenue "
+    "share (A <= 80%, B <= 95%, C rest) — the running total is an "
+    "exact-DECIMAL prefix sum with a total (rev, partkey) tiebreak, and "
+    "the class boundaries cross-multiply (cum*100 <= tot*80) so no "
+    "float division ever decides a bucket",
+)
+def q_abc_analysis(spark, sf_dir):
+    return _sql_query(ABC_SQL, ("lineitem",))(spark, sf_dir)
+
+
+RETURN_RATE_SQL = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS return_rate
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@stage(
+    "q_brand_return_rate",
+    RETURN_RATE_SQL,
+    "per-brand return rate: share of lineitems flagged 'R' — broadcast "
+    "dimension join (part is small), integer-exact numerator, one "
+    "float division rounded 6dp",
+)
+def q_brand_return_rate(spark, sf_dir):
+    return _sql_query(RETURN_RATE_SQL, ("lineitem", "part"))(spark, sf_dir)
+
+
+BREADTH_SQL = """
+SELECT l_suppkey AS suppkey,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS gross
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+@stage(
+    "q_supplier_part_breadth",
+    BREADTH_SQL,
+    "supplier catalog breadth: distinct parts + distinct orders served "
+    "per supplier with DECIMAL-exact gross — two distinct aggregates "
+    "share one shuffle on the supplier key (Catalyst expand), no "
+    "per-distinct re-scan",
+)
+def q_supplier_part_breadth(spark, sf_dir):
+    return _sql_query(BREADTH_SQL, ("lineitem",))(spark, sf_dir)
+
+
+SIZE_PROFILE_SQL = """
+SELECT CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_price,
+       min(p_retailprice) AS min_price,
+       max(p_retailprice) AS max_price
+FROM part GROUP BY p_size
+"""
+
+
+@stage(
+    "q_part_size_profile",
+    SIZE_PROFILE_SQL,
+    "part-size pricing profile: count + DECIMAL-exact mean + raw "
+    "passthrough extremes per size — single map-side-combinable "
+    "aggregate over the dimension table",
+)
+def q_part_size_profile(spark, sf_dir):
+    return _sql_query(SIZE_PROFILE_SQL, ("part",))(spark, sf_dir)
+
+
+PRIORITY_MIX_SQL = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mon,
+         o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT yr, mon, o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY yr, mon), 6) AS share
+FROM m
+"""
+
+
+@stage(
+    "q_monthly_priority_mix",
+    PRIORITY_MIX_SQL,
+    "order-priority mix by month: per-priority share of each month's "
+    "orders — integer counts, one windowed total per month, a single "
+    "rounded division; the window runs over the month-level aggregate "
+    "(tiny), never raw orders",
+)
+def q_monthly_priority_mix(spark, sf_dir):
+    return _sql_query(PRIORITY_MIX_SQL, ("orders",))(spark, sf_dir)
+
+
+BALANCE_DECILES_SQL = """
+WITH d AS (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS dec
+  FROM customer
+)
+SELECT CAST(dec AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal
+FROM d GROUP BY dec
+"""
+
+
+@stage(
+    "q_customer_balance_deciles",
+    BALANCE_DECILES_SQL,
+    "customer account-balance deciles: ntile(10) with a (balance, "
+    "custkey) total order so bucket edges are deterministic; min/max "
+    "are raw passthrough doubles",
+)
+def q_customer_balance_deciles(spark, sf_dir):
+    return _sql_query(BALANCE_DECILES_SQL, ("customer",))(spark, sf_dir)
+
+
+NATION_BALANCE_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS nc,
+         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS cb
+  FROM customer GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nk, count(*) AS ns,
+         sum(CAST(s_acctbal AS DECIMAL(18,2))) AS sb
+  FROM supplier GROUP BY 1
+)
+SELECT n_name,
+       CAST(coalesce(nc, 0) AS BIGINT) AS n_customers,
+       round(coalesce(CAST(cb AS DOUBLE), CAST(0 AS DOUBLE)), 2)
+         AS customer_balance,
+       CAST(coalesce(ns, 0) AS BIGINT) AS n_suppliers,
+       round(coalesce(CAST(sb AS DOUBLE), CAST(0 AS DOUBLE)), 2)
+         AS supplier_balance
+FROM nation
+LEFT JOIN c ON n_nationkey = c.nk
+LEFT JOIN s ON n_nationkey = s.nk
+"""
+
+
+@stage(
+    "q_nation_balance_profile",
+    NATION_BALANCE_SQL,
+    "per-nation customer vs supplier footprint: two pre-aggregates "
+    "LEFT-joined onto the nation dimension (both sides broadcast-sized) "
+    "— empty nations surface with zeroed DECIMAL-exact balances instead "
+    "of vanishing",
+)
+def q_nation_balance_profile(spark, sf_dir):
+    return _sql_query(
+        NATION_BALANCE_SQL, ("nation", "customer", "supplier")
+    )(spark, sf_dir)
+
+
+DISCOUNT_TAX_GRID_SQL = f"""
+SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+       CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(round(sum({_DISC} *
+             (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))), 2)
+             AS DOUBLE) AS net_revenue
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+@stage(
+    "q_discount_tax_grid",
+    DISCOUNT_TAX_GRID_SQL,
+    "discount x tax percentage grid: lineitems bucketed by integer "
+    "percentage points (round() snaps the float percentages; both "
+    "engines round the identical doubles) with DECIMAL-exact net "
+    "revenue per cell — an 11x9 result from one scan",
+)
+def q_discount_tax_grid(spark, sf_dir):
+    return _sql_query(DISCOUNT_TAX_GRID_SQL, ("lineitem",))(spark, sf_dir)
+
+
+QP_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sq,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS DOUBLE) AS sqq,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+         CAST(sum(CAST(l_quantity AS BIGINT) *
+                  CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_lines,
+       round((n * sqp - sq * sp) /
+             sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+         AS qty_price_corr
+FROM s
+"""
+
+
+@stage(
+    "q_quantity_price_corr",
+    QP_CORR_SQL,
+    "Pearson correlation of quantity vs extended price per return flag "
+    "— every sum is exact BIGINT/DECIMAL arithmetic (quantities are "
+    "integral, prices 2dp), converted to DOUBLE only for the final "
+    "closed-form expression, written op-for-op identically in both "
+    "engines (native corr() streams differently) and rounded 6dp",
+)
+def q_quantity_price_corr(spark, sf_dir):
+    return _sql_query(QP_CORR_SQL, ("lineitem",))(spark, sf_dir)
+
+
+REGION_QUARTER_SQL = """
+SELECT r_name,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2, 3
+"""
+
+
+@stage(
+    "q_revenue_region_quarter",
+    REGION_QUARTER_SQL,
+    "revenue by region x quarter: the orders fact joined up the "
+    "customer->nation->region snowflake (all dimension sides broadcast) "
+    "with DECIMAL-exact quarterly totals",
+)
+def q_revenue_region_quarter(spark, sf_dir):
+    return _sql_query(
+        REGION_QUARTER_SQL, ("orders", "customer", "nation", "region")
+    )(spark, sf_dir)
+
+
+TOP3_PARTS_SQL = """
+WITH pr AS (
+  SELECT p_brand, l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT p_brand, l_partkey AS partkey, rev,
+         row_number() OVER (
+           PARTITION BY p_brand ORDER BY rev DESC, l_partkey
+         ) AS rn
+  FROM pr
+)
+SELECT p_brand, partkey, round(CAST(rev AS DOUBLE), 2) AS revenue,
+       CAST(rn AS BIGINT) AS rank
+FROM rk WHERE rn <= 3
+"""
+
+
+@stage(
+    "q_top3_parts_per_brand",
+    TOP3_PARTS_SQL,
+    "top-3 revenue parts per brand: windowed row_number over the "
+    "(brand, part) aggregate with DECIMAL-exact ordering and a partkey "
+    "tiebreak — the window input is already reduced to one row per "
+    "part, so the sort is over the aggregate, not the fact table",
+)
+def q_top3_parts_per_brand(spark, sf_dir):
+    return _sql_query(TOP3_PARTS_SQL, ("lineitem", "part"))(spark, sf_dir)
+
+
+SUPPLIER_SHARE_SQL = f"""
+WITH sr AS (
+  SELECT s_nationkey, sum({_DISC}) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT n_name, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE), 6)
+         AS share
+FROM sr JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+@stage(
+    "q_supplier_nation_share",
+    SUPPLIER_SHARE_SQL,
+    "each nation's share of global supplier revenue: DECIMAL-exact "
+    "numerator and denominator (one unpartitioned window over the "
+    "25-row nation aggregate), single rounded division",
+)
+def q_supplier_nation_share(spark, sf_dir):
+    return _sql_query(SUPPLIER_SHARE_SQL, ("lineitem", "supplier", "nation"))(
+        spark, sf_dir
+    )
