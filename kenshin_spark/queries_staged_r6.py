@@ -799,3 +799,299 @@ def q_supplier_nation_share(spark, sf_dir):
     return _sql_query(SUPPLIER_SHARE_SQL, ("lineitem", "supplier", "nation"))(
         spark, sf_dir
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics — shared SQL, each engine's epoch-seconds fn
+# ---------------------------------------------------------------------------
+
+
+def _events_sql(sql: str):
+    """Shared text; swap the epoch fn for Spark (q_event_sessions idiom)."""
+    return _sql_query(
+        sql.replace("floor(epoch(ts))", "unix_timestamp(ts)"), ("events",)
+    )
+
+
+#: 30-min-gap sessionization (identical machinery to SESSIONS_SQL)
+_SESSIONS_CTE = """
+e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, min(ts) AS start_ts, count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+"""
+
+BOUNCE_SQL = f"""
+WITH {_SESSIONS_CTE}
+SELECT CAST(floor(start_ts / 86400) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS bounce_rate
+FROM per_session GROUP BY 1
+"""
+
+
+@stage(
+    "q_event_bounce_rate",
+    BOUNCE_SQL,
+    "daily bounce rate: share of 30-min-gap sessions containing exactly "
+    "one event — sessionization via lag + running-sum windows (the "
+    "q_event_sessions machinery) then an integer-exact daily rollup",
+)
+def q_event_bounce_rate(spark, sf_dir):
+    return _events_sql(BOUNCE_SQL)(spark, sf_dir)
+
+
+DWELL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ts
+           AS gap_s
+  FROM e
+)
+SELECT event_type,
+       CAST(count(gap_s) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       round(CAST(sum(gap_s) AS DOUBLE) / count(gap_s), 6) AS avg_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@stage(
+    "q_event_dwell_time",
+    DWELL_SQL,
+    "dwell time after each event type: seconds until the same user's "
+    "next event — lead window keyed by (ts, event_id) so simultaneous "
+    "events are deterministic; integer-exact sums, one rounded division",
+)
+def q_event_dwell_time(spark, sf_dir):
+    return _events_sql(DWELL_SQL)(spark, sf_dir)
+
+
+PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts
+  FROM events
+),
+tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY 1 HAVING count(*) >= 5
+"""
+
+
+@stage(
+    "q_event_path_top",
+    PATHS_SQL,
+    "frequent 3-step user journeys: event-type trigrams per user in "
+    "(ts, event_id) order with support >= 5 — both lead offsets share "
+    "one window sort; the support threshold replaces a top-k so no "
+    "count-tie ordering can flip the result",
+)
+def q_event_path_top(spark, sf_dir):
+    return _events_sql(PATHS_SQL)(spark, sf_dir)
+
+
+ENTROPY_SQL = """
+WITH t AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+),
+tot AS (SELECT sum(n) AS total FROM t)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       round(CAST(n AS DOUBLE) / total, 6) AS share,
+       round(-(CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total),
+             6) AS entropy_term
+FROM t, tot
+"""
+
+
+@stage(
+    "q_event_type_entropy",
+    ENTROPY_SQL,
+    "event-type distribution entropy, reported per type: share and "
+    "-p*ln(p) term from integer-exact counts — the terms stay per-row "
+    "(no cross-term float sum) so 6dp rounding is engine-stable; the "
+    "scalar total joins via a 1-row broadcast",
+)
+def q_event_type_entropy(spark, sf_dir):
+    return _events_sql(ENTROPY_SQL)(spark, sf_dir)
+
+
+HOUR_OF_WEEK_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, value FROM events
+)
+SELECT (CAST(floor(ts / 86400) AS BIGINT) + 4) % 7 AS dow,
+       CAST(floor(ts % 86400 / 3600) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100,
+             2) AS total_value
+FROM e GROUP BY 1, 2
+"""
+
+
+@stage(
+    "q_event_hour_of_week",
+    HOUR_OF_WEEK_SQL,
+    "hour-of-week activity grid: day-of-week from pure epoch arithmetic "
+    "((d+4)%7, Thursday-anchored) — sidesteps the engines' different "
+    "dayofweek() conventions entirely; values snap to integer cents "
+    "before summing so the totals are order-exact",
+)
+def q_event_hour_of_week(spark, sf_dir):
+    return _events_sql(HOUR_OF_WEEK_SQL)(spark, sf_dir)
+
+
+LIFESPAN_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST(floor(max(ts) / 86400) - floor(min(ts) / 86400) AS BIGINT)
+           AS span_days,
+         count(*) AS n
+  FROM e GROUP BY user_id
+)
+SELECT span_days,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM u GROUP BY span_days
+"""
+
+
+@stage(
+    "q_event_user_lifespan",
+    LIFESPAN_SQL,
+    "user lifespan histogram: whole days between a user's first and "
+    "last event (calendar-day aligned) — two integer aggregates, no "
+    "floats anywhere",
+)
+def q_event_user_lifespan(spark, sf_dir):
+    return _events_sql(LIFESPAN_SQL)(spark, sf_dir)
+
+
+PEAK_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts, user_id FROM events
+)
+SELECT CAST(ts - ts % 600 AS BIGINT) AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+@stage(
+    "q_event_peak_minutes",
+    PEAK_SQL,
+    "peak-load windows: 10-min buckets receiving >= 2 events, with "
+    "distinct-user concurrency — integer-only, the HAVING threshold "
+    "replaces a top-k so count ties cannot reorder the result",
+)
+def q_event_peak_minutes(spark, sf_dir):
+    return _events_sql(PEAK_SQL)(spark, sf_dir)
+
+
+INTERARRIVAL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS gap_s
+  FROM e
+)
+SELECT event_type,
+       CASE WHEN gap_s < 60 THEN 'a_under_1m'
+            WHEN gap_s < 600 THEN 'b_1m_10m'
+            WHEN gap_s < 3600 THEN 'c_10m_1h'
+            WHEN gap_s < 86400 THEN 'd_1h_1d'
+            ELSE 'e_over_1d' END AS band,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@stage(
+    "q_event_interarrival_bands",
+    INTERARRIVAL_SQL,
+    "inter-arrival time distribution: per-user gaps bucketed into "
+    "log-ish integer bands by preceding event type — band edges are "
+    "integer comparisons on integer seconds, fully order-exact",
+)
+def q_event_interarrival_bands(spark, sf_dir):
+    return _events_sql(INTERARRIVAL_SQL)(spark, sf_dir)
+
+
+FIRST_TOUCH_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts
+  FROM events
+),
+ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM e
+)
+SELECT event_type AS first_event_type,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ranked WHERE rn = 1
+GROUP BY 1
+"""
+
+
+@stage(
+    "q_event_first_touch",
+    FIRST_TOUCH_SQL,
+    "first-touch attribution: each user's earliest event type ((ts, "
+    "event_id)-deterministic) counted by type — the acquisition-channel "
+    "split every funnel report starts from",
+)
+def q_event_first_touch(spark, sf_dir):
+    return _events_sql(FIRST_TOUCH_SQL)(spark, sf_dir)
