@@ -1095,3 +1095,414 @@ GROUP BY 1
 )
 def q_event_first_touch(spark, sf_dir):
     return _events_sql(FIRST_TOUCH_SQL)(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis — parallel dialect texts (regex fns differ per engine)
+# ---------------------------------------------------------------------------
+
+# DuckDB regexp_replace replaces the FIRST match unless the 'g' flag is
+# passed; Spark replaces all matches. Both texts below are kept
+# op-for-op identical everywhere else.
+
+ARI_SQL = r"""
+WITH m AS (
+  SELECT doc_id, source,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_glyphs,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS n_words,
+         len(list_filter(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x) <> '')) AS n_sentences
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_glyphs AS BIGINT) AS n_glyphs,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       round((CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+         CAST(4.71 AS DOUBLE) * n_glyphs / n_words
+         + CAST(0.5 AS DOUBLE) * n_words / n_sentences
+         - CAST(21.43 AS DOUBLE) END) * 1000000) / 1000000 AS ari
+FROM m
+"""
+
+ARI_SPARK_SQL = r"""
+WITH m AS (
+  SELECT doc_id, source,
+         length(regexp_replace(text, '\\s', '')) AS n_glyphs,
+         size(filter(split(trim(lower(text)), '\\s+'),
+                     x -> x <> '')) AS n_words,
+         size(filter(split(text, '[.!?]+'),
+                     x -> trim(x) <> '')) AS n_sentences
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_glyphs AS BIGINT) AS n_glyphs,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       round((CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+         CAST(4.71 AS DOUBLE) * n_glyphs / n_words
+         + CAST(0.5 AS DOUBLE) * n_words / n_sentences
+         - CAST(21.43 AS DOUBLE) END) * 1000000) / 1000000 AS ari
+FROM m
+"""
+
+
+@stage(
+    "text_ari_readability",
+    ARI_SQL,
+    "automated readability index per doc: glyphs/words + words/"
+    "sentences from exact integer counts, the closed form evaluated "
+    "op-for-op identically (explicit DOUBLE literals — Spark parses "
+    "bare 4.71 as DECIMAL) and rounded 6dp — a quality-gate signal "
+    "next to the Gopher-style ratios",
+)
+def q_text_ari_readability(spark, sf_dir):
+    return _sql_query(ARI_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+SENTENCE_STATS_SQL = r"""
+WITH m AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS n_words,
+         len(list_filter(string_split_regex(text, '[.!?]+'),
+                         x -> trim(x) <> '')) AS n_sentences
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sentences) AS BIGINT) AS total_sentences,
+       round(CAST(sum(n_sentences) AS DOUBLE) / count(*), 6)
+         AS sentences_per_doc,
+       round(CAST(sum(n_words) AS DOUBLE) / sum(n_sentences), 6)
+         AS words_per_sentence
+FROM m GROUP BY source
+"""
+
+SENTENCE_STATS_SPARK_SQL = r"""
+WITH m AS (
+  SELECT source,
+         size(filter(split(trim(lower(text)), '\\s+'),
+                     x -> x <> '')) AS n_words,
+         size(filter(split(text, '[.!?]+'),
+                     x -> trim(x) <> '')) AS n_sentences
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_sentences) AS BIGINT) AS total_sentences,
+       round(CAST(sum(n_sentences) AS DOUBLE) / count(*), 6)
+         AS sentences_per_doc,
+       round(CAST(sum(n_words) AS DOUBLE) / sum(n_sentences), 6)
+         AS words_per_sentence
+FROM m GROUP BY source
+"""
+
+
+@stage(
+    "text_sentence_stats",
+    SENTENCE_STATS_SQL,
+    "per-source sentence structure: sentences/doc and words/sentence "
+    "from integer-exact sentence and token counts — corpus-profiling "
+    "signal for source mixture decisions",
+)
+def q_text_sentence_stats(spark, sf_dir):
+    return _sql_query(SENTENCE_STATS_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+CHAR_CLASS_SQL = r"""
+WITH m AS (
+  SELECT lang,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           AS n_alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digit,
+         length(text) - length(regexp_replace(text, '\s', '', 'g'))
+           AS n_space
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_alpha) AS DOUBLE) / sum(n), 6) AS alpha_ratio,
+       round(CAST(sum(n_digit) AS DOUBLE) / sum(n), 6) AS digit_ratio,
+       round(CAST(sum(n_space) AS DOUBLE) / sum(n), 6) AS space_ratio,
+       round(CAST(sum(n - n_alpha - n_digit - n_space) AS DOUBLE) / sum(n),
+             6) AS other_ratio
+FROM m GROUP BY lang
+"""
+
+CHAR_CLASS_SPARK_SQL = r"""
+WITH m AS (
+  SELECT lang,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', ''))
+           AS n_alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', ''))
+           AS n_digit,
+         length(text) - length(regexp_replace(text, '\\s', ''))
+           AS n_space
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_alpha) AS DOUBLE) / sum(n), 6) AS alpha_ratio,
+       round(CAST(sum(n_digit) AS DOUBLE) / sum(n), 6) AS digit_ratio,
+       round(CAST(sum(n_space) AS DOUBLE) / sum(n), 6) AS space_ratio,
+       round(CAST(sum(n - n_alpha - n_digit - n_space) AS DOUBLE) / sum(n),
+             6) AS other_ratio
+FROM m GROUP BY lang
+"""
+
+
+@stage(
+    "text_char_class_profile",
+    CHAR_CLASS_SQL,
+    "character-class composition per language: ASCII-letter / digit / "
+    "whitespace / other shares from exact delete-and-diff counts "
+    "(length minus length-after-removal, so no per-char explode) — "
+    "non-Latin scripts legitimately show near-zero alpha_ratio",
+)
+def q_text_char_class_profile(spark, sf_dir):
+    return _sql_query(CHAR_CLASS_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT lang, unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1]))
+           AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+BIGRAMS_SPARK_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         filter(split(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT lang, explode(transform(sequence(1, size(t) - 1),
+                 i -> concat(element_at(t, i), ' ', element_at(t, i + 1))))
+           AS bigram
+  FROM toks WHERE size(t) >= 2
+)
+SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+@stage(
+    "text_top_bigrams_per_lang",
+    BIGRAMS_SQL,
+    "frequent word bigrams per language (support >= 3): adjacent-token "
+    "pairs built inside the token array (1-based element_at on both "
+    "engines) so no positional self-join is needed — the n-gram "
+    "collocation surface one step up from text_collocations' PMI",
+)
+def q_text_top_bigrams_per_lang(spark, sf_dir):
+    return _sql_query(BIGRAMS_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+WHITESPACE_SQL = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN contains(text, '  ') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_double_space,
+       CAST(sum(CASE WHEN regexp_matches(text, '[\t\n\r]') THEN 1 ELSE 0
+                END) AS BIGINT) AS n_ctrl_ws,
+       CAST(sum(CASE WHEN text <> trim(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_untrimmed
+FROM documents GROUP BY source
+"""
+
+WHITESPACE_SPARK_SQL = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN contains(text, '  ') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_double_space,
+       CAST(sum(CASE WHEN text RLIKE '[\t\n\r]' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ctrl_ws,
+       CAST(sum(CASE WHEN text <> trim(text) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_untrimmed
+FROM documents GROUP BY source
+"""
+
+
+@stage(
+    "text_whitespace_anomalies",
+    WHITESPACE_SQL,
+    "whitespace hygiene per source: docs with doubled spaces, control "
+    "whitespace, or untrimmed edges — integer-only flags feeding the "
+    "cleaning stage of the corpus pipeline",
+)
+def q_text_whitespace_anomalies(spark, sf_dir):
+    return _sql_query(WHITESPACE_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+FIRST_TOKEN_SQL = """
+WITH f AS (
+  SELECT lower(split_part(trim(text), ' ', 1)) AS first_tok
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT first_tok, CAST(count(*) AS BIGINT) AS n_docs
+FROM f GROUP BY 1 HAVING count(*) >= 3
+"""
+
+
+@stage(
+    "text_first_token_profile",
+    FIRST_TOKEN_SQL,
+    "document opener distribution: lowercased first token (split_part "
+    "is 1-based in both engines) with support >= 3 — skewed openers "
+    "flag templated/boilerplate sources",
+)
+def q_text_first_token_profile(spark, sf_dir):
+    return _sql_query(FIRST_TOKEN_SQL, ("documents",))(spark, sf_dir)
+
+
+NUMERIC_BANDS_SQL = r"""
+WITH m AS (
+  SELECT source,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS d
+  FROM documents WHERE length(text) > 0
+)
+SELECT source,
+       CASE WHEN d = 0 THEN 'a_none'
+            WHEN d * 100 < n * 2 THEN 'b_under_2pct'
+            WHEN d * 100 < n * 10 THEN 'c_2_10pct'
+            ELSE 'd_over_10pct' END AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d) AS BIGINT) AS total_digits
+FROM m GROUP BY 1, 2
+"""
+
+NUMERIC_BANDS_SPARK_SQL = r"""
+WITH m AS (
+  SELECT source,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[0-9]', ''))
+           AS d
+  FROM documents WHERE length(text) > 0
+)
+SELECT source,
+       CASE WHEN d = 0 THEN 'a_none'
+            WHEN d * 100 < n * 2 THEN 'b_under_2pct'
+            WHEN d * 100 < n * 10 THEN 'c_2_10pct'
+            ELSE 'd_over_10pct' END AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d) AS BIGINT) AS total_digits
+FROM m GROUP BY 1, 2
+"""
+
+
+@stage(
+    "text_numeric_density_bands",
+    NUMERIC_BANDS_SQL,
+    "digit-density distribution per source: docs bucketed by digit "
+    "share with cross-multiplied integer band edges (d*100 < n*2 — no "
+    "float ratio ever decides a bucket), a table-heavy-content signal",
+)
+def q_text_numeric_density_bands(spark, sf_dir):
+    return _sql_query(NUMERIC_BANDS_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings — duplicate vectors + per-label norm profile
+# ---------------------------------------------------------------------------
+
+EMB_SIGN_SQL = """
+WITH b AS (
+  SELECT vec_id, label,
+         list_aggregate(list_transform(embedding[1:8],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END),
+           'string_agg', '') AS bucket
+  FROM embeddings
+)
+SELECT bucket,
+       CAST(min(vec_id) AS BIGINT) AS rep_vec_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+FROM b GROUP BY bucket
+"""
+
+
+@stage(
+    "emb_sign_sketch_buckets",
+    EMB_SIGN_SQL,
+    "axis-aligned sign-sketch bucket audit: each vector keyed by the "
+    "sign pattern of its first 8 dims (256 buckets — the degenerate "
+    "1-bit-per-axis LSH), reporting occupancy and label spread per "
+    "bucket; sign of a raw parquet float is bit-exact in both engines, "
+    "and skewed occupancy here predicts hot LSH buckets at scale",
+)
+def q_emb_sign_sketch_buckets(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        "concat_ws('', transform(slice(embedding, 1, 8), "
+        "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"
+    )
+    return (
+        emb.select(bucket.alias("bucket"), "vec_id", "label")
+        .groupBy("bucket")
+        .agg(
+            F.min("vec_id").cast("bigint").alias("rep_vec_id"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+    )
+
+
+EMB_NORM_LABEL_SQL = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) *
+                                           CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       round(sum(nrm) / count(*), 6) AS mean_norm
+FROM n GROUP BY label
+"""
+
+
+@stage(
+    "emb_norm_by_label",
+    EMB_NORM_LABEL_SQL,
+    "L2-norm profile per class label: per-row norms fold the float "
+    "array in index order on both engines (aggregate/list_sum), "
+    "extremes and mean rounded 6dp — detects per-class normalization "
+    "drift before cosine similarity assumes unit vectors",
+)
+def q_emb_norm_by_label(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return (
+        emb.select(F.col("label").cast("bigint").alias("label"), sq.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.sum("nrm") / F.count("*"), 6).alias("mean_norm"),
+        )
+    )
