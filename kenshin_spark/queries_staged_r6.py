@@ -1506,3 +1506,111 @@ def q_emb_norm_by_label(spark, sf_dir):
             F.round(F.sum("nrm") / F.count("*"), 6).alias("mean_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline + multimodal — the last two rows of the round-6 window
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT source, count(*) AS n_docs, sum(n_tok) AS toks
+  FROM t GROUP BY source
+),
+tot AS (SELECT sum(toks) AS total, count(*) AS n_sources FROM s)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(toks AS BIGINT) AS n_tokens,
+       round(CAST(toks AS DOUBLE) / total, 6) AS token_share,
+       round(CAST(toks * n_sources AS DOUBLE) / total, 6)
+         AS vs_uniform_target
+FROM s, tot
+"""
+
+TOKEN_BUDGET_SPARK_SQL = r"""
+WITH t AS (
+  SELECT source,
+         size(filter(split(trim(text), '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT source, count(*) AS n_docs, sum(n_tok) AS toks
+  FROM t GROUP BY source
+),
+tot AS (SELECT sum(toks) AS total, count(*) AS n_sources FROM s)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(toks AS BIGINT) AS n_tokens,
+       round(CAST(toks AS DOUBLE) / total, 6) AS token_share,
+       round(CAST(toks * n_sources AS DOUBLE) / total, 6)
+         AS vs_uniform_target
+FROM s, tot
+"""
+
+
+@stage(
+    "pipeline_token_budget",
+    TOKEN_BUDGET_SQL,
+    "token-budget allocation audit: whitespace-token counts per source, "
+    "each source's share of the corpus, and its over/under-sampling "
+    "factor against a uniform mixture target — integer-exact counts, "
+    "the two ratios rounded 6dp; the report that drives source "
+    "up/down-weighting before training",
+)
+def q_pipeline_token_budget(spark, sf_dir):
+    return _sql_query(TOKEN_BUDGET_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+MODALITY_MIX_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image'
+                         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT modality,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes
+FROM p GROUP BY modality
+"""
+
+
+@stage(
+    "mm_modality_mix",
+    MODALITY_MIX_SQL,
+    "multimodal corpus composition: opaque binary payloads bucketed by "
+    "modality (deterministic doc_id routing — the stand-in for a real "
+    "MIME column) with byte-volume stats per modality; the Spark side "
+    "runs through the real binary payload column (attach_fake_payload) "
+    "so octet_length counts utf-8 bytes, not characters, on both "
+    "engines",
+)
+def q_mm_modality_mix(spark, sf_dir):
+    from kenshin_spark.multimodal import attach_fake_payload
+
+    docs = attach_fake_payload(load_table(spark, sf_dir, "documents"))
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return (
+        docs.select(modality.alias("modality"),
+                    F.octet_length("payload").alias("n_bytes"))
+        .groupBy("modality")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("n_bytes").cast("bigint").alias("min_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+    )
