@@ -77,3 +77,33 @@ def test_staged_r6_plan_antipatterns(spark, name):
     )
     assert "BatchEvalPython" not in p, f"{name} uses a row-Python UDF"
     assert "CartesianProduct" not in p, f"{name} has a cartesian join"
+
+
+FLOAT_SENSITIVE = [
+    # rank/threshold/mean outputs that pass through float aggregation —
+    # must be identical under different shuffle partition counts
+    # (different summation orders) or the driver row would be flaky
+    "render_most_deviant",
+    "render_average_above",
+    "render_summarize_avg",
+    "render_stddev_series",
+    "render_n_percentile",
+    "emb_norm_by_label",
+    "text_ari_readability",
+    "q_quantity_price_corr",
+    "q_abc_analysis",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_SENSITIVE)
+def test_float_sensitive_r6_queries_partition_stable(spark, name):
+    spec = STAGED_R6[name]
+    base = canon(spec.fn(spark, SF_DIR).toPandas())
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            again = canon(spec.fn(spark, SF_DIR).toPandas())
+            assert base.equals(again), f"{name} unstable at {parts} parts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
