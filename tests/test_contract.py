@@ -67,3 +67,31 @@ def test_driver_order_fronts_unverified():
         "promote driver-verified names before adding more"
     )
     assert order[: len(unverified)] == unverified  # all fronted
+
+
+def test_promotion_dry_run_window_arithmetic():
+    """Simulate the round-5 and round-6 promotions on COPIES of the
+    registries (no module state touched): after each promotion the
+    never-verified set must exactly fill — and not overflow — the
+    50-slot window, and no name may collide across banks."""
+    from kenshin_spark.queries import DRIVER_VERIFIED, QUERIES
+    from kenshin_spark.queries_staged import STAGED
+    from kenshin_spark.queries_staged_r6 import STAGED_R6
+
+    assert not set(QUERIES) & set(STAGED)
+    assert not set(QUERIES) & set(STAGED_R6)
+    assert not set(STAGED) & set(STAGED_R6)
+
+    # round 5: CORRECTNESS_r04 verifies the current window, STAGED joins
+    r5_registry = set(QUERIES) | set(STAGED)
+    r5_verified = set(DRIVER_VERIFIED) | set(QUERIES)
+    r5_unverified = r5_registry - r5_verified
+    assert r5_unverified == set(STAGED)
+    assert len(r5_unverified) == DRIVER_WINDOW
+
+    # round 6: CORRECTNESS_r05 verifies STAGED, STAGED_R6 joins
+    r6_registry = r5_registry | set(STAGED_R6)
+    r6_verified = r5_verified | set(STAGED)
+    r6_unverified = r6_registry - r6_verified
+    assert r6_unverified == set(STAGED_R6)
+    assert len(r6_unverified) == DRIVER_WINDOW
