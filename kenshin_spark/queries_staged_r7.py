@@ -1,0 +1,443 @@
+"""Third staged bank — oracle-verified now, registered in ROUND 7.
+
+Same mechanism as ``queries_staged`` (round 5) and ``queries_staged_r6``
+(round 6): held out of ``queries.QUERIES`` until the driver's 50-slot
+never-verified window frees up, gated by the identical Spark-vs-DuckDB
+check (``tests/test_queries_staged_r7.py``). This bank is sized by idea
+quality, not window arithmetic — the driver backfills unused slots with
+verified queries.
+
+Float discipline is the house style (see queries.py header), plus the
+round-6 lessons: floor() before any bucketing division (DuckDB CASTs
+DOUBLE->BIGINT by rounding, Spark truncates), round scale>2 DECIMALs
+before the DOUBLE cast, and the explicit round(x*1e6)/1e6 scale-round
+for per-row float outputs near 6dp boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kenshin_spark.io import load_table
+from kenshin_spark.operators.align import last_write_wins
+from kenshin_spark.queries import (
+    PTS,
+    LWW60,
+    QuerySpec,
+    _points,
+    _sql_query,
+)
+from kenshin_spark.queries_staged_r6 import LWW3600
+
+STAGED_R7: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        STAGED_R7[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _grid60(spark, sf_dir):
+    return last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+
+
+def _grid3600(spark, sf_dir):
+    return last_write_wins(_points(spark, sf_dir), 3600, arrival_col="arrival")
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics
+# ---------------------------------------------------------------------------
+
+MEAN_CROSS_SQL = f"""
+WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+d AS (
+  SELECT metric, ts,
+         value - avg(value) OVER (PARTITION BY metric ORDER BY ts
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS diff
+  FROM t0
+),
+s AS (
+  SELECT metric, ts, diff,
+         lag(diff) OVER (PARTITION BY metric ORDER BY ts) AS prev
+  FROM d
+)
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND
+                          ((diff >= 0) <> (prev >= 0)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_crossings
+FROM s GROUP BY metric
+"""
+
+
+@stage(
+    "ts_mean_crossings",
+    MEAN_CROSS_SQL,
+    "oscillation diagnostic: how often each series crosses its own "
+    "trailing 5-slot mean (mean-reversion vs trending behavior) — the "
+    "sign test compares values units away from the mean, ~15 orders of "
+    "magnitude above the <=5-addend window-sum noise, so the crossing "
+    "count is engine-stable; one window shuffle co-partitioned by metric",
+)
+def q_ts_mean_crossings(spark, sf_dir):
+    from pyspark.sql import Window
+
+    grid = _grid3600(spark, sf_dir)
+    w5 = Window.partitionBy("metric").orderBy("ts").rowsBetween(-4, 0)
+    w = Window.partitionBy("metric").orderBy("ts")
+    d = grid.select(
+        "metric", "ts", (F.col("value") - F.avg("value").over(w5)).alias("diff")
+    ).select("metric", "ts", "diff", F.lag("diff").over(w).alias("prev"))
+    crossed = (
+        F.col("prev").isNotNull()
+        & ((F.col("diff") >= 0) != (F.col("prev") >= 0))
+    )
+    return d.groupBy("metric").agg(
+        F.count("*").cast("bigint").alias("n_slots"),
+        F.sum(F.when(crossed, 1).otherwise(0)).cast("bigint")
+        .alias("n_crossings"),
+    )
+
+
+ACF1_SQL = f"""
+WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+mu AS (
+  SELECT metric, round(avg(value), 6) AS m FROM t0 GROUP BY metric
+),
+c AS (
+  SELECT t0.metric, ts, value - m AS x
+  FROM t0 JOIN mu ON t0.metric = mu.metric
+),
+p AS (
+  SELECT metric, x,
+         lead(x) OVER (PARTITION BY metric ORDER BY ts) AS nx
+  FROM c
+)
+SELECT metric,
+       round(sum(CASE WHEN nx IS NOT NULL THEN x * nx ELSE CAST(0 AS DOUBLE)
+                 END) / sum(x * x), 4) AS acf1
+FROM p GROUP BY metric
+"""
+
+
+@stage(
+    "ts_autocorr_lag1",
+    ACF1_SQL,
+    "lag-1 autocorrelation per series (is the next hour predictable "
+    "from this one): the mean is ROUNDED to 6dp before centering (the "
+    "ts_trend_slope discipline) so both engines center on identical "
+    "operands; the product sums carry ~1e-12 association noise and the "
+    "ratio is 4dp-rounded, orders of magnitude above it",
+)
+def q_ts_autocorr_lag1(spark, sf_dir):
+    from pyspark.sql import Window
+
+    grid = _grid3600(spark, sf_dir)
+    mu = grid.groupBy("metric").agg(F.round(F.avg("value"), 6).alias("m"))
+    c = grid.join(F.broadcast(mu), "metric").select(
+        "metric", "ts", (F.col("value") - F.col("m")).alias("x")
+    )
+    w = Window.partitionBy("metric").orderBy("ts")
+    p = c.select("metric", "x", F.lead("x").over(w).alias("nx"))
+    return p.groupBy("metric").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("nx").isNotNull(), F.col("x") * F.col("nx"))
+                .otherwise(F.lit(0.0))
+            )
+            / F.sum(F.col("x") * F.col("x")),
+            4,
+        ).alias("acf1")
+    )
+
+
+DAILY_SPREAD_SQL = f"""
+WITH pts AS ({PTS}), t0 AS ({LWW60})
+SELECT metric,
+       CAST(ts - ts % 86400 AS BIGINT) AS day_ts,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       min(value) AS day_min,
+       max(value) AS day_max,
+       max(value) - min(value) AS day_spread
+FROM t0 GROUP BY 1, 2
+"""
+
+
+@stage(
+    "ts_daily_spread",
+    DAILY_SPREAD_SQL,
+    "daily min/max envelope per metric (the y-range feed for calendar "
+    "heatmaps): integer day alignment + order-free double extremes — "
+    "the subtraction of two exact doubles is the only arithmetic",
+)
+def q_ts_daily_spread(spark, sf_dir):
+    grid = _grid60(spark, sf_dir)
+    return grid.groupBy(
+        "metric",
+        (F.col("ts") - F.col("ts") % 86400).cast("bigint").alias("day_ts"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_slots"),
+        F.min("value").alias("day_min"),
+        F.max("value").alias("day_max"),
+        (F.max("value") - F.min("value")).alias("day_spread"),
+    )
+
+
+OCCUPANCY_SQL = f"""
+WITH pts AS ({PTS}), t0 AS ({LWW60}),
+s AS (
+  SELECT metric, count(*) AS n_obs,
+         (max(ts) - min(ts)) / 60 + 1 AS span_slots
+  FROM t0 GROUP BY metric
+)
+SELECT metric,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(span_slots AS BIGINT) AS span_slots,
+       round(CAST(n_obs AS DOUBLE) / span_slots, 6) AS occupancy
+FROM s
+"""
+
+
+@stage(
+    "ts_occupancy",
+    OCCUPANCY_SQL,
+    "grid occupancy per metric: observed 60s slots over the slot span "
+    "between first and last point — the sparseness signal that decides "
+    "whether a series belongs in the hot tier; ts is pre-aligned so the "
+    "span division is exact integer arithmetic",
+)
+def q_ts_occupancy(spark, sf_dir):
+    grid = _grid60(spark, sf_dir)
+    s = grid.groupBy("metric").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        ((F.max("ts") - F.min("ts")) / 60 + 1).cast("bigint")
+        .alias("span_slots"),
+    )
+    return s.select(
+        "metric",
+        "n_obs",
+        "span_slots",
+        F.round(
+            F.col("n_obs").cast("double") / F.col("span_slots"), 6
+        ).alias("occupancy"),
+    )
+
+
+STALENESS_SQL = f"""
+WITH pts AS ({PTS}),
+last AS (
+  SELECT metric, max(ts) AS last_ts,
+         sum(CASE WHEN ts >= (SELECT max(ts) FROM pts) - 86400
+                  THEN 1 ELSE 0 END) AS n_last_day
+  FROM pts GROUP BY metric
+),
+now_t AS (SELECT max(ts) AS now FROM pts)
+SELECT metric,
+       CAST(last_ts AS BIGINT) AS last_ts,
+       CAST(now - last_ts AS BIGINT) AS age_s,
+       CAST(n_last_day AS BIGINT) AS n_last_day
+FROM last, now_t
+"""
+
+
+@stage(
+    "ts_staleness",
+    STALENESS_SQL,
+    "staleness report per metric: seconds since last arrival relative "
+    "to the stream head, plus last-day arrival count — the dead-sensor "
+    "dashboard; the scalar 'now' joins as a 1-row broadcast, all "
+    "integer arithmetic",
+)
+def q_ts_staleness(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    now = pts.agg(F.max("ts").alias("now"))
+    # the day-window count needs the scalar head — one pass over points
+    joined = pts.crossJoin(F.broadcast(now))
+    return (
+        joined.groupBy("metric")
+        .agg(
+            F.max("ts").cast("bigint").alias("last_ts"),
+            F.max("now").alias("_now"),
+            F.sum(
+                F.when(F.col("ts") >= F.col("now") - 86400, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_last_day"),
+        )
+        .select(
+            "metric",
+            "last_ts",
+            (F.col("_now") - F.col("last_ts")).cast("bigint").alias("age_s"),
+            "n_last_day",
+        )
+    )
+
+
+TOP_CHANGE_SQL = f"""
+WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+d AS (
+  SELECT metric, ts,
+         value - lag(value) OVER (PARTITION BY metric ORDER BY ts) AS delta
+  FROM t0
+),
+rk AS (
+  SELECT metric, ts, delta,
+         row_number() OVER (PARTITION BY metric
+                            ORDER BY abs(delta) DESC, ts) AS rn
+  FROM d WHERE delta IS NOT NULL
+)
+SELECT metric, CAST(ts AS BIGINT) AS ts, delta
+FROM rk WHERE rn = 1
+"""
+
+
+@stage(
+    "ts_top_changepoint",
+    TOP_CHANGE_SQL,
+    "largest hour-over-hour jump per metric (level-shift candidate "
+    "pointer): |delta| ranked with an explicit (|delta| DESC, ts) "
+    "row_number so equal jumps resolve identically in both engines — "
+    "exact double comparisons, no arithmetic beyond the lag subtraction",
+)
+def q_ts_top_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    grid = _grid3600(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("ts")
+    d = grid.select(
+        "metric", "ts", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    ).where(F.col("delta").isNotNull())
+    rk = Window.partitionBy("metric").orderBy(
+        F.abs("delta").desc(), F.col("ts")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(rk))
+        .where("rn = 1")
+        .select("metric", F.col("ts").cast("bigint").alias("ts"), "delta")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Render — the remaining selection/naming functions
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "render_minimum_above",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    floor_t AS (SELECT min(value) AS fleet_floor FROM t0),
+    keep AS (
+      SELECT metric FROM t0, floor_t
+      GROUP BY metric, fleet_floor HAVING min(value) > fleet_floor
+    )
+    SELECT t0.metric, ts, value FROM t0 JOIN keep ON t0.metric = keep.metric
+    """,
+    "graphite minimumAbove(series_list, n) with the fleet floor as the "
+    "bar: keep every series whose own floor sits above the global "
+    "minimum — raw-double comparisons only (no arithmetic), so the "
+    "selection is exact at any SF; per-series mins broadcast back",
+)
+def q_render_minimum_above(spark, sf_dir):
+    from kenshin_spark.functions.render import minimum_above
+
+    grid = _grid60(spark, sf_dir)
+    fleet_floor = grid.agg(F.min("value")).first()[0]
+    return minimum_above(grid, float(fleet_floor))
+
+
+@stage(
+    "render_average_below",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+    keep AS (
+      SELECT metric FROM t0 GROUP BY metric HAVING avg(value) < 50.0
+    )
+    SELECT t0.metric, ts, value FROM t0 JOIN keep ON t0.metric = keep.metric
+    """,
+    "graphite averageBelow(series_list, 50): the inverse selection of "
+    "averageAbove — per-series hourly means sit units away from the "
+    "bar (noise ~1e-11), so the filter is engine- and partition-stable",
+)
+def q_render_average_below(spark, sf_dir):
+    from kenshin_spark.functions.render import average_below
+
+    return average_below(_grid3600(spark, sf_dir), 50.0)
+
+
+@stage(
+    "render_current_above",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+    cur AS (
+      SELECT metric, arg_max(value, ts) AS cur
+      FROM t0 WHERE value IS NOT NULL GROUP BY metric
+    )
+    SELECT t0.metric, ts, value
+    FROM t0 JOIN cur ON t0.metric = cur.metric
+    WHERE cur.cur > 15.0
+    """,
+    "graphite currentAbove(series_list, 15): selection by the freshest "
+    "reading — max_by/arg_max on the (unique per series) hourly slot "
+    "key, raw-double threshold, no arithmetic anywhere",
+)
+def q_render_current_above(spark, sf_dir):
+    from kenshin_spark.functions.render import current_above
+
+    return current_above(_grid3600(spark, sf_dir), 15.0)
+
+
+@stage(
+    "render_limit_alias",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW3600}),
+    keep AS (
+      SELECT DISTINCT metric FROM t0 ORDER BY metric LIMIT 3
+    )
+    SELECT regexp_replace(t0.metric, '^(click|error)', 'ui.\\1') AS metric,
+           ts, value
+    FROM t0 JOIN keep ON t0.metric = keep.metric
+    """,
+    "graphite aliasSub(limit(series_list, 3), '^(click|error)', "
+    "'ui.\\1'): deterministic name-order truncation then regex rename "
+    "— backreference syntax differs per engine ($1 Spark, \\1 DuckDB) "
+    "but the rewritten names are identical",
+)
+def q_render_limit_alias(spark, sf_dir):
+    from kenshin_spark.functions.render import alias_sub, limit_series
+
+    return alias_sub(
+        limit_series(_grid3600(spark, sf_dir), 3), "^(click|error)", "ui.$1"
+    )
+
+
+@stage(
+    "render_alias_by_node",
+    f"""
+    WITH pts0 AS ({PTS}),
+    pts AS (
+      SELECT 'stream.' || metric || '.rate' AS metric, ts, value, arrival
+      FROM pts0
+    ),
+    t0 AS ({LWW3600})
+    SELECT string_split(metric, '.')[2] AS metric, ts, value
+    FROM t0
+    """,
+    "graphite aliasByNode(series, 1): keep one dotted-path segment as "
+    "the display name (0-based node index; 1-based array access in "
+    "both engines) — dotted paths synthesized the render_group_by_node "
+    "way; values untouched",
+)
+def q_render_alias_by_node(spark, sf_dir):
+    from kenshin_spark.functions.render import alias_by_node
+
+    pts = _points(spark, sf_dir).withColumn(
+        "metric", F.concat(F.lit("stream."), F.col("metric"), F.lit(".rate"))
+    )
+    grid = last_write_wins(pts, 3600, arrival_col="arrival")
+    return alias_by_node(grid, 1)
