@@ -441,3 +441,288 @@ def q_render_alias_by_node(spark, sf_dir):
     )
     grid = last_write_wins(pts, 3600, arrival_col="arrival")
     return alias_by_node(grid, 1)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream rows (shared SQL, epoch-fn swap)
+# ---------------------------------------------------------------------------
+
+
+def _events_sql(sql: str):
+    return _sql_query(
+        sql.replace("floor(epoch(ts))", "unix_timestamp(ts)"), ("events",)
+    )
+
+
+HOLDOUT_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+)
+SELECT arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion
+FROM u GROUP BY arm
+"""
+
+
+@stage(
+    "q_event_holdout_lift",
+    HOLDOUT_SQL,
+    "A/B scaffold: users deterministically split into two arms "
+    "(user_id parity — the hash-route stand-in), per-arm purchase "
+    "conversion from integer-exact counts with one rounded division — "
+    "the uplift readout every experiment pipeline ends in",
+)
+def q_event_holdout_lift(spark, sf_dir):
+    return _events_sql(HOLDOUT_SQL)(spark, sf_dir)
+
+
+SESSION_DEPTH_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_id
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+),
+depth AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       round(quantile_cont(n_events, 0.5), 6) AS p50_depth,
+       round(quantile_cont(n_events, 0.9), 6) AS p90_depth,
+       round(quantile_cont(n_events, 0.99), 6) AS p99_depth
+FROM depth
+"""
+
+SESSION_DEPTH_SPARK_SQL = SESSION_DEPTH_SQL.replace(
+    "floor(epoch(ts))", "unix_timestamp(ts)"
+).replace("quantile_cont(n_events,", "percentile(n_events,")
+
+
+@stage(
+    "q_event_session_depth",
+    SESSION_DEPTH_SQL,
+    "session-depth percentiles: events per 30-min-gap session at "
+    "p50/p90/p99 — Spark `percentile` and DuckDB `quantile_cont` share "
+    "R-7 linear interpolation over identical integer depths (the "
+    "q_price_percentiles contract)",
+)
+def q_event_session_depth(spark, sf_dir):
+    return _sql_query(SESSION_DEPTH_SPARK_SQL, ("events",))(spark, sf_dir)
+
+
+STREAK_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+runs AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id
+                                 ORDER BY rn) AS grp
+  FROM e WHERE event_type = 'error'
+),
+streaks AS (
+  SELECT user_id, count(*) AS streak_len
+  FROM runs GROUP BY user_id, grp
+),
+per_user AS (
+  SELECT user_id, max(streak_len) AS max_streak FROM streaks
+  GROUP BY user_id
+)
+SELECT CAST(max_streak AS BIGINT) AS max_streak,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY max_streak
+"""
+
+
+@stage(
+    "q_event_error_streaks",
+    STREAK_SQL,
+    "error-burst histogram: each user's longest run of consecutive "
+    "error events (gaps-and-islands on the (ts, event_id)-ordered "
+    "stream), bucketed by streak length — pure integer window "
+    "arithmetic, the incident-detection shape",
+)
+def q_event_error_streaks(spark, sf_dir):
+    return _sql_query(
+        STREAK_SQL, ("events",)
+    )(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse rows
+# ---------------------------------------------------------------------------
+
+VALUE_BANDS_SQL = """
+SELECT c_mktsegment,
+       CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) < 100000 THEN 'a_under_100k'
+            WHEN CAST(o_totalprice AS DECIMAL(18,2)) < 250000 THEN 'b_100_250k'
+            WHEN CAST(o_totalprice AS DECIMAL(18,2)) < 400000 THEN 'c_250_400k'
+            ELSE 'd_over_400k' END AS value_band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+@stage(
+    "q_order_value_bands",
+    VALUE_BANDS_SQL,
+    "order-value bands by market segment: DECIMAL band edges (no float "
+    "compare can straddle a boundary) over the broadcast customer "
+    "dimension, DECIMAL-exact revenue per cell",
+)
+def q_order_value_bands(spark, sf_dir):
+    return _sql_query(VALUE_BANDS_SQL, ("orders", "customer"))(spark, sf_dir)
+
+
+NEW_CUSTOMERS_SQL = """
+WITH first_order AS (
+  SELECT o_custkey,
+         min(CAST(year(o_orderdate) AS BIGINT) * 100
+             + CAST(month(o_orderdate) AS BIGINT)) AS first_month
+  FROM orders GROUP BY o_custkey
+),
+m AS (
+  SELECT first_month, count(*) AS n_new FROM first_order GROUP BY 1
+)
+SELECT first_month,
+       CAST(n_new AS BIGINT) AS n_new_customers,
+       CAST(sum(n_new) OVER (ORDER BY first_month) AS BIGINT)
+         AS cumulative_customers
+FROM m
+"""
+
+
+@stage(
+    "q_cumulative_new_customers",
+    NEW_CUSTOMERS_SQL,
+    "customer-acquisition curve: first-order month per customer "
+    "(yyyymm integer key), new customers per month, and the running "
+    "total — integer-only, the window runs over the month-level "
+    "aggregate",
+)
+def q_cumulative_new_customers(spark, sf_dir):
+    return _sql_query(NEW_CUSTOMERS_SQL, ("orders",))(spark, sf_dir)
+
+
+REPEAT_RATE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+),
+joined AS (
+  SELECT n_nationkey, n_name, n_orders
+  FROM per_cust
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_buyers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS repeat_rate
+FROM joined GROUP BY n_name
+"""
+
+
+@stage(
+    "q_repeat_customer_rate",
+    REPEAT_RATE_SQL,
+    "repeat-purchase rate per nation: buyers with >= 2 orders over all "
+    "buyers — per-customer counts shuffle once, dimensions broadcast, "
+    "one rounded division per nation",
+)
+def q_repeat_customer_rate(spark, sf_dir):
+    return _sql_query(REPEAT_RATE_SQL, ("orders", "customer", "nation"))(
+        spark, sf_dir
+    )
+
+
+ORDER_DOW_SQL = """
+WITH o AS (
+  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT (CAST(floor(ts / 86400) AS BIGINT) + 4) % 7 AS dow,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(price) AS DOUBLE), 2) AS revenue
+FROM o GROUP BY 1
+"""
+
+
+@stage(
+    "q_order_dow_profile",
+    ORDER_DOW_SQL,
+    "order placement by day of week: epoch-arithmetic dow ((d+4)%7, "
+    "Thursday-anchored — the engines' dayofweek() conventions differ) "
+    "with DECIMAL-exact revenue — the weekly staffing/capacity profile",
+)
+def q_order_dow_profile(spark, sf_dir):
+    return _sql_query(
+        ORDER_DOW_SQL.replace("floor(epoch(o_orderdate))",
+                              "unix_timestamp(o_orderdate)"),
+        ("orders",),
+    )(spark, sf_dir)
+
+
+PART_TOKENS_SQL = """
+WITH t AS (
+  SELECT unnest(string_split(p_name, ' ')) AS tok,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS price
+  FROM part
+)
+SELECT tok,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(price) AS DOUBLE) / count(*), 6) AS avg_price
+FROM t GROUP BY tok
+"""
+
+PART_TOKENS_SPARK_SQL = """
+WITH t AS (
+  SELECT explode(split(p_name, ' ')) AS tok,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS price
+  FROM part
+)
+SELECT tok,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(price) AS DOUBLE) / count(*), 6) AS avg_price
+FROM t GROUP BY tok
+"""
+
+
+@stage(
+    "q_part_name_tokens",
+    PART_TOKENS_SQL,
+    "part-name vocabulary: adjective/noun tokens of p_name with counts "
+    "and DECIMAL-exact mean retail price — the catalog-taxonomy "
+    "profile (are 'large' parts really pricier)",
+)
+def q_part_name_tokens(spark, sf_dir):
+    return _sql_query(PART_TOKENS_SPARK_SQL, ("part",))(spark, sf_dir)
