@@ -726,3 +726,178 @@ FROM t GROUP BY tok
 )
 def q_part_name_tokens(spark, sf_dir):
     return _sql_query(PART_TOKENS_SPARK_SQL, ("part",))(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Text + embedding rows
+# ---------------------------------------------------------------------------
+
+TOKEN_POS_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT unnest(t) AS tok,
+         unnest(range(1, len(t) + 1)) AS p,
+         len(t) AS n
+  FROM toks WHERE len(t) >= 2
+)
+SELECT tok,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(CAST(sum(p - 1) AS DOUBLE) / sum(n - 1), 6) AS mean_rel_pos
+FROM pos GROUP BY tok HAVING count(*) >= 20
+"""
+
+TOKEN_POS_SPARK_SQL = r"""
+WITH toks AS (
+  SELECT filter(split(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT posexplode(t) AS (p0, tok), size(t) AS n
+  FROM toks WHERE size(t) >= 2
+)
+SELECT tok,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       round(CAST(sum(p0) AS DOUBLE) / sum(n - 1), 6) AS mean_rel_pos
+FROM pos GROUP BY tok HAVING count(*) >= 20
+"""
+
+
+@stage(
+    "text_token_position_profile",
+    TOKEN_POS_SQL,
+    "positional bias per frequent token (support >= 20): mean relative "
+    "position inside its documents (0 = always opens, 1 = always "
+    "closes) — boilerplate headers/footers show up as extreme values; "
+    "the ratio divides exact integer sums once (Spark posexplode is "
+    "0-based, DuckDB's zipped range is shifted to match)",
+)
+def q_text_token_position_profile(spark, sf_dir):
+    return _sql_query(TOKEN_POS_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+ZIPF_SQL = r"""
+WITH tf AS (
+  SELECT tok, count(*) AS f FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+  GROUP BY tok
+),
+rk AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+  FROM tf
+),
+top AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+  FROM rk WHERE r <= 100
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM s
+"""
+
+ZIPF_SPARK_SQL = r"""
+WITH tf AS (
+  SELECT tok, count(*) AS f FROM (
+    SELECT explode(split(trim(lower(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+  GROUP BY tok
+),
+rk AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+  FROM tf
+),
+top AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+  FROM rk WHERE r <= 100
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM s
+"""
+
+
+@stage(
+    "text_zipf_slope",
+    ZIPF_SQL,
+    "Zipf's-law fit: least-squares slope of log-frequency vs log-rank "
+    "over the top-100 vocabulary (healthy natural text sits near -1; "
+    "templated corpora flatten) — ranks are (freq DESC, token)-total-"
+    "ordered, the 100-term log sums carry ~1e-14 noise against a "
+    "4dp-rounded slope",
+)
+def q_text_zipf_slope(spark, sf_dir):
+    return _sql_query(ZIPF_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+DIM_VARIANCE_SQL = """
+WITH d AS (
+  SELECT unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+),
+s AS (
+  SELECT dim,
+         sum(CAST(v AS DOUBLE)) AS s1,
+         sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS s2,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM d GROUP BY dim
+),
+rk AS (
+  SELECT CAST(dim - 1 AS BIGINT) AS dim,
+         round((s2 - s1 * s1 / n) / n, 6) AS variance,
+         row_number() OVER (
+           ORDER BY (s2 - s1 * s1 / n) / n DESC, dim
+         ) AS rn
+  FROM s
+)
+SELECT dim, variance, CAST(rn AS BIGINT) AS rank
+FROM rk WHERE rn <= 5
+"""
+
+
+@stage(
+    "emb_dim_variance_topk",
+    DIM_VARIANCE_SQL,
+    "highest-variance embedding dimensions (top-5): per-dim population "
+    "variance via the two-sum formula over zipped unnest/posexplode — "
+    "the dims PCA would keep, and the first check before per-dim "
+    "quantizer budgets; sampling spread between iid dims (~percent "
+    "scale) dwarfs the ~1e-13 association noise, so the rank is stable",
+)
+def q_emb_dim_variance_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim0", "v"))
+    s = d.groupBy("dim0").agg(
+        F.sum(F.col("v").cast("double")).alias("s1"),
+        F.sum(F.col("v").cast("double") * F.col("v").cast("double"))
+        .alias("s2"),
+        F.count("*").cast("double").alias("n"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(var.desc(), F.col("dim0"))
+    return (
+        s.select(
+            F.col("dim0").cast("bigint").alias("dim"),
+            F.round(var, 6).alias("variance"),
+            F.row_number().over(rk).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= 5)
+    )

@@ -95,3 +95,13 @@ def test_promotion_dry_run_window_arithmetic():
     r6_unverified = r6_registry - r6_verified
     assert r6_unverified == set(STAGED_R6)
     assert len(r6_unverified) == DRIVER_WINDOW
+
+    # round 7: CORRECTNESS_r06 verifies STAGED_R6, STAGED_R7 joins
+    from kenshin_spark.queries_staged_r7 import STAGED_R7
+
+    assert not set(STAGED_R7) & r6_registry
+    r7_unverified = (r6_registry | set(STAGED_R7)) - (
+        r6_verified | set(STAGED_R6)
+    )
+    assert r7_unverified == set(STAGED_R7)
+    assert len(r7_unverified) <= DRIVER_WINDOW

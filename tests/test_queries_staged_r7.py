@@ -77,3 +77,30 @@ def test_staged_r7_plan_antipatterns(spark, name):
     )
     assert "BatchEvalPython" not in p, f"{name} uses a row-Python UDF"
     assert "CartesianProduct" not in p, f"{name} has a cartesian join"
+
+
+FLOAT_SENSITIVE = [
+    "ts_autocorr_lag1",
+    "ts_mean_crossings",
+    "emb_dim_variance_topk",
+    "text_zipf_slope",
+    "render_average_below",
+    "q_event_session_depth",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_SENSITIVE)
+def test_float_sensitive_r7_queries_partition_stable(spark, name):
+    """Rank/threshold/percentile outputs passing through float
+    aggregation must not move under different shuffle partition counts
+    (different summation orders)."""
+    spec = STAGED_R7[name]
+    base = canon(spec.fn(spark, SF_DIR).toPandas())
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            again = canon(spec.fn(spark, SF_DIR).toPandas())
+            assert base.equals(again), f"{name} unstable at {parts} parts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -14,6 +14,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from kenshin_spark.queries import DRIVER_VERIFIED, QUERIES, driver_order  # noqa: E402
 from kenshin_spark.queries_staged import STAGED  # noqa: E402
 from kenshin_spark.queries_staged_r6 import STAGED_R6  # noqa: E402
+from kenshin_spark.queries_staged_r7 import STAGED_R7  # noqa: E402
 
 HEADER = """\
 # Query registry — every `queries()` entry, in driver evaluation order
@@ -45,6 +46,14 @@ Second bank, held for the window that round 6 frees; same gate
 (`tests/test_queries_staged_r6.py`, green at sf0.001 and sf0.01) and
 the same two-line promotion mechanism (see HANDOFF.md).
 """,
+    "round 7": """\
+
+## Staged for round 7 (`kenshin_spark/queries_staged_r7.py`)
+
+Third bank, sized by idea quality rather than window arithmetic (the
+driver backfills unused slots with verified queries); same gate
+(`tests/test_queries_staged_r7.py`) and promotion mechanism.
+""",
 }
 
 
@@ -62,7 +71,8 @@ def main() -> None:
     for i, name in enumerate(driver_order()):
         out.append(f"{i + 1}. **{name}** ({status(name, i)}) — "
                    f"{QUERIES[name].doc}")
-    for title, bank in (("round 5", STAGED), ("round 6", STAGED_R6)):
+    for title, bank in (("round 5", STAGED), ("round 6", STAGED_R6),
+                        ("round 7", STAGED_R7)):
         out.append(STAGED_HEADERS[title])
         for i, name in enumerate(sorted(bank)):
             out.append(f"{i + 1}. **{name}** (staged) — {bank[name].doc}")
