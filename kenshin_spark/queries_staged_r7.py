@@ -901,3 +901,352 @@ def q_emb_dim_variance_topk(spark, sf_dir):
         )
         .where(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: interaction matrices, audits, growth curves
+# ---------------------------------------------------------------------------
+
+BASKET_VALUE_SQL = """
+WITH width AS (
+  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) < 100000
+              THEN 'a_under_100k'
+            WHEN CAST(o_totalprice AS DECIMAL(18,2)) < 250000
+              THEN 'b_100_250k'
+            ELSE 'c_over_250k' END AS value_band,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN width ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
+@stage(
+    "q_basket_value_matrix",
+    BASKET_VALUE_SQL,
+    "basket width x order value interaction: line count joined back "
+    "onto the order header, bucketed by DECIMAL value bands — do wide "
+    "baskets drive big orders, the 7x3 matrix from two integer "
+    "aggregates",
+)
+def q_basket_value_matrix(spark, sf_dir):
+    return _sql_query(BASKET_VALUE_SQL, ("orders", "lineitem"))(spark, sf_dir)
+
+
+NATION_TYPE_SQL = """
+WITH rev AS (
+  SELECT c_nationkey, p_type,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT c_nationkey, p_type, rev,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev DESC, p_type) AS rn
+  FROM rev
+)
+SELECT n_name, p_type, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       CAST(rn AS BIGINT) AS rank
+FROM rk JOIN nation ON c_nationkey = n_nationkey
+WHERE rn <= 2
+"""
+
+
+@stage(
+    "q_nation_type_affinity",
+    NATION_TYPE_SQL,
+    "demand affinity: each nation's top-2 part types by customer "
+    "revenue — DECIMAL-exact ordering with a type-name tiebreak, the "
+    "window over the (nation, type) aggregate; all dimensions broadcast",
+)
+def q_nation_type_affinity(spark, sf_dir):
+    return _sql_query(
+        NATION_TYPE_SQL, ("lineitem", "orders", "customer", "part", "nation")
+    )(spark, sf_dir)
+
+
+SUPPLIER_MONTHS_SQL = """
+SELECT l_suppkey AS suppkey,
+       CAST(count(DISTINCT CAST(year(l_shipdate) AS BIGINT) * 100
+                  + CAST(month(l_shipdate) AS BIGINT)) AS BIGINT)
+         AS active_months,
+       CAST(min(CAST(year(l_shipdate) AS BIGINT) * 100
+                + CAST(month(l_shipdate) AS BIGINT)) AS BIGINT)
+         AS first_month,
+       CAST(max(CAST(year(l_shipdate) AS BIGINT) * 100
+                + CAST(month(l_shipdate) AS BIGINT)) AS BIGINT)
+         AS last_month
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+@stage(
+    "q_supplier_active_months",
+    SUPPLIER_MONTHS_SQL,
+    "supplier activity span: distinct shipping months (yyyymm integer "
+    "keys) with first/last — the churn/tenure profile; one distinct "
+    "aggregate keyed by supplier",
+)
+def q_supplier_active_months(spark, sf_dir):
+    return _sql_query(SUPPLIER_MONTHS_SQL, ("lineitem",))(spark, sf_dir)
+
+
+JITTER_SQL = f"""
+WITH pts AS ({PTS})
+SELECT metric,
+       CAST(ts % 60 AS BIGINT) AS slot_offset_s,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@stage(
+    "ts_ingest_jitter",
+    JITTER_SQL,
+    "arrival-jitter profile: raw timestamp offsets inside their 60s "
+    "slot (scrape-aligned sources spike at one offset; organic streams "
+    "spread flat) — pure integer modulus, support >= 2 trims the "
+    "singleton tail",
+)
+def q_ts_ingest_jitter(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return (
+        pts.groupBy(
+            "metric", (F.col("ts") % 60).cast("bigint").alias("slot_offset_s")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_points"))
+        .where(F.col("n_points") >= 2)
+    )
+
+
+WEEKEND_SQL = f"""
+WITH pts AS ({PTS}),
+c AS (
+  SELECT metric,
+         CASE WHEN (CAST(floor(ts / 86400) AS BIGINT) + 4) % 7 IN (0, 6)
+              THEN 'weekend' ELSE 'weekday' END AS day_class,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM pts
+)
+SELECT metric, day_class,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 6) AS mean_value
+FROM c GROUP BY 1, 2
+"""
+
+
+@stage(
+    "ts_weekend_weekday_profile",
+    WEEKEND_SQL,
+    "weekend vs weekday level per metric: epoch-arithmetic day classes "
+    "(Sunday=0/Saturday=6 under the Thursday anchor) with means over "
+    "integer-cent snapped values — order-exact sums, one rounded "
+    "division; the capacity-planning split",
+)
+def q_ts_weekend_weekday_profile(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    dow = (F.floor(F.col("ts") / 86400).cast("bigint") + 4) % 7
+    day_class = F.when(dow.isin(0, 6), "weekend").otherwise("weekday")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        pts.select("metric", day_class.alias("day_class"),
+                   cents.alias("cents"))
+        .groupBy("metric", "day_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.round(
+                F.sum("cents").cast("double") / F.count("*") / 100, 6
+            ).alias("mean_value"),
+        )
+    )
+
+
+BREADTH_EVENTS_SQL = """
+WITH u AS (
+  SELECT user_id, count(DISTINCT event_type) AS n_types
+  FROM events GROUP BY user_id
+)
+SELECT CAST(n_types AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY n_types
+"""
+
+
+@stage(
+    "q_event_type_breadth",
+    BREADTH_EVENTS_SQL,
+    "engagement breadth histogram: distinct event types touched per "
+    "user (1 = single-feature users, 5 = full-surface users) — two "
+    "integer aggregates, the second over a 5-value domain",
+)
+def q_event_type_breadth(spark, sf_dir):
+    return _sql_query(BREADTH_EVENTS_SQL, ("events",))(spark, sf_dir)
+
+
+HEAPS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+firsts AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+),
+bounds AS (
+  SELECT max(doc_id) AS max_id FROM documents
+),
+buckets AS (
+  SELECT CAST(least(floor(CAST(first_doc AS DOUBLE) * 10 / (max_id + 1)),
+                    9) AS BIGINT) AS decile,
+         count(*) AS new_types
+  FROM firsts, bounds GROUP BY 1
+)
+SELECT decile,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT)
+         AS cumulative_vocab
+FROM buckets
+"""
+
+HEAPS_SPARK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         explode(filter(split(trim(lower(text)), '\\s+'),
+                        x -> x <> '')) AS tok
+  FROM documents
+),
+firsts AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+),
+bounds AS (
+  SELECT max(doc_id) AS max_id FROM documents
+),
+buckets AS (
+  SELECT CAST(least(floor(CAST(first_doc AS DOUBLE) * 10 / (max_id + 1)),
+                    9) AS BIGINT) AS decile,
+         count(*) AS new_types
+  FROM firsts, bounds GROUP BY 1
+)
+SELECT decile,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT)
+         AS cumulative_vocab
+FROM buckets
+"""
+
+
+@stage(
+    "text_heaps_curve",
+    HEAPS_SQL,
+    "Heaps'-law vocabulary growth: new word types per doc-id decile "
+    "and the cumulative vocabulary — the is-the-new-crawl-adding-"
+    "anything curve (companion to text_zipf_slope and "
+    "text_ngram_novelty); first-occurrence reduction is one "
+    "token-keyed min, the decile edge is floor()ed before the cast "
+    "(the DuckDB rounding-cast trap)",
+)
+def q_text_heaps_curve(spark, sf_dir):
+    return _sql_query(HEAPS_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+EMB_DIST_HIST_SQL = """
+WITH a AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 = 0
+),
+b AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[i] AS DOUBLE) *
+                  CAST(b.embedding[i] AS DOUBLE)))
+           / sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           / sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS cos
+  FROM a JOIN b ON a.vec_id < b.vec_id
+)
+SELECT CAST(floor(cos * 10) AS BIGINT) AS cos_band,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+@stage(
+    "emb_distance_histogram",
+    EMB_DIST_HIST_SQL,
+    "pairwise-similarity distribution audit: cosine over a "
+    "deterministic double-modulus sample (|corpus|/37 x |corpus|/41 "
+    "pairs — bounded, never all-pairs), 6dp-rounded BEFORE the "
+    "10-bucket banding so no band edge rides on fp noise — the "
+    "separation histogram that predicts LSH threshold quality",
+)
+def q_emb_distance_histogram(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where("vec_id % 37 = 0").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.where("vec_id % 41 = 0").select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * "
+        "CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        "sqrt(aggregate(ea, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    nb = F.expr(
+        "sqrt(aggregate(eb, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(F.round(dot / na / nb, 6).alias("cos"))
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("cos") * 10).cast("bigint").alias("cos_band")
+        )
+        .groupBy("cos_band")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+LENGTH_CUT_SQL = """
+WITH cuts AS (
+  SELECT 50 AS min_chars UNION ALL SELECT 100 UNION ALL
+  SELECT 200 UNION ALL SELECT 400
+)
+SELECT CAST(min_chars AS BIGINT) AS min_chars,
+       CAST(sum(CASE WHEN n_chars >= min_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS surviving_docs,
+       CAST(sum(CASE WHEN n_chars >= min_chars THEN n_chars ELSE 0 END)
+            AS BIGINT) AS surviving_chars,
+       round(CAST(sum(CASE WHEN n_chars >= min_chars THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS doc_survival_rate
+FROM documents, cuts
+GROUP BY min_chars
+"""
+
+
+@stage(
+    "pipeline_length_cut_impact",
+    LENGTH_CUT_SQL,
+    "what-if audit for the minimum-length filter: surviving docs/chars "
+    "and survival rate at four candidate cuts in one pass (the corpus "
+    "crosses a 4-row literal cut table — broadcast, never the reverse) "
+    "— how the cleaning stage picks its threshold",
+)
+def q_pipeline_length_cut_impact(spark, sf_dir):
+    return _sql_query(LENGTH_CUT_SQL, ("documents",))(spark, sf_dir)
