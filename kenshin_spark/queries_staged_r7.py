@@ -1250,3 +1250,143 @@ GROUP BY min_chars
 )
 def q_pipeline_length_cut_impact(spark, sf_dir):
     return _sql_query(LENGTH_CUT_SQL, ("documents",))(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: engine-tuning audits
+# ---------------------------------------------------------------------------
+
+XFF_SQL = f"""
+WITH pts AS ({PTS}), t0 AS ({LWW60}),
+hourly AS (
+  SELECT metric, ts - ts % 3600 AS hour_ts, count(value) AS known
+  FROM t0 GROUP BY 1, 2
+),
+cuts AS (
+  SELECT 0 AS xff_pct UNION ALL SELECT 20 UNION ALL SELECT 50
+)
+SELECT metric, CAST(xff_pct AS BIGINT) AS xff_pct,
+       CAST(count(*) AS BIGINT) AS total_windows,
+       CAST(sum(CASE WHEN known > 0 AND known * 100 >= 60 * xff_pct
+                THEN 1 ELSE 0 END) AS BIGINT) AS kept_windows
+FROM hourly, cuts
+GROUP BY 1, 2
+"""
+
+
+@stage(
+    "ts_xff_sensitivity",
+    XFF_SQL,
+    "xFilesFactor what-if: hourly downsample windows surviving the "
+    "W8 known-fraction gate at xff 0/20/50%, per metric in one pass — "
+    "known*100 >= 60*xff is the cross-multiplied integer form of "
+    "known/60 >= xff, so no float ratio decides a keep; the retention-"
+    "policy tuning table for sparse series",
+)
+def q_ts_xff_sensitivity(spark, sf_dir):
+    grid = _grid60(spark, sf_dir)
+    hourly = grid.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).alias("hour_ts")
+    ).agg(F.count("value").alias("known"))
+    cuts = grid.sparkSession.createDataFrame(
+        [(0,), (20,), (50,)], "xff_pct INT"
+    )
+    kept = F.when(
+        (F.col("known") > 0)
+        & (F.col("known") * 100 >= 60 * F.col("xff_pct")),
+        1,
+    ).otherwise(0)
+    return (
+        hourly.crossJoin(F.broadcast(cuts))
+        .groupBy("metric", F.col("xff_pct").cast("bigint").alias("xff_pct"))
+        .agg(
+            F.count("*").cast("bigint").alias("total_windows"),
+            F.sum(kept).cast("bigint").alias("kept_windows"),
+        )
+    )
+
+
+ARCHIVE_EST_SQL = f"""
+WITH pts AS ({PTS}),
+steps AS (
+  SELECT 60 AS step UNION ALL SELECT 300 UNION ALL SELECT 3600
+)
+SELECT metric, CAST(step AS BIGINT) AS step,
+       CAST(count(DISTINCT ts - ts % step) AS BIGINT) AS n_slots
+FROM pts, steps
+GROUP BY 1, 2
+"""
+
+
+@stage(
+    "ts_archive_estimate",
+    ARCHIVE_EST_SQL,
+    "archive sizing estimate: occupied slots per metric at each "
+    "configured tier resolution (60s/300s/3600s — the TS_SCHEMA "
+    "cascade) from one pass over raw points — the capacity-planning "
+    "input for retention policy; integer alignment + distinct counts",
+)
+def q_ts_archive_estimate(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    steps = pts.sparkSession.createDataFrame(
+        [(60,), (300,), (3600,)], "step INT"
+    )
+    return (
+        pts.crossJoin(F.broadcast(steps))
+        .groupBy("metric", F.col("step").cast("bigint").alias("step"))
+        .agg(
+            F.countDistinct(
+                F.col("ts") - F.col("ts") % F.col("step")
+            ).cast("bigint").alias("n_slots")
+        )
+    )
+
+
+STOP_LIST = ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it')
+
+STOPWORD_COVERAGE_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tok IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stopwords,
+       round(CAST(sum(CASE WHEN tok IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS stopword_rate
+FROM toks GROUP BY lang
+"""
+
+STOPWORD_COVERAGE_SPARK_SQL = r"""
+WITH toks AS (
+  SELECT lang,
+         explode(filter(split(trim(lower(text)), '\\s+'),
+                        x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tok IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stopwords,
+       round(CAST(sum(CASE WHEN tok IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it') THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS stopword_rate
+FROM toks GROUP BY lang
+"""
+
+
+@stage(
+    "text_stopword_coverage",
+    STOPWORD_COVERAGE_SQL,
+    "stopword coverage per language: share of tokens in the language-"
+    "ID marker list (functions.text.STOPWORDS materialized as SQL "
+    "literals — the same words the lang-ID heuristic scores), the "
+    "audit that explains lang-ID confidence per language; integer "
+    "counts, one rounded division",
+)
+def q_text_stopword_coverage(spark, sf_dir):
+    return _sql_query(STOPWORD_COVERAGE_SPARK_SQL, ("documents",))(
+        spark, sf_dir
+    )
