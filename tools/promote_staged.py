@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Promote a staged query bank into the live registry.
+
+Usage:  python tools/promote_staged.py queries_staged      # round 5
+        python tools/promote_staged.py queries_staged_r6   # round 6
+        python tools/promote_staged.py queries_staged_r7   # round 7
+
+Appends the two promotion lines to the BOTTOM of kenshin_spark/queries.py
+(the circular import resolves because every name the staged module needs
+is bound by then). Idempotent: refuses to add a bank twice. Run the
+contract + oracle tests afterwards:
+
+    python -m pytest tests/test_contract.py tests/test_queries_oracle.py -q
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+QUERIES_PY = REPO / "kenshin_spark" / "queries.py"
+
+DICT_NAME = {
+    "queries_staged": "STAGED",
+    "queries_staged_r6": "STAGED_R6",
+    "queries_staged_r7": "STAGED_R7",
+}
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 1 or argv[0] not in DICT_NAME:
+        print(__doc__)
+        return 2
+    module, dname = argv[0], DICT_NAME[argv[0]]
+    src = QUERIES_PY.read_text()
+    marker = f"from kenshin_spark.{module} import {dname}"
+    if marker in src:
+        print(f"{module} already promoted — nothing to do")
+        return 0
+    block = (
+        f"\n\n# --- promoted staged bank: {module} "
+        f"(see HANDOFF.md) ---\n"
+        f"{marker} as _{dname}  # noqa: E402\n"
+        f"QUERIES.update(_{dname})\n"
+    )
+    QUERIES_PY.write_text(src + block)
+    print(f"promoted {module} ({dname}) into QUERIES — now run:")
+    print("  python -m pytest tests/test_contract.py "
+          "tests/test_queries_oracle.py -q")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
