@@ -1390,3 +1390,101 @@ def q_text_stopword_coverage(spark, sf_dir):
     return _sql_query(STOPWORD_COVERAGE_SPARK_SQL, ("documents",))(
         spark, sf_dir
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: templated openings, order composition, matrix coverage
+# ---------------------------------------------------------------------------
+
+PREFIX_DUP_SQL = """
+WITH p AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split(trim(lower(text)), ' ')[1:8],
+                             ' ')) AS prefix_h
+  FROM documents
+)
+SELECT prefix_h,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM p GROUP BY prefix_h HAVING count(*) > 1
+"""
+
+PREFIX_DUP_SPARK_SQL = """
+WITH p AS (
+  SELECT doc_id, source,
+         md5(array_join(slice(split(trim(lower(text)), ' '), 1, 8), ' '))
+           AS prefix_h
+  FROM documents
+)
+SELECT prefix_h,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM p GROUP BY prefix_h HAVING count(*) > 1
+"""
+
+
+@stage(
+    "dedup_prefix_groups",
+    PREFIX_DUP_SQL,
+    "templated-opening detector: docs sharing their first 8 tokens "
+    "(md5 of the joined prefix — only 16-byte keys shuffle), with "
+    "source spread per group — catches boilerplate headers that "
+    "full-document and windowed dedup both under-weight; the corpus "
+    "has no exact duplicates but ~2 dozen shared openings",
+)
+def q_dedup_prefix_groups(spark, sf_dir):
+    return _sql_query(PREFIX_DUP_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+LINENUMBER_SQL = """
+SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*),
+             6) AS avg_qty
+FROM lineitem GROUP BY l_linenumber
+"""
+
+
+@stage(
+    "q_order_linenumber_decay",
+    LINENUMBER_SQL,
+    "order-composition profile by line position (1..7): do later lines "
+    "carry smaller quantities/prices — DECIMAL/BIGINT-exact sums, two "
+    "rounded divisions over a 7-row domain",
+)
+def q_order_linenumber_decay(spark, sf_dir):
+    return _sql_query(LINENUMBER_SQL, ("lineitem",))(spark, sf_dir)
+
+
+COVERAGE_SQL = """
+WITH cells AS (
+  SELECT DISTINCT p_brand, p_size FROM part
+),
+dims AS (
+  SELECT count(DISTINCT p_brand) AS n_brands,
+         count(DISTINCT p_size) AS n_sizes
+  FROM part
+)
+SELECT CAST(n_brands AS BIGINT) AS n_brands,
+       CAST(n_sizes AS BIGINT) AS n_sizes,
+       CAST((SELECT count(*) FROM cells) AS BIGINT) AS observed_cells,
+       round(CAST((SELECT count(*) FROM cells) AS DOUBLE)
+             / (n_brands * n_sizes), 6) AS coverage
+FROM dims
+"""
+
+
+@stage(
+    "q_part_brand_size_coverage",
+    COVERAGE_SQL,
+    "catalog matrix coverage: observed (brand, size) cells against the "
+    "full cross-domain — sparse coverage warns that brand x size "
+    "drill-downs will hit empty cells; two tiny distinct aggregates "
+    "and one scalar division",
+)
+def q_part_brand_size_coverage(spark, sf_dir):
+    return _sql_query(COVERAGE_SQL, ("part",))(spark, sf_dir)
