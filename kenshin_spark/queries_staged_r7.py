@@ -1488,3 +1488,194 @@ FROM dims
 )
 def q_part_brand_size_coverage(spark, sf_dir):
     return _sql_query(COVERAGE_SQL, ("part",))(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: LWW pressure, whale curve, order cadence, dedup threshold sweep
+# ---------------------------------------------------------------------------
+
+LWW_PRESSURE_SQL = f"""
+WITH pts AS ({PTS}),
+s AS (
+  SELECT metric, count(*) AS n_points,
+         count(DISTINCT ts - ts % 60) AS n_slots
+  FROM pts GROUP BY metric
+)
+SELECT metric,
+       CAST(n_points AS BIGINT) AS n_points,
+       CAST(n_slots AS BIGINT) AS n_slots,
+       CAST(n_points - n_slots AS BIGINT) AS n_overwritten,
+       round(CAST(n_points - n_slots AS DOUBLE) / n_points, 6)
+         AS overwrite_rate
+FROM s
+"""
+
+
+@stage(
+    "ts_lww_overwrite_pressure",
+    LWW_PRESSURE_SQL,
+    "last-write-wins overwrite pressure: raw arrivals minus distinct "
+    "60s slots per metric — how much data the W5 align step drops, the "
+    "signal for narrowing a hot series' tier-0 step; integer counts, "
+    "one rounded division",
+)
+def q_ts_lww_overwrite_pressure(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    s = pts.groupBy("metric").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.countDistinct(F.col("ts") - F.col("ts") % 60)
+        .cast("bigint")
+        .alias("n_slots"),
+    )
+    return s.select(
+        "metric",
+        "n_points",
+        "n_slots",
+        (F.col("n_points") - F.col("n_slots")).cast("bigint")
+        .alias("n_overwritten"),
+        F.round(
+            (F.col("n_points") - F.col("n_slots")).cast("double")
+            / F.col("n_points"),
+            6,
+        ).alias("overwrite_rate"),
+    )
+
+
+WHALE_SQL = """
+WITH u AS (
+  SELECT user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT cents, ntile(10) OVER (ORDER BY cents DESC, user_id) AS dec
+  FROM u
+),
+tot AS (SELECT sum(cents) AS total FROM u)
+SELECT CAST(dec AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS decile_value,
+       round(CAST(sum(cents) AS DOUBLE) / total, 6) AS value_share
+FROM d, tot GROUP BY dec, total
+"""
+
+
+@stage(
+    "q_event_whale_curve",
+    WHALE_SQL,
+    "whale curve: users ranked into value deciles by integer-cent "
+    "totals (exact ordering — no float sum can flip a decile edge), "
+    "each decile's share of total value — the concentration readout "
+    "behind rate limits and capacity planning",
+)
+def q_event_whale_curve(spark, sf_dir):
+    return _sql_query(WHALE_SQL, ("events",))(spark, sf_dir)
+
+
+ORDER_GAP_BANDS_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(o_orderdate)) / 86400 AS BIGINT) AS day,
+         o_orderkey
+  FROM orders
+),
+g AS (
+  SELECT day - lag(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day, o_orderkey) AS gap_days
+  FROM o
+)
+SELECT CASE WHEN gap_days < 30 THEN 'a_under_30d'
+            WHEN gap_days < 90 THEN 'b_30_90d'
+            WHEN gap_days < 365 THEN 'c_90_365d'
+            ELSE 'd_over_1y' END AS band,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+@stage(
+    "q_order_gap_bands",
+    ORDER_GAP_BANDS_SQL,
+    "reorder-cadence distribution: day gaps between a customer's "
+    "consecutive orders in integer bands (the histogram companion to "
+    "q_median_order_gap's medians) — epoch-day subtraction with a "
+    "(day, orderkey) deterministic order, integer band edges",
+)
+def q_order_gap_bands(spark, sf_dir):
+    return _sql_query(
+        ORDER_GAP_BANDS_SQL.replace("floor(epoch(o_orderdate))",
+                                    "unix_timestamp(o_orderdate)"),
+        ("orders",),
+    )(spark, sf_dir)
+
+
+_SWEEP_SHINGLES = r"""
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i : i + 2], ' ')
+             )) AS shingle
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+      )
+    )
+"""
+
+JACCARD_SWEEP_SQL = f"""
+WITH sh AS ({_SWEEP_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6) AS j
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+),
+cuts AS (
+  SELECT 0.2 AS t UNION ALL SELECT 0.4 UNION ALL
+  SELECT 0.6 UNION ALL SELECT 0.8
+)
+SELECT CAST(round(t * 100) AS BIGINT) AS threshold_pct,
+       CAST(sum(CASE WHEN j >= t THEN 1 ELSE 0 END) AS BIGINT)
+         AS surviving_pairs
+FROM sims, cuts GROUP BY 1
+"""
+
+
+@stage(
+    "pipeline_jaccard_sweep",
+    JACCARD_SWEEP_SQL,
+    "dedup-threshold what-if: candidate pairs surviving the n-gram "
+    "Jaccard cut at 0.2/0.4/0.6/0.8 in one pass over the oracled "
+    "dedup_ngram_jaccard pair machinery — 6dp-rounded similarities "
+    "against exact-decimal cuts, the tuning table behind the "
+    "production threshold choice; the inverted-index join stays "
+    "bounded by shared-shingle frequency, never all-pairs",
+)
+def q_pipeline_jaccard_sweep(spark, sf_dir):
+    from kenshin_spark.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.0
+    )
+    cuts = pairs.sparkSession.createDataFrame(
+        [(0.2,), (0.4,), (0.6,), (0.8,)], "t DOUBLE"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(cuts))
+        .groupBy(
+            F.round(F.col("t") * 100).cast("bigint").alias("threshold_pct")
+        )
+        .agg(
+            F.sum(F.when(F.col("jaccard") >= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("surviving_pairs")
+        )
+    )
