@@ -1679,3 +1679,170 @@ def q_pipeline_jaccard_sweep(spark, sf_dir):
             .alias("surviving_pairs")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: aggregation divergence, brevity law, filter-bias audit
+# ---------------------------------------------------------------------------
+
+LAST_PEAK_SQL = f"""
+WITH pts AS ({PTS}), t0 AS ({LWW60}),
+w AS (
+  SELECT metric, ts - ts % 3600 AS hour_ts,
+         max(value) AS peak, arg_max(value, ts) AS last_v
+  FROM t0 GROUP BY 1, 2
+)
+SELECT metric,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN last_v <> peak THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_peak_hidden,
+       round(CAST(sum(CASE WHEN last_v <> peak THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS divergence_rate
+FROM w GROUP BY metric
+"""
+
+
+@stage(
+    "ts_agg_divergence",
+    LAST_PEAK_SQL,
+    "aggregation-method sensitivity: per metric, the share of hourly "
+    "windows where 'last' aggregation would hide the window peak "
+    "(last != max over the tier-0 slots) — the schema-choice audit "
+    "between A2/A3 methods; exact raw-double equality, integer counts",
+)
+def q_ts_agg_divergence(spark, sf_dir):
+    grid = _grid60(spark, sf_dir)
+    w = grid.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 3600).alias("hour_ts")
+    ).agg(
+        F.max("value").alias("peak"),
+        F.max_by("value", "ts").alias("last_v"),
+    )
+    hidden = F.when(F.col("last_v") != F.col("peak"), 1).otherwise(0)
+    return w.groupBy("metric").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum(hidden).cast("bigint").alias("n_peak_hidden"),
+        F.round(F.sum(hidden).cast("double") / F.count("*"), 6)
+        .alias("divergence_rate"),
+    )
+
+
+BREVITY_SQL = r"""
+WITH tf AS (
+  SELECT tok, count(*) AS f FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+  GROUP BY tok
+),
+xy AS (
+  SELECT CAST(length(tok) AS DOUBLE) AS x, ln(CAST(f AS DOUBLE)) AS y
+  FROM tf
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS vocab_size,
+       round((n * sxy - sx * sy) /
+             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         AS len_freq_corr
+FROM s
+"""
+
+BREVITY_SPARK_SQL = BREVITY_SQL.replace(
+    "unnest(string_split_regex(trim(lower(text)), '\\s+'))",
+    "explode(split(trim(lower(text)), '\\\\s+'))",
+)
+
+
+@stage(
+    "text_brevity_law",
+    BREVITY_SQL,
+    "Zipf's law of abbreviation: correlation between token length and "
+    "log frequency over the vocabulary (natural language trends "
+    "negative — frequent words are short) — closed-form Pearson from "
+    "six aggregate sums, 4dp-rounded against ~1e-13 association noise; "
+    "the companion diagnostic to text_zipf_slope and text_heaps_curve",
+)
+def q_text_brevity_law(spark, sf_dir):
+    return _sql_query(BREVITY_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+_QSTOP = None  # populated lazily from queries._STOP_RE (import cycle)
+
+
+def _quality_length_sql() -> str:
+    from kenshin_spark.queries import _STOP_RE
+
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stopwords,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars,
+         n_tokens >= 25 AND n_tokens <= 100000
+         AND n_chars >= 3 * n_tokens AND n_chars <= 10 * n_tokens
+         AND n_stopwords >= 2
+         AND n_alpha * 50 >= n_chars * 41 AS keep
+  FROM f
+)
+SELECT CASE WHEN n_chars < 100 THEN 'a_under_100'
+            WHEN n_chars < 200 THEN 'b_100_200'
+            WHEN n_chars < 400 THEN 'c_200_400'
+            ELSE 'd_over_400' END AS length_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_rate
+FROM r GROUP BY 1
+"""
+
+
+@stage(
+    "pipeline_quality_vs_length",
+    None,  # oracle bound at import end (needs queries._STOP_RE)
+    "filter-bias audit: the Gopher-style keep decision (the oracled "
+    "text_quality_filter rules — all integer cross-multiplications) "
+    "cross-tabbed against document length bands — does the quality "
+    "gate systematically drop short docs; integer band edges and "
+    "counts, one rounded division per band",
+)
+def q_pipeline_quality_vs_length(spark, sf_dir):
+    from kenshin_spark.functions.text import quality_verdict
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_verdict("text")
+    keep = cols["keep"]
+    band = (
+        F.when(F.length("text") < 100, "a_under_100")
+        .when(F.length("text") < 200, "b_100_200")
+        .when(F.length("text") < 400, "c_200_400")
+        .otherwise("d_over_400")
+    )
+    kept = F.when(keep, 1).otherwise(0)
+    return (
+        docs.select(band.alias("length_band"), kept.alias("kept"))
+        .groupBy("length_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(F.sum("kept").cast("double") / F.count("*"), 6)
+            .alias("keep_rate"),
+        )
+    )
+
+
+# bind the oracle now that the module body is loaded (QuerySpec is frozen,
+# so re-register with the rendered SQL)
+STAGED_R7["pipeline_quality_vs_length"] = QuerySpec(
+    fn=q_pipeline_quality_vs_length,
+    oracle=_quality_length_sql(),
+    doc=STAGED_R7["pipeline_quality_vs_length"].doc,
+)
