@@ -1846,3 +1846,175 @@ STAGED_R7["pipeline_quality_vs_length"] = QuerySpec(
     oracle=_quality_length_sql(),
     doc=STAGED_R7["pipeline_quality_vs_length"].doc,
 )
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: hourly SLI, source vocabulary overlap, counter heuristic,
+# breadth-conversion interaction
+# ---------------------------------------------------------------------------
+
+ERR_HOUR_SQL = """
+WITH e AS (
+  SELECT CAST(floor(floor(epoch(ts)) % 86400 / 3600) AS BIGINT) AS hour,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events
+)
+SELECT hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_err) AS BIGINT) AS n_errors,
+       round(CAST(sum(is_err) AS DOUBLE) / count(*), 6) AS error_rate
+FROM e GROUP BY hour
+"""
+
+
+@stage(
+    "q_events_error_rate_by_hour",
+    ERR_HOUR_SQL,
+    "time-of-day error profile: error share per hour-of-day across all "
+    "days (systematic nightly-batch breakage shows here; the daily SLI "
+    "row catches incidents instead) — integer epoch arithmetic with "
+    "floor() before the cast, one rounded division per hour",
+)
+def q_events_error_rate_by_hour(spark, sf_dir):
+    return _sql_query(
+        ERR_HOUR_SQL.replace("floor(epoch(ts))", "unix_timestamp(ts)"),
+        ("events",),
+    )(spark, sf_dir)
+
+
+SOURCE_VOCAB_SQL = r"""
+WITH sv AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                 '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+),
+sizes AS (SELECT source, count(*) AS n FROM sv GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE)
+             / (za.n + zb.n - n_common), 6) AS vocab_jaccard
+FROM inter
+JOIN sizes za ON za.source = src_a
+JOIN sizes zb ON zb.source = src_b
+"""
+
+SOURCE_VOCAB_SPARK_SQL = SOURCE_VOCAB_SQL.replace(
+    "unnest(list_filter(string_split_regex(trim(lower(text)),\n"
+    "                                                 '\\s+'),\n"
+    "                              x -> x <> ''))",
+    "explode(filter(split(trim(lower(text)), '\\\\s+'), x -> x <> ''))",
+)
+
+
+@stage(
+    "text_source_vocab_jaccard",
+    SOURCE_VOCAB_SQL,
+    "source-level vocabulary overlap: distinct-token Jaccard for every "
+    "source pair via the token inverted index (bounded by vocab x "
+    "sources, never docs x docs) — near-identical vocabularies flag "
+    "mirrored crawls one level above document dedup; exact integer "
+    "set sizes, one rounded division per pair",
+)
+def q_text_source_vocab_jaccard(spark, sf_dir):
+    return _sql_query(SOURCE_VOCAB_SPARK_SQL, ("documents",))(spark, sf_dir)
+
+
+COUNTER_GAUGE_SQL = f"""
+WITH pts AS ({PTS}),
+d AS (
+  SELECT metric,
+         CASE WHEN lag(value) OVER (PARTITION BY metric
+                                    ORDER BY ts, arrival) IS NULL
+              THEN NULL
+              WHEN value >= lag(value) OVER (PARTITION BY metric
+                                             ORDER BY ts, arrival)
+              THEN 1 ELSE 0 END AS nondecreasing
+  FROM pts
+),
+s AS (
+  SELECT metric, count(nondecreasing) AS n,
+         sum(nondecreasing) AS n_up
+  FROM d WHERE nondecreasing IS NOT NULL GROUP BY metric
+)
+SELECT metric,
+       CAST(n AS BIGINT) AS n_deltas,
+       CAST(n_up AS BIGINT) AS n_nondecreasing,
+       CASE WHEN n_up * 100 >= n * 95 THEN 'counter'
+            ELSE 'gauge' END AS metric_class
+FROM s
+"""
+
+
+@stage(
+    "ts_counter_gauge_classify",
+    COUNTER_GAUGE_SQL,
+    "counter-vs-gauge heuristic: metrics whose raw series is >= 95% "
+    "nondecreasing classify as counters (the schema-match aid for "
+    "picking sum-vs-average aggregation and enabling counter_rate) — "
+    "cross-multiplied integer threshold, (ts, arrival)-deterministic "
+    "delta order",
+)
+def q_ts_counter_gauge_classify(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("ts", "arrival")
+    nondec = F.when(
+        F.col("value") >= F.lag("value").over(w), 1
+    ).otherwise(0)
+    prev_exists = F.lag("value").over(w).isNotNull()
+    d = pts.select(
+        "metric",
+        F.when(prev_exists, nondec).alias("nondecreasing"),
+    ).where(F.col("nondecreasing").isNotNull())
+    s = d.groupBy("metric").agg(
+        F.count("nondecreasing").alias("n"),
+        F.sum("nondecreasing").alias("n_up"),
+    )
+    return s.select(
+        "metric",
+        F.col("n").cast("bigint").alias("n_deltas"),
+        F.col("n_up").cast("bigint").alias("n_nondecreasing"),
+        F.when(
+            F.col("n_up") * 100 >= F.col("n") * 95, "counter"
+        ).otherwise("gauge").alias("metric_class"),
+    )
+
+
+BREADTH_CONV_SQL = """
+WITH u AS (
+  SELECT user_id,
+         count(DISTINCT event_type) AS n_types,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+)
+SELECT CAST(n_types AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+         AS conversion_rate
+FROM u GROUP BY n_types
+"""
+
+
+@stage(
+    "q_event_conversion_by_breadth",
+    BREADTH_CONV_SQL,
+    "does engagement breadth convert: purchase rate by distinct event "
+    "types touched per user — the interaction readout on top of "
+    "q_event_type_breadth (note n_types >= 1 includes the purchase "
+    "type itself at the top bucket); integer counts, one rounded "
+    "division per bucket",
+)
+def q_event_conversion_by_breadth(spark, sf_dir):
+    return _sql_query(BREADTH_CONV_SQL, ("events",))(spark, sf_dir)
