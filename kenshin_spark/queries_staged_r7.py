@@ -2018,3 +2018,85 @@ FROM u GROUP BY n_types
 )
 def q_event_conversion_by_breadth(spark, sf_dir):
     return _sql_query(BREADTH_CONV_SQL, ("events",))(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Batch 10: tier-age distribution + packing-waste audit (bank at 50)
+# ---------------------------------------------------------------------------
+
+TIER_AGE_SQL = f"""
+WITH pts AS ({PTS}),
+now_t AS (SELECT max(ts) AS now FROM pts)
+SELECT metric,
+       CASE WHEN now - ts < 86400 THEN 'tier0_60s'
+            WHEN now - ts < 604800 THEN 'tier1_300s'
+            ELSE 'tier2_3600s' END AS tier,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts, now_t GROUP BY 1, 2
+"""
+
+
+@stage(
+    "ts_tier_age_distribution",
+    TIER_AGE_SQL,
+    "retention-tier point distribution: arrivals bucketed by the R2 "
+    "archive-selection age boundaries (1d/7d from the TS_SCHEMA "
+    "cascade) per metric — where the data actually lives across tiers, "
+    "the companion to ts_tier_selection's routing check; integer age "
+    "arithmetic against the broadcast stream head",
+)
+def q_ts_tier_age_distribution(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    now = pts.agg(F.max("ts").alias("now"))
+    age = F.col("now") - F.col("ts")
+    tier = (
+        F.when(age < 86400, "tier0_60s")
+        .when(age < 604800, "tier1_300s")
+        .otherwise("tier2_3600s")
+    )
+    return (
+        pts.crossJoin(F.broadcast(now))
+        .groupBy("metric", tier.alias("tier"))
+        .agg(F.count("*").cast("bigint").alias("n_points"))
+    )
+
+
+PACK_WASTE_SQL = r"""
+WITH t AS (
+  SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+),
+sizes AS (
+  SELECT 512 AS chunk UNION ALL SELECT 1024 UNION ALL SELECT 2048
+)
+SELECT CAST(chunk AS BIGINT) AS chunk_size,
+       CAST(sum(CAST(floor((n_tok + chunk - 1) / chunk) AS BIGINT))
+            AS BIGINT) AS n_chunks,
+       CAST(sum(CAST(floor((n_tok + chunk - 1) / chunk) AS BIGINT) * chunk
+                - n_tok) AS BIGINT) AS padding_tokens,
+       round(CAST(sum(CAST(floor((n_tok + chunk - 1) / chunk) AS BIGINT)
+                      * chunk - n_tok) AS DOUBLE)
+             / sum(CAST(floor((n_tok + chunk - 1) / chunk) AS BIGINT)
+                   * chunk), 6) AS waste_rate
+FROM t, sizes GROUP BY chunk
+"""
+
+PACK_WASTE_SPARK_SQL = PACK_WASTE_SQL.replace(
+    "len(list_filter(string_split_regex(trim(text), '\\s+'),\n"
+    "                         x -> x <> ''))",
+    "size(filter(split(trim(text), '\\\\s+'), x -> x <> ''))",
+)
+
+
+@stage(
+    "pipeline_packing_waste",
+    PACK_WASTE_SQL,
+    "padding-waste what-if for document-isolated packing: chunks and "
+    "padding tokens at 512/1024/2048-token sequence lengths in one "
+    "pass (ceil division floor()ed before the cast — the DuckDB "
+    "rounding-cast trap) — the document-boundary-respecting "
+    "counterfactual to pipeline_sequence_packing's concat-then-chunk",
+)
+def q_pipeline_packing_waste(spark, sf_dir):
+    return _sql_query(PACK_WASTE_SPARK_SQL, ("documents",))(spark, sf_dir)
