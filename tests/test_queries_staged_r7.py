@@ -86,6 +86,8 @@ FLOAT_SENSITIVE = [
     "text_zipf_slope",
     "render_average_below",
     "q_event_session_depth",
+    "text_brevity_law",
+    "emb_distance_histogram",
 ]
 
 
