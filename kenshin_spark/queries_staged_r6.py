@@ -285,9 +285,11 @@ def q_render_most_deviant(spark, sf_dir):
     SELECT metric, ts, round(sqrt(value * value), 6) AS value
     FROM t0
     """,
-    "graphite squareRoot(pow(series, 2)) — the exponent/rooting pair "
-    "chained; pow(x,2) is computed as x*x and sqrt applied on top in "
-    "both engines, op-for-op identical (and ≈|x| up to one ulp)",
+    "graphite squareRoot(pow(series, 2)) semantics — written as the "
+    "explicit sqrt(x*x) expression on BOTH engines rather than through "
+    "libm pow() (pow is not correctly-rounded and differs per libm; "
+    "x*x and sqrt are IEEE-exact ops), so the float path is op-for-op "
+    "identical (and ≈|x| up to one ulp)",
 )
 def q_render_pow_roundtrip(spark, sf_dir):
     grid = _grid60(spark, sf_dir)
