@@ -15,6 +15,7 @@ from kenshin_spark.queries import DRIVER_VERIFIED, QUERIES, driver_order  # noqa
 from kenshin_spark.queries_staged import STAGED  # noqa: E402
 from kenshin_spark.queries_staged_r6 import STAGED_R6  # noqa: E402
 from kenshin_spark.queries_staged_r7 import STAGED_R7  # noqa: E402
+from kenshin_spark.queries_staged_r8 import STAGED_R8  # noqa: E402
 
 HEADER = """\
 # Query registry — every `queries()` entry, in driver evaluation order
@@ -54,6 +55,13 @@ Third bank, sized by idea quality rather than window arithmetic (the
 driver backfills unused slots with verified queries); same gate
 (`tests/test_queries_staged_r7.py`) and promotion mechanism.
 """,
+    "round 8": """\
+
+## Staged for round 8 (`kenshin_spark/queries_staged_r8.py`)
+
+Render-surface completion: after this bank promotes, every one of the
+63 RENDER_REGISTRY functions is exercised by a driver-oracled row.
+""",
 }
 
 
@@ -72,7 +80,7 @@ def main() -> None:
         out.append(f"{i + 1}. **{name}** ({status(name, i)}) — "
                    f"{QUERIES[name].doc}")
     for title, bank in (("round 5", STAGED), ("round 6", STAGED_R6),
-                        ("round 7", STAGED_R7)):
+                        ("round 7", STAGED_R7), ("round 8", STAGED_R8)):
         out.append(STAGED_HEADERS[title])
         for i, name in enumerate(sorted(bank)):
             out.append(f"{i + 1}. **{name}** (staged) — {bank[name].doc}")
