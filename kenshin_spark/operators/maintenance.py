@@ -9,6 +9,7 @@ bin/kenshin-rebuild-index.py) and never drifts.
 from __future__ import annotations
 
 import re
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -116,9 +117,23 @@ def _glob_body(pattern: str) -> str:
             j = pattern.find("]", i + 2)
             cls = pattern[i : j + 1] if j != -1 else None
             if cls is not None:
+                # escape inner '[' and break up '--'/'&&'/'||'/'~~' so
+                # future `re` versions don't reinterpret them as nested
+                # sets / set operations (FutureWarning in 3.12, slated
+                # to become an error)
+                body, norm, prev = cls[1:-1], [], ""
+                for c2 in body:
+                    if c2 == "[" or c2 in "&|~" or (c2 == "-" and prev == "-"):
+                        norm.append("\\" + c2)
+                    else:
+                        norm.append(c2)
+                    prev = c2
+                cls = "[" + "".join(norm) + "]"
                 try:
-                    re.compile(cls)
-                except re.error:
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("error", FutureWarning)
+                        re.compile(cls)
+                except (re.error, FutureWarning):
                     cls = None  # malformed class → literal bracket
             if cls is None:
                 out.append(re.escape(ch))

@@ -622,13 +622,15 @@ class StreamingCorpusIngest:
         batch = batch.persist()
         try:
             self.stats["received"] += batch.count()
-            # 1. quality gate (row-local, one filter expression)
-            viol = None
-            for c in self.checks:
-                e = c.violation_expr()
-                viol = e if viol is None else (viol | e)
-            self._dead(batch.where(viol), "quality_rejected", batch_id)
-            batch = batch.where(~F.coalesce(viol, F.lit(False)))
+            # 1. quality gate (row-local, one filter expression);
+            # skipped entirely when no checks are configured
+            if self.checks:
+                viol = None
+                for c in self.checks:
+                    e = c.violation_expr()
+                    viol = e if viol is None else (viol | e)
+                self._dead(batch.where(viol), "quality_rejected", batch_id)
+                batch = batch.where(~F.coalesce(viol, F.lit(False)))
 
             # 2. exact dedup: batch-internal (keep min doc_id) then
             # against the persisted md5 set — 16-byte keys only
@@ -678,6 +680,12 @@ class StreamingCorpusIngest:
 
             n_admit = fresh.count()
             if n_admit == 0:
+                # the batch completed successfully even though nothing
+                # was admitted — commit the marker so a foreachBatch
+                # redelivery doesn't re-append dead-letter rows or
+                # double-count stats
+                with open(marker, "w") as f:
+                    f.write("committed")
                 return
             self.stats["admitted"] += n_admit
             # 4. append docs, tokens, fingerprints, index rows

@@ -173,6 +173,12 @@ class HttpFetchServer:
                 except (KeyError, ValueError, IndexError):
                     self.send_error(400)
                     return
+                except Exception:  # noqa: BLE001 — engine errors (e.g.
+                    # Spark analysis failures during fetch/collect) must
+                    # still produce an HTTP response, not a dropped
+                    # connection
+                    self.send_error(500)
+                    return
                 data = json.dumps(body).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

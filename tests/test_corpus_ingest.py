@@ -143,3 +143,54 @@ class TestIdempotentReplay:
         # a NEW batch id still processes (and dedups against state)
         ing.ingest(b, 8)
         assert spark.read.parquet(f"{ing.root}/docs").count() == n_docs
+
+    def test_zero_admit_batch_still_commits_marker(
+        self, spark, tmp_path, train_docs
+    ):
+        """A batch whose every doc is rejected must still write its
+        commit marker — otherwise a foreachBatch redelivery re-appends
+        the dead-letter rows and double-counts stats."""
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(
+            spark, str(tmp_path / "corpus"), merges
+        )
+        ing.ingest(
+            spark.createDataFrame(
+                [(1, BASE, "web")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        all_dups = spark.createDataFrame(
+            [(10, BASE, "web"), (11, None, "web")],
+            "doc_id long, text string, source string",
+        )
+        ing.ingest(all_dups, 1)  # everything rejected → zero admitted
+        assert os.path.exists(f"{ing.root}/_batches/1")
+        stats_before = dict(ing.stats)
+        n_dead = spark.read.parquet(f"{ing.root}/dead").count()
+        ing.ingest(all_dups, 1)  # redelivery must be a no-op
+        assert ing.stats == stats_before
+        assert spark.read.parquet(f"{ing.root}/dead").count() == n_dead
+
+
+class TestEmptyQualityChecks:
+    def test_explicit_empty_checks_skips_gate(
+        self, spark, tmp_path, train_docs
+    ):
+        """quality_checks=[] must skip the gate (not build a NULL filter
+        expression), admitting rows the default checks would reject."""
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(
+            spark, str(tmp_path / "corpus"), merges,
+            quality_checks=[],
+        )
+        ing.ingest(
+            spark.createDataFrame(
+                [(1, BASE, "web"), (2, "abc", "web")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        assert ing.stats["quality_rejected"] == 0
+        assert ing.stats["admitted"] == 2

@@ -101,6 +101,26 @@ class TestHttpFetchServer:
         finally:
             srv.stop()
 
+    def test_engine_error_returns_500_not_dropped_connection(self, spark):
+        """A non-client error raised by the wired fn (e.g. a Spark
+        analysis failure during fetch/collect) must come back as an
+        HTTP 500, not a dropped connection."""
+        def boom(*a):
+            raise RuntimeError("engine exploded")
+
+        srv = HttpFetchServer(boom, render_fn=boom)
+        host, port = srv.start()
+        try:
+            for path in (
+                "/fetch?metric=m&from=0&until=1&now=1",
+                "/render?target=x&from=0&until=1&now=1",
+            ):
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(f"http://{host}:{port}{path}")
+                assert ei.value.code == 500
+        finally:
+            srv.stop()
+
 
 class TestHttpRender:
     def test_render_target_over_http(self, spark, store):
