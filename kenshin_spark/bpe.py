@@ -44,11 +44,24 @@ EOW = "</w>"
 
 
 def word_frequencies(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_words: int | None = None,
 ) -> DataFrame:
     """Phase 1: ``(word, freq)`` over the corpus — one explode + one
-    map-side-combined count."""
-    return (
+    map-side-combined count.
+
+    ``min_count`` / ``max_words`` bound the table BEFORE it ever leaves
+    the executors: the distinct-word count of a web-scale corpus is
+    unbounded (typos, URLs, numbers run it to 10^8-10^9 rows), so the
+    trainer must never collect the raw table. ``min_count`` is a
+    JVM-side ``HAVING freq >= k``; ``max_words`` is a deterministic
+    top-K (freq desc, then word asc — Spark plans it as
+    TakeOrderedAndProject, no global sort materialization). Both prune
+    only the long tail of hapax words, which standard BPE trainers
+    ignore anyway."""
+    wf = (
         docs.select(
             F.explode(
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -58,6 +71,13 @@ def word_frequencies(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if min_count > 1:
+        wf = wf.where(F.col("freq") >= min_count)
+    if max_words is not None:
+        wf = wf.orderBy(
+            F.col("freq").desc(), F.col("word").asc()
+        ).limit(max_words)
+    return wf
 
 
 def train_bpe_merges(
@@ -108,14 +128,27 @@ def train_bpe_merges(
 
 
 def fit(
-    docs: DataFrame, n_merges: int = 1000, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 1000,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_words: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Train BPE on a corpus: distributed word count, driver-side merge
-    loop on the vocab table (the table is |vocab| rows — collecting it
-    is the standard trainer design, not a data collect)."""
+    loop on the pruned vocab table.
+
+    The collect is BOUNDED: at most ``max_words`` rows reach the driver
+    (default 1M — ~10s of MB of short strings, far under any driver
+    heap), however large the corpus. On a corpus whose distinct-word
+    count is under the cap the pruning is a no-op and training is
+    bit-identical to unbounded (pytest-pinned); on a 100 TB web corpus
+    it drops only tail words whose frequency can never win a merge.
+    Pass ``max_words=None`` to opt out explicitly."""
     wf = [
         (r["word"], r["freq"])
-        for r in word_frequencies(docs, text_col).collect()
+        for r in word_frequencies(
+            docs, text_col, min_count=min_count, max_words=max_words
+        ).collect()
     ]
     wf.sort()  # layout-independent driver state
     return train_bpe_merges(wf, n_merges)

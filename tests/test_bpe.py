@@ -64,6 +64,33 @@ class TestDistributed:
         wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
         assert fit(docs, n_merges=5) == train_bpe_merges(wf, 5)
 
+    def test_vocab_cap_bounds_the_collect(self, docs):
+        """max_words caps what reaches the driver: the frequency top-K
+        (freq desc, word asc) with exactly max_words rows."""
+        rows = word_frequencies(docs, max_words=2).collect()
+        assert len(rows) == 2
+        assert {r["word"] for r in rows} == {"newest", "low"}
+        # min_count prunes the tail JVM-side
+        rows = word_frequencies(docs, min_count=3).collect()
+        assert {r["word"] for r in rows} == {"low", "newest", "widest"}
+
+    def test_non_binding_cap_reproduces_unbounded_merges(self, docs):
+        """A cap at or above |vocab| must train bit-identically to
+        unbounded — pruning only ever drops words, never reorders the
+        trainer's deterministic state."""
+        unbounded = fit(docs, n_merges=8, max_words=None)
+        capped = fit(docs, n_merges=8, max_words=4)       # == |vocab|
+        roomy = fit(docs, n_merges=8, max_words=10_000)   # >> |vocab|
+        assert capped == unbounded
+        assert roomy == unbounded
+
+    def test_binding_cap_still_trains(self, docs):
+        """A binding cap trains on the frequency head only (the 100 TB
+        posture: tail words can never win a merge anyway)."""
+        merges = fit(docs, n_merges=4, max_words=1)
+        # only 'newest' (freq 6) survives the cap
+        assert merges == train_bpe_merges([("newest", 6)], 4)
+
     def test_tokenize_roundtrip_properties(self, docs):
         merges = fit(docs, n_merges=8)
         out = {r["doc_id"]: r for r in tokenize(docs, merges).collect()}
