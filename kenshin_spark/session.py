@@ -11,10 +11,47 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Spark's RocksDB state store provider (ships in the Spark distribution,
+#: rocksdbjni bundled). The default HDFS-backed provider keeps every
+#: streaming key in executor heap — fine for thousands of open windows,
+#: an OOM at the reference's design point of millions of live series
+#: (rurouni/cache.py:219-338 rings). RocksDB spills state to local disk
+#: with an in-heap block cache, so state size is bounded by disk, not
+#: heap.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
 
-def get_spark(app_name: str = "kenshin_spark", cpus: int | None = None) -> SparkSession:
+
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Switch streaming state to RocksDB for queries started AFTER this
+    call (`spark.sql.streaming.stateStore.providerClass` is a runtime
+    SQL conf; each query pins its provider at start and keeps it for the
+    checkpoint's lifetime — never flip it under an existing checkpoint).
+    Changelog checkpointing uploads per-batch deltas instead of full
+    RocksDB snapshots, the production posture for large state."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true",
+    )
+
+
+def get_spark(
+    app_name: str = "kenshin_spark",
+    cpus: int | None = None,
+    rocksdb_state: bool | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    if rocksdb_state is None:
+        rocksdb_state = os.environ.get(
+            "SPARK_GRAFT_ROCKSDB_STATE", ""
+        ).lower() in ("1", "true", "yes")
     master = f"local[{cpus}]" if cpus else "local[*]"
     shuffle_parts = str(cpus or os.cpu_count() or 32)
     builder = (
@@ -34,4 +71,6 @@ def get_spark(app_name: str = "kenshin_spark", cpus: int | None = None) -> Spark
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if rocksdb_state:
+        enable_rocksdb_state(spark)
     return spark

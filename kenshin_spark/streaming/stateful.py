@@ -9,9 +9,13 @@ across micro-batches; each point emits its per-second rate vs the
 previous point, NULL at series start and on counter resets.
 
 State size is two scalars per metric — millions of metrics fit easily in
-the state store (RocksDB provider at scale); the ProcessingTime timeout
-expires dormant metrics' state, the same hygiene as the hot-cache drain
-(rurouni/cache.py:288-338).
+the state store. At that scale switch the provider to RocksDB
+(``session.enable_rocksdb_state(spark)`` or
+``get_spark(rocksdb_state=True)`` / ``SPARK_GRAFT_ROCKSDB_STATE=1``)
+so state lives on executor-local disk instead of heap; this operator is
+integration-tested under that provider (tests/test_rocksdb_state.py).
+The ProcessingTime timeout expires dormant metrics' state, the same
+hygiene as the hot-cache drain (rurouni/cache.py:288-338).
 """
 
 from __future__ import annotations
