@@ -23,9 +23,15 @@ Scale notes (100 TB):
   fixed-w windows are the standard distributed relaxation (a duplicated
   span of length L ≥ w is detected by all its L-w+1 windows).
 - the gram stream is computed once and reused for the duplicate set and
-  the attribution join (cached here; at cluster scale prefer a shuffle
-  reuse or an explicit checkpoint to cheap storage over recompute,
-  since recompute re-reads and re-splits the full text).
+  the attribution join. Two reuse modes: the default ``.cache()`` (fine
+  while the stream fits executor storage), and ``materialize_dir`` —
+  pass a path and the stream (hash rows only, never text) is written to
+  parquet ONCE and both consumers read it back, so text is tokenized
+  exactly once regardless of executor-cache eviction. At 100 TB the
+  cached stream is ~corpus-sized and WILL be evicted (silent recompute
+  = re-reading and re-splitting the full text per consumer);
+  ``materialize_dir`` is the cluster-scale mode and is plan-tested to
+  touch the text source once end-to-end.
 """
 
 from __future__ import annotations
@@ -67,12 +73,69 @@ def gram_hashes(
     )
 
 
+def gram_stream(
+    docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The self-sufficient gram stream: ``(doc_id, n_grams, pos, gh)``
+    in ONE row-local text scan. Docs shorter than w tokens emit a single
+    ``(doc_id, 0, NULL, NULL)`` row so the complete document list (and
+    each doc's window count) can be recovered from the stream alone —
+    the property that lets ``materialize_dir`` replace every later text
+    scan with a read of this narrow table."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    )
+    gram = F.array_join(F.slice("_toks", F.col("pos") + 1, F.lit(w)), " ")
+    n_grams = F.greatest(F.col("_n") - (w - 1), F.lit(0)).cast("long")
+    seq = F.when(
+        F.col("_n") >= w, F.sequence(F.lit(0), F.col("_n") - w)
+    )
+    return (
+        base.select(
+            "doc_id",
+            "_toks",
+            n_grams.alias("n_grams"),
+            F.explode_outer(seq).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("pos").cast("long").alias("pos"),
+            F.when(F.col("pos").isNotNull(), _gram_hash(gram)).alias("gh"),
+        )
+    )
+
+
+def _reusable_grams(
+    docs: DataFrame,
+    w: int,
+    id_col: str,
+    text_col: str,
+    materialize_dir: str | None,
+) -> DataFrame:
+    """One gram stream, two reuse disciplines: parquet-materialized
+    (text tokenized exactly once, eviction-proof — the cluster-scale
+    mode) or ``.cache()`` (zero extra IO while it fits storage)."""
+    grams = gram_stream(docs, w, id_col, text_col)
+    if materialize_dir is not None:
+        grams.write.mode("overwrite").parquet(materialize_dir)
+        return docs.sparkSession.read.parquet(materialize_dir)
+    return grams.cache()
+
+
 def duplicated_ngram_profile(
     docs: DataFrame,
     w: int = 8,
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """Per-document duplicated-substring profile: ``(doc_id, n_grams,
     dup_grams, dup_frac)`` where dup_grams counts window positions whose
@@ -82,24 +145,27 @@ def duplicated_ngram_profile(
     dup_frac is the trainer-facing signal: the fraction of the document
     that is memorized-elsewhere text. Docs shorter than w tokens emit
     n_grams = 0 and NULL dup_frac.
-    """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = gram_hashes(docs, w, id_col, text_col).cache()
+
+    With ``materialize_dir`` the gram stream is checkpointed to parquet
+    and the whole profile computes from it — the text source is touched
+    exactly once (plan-tested)."""
+    grams = _reusable_grams(docs, w, id_col, text_col, materialize_dir)
+    hashed = grams.where(F.col("gh").isNotNull())
     dup = (
-        grams.groupBy("gh")
+        hashed.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("occ"))
         .where(F.col("occ") >= min_count)
         .select("gh")
     )
     per = (
-        grams.join(dup, "gh")
+        hashed.join(dup, "gh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("_dup"))
     )
-    n_grams = F.greatest(F.size(toks) - (w - 1), F.lit(0)).cast("long")
     dupc = F.coalesce(F.col("_dup"), F.lit(0)).cast("long")
     return (
-        docs.select(F.col(id_col).alias("doc_id"), n_grams.alias("n_grams"))
+        grams.groupBy("doc_id")
+        .agg(F.max("n_grams").alias("n_grams"))
         .join(per, "doc_id", "left")
         .select(
             "doc_id",
@@ -164,6 +230,7 @@ def duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """The actionable form of substring dedup (Lee et al. REMOVE the
     duplicated spans, they don't drop documents): maximal runs of
@@ -178,7 +245,9 @@ def duplicated_spans(
     duplicated-position set, keyed by document."""
     from pyspark.sql import Window
 
-    grams = gram_hashes(docs, w, id_col, text_col).cache()
+    grams = _reusable_grams(
+        docs, w, id_col, text_col, materialize_dir
+    ).where(F.col("gh").isNotNull())
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -278,6 +347,7 @@ def remove_duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """The removal step completing the Lee et al. pipeline: drop every
     token covered by a duplicated span and re-join the survivors —
@@ -290,9 +360,16 @@ def remove_duplicated_spans(
     expression over the token array — no token-level shuffle, the
     corpus is touched once. clean_md5 fingerprints the scrubbed text so
     downstream stages (and the SQL oracle) can verify the edit
-    byte-exactly without moving text."""
+    byte-exactly without moving text.
+
+    The scrub itself must re-read text (it rewrites documents), so with
+    ``materialize_dir`` the text source is scanned exactly twice total —
+    once to build the gram checkpoint, once to apply the edit — instead
+    of 2 + (cache-eviction recomputes)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = gram_hashes(docs, w, id_col, text_col).cache()
+    grams = _reusable_grams(
+        docs, w, id_col, text_col, materialize_dir
+    ).where(F.col("gh").isNotNull())
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("occ"))

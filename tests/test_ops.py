@@ -2386,6 +2386,98 @@ class TestRenderSelectionMore:
             assert name in RENDER_REGISTRY
 
 
+class TestSubstringMaterialize:
+    """materialize_dir — the cluster-scale reuse mode: the gram stream
+    checkpoints to parquet once and every consumer reads it back, so
+    results are identical to the cached mode and the text source leaves
+    the plan entirely (profile/spans) or appears exactly once (scrub)."""
+
+    def _docs(self, spark):
+        boiler = "all rights reserved contact us at example dot com"
+        return spark.createDataFrame(
+            [
+                (1, f"alpha beta gamma {boiler} delta"),
+                (2, f"unrelated words here {boiler} epsilon zeta"),
+                (3, "totally unique text with no repeats at all whatsoever"),
+                (4, "short doc"),
+                (5, f"{boiler} {boiler}"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_materialized_profile_matches_cached(self, spark, tmp_path):
+        from kenshin_spark.dedup.substring import duplicated_ngram_profile
+
+        docs = self._docs(spark)
+        cached = sorted(
+            map(tuple, duplicated_ngram_profile(docs, w=8).collect())
+        )
+        mat = sorted(
+            map(
+                tuple,
+                duplicated_ngram_profile(
+                    docs, w=8, materialize_dir=str(tmp_path / "g")
+                ).collect(),
+            )
+        )
+        assert mat == cached
+
+    def test_materialized_spans_and_scrub_match_cached(
+        self, spark, tmp_path
+    ):
+        from kenshin_spark.dedup.substring import (
+            duplicated_spans,
+            remove_duplicated_spans,
+        )
+
+        docs = self._docs(spark)
+        for fn, sub in (
+            (duplicated_spans, "s"),
+            (remove_duplicated_spans, "r"),
+        ):
+            cached = sorted(map(tuple, fn(docs, w=8).collect()))
+            mat = sorted(
+                map(
+                    tuple,
+                    fn(
+                        docs, w=8,
+                        materialize_dir=str(tmp_path / sub),
+                    ).collect(),
+                )
+            )
+            assert mat == cached, fn.__name__
+
+    def test_materialized_profile_plan_has_no_text_scan(
+        self, spark, tmp_path
+    ):
+        """With materialize_dir the profile computes entirely from the
+        hash checkpoint: the documents parquet appears ZERO times in the
+        plan (it was scanned once, at write time), and the checkpoint is
+        hash rows only — no text column ever hits disk."""
+        from kenshin_spark.dedup.substring import duplicated_ngram_profile
+        from kenshin_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        gdir = str(tmp_path / "grams")
+        prof = duplicated_ngram_profile(
+            docs, w=8, materialize_dir=gdir
+        )
+        plan = prof._sc._jvm.PythonSQLUtils.explainString(
+            prof._jdf.queryExecution(), "formatted"
+        )
+        assert "documents.parquet" not in plan
+        assert plan.count("Scan parquet") >= 1  # the checkpoint reads
+        ck = spark.read.parquet(gdir)
+        assert set(ck.columns) == {"doc_id", "n_grams", "pos", "gh"}
+        # and the checkpointed stream agrees with the live one
+        from kenshin_spark.dedup.substring import gram_stream
+
+        live = gram_stream(docs, w=8)
+        assert sorted(map(tuple, ck.collect())) == sorted(
+            map(tuple, live.collect())
+        )
+
+
 class TestSubstringIncremental:
     def test_incremental_equals_full_profile_on_batch(self, spark):
         """The incremental path must agree exactly with the full-corpus
