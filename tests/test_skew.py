@@ -1,0 +1,137 @@
+"""Adversarial skew for the MinHash bucket join.
+
+SCALING.md asserts the band self-join's skew is AQE's problem; this file
+actually manufactures the skew and proves the claim: a corpus where
+hundreds of documents share identical boilerplate puts them all in ONE
+(band, band_key) bucket per band — the worst case for the bucket join
+(that single bucket is Σ|bucket|² of the whole query). With AQE skew-join
+enabled (and test-scaled thresholds, since the defaults are set for
+multi-GB partitions) Spark must split the hot partition at runtime —
+``skew=...`` appears on the SortMergeJoin in the final adaptive plan —
+and the pair set must be identical to the unsplit run."""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from kenshin_spark.dedup.minhash import minhash_lsh_pairs
+
+N_HOT = 400    # docs sharing identical boilerplate → one hot bucket
+N_COLD = 200   # unique docs → long tail of singleton buckets
+
+SKEW_CONFS = {
+    # scaled-down skew detection: a partition is skewed if it exceeds
+    # BOTH factor×median AND the byte threshold; test buckets are KBs,
+    # not the 256 MB production default
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+    # force the band self-join to sort-merge (the 100 TB shape — at that
+    # scale neither side broadcasts); the explicit BROADCAST hints on
+    # the candidate-verify joins still apply
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # keep AQE from folding everything into one partition first
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256b",
+    # enough initial partitions that the median stays far below the
+    # hot bucket (shuffle compression shrinks the hot partition a lot —
+    # identical band_keys RLE away — so the contrast must come from a
+    # tiny median, exactly as on a real cluster)
+    "spark.sql.shuffle.partitions": "8",
+}
+
+
+@pytest.fixture()
+def skewed_docs(spark):
+    boiler = (
+        "all rights reserved this content is the property of the site "
+        "and may not be reproduced without permission of the owner"
+    )
+    rows = [(i, boiler) for i in range(N_HOT)]
+    rows += [
+        (
+            10_000 + i,
+            f"unique document number {i} carrying words w{i} x{i} "
+            f"y{i} z{i} q{i} r{i} s{i} t{i}",
+        )
+        for i in range(N_COLD)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _with_confs(spark, confs):
+    saved = {}
+    for key, val in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    return saved
+
+
+def _restore(spark, saved):
+    for key, val in saved.items():
+        if val is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, val)
+
+
+class TestMinhashBucketJoinSkew:
+    def test_aqe_splits_the_hot_bucket_and_results_match(
+        self, spark, skewed_docs
+    ):
+        expected_hot_pairs = N_HOT * (N_HOT - 1) // 2
+
+        saved = _with_confs(spark, SKEW_CONFS)
+        try:
+            df = minhash_lsh_pairs(skewed_docs, threshold=0.5)
+            with_skew = {
+                (r["doc_a"], r["doc_b"]) for r in df.collect()
+            }
+            # inspect the FINAL adaptive plan (post-materialization)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, (
+                "AQE never marked the bucket join skewed:\n"
+                + plan[:4000]
+            )
+
+            # identical boilerplate ⇒ jaccard 1.0 for every hot pair;
+            # unique docs must contribute none
+            assert len(with_skew) == expected_hot_pairs
+            assert all(a < 1000 and b < 1000 for a, b in with_skew)
+            # and BOTH sides of the self-join were split (the reader
+            # nodes carry the skewed marker)
+            assert plan.count("AQEShuffleRead skewed") >= 2
+
+            # same query with skew-join handling OFF — the pair set is
+            # exactly the same (skew splitting is a physical rewrite)
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled", "false"
+            )
+            without_skew = {
+                (r["doc_a"], r["doc_b"])
+                for r in minhash_lsh_pairs(
+                    skewed_docs, threshold=0.5
+                ).collect()
+            }
+            assert without_skew == with_skew
+        finally:
+            _restore(spark, saved)
+
+    def test_verify_joins_stay_broadcast_under_forced_smj(
+        self, spark, skewed_docs
+    ):
+        """Even with autoBroadcastJoinThreshold=-1 (the cluster posture
+        for the band join), the candidate-verify joins keep their
+        explicit BROADCAST hints — the corpus side must never shuffle
+        for verification."""
+        saved = _with_confs(spark, SKEW_CONFS)
+        try:
+            df = minhash_lsh_pairs(skewed_docs, threshold=0.5)
+            df.count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan
+            assert "SortMergeJoin" in plan  # the band self-join
+        finally:
+            _restore(spark, saved)
