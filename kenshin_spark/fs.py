@@ -67,6 +67,18 @@ class HadoopFS:
             for st in self._fs.listStatus(self._p(path))
         ]
 
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        """``(basename, size_bytes)`` for the direct child FILES of
+        ``path`` ([] if absent) — the primitive behind the store's
+        small-file audit."""
+        if not self.exists(path):
+            return []
+        return [
+            (st.getPath().getName(), st.getLen())
+            for st in self._fs.listStatus(self._p(path))
+            if st.isFile()
+        ]
+
     # -- mutation ----------------------------------------------------------
 
     def mkdirs(self, path: str) -> None:

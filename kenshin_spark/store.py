@@ -469,15 +469,84 @@ class ParquetTieredStore:
 
     # -- compaction -------------------------------------------------------
 
-    def compact(self, i: int, target_files_per_day: int = 1) -> None:
+    def file_report(self, i: int) -> list[dict]:
+        """Small-file audit for tier i: one row per day partition with
+        ``{"day", "n_files", "bytes", "min_file_bytes"}``, sorted by
+        day. This is the IO-shape health check the reference never
+        needs (its preallocated .hs files can't fragment,
+        README.md:63-71) but a COW/MOR parquet store must watch:
+        every micro-batch upsert adds ~one file per touched (day ×
+        shuffle task), and scan cost degrades with file COUNT long
+        before it degrades with bytes (per-file open + footer read ≈
+        ``openCostInBytes`` each). Driver cost is one listing per day
+        partition — bounded by retention/partition-unit, not data."""
+        path = self.tier_path(i)
+        report = []
+        for name in sorted(self.fs.list_names(path)):
+            if not name.startswith("day="):
+                continue
+            files = [
+                (n, sz)
+                for n, sz in self.fs.list_files(os.path.join(path, name))
+                if n.endswith(".parquet")
+            ]
+            if not files:
+                continue
+            sizes = [sz for _, sz in files]
+            report.append(
+                {
+                    "day": int(name.split("=", 1)[1]),
+                    "n_files": len(files),
+                    "bytes": sum(sizes),
+                    "min_file_bytes": min(sizes),
+                }
+            )
+        return report
+
+    def needs_compaction(
+        self,
+        i: int,
+        max_files_per_day: int = 8,
+        min_file_bytes: int = 8 << 20,
+    ) -> list[int]:
+        """Days of tier i whose file shape has degraded: more than
+        ``max_files_per_day`` files, or any file smaller than
+        ``min_file_bytes`` while the partition has more than one (a
+        lone small file is just a small day). Feed the result to
+        ``compact(i, days=...)`` — the maintenance loop's predicate."""
+        return [
+            r["day"]
+            for r in self.file_report(i)
+            if r["n_files"] > max_files_per_day
+            or (r["n_files"] > 1 and r["min_file_bytes"] < min_file_bytes)
+        ]
+
+    def compact(
+        self,
+        i: int,
+        target_files_per_day: int = 1,
+        days: list[int] | None = None,
+    ) -> None:
         """Rewrite tier i's day partitions into ``target_files_per_day``
         files each. Repeated micro-batch upserts leave one file per
         (day × shuffle task × batch); compaction restores the
         one-sequential-file-per-period shape the reference gets for free
         from its preallocated format (README.md:63-66). Run it like the
-        reference's maintenance scripts — off the hot path."""
+        reference's maintenance scripts — off the hot path.
+
+        ``days`` bounds the rewrite to those day partitions, each
+        swapped independently under the ``.bak`` protocol — the
+        production shape: under steady streaming ingest only the
+        last hour/day fragments (``needs_compaction`` finds them), and
+        compacting a 90-day tier to fix one hot day would rewrite 90×
+        the necessary bytes. ``days=None`` keeps the full-tier rewrite
+        (initial cleanup / schema maintenance)."""
         path = self.tier_path(i)
         if self._tier_empty(path):
+            return
+        if days is not None:
+            for d in days:
+                self._compact_day(i, d, target_files_per_day)
             return
         raw = self.spark.read.parquet(path)
         if "_seq" in raw.columns:
@@ -508,6 +577,51 @@ class ParquetTieredStore:
         # .bak swap protocol (fs.py): a crash mid-swap is recoverable via
         # recover(), never a half-deleted tier
         self.fs.swap(path, tmp)
+
+    def _compact_day(
+        self, i: int, day: int, target_files_per_day: int
+    ) -> None:
+        """Compact ONE day partition in place: read just that directory
+        (files inside a ``day=`` dir don't carry the partition column),
+        fold the mor log if present, rewrite as ``target_files_per_day``
+        sorted files, swap the day directory. Slots never span days, so
+        folding one day's log is exactly as correct as folding the
+        tier's."""
+        path = self.tier_path(i)
+        day_dir = os.path.join(path, f"day={day}")
+        if not self.fs.exists(day_dir):
+            return
+        raw = self.spark.read.parquet(day_dir)
+        if "_seq" in raw.columns:
+            df = (
+                raw.groupBy("metric", "ts")
+                .agg(F.max(F.struct("_seq", "value")).alias("_w"))
+                .select(
+                    "metric", "ts", F.col("_w.value").alias("value"),
+                    F.lit(0).alias("_seq"),
+                )
+            )
+        else:
+            df = raw.select("metric", "ts", "value")
+        # staging names are underscore-prefixed so Spark's partition
+        # discovery never sees them (a literal "day=5.bak" sibling
+        # would poison day's inferred type for the whole tier)
+        tmp = os.path.join(path, f"_day_{day}.compact")
+        bak = os.path.join(path, f"_day_{day}.bak")
+        (
+            df.repartition(target_files_per_day)
+            .sortWithinPartitions("metric", "ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        if self.fs.exists(bak):  # debris from a crash after promote
+            self.fs.delete(bak)
+        if not self.fs.rename(day_dir, bak):
+            raise IOError(f"compact: could not stage {day_dir} -> {bak}")
+        if not self.fs.rename(tmp, day_dir):
+            self.fs.rename(bak, day_dir)  # roll back
+            raise IOError(f"compact: could not promote {tmp} -> {day_dir}")
+        self.fs.delete(bak)
 
     # -- delete (M5) ------------------------------------------------------
 
@@ -546,6 +660,21 @@ class ParquetTieredStore:
             p = self.tier_path(i)
             if self.fs.recover_swap(p):
                 restored.append(p)
+            # per-day compaction swaps: a crash between stage and
+            # promote leaves _day_<d>.bak with no day=<d> — without
+            # recovery the tier read silently drops that day
+            for name in self.fs.list_names(p):
+                if name.startswith("_day_") and name.endswith(".bak"):
+                    d = name[len("_day_"): -len(".bak")]
+                    live = os.path.join(p, f"day={d}")
+                    bak = os.path.join(p, name)
+                    if not self.fs.exists(live):
+                        if self.fs.rename(bak, live):
+                            restored.append(live)
+                    else:  # crash after promote, before bak delete
+                        self.fs.delete(bak)
+                elif name.startswith("_day_") and name.endswith(".compact"):
+                    self.fs.delete(os.path.join(p, name))  # stale tmp
         if self.fs.recover_swap(self.catalog_path):
             restored.append(self.catalog_path)
         return restored

@@ -513,6 +513,83 @@ class TestCompaction:
         assert len(files0) == 1
         assert rows(store.read(0)) == before  # lossless
 
+    def test_small_file_audit_under_many_tiny_batches(
+        self, spark, tmp_path
+    ):
+        """The streaming-ingest IO-shape audit: N tiny mor upserts into
+        one hot partition leave ~N files there (the small-file problem
+        the reference's preallocated .hs format can't have,
+        README.md:63-71); file_report sees it, needs_compaction flags
+        exactly the degraded day, and a TARGETED compact(days=[hot])
+        restores one file there while never touching the cold
+        partition's bytes."""
+        schema = Schema.from_strings(
+            "s", ".*", "60s:30d", xff=1.0, agg_method="last"
+        )
+        store = ParquetTieredStore(
+            spark, schema, str(tmp_path / "st"), mode="mor"
+        )
+        day = 86400
+        # cold day: one clean write
+        store.upsert(0, spark.createDataFrame(
+            [("m", 0, 1.0), ("m", 60, 2.0)],
+            "metric string, ts long, value double"))
+        # hot day: 10 tiny micro-batch appends, some overwriting slots
+        for b in range(10):
+            store.upsert(0, spark.createDataFrame(
+                [("m", day + 60 * (b % 4), float(b))],
+                "metric string, ts long, value double"))
+        before = rows(store.read(0))
+
+        rep = {r["day"]: r for r in store.file_report(0)}
+        assert set(rep) == {0, 1}
+        assert rep[1]["n_files"] >= 10          # one per micro-batch
+        # min_file_bytes=0 isolates the count rule (every file in a
+        # 12-row test store is "small" by the 8 MB production default)
+        flagged = store.needs_compaction(
+            0, max_files_per_day=8, min_file_bytes=0
+        )
+        assert flagged == [1]
+        # the size rule alone flags both fragmented days
+        assert store.needs_compaction(0, max_files_per_day=99) == [0, 1]
+
+        cold_files = dict(store.fs.list_files(
+            str(tmp_path / "st" / "tier=0" / "day=0")))
+        store.compact(0, days=flagged)
+        rep2 = {r["day"]: r for r in store.file_report(0)}
+        assert rep2[1]["n_files"] == 1
+        # the cold partition's files are byte-identical (not rewritten)
+        assert dict(store.fs.list_files(
+            str(tmp_path / "st" / "tier=0" / "day=0"))) == cold_files
+        # data identical, log folded for the compacted day only
+        assert rows(store.read(0)) == before
+        assert store.needs_compaction(
+            0, max_files_per_day=8, min_file_bytes=0
+        ) == []
+
+    def test_day_compaction_crash_recovery(self, spark, tmp_path):
+        """A per-day compaction that dies between stage and promote
+        leaves _day_<d>.bak and no day=<d>; recover() must restore the
+        partition (and partition discovery must never have seen the
+        staging names — they are underscore-prefixed)."""
+        schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+        store = ParquetTieredStore(
+            spark, schema, str(tmp_path / "st"), mode="mor"
+        )
+        day = 86400
+        for b in range(3):
+            store.upsert(0, spark.createDataFrame(
+                [("m", day + 60 * b, float(b))],
+                "metric string, ts long, value double"))
+        before = rows(store.read(0))
+        # simulate the crash: stage the live dir away by hand
+        tier = str(tmp_path / "st" / "tier=0")
+        assert store.fs.rename(f"{tier}/day=1", f"{tier}/_day_1.bak")
+        assert rows(store.read(0)) == []  # the day is gone
+        restored = store.recover()
+        assert f"{tier}/day=1" in restored
+        assert rows(store.read(0)) == before
+
 
 class TestStatefulRate:
     def test_rate_carries_state_across_batches(self, spark, tmp_path):
