@@ -249,6 +249,48 @@ def cmd_keepalive(args) -> None:
     print(json.dumps({"kept_alive": n}))
 
 
+def cmd_audit(args) -> None:
+    """Small-file IO-shape audit: per-tier, per-day file counts/sizes
+    plus the days needs_compaction would flag (the maintenance loop's
+    read side — the reference's preallocated format can't fragment, a
+    parquet store must watch for it)."""
+    store = _store(args)
+    for i in range(len(store.schema.archives)):
+        flagged = set(
+            store.needs_compaction(
+                i,
+                max_files_per_day=args.max_files,
+                min_file_bytes=args.min_file_bytes,
+            )
+        )
+        for r in store.file_report(i):
+            print(json.dumps(
+                {"tier": i, **r, "flagged": r["day"] in flagged}
+            ))
+
+
+def cmd_compact(args) -> None:
+    """Targeted compaction: rewrite the flagged (or given) day
+    partitions of each tier back to --target-files files. Run off the
+    hot path, like the reference's maintenance scripts."""
+    store = _store(args)
+    out = {}
+    for i in range(len(store.schema.archives)):
+        if args.days is not None:
+            days = [int(d) for d in args.days.split(",") if d != ""]
+        else:
+            days = store.needs_compaction(
+                i,
+                max_files_per_day=args.max_files,
+                min_file_bytes=args.min_file_bytes,
+            )
+        if days:
+            store.compact(i, target_files_per_day=args.target_files,
+                          days=days)
+        out[str(i)] = days
+    print(json.dumps({"compacted_days": out}))
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kenshin-spark")
     p.add_argument("--root", required=True)
@@ -307,6 +349,16 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("--n-files", type=int, default=16,
                     help="kenshin format: metrics are fnv1a-grouped "
                     "into this many .hs files")
+    au = sub.add_parser("audit")
+    au.add_argument("--max-files", type=int, default=8)
+    au.add_argument("--min-file-bytes", type=int, default=8 << 20)
+    co = sub.add_parser("compact")
+    co.add_argument("--days", default=None,
+                    help="comma-separated day partition values; default "
+                    "= whatever the audit flags")
+    co.add_argument("--target-files", type=int, default=1)
+    co.add_argument("--max-files", type=int, default=8)
+    co.add_argument("--min-file-bytes", type=int, default=8 << 20)
 
     args = p.parse_args(argv)
     {
@@ -325,6 +377,8 @@ def main(argv: list[str] | None = None) -> int:
         "keepalive": cmd_keepalive,
         "validate": cmd_validate,
         "export": cmd_export,
+        "audit": cmd_audit,
+        "compact": cmd_compact,
     }[args.cmd](args)
     return 0
 

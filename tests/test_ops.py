@@ -446,6 +446,39 @@ class TestCli:
         cli.main(base + ["info"])
         assert "sys.mem" not in capsys.readouterr().out
 
+    def test_cli_audit_and_compact(self, spark, tmp_path, capsys):
+        """audit prints per-day file shape with the flag decision;
+        compact (no --days) compacts exactly the flagged days."""
+        import json as _json
+
+        from kenshin_spark import cli
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        root = str(tmp_path / "st")
+        schema = Schema.from_strings("cli", ".*", "60s:30d", xff=20.0)
+        store = ParquetTieredStore(spark, schema, root, mode="mor")
+        for b in range(5):
+            store.upsert(0, spark.createDataFrame(
+                [("m", 86400 + 60 * b, float(b))],
+                "metric string, ts long, value double"))
+        base = ["--root", root, "--cpus", "2", "--retentions", "60s:30d"]
+        cli.main(base + ["audit", "--max-files", "3",
+                         "--min-file-bytes", "0"])
+        lines = [_json.loads(ln)
+                 for ln in capsys.readouterr().out.splitlines()]
+        assert any(r["flagged"] and r["n_files"] >= 5 for r in lines)
+
+        cli.main(base + ["compact", "--max-files", "3",
+                         "--min-file-bytes", "0"])
+        out = _json.loads(capsys.readouterr().out)
+        assert out["compacted_days"]["0"] == [1]
+        cli.main(base + ["audit", "--max-files", "3",
+                         "--min-file-bytes", "0"])
+        lines = [_json.loads(ln)
+                 for ln in capsys.readouterr().out.splitlines()]
+        assert all(not r["flagged"] for r in lines)
+
 
 class TestEmbeddingLsh:
     def test_lsh_pairs_recall_sf001(self, spark):
