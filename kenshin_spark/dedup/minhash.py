@@ -78,6 +78,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs ``(doc_a, doc_b, jaccard)`` with true Jaccard ≥
     threshold among LSH band candidates; jaccard rounded to 6dp.
@@ -91,7 +92,17 @@ def minhash_lsh_pairs(
     (``array_intersect``), so the corpus itself is never shuffled at all.
     One templated spark.sql call keeps the wide expression tree to a
     single JVM parse (no per-Column Py4J round-trips).
-    """
+
+    ``max_bucket`` is the Σ|bucket|² explosion guard: a bucket of B docs
+    (a boilerplate band shared corpus-wide) emits B²/2 candidate pairs
+    from that bucket alone — 10^10 pairs at B=10^5; AQE skew-split fixes
+    the wall-clock of the join but not its quadratic OUTPUT. With a cap,
+    over-cap buckets are excluded from candidate generation (the
+    standard production relaxation, same spirit as ``max_df`` stop-
+    shingle pruning). Recall note: a pair sharing ONLY over-cap buckets
+    is missed — run exact dedup first (identical docs are its job) and
+    size the cap at the boilerplate knee, not the tail. Default None =
+    complete banding."""
     r = k // bands
     mins = ", ".join(
         f"array_min(transform(sh, x -> CAST(conv(substring("
@@ -130,9 +141,14 @@ def minhash_lsh_pairs(
         FROM (SELECT doc_id, {mins} FROM sharr)
       ) WHERE band_key <> md5('')
     ),
+    {"kept_bands AS (SELECT band, band_key FROM band_rows "
+     "GROUP BY band, band_key HAVING count(*) <= " + str(max_bucket) + "), "
+     "banded AS (SELECT br.* FROM band_rows br JOIN kept_bands kb "
+     "ON br.band = kb.band AND br.band_key = kb.band_key),"
+     if max_bucket is not None else "banded AS (SELECT * FROM band_rows),"}
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM band_rows a JOIN band_rows b
+      FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     ),

@@ -119,6 +119,36 @@ class TestMinhashBucketJoinSkew:
         finally:
             _restore(spark, saved)
 
+    def test_max_bucket_caps_quadratic_candidate_output(
+        self, spark, skewed_docs
+    ):
+        """AQE skew-split fixes the hot bucket's wall-clock but not its
+        quadratic OUTPUT (B²/2 pairs from one B-doc bucket). max_bucket
+        excludes over-cap buckets from candidate generation: the
+        boilerplate clique's pairs disappear, pairs that share any
+        under-cap bucket survive."""
+        near = spark.createDataFrame(
+            [
+                (5000, "alpha beta gamma delta epsilon zeta eta theta"),
+                (5001, "alpha beta gamma delta epsilon zeta eta iota"),
+            ],
+            "doc_id long, text string",
+        )
+        docs = skewed_docs.unionByName(near)
+        full = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(
+                docs, threshold=0.5, max_bucket=50
+            ).collect()
+        }
+        assert (5000, 5001) in full and (5000, 5001) in capped
+        assert len(full) == N_HOT * (N_HOT - 1) // 2 + 1
+        assert capped == {(5000, 5001)}  # the clique's output is gone
+
     def test_verify_joins_stay_broadcast_under_forced_smj(
         self, spark, skewed_docs
     ):
