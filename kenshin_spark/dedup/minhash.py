@@ -245,6 +245,7 @@ def minhash_pairs_against_index(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental dedup: ``(corpus_id, new_id, jaccard)`` near-dup pairs
     between an incoming batch and an already-indexed corpus.
@@ -254,7 +255,22 @@ def minhash_pairs_against_index(
     index to the bucket join, and its text is re-shingled only for the
     candidate docs that actually collide (semi-join bounded). Cost per
     batch: O(|new| + |collisions|), independent of corpus size outside
-    the index join."""
+    the index join.
+
+    ``max_bucket`` guards the index join the same way it guards the
+    batch self-join in ``minhash_lsh_pairs``: a corpus-wide boilerplate
+    band key accumulates millions of INDEX rows, and every batch doc
+    hitting it fans out to all of them. Over-cap index keys are dropped
+    from candidate generation (count computed over the index — one
+    partial-agg pass on narrow rows)."""
+    kept = (
+        "kept AS (SELECT band, band_key FROM {ix} "
+        f"GROUP BY band, band_key HAVING count(*) <= {max_bucket}), "
+        "ib AS (SELECT i.* FROM {ix} i JOIN kept kb "
+        "ON i.band = kb.band AND i.band_key = kb.band_key),"
+        if max_bucket is not None
+        else "ib AS (SELECT * FROM {ix}),"
+    )
     sql = f"""
     WITH nsh AS ({_sharr_sql('{nd}', n, id_col, text_col)}),
     nband AS (
@@ -263,9 +279,10 @@ def minhash_pairs_against_index(
         FROM (SELECT doc_id, {_mins_sql(k)} FROM nsh)
       ) WHERE band_key <> md5('')
     ),
+    {kept}
     cand AS (
       SELECT DISTINCT i.doc_id AS corpus_id, nb.doc_id AS new_id
-      FROM {{ix}} i JOIN nband nb
+      FROM ib i JOIN nband nb
         ON i.band = nb.band AND i.band_key = nb.band_key
     ),
     csh AS (

@@ -149,6 +149,47 @@ class TestMinhashBucketJoinSkew:
         assert len(full) == N_HOT * (N_HOT - 1) // 2 + 1
         assert capped == {(5000, 5001)}  # the clique's output is gone
 
+    def test_max_bucket_caps_the_incremental_index_join(self, spark):
+        """Same guard on the daily-ingest path: an over-cap index key
+        (corpus-wide boilerplate) stops fanning out to every batch doc
+        that hits it; under-cap keys still match."""
+        from kenshin_spark.dedup.minhash import (
+            minhash_band_index,
+            minhash_pairs_against_index,
+        )
+
+        boiler = (
+            "all rights reserved this content is the property of the "
+            "site and may not be reproduced without permission"
+        )
+        corpus = spark.createDataFrame(
+            [(i, boiler) for i in range(30)]
+            + [(500, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        index = minhash_band_index(corpus)
+        batch = spark.createDataFrame(
+            [
+                (9000, boiler),  # hits the hot key → capped away
+                (9001, "alpha beta gamma delta epsilon zeta eta iota"),
+            ],
+            "doc_id long, text string",
+        )
+        full = {
+            (r["corpus_id"], r["new_id"])
+            for r in minhash_pairs_against_index(
+                batch, corpus, index, threshold=0.5
+            ).collect()
+        }
+        capped = {
+            (r["corpus_id"], r["new_id"])
+            for r in minhash_pairs_against_index(
+                batch, corpus, index, threshold=0.5, max_bucket=10
+            ).collect()
+        }
+        assert (500, 9001) in full and len(full) == 31
+        assert capped == {(500, 9001)}
+
     def test_verify_joins_stay_broadcast_under_forced_smj(
         self, spark, skewed_docs
     ):
