@@ -69,6 +69,7 @@ def embedding_neardup_pairs_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The 100 TB scale path: banded random-hyperplane LSH bounds the pair
     space to Σ|bucket|² per band instead of n²; a pair is a candidate iff
@@ -99,6 +100,18 @@ def embedding_neardup_pairs_lsh(
     band_rows = _band_rows(
         emb, planes, bands, rows_per_band, "_id", id_col, vec_col
     )
+    if max_bucket is not None:
+        # Σ|bucket|² explosion guard, same contract as minhash's
+        # max_bucket: a degenerate signature bucket (near-identical or
+        # zero embeddings corpus-wide) emits B²/2 candidates on its
+        # own; over-cap buckets drop out of candidate generation
+        kept = (
+            band_rows.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") <= max_bucket)
+            .select("band", "sig")
+        )
+        band_rows = band_rows.join(kept, ["band", "sig"])
     cand = (
         band_rows.alias("a")
         .join(
@@ -226,6 +239,7 @@ def cross_neardup_against_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup: ``(corpus_id, new_id, cosine)``
     pairs between an incoming batch and an indexed corpus — the daily
@@ -249,6 +263,16 @@ def cross_neardup_against_index(
     planes = _hyperplane(dim, bands * rows_per_band)
     nband = _band_rows(new, planes, bands, rows_per_band, "_nid", id_col,
                        vec_col)
+    if max_bucket is not None:
+        # index-side fan-out guard (see minhash_pairs_against_index):
+        # a degenerate signature accumulates unbounded index rows
+        kept = (
+            index.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") <= max_bucket)
+            .select("band", "sig")
+        )
+        index = index.join(kept, ["band", "sig"])
     cand = (
         index.join(
             nband,

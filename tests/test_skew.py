@@ -190,6 +190,53 @@ class TestMinhashBucketJoinSkew:
         assert (500, 9001) in full and len(full) == 31
         assert capped == {(500, 9001)}
 
+    def test_max_bucket_caps_embedding_lsh_buckets(self, spark):
+        """The vector analog: a degenerate signature bucket (identical
+        embeddings corpus-wide) is capped out of candidate generation
+        in both the self-join and the incremental-index paths."""
+        from kenshin_spark.dedup.embedding import (
+            cross_neardup_against_index,
+            embedding_neardup_pairs_lsh,
+            hyperplane_band_index,
+        )
+
+        hot = [0.5] * 8 + [0.0] * 56
+        near = [0.5] * 7 + [0.45] + [0.0] * 56
+        emb = spark.createDataFrame(
+            [(i, hot) for i in range(20)]
+            + [(100, near), (101, [float(j % 3) for j in range(64)])],
+            "vec_id long, embedding array<double>",
+        )
+        full = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_pairs_lsh(
+                emb, threshold=0.9
+            ).collect()
+        }
+        capped = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_pairs_lsh(
+                emb, threshold=0.9, max_bucket=10
+            ).collect()
+        }
+        assert len(full) >= 20 * 19 // 2  # the clique survives banding
+        assert (0, 100) in full
+        assert all(a >= 100 or b >= 100 for a, b in capped), capped
+
+        # incremental path: hot index signature capped away
+        index = hyperplane_band_index(emb)
+        batch = spark.createDataFrame(
+            [(9000, hot)], "vec_id long, embedding array<double>"
+        )
+        inc_full = cross_neardup_against_index(
+            batch, emb, index, threshold=0.9
+        ).count()
+        inc_capped = cross_neardup_against_index(
+            batch, emb, index, threshold=0.9, max_bucket=10
+        ).count()
+        assert inc_full >= 20
+        assert inc_capped == 0
+
     def test_verify_joins_stay_broadcast_under_forced_smj(
         self, spark, skewed_docs
     ):
