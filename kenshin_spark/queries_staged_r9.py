@@ -1,0 +1,233 @@
+"""Fifth staged bank — ROUND 9: the composed corpus-ingest job as a
+driver row (VERDICT r4 next-round item 5c, deferred while rounds 5-8's
+windows were already full), plus the max_bucket guard's semantics.
+
+``pipeline_ingest_triage`` drives the same decision chain
+``StreamingCorpusIngest.ingest`` applies per micro-batch — quality gate
+→ exact dedup (intra-batch min-id + against the corpus md5 set) →
+near-dup against the corpus's persisted MinHash band index — and emits
+the triage verdict for every batch document. The DuckDB oracle replays
+the full chain (md5 fingerprints, seeded-md5 minhashes, band keys,
+exact Jaccard) bit-for-bit.
+
+Same staging mechanism and gate (``tests/test_queries_staged_r9.py``)
+as the round-5/6/7/8 banks. Promote with
+``python tools/promote_staged.py queries_staged_r9`` once round 8's
+window clears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kenshin_spark.io import load_table
+from kenshin_spark.queries import (
+    QuerySpec,
+    _DH,
+    _SHINGLES,
+)
+
+STAGED_R9: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        STAGED_R9[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _incremental_pairs_sql(corpus_cap: int | None = None) -> str:
+    """The seeded-md5 minhash → band → bucket-join → exact-Jaccard
+    replay, batch (doc_id % 10 = 0) vs corpus, as a CTE body (the same
+    math the registry's dedup_minhash_incremental oracle replays).
+    ``corpus_cap`` replays the engine's ``max_bucket`` guard: candidate
+    generation joins only through corpus band buckets of ≤ cap rows."""
+    mins = ", ".join(
+        f"min({_DH.format(x=chr(39) + str(s) + '|' + chr(39) + ' || shingle')}) AS h{s}"
+        for s in range(8)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(CAST(h{2*b} AS VARCHAR) || ',' || "
+        f"CAST(h{2*b+1} AS VARCHAR)) AS band_key FROM sig"
+        for b in range(4)
+    )
+    kept = (
+        f"""kept AS (
+      SELECT band, band_key FROM bands WHERE doc_id % 10 <> 0
+      GROUP BY band, band_key HAVING count(*) <= {corpus_cap}
+    ),
+    """
+        if corpus_cap is not None
+        else ""
+    )
+    cap_join = (
+        "JOIN kept k ON a.band = k.band AND a.band_key = k.band_key"
+        if corpus_cap is not None
+        else ""
+    )
+    return f"""
+    sh AS ({_SHINGLES}),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    {kept}cand AS (
+      SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS new_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      {cap_join}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.corpus_id, c.new_id, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.corpus_id
+      JOIN sh sb ON sb.doc_id = c.new_id AND sb.shingle = sa.shingle
+      GROUP BY c.corpus_id, c.new_id
+    ),
+    near_pairs AS (
+      SELECT i.corpus_id, i.new_id
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.corpus_id
+      JOIN sizes zb ON zb.doc_id = i.new_id
+      WHERE round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6)
+            >= 0.5
+    )"""
+
+
+@stage(
+    "pipeline_ingest_triage",
+    f"""
+    WITH {_incremental_pairs_sql()},
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    q AS (
+      SELECT doc_id,
+             (text IS NULL
+              OR len(string_split_regex(trim(text), '\\s+')) < 5) AS _q
+      FROM batch
+    ),
+    surv AS (
+      SELECT b.doc_id, b.text FROM batch b
+      JOIN q ON q.doc_id = b.doc_id WHERE NOT q._q
+    ),
+    fp AS (SELECT doc_id, md5(text) AS h FROM surv),
+    cfp AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+    ),
+    exact AS (
+      SELECT f.doc_id FROM fp f JOIN cfp c ON f.h = c.h
+      UNION
+      SELECT f.doc_id FROM fp f
+      JOIN fp g ON f.h = g.h AND g.doc_id < f.doc_id
+    ),
+    near AS (
+      SELECT DISTINCT new_id AS doc_id FROM near_pairs
+      WHERE new_id IN (SELECT doc_id FROM surv)
+        AND new_id NOT IN (SELECT doc_id FROM exact)
+    )
+    SELECT b.doc_id,
+           CASE WHEN q._q THEN 'quality_rejected'
+                WHEN b.doc_id IN (SELECT doc_id FROM exact)
+                  THEN 'exact_dup'
+                WHEN b.doc_id IN (SELECT doc_id FROM near)
+                  THEN 'near_dup'
+                ELSE 'admitted' END AS reason
+    FROM batch b JOIN q ON q.doc_id = b.doc_id
+    """,
+    "the composed corpus-ingest job as a driver row: the SAME decision "
+    "chain StreamingCorpusIngest.ingest applies per micro-batch — "
+    "quality gate (>= 5 tokens) -> exact dedup (intra-batch min-id + "
+    "corpus md5 set) -> near-dup vs the corpus's persisted MinHash band "
+    "index — emitting the triage verdict per batch doc (doc_id % 10 = "
+    "0 is the batch, the rest the indexed corpus); the oracle replays "
+    "md5 fingerprints, seeded-md5 minhashes, band keys and exact "
+    "Jaccard bit-for-bit",
+)
+def q_pipeline_ingest_triage(spark, sf_dir):
+    from kenshin_spark.dedup.minhash import (
+        minhash_band_index,
+        minhash_pairs_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where("doc_id % 10 = 0").select("doc_id", "text")
+    corpus = docs.where("doc_id % 10 <> 0").select("doc_id", "text")
+
+    qbad = F.col("text").isNull() | (
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) < 5
+    )
+    flagged = batch.withColumn("_q", qbad)
+    surv = flagged.where(~F.col("_q")).select("doc_id", "text")
+
+    # exact: intra-batch (smaller doc_id keeps) + against the corpus set
+    fp = surv.select("doc_id", F.md5("text").alias("_h"))
+    cfp = corpus.select(F.md5("text").alias("_h")).distinct()
+    intra = (
+        fp.alias("f")
+        .join(
+            fp.alias("g"),
+            (F.col("f._h") == F.col("g._h"))
+            & (F.col("g.doc_id") < F.col("f.doc_id")),
+        )
+        .select(F.col("f.doc_id").alias("doc_id"))
+    )
+    cross = fp.join(cfp, "_h", "left_semi").select("doc_id")
+    exact = intra.unionByName(cross).distinct()
+
+    # near-dup: survivors minus exact dups, against the corpus index —
+    # exactly the ingest job's step 3 (pipeline.py)
+    nd_in = surv.join(exact, "doc_id", "left_anti")
+    pairs = minhash_pairs_against_index(
+        nd_in, corpus, minhash_band_index(corpus), threshold=0.5
+    )
+    near = pairs.select(F.col("new_id").alias("doc_id")).distinct()
+
+    return (
+        flagged.select("doc_id", "_q")
+        .join(exact.withColumn("_e", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("_n", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_q"), "quality_rejected")
+            .when(F.col("_e"), "exact_dup")
+            .when(F.col("_n"), "near_dup")
+            .otherwise("admitted")
+            .alias("reason"),
+        )
+    )
+
+
+@stage(
+    "dedup_minhash_capped",
+    f"""
+    WITH {_incremental_pairs_sql(corpus_cap=3)}
+    SELECT corpus_id, new_id FROM near_pairs
+    ORDER BY corpus_id, new_id
+    """,
+    "the max_bucket explosion guard's semantics as a driver row: "
+    "incremental MinHash near-dup where corpus band buckets larger "
+    "than 3 index rows are excluded from candidate generation (the "
+    "Sigma-bucket-squared cap for corpus-wide boilerplate bands); "
+    "the oracle replays the same HAVING count <= cap over the replayed "
+    "band table",
+)
+def q_dedup_minhash_capped(spark, sf_dir):
+    from kenshin_spark.dedup.minhash import (
+        minhash_band_index,
+        minhash_pairs_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where("doc_id % 10 = 0")
+    corpus = docs.where("doc_id % 10 <> 0")
+    return (
+        minhash_pairs_against_index(
+            new, corpus, minhash_band_index(corpus),
+            threshold=0.5, max_bucket=3,
+        )
+        .select("corpus_id", "new_id")
+        .orderBy("corpus_id", "new_id")
+    )

@@ -16,6 +16,7 @@ from kenshin_spark.queries_staged import STAGED  # noqa: E402
 from kenshin_spark.queries_staged_r6 import STAGED_R6  # noqa: E402
 from kenshin_spark.queries_staged_r7 import STAGED_R7  # noqa: E402
 from kenshin_spark.queries_staged_r8 import STAGED_R8  # noqa: E402
+from kenshin_spark.queries_staged_r9 import STAGED_R9  # noqa: E402
 
 HEADER = """\
 # Query registry — every `queries()` entry, in driver evaluation order
@@ -62,6 +63,14 @@ driver backfills unused slots with verified queries); same gate
 Render-surface completion: after this bank promotes, every one of the
 63 RENDER_REGISTRY functions is exercised by a driver-oracled row.
 """,
+    "round 9": """\
+
+## Staged for round 9 (`kenshin_spark/queries_staged_r9.py`)
+
+The composed corpus-ingest job as a driver row (plus the max_bucket
+guard's semantics); gate `tests/test_queries_staged_r9.py`, which also
+cross-checks the triage row against the REAL StreamingCorpusIngest job.
+""",
 }
 
 
@@ -80,7 +89,10 @@ def main() -> None:
         out.append(f"{i + 1}. **{name}** ({status(name, i)}) — "
                    f"{QUERIES[name].doc}")
     for title, bank in (("round 5", STAGED), ("round 6", STAGED_R6),
-                        ("round 7", STAGED_R7), ("round 8", STAGED_R8)):
+                        ("round 7", STAGED_R7), ("round 8", STAGED_R8),
+                        ("round 9", STAGED_R9)):
+        if set(bank) <= set(QUERIES):
+            continue  # already promoted — listed in the registry above
         out.append(STAGED_HEADERS[title])
         for i, name in enumerate(sorted(bank)):
             out.append(f"{i + 1}. **{name}** (staged) — {bank[name].doc}")

@@ -5,6 +5,7 @@ Usage:  python tools/promote_staged.py queries_staged      # round 5
         python tools/promote_staged.py queries_staged_r6   # round 6
         python tools/promote_staged.py queries_staged_r7   # round 7
         python tools/promote_staged.py queries_staged_r8   # round 8
+        python tools/promote_staged.py queries_staged_r9   # round 9
 
 Appends the two promotion lines to the BOTTOM of kenshin_spark/queries.py
 (the circular import resolves because every name the staged module needs
@@ -27,6 +28,7 @@ DICT_NAME = {
     "queries_staged_r6": "STAGED_R6",
     "queries_staged_r7": "STAGED_R7",
     "queries_staged_r8": "STAGED_R8",
+    "queries_staged_r9": "STAGED_R9",
 }
 
 
