@@ -696,3 +696,56 @@ def test_unpack_kenshin_total(blob):
             UnicodeDecodeError):
         return
     assert header["archive_count"] == len(archives)
+
+
+# -- per-day compaction is read-invariant -------------------------------------
+
+mor_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["m1", "m2"]),
+            st.integers(min_value=0, max_value=4 * 86400 - 1),
+            st.one_of(st.none(), st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False)),
+        ),
+        min_size=1, max_size=6,
+    ),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(batches=mor_batches, days=st.sets(
+    st.integers(min_value=0, max_value=3), min_size=1, max_size=4))
+def test_targeted_day_compaction_is_read_invariant(
+    spark, tmp_path_factory, batches, days
+):
+    """Any sequence of mor micro-batch upserts, then compacting ANY
+    subset of day partitions, must leave read() exactly unchanged —
+    last-write-wins resolution is per (metric, ts) slot and slots never
+    span days, so folding one day's log is as correct as folding all."""
+    from kenshin_spark.store import ParquetTieredStore
+
+    schema = Schema.from_strings(
+        "s", ".*", "60s:30d", xff=1.0, agg_method="last"
+    )
+    root = str(tmp_path_factory.mktemp("st"))
+    store = ParquetTieredStore(spark, schema, root, mode="mor")
+    for b in batches:
+        slots = {}
+        for m, ts, v in b:
+            slots[(m, ts - ts % 60)] = v
+        store.upsert(0, spark.createDataFrame(
+            [(m, ts, v) for (m, ts), v in slots.items()],
+            "metric string, ts long, value double",
+        ))
+    before = sorted(tuple(r) for r in store.read(0).collect())
+    store.compact(0, days=sorted(days))
+    after = sorted(tuple(r) for r in store.read(0).collect())
+    assert after == before
+    # compacted, existing days hold exactly one data file
+    for r in store.file_report(0):
+        if r["day"] in days:
+            assert r["n_files"] == 1
