@@ -598,6 +598,60 @@ class StreamingCorpusIngest:
                 F.lit(batch_id).alias("batch_id"),
             ).write.mode("append").parquet(f"{self.root}/dead")
 
+    #: the per-batch-appended state tables, smallest-file-prone first
+    STATE_PARTS = ("md5", "index", "docs", "tokens", "dead")
+
+    def file_report(self) -> dict[str, int]:
+        """Parquet file count per state table — the ingest-side
+        small-file audit. Every micro-batch appends ~one file per
+        (table × task); after thousands of batches the md5/index scans
+        each ingest performs degrade with file COUNT (per-file open +
+        footer), the same IO-shape problem ``ParquetTieredStore``
+        audits per day partition."""
+        import os
+
+        out = {}
+        for part in self.STATE_PARTS:
+            path = f"{self.root}/{part}"
+            if os.path.isdir(path):
+                out[part] = sum(
+                    1 for n in os.listdir(path) if n.endswith(".parquet")
+                )
+        return out
+
+    def compact(self, target_files: int = 1) -> dict[str, int]:
+        """Fold each state table back to ``target_files`` files under
+        the same ``.bak`` swap protocol the tiered store uses (crash
+        between stage and promote → ``recover()``). Contents are
+        unchanged — appends are insert-only, so compaction is a pure
+        rewrite, no log to resolve. Run off the hot path between
+        batches (never concurrently with ``ingest``)."""
+        from kenshin_spark.fs import HadoopFS
+
+        fs = HadoopFS(self.spark, self.root)
+        before = self.file_report()
+        for part in before:
+            path = f"{self.root}/{part}"
+            tmp = path + ".tmp"
+            self.spark.read.parquet(path).repartition(
+                target_files
+            ).write.mode("overwrite").parquet(tmp)
+            fs.swap(path, tmp)
+        return before
+
+    def recover(self) -> list[str]:
+        """Restore any state table whose compaction swap died between
+        stage and promote (live dir missing, ``.bak`` present)."""
+        from kenshin_spark.fs import HadoopFS
+
+        fs = HadoopFS(self.spark, self.root)
+        restored = []
+        for part in self.STATE_PARTS:
+            path = f"{self.root}/{part}"
+            if fs.recover_swap(path):
+                restored.append(path)
+        return restored
+
     def ingest(self, batch: DataFrame, batch_id: int) -> None:
         import os
 

@@ -174,6 +174,76 @@ class TestIdempotentReplay:
         assert spark.read.parquet(f"{ing.root}/dead").count() == n_dead
 
 
+class TestStateCompaction:
+    def test_compact_folds_state_tables_and_dedup_still_works(
+        self, spark, tmp_path, train_docs
+    ):
+        """Three tiny batches fragment every state table; compact folds
+        each to one file, contents unchanged, and a subsequent batch
+        still dedups against the compacted state."""
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(
+            spark, str(tmp_path / "corpus"), merges
+        )
+        texts = [
+            (1, BASE, "a"),
+            (2, "wholly different second document body", "a"),
+            (3, "third novel body of words entirely", "a"),
+        ]
+        for i, row in enumerate(texts):
+            ing.ingest(
+                spark.createDataFrame(
+                    [row], "doc_id long, text string, source string"
+                ),
+                i,
+            )
+        rep = ing.file_report()
+        assert rep["docs"] >= 3 and rep["md5"] >= 3
+        before_docs = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{ing.root}/docs").collect()
+        )
+        ing.compact()
+        rep2 = ing.file_report()
+        assert all(v == 1 for k, v in rep2.items() if k != "dead")
+        assert sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{ing.root}/docs").collect()
+        ) == before_docs
+        # dedup against the COMPACTED state still works
+        ing.ingest(
+            spark.createDataFrame(
+                [(10, BASE, "b"), (11, BASE + " tail", "b")],
+                "doc_id long, text string, source string",
+            ),
+            3,
+        )
+        assert ing.stats["exact_dups"] == 1
+        assert ing.stats["near_dups"] == 1
+
+    def test_crash_mid_compaction_recovers(self, spark, tmp_path, train_docs):
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        ing.ingest(
+            spark.createDataFrame(
+                [(1, BASE, "a")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        before = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{ing.root}/md5").collect()
+        )
+        # simulate the crash window: stage the live table away by hand
+        os.rename(f"{ing.root}/md5", f"{ing.root}/md5.bak")
+        assert f"{ing.root}/md5" in ing.recover()
+        assert sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{ing.root}/md5").collect()
+        ) == before
+
+
 class TestEmptyQualityChecks:
     def test_explicit_empty_checks_skips_gate(
         self, spark, tmp_path, train_docs
