@@ -256,17 +256,17 @@ def cmd_audit(args) -> None:
     parquet store must watch for it)."""
     store = _store(args)
     for i in range(len(store.schema.archives)):
-        flagged = set(
-            store.needs_compaction(
-                i,
-                max_files_per_day=args.max_files,
-                min_file_bytes=args.min_file_bytes,
-            )
-        )
+        # one listing per tier: the flag comes from the same report
         for r in store.file_report(i):
-            print(json.dumps(
-                {"tier": i, **r, "flagged": r["day"] in flagged}
-            ))
+            print(json.dumps({
+                "tier": i,
+                **r,
+                "flagged": store.day_degraded(
+                    r,
+                    max_files_per_day=args.max_files,
+                    min_file_bytes=args.min_file_bytes,
+                ),
+            }))
 
 
 def cmd_compact(args) -> None:
@@ -284,10 +284,14 @@ def cmd_compact(args) -> None:
                 max_files_per_day=args.max_files,
                 min_file_bytes=args.min_file_bytes,
             )
+        done = []
         if days:
-            store.compact(i, target_files_per_day=args.target_files,
-                          days=days)
-        out[str(i)] = days
+            # report what actually happened: requested days absent
+            # from this tier are skipped by compact, not echoed back
+            done = store.compact(
+                i, target_files_per_day=args.target_files, days=days
+            )
+        out[str(i)] = done
     print(json.dumps({"compacted_days": out}))
 
 

@@ -117,24 +117,23 @@ def _glob_body(pattern: str) -> str:
             j = pattern.find("]", i + 2)
             cls = pattern[i : j + 1] if j != -1 else None
             if cls is not None:
-                # escape inner '[' and break up '--'/'&&'/'||'/'~~' so
-                # future `re` versions don't reinterpret them as nested
-                # sets / set operations (FutureWarning in 3.12, slated
-                # to become an error)
-                body, norm, prev = cls[1:-1], [], ""
-                for c2 in body:
-                    if c2 == "[" or c2 in "&|~" or (c2 == "-" and prev == "-"):
-                        norm.append("\\" + c2)
-                    else:
-                        norm.append(c2)
-                    prev = c2
-                cls = "[" + "".join(norm) + "]"
+                # escape inner '[' — semantics-preserving ('[' is a
+                # literal inside a class either way) and kills the
+                # "possible nested set" FutureWarning without touching
+                # ranges. '-'/'&'/'|'/'~' are NOT rewritten: escaping
+                # the second '-' of '--' silently breaks ranges whose
+                # lower endpoint is '-' (e.g. '[--0]'), so ambiguous
+                # set-op constructs ('[a--z]', '[a&&b]') are instead
+                # caught by the probe below and degrade to literals —
+                # exactly what they'll be once `re` makes the warning
+                # an error.
+                cls = "[" + cls[1:-1].replace("[", r"\[") + "]"
                 try:
                     with warnings.catch_warnings():
                         warnings.simplefilter("error", FutureWarning)
                         re.compile(cls)
                 except (re.error, FutureWarning):
-                    cls = None  # malformed class → literal bracket
+                    cls = None  # malformed/ambiguous → literal bracket
             if cls is None:
                 out.append(re.escape(ch))
             else:

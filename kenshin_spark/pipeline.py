@@ -607,37 +607,48 @@ class StreamingCorpusIngest:
         (table × task); after thousands of batches the md5/index scans
         each ingest performs degrade with file COUNT (per-file open +
         footer), the same IO-shape problem ``ParquetTieredStore``
-        audits per day partition."""
-        import os
-
-        out = {}
-        for part in self.STATE_PARTS:
-            path = f"{self.root}/{part}"
-            if os.path.isdir(path):
-                out[part] = sum(
-                    1 for n in os.listdir(path) if n.endswith(".parquet")
-                )
-        return out
-
-    def compact(self, target_files: int = 1) -> dict[str, int]:
-        """Fold each state table back to ``target_files`` files under
-        the same ``.bak`` swap protocol the tiered store uses (crash
-        between stage and promote → ``recover()``). Contents are
-        unchanged — appends are insert-only, so compaction is a pure
-        rewrite, no log to resolve. Run off the hot path between
-        batches (never concurrently with ``ingest``)."""
+        audits per day partition. Listing goes through the Hadoop FS
+        API, so hdfs:/s3a: roots report like local ones."""
         from kenshin_spark.fs import HadoopFS
 
         fs = HadoopFS(self.spark, self.root)
-        before = self.file_report()
-        for part in before:
+        out = {}
+        for part in self.STATE_PARTS:
+            path = f"{self.root}/{part}"
+            files = [
+                n for n, _ in fs.list_files(path)
+                if n.endswith(".parquet")
+            ]
+            if files:
+                out[part] = len(files)
+        return out
+
+    def compact(self, target_files: int = 1) -> dict[str, int]:
+        """Fold each fragmented state table back to ``target_files``
+        files under the same ``.bak`` swap protocol the tiered store
+        uses (crash between stage and promote → ``recover()``).
+        Contents are unchanged — appends are insert-only, so compaction
+        is a pure rewrite, no log to resolve. Tables already at or
+        below ``target_files`` are skipped (docs/tokens are the largest
+        tables; rewriting them when nothing fragmented would be pure
+        wasted IO). Run off the hot path between batches (never
+        concurrently with ``ingest``). Returns the pre-compaction file
+        counts of the tables it rewrote."""
+        from kenshin_spark.fs import HadoopFS
+
+        fs = HadoopFS(self.spark, self.root)
+        done = {}
+        for part, n_files in self.file_report().items():
+            if n_files <= target_files:
+                continue
             path = f"{self.root}/{part}"
             tmp = path + ".tmp"
             self.spark.read.parquet(path).repartition(
                 target_files
             ).write.mode("overwrite").parquet(tmp)
             fs.swap(path, tmp)
-        return before
+            done[part] = n_files
+        return done
 
     def recover(self) -> list[str]:
         """Restore any state table whose compaction swap died between

@@ -28,7 +28,18 @@ def enable_rocksdb_state(spark: SparkSession) -> None:
     """Switch streaming state to RocksDB for queries started AFTER this
     call (`spark.sql.streaming.stateStore.providerClass` is a runtime
     SQL conf; each query pins its provider at start and keeps it for the
-    checkpoint's lifetime — never flip it under an existing checkpoint).
+    checkpoint's lifetime — never flip it under an existing checkpoint;
+    RUNNING queries are unaffected either way).
+
+    The toggle is one-way by design: `get_spark(rocksdb_state=False)`
+    does not unset the conf on a shared session another caller already
+    enabled — silently reverting the provider under someone else's
+    session is worse than staying on RocksDB (which is semantics-
+    preserving). Restore explicitly with
+    `spark.conf.unset("spark.sql.streaming.stateStore.providerClass")`
+    if a test or tool truly needs the default back (the test fixture in
+    tests/test_rocksdb_state.py does exactly that).
+
     Changelog checkpointing uploads per-batch deltas instead of full
     RocksDB snapshots, the production posture for large state."""
     spark.conf.set(

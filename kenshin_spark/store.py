@@ -503,22 +503,37 @@ class ParquetTieredStore:
             )
         return report
 
+    @staticmethod
+    def day_degraded(
+        r: dict,
+        max_files_per_day: int = 8,
+        min_file_bytes: int = 8 << 20,
+    ) -> bool:
+        """The audit predicate over one ``file_report`` row: more than
+        ``max_files_per_day`` files, or any file smaller than
+        ``min_file_bytes`` while the partition has more than one (a
+        lone small file is just a small day)."""
+        return r["n_files"] > max_files_per_day or (
+            r["n_files"] > 1 and r["min_file_bytes"] < min_file_bytes
+        )
+
     def needs_compaction(
         self,
         i: int,
         max_files_per_day: int = 8,
         min_file_bytes: int = 8 << 20,
+        report: list[dict] | None = None,
     ) -> list[int]:
-        """Days of tier i whose file shape has degraded: more than
-        ``max_files_per_day`` files, or any file smaller than
-        ``min_file_bytes`` while the partition has more than one (a
-        lone small file is just a small day). Feed the result to
-        ``compact(i, days=...)`` — the maintenance loop's predicate."""
+        """Days of tier i whose file shape has degraded
+        (``day_degraded``). Feed the result to ``compact(i, days=...)``
+        — the maintenance loop's predicate. Pass a precomputed
+        ``report`` to avoid re-listing the tier."""
+        if report is None:
+            report = self.file_report(i)
         return [
             r["day"]
-            for r in self.file_report(i)
-            if r["n_files"] > max_files_per_day
-            or (r["n_files"] > 1 and r["min_file_bytes"] < min_file_bytes)
+            for r in report
+            if self.day_degraded(r, max_files_per_day, min_file_bytes)
         ]
 
     def compact(
@@ -526,7 +541,7 @@ class ParquetTieredStore:
         i: int,
         target_files_per_day: int = 1,
         days: list[int] | None = None,
-    ) -> None:
+    ) -> list[int] | None:
         """Rewrite tier i's day partitions into ``target_files_per_day``
         files each. Repeated micro-batch upserts leave one file per
         (day × shuffle task × batch); compaction restores the
@@ -540,14 +555,19 @@ class ParquetTieredStore:
         last hour/day fragments (``needs_compaction`` finds them), and
         compacting a 90-day tier to fix one hot day would rewrite 90×
         the necessary bytes. ``days=None`` keeps the full-tier rewrite
-        (initial cleanup / schema maintenance)."""
+        (initial cleanup / schema maintenance).
+
+        Returns the days actually compacted when ``days`` is given
+        (requested days absent from this tier are skipped, not
+        reported), else None for the full rewrite."""
         path = self.tier_path(i)
         if self._tier_empty(path):
-            return
+            return [] if days is not None else None
         if days is not None:
-            for d in days:
-                self._compact_day(i, d, target_files_per_day)
-            return
+            return [
+                d for d in days
+                if self._compact_day(i, d, target_files_per_day)
+            ]
         raw = self.spark.read.parquet(path)
         if "_seq" in raw.columns:
             # fold the mor append log to one row per slot, stamp 0
@@ -580,17 +600,17 @@ class ParquetTieredStore:
 
     def _compact_day(
         self, i: int, day: int, target_files_per_day: int
-    ) -> None:
+    ) -> bool:
         """Compact ONE day partition in place: read just that directory
         (files inside a ``day=`` dir don't carry the partition column),
         fold the mor log if present, rewrite as ``target_files_per_day``
         sorted files, swap the day directory. Slots never span days, so
         folding one day's log is exactly as correct as folding the
-        tier's."""
+        tier's. Returns False when the partition doesn't exist."""
         path = self.tier_path(i)
         day_dir = os.path.join(path, f"day={day}")
         if not self.fs.exists(day_dir):
-            return
+            return False
         raw = self.spark.read.parquet(day_dir)
         if "_seq" in raw.columns:
             df = (
@@ -622,6 +642,7 @@ class ParquetTieredStore:
             self.fs.rename(bak, day_dir)  # roll back
             raise IOError(f"compact: could not promote {tmp} -> {day_dir}")
         self.fs.delete(bak)
+        return True
 
     # -- delete (M5) ------------------------------------------------------
 

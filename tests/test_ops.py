@@ -1586,6 +1586,29 @@ class TestGlobTargets:
         assert _re.match(r, "a[0.load")
         assert not _re.match(r, "a0.load")
 
+    def test_glob_class_normalization_preserves_ranges(self):
+        """Future-proofing against `re`'s set-op FutureWarnings must not
+        rewrite class semantics: a range whose lower endpoint is '-'
+        ('[--0]') stays a range, inner '[' is escaped (kills the
+        nested-set warning, same matches), and genuinely ambiguous
+        set-op classes ('[a--z]') degrade to literal brackets — what
+        they will be once the warning becomes an error."""
+        import re as _re
+        import warnings as _warnings
+
+        from kenshin_spark.operators.maintenance import glob_to_regex
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", FutureWarning)
+            r = glob_to_regex("v[--0]x")      # range '-'..'0'
+            assert _re.match(r, "v.x") and _re.match(r, "v-x")
+            assert not _re.match(r, "vax")
+            r = glob_to_regex("s.[[ab].c")    # inner '[' literal member
+            assert _re.match(r, "s.[.c") and _re.match(r, "s.a.c")
+            r = glob_to_regex("x[a--z]")      # ambiguous → literal
+            assert _re.match(r, "x[a--z]")
+            assert not _re.match(r, "xb")
+
     def test_fetch_glob_resolves_and_grids(self, spark, tmp_path):
         from kenshin_spark.store import ParquetTieredStore
 
