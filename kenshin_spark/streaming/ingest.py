@@ -421,6 +421,47 @@ class StreamingIngest:
         store.propagate(hot.select("metric", "ts"))
         self.stats.update_operations += 1
 
+    # -- maintenance -------------------------------------------------------
+
+    def maintenance(
+        self,
+        now: int | None = None,
+        max_files_per_day: int = 8,
+        min_file_bytes: int = 8 << 20,
+        target_files_per_day: int = 1,
+    ) -> dict:
+        """The periodic maintenance pass the reference runs as cron'd
+        bin/ scripts: for every store this ingest has touched, expire
+        day partitions past retention (O4), then audit and compact the
+        day partitions steady micro-batching fragmented. Returns
+        ``{schema_name: {"expired": {tier: [days]}, "compacted":
+        {tier: [days]}}}`` — what actually happened, for the operator
+        log. Run off the hot path (between batches / from a scheduler),
+        never concurrently with an active flush into the same store."""
+        now = int(now if now is not None else self.clock())
+        out: dict = {}
+        for name, store in self._stores.items():
+            if name == "_root":
+                continue  # catalog-only handle, no tiers
+            expired = store.expire(now)
+            compacted: dict[int, list[int]] = {}
+            for i in range(len(store.schema.archives)):
+                days = store.needs_compaction(
+                    i,
+                    max_files_per_day=max_files_per_day,
+                    min_file_bytes=min_file_bytes,
+                )
+                if days:
+                    done = store.compact(
+                        i,
+                        target_files_per_day=target_files_per_day,
+                        days=days,
+                    )
+                    if done:
+                        compacted[i] = done
+            out[name] = {"expired": expired, "compacted": compacted}
+        return out
+
     # -- instrumentation (S8) ---------------------------------------------
 
     def self_metrics_points(self, now: int | None = None) -> DataFrame:

@@ -567,6 +567,51 @@ class TestCompaction:
             0, max_files_per_day=8, min_file_bytes=0
         ) == []
 
+    def test_ingest_maintenance_pass(self, spark, tmp_path):
+        """StreamingIngest.maintenance composes expire + audit +
+        targeted compact across every store the ingest touched and
+        reports what actually happened."""
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        now0 = 10 * 86400
+        # mor mode: every micro-batch APPENDS, so the hot hour
+        # fragments (cow rewrites the touched partition per flush)
+        ingest = StreamingIngest(
+            spark, SCHEMAS, root, clock=FakeClock(now0),
+            store_mode="mor",
+        )
+        # several micro-batches into the same HOUR fragment tier 0
+        # (slow schema 60s:1d → hourly partitions)
+        hot_ts = now0 - 3600
+        for b in range(4):
+            write_lines(in_dir, f"b{b}.txt",
+                        [f"web.req {b}.0 {hot_ts + 60 * b}"])
+            run_stream(spark, ingest, in_dir, cp)
+        # plus one 20h-old point whose hour partition a later
+        # maintenance `now` pushes past tier0's 1d retention
+        old_ts = now0 - 20 * 3600
+        write_lines(in_dir, "old.txt", [f"web.req 1.0 {old_ts}"])
+        run_stream(spark, ingest, in_dir, cp)
+
+        slow = ingest.store_for(SCHEMAS.schemas[1])
+        hot_day = hot_ts // slow.part_unit(0)
+        old_day = old_ts // slow.part_unit(0)
+        frag = {r["day"]: r["n_files"] for r in slow.file_report(0)}
+        assert frag[hot_day] >= 4 and old_day in frag
+
+        report = ingest.maintenance(
+            now=now0 + 5 * 3600, max_files_per_day=3, min_file_bytes=0
+        )
+        assert old_day in report["slow"]["expired"][0]
+        assert hot_day in report["slow"]["compacted"][0]
+        frag2 = {r["day"]: r["n_files"] for r in slow.file_report(0)}
+        assert frag2[hot_day] == 1 and old_day not in frag2
+        # the fragmented hour's data survived compaction (60s LWW slots)
+        assert ("web.req", hot_ts, 0.0) in rows(slow.read(0))
+
     def test_day_compaction_crash_recovery(self, spark, tmp_path):
         """A per-day compaction that dies between stage and promote
         leaves _day_<d>.bak and no day=<d>; recover() must restore the
