@@ -579,24 +579,65 @@ class StreamingCorpusIngest:
             "received": 0, "quality_rejected": 0, "exact_dups": 0,
             "near_dups": 0, "admitted": 0,
         }
+        self._pending_dead: list[DataFrame] = []
+        self._fs_cache = None
+
+    @property
+    def _fs(self):
+        from kenshin_spark.fs import HadoopFS
+
+        if getattr(self, "_fs_cache", None) is None:
+            self._fs_cache = HadoopFS(self.spark, self.root)
+        return self._fs_cache
+
+    def _uncommitted(self, part: str) -> list[int]:
+        """Batch ids with a ``batch=`` directory under ``part`` but no
+        commit marker — at most one in practice (batches are serial, so
+        only the crashed-mid-write attempt can be dangling)."""
+        out = []
+        for name in self._fs.list_names(f"{self.root}/{part}"):
+            if not name.startswith("batch="):
+                continue
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b >= 0 and not self._fs.exists(
+                f"{self.root}/_batches/{b}"
+            ):
+                out.append(b)
+        return out
 
     def _read(self, part: str, schema: str) -> DataFrame:
-        import os
-
+        """Committed rows of a state table. Tables are laid out as one
+        ``batch=<id>`` directory per ingest batch; a batch is visible
+        iff its commit marker exists, so readers can NEVER observe the
+        partial output of a crashed attempt — the marker is a real
+        multi-table transaction commit (all five tables' batch dirs
+        become visible atomically when the one marker appears).
+        ``batch=-1`` holds compacted data and is always committed."""
         path = f"{self.root}/{part}"
-        if not os.path.exists(path):
+        if not self._fs.exists(path) or not any(
+            n.startswith("batch=") for n in self._fs.list_names(path)
+        ):
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(path)
+        df = self.spark.read.parquet(path)
+        orphans = self._uncommitted(part)
+        if orphans:
+            df = df.where(~F.col("batch").isin(orphans))
+        return df.drop("batch")
 
     def _dead(self, df: DataFrame, reason: str, batch_id: int) -> None:
         n = df.count()
         if n:
             self.stats[reason] += n
-            df.select(
-                F.to_json(F.struct("*")).alias("row"),
-                F.lit(reason).alias("reason"),
-                F.lit(batch_id).alias("batch_id"),
-            ).write.mode("append").parquet(f"{self.root}/dead")
+            self._pending_dead.append(
+                df.select(
+                    F.to_json(F.struct("*")).alias("row"),
+                    F.lit(reason).alias("reason"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+            )
 
     #: the per-batch-appended state tables, smallest-file-prone first
     STATE_PARTS = ("md5", "index", "docs", "tokens", "dead")
@@ -609,18 +650,19 @@ class StreamingCorpusIngest:
         footer), the same IO-shape problem ``ParquetTieredStore``
         audits per day partition. Listing goes through the Hadoop FS
         API, so hdfs:/s3a: roots report like local ones."""
-        from kenshin_spark.fs import HadoopFS
-
-        fs = HadoopFS(self.spark, self.root)
         out = {}
         for part in self.STATE_PARTS:
             path = f"{self.root}/{part}"
-            files = [
-                n for n, _ in fs.list_files(path)
-                if n.endswith(".parquet")
-            ]
-            if files:
-                out[part] = len(files)
+            n = 0
+            for sub in self._fs.list_names(path):
+                if sub.startswith("batch="):
+                    n += sum(
+                        1
+                        for f, _ in self._fs.list_files(f"{path}/{sub}")
+                        if f.endswith(".parquet")
+                    )
+            if n:
+                out[part] = n
         return out
 
     def compact(self, target_files: int = 1) -> dict[str, int]:
@@ -631,22 +673,27 @@ class StreamingCorpusIngest:
         is a pure rewrite, no log to resolve. Tables already at or
         below ``target_files`` are skipped (docs/tokens are the largest
         tables; rewriting them when nothing fragmented would be pure
-        wasted IO). Run off the hot path between batches (never
+        wasted IO). Only COMMITTED rows are folded (an orphan batch dir
+        from a crashed attempt is dropped — its replay rewrites it);
+        the folded output lands in the always-committed ``batch=-1``
+        dir and the per-batch commit markers stay behind as the
+        redelivery guard. Run off the hot path between batches (never
         concurrently with ``ingest``). Returns the pre-compaction file
         counts of the tables it rewrote."""
-        from kenshin_spark.fs import HadoopFS
-
-        fs = HadoopFS(self.spark, self.root)
         done = {}
         for part, n_files in self.file_report().items():
             if n_files <= target_files:
                 continue
             path = f"{self.root}/{part}"
+            df = self.spark.read.parquet(path)
+            orphans = self._uncommitted(part)
+            if orphans:
+                df = df.where(~F.col("batch").isin(orphans))
             tmp = path + ".tmp"
-            self.spark.read.parquet(path).repartition(
-                target_files
-            ).write.mode("overwrite").parquet(tmp)
-            fs.swap(path, tmp)
+            df.drop("batch").repartition(target_files).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/batch=-1")
+            self._fs.swap(path, tmp)
             done[part] = n_files
         return done
 
@@ -664,26 +711,32 @@ class StreamingCorpusIngest:
         return restored
 
     def ingest(self, batch: DataFrame, batch_id: int) -> None:
-        import os
-
         from kenshin_spark.bpe import tokenize
         from kenshin_spark.dedup.minhash import (
             minhash_band_index,
             minhash_pairs_against_index,
         )
 
-        # foreachBatch replays a batch after failures with the SAME id —
-        # appends are not idempotent, so a commit marker per batch_id
-        # makes re-delivery a no-op (the standard foreachBatch pattern).
-        # The marker covers the common case (whole-batch success then
-        # redelivery); a crash BETWEEN the four appends still replays
-        # them all — plain parquet has no multi-table transaction, which
-        # is exactly what a table format's commit log buys at scale
+        # foreachBatch replays a batch after failures with the SAME id.
+        # Each table writes its batch output into its own
+        # ``batch=<id>`` directory (mode=overwrite — a replay rewrites
+        # the crashed attempt's partial dir instead of double-
+        # appending), and the single commit marker written LAST is the
+        # transaction: readers (_read) only see batch dirs whose marker
+        # exists, so the five tables become visible atomically and a
+        # crash between writes leaves orphan dirs that are invisible,
+        # overwritten on replay, and at most one deep (batches are
+        # serial). This is a plain-parquet commit log — the same
+        # contract a table format provides, minus compaction history.
+        # Markers and listings go through the Hadoop FS API so the
+        # protocol holds on hdfs:/s3a: roots (object-store rename
+        # caveats in fs.py apply to compact(), not this append path).
         marker_dir = f"{self.root}/_batches"
-        os.makedirs(marker_dir, exist_ok=True)
+        self._fs.mkdirs(marker_dir)
         marker = f"{marker_dir}/{batch_id}"
-        if os.path.exists(marker):
+        if self._fs.exists(marker):
             return
+        self._pending_dead = []
         batch = batch.persist()
         try:
             self.stats["received"] += batch.count()
@@ -738,33 +791,37 @@ class StreamingCorpusIngest:
                 )
                 fresh = fresh.join(near_ids, "doc_id", "left_anti")
             # the admitted set's lineage READS docs/ and index/ — the
-            # same paths the appends below write. Truncate it (cluster:
-            # .checkpoint() to a reliable dir) so the writes can't
-            # re-evaluate against their own output.
+            # same paths the writes below extend. The commit protocol
+            # already hides the new (uncommitted) batch dirs from
+            # re-evaluation, but truncate anyway so the plan doesn't
+            # re-run the whole dedup chain per write.
             fresh = fresh.localCheckpoint(eager=True)
 
+            # 4. write this batch's output — one batch dir per table,
+            # dead rows included — then commit with the single marker
+            def bdir(part: str) -> str:
+                return f"{self.root}/{part}/batch={batch_id}"
+
+            if self._pending_dead:
+                dead = self._pending_dead[0]
+                for extra in self._pending_dead[1:]:
+                    dead = dead.unionByName(extra)
+                dead.write.mode("overwrite").parquet(bdir("dead"))
+
             n_admit = fresh.count()
-            if n_admit == 0:
-                # the batch completed successfully even though nothing
-                # was admitted — commit the marker so a foreachBatch
-                # redelivery doesn't re-append dead-letter rows or
-                # double-count stats
-                with open(marker, "w") as f:
-                    f.write("committed")
-                return
-            self.stats["admitted"] += n_admit
-            # 4. append docs, tokens, fingerprints, index rows
-            fresh.write.mode("append").parquet(f"{self.root}/docs")
-            tokenize(fresh, self.merges).write.mode("append").parquet(
-                f"{self.root}/tokens"
-            )
-            fresh.select(
-                "doc_id", F.md5("text").alias("text_md5")
-            ).write.mode("append").parquet(f"{self.root}/md5")
-            minhash_band_index(fresh).write.mode("append").parquet(
-                f"{self.root}/index"
-            )
-            with open(marker, "w") as f:
-                f.write("committed")
+            if n_admit > 0:
+                self.stats["admitted"] += n_admit
+                fresh.write.mode("overwrite").parquet(bdir("docs"))
+                tokenize(fresh, self.merges).write.mode(
+                    "overwrite"
+                ).parquet(bdir("tokens"))
+                fresh.select(
+                    "doc_id", F.md5("text").alias("text_md5")
+                ).write.mode("overwrite").parquet(bdir("md5"))
+                minhash_band_index(fresh).write.mode(
+                    "overwrite"
+                ).parquet(bdir("index"))
+            self._fs.write_text_atomic(marker, "committed")
         finally:
+            self._pending_dead = []
             batch.unpersist()

@@ -174,6 +174,103 @@ class TestIdempotentReplay:
         assert spark.read.parquet(f"{ing.root}/dead").count() == n_dead
 
 
+class TestAtomicBatchCommit:
+    def test_partial_batch_is_invisible_and_replay_is_exactly_once(
+        self, spark, tmp_path, train_docs
+    ):
+        """The commit protocol's whole point: a crash between the
+        per-table writes leaves orphan batch dirs that (a) no reader
+        sees — a doc 'written' by the crashed attempt must NOT count
+        as a duplicate — and (b) the foreachBatch replay overwrites
+        in place, ending with exactly-once state."""
+        from kenshin_spark.bpe import fit
+        from pyspark.sql import functions as F
+
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(
+            spark, str(tmp_path / "corpus"), merges
+        )
+        ing.ingest(
+            spark.createDataFrame(
+                [(1, BASE, "a")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        # simulate batch 1 crashing after the docs write: its batch
+        # dir exists (with rows), but md5/index/marker never landed
+        crashed = spark.createDataFrame(
+            [(10, "totally novel crashed-batch content here", "a")],
+            "doc_id long, text string, source string",
+        )
+        crashed.write.mode("overwrite").parquet(
+            f"{ing.root}/docs/batch=1"
+        )
+        assert not os.path.exists(f"{ing.root}/_batches/1")
+        # (a) readers don't see the orphan: the committed corpus is
+        # still just doc 1
+        corpus = ing._read(
+            "docs", "doc_id long, text string, source string"
+        )
+        assert {r["doc_id"] for r in corpus.collect()} == {1}
+
+        # (b) the replay of batch 1 (same id, the real content)
+        # overwrites the orphan dir and commits all tables at once
+        replay = spark.createDataFrame(
+            [
+                (10, "totally novel crashed-batch content here", "a"),
+                (11, BASE, "a"),  # exact dup of committed doc 1
+            ],
+            "doc_id long, text string, source string",
+        )
+        ing.ingest(replay, 1)
+        assert ing.stats["exact_dups"] == 1   # 11 vs committed state
+        docs = spark.read.parquet(f"{ing.root}/docs")
+        got = sorted(r["doc_id"] for r in docs.collect())
+        assert got == [1, 10]  # exactly once, no orphan duplicates
+        # every table committed the batch atomically
+        for part in ("docs", "tokens", "md5", "index"):
+            assert os.path.isdir(f"{ing.root}/{part}/batch=1"), part
+        assert os.path.exists(f"{ing.root}/_batches/1")
+
+    def test_compacted_state_lands_in_batch_minus_one(
+        self, spark, tmp_path, train_docs
+    ):
+        """compact() folds only committed rows into the always-visible
+        batch=-1 dir; an orphan batch dir is dropped by the fold (its
+        replay will rewrite it)."""
+        from kenshin_spark.bpe import fit
+
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        for i, text in enumerate(
+            ["first body of words", "second body of words entirely"]
+        ):
+            ing.ingest(
+                spark.createDataFrame(
+                    [(i + 1, text + " padding tokens for quality", "a")],
+                    "doc_id long, text string, source string",
+                ),
+                i,
+            )
+        # orphan: crashed attempt for batch 7
+        spark.createDataFrame(
+            [(99, "orphan text", "a")],
+            "doc_id long, text string, source string",
+        ).write.mode("overwrite").parquet(f"{ing.root}/docs/batch=7")
+        ing.compact()
+        docs_dirs = [
+            n for n in os.listdir(f"{ing.root}/docs")
+            if n.startswith("batch=")
+        ]
+        assert docs_dirs == ["batch=-1"]
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{ing.root}/docs").collect()
+        }
+        assert got == {1, 2}  # orphan 99 dropped by the fold
+
+
 class TestStateCompaction:
     def test_compact_folds_state_tables_and_dedup_still_works(
         self, spark, tmp_path, train_docs
