@@ -710,6 +710,61 @@ class StreamingCorpusIngest:
                 restored.append(path)
         return restored
 
+    def prune_markers(self, keep_last: int = 64) -> int:
+        """GC commit markers whose batch dirs ``compact()`` already
+        folded away. Markers are one file per batch — at one micro-batch
+        per second that's 86k files/day in ``_batches/``, the same
+        unbounded-small-file shape the state tables themselves are
+        compacted for. A marker is ONLY prunable when (a) no state table
+        still has its ``batch=<id>`` dir (the marker is that dir's
+        visibility bit — deleting it early would orphan committed data)
+        and (b) it is older than the newest ``keep_last`` markers (a
+        foreachBatch redelivery can only replay the latest unfinished
+        batch, so a deep tail guard is ample; a redelivery of a pruned
+        batch would merely re-dedup it against folded state — no
+        corruption, just dead-letter noise). Returns markers deleted."""
+        live: set[int] = set()
+        for part in self.STATE_PARTS:
+            for name in self._fs.list_names(f"{self.root}/{part}"):
+                if name.startswith("batch="):
+                    try:
+                        live.add(int(name.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+        ids = []
+        for name in self._fs.list_names(f"{self.root}/_batches"):
+            try:
+                ids.append(int(name))
+            except ValueError:
+                continue  # .tmp debris from write_text_atomic
+        ids.sort()
+        keep_floor = ids[-keep_last] if len(ids) > keep_last else None
+        pruned = 0
+        for b in ids:
+            if keep_floor is None or b >= keep_floor or b in live:
+                continue
+            if self._fs.delete(f"{self.root}/_batches/{b}"):
+                pruned += 1
+        return pruned
+
+    def maintenance(
+        self, target_files: int = 1, keep_last_markers: int = 64
+    ) -> dict:
+        """The off-hot-path maintenance pass as one call, mirroring
+        ``StreamingIngest.maintenance``: heal any crashed compaction
+        swap, fold fragmented state tables, then GC folded commit
+        markers. Run between batches (from a scheduler / foreachBatch
+        ``batch_id % k == 0`` hook), never concurrently with
+        ``ingest``."""
+        restored = self.recover()
+        compacted = self.compact(target_files)
+        pruned = self.prune_markers(keep_last_markers)
+        return {
+            "recovered": restored,
+            "compacted": compacted,
+            "markers_pruned": pruned,
+        }
+
     def ingest(self, batch: DataFrame, batch_id: int) -> None:
         from kenshin_spark.bpe import tokenize
         from kenshin_spark.dedup.minhash import (

@@ -271,6 +271,68 @@ class TestAtomicBatchCommit:
         assert got == {1, 2}  # orphan 99 dropped by the fold
 
 
+class TestMarkerPrune:
+    #: one per batch — mutually dissimilar so near-dup never fires
+    BODIES = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "solar panels convert photons into electrical current daily",
+        "the orchestra rehearsed symphonies beneath the opera house",
+        "glaciers carve valleys while rivers deposit fertile silt",
+    ]
+
+    def _ingest_n(self, spark, ing, n, start=0):
+        for i in range(n):
+            ing.ingest(
+                spark.createDataFrame(
+                    [(1000 + start + i, self.BODIES[start + i], "a")],
+                    "doc_id long, text string, source string",
+                ),
+                start + i,
+            )
+
+    def test_markers_survive_until_their_dirs_are_folded(
+        self, spark, tmp_path, train_docs
+    ):
+        """A marker is a batch dir's visibility bit: prune_markers must
+        never touch one whose batch= dir still exists in any table, no
+        matter how old — only compaction makes markers prunable, and
+        keep_last holds back the newest tail as the redelivery guard."""
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        self._ingest_n(spark, ing, 4)
+        # dirs all live -> nothing prunable even with a tiny tail
+        assert ing.prune_markers(keep_last=1) == 0
+        assert sorted(os.listdir(f"{ing.root}/_batches")) == [
+            "0", "1", "2", "3"
+        ]
+        ing.compact()  # folds every batch dir into batch=-1
+        assert ing.prune_markers(keep_last=2) == 2  # 0 and 1 go
+        assert sorted(os.listdir(f"{ing.root}/_batches")) == ["2", "3"]
+        # state is intact and dedup still sees the folded corpus
+        ing.ingest(
+            spark.createDataFrame(
+                [(9, self.BODIES[0], "a")],
+                "doc_id long, text string, source string",
+            ),
+            10,
+        )
+        assert ing.stats["exact_dups"] == 1
+
+    def test_maintenance_is_the_one_call(
+        self, spark, tmp_path, train_docs
+    ):
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        self._ingest_n(spark, ing, 3)
+        out = ing.maintenance(target_files=1, keep_last_markers=1)
+        assert out["recovered"] == []
+        assert set(out["compacted"]) >= {"docs", "md5", "index"}
+        assert out["markers_pruned"] == 2
+        assert sorted(os.listdir(f"{ing.root}/_batches")) == ["2"]
+        docs = spark.read.parquet(f"{ing.root}/docs")
+        assert docs.count() == 3
+
+
 class TestStateCompaction:
     def test_compact_folds_state_tables_and_dedup_still_works(
         self, spark, tmp_path, train_docs
