@@ -2,6 +2,7 @@ from kenshin_spark.dedup.cluster import (
     canonical_survivors,
     connected_components,
     duplicate_clusters,
+    incremental_components,
 )
 from kenshin_spark.dedup.exact import exact_dedup
 from kenshin_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
@@ -13,6 +14,7 @@ __all__ = [
     "canonical_survivors",
     "connected_components",
     "duplicate_clusters",
+    "incremental_components",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",

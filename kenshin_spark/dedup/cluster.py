@@ -242,6 +242,96 @@ def _star_components(
     ).select("node", F.coalesce("lbl", F.col("node")).alias("cluster_id"))
 
 
+def incremental_components(
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Fold a batch of new near-dup edges into an existing
+    ``(node, cluster_id)`` labelling WITHOUT re-running connected
+    components over the full pair graph — the streaming companion to
+    ``connected_components`` for a corpus whose pair detector runs
+    per micro-batch (the shape ``StreamingCorpusIngest`` produces:
+    each batch yields edges between new docs and the persisted index).
+
+    The full-graph fixpoint costs rounds × (2 shuffles) over ALL edges
+    ever seen; per batch that is O(total), i.e. quadratic over the
+    stream's lifetime. This instead observes that an existing labelling
+    is a component-contraction of the old graph: mapping each new
+    edge's endpoints to their current roots (unassigned nodes are their
+    own root) yields a ROOT graph with at most |batch| edges, whose
+    components are exactly the merges the batch causes. So:
+
+    1. root-map the batch endpoints (one join against ``assignments``,
+       batch-sized left side);
+    2. run ``connected_components`` on the root graph — batch-sized,
+       so the size gate virtually always takes the driver union-find;
+    3. broadcast the (old_root → new_root) remap (∝ clusters merged
+       this batch) against the assignment table and coalesce.
+
+    Total work is O(|batch| + |assignments touched by the remap scan|)
+    with ONE shuffle-free broadcast pass over the state table — no
+    iteration, no full edge history. Labels stay component minima
+    (roots are minima and the root-graph CC takes the min root), so the
+    result is row-identical to ``connected_components`` over the union
+    of all edges — property-tested against random batch splits.
+
+    Returns the updated full ``(node, cluster_id)`` table; persist it
+    (e.g. as an ingest state table) and feed it back for the next
+    batch. At 100 TB the state table is one narrow row per clustered
+    doc and the per-batch delta is bounded by the batch's collision
+    count — the same O(new + collisions) contract as the incremental
+    MinHash index."""
+    und = new_pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    touched = (
+        und.select("src")
+        .unionAll(und.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("node"))
+    )
+    # current root of every touched node — itself when unassigned
+    roots = touched.join(assignments, "node", "left").select(
+        "node", F.coalesce("cluster_id", F.col("node")).alias("root")
+    )
+    edges_r = (
+        und.join(
+            roots.select(
+                F.col("node").alias("src"), F.col("root").alias("root_a")
+            ),
+            "src",
+        )
+        .join(
+            roots.select(
+                F.col("node").alias("dst"), F.col("root").alias("root_b")
+            ),
+            "dst",
+        )
+        .select("root_a", "root_b")
+        .where(F.col("root_a") != F.col("root_b"))
+    )
+    remap = (
+        connected_components(edges_r, a="root_a", b="root_b")
+        .select(
+            F.col("node").alias("old_root"),
+            F.col("cluster_id").alias("new_root"),
+        )
+        .where(F.col("old_root") != F.col("new_root"))
+    )
+    # nodes first seen this batch enter the table under their root
+    fresh = roots.join(assignments.select("node"), "node", "left_anti").select(
+        "node", F.col("root").alias("cluster_id")
+    )
+    full = assignments.unionByName(fresh)
+    return full.join(
+        F.broadcast(remap),
+        full["cluster_id"] == remap["old_root"],
+        "left",
+    ).select(
+        "node", F.coalesce("new_root", full["cluster_id"]).alias("cluster_id")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
 ) -> DataFrame:

@@ -25,6 +25,7 @@ from kenshin_spark.queries import (
     QuerySpec,
     _DH,
     _SHINGLES,
+    _minhash_oracle,
 )
 
 STAGED_R9: dict[str, QuerySpec] = {}
@@ -198,6 +199,49 @@ def q_pipeline_ingest_triage(spark, sf_dir):
             .alias("reason"),
         )
     )
+
+
+@stage(
+    "dedup_clusters_incremental",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+    "streaming cluster maintenance: the MinHash-LSH pair graph folded "
+    "through incremental_components in two deterministic half-batches "
+    "(split by (doc_a + doc_b) % 2) — per batch, CC runs only on the "
+    "root graph of the new edges and the remap broadcasts against the "
+    "assignment table, never re-running the full-graph fixpoint; the "
+    "labelling is provably identical to one connected_components pass "
+    "(property-tested), so the oracle is the same recursive "
+    "reachability CTE as dedup_clusters",
+)
+def q_dedup_clusters_incremental(spark, sf_dir):
+    from kenshin_spark.dedup.cluster import incremental_components
+    from kenshin_spark.dedup.minhash import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).localCheckpoint(eager=True)  # split twice below — scan once
+    asg = spark.createDataFrame([], "node long, cluster_id long")
+    for parity in (0, 1):
+        batch = pairs.where(
+            (F.col("doc_a") + F.col("doc_b")) % 2 == parity
+        )
+        asg = incremental_components(asg, batch).localCheckpoint(
+            eager=True
+        )  # the persisted-state-table boundary between micro-batches
+    return asg.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 @stage(

@@ -862,6 +862,52 @@ class TestConnectedComponents:
         keep = {r["doc_id"]: r["keep"] for r in canonical_survivors(pairs).collect()}
         assert keep == {1: True, 2: False, 3: False, 7: True, 8: False}
 
+    def _asg(self, df):
+        return {(r["node"], r["cluster_id"]) for r in df.collect()}
+
+    def test_incremental_folds_batches_without_full_recompute(self, spark):
+        from kenshin_spark.dedup import (
+            connected_components,
+            incremental_components,
+        )
+
+        b1 = spark.createDataFrame(
+            [(1, 2), (10, 11)], ["doc_a", "doc_b"]
+        )
+        asg = connected_components(b1)
+        assert self._asg(asg) == {(1, 1), (2, 1), (10, 10), (11, 10)}
+        # batch 2: new node 3 extends cluster 1; 20-21 is a new cluster
+        b2 = spark.createDataFrame(
+            [(2, 3), (20, 21)], ["doc_a", "doc_b"]
+        )
+        asg = incremental_components(asg, b2)
+        assert self._asg(asg) == {
+            (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20),
+        }
+        # batch 3: node 5 BRIDGES clusters 1 and 10 — the remap path
+        b3 = spark.createDataFrame([(5, 11), (5, 1)], ["doc_a", "doc_b"])
+        asg = incremental_components(asg, b3)
+        assert self._asg(asg) == {
+            (1, 1), (2, 1), (3, 1), (5, 1), (10, 1), (11, 1),
+            (20, 20), (21, 20),
+        }
+
+    def test_incremental_new_min_relabels_cluster(self, spark):
+        """A new node with a smaller id than the component minimum must
+        become the new label (labels are component minima)."""
+        from kenshin_spark.dedup import (
+            connected_components,
+            incremental_components,
+        )
+
+        asg = connected_components(
+            spark.createDataFrame([(10, 11)], ["doc_a", "doc_b"])
+        )
+        asg = incremental_components(
+            asg, spark.createDataFrame([(4, 10)], ["doc_a", "doc_b"])
+        )
+        assert self._asg(asg) == {(4, 4), (10, 4), (11, 4)}
+
 
 class TestRestrictedUnpickler:
     def test_wire_format_roundtrips(self, spark):

@@ -520,6 +520,42 @@ def test_cc_unionfind_label_star_agree(spark, edges):
     assert lbl == auto == star
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+             min_size=2, max_size=30),
+    st.integers(1, 4),
+)
+def test_incremental_cc_equals_batch_cc(spark, edges, n_batches):
+    """Folding any batch split of an edge list through
+    incremental_components yields row-identical labels to one
+    connected_components run over the whole list — the contract that
+    makes per-micro-batch cluster maintenance safe."""
+    from kenshin_spark.dedup.cluster import (
+        connected_components,
+        incremental_components,
+    )
+
+    df_all = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(df_all).collect()
+    }
+    # split into n_batches contiguous chunks (some possibly empty)
+    size = max(1, (len(edges) + n_batches - 1) // n_batches)
+    chunks = [edges[i: i + size] for i in range(0, len(edges), size)]
+    asg = spark.createDataFrame([], "node long, cluster_id long")
+    for chunk in chunks:
+        if not chunk:
+            continue
+        asg = incremental_components(
+            asg, spark.createDataFrame(chunk, "doc_a long, doc_b long")
+        ).localCheckpoint(eager=True)  # state table boundary per batch
+    got = {(r["node"], r["cluster_id"]) for r in asg.collect()}
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # Render target parser: totality + roundtrip (pure, no Spark)
 # ---------------------------------------------------------------------------
