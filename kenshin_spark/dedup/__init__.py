@@ -2,6 +2,7 @@ from kenshin_spark.dedup.cluster import (
     canonical_survivors,
     connected_components,
     duplicate_clusters,
+    incremental_component_deltas,
     incremental_components,
 )
 from kenshin_spark.dedup.exact import exact_dedup
@@ -14,6 +15,7 @@ __all__ = [
     "canonical_survivors",
     "connected_components",
     "duplicate_clusters",
+    "incremental_component_deltas",
     "incremental_components",
     "exact_dedup",
     "minhash_signatures",

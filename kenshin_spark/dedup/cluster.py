@@ -283,6 +283,25 @@ def incremental_components(
     doc and the per-batch delta is bounded by the batch's collision
     count — the same O(new + collisions) contract as the incremental
     MinHash index."""
+    fresh, remap = _fold_roots(assignments, new_pairs, a, b)
+    full = assignments.unionByName(fresh)
+    return full.join(
+        F.broadcast(remap),
+        full["cluster_id"] == remap["old_root"],
+        "left",
+    ).select(
+        "node", F.coalesce("new_root", full["cluster_id"]).alias("cluster_id")
+    )
+
+
+def _fold_roots(
+    assignments: DataFrame, new_pairs: DataFrame, a: str, b: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the incremental fold: ``(fresh, remap)`` where
+    ``fresh`` is (node, cluster_id=current-root) for nodes not yet in
+    ``assignments`` and ``remap`` is the (old_root, new_root) table of
+    cluster merges the batch causes (∝ clusters merged, broadcast-
+    sized)."""
     und = new_pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     touched = (
         und.select("src")
@@ -322,14 +341,38 @@ def incremental_components(
     fresh = roots.join(assignments.select("node"), "node", "left_anti").select(
         "node", F.col("root").alias("cluster_id")
     )
-    full = assignments.unionByName(fresh)
-    return full.join(
+    return fresh, remap
+
+
+def incremental_component_deltas(
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+) -> DataFrame:
+    """Only the ``(node, cluster_id)`` rows that CHANGE when
+    ``new_pairs`` folds into ``assignments`` — new nodes plus relabeled
+    members of merged clusters. The append-log companion to
+    ``incremental_components``: a store that persists assignments as
+    per-batch delta files (resolved last-writer-wins by batch id, the
+    way ``StreamingCorpusIngest`` keeps its ``clusters`` state table)
+    writes O(|batch| + |merged clusters' members|) rows per batch
+    instead of rewriting the full table, and the LWW-resolved union of
+    all deltas equals the full incremental fold (property-tested)."""
+    fresh, remap = _fold_roots(assignments, new_pairs, a, b)
+    changed = assignments.join(
         F.broadcast(remap),
-        full["cluster_id"] == remap["old_root"],
+        assignments["cluster_id"] == remap["old_root"],
+    ).select("node", F.col("new_root").alias("cluster_id"))
+    fresh_out = fresh.join(
+        F.broadcast(remap),
+        fresh["cluster_id"] == remap["old_root"],
         "left",
     ).select(
-        "node", F.coalesce("new_root", full["cluster_id"]).alias("cluster_id")
+        "node",
+        F.coalesce("new_root", fresh["cluster_id"]).alias("cluster_id"),
     )
+    return fresh_out.unionByName(changed)
 
 
 def duplicate_clusters(

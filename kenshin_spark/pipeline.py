@@ -560,6 +560,7 @@ class StreamingCorpusIngest:
         merges: list[tuple[str, str]],
         quality_checks=None,
         neardup_threshold: float = 0.5,
+        track_clusters: bool = False,
     ):
         from kenshin_spark.quality import not_null, predicate
 
@@ -579,6 +580,7 @@ class StreamingCorpusIngest:
             "received": 0, "quality_rejected": 0, "exact_dups": 0,
             "near_dups": 0, "admitted": 0,
         }
+        self.track_clusters = track_clusters
         self._pending_dead: list[DataFrame] = []
         self._fs_cache = None
 
@@ -640,7 +642,43 @@ class StreamingCorpusIngest:
             )
 
     #: the per-batch-appended state tables, smallest-file-prone first
-    STATE_PARTS = ("md5", "index", "docs", "tokens", "dead")
+    STATE_PARTS = ("md5", "index", "docs", "tokens", "dead", "clusters")
+
+    def _lww_clusters(self, df: DataFrame) -> DataFrame:
+        """Resolve the clusters delta log: the HIGHEST committed batch
+        id holds a node's current assignment (``batch=-1``, the
+        compacted fold, is by construction the oldest)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("node").orderBy(F.col("batch").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "cluster_id")
+        )
+
+    def clusters(self) -> DataFrame:
+        """Current ``(node, cluster_id)`` near-dup cluster assignment
+        (``track_clusters=True``): every doc that ever collided —
+        admitted corpus docs AND the rejected near-dups they absorbed —
+        labelled by component minimum. The table is an append-only
+        delta log (one ``incremental_component_deltas`` batch dir per
+        ingest batch, same commit markers as the other state tables)
+        resolved last-writer-wins here; per batch only
+        O(batch + merged clusters' members) rows are written, never the
+        full table."""
+        path = f"{self.root}/clusters"
+        if not self._fs.exists(path) or not any(
+            n.startswith("batch=") for n in self._fs.list_names(path)
+        ):
+            return self.spark.createDataFrame(
+                [], "node long, cluster_id long"
+            )
+        df = self.spark.read.parquet(path)
+        orphans = self._uncommitted("clusters")
+        if orphans:
+            df = df.where(~F.col("batch").isin(orphans))
+        return self._lww_clusters(df)
 
     def file_report(self) -> dict[str, int]:
         """Parquet file count per state table — the ingest-side
@@ -690,7 +728,14 @@ class StreamingCorpusIngest:
             if orphans:
                 df = df.where(~F.col("batch").isin(orphans))
             tmp = path + ".tmp"
-            df.drop("batch").repartition(target_files).write.mode(
+            if part == "clusters":
+                # fold = LWW-resolve FIRST: collapsing delta batches
+                # into batch=-1 erases the version order the log
+                # depends on, so only the resolved row may survive
+                df = self._lww_clusters(df)
+            else:
+                df = df.drop("batch")
+            df.repartition(target_files).write.mode(
                 "overwrite"
             ).parquet(f"{tmp}/batch=-1")
             self._fs.swap(path, tmp)
@@ -830,12 +875,29 @@ class StreamingCorpusIngest:
             # shingled; corpus text read just for colliding candidates)
             corpus = self._read("docs", "doc_id long, text string, source string")
             index = self._read("index", "doc_id long, band int, band_key string")
+            cl_delta = None
             if index.isEmpty():
                 near_ids = None
             else:
                 pairs = minhash_pairs_against_index(
                     fresh, corpus, index, threshold=self.threshold
                 )
+                if self.track_clusters:
+                    # provenance: fold this batch's collision edges into
+                    # the persisted assignment (delta rows only —
+                    # O(batch + merged clusters), never the full table).
+                    # Checkpoint both: pairs is read twice (here + the
+                    # reject filter), and the delta's lineage reads the
+                    # clusters/ dir this batch is about to extend.
+                    from kenshin_spark.dedup.cluster import (
+                        incremental_component_deltas,
+                    )
+
+                    pairs = pairs.localCheckpoint(eager=True)
+                    cl_delta = incremental_component_deltas(
+                        self.clusters(), pairs,
+                        a="corpus_id", b="new_id",
+                    ).localCheckpoint(eager=True)
                 near_ids = pairs.select(
                     F.col("new_id").alias("doc_id")
                 ).distinct()
@@ -862,6 +924,8 @@ class StreamingCorpusIngest:
                 for extra in self._pending_dead[1:]:
                     dead = dead.unionByName(extra)
                 dead.write.mode("overwrite").parquet(bdir("dead"))
+            if cl_delta is not None and not cl_delta.isEmpty():
+                cl_delta.write.mode("overwrite").parquet(bdir("clusters"))
 
             n_admit = fresh.count()
             if n_admit > 0:

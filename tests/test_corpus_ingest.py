@@ -271,6 +271,127 @@ class TestAtomicBatchCommit:
         assert got == {1, 2}  # orphan 99 dropped by the fold
 
 
+class TestClusterState:
+    OTHER = "completely separate subject matter with many unique words"
+
+    def _mk(self, spark, tmp_path, train_docs):
+        merges = fit(train_docs, n_merges=10)
+        return StreamingCorpusIngest(
+            spark, str(tmp_path / "corpus"), merges, track_clusters=True
+        )
+
+    def test_rejected_neardups_cluster_with_their_canonical(
+        self, spark, tmp_path, train_docs
+    ):
+        """track_clusters=True keeps the provenance the reject path
+        loses: each rejected near-dup lands in the same component as
+        the corpus doc(s) it collided with, labelled by min doc_id."""
+        ing = self._mk(spark, tmp_path, train_docs)
+        ing.ingest(
+            spark.createDataFrame(
+                [(1, BASE, "a"), (2, self.OTHER, "a")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        assert ing.clusters().count() == 0  # no collisions yet
+        ing.ingest(
+            spark.createDataFrame(
+                [(11, BASE + " tail", "a")],  # near-dup of stored 1
+                "doc_id long, text string, source string",
+            ),
+            1,
+        )
+        assert ing.stats["near_dups"] == 1
+        got = {(r["node"], r["cluster_id"])
+               for r in ing.clusters().collect()}
+        assert got == {(1, 1), (11, 1)}
+        # another near-dup of the same canonical joins the same cluster
+        ing.ingest(
+            spark.createDataFrame(
+                [(12, BASE + " coda", "a")],
+                "doc_id long, text string, source string",
+            ),
+            2,
+        )
+        got = {(r["node"], r["cluster_id"])
+               for r in ing.clusters().collect()}
+        assert got == {(1, 1), (11, 1), (12, 1)}
+        # the delta log is append-only: batch 2 wrote only its delta
+        assert os.path.isdir(f"{ing.root}/clusters/batch=2")
+
+    def test_cluster_log_survives_compaction(
+        self, spark, tmp_path, train_docs
+    ):
+        ing = self._mk(spark, tmp_path, train_docs)
+        ing.ingest(
+            spark.createDataFrame(
+                [(5, BASE, "a")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        ing.ingest(
+            spark.createDataFrame(
+                [(9, BASE + " extra", "a")],
+                "doc_id long, text string, source string",
+            ),
+            1,
+        )
+        ing.ingest(
+            spark.createDataFrame(
+                [(7, BASE + " addendum", "a")],
+                "doc_id long, text string, source string",
+            ),
+            2,
+        )
+        before = {(r["node"], r["cluster_id"])
+                  for r in ing.clusters().collect()}
+        assert before == {(5, 5), (7, 5), (9, 5)}
+        ing.maintenance()  # ≥2 delta files -> the log gets folded
+        assert sorted(
+            n for n in os.listdir(f"{ing.root}/clusters")
+            if n.startswith("batch=")
+        ) == ["batch=-1"]
+        after = {(r["node"], r["cluster_id"])
+                 for r in ing.clusters().collect()}
+        assert after == before
+        # a post-compaction near-dup folds on top of the -1 baseline:
+        # a cluster-merging doc relabels via a fresh delta batch
+        ing.ingest(
+            spark.createDataFrame(
+                [(2, BASE + " postfix", "a")],
+                "doc_id long, text string, source string",
+            ),
+            3,
+        )
+        got = {(r["node"], r["cluster_id"])
+               for r in ing.clusters().collect()}
+        assert got == {(2, 2), (5, 2), (7, 2), (9, 2)}
+
+    def test_off_by_default_writes_no_cluster_state(
+        self, spark, tmp_path, train_docs
+    ):
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        ing.ingest(
+            spark.createDataFrame(
+                [(1, BASE, "a")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        ing.ingest(
+            spark.createDataFrame(
+                [(2, BASE + " tail", "a")],
+                "doc_id long, text string, source string",
+            ),
+            1,
+        )
+        assert ing.stats["near_dups"] == 1
+        assert not os.path.exists(f"{ing.root}/clusters")
+
+
 class TestMarkerPrune:
     #: one per batch — mutually dissimilar so near-dup never fires
     BODIES = [

@@ -556,6 +556,44 @@ def test_incremental_cc_equals_batch_cc(spark, edges, n_batches):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+             min_size=2, max_size=24),
+    st.integers(2, 3),
+)
+def test_component_delta_log_lww_equals_batch_cc(spark, edges, n_batches):
+    """The delta variant's contract: per-batch delta rows resolved
+    last-writer-wins (highest batch id per node) reproduce the full
+    batch-CC labelling — what makes StreamingCorpusIngest's append-only
+    clusters log correct."""
+    from kenshin_spark.dedup.cluster import (
+        connected_components,
+        incremental_component_deltas,
+        incremental_components,
+    )
+
+    df_all = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(df_all).collect()
+    }
+    size = max(1, (len(edges) + n_batches - 1) // n_batches)
+    chunks = [edges[i: i + size] for i in range(0, len(edges), size)]
+    asg = spark.createDataFrame([], "node long, cluster_id long")
+    log: dict[int, int] = {}  # node -> cluster_id, LWW by batch order
+    for chunk in chunks:
+        if not chunk:
+            continue
+        cdf = spark.createDataFrame(chunk, "doc_a long, doc_b long")
+        delta = incremental_component_deltas(asg, cdf)
+        for r in delta.collect():
+            log[r["node"]] = r["cluster_id"]
+        asg = incremental_components(asg, cdf).localCheckpoint(eager=True)
+    assert {(n, c) for n, c in log.items()} == want
+
+
 # ---------------------------------------------------------------------------
 # Render target parser: totality + roundtrip (pure, no Spark)
 # ---------------------------------------------------------------------------
