@@ -1,5 +1,5 @@
-"""Mergeable cardinality sketches (Apache DataSketches HLL, built into
-Spark 3.5+).
+"""Mergeable sketches: HLL cardinality (Apache DataSketches, built into
+Spark 3.5+) and a count-min frequency sketch in relational form.
 
 At 100 TB, "distinct users per day/week/month" cannot re-scan the events
 stream per rollup window. The sketch pattern: aggregate each day ONCE
@@ -8,9 +8,22 @@ answer every coarser rollup by UNIONING sketches — associative,
 re-aggregable, and exact-cost-free. Estimates are within ~1.6% at
 lgk=12 (the DataSketches published bound, ±2σ).
 
-No DuckDB oracle: approximation internals differ across engines by
-design; correctness is pinned by tolerance tests against exact counts
+No DuckDB oracle for HLL: approximation internals differ across engines
+by design; correctness is pinned by tolerance tests against exact counts
 (tests/test_ops.py::TestHllSketches).
+
+The count-min sketch (Cormode & Muthukrishnan 2005) answers the
+FREQUENCY twin of the same problem — "how often did key k occur per
+day/week/month" over a key domain too large to materialize exactly.
+Here a sketch is a plain DataFrame of at most ``depth × width`` cells
+(``row, bucket, c``): constant-size per group regardless of key
+cardinality, merged across groups by cell-wise SUM (associative, like
+the HLL union), and estimated as min over a key's ``depth`` cells —
+overestimates only, by at most ``2n/width`` with probability
+``1 - 2^-depth``. Because the cells are ordinary rows built from a
+seeded-md5 hash (the same replayable construction the MinHash oracles
+use), the whole sketch IS expressible in ANSI SQL — unlike the opaque
+HLL binary, CMS rows get a real DuckDB hash-match oracle.
 """
 
 from __future__ import annotations
@@ -54,3 +67,119 @@ def hll_rollup(
     if not group_cols:
         return sketches.agg(est.alias("approx_distinct"))
     return sketches.groupBy(*group_cols).agg(est.alias("approx_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (relational cells)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_hash(key: Column, row: int) -> Column:
+    """Seeded 60-bit hash, non-negative — md5 hex prefix, the replayable
+    construction shared with the MinHash oracles (ANSI SQL analog:
+    ``CAST(('0x' || substr(md5(r || '|' || k), 1, 15)) AS BIGINT)``)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(row)), key)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _cms_entries(key: Column, depth: int, width: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                (_cms_hash(key, r) % width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_sketches(
+    df: DataFrame,
+    key_col: str,
+    *group_cols: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-group count-min cells ``(*group_cols, row, bucket, c)`` — at
+    most ``depth × width`` rows per group no matter how many distinct
+    keys the group holds. One pass, map-side partial counts; only cell
+    rows shuffle (``depth`` short rows per input row pre-combine, cell
+    rows post-combine). Persist per ingest window and answer any
+    coarser frequency rollup from the cells alone via ``cms_merge``."""
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(
+            *group_cols,
+            F.explode(_cms_entries(key, depth, width)).alias("_rb"),
+            w.alias("_w"),
+        )
+        .groupBy(
+            *group_cols,
+            F.col("_rb.row").alias("row"),
+            F.col("_rb.bucket").alias("bucket"),
+        )
+        .agg(F.sum("_w").cast("long").alias("c"))
+    )
+
+
+def cms_merge(cells: DataFrame, *group_cols: str) -> DataFrame:
+    """Re-aggregate persisted cells to a coarser grouping: cell-wise
+    SUM over (row, bucket) — associative, so day cells roll into
+    week/month/all-time without touching raw data (the CMS analog of
+    ``hll_rollup``)."""
+    return cells.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    *group_cols: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Frequency estimates ``(*group_cols, key_col, est)`` for each
+    candidate key against each group's sketch: min over the key's
+    ``depth`` cells, absent cells counting as 0 (a key the group never
+    saw estimates 0, not the smallest collision). ``candidates`` is by
+    definition small (the keys you suspect are heavy), so the
+    probe-cell build broadcasts; the only shuffled side is the cell
+    table, itself ≤ depth × width rows per group. A CMS cannot
+    enumerate its keys — candidates come from the caller (e.g. a
+    per-partition local top-k, or the domain being monitored)."""
+    probes = candidates.select(
+        F.col(key_col).cast("string").alias(key_col)
+    ).distinct().select(
+        key_col,
+        F.explode(
+            _cms_entries(F.col(key_col), depth, width)
+        ).alias("_rb"),
+    ).select(
+        key_col,
+        F.col("_rb.row").alias("row"),
+        F.col("_rb.bucket").alias("bucket"),
+    )
+    if group_cols:
+        groups = cells.select(*group_cols).distinct()
+        probes = groups.join(F.broadcast(probes))
+    est = (
+        probes.join(
+            cells, [*group_cols, "row", "bucket"], "left"
+        )
+        .groupBy(*group_cols, key_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )
+    return est

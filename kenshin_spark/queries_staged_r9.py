@@ -245,6 +245,53 @@ def q_dedup_clusters_incremental(spark, sf_dir):
 
 
 @stage(
+    "sketch_cms_event_counts",
+    """
+    WITH cells AS (
+      SELECT t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   event_type), 1, 15)) AS BIGINT) % 1024 AS bucket,
+             count(*) AS c
+      FROM events CROSS JOIN generate_series(0, 3) t(r)
+      GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT event_type FROM events),
+    probe AS (
+      SELECT c.event_type, t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   c.event_type), 1, 15)) AS BIGINT) % 1024 AS bucket
+      FROM cand c CROSS JOIN generate_series(0, 3) t(r)
+    )
+    SELECT p.event_type, min(coalesce(cl.c, 0)) AS est
+    FROM probe p
+    LEFT JOIN cells cl ON cl.row = p.row AND cl.bucket = p.bucket
+    GROUP BY p.event_type
+    """,
+    "mergeable count-min frequency sketch as a driver row: daily "
+    "depth-4 x width-1024 cell tables over events.event_type, rolled "
+    "up by cell-wise sum (cms_merge — the frequency analog of the HLL "
+    "union), then point-estimated (min over a key's cells, absent "
+    "cell = 0) for the distinct-key candidate set; the seeded-md5 "
+    "bucket construction is replayed bit-for-bit by the oracle, so "
+    "unlike the opaque HLL binary this sketch hash-matches DuckDB",
+)
+def q_sketch_cms_event_counts(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = cms_sketches(ev, "event_type", "day")  # persistable state
+    merged = cms_merge(daily)  # all-time rollup from cells alone
+    cand = ev.select("event_type").distinct()
+    return cms_estimate(merged, cand, "event_type")
+
+
+@stage(
     "dedup_minhash_capped",
     f"""
     WITH {_incremental_pairs_sql(corpus_cap=3)}

@@ -600,6 +600,86 @@ class TestHllSketches:
         assert abs(halves[False] - 3000) / 3000 < 0.05
 
 
+class TestCmsSketches:
+    """Relational count-min sketch: exact when width dominates the key
+    domain, overestimate-only under forced collisions, cell-wise-sum
+    mergeability, and zero for never-seen keys."""
+
+    def _events(self, spark):
+        # key k occurs (k+1)*10 times, on two "days"
+        rows = [
+            (f"k{k}", day)
+            for k in range(8)
+            for day in (0, 1)
+            for _ in range((k + 1) * 5)
+        ]
+        return spark.createDataFrame(rows, "key string, day int")
+
+    def test_estimates_exact_when_width_dominates(self, spark):
+        from kenshin_spark.functions.sketches import (
+            cms_estimate,
+            cms_sketches,
+        )
+
+        df = self._events(spark)
+        cells = cms_sketches(df, "key")
+        cand = df.select("key").distinct()
+        got = {
+            r["key"]: r["est"]
+            for r in cms_estimate(cells, cand, "key").collect()
+        }
+        assert got == {f"k{k}": (k + 1) * 10 for k in range(8)}
+
+    def test_overestimates_only_under_collisions(self, spark):
+        from kenshin_spark.functions.sketches import (
+            cms_estimate,
+            cms_sketches,
+        )
+
+        df = self._events(spark)
+        # width 4 << 8 keys: collisions guaranteed in every hash row
+        cells = cms_sketches(df, "key", depth=2, width=4)
+        cand = df.select("key").distinct()
+        got = {
+            r["key"]: r["est"]
+            for r in cms_estimate(
+                cells, cand, "key", depth=2, width=4
+            ).collect()
+        }
+        exact = {f"k{k}": (k + 1) * 10 for k in range(8)}
+        assert all(got[k] >= exact[k] for k in exact)  # never under
+        assert sum(got.values()) > sum(exact.values())  # and it did collide
+
+    def test_merge_equals_global_and_unseen_key_is_zero(
+        self, spark, tmp_path
+    ):
+        from kenshin_spark.functions.sketches import (
+            cms_estimate,
+            cms_merge,
+            cms_sketches,
+        )
+
+        df = self._events(spark)
+        path = str(tmp_path / "daily_cells")
+        cms_sketches(df, "key", "day").write.parquet(path)  # persist once
+        stored = spark.read.parquet(path)
+        merged = cms_merge(stored)  # all-time rollup, raw data untouched
+        direct = cms_sketches(df, "key")
+        assert {
+            (r["row"], r["bucket"], r["c"]) for r in merged.collect()
+        } == {(r["row"], r["bucket"], r["c"]) for r in direct.collect()}
+        # per-day estimates from the same stored cells
+        cand = df.select("key").distinct()
+        per_day = {
+            (r["day"], r["key"]): r["est"]
+            for r in cms_estimate(stored, cand, "key", "day").collect()
+        }
+        assert per_day[(0, "k7")] == 40 and per_day[(1, "k7")] == 40
+        ghost = spark.createDataFrame([("nope",)], "key string")
+        got = cms_estimate(merged, ghost, "key").collect()
+        assert [(r["key"], r["est"]) for r in got] == [("nope", 0)]
+
+
 class TestFunnel:
     def test_step_semantics_and_dropoffs(self, spark):
         from kenshin_spark.operators.funnel import funnel
