@@ -295,6 +295,40 @@ def cmd_compact(args) -> None:
     print(json.dumps({"compacted_days": out}))
 
 
+def _corpus(args):
+    from kenshin_spark.pipeline import StreamingCorpusIngest
+
+    spark = get_spark("kenshin-cli", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # merges are only consulted by ingest(); the maintenance surface
+    # (file_report / compact / prune_markers / recover) never tokenizes
+    return StreamingCorpusIngest(spark, args.root, merges=[])
+
+
+def cmd_corpus_audit(args) -> None:
+    """Corpus-ingest counterpart of `audit`: per-state-table parquet
+    file counts plus the commit-marker backlog (markers are 1 file per
+    micro-batch until maintenance prunes the folded ones)."""
+    ing = _corpus(args)
+    markers = sum(
+        1 for n in ing._fs.list_names(f"{ing.root}/_batches")
+        if not n.endswith(".tmp")
+    )
+    print(json.dumps({"files": ing.file_report(), "markers": markers}))
+
+
+def cmd_corpus_maintain(args) -> None:
+    """Corpus-ingest counterpart of `compact`: one-call maintenance
+    pass (recover crashed swaps -> fold fragmented state tables ->
+    GC folded commit markers). Run off the hot path, never
+    concurrently with an active ingest."""
+    ing = _corpus(args)
+    print(json.dumps(ing.maintenance(
+        target_files=args.target_files,
+        keep_last_markers=args.keep_markers,
+    )))
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kenshin-spark")
     p.add_argument("--root", required=True)
@@ -363,6 +397,12 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--target-files", type=int, default=1)
     co.add_argument("--max-files", type=int, default=8)
     co.add_argument("--min-file-bytes", type=int, default=8 << 20)
+    sub.add_parser("corpus-audit",
+                   help="--root is a StreamingCorpusIngest root")
+    cm = sub.add_parser("corpus-maintain",
+                        help="--root is a StreamingCorpusIngest root")
+    cm.add_argument("--target-files", type=int, default=1)
+    cm.add_argument("--keep-markers", type=int, default=64)
 
     args = p.parse_args(argv)
     {
@@ -383,6 +423,8 @@ def main(argv: list[str] | None = None) -> int:
         "export": cmd_export,
         "audit": cmd_audit,
         "compact": cmd_compact,
+        "corpus-audit": cmd_corpus_audit,
+        "corpus-maintain": cmd_corpus_maintain,
     }[args.cmd](args)
     return 0
 

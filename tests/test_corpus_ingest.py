@@ -454,6 +454,46 @@ class TestMarkerPrune:
         assert docs.count() == 3
 
 
+class TestCorpusCliVerbs:
+    def test_audit_and_maintain(self, spark, tmp_path, train_docs, capsys):
+        from kenshin_spark import cli
+
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        for i, body in enumerate(TestMarkerPrune.BODIES[:3]):
+            ing.ingest(
+                spark.createDataFrame(
+                    [(100 + i, body, "a")],
+                    "doc_id long, text string, source string",
+                ),
+                i,
+            )
+        cli.main(["--root", ing.root, "--cpus", "2", "corpus-audit"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["markers"] == 3
+        assert out["files"]["docs"] >= 3  # one file per batch dir
+        cli.main([
+            "--root", ing.root, "--cpus", "2",
+            "corpus-maintain", "--keep-markers", "1",
+        ])
+        out = json.loads(capsys.readouterr().out)
+        assert out["markers_pruned"] == 2
+        assert "docs" in out["compacted"]
+        cli.main(["--root", ing.root, "--cpus", "2", "corpus-audit"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["markers"] == 1
+        assert out["files"]["docs"] == 1
+        # the folded state still dedups
+        ing.ingest(
+            spark.createDataFrame(
+                [(9, TestMarkerPrune.BODIES[0], "a")],
+                "doc_id long, text string, source string",
+            ),
+            10,
+        )
+        assert ing.stats["exact_dups"] == 1
+
+
 class TestStateCompaction:
     def test_compact_folds_state_tables_and_dedup_still_works(
         self, spark, tmp_path, train_docs
