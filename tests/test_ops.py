@@ -679,6 +679,44 @@ class TestCmsSketches:
         got = cms_estimate(merged, ghost, "key").collect()
         assert [(r["key"], r["est"]) for r in got] == [("nope", 0)]
 
+    def test_cells_build_as_a_native_streaming_aggregation(
+        self, spark, tmp_path
+    ):
+        """The cell construction is explode + groupBy-sum, so a stream
+        of keys maintains the sketch as ordinary streaming aggregation
+        state — no custom stateful operator — and the streamed cells
+        equal the batch cells over the same data."""
+        import json as _json
+
+        from kenshin_spark.functions.sketches import cms_sketches
+
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+        with open(os.path.join(in_dir, "a.jsonl"), "w") as f:
+            for k in range(6):
+                for _ in range(k + 1):
+                    f.write(_json.dumps({"key": f"k{k}"}) + "\n")
+        stream = spark.readStream.schema("key string").json(in_dir)
+        q = (
+            cms_sketches(stream, "key")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("cms_cells_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["row"], r["bucket"], r["c"])
+            for r in spark.sql("SELECT * FROM cms_cells_stream").collect()
+        }
+        batch = spark.read.schema("key string").json(in_dir)
+        want = {
+            (r["row"], r["bucket"], r["c"])
+            for r in cms_sketches(batch, "key").collect()
+        }
+        assert got == want and len(got) > 0
+
 
 class TestFunnel:
     def test_step_semantics_and_dropoffs(self, spark):
