@@ -183,3 +183,97 @@ def cms_estimate(
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
     )
     return est
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch (mergeable quantile rollups)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 256
+
+
+def histogram_sketches(
+    df: DataFrame,
+    value_col: str,
+    *group_cols: str,
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-group equi-width histogram cells ``(*group_cols, bucket, c)``
+    over ``[lo, hi)`` — the quantile member of the sketch-rollup family
+    (HLL = distinct, CMS = frequency, this = distribution). ≤ bins+2
+    rows per group whatever the value cardinality; bucket 0 / bins+1
+    catch underflow/overflow so the cells conserve total count. Bounds
+    are FIXED by the caller (schema knowledge or a prior min/max pass):
+    fixed bounds are what make day cells mergeable — a data-dependent
+    range would bucket each day differently. Merge = cell-wise sum
+    (``cms_merge`` works verbatim on these cells: same (bucket, c)
+    shape, no row column)."""
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    bucket = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(bins + 1))
+        .otherwise((F.floor((v - lo) / F.lit(width)) + 1).cast("int"))
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def histogram_merge(cells: DataFrame, *group_cols: str) -> DataFrame:
+    """Roll histogram cells to a coarser grouping (cell-wise sum)."""
+    return cells.groupBy(*group_cols, "bucket").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def histogram_quantile(
+    cells: DataFrame,
+    q: float,
+    *group_cols: str,
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimate per group from histogram cells: the left edge
+    of the first bucket whose cumulative count reaches ``q × total``
+    (±one bin width of the true quantile for in-range data; underflow
+    clamps to ``lo``, overflow to ``hi``). Left-edge (not interpolated)
+    keeps the estimate an exact float expression both engines compute
+    identically — the cross-engine float-discipline the oracle rows
+    need. One window pass over ≤ bins+2 rows per group."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bucket")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("bucket")
+    )
+    cum = cells.select(
+        *group_cols,
+        "bucket",
+        F.sum("c").over(w).alias("_cum"),
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+        ).alias("_tot"),
+    )
+    hit = cum.where(F.col("_cum") >= F.lit(q) * F.col("_tot"))
+    first = hit.groupBy(*group_cols).agg(
+        F.min("bucket").alias("_b"), F.first("_tot").alias("_tot")
+    )
+    edge = (
+        F.when(F.col("_b") <= 0, F.lit(float(lo)))
+        .when(F.col("_b") >= bins + 1, F.lit(float(hi)))
+        .otherwise(F.lit(float(lo)) + (F.col("_b") - 1) * F.lit(width))
+    )
+    return first.select(
+        *group_cols,
+        F.round(edge, 6).alias(f"q{str(q).replace('.', '_')}"),
+    )

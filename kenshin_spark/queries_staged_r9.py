@@ -292,6 +292,72 @@ def q_sketch_cms_event_counts(spark, sf_dir):
 
 
 @stage(
+    "sketch_histogram_quantiles",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 512.0 THEN 257
+                  ELSE CAST(floor((value - 0.0) / 2.0) + 1 AS INT)
+             END AS bucket,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bucket)
+               AS _cum,
+             sum(c) OVER (PARTITION BY event_type) AS _tot
+      FROM cells
+    ),
+    b50 AS (
+      SELECT event_type, min(bucket) AS b FROM cum
+      WHERE _cum >= 0.5 * _tot GROUP BY 1
+    ),
+    b95 AS (
+      SELECT event_type, min(bucket) AS b FROM cum
+      WHERE _cum >= 0.95 * _tot GROUP BY 1
+    )
+    SELECT a.event_type,
+           round(CASE WHEN a.b <= 0 THEN 0.0 WHEN a.b >= 257 THEN 512.0
+                      ELSE 0.0 + (a.b - 1) * 2.0 END, 6) AS q0_5,
+           round(CASE WHEN z.b <= 0 THEN 0.0 WHEN z.b >= 257 THEN 512.0
+                      ELSE 0.0 + (z.b - 1) * 2.0 END, 6) AS q0_95
+    FROM b50 a JOIN b95 z ON z.event_type = a.event_type
+    """,
+    "mergeable equi-width histogram sketch as a driver row: daily "
+    "256-bin cells over events.value per event_type (fixed [0, 512) "
+    "bounds, width 2.0 — exactly representable so both engines "
+    "compute identical bucket ids and edges), rolled up by cell-wise "
+    "sum, then p50/p95 estimated as the left edge of the first bucket "
+    "whose cumulative count reaches q x total; the oracle replays the "
+    "bucketing, rollup and quantile walk bit-for-bit",
+)
+def q_sketch_histogram_quantiles(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        histogram_merge,
+        histogram_quantile,
+        histogram_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = histogram_sketches(
+        ev, "value", "event_type", "day", lo=0.0, hi=512.0, bins=256
+    )
+    merged = histogram_merge(daily, "event_type")
+    p50 = histogram_quantile(
+        merged, 0.5, "event_type", lo=0.0, hi=512.0, bins=256
+    )
+    p95 = histogram_quantile(
+        merged, 0.95, "event_type", lo=0.0, hi=512.0, bins=256
+    )
+    return p50.join(p95, "event_type")
+
+
+@stage(
     "dedup_minhash_capped",
     f"""
     WITH {_incremental_pairs_sql(corpus_cap=3)}

@@ -718,6 +718,62 @@ class TestCmsSketches:
         assert got == want and len(got) > 0
 
 
+class TestHistogramSketches:
+    """Equi-width histogram cells: the quantile member of the mergeable
+    sketch family. Fixed caller-supplied bounds are what make day cells
+    mergeable; estimates land within one bin width."""
+
+    def test_quantiles_within_one_bin(self, spark):
+        from kenshin_spark.functions.sketches import (
+            histogram_quantile,
+            histogram_sketches,
+        )
+
+        df = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS v")
+        cells = histogram_sketches(df, "v", lo=0.0, hi=1000.0, bins=100)
+        assert cells.count() <= 100
+        med = histogram_quantile(
+            cells, 0.5, lo=0.0, hi=1000.0, bins=100
+        ).first()["q0_5"]
+        assert abs(med - 499.0) <= 10.0  # one 10-wide bin
+        p99 = histogram_quantile(
+            cells, 0.99, lo=0.0, hi=1000.0, bins=100
+        ).first()["q0_99"]
+        assert abs(p99 - 989.0) <= 10.0
+
+    def test_merge_equals_global_and_outliers_clamp(self, spark):
+        from kenshin_spark.functions.sketches import (
+            histogram_merge,
+            histogram_quantile,
+            histogram_sketches,
+        )
+
+        df = spark.range(0, 2000).selectExpr(
+            "CAST(id % 1000 AS DOUBLE) AS v", "id div 1000 AS day"
+        )
+        daily = histogram_sketches(
+            df, "v", "day", lo=0.0, hi=1000.0, bins=50
+        )
+        merged = histogram_merge(daily)
+        direct = histogram_sketches(df, "v", lo=0.0, hi=1000.0, bins=50)
+        assert {
+            (r["bucket"], r["c"]) for r in merged.collect()
+        } == {(r["bucket"], r["c"]) for r in direct.collect()}
+        # all-underflow / all-overflow clamp to the bounds
+        out = spark.createDataFrame(
+            [(-5.0,), (-1.0,)], "v double"
+        )
+        cells = histogram_sketches(out, "v", lo=0.0, hi=10.0, bins=5)
+        assert histogram_quantile(
+            cells, 0.5, lo=0.0, hi=10.0, bins=5
+        ).first()["q0_5"] == 0.0
+        over = spark.createDataFrame([(99.0,)], "v double")
+        cells = histogram_sketches(over, "v", lo=0.0, hi=10.0, bins=5)
+        assert histogram_quantile(
+            cells, 0.5, lo=0.0, hi=10.0, bins=5
+        ).first()["q0_5"] == 10.0
+
+
 class TestFunnel:
     def test_step_semantics_and_dropoffs(self, spark):
         from kenshin_spark.operators.funnel import funnel
