@@ -265,9 +265,7 @@ def histogram_quantile(
         ).alias("_tot"),
     )
     hit = cum.where(F.col("_cum") >= F.lit(q) * F.col("_tot"))
-    first = hit.groupBy(*group_cols).agg(
-        F.min("bucket").alias("_b"), F.first("_tot").alias("_tot")
-    )
+    first = hit.groupBy(*group_cols).agg(F.min("bucket").alias("_b"))
     edge = (
         F.when(F.col("_b") <= 0, F.lit(float(lo)))
         .when(F.col("_b") >= bins + 1, F.lit(float(hi)))

@@ -610,24 +610,55 @@ class StreamingCorpusIngest:
                 out.append(b)
         return out
 
-    def _read(self, part: str, schema: str) -> DataFrame:
+    def _read(
+        self, part: str, schema: str, keep_batch: bool = False
+    ) -> DataFrame:
         """Committed rows of a state table. Tables are laid out as one
         ``batch=<id>`` directory per ingest batch; a batch is visible
         iff its commit marker exists, so readers can NEVER observe the
         partial output of a crashed attempt — the marker is a real
-        multi-table transaction commit (all five tables' batch dirs
+        multi-table transaction commit (all the tables' batch dirs
         become visible atomically when the one marker appears).
         ``batch=-1`` holds compacted data and is always committed."""
         path = f"{self.root}/{part}"
-        if not self._fs.exists(path) or not any(
-            n.startswith("batch=") for n in self._fs.list_names(path)
-        ):
+        names = self._fs.list_names(path)
+        if any(n.endswith(".parquet") for n in names):
+            raise ValueError(
+                f"{path} holds flat pre-batch-layout parquet files; "
+                "run migrate_flat_layout() once before reading"
+            )
+        if not any(n.startswith("batch=") for n in names):
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.parquet(path)
         orphans = self._uncommitted(part)
         if orphans:
             df = df.where(~F.col("batch").isin(orphans))
-        return df.drop("batch")
+        return df if keep_batch else df.drop("batch")
+
+    def migrate_flat_layout(self) -> list[str]:
+        """One-time migration for a root written by the pre-commit-log
+        layout (plain appended parquet files directly under each state
+        table): move the files into an always-committed ``batch=-1``
+        dir. Old per-batch markers stay behind — harmless, and
+        ``prune_markers`` GCs them once past the tail guard. Returns
+        the tables migrated."""
+        done = []
+        for part in self.STATE_PARTS:
+            path = f"{self.root}/{part}"
+            flat = [
+                n for n in self._fs.list_names(path)
+                if n.endswith(".parquet")
+            ]
+            if not flat:
+                continue
+            self._fs.mkdirs(f"{path}/batch=-1")
+            for n in flat:
+                if not self._fs.rename(
+                    f"{path}/{n}", f"{path}/batch=-1/{n}"
+                ):
+                    raise IOError(f"migrate: could not move {path}/{n}")
+            done.append(part)
+        return done
 
     def _dead(self, df: DataFrame, reason: str, batch_id: int) -> None:
         n = df.count()
@@ -667,18 +698,12 @@ class StreamingCorpusIngest:
         resolved last-writer-wins here; per batch only
         O(batch + merged clusters' members) rows are written, never the
         full table."""
-        path = f"{self.root}/clusters"
-        if not self._fs.exists(path) or not any(
-            n.startswith("batch=") for n in self._fs.list_names(path)
-        ):
-            return self.spark.createDataFrame(
-                [], "node long, cluster_id long"
+        return self._lww_clusters(
+            self._read(
+                "clusters", "node long, cluster_id long, batch int",
+                keep_batch=True,
             )
-        df = self.spark.read.parquet(path)
-        orphans = self._uncommitted("clusters")
-        if orphans:
-            df = df.where(~F.col("batch").isin(orphans))
-        return self._lww_clusters(df)
+        )
 
     def file_report(self) -> dict[str, int]:
         """Parquet file count per state table — the ingest-side
@@ -745,13 +770,10 @@ class StreamingCorpusIngest:
     def recover(self) -> list[str]:
         """Restore any state table whose compaction swap died between
         stage and promote (live dir missing, ``.bak`` present)."""
-        from kenshin_spark.fs import HadoopFS
-
-        fs = HadoopFS(self.spark, self.root)
         restored = []
         for part in self.STATE_PARTS:
             path = f"{self.root}/{part}"
-            if fs.recover_swap(path):
+            if self._fs.recover_swap(path):
                 restored.append(path)
         return restored
 
@@ -770,12 +792,16 @@ class StreamingCorpusIngest:
         corruption, just dead-letter noise). Returns markers deleted."""
         live: set[int] = set()
         for part in self.STATE_PARTS:
-            for name in self._fs.list_names(f"{self.root}/{part}"):
-                if name.startswith("batch="):
-                    try:
-                        live.add(int(name.split("=", 1)[1]))
-                    except ValueError:
-                        pass
+            # a crashed compaction swap stages the live dir as .bak —
+            # its batch dirs are still committed data (recover() will
+            # restore them), so their markers must survive the GC
+            for d in (f"{self.root}/{part}", f"{self.root}/{part}.bak"):
+                for name in self._fs.list_names(d):
+                    if name.startswith("batch="):
+                        try:
+                            live.add(int(name.split("=", 1)[1]))
+                        except ValueError:
+                            pass
         ids = []
         for name in self._fs.list_names(f"{self.root}/_batches"):
             try:
@@ -837,7 +863,11 @@ class StreamingCorpusIngest:
         if self._fs.exists(marker):
             return
         self._pending_dead = []
-        batch = batch.persist()
+        # keep the persisted handles: `batch`/`fresh` are rebound by the
+        # filter chain below, and unpersisting a derived DataFrame does
+        # not release the original's cache
+        batch_c = batch = batch.persist()
+        fresh_c = None
         try:
             self.stats["received"] += batch.count()
             # 1. quality gate (row-local, one filter expression);
@@ -867,7 +897,7 @@ class StreamingCorpusIngest:
                 intra.drop("_keep").unionByName(cross),
                 "exact_dups", batch_id,
             )
-            fresh = fp.join(
+            fresh_c = fresh = fp.join(
                 seen.select("text_md5"), "text_md5", "left_anti"
             ).drop("text_md5").persist()
 
@@ -889,15 +919,22 @@ class StreamingCorpusIngest:
                     # Checkpoint both: pairs is read twice (here + the
                     # reject filter), and the delta's lineage reads the
                     # clusters/ dir this batch is about to extend.
+                    # The resolved assignment is referenced three times
+                    # by the fold — persist so the LWW window over the
+                    # log runs once, not per reference.
                     from kenshin_spark.dedup.cluster import (
                         incremental_component_deltas,
                     )
 
                     pairs = pairs.localCheckpoint(eager=True)
-                    cl_delta = incremental_component_deltas(
-                        self.clusters(), pairs,
-                        a="corpus_id", b="new_id",
-                    ).localCheckpoint(eager=True)
+                    assignments = self.clusters().persist()
+                    try:
+                        cl_delta = incremental_component_deltas(
+                            assignments, pairs,
+                            a="corpus_id", b="new_id",
+                        ).localCheckpoint(eager=True)
+                    finally:
+                        assignments.unpersist()
                 near_ids = pairs.select(
                     F.col("new_id").alias("doc_id")
                 ).distinct()
@@ -919,13 +956,16 @@ class StreamingCorpusIngest:
             def bdir(part: str) -> str:
                 return f"{self.root}/{part}/batch={batch_id}"
 
+            written = set()
             if self._pending_dead:
                 dead = self._pending_dead[0]
                 for extra in self._pending_dead[1:]:
                     dead = dead.unionByName(extra)
                 dead.write.mode("overwrite").parquet(bdir("dead"))
+                written.add("dead")
             if cl_delta is not None and not cl_delta.isEmpty():
                 cl_delta.write.mode("overwrite").parquet(bdir("clusters"))
+                written.add("clusters")
 
             n_admit = fresh.count()
             if n_admit > 0:
@@ -940,7 +980,18 @@ class StreamingCorpusIngest:
                 minhash_band_index(fresh).write.mode(
                     "overwrite"
                 ).parquet(bdir("index"))
+                written |= {"docs", "tokens", "md5", "index"}
+            # the marker commits EVERY batch=<id> dir — including any a
+            # crashed attempt left in a table this attempt produced no
+            # rows for (a config change between attempts can shrink the
+            # output). Scrub the unwritten tables' dirs so the marker
+            # can't adopt stale state.
+            for part in self.STATE_PARTS:
+                if part not in written:
+                    self._fs.delete(bdir(part))
             self._fs.write_text_atomic(marker, "committed")
         finally:
             self._pending_dead = []
-            batch.unpersist()
+            if fresh_c is not None:
+                fresh_c.unpersist()
+            batch_c.unpersist()

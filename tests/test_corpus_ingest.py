@@ -439,6 +439,103 @@ class TestMarkerPrune:
         )
         assert ing.stats["exact_dups"] == 1
 
+    def test_bak_staged_dirs_keep_their_markers(
+        self, spark, tmp_path, train_docs
+    ):
+        """A compaction swap that crashed between stage and promote
+        leaves the committed batch dirs under <part>.bak; their markers
+        are still the visibility bits recover() depends on, so a
+        direct prune_markers call must not GC them."""
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        self._ingest_n(spark, ing, 3)
+        # simulate the crash: live dir staged away, not yet replaced
+        os.rename(f"{ing.root}/docs", f"{ing.root}/docs.bak")
+        assert ing.prune_markers(keep_last=1) == 0
+        assert ing.recover() == [f"{ing.root}/docs"]
+        got = {
+            r["doc_id"] for r in ing._read(
+                "docs", "doc_id long, text string, source string"
+            ).collect()
+        }
+        assert got == {1000, 1001, 1002}
+
+    def test_marker_does_not_adopt_stale_orphan_dirs(
+        self, spark, tmp_path, train_docs
+    ):
+        """A crashed attempt's batch dir in a table the REPLAY produces
+        no rows for (e.g. the doc is quality-rejected after a config
+        change) must be scrubbed before the marker lands — otherwise
+        the marker would commit the stale rows."""
+        from kenshin_spark.quality import predicate
+
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        self._ingest_n(spark, ing, 1)
+        # crashed attempt for batch 5 wrote docs rows, then died
+        spark.createDataFrame(
+            [(66, "stale crashed attempt content", "a")],
+            "doc_id long, text string, source string",
+        ).write.mode("overwrite").parquet(f"{ing.root}/docs/batch=5")
+        # replay of batch 5 under a stricter gate: rejects everything
+        strict = StreamingCorpusIngest(
+            spark, ing.root, merges,
+            quality_checks=[predicate("false", name="reject_all")],
+        )
+        strict.ingest(
+            spark.createDataFrame(
+                [(66, "stale crashed attempt content", "a")],
+                "doc_id long, text string, source string",
+            ),
+            5,
+        )
+        assert os.path.exists(f"{ing.root}/_batches/5")
+        assert not os.path.exists(f"{ing.root}/docs/batch=5")
+        got = {
+            r["doc_id"] for r in strict._read(
+                "docs", "doc_id long, text string, source string"
+            ).collect()
+        }
+        assert got == {1000}  # the stale doc never became visible
+
+    def test_flat_layout_migration(self, spark, tmp_path, train_docs):
+        """A pre-commit-log root (flat appended parquet under each
+        table) must fail loudly on read and migrate losslessly into
+        batch=-1."""
+        import hashlib
+
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        os.makedirs(f"{ing.root}/docs")
+        os.makedirs(f"{ing.root}/md5")
+        spark.createDataFrame(
+            [(1, BASE, "a")], "doc_id long, text string, source string"
+        ).toPandas().to_parquet(
+            f"{ing.root}/docs/part-0000.parquet", index=False
+        )
+        spark.createDataFrame(
+            [(1, hashlib.md5(BASE.encode()).hexdigest())],
+            "doc_id long, text_md5 string",
+        ).toPandas().to_parquet(
+            f"{ing.root}/md5/part-0000.parquet", index=False
+        )
+        with pytest.raises(ValueError, match="flat pre-batch-layout"):
+            ing._read("docs", "doc_id long, text string, source string")
+        assert ing.migrate_flat_layout() == ["md5", "docs"]
+        got = ing._read(
+            "docs", "doc_id long, text string, source string"
+        )
+        assert {r["doc_id"] for r in got.collect()} == {1}
+        # migrated state dedups: an exact dup of the legacy doc dies
+        ing.ingest(
+            spark.createDataFrame(
+                [(2, BASE, "a")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        assert ing.stats["exact_dups"] == 1
+
     def test_maintenance_is_the_one_call(
         self, spark, tmp_path, train_docs
     ):
