@@ -22,17 +22,22 @@ from pyspark.sql import functions as F
 DEN = 1_000_000
 
 
-def sample_bucket(key: Column | str, seed: str = "ksp") -> Column:
-    """Uniform bucket in [0, DEN) from the row key — the shared primitive
-    (Spark side; the SQL twin is
-    ``('0x' || substr(md5(seed || '|' || key), 1, 15))::BIGINT % DEN``)."""
+def hash60(key: Column | str, seed: str = "ksp") -> Column:
+    """The raw 60-bit seeded hash every sampler derives from (SQL twin:
+    ``('0x' || substr(md5(seed || '|' || key), 1, 15))::BIGINT``)."""
     k = F.col(key) if isinstance(key, str) else key
-    h = F.conv(
+    return F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{seed}|"), k.cast("string"))), 1, 15),
         16,
         10,
     ).cast("long")
-    return h % DEN
+
+
+def sample_bucket(key: Column | str, seed: str = "ksp") -> Column:
+    """Uniform bucket in [0, DEN) from the row key — the shared primitive
+    (Spark side; the SQL twin is
+    ``('0x' || substr(md5(seed || '|' || key), 1, 15))::BIGINT % DEN``)."""
+    return hash60(key, seed) % DEN
 
 
 def hash_sample(
@@ -41,6 +46,29 @@ def hash_sample(
     """Keep each row iff its key hashes under ``rate`` — layout- and
     cluster-independent, re-run-stable."""
     return df.where(sample_bucket(key_col, seed) < int(rate * DEN))
+
+
+def bottom_k_sample(
+    df: DataFrame, k: int, key_col: str, seed: str = "ksp"
+) -> DataFrame:
+    """Fixed-SIZE uniform sample: the ``k`` rows whose keys hash
+    lowest. Rate sampling (`hash_sample`) can't promise "exactly 100k
+    eval docs" from a corpus of unknown size; bottom-k can, stays
+    deterministic and layout-independent like every sampler here, and
+    executes as TakeOrderedAndProject — each partition forwards at most
+    ``k`` rows, no full shuffle/sort. It is also MERGEABLE: bottom-k of
+    a union == bottom-k of the per-part bottom-k's (take the union's
+    lowest k), so per-day samples roll up without touching raw data —
+    and the k-th lowest hash doubles as the KMV cardinality estimator
+    (``kmv_distinct`` in sketches-style use). Ties: md5 collisions at
+    60 bits are ~impossible, but ordering is (hash, key) so even a
+    collision stays deterministic."""
+    return (
+        df.withColumn("_h", hash60(key_col, seed))  # raw 60-bit: no
+        .orderBy("_h", key_col)                     # bucket-tie bias
+        .limit(k)
+        .drop("_h")
+    )
 
 
 def stratified_hash_sample(

@@ -185,6 +185,42 @@ def cms_estimate(
     return est
 
 
+def kmv_distinct(
+    df: DataFrame, key_col: str, k: int = 256, seed: str = "ksp"
+) -> DataFrame:
+    """K-minimum-values cardinality estimate (Bar-Yossef et al. 2002):
+    keep the ``k`` smallest distinct 60-bit key hashes; if fewer than
+    ``k`` exist that IS the exact count, else estimate
+    ``(k-1) · 2^60 / h_k`` (relative error ~ 1/√k). HLL beats it on
+    size-per-accuracy, but KMV is built from the repo's replayable
+    seeded-md5 hash — fully expressible in ANSI SQL, and its bottom-k
+    hash set is the same object ``bottom_k_sample`` returns, so one
+    pass yields both a fixed-size uniform sample AND a cardinality
+    estimate. Mergeable: union the per-part bottom-k sets, re-take the
+    bottom k."""
+    from kenshin_spark.functions.sampling import hash60
+
+    mins = (
+        df.select(hash60(key_col, seed).alias("_h"))
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+    )
+    agg = mins.agg(
+        F.count(F.lit(1)).alias("_n"), F.max("_h").alias("_hk")
+    )
+    est = (
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(2**60)) / F.col("_hk")
+        )
+    )
+    # raw estimate, no rounding: presentation-rounding is the caller's
+    # (and cross-engine round() on an arbitrary double is the known
+    # hash-match trap — floor to integer for oracle rows)
+    return agg.select(est.alias("approx_distinct"))
+
+
 # ---------------------------------------------------------------------------
 # Equi-width histogram sketch (mergeable quantile rollups)
 # ---------------------------------------------------------------------------

@@ -358,6 +358,62 @@ def q_sketch_histogram_quantiles(spark, sf_dir):
 
 
 @stage(
+    "sample_bottom_k",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5('ksp|' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+      FROM documents
+    ) ORDER BY _h, doc_id LIMIT 64
+    """,
+    "fixed-size deterministic uniform sample: the 64 docs whose seeded "
+    "60-bit key hashes are lowest (TakeOrderedAndProject — each "
+    "partition forwards at most k rows, no full sort); layout- and "
+    "cluster-independent, nested (the 64-sample is a subset of any "
+    "larger k, same seed) and mergeable (bottom-k of per-day bottom-ks "
+    "== global); the oracle replays the hash order exactly",
+)
+def q_sample_bottom_k(spark, sf_dir):
+    from kenshin_spark.functions.sampling import bottom_k_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return bottom_k_sample(docs, 64, "doc_id")
+
+
+@stage(
+    "sketch_kmv_users",
+    """
+    WITH mins AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('ksp|' ||
+               CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events ORDER BY h LIMIT 256
+    )
+    SELECT CAST(floor(CASE WHEN count(*) < 256
+                 THEN CAST(count(*) AS DOUBLE)
+                 ELSE 255.0 * 1152921504606846976.0 / max(h) END)
+           AS BIGINT) AS approx_users
+    FROM mins
+    """,
+    "KMV cardinality estimate as a driver row: distinct-user estimate "
+    "from the 256 smallest seeded 60-bit user_id hashes "
+    "((k-1)*2^60/h_k, exact when fewer than k distinct keys exist); "
+    "the same replayable hash family as the samplers, so unlike HLL "
+    "the estimate is bit-reproducible in ANSI SQL — floored to an "
+    "integer so no cross-engine float rounding is in play",
+)
+def q_sketch_kmv_users(spark, sf_dir):
+    from kenshin_spark.functions.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", k=256).select(
+        F.floor("approx_distinct").cast("long").alias("approx_users")
+    )
+
+
+@stage(
     "dedup_minhash_capped",
     f"""
     WITH {_incremental_pairs_sql(corpus_cap=3)}

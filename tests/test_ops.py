@@ -718,6 +718,52 @@ class TestCmsSketches:
         assert got == want and len(got) > 0
 
 
+class TestBottomKSample:
+    def test_fixed_size_layout_independent_and_nested(self, spark):
+        from kenshin_spark.functions.sampling import bottom_k_sample
+
+        df = spark.range(0, 5000).selectExpr(
+            "CAST(id AS STRING) AS key", "id AS payload"
+        )
+        s1 = {r["key"] for r in bottom_k_sample(df, 100, "key").collect()}
+        assert len(s1) == 100
+        # layout-independent: same rows after an arbitrary repartition
+        s2 = {
+            r["key"]
+            for r in bottom_k_sample(
+                df.repartition(7), 100, "key"
+            ).collect()
+        }
+        assert s2 == s1
+        # consistent: the 100-sample nests inside the 300-sample
+        s3 = {r["key"] for r in bottom_k_sample(df, 300, "key").collect()}
+        assert s1 <= s3
+
+    def test_merge_of_per_part_samples_equals_global(self, spark):
+        from kenshin_spark.functions.sampling import bottom_k_sample
+
+        df = spark.range(0, 4000).selectExpr("CAST(id AS STRING) AS key")
+        a = bottom_k_sample(df.where("id < 2000"), 50, "key")
+        b = bottom_k_sample(df.where("id >= 2000"), 50, "key")
+        merged = {
+            r["key"]
+            for r in bottom_k_sample(a.unionByName(b), 50, "key").collect()
+        }
+        want = {r["key"] for r in bottom_k_sample(df, 50, "key").collect()}
+        assert merged == want
+
+    def test_kmv_estimate_within_tolerance_and_exact_below_k(self, spark):
+        from kenshin_spark.functions.sketches import kmv_distinct
+
+        small = spark.range(0, 100).selectExpr("CAST(id AS STRING) AS key")
+        assert kmv_distinct(small, "key").first()["approx_distinct"] == 100.0
+        big = spark.range(0, 50_000).selectExpr(
+            "CAST(id % 20000 AS STRING) AS key"
+        )
+        est = kmv_distinct(big, "key", k=256).first()["approx_distinct"]
+        assert abs(est - 20000) / 20000 < 0.15  # ~1/sqrt(256) ± slack
+
+
 class TestHistogramSketches:
     """Equi-width histogram cells: the quantile member of the mergeable
     sketch family. Fixed caller-supplied bounds are what make day cells
