@@ -561,6 +561,7 @@ class StreamingCorpusIngest:
         quality_checks=None,
         neardup_threshold: float = 0.5,
         track_clusters: bool = False,
+        maintenance_every: int | None = None,
     ):
         from kenshin_spark.quality import not_null, predicate
 
@@ -581,6 +582,7 @@ class StreamingCorpusIngest:
             "near_dups": 0, "admitted": 0,
         }
         self.track_clusters = track_clusters
+        self.maintenance_every = maintenance_every
         self._pending_dead: list[DataFrame] = []
         self._fs_cache = None
 
@@ -990,6 +992,16 @@ class StreamingCorpusIngest:
                 if part not in written:
                     self._fs.delete(bdir(part))
             self._fs.write_text_atomic(marker, "committed")
+            # auto-maintenance: foreachBatch is serial, so right after
+            # the commit IS "between batches" — the cadence the
+            # docstrings tell operators to cron. Crash-safe: the batch
+            # is already committed, and maintenance itself recovers.
+            if (
+                self.maintenance_every
+                and batch_id >= 0
+                and (batch_id + 1) % self.maintenance_every == 0
+            ):
+                self.maintenance()
         finally:
             self._pending_dead = []
             if fresh_c is not None:

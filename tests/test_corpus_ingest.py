@@ -536,6 +536,27 @@ class TestMarkerPrune:
         )
         assert ing.stats["exact_dups"] == 1
 
+    def test_auto_maintenance_cadence(self, spark, tmp_path, train_docs):
+        """maintenance_every=2 runs the pass after batches 1 and 3 —
+        state stays folded without an external cron."""
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(
+            spark, str(tmp_path / "c"), merges, maintenance_every=2
+        )
+        self._ingest_n(spark, ing, 4)
+        docs_dirs = sorted(
+            n for n in os.listdir(f"{ing.root}/docs")
+            if n.startswith("batch=")
+        )
+        # batches 0-3 folded after batch 3's commit (and 0-1 after 1's)
+        assert docs_dirs == ["batch=-1"]
+        got = {
+            r["doc_id"] for r in ing._read(
+                "docs", "doc_id long, text string, source string"
+            ).collect()
+        }
+        assert got == {1000, 1001, 1002, 1003}
+
     def test_maintenance_is_the_one_call(
         self, spark, tmp_path, train_docs
     ):
