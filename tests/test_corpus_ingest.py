@@ -612,6 +612,116 @@ class TestCorpusCliVerbs:
         assert ing.stats["exact_dups"] == 1
 
 
+class TestCrashMatrix:
+    """Kill the ingest at EVERY write boundary of the multi-table
+    transaction (after the dead write, after docs, tokens, md5, index,
+    and before the marker itself) and assert the replay converges to
+    byte-identical committed state — the exactly-once claim proven at
+    each point the protocol can die, not just the one crash the other
+    tests simulate."""
+
+    #: pre-seeded corpus doc + a batch with one dup and two admissions
+    CORPUS = "the quick brown fox jumps over the lazy dog again today"
+    BATCH = [
+        (20, CORPUS, "w"),                                    # exact dup
+        (21, "entirely fresh material with many novel words", "w"),
+        (22, "another unrelated admitted document body here", "w"),
+    ]
+
+    def _seed(self, spark, root, merges):
+        ing = StreamingCorpusIngest(spark, root, merges)
+        ing.ingest(
+            spark.createDataFrame(
+                [(1, self.CORPUS, "w")],
+                "doc_id long, text string, source string",
+            ),
+            0,
+        )
+        return ing
+
+    def _state(self, spark, ing):
+        out = {}
+        for part, schema in [
+            ("docs", "doc_id long, text string, source string"),
+            ("md5", "doc_id long, text_md5 string"),
+            ("index", "doc_id long, band int, band_key string"),
+            ("dead", "row string, reason string, batch_id long"),
+        ]:
+            out[part] = {
+                tuple(r) for r in ing._read(part, schema).collect()
+            }
+        out["tokens_docs"] = {
+            r["doc_id"]
+            for r in ing._read(
+                "tokens", "doc_id long, n_tokens long"
+            ).select("doc_id").collect()
+        }
+        return out
+
+    @pytest.mark.parametrize("fail_after", [0, 1, 2, 3, 4, "marker"])
+    def test_crash_then_replay_is_exactly_once(
+        self, spark, tmp_path, train_docs, monkeypatch, fail_after
+    ):
+        from pyspark.sql.readwriter import DataFrameWriter
+
+        merges = fit(train_docs, n_merges=10)
+        # reference: the same batch with no crash, on its own root
+        ref = self._seed(spark, str(tmp_path / "ref"), merges)
+        batch_df = spark.createDataFrame(
+            self.BATCH, "doc_id long, text string, source string"
+        )
+        ref.ingest(batch_df, 1)
+        want = self._state(spark, ref)
+
+        crash_root = str(tmp_path / "crash")
+        ing = self._seed(spark, crash_root, merges)
+
+        class Boom(RuntimeError):
+            pass
+
+        real_parquet = DataFrameWriter.parquet
+        count = {"n": 0}
+
+        def failing_parquet(self_w, path, **kw):
+            if f"{crash_root}/" in path and "/batch=1" in path:
+                if fail_after != "marker" and count["n"] == fail_after:
+                    raise Boom(f"injected crash before write {path}")
+                count["n"] += 1
+            return real_parquet(self_w, path, **kw)
+
+        monkeypatch.setattr(DataFrameWriter, "parquet", failing_parquet)
+        if fail_after == "marker":
+            real_marker = type(ing._fs).write_text_atomic
+
+            def failing_marker(fs, path, text):
+                if path.endswith("/_batches/1"):
+                    raise Boom("injected crash before marker")
+                return real_marker(fs, path, text)
+
+            monkeypatch.setattr(
+                type(ing._fs), "write_text_atomic", failing_marker
+            )
+        with pytest.raises(Boom):
+            ing.ingest(batch_df, 1)
+        monkeypatch.undo()
+
+        # mid-transaction state is invisible to every reader
+        partial = self._state(spark, ing)
+        assert partial == self._state(spark, self._seed_ref_only(
+            spark, str(tmp_path / "base"), merges
+        )), f"crash at {fail_after} leaked uncommitted state"
+
+        # restart (fresh instance, as foreachBatch redelivery would)
+        ing2 = StreamingCorpusIngest(spark, crash_root, merges)
+        ing2.ingest(batch_df, 1)
+        assert self._state(spark, ing2) == want, fail_after
+
+    def _seed_ref_only(self, spark, root, merges):
+        if not os.path.exists(root):
+            return self._seed(spark, root, merges)
+        return StreamingCorpusIngest(spark, root, merges)
+
+
 class TestStateCompaction:
     def test_compact_folds_state_tables_and_dedup_still_works(
         self, spark, tmp_path, train_docs
