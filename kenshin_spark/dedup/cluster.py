@@ -267,8 +267,11 @@ def incremental_components(
        batch-sized left side);
     2. run ``connected_components`` on the root graph — batch-sized,
        so the size gate virtually always takes the driver union-find;
-    3. broadcast the (old_root → new_root) remap (∝ clusters merged
-       this batch) against the assignment table and coalesce.
+    3. broadcast the (old_root → new_root) remap against the
+       assignment table and coalesce. The broadcast is SAFE by
+       construction, not by luck: every old_root in the remap appears
+       as an endpoint of the root graph, so |remap| ≤ 2·|batch edges| —
+       bounded by the micro-batch, never by the accumulated state.
 
     Total work is O(|batch| + |assignments touched by the remap scan|)
     with ONE shuffle-free broadcast pass over the state table — no
