@@ -173,6 +173,79 @@ def rebalance_to_min(
     )
 
 
+def temperature_mixture_plan(
+    df: DataFrame,
+    budget: int,
+    stratum_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Examples-proportional mixing with a temperature exponent (the
+    multilingual-T5 / mT5 recipe): stratum s gets mixture share
+    ``n_s^alpha / Σ n_t^alpha`` of a ``budget``-doc corpus — alpha=1 is
+    proportional (big sources dominate), alpha=0 is uniform, 0.5 the
+    common compromise that upweights small sources without flattening.
+
+    Returns the per-stratum plan ``(stratum, n_docs, w_scaled, quota,
+    rate_ppm)``. All arithmetic after the one tiny aggregate is EXACT
+    integer math computed driver-side (|strata| rows — the same bounded
+    collect as every scalar agg here): ``w_scaled = floor(1e6·n^alpha)``
+    (IEEE sqrt is correctly rounded, so for alpha=0.5 every engine
+    produces the identical integer), ``quota = budget·w // Σw``,
+    ``rate_ppm = min(1e6, quota·1e6 // n)`` — so the plan, and the
+    hash-sampled membership it induces, replay bit-for-bit in ANSI SQL
+    (HUGEINT ``//``). For other alphas the plan is still deterministic
+    per engine, but ``pow`` is not correctly rounded, so cross-engine
+    equality is only guaranteed for alpha ∈ {0.5, 1}."""
+    import math
+
+    rows = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).collect()
+    def _pw(n: int) -> float:
+        # alpha=0.5 via sqrt, the operation IEEE requires to be
+        # correctly rounded — pow carries no such guarantee
+        return math.sqrt(n) if alpha == 0.5 else math.pow(n, alpha)
+
+    w = {r[stratum_col]: int(DEN * _pw(r["n_docs"])) for r in rows}
+    tot = sum(w.values())
+    plan = []
+    for r in sorted(rows, key=lambda r: r[stratum_col]):
+        s, n = r[stratum_col], r["n_docs"]
+        quota = budget * w[s] // tot
+        rate_ppm = min(DEN, quota * DEN // n)
+        plan.append((s, n, w[s], quota, rate_ppm))
+    return df.sparkSession.createDataFrame(
+        plan,
+        f"{stratum_col} string, n_docs long, w_scaled long, "
+        "quota long, rate_ppm long",
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    budget: int,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: str = "mix",
+) -> DataFrame:
+    """Apply a temperature mixture: keep a row iff its key's hash
+    bucket clears the stratum's ``rate_ppm`` — the plan broadcasts,
+    the corpus is never shuffled, and membership is layout-independent
+    and consistent across budgets (a doc kept at budget B stays kept at
+    any larger budget, same seed — the nesting property hash sampling
+    gives for free)."""
+    plan = temperature_mixture_plan(df, budget, stratum_col, alpha)
+    return (
+        df.join(
+            F.broadcast(plan.select(stratum_col, "rate_ppm")),
+            stratum_col,
+        )
+        .where(sample_bucket(key_col, seed) < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )
+
+
 # PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB)
 # treat identically: character classes, bounded repeats, \b word bounds.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -414,6 +414,71 @@ def q_sketch_kmv_users(spark, sf_dir):
 
 
 @stage(
+    "pipeline_temperature_mixture",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(floor(1000000 * sqrt(n_docs)) AS BIGINT) AS w_scaled
+      FROM counts
+    ),
+    tot AS (SELECT sum(w_scaled) AS tot FROM w),
+    plan AS (
+      SELECT lang, n_docs, w_scaled,
+             CAST(CAST(250 AS HUGEINT) * w_scaled // tot AS BIGINT)
+               AS quota
+      FROM w, tot
+    ),
+    plan2 AS (
+      SELECT lang, n_docs, w_scaled, quota,
+             CAST(least(1000000,
+                  CAST(quota AS HUGEINT) * 1000000 // n_docs)
+                  AS BIGINT) AS rate_ppm
+      FROM plan
+    ),
+    samp AS (
+      SELECT d.lang FROM documents d JOIN plan2 p ON p.lang = d.lang
+      WHERE CAST(('0x' || substr(md5('mix|' ||
+              CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000000 < p.rate_ppm
+    ),
+    ach AS (SELECT lang, count(*) AS sampled FROM samp GROUP BY 1)
+    SELECT p.lang, p.n_docs, p.w_scaled, p.quota, p.rate_ppm,
+           coalesce(a.sampled, 0) AS sampled
+    FROM plan2 p LEFT JOIN ach a ON a.lang = p.lang
+    """,
+    "temperature-based source mixing (the mT5 examples-proportional "
+    "recipe, alpha=0.5) as a driver row: per-language mixture plan for "
+    "a 250-doc budget — w = floor(1e6*sqrt(n)) (IEEE sqrt is correctly "
+    "rounded, so both engines produce the identical integer), integer "
+    "quota and ppm rate, and the achieved hash-sampled count (seeded-"
+    "md5 bucket < rate) — plan arithmetic and membership replay "
+    "bit-for-bit",
+)
+def q_pipeline_temperature_mixture(spark, sf_dir):
+    from kenshin_spark.pipeline import (
+        temperature_mixture,
+        temperature_mixture_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = temperature_mixture_plan(
+        docs, 250, stratum_col="lang", alpha=0.5
+    )
+    ach = (
+        temperature_mixture(docs, 250, stratum_col="lang", alpha=0.5)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("sampled"))
+    )
+    return plan.join(ach, "lang", "left").select(
+        "lang", "n_docs", "w_scaled", "quota", "rate_ppm",
+        F.coalesce("sampled", F.lit(0)).alias("sampled"),
+    )
+
+
+@stage(
     "dedup_minhash_capped",
     f"""
     WITH {_incremental_pairs_sql(corpus_cap=3)}

@@ -718,6 +718,66 @@ class TestCmsSketches:
         assert got == want and len(got) > 0
 
 
+class TestTemperatureMixture:
+    """Examples-proportional mixing with temperature (the mT5 recipe):
+    exact-integer plan, hash-sampled membership."""
+
+    def _corpus(self, spark):
+        # heavily skewed: 6400 'big', 400 'mid', 25 'small'
+        return spark.range(0, 6825).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id < 6400 THEN 'big' WHEN id < 6800 THEN 'mid' "
+            "ELSE 'small' END AS source",
+        )
+
+    def test_alpha_damps_the_head_and_boosts_the_tail(self, spark):
+        from kenshin_spark.pipeline import temperature_mixture_plan
+
+        df = self._corpus(spark)
+        plan = {
+            r["source"]: r
+            for r in temperature_mixture_plan(df, 1000, alpha=0.5).collect()
+        }
+        # sqrt weights: 80 : 20 : 5 → quotas ~761/190/47
+        assert plan["big"]["quota"] == 1000 * plan["big"]["w_scaled"] // (
+            plan["big"]["w_scaled"] + plan["mid"]["w_scaled"]
+            + plan["small"]["w_scaled"]
+        )
+        shares = {s: plan[s]["quota"] / 1000 for s in plan}
+        assert shares["big"] < 6400 / 6825  # damped vs proportional
+        assert shares["small"] > 25 / 6825  # boosted vs proportional
+        assert plan["small"]["rate_ppm"] == 1_000_000  # quota > n: take all
+        # alpha=1 degenerates to proportional: rates agree up to the
+        # integer-floor granularity (±DEN/n per stratum — exact for the
+        # big strata, coarse for tiny quotas)
+        prop = {
+            r["source"]: r["rate_ppm"]
+            for r in temperature_mixture_plan(df, 1000, alpha=1.0).collect()
+        }
+        assert abs(prop["big"] - prop["mid"]) / prop["big"] < 0.02
+
+    def test_apply_hits_quota_and_nests_across_budgets(self, spark):
+        from kenshin_spark.pipeline import temperature_mixture
+
+        df = self._corpus(spark)
+        got = temperature_mixture(df, 1000, alpha=0.5)
+        by_src = {
+            r["source"]: r["n"]
+            for r in got.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        # hash sampling is binomial around quota; 10% slack at n=761
+        assert abs(by_src["big"] - 761) / 761 < 0.1
+        assert by_src["small"] == 25  # rate 1e6 keeps the whole tail
+        small_set = {r["doc_id"] for r in got.collect()}
+        bigger = {
+            r["doc_id"]
+            for r in temperature_mixture(df, 2000, alpha=0.5).collect()
+        }
+        assert small_set <= bigger  # consistent-sampling nesting
+
+
 class TestBottomKSample:
     def test_fixed_size_layout_independent_and_nested(self, spark):
         from kenshin_spark.functions.sampling import bottom_k_sample
