@@ -250,22 +250,59 @@ def temperature_mixture(
 # treat identically: character classes, bounded repeats, \b word bounds.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+CC_RE = r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
+#: separator-required NANP form (555-123-4567 / 555.123.4567 /
+#: 555 123 4567) — mandatory separators keep bare digit runs (ids,
+#: timestamps) out, and both \b anchors sit against digits so the
+#: pattern behaves identically in Java regex and RE2
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+#: name → (pattern, placeholder, count-column label). Patterns stay in
+#: the syntax subset Java regex and RE2 treat identically (classes,
+#: bounded repeats, \b) so any of them can back a dual-engine oracle.
+PII_PATTERNS: dict[str, tuple[str, str, str]] = {
+    "email": (EMAIL_RE, "<EMAIL>", "n_emails"),
+    "ip": (IPV4_RE, "<IP>", "n_ips"),
+    "ssn": (SSN_RE, "<SSN>", "n_ssns"),
+    "credit_card": (CC_RE, "<CC>", "n_cards"),
+    "phone": (PHONE_RE, "<PHONE>", "n_phones"),
+}
+
+#: default scope — the original email+IP behavior (the driver-verified
+#: text_pii_scrub oracle depends on it staying byte-identical)
+PII_DEFAULT = ("email", "ip")
+
+#: the full sweep, ordered so broader digit patterns fire first (a
+#: 16-digit card must be tagged before the phone pattern eats a
+#: sub-span of it; SSN before phone for the same reason)
+PII_ALL = ("email", "ssn", "credit_card", "phone", "ip")
 
 
-def pii_counts(text: Column | str) -> dict[str, Column]:
+def pii_counts(
+    text: Column | str, include: tuple[str, ...] = PII_DEFAULT
+) -> dict[str, Column]:
     t = F.col(text) if isinstance(text, str) else text
     return {
-        "n_emails": F.regexp_count(t, F.lit(EMAIL_RE)).cast("long"),
-        "n_ips": F.regexp_count(t, F.lit(IPV4_RE)).cast("long"),
+        PII_PATTERNS[name][2]: F.regexp_count(
+            t, F.lit(PII_PATTERNS[name][0])
+        ).cast("long")
+        for name in include
     }
 
 
-def scrub_pii(text: Column | str) -> Column:
-    """Redact emails then IPv4 addresses with fixed placeholder tags."""
+def scrub_pii(
+    text: Column | str, include: tuple[str, ...] = PII_DEFAULT
+) -> Column:
+    """Redact the ``include``d PII classes with fixed placeholder tags,
+    applied in order (order matters: see ``PII_ALL``). The default
+    scope is emails then IPv4 — unchanged semantics; pass
+    ``include=PII_ALL`` for the full sweep."""
     t = F.col(text) if isinstance(text, str) else text
-    return F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-    )
+    for name in include:
+        pat, tag, _ = PII_PATTERNS[name]
+        t = F.regexp_replace(t, pat, tag)
+    return t
 
 
 def leakage_safe_split(

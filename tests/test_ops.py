@@ -718,6 +718,45 @@ class TestCmsSketches:
         assert got == want and len(got) > 0
 
 
+class TestPiiFullSweep:
+    def test_all_classes_scrub_in_safe_order(self, spark):
+        from kenshin_spark.pipeline import PII_ALL, scrub_pii
+
+        df = spark.createDataFrame(
+            [(
+                "mail a@b.com ssn 123-45-6789 card 4111 1111 1111 1111 "
+                "call 555-123-4567 from 10.0.0.1",
+            )],
+            "t string",
+        )
+        out = df.select(scrub_pii("t", include=PII_ALL).alias("s")).first()["s"]
+        assert out == (
+            "mail <EMAIL> ssn <SSN> card <CC> call <PHONE> from <IP>"
+        )
+
+    def test_card_is_not_eaten_by_the_phone_pattern(self, spark):
+        from kenshin_spark.pipeline import PII_ALL, scrub_pii
+
+        df = spark.createDataFrame(
+            [("pay 4111-1111-1111-1111 ok",)], "t string"
+        )
+        out = df.select(scrub_pii("t", include=PII_ALL).alias("s")).first()["s"]
+        assert out == "pay <CC> ok"  # one tag, no <PHONE> fragment
+
+    def test_default_scope_is_unchanged(self, spark):
+        from kenshin_spark.pipeline import pii_counts, scrub_pii
+
+        df = spark.createDataFrame(
+            [("a@b.com at 10.0.0.1 ssn 123-45-6789",)], "t string"
+        )
+        out = df.select(scrub_pii("t").alias("s")).first()["s"]
+        assert out == "<EMAIL> at <IP> ssn 123-45-6789"  # ssn untouched
+        c = df.select(
+            *[col.alias(name) for name, col in pii_counts("t").items()]
+        ).first()
+        assert (c["n_emails"], c["n_ips"]) == (1, 1)
+
+
 class TestTemperatureMixture:
     """Examples-proportional mixing with temperature (the mT5 recipe):
     exact-integer plan, hash-sampled membership."""
