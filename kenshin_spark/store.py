@@ -291,14 +291,20 @@ class ParquetTieredStore:
         partitions the batch touches."""
         path = self.tier_path(i)
         new = self._with_day(slots, i)
+        # every write path sorts within tasks by (metric, ts) — a free
+        # in-task sort (no shuffle) that keeps parquet row-group min/max
+        # stats tight, so metric-predicate scans skip row groups even
+        # BETWEEN compactions (compact() re-sorts anyway)
         if self.mode == "mor":
             # O(batch) append; the read path resolves last-write-wins
-            new.withColumn("_seq", F.lit(self._next_seq())).write.mode(
-                "append"
-            ).partitionBy("day").parquet(path)
+            new.withColumn("_seq", F.lit(self._next_seq())).sortWithinPartitions(
+                "day", "metric", "ts"
+            ).write.mode("append").partitionBy("day").parquet(path)
             return
         if not self.fs.exists(path):
-            new.write.mode("overwrite").partitionBy("day").parquet(path)
+            new.sortWithinPartitions("day", "metric", "ts").write.mode(
+                "overwrite"
+            ).partitionBy("day").parquet(path)
             return
         days = [r["day"] for r in new.select("day").distinct().collect()]
         existing = (
@@ -315,7 +321,9 @@ class ParquetTieredStore:
             .agg(F.max(F.struct("_seq", "value")).alias("_w"))
             .select("metric", "ts", F.col("_w.value").alias("value"), "day")
         )
-        merged.write.mode("overwrite").partitionBy("day").parquet(path)
+        merged.sortWithinPartitions("day", "metric", "ts").write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(path)
 
     # -- retention (O4) ---------------------------------------------------
 
@@ -589,7 +597,10 @@ class ParquetTieredStore:
                 "day", F.pmod(F.xxhash64("metric"), F.lit(target_files_per_day))
             )
         (
-            shaped.sortWithinPartitions("metric", "ts")
+            # day first: the partitioned writer's required ordering is a
+            # day prefix — satisfying it keeps the writer from inserting
+            # its own (unstable) re-sort that would undo (metric, ts)
+            shaped.sortWithinPartitions("day", "metric", "ts")
             .write.mode("overwrite")
             .partitionBy("day")
             .parquet(tmp)
