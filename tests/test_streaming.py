@@ -329,6 +329,57 @@ class TestStore:
                     pdf.reset_index(drop=True), ordered
                 ), (mode, f)
 
+    def test_sorted_writes_give_tight_row_group_stats(
+        self, spark, tmp_path
+    ):
+        """The point of sorting: with small row groups forced, each
+        group's metric min/max must cover a narrow, non-overlapping
+        slice of the metric space — the stats parquet row-group pruning
+        skips on. Unsorted writes would give every group the full
+        (min, max) range and nothing could ever be skipped."""
+        import pyarrow.parquet as pq
+
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        old = hconf.get("parquet.block.size")
+        hconf.setInt("parquet.block.size", 64 * 1024)
+        try:
+            schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+            store = ParquetTieredStore(
+                spark, schema, str(tmp_path / "st")
+            )
+            pts = spark.range(0, 60_000).selectExpr(
+                "format_string('m%05d', CAST(id % 600 AS INT)) AS metric",
+                "60 * CAST(id div 600 AS LONG) AS ts",
+                "CAST(id AS DOUBLE) AS value",
+            ).coalesce(1)
+            store.upsert(0, pts)
+            day_dir = os.path.join(store.tier_path(0), "day=0")
+            fname = next(
+                f for f in os.listdir(day_dir) if f.endswith(".parquet")
+            )
+            md = pq.ParquetFile(os.path.join(day_dir, fname)).metadata
+            assert md.num_row_groups >= 3  # block size forced a split
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "metric"
+            )
+            bounds = [
+                (
+                    md.row_group(g).column(idx).statistics.min,
+                    md.row_group(g).column(idx).statistics.max,
+                )
+                for g in range(md.num_row_groups)
+            ]
+            for (lo, hi) in bounds:  # each group covers a narrow slice
+                assert lo <= hi
+            for (_, hi), (lo2, _) in zip(bounds, bounds[1:]):
+                assert hi <= lo2  # non-overlapping: pruning can skip
+        finally:
+            if old is None:
+                hconf.unset("parquet.block.size")
+            else:
+                hconf.set("parquet.block.size", old)
+
     def test_fetch_from_store(self, spark, tmp_path):
         schema = Schema.from_strings("s", ".*", "60s:1h,300s:1d", xff=1.0)
         store = ParquetTieredStore(spark, schema, str(tmp_path / "st"))
