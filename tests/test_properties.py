@@ -594,6 +594,60 @@ def test_component_delta_log_lww_equals_batch_cc(spark, edges, n_batches):
     assert {(n, c) for n, c in log.items()} == want
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=99.999,
+                       allow_nan=False, allow_infinity=False),
+             min_size=5, max_size=200),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+def test_histogram_quantile_within_one_bin_of_exact(spark, values, q):
+    """For in-range data the histogram estimate is the left edge of the
+    bucket holding the true q-quantile — within one bin width of the
+    exact order statistic, for arbitrary data and q."""
+    from kenshin_spark.functions.sketches import (
+        histogram_quantile,
+        histogram_sketches,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    cells = histogram_sketches(df, "v", lo=0.0, hi=100.0, bins=50)
+    got = histogram_quantile(
+        cells, q, lo=0.0, hi=100.0, bins=50
+    ).first()[0]
+    # exact q-quantile as the cumulative-count definition used
+    srt = sorted(values)
+    import math
+    k = max(1, math.ceil(q * len(srt)))
+    exact = srt[k - 1]
+    assert got - 2.0 <= exact <= got + 2.0  # one 2.0-wide bin
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.dictionaries(st.sampled_from(["a", "b", "c", "d", "e"]),
+                    st.integers(1, 5000), min_size=2, max_size=5),
+    st.integers(10, 3000),
+)
+def test_temperature_plan_invariants(spark, sizes, budget):
+    """Plan invariants for arbitrary stratum sizes and budgets:
+    quotas never exceed the budget in total, every rate is a valid ppm,
+    and a stratum's quota never exceeds what a full take could give."""
+    from kenshin_spark.pipeline import temperature_mixture_plan
+
+    rows = [(s, i) for s, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    plan = temperature_mixture_plan(df, budget, alpha=0.5).collect()
+    assert sum(r["quota"] for r in plan) <= budget
+    for r in plan:
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+        assert r["quota"] <= budget
+        if r["rate_ppm"] == 1_000_000:
+            assert r["quota"] >= r["n_docs"]  # take-all iff quota covers
+
+
 # ---------------------------------------------------------------------------
 # Render target parser: totality + roundtrip (pure, no Spark)
 # ---------------------------------------------------------------------------
