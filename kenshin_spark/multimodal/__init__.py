@@ -58,11 +58,21 @@ def _real_decode(payload: bytes) -> tuple[str, int, int, str]:
 
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
-    """Codec step. Real image bytes (magic-byte sniff) go to PIL when it
-    is importable; without PIL they raise, keeping the stub boundary
-    loud. Anything else gets deterministic pseudo-metadata derived from
-    the bytes — the testable stand-in this container runs on (no
-    image/audio libs are shipped)."""
+    """Codec step, in preference order: (1) the pure-stdlib codecs
+    (PNG/BMP — REAL decode, no dependencies, `multimodal/codecs.py`);
+    (2) PIL for the entropy-coded containers (JPEG/WebP) when
+    importable — without PIL those raise, keeping the stub boundary
+    loud; (3) deterministic pseudo-metadata for anything else — the
+    testable stand-in for payloads this container can't decode."""
+    from kenshin_spark.multimodal import codecs
+
+    kind = codecs.sniff(payload)
+    if kind in ("png", "bmp"):
+        try:
+            w, h, fmt = codecs.image_info(payload)
+            return hashlib.md5(payload).hexdigest(), w, h, fmt
+        except ValueError:
+            pass  # unsupported profile (e.g. paletted PNG) → PIL seam
     if is_real_image(payload):
         try:
             return _real_decode(payload)

@@ -52,11 +52,22 @@ def _real_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Codec step: real image bytes go through PIL when importable (raise
-    loudly without it); other payloads get deterministic stand-in bytes
-    derived from (payload digest, target size)."""
-    from kenshin_spark.multimodal import is_real_image
+    """Codec step, in preference order: PNG/BMP resize natively
+    (stdlib decode → nearest-neighbor → 24-bit BMP re-encode, all
+    deterministic — `multimodal/codecs.py`); entropy-coded containers
+    through PIL when importable (raise loudly without it); anything
+    else gets deterministic stand-in bytes derived from (payload
+    digest, target size)."""
+    from kenshin_spark.multimodal import codecs, is_real_image
 
+    if codecs.sniff(payload) in ("png", "bmp"):
+        try:
+            arr = codecs.decode_image(payload)
+            return codecs.encode_bmp(
+                codecs.resize_nearest(arr, width, height)
+            )
+        except ValueError:
+            pass  # unsupported profile → PIL seam
     if is_real_image(payload):
         try:
             return _real_resize(payload, width, height)
@@ -131,14 +142,29 @@ def sample_frames(
 
 
 def audio_features(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
-    """Audio feature extraction (STUB; would be librosa/torchaudio):
-    deterministic pseudo-features from the byte stream."""
+    """Audio feature extraction. PCM WAV payloads decode FOR REAL via
+    the stdlib ``wave`` module (`multimodal/codecs.py`): true duration,
+    rate, and sample-level RMS. Other byte streams get the
+    deterministic pseudo-features (the stand-in for codecs this
+    container lacks — mp3/flac would be librosa/torchaudio)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kenshin_spark.multimodal import codecs
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                if codecs.sniff(b) == "wav":
+                    ft = codecs.wav_features(b)
+                    rows.append((
+                        int(doc_id),
+                        int(ft["duration_s"] * 1000),
+                        int(ft["sample_rate"]),
+                        ft["rms"],
+                        int(ft["duration_s"] * ft["sample_rate"]),
+                    ))
+                    continue
                 n_samples = len(b) // 2  # fake 16-bit mono
                 duration_ms = n_samples * 1000 // sample_rate
                 rms = (sum(b) / len(b)) / 255.0 if b else 0.0

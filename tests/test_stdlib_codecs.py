@@ -1,0 +1,192 @@
+"""Pure-stdlib codecs (multimodal/codecs.py): real PNG/BMP/WAV decode
+with no external libraries, and their wiring into the multimodal
+mapInPandas kernels. Unlike tests/test_codecs.py (the PIL seam, skipped
+in this container), everything here runs everywhere."""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from kenshin_spark.multimodal import codecs
+
+rng = np.random.default_rng(7)
+
+
+# -- test-side PNG encoder (spec-forward filters, so the decoder must
+# -- invert them) ------------------------------------------------------------
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer applying ONE filter type to every row."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - left) % 256
+        elif filter_type == 2:
+            enc = (cur - prev) % 256
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            enc = (cur - ((left + prev) >> 1)) % 256
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+            pred = np.array(
+                [codecs._paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, ul)],
+                dtype=np.int32,
+            )
+            enc = (cur - pred) % 256
+        raw.append(filter_type)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    return (
+        codecs.PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+class TestPng:
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_every_filter_type_roundtrips(self, filter_type):
+        arr = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        png = encode_png(arr, filter_type)
+        assert codecs.sniff(png) == "png"
+        assert codecs.image_info(png) == (7, 9, "png")
+        np.testing.assert_array_equal(codecs.decode_png(png), arr)
+
+    @pytest.mark.parametrize("ch", [1, 2, 4])
+    def test_gray_and_alpha_color_types(self, ch):
+        arr = rng.integers(0, 256, size=(5, 6, ch), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            codecs.decode_png(encode_png(arr, 2)), arr
+        )
+
+    def test_unsupported_profiles_raise(self):
+        arr = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+        png = bytearray(encode_png(arr))
+        png[24] = 16  # bit depth 16
+        with pytest.raises(ValueError, match="bit depth"):
+            codecs.png_info(bytes(png))
+
+
+class TestBmp:
+    @pytest.mark.parametrize("w", [4, 5, 7])  # odd widths hit row padding
+    def test_roundtrip(self, w):
+        arr = rng.integers(0, 256, size=(6, w, 3), dtype=np.uint8)
+        bmp = codecs.encode_bmp(arr)
+        assert codecs.sniff(bmp) == "bmp"
+        assert codecs.image_info(bmp) == (w, 6, "bmp")
+        np.testing.assert_array_equal(codecs.decode_bmp(bmp), arr)
+
+    def test_gray_input_promotes_to_rgb(self):
+        g = rng.integers(0, 256, size=(3, 3), dtype=np.uint8)
+        out = codecs.decode_bmp(codecs.encode_bmp(g))
+        np.testing.assert_array_equal(out[:, :, 0], g)
+        np.testing.assert_array_equal(out[:, :, 1], g)
+
+
+class TestResize:
+    def test_nearest_is_exact_index_math(self):
+        arr = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        out = codecs.resize_nearest(arr, 2, 2)
+        np.testing.assert_array_equal(out, [[0, 2], [8, 10]])
+        up = codecs.resize_nearest(arr, 8, 8)
+        assert up.shape == (8, 8)
+        np.testing.assert_array_equal(up[::2, ::2], arr)
+
+
+def make_wav(freq=440.0, rate=8000, seconds=0.5, amp=0.5) -> bytes:
+    t = np.arange(int(rate * seconds)) / rate
+    samples = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+class TestWav:
+    def test_sine_features(self):
+        payload = make_wav()
+        assert codecs.sniff(payload) == "wav"
+        ft = codecs.wav_features(payload)
+        assert ft["sample_rate"] == 8000
+        assert ft["n_channels"] == 1
+        assert abs(ft["duration_s"] - 0.5) < 1e-9
+        # RMS of a sine at amplitude a is a/sqrt(2)
+        assert abs(ft["rms"] - 0.5 / np.sqrt(2)) < 0.01
+        assert 0.45 < ft["peak"] <= 0.51
+
+
+class TestSparkWiring:
+    """The kernels now decode these containers FOR REAL — no PIL."""
+
+    def test_image_metadata_real_dims(self, spark):
+        from kenshin_spark.multimodal import image_metadata
+
+        arr = rng.integers(0, 256, size=(12, 34, 3), dtype=np.uint8)
+        rows = [
+            (1, bytearray(encode_png(arr, 2))),
+            (2, bytearray(codecs.encode_bmp(arr))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {
+            r["doc_id"]: (r["width"], r["height"], r["format"])
+            for r in image_metadata(df).collect()
+        }
+        assert got == {1: (34, 12, "png"), 2: (34, 12, "bmp")}
+
+    def test_resize_returns_decodable_bmp(self, spark):
+        from kenshin_spark.multimodal.transforms import resize_images
+
+        arr = rng.integers(0, 256, size=(10, 10, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(arr, 0)))],
+            "doc_id long, payload binary",
+        )
+        out = resize_images(df, width=4, height=4).first()
+        resized = codecs.decode_bmp(bytes(out["resized"]))
+        np.testing.assert_array_equal(
+            resized, codecs.resize_nearest(arr, 4, 4)
+        )
+
+    def test_audio_features_true_duration(self, spark):
+        from kenshin_spark.multimodal.transforms import audio_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(make_wav(seconds=0.25)))],
+            "doc_id long, payload binary",
+        )
+        r = audio_features(df).first()
+        assert r["duration_ms"] == 250
+        assert r["sample_rate"] == 8000
+        assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.01
