@@ -326,6 +326,7 @@ def cmd_corpus_maintain(args) -> None:
     print(json.dumps(ing.maintenance(
         target_files=args.target_files,
         keep_last_markers=args.keep_markers,
+        min_frag=args.min_frag,
     )))
 
 
@@ -403,6 +404,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="--root is a StreamingCorpusIngest root")
     cm.add_argument("--target-files", type=int, default=1)
     cm.add_argument("--keep-markers", type=int, default=64)
+    cm.add_argument("--min-frag", type=int, default=16,
+                    help="only rewrite a table once it has more than "
+                         "this many files (amortizes full rewrites)")
 
     args = p.parse_args(argv)
     {

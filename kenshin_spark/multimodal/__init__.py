@@ -37,7 +37,13 @@ REAL_IMAGE_MAGIC = (b"\x89PNG", b"\xff\xd8\xff", b"RIFF")
 
 
 def is_real_image(payload: bytes) -> bool:
-    return payload.startswith(REAL_IMAGE_MAGIC)
+    if not payload.startswith(REAL_IMAGE_MAGIC):
+        return False
+    # RIFF covers WebP (image) but also WAV (audio) — an audio payload
+    # must not route to the image PIL seam, where even PIL would fail
+    if payload.startswith(b"RIFF") and payload[8:12] != b"WEBP":
+        return False
+    return True
 
 
 def _real_decode(payload: bytes) -> tuple[str, int, int, str]:

@@ -24,12 +24,31 @@ pruning skips it elsewhere).
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _coerce_codec_errors(fn):
+    """Public entry points promise ValueError on any malformed payload
+    so callers' PIL-seam fallbacks (``except ValueError``) always fire.
+    Truncated headers raise struct.error and corrupt streams raise
+    zlib.error / wave.Error / EOFError — none of which subclass
+    ValueError — so coerce them here."""
+    import wave
+
+    @functools.wraps(fn)
+    def wrapper(payload, *args, **kwargs):
+        try:
+            return fn(payload, *args, **kwargs)
+        except (struct.error, zlib.error, wave.Error, EOFError) as exc:
+            raise ValueError(f"{fn.__name__}: malformed payload ({exc})") from exc
+
+    return wrapper
 
 #: PNG color type → samples per pixel (8-bit depth only)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -65,6 +84,7 @@ def _png_chunks(payload: bytes):
             return
 
 
+@_coerce_codec_errors
 def png_info(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from IHDR; raises ValueError for
     forms outside the supported profile (8-bit, non-interlaced,
@@ -95,6 +115,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_coerce_codec_errors
 def decode_png(payload: bytes) -> np.ndarray:
     """HxWxC uint8 pixel array (C per color type). Implements the five
     PNG row filters; sequential filters (Sub/Average/Paeth) run as
@@ -143,6 +164,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 # -- BMP --------------------------------------------------------------------
 
 
+@_coerce_codec_errors
 def bmp_info(payload: bytes) -> tuple[int, int, int]:
     """(width, height, bits-per-pixel) from the BITMAPINFOHEADER."""
     if not payload.startswith(b"BM"):
@@ -160,6 +182,7 @@ def bmp_info(payload: bytes) -> tuple[int, int, int]:
     return int(w), int(h), int(bpp)
 
 
+@_coerce_codec_errors
 def decode_bmp(payload: bytes) -> np.ndarray:
     """HxWx3 uint8 (RGB). Handles 24/32-bit BI_RGB, 4-byte row padding,
     and both bottom-up (height > 0) and top-down storage."""
@@ -184,7 +207,15 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     """24-bit BI_RGB encoder for an HxWx3 (or HxW gray) uint8 array —
     gives resize a REAL container to return."""
     if arr.ndim == 2:
-        arr = np.repeat(arr[:, :, None], 3, axis=2)
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"encode_bmp: unsupported array shape {arr.shape}")
+    if arr.shape[2] == 4:  # RGBA — drop alpha; 24bpp has no alpha plane
+        arr = arr[:, :, :3]
+    elif arr.shape[2] == 2:  # gray+alpha — gray channel only
+        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
     h, w, _ = arr.shape
     row_stride = (w * 3 + 3) & ~3
     pad = b"\x00" * (row_stride - w * 3)
@@ -203,6 +234,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 # -- dispatch ---------------------------------------------------------------
 
 
+@_coerce_codec_errors
 def decode_image(payload: bytes) -> np.ndarray:
     """HxWxC uint8 for natively-supported containers; ValueError for
     anything that needs PIL (callers fall through to that seam)."""
@@ -214,6 +246,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError(f"no native decoder for {kind or 'unknown'}")
 
 
+@_coerce_codec_errors
 def image_info(payload: bytes) -> tuple[int, int, str]:
     """(width, height, format) without a full pixel decode."""
     kind = sniff(payload)
@@ -239,6 +272,7 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 # -- WAV --------------------------------------------------------------------
 
 
+@_coerce_codec_errors
 def wav_features(payload: bytes) -> dict:
     """Real audio features from PCM WAV bytes via the stdlib ``wave``
     module: duration, sample rate, channels, RMS and peak normalized to

@@ -127,7 +127,12 @@ def _glob_body(pattern: str) -> str:
                 # caught by the probe below and degrade to literals —
                 # exactly what they'll be once `re` makes the warning
                 # an error.
-                cls = "[" + cls[1:-1].replace("[", r"\[") + "]"
+                # (?<!\\) — a '[' the pattern already escaped must not
+                # gain a second backslash: '[\[]' → '[\\[]' would turn
+                # the escape into a literal backslash and leave the
+                # inner '[' bare, tripping the probe and degrading a
+                # perfectly valid class to literal text
+                cls = "[" + re.sub(r"(?<!\\)\[", r"\\[", cls[1:-1]) + "]"
                 try:
                     with warnings.catch_warnings():
                         warnings.simplefilter("error", FutureWarning)

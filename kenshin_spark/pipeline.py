@@ -672,6 +672,7 @@ class StreamingCorpusIngest:
         neardup_threshold: float = 0.5,
         track_clusters: bool = False,
         maintenance_every: int | None = None,
+        maintenance_min_frag: int = 16,
     ):
         from kenshin_spark.quality import not_null, predicate
 
@@ -693,6 +694,7 @@ class StreamingCorpusIngest:
         }
         self.track_clusters = track_clusters
         self.maintenance_every = maintenance_every
+        self.maintenance_min_frag = maintenance_min_frag
         self._pending_dead: list[DataFrame] = []
         self._fs_cache = None
 
@@ -840,15 +842,22 @@ class StreamingCorpusIngest:
                 out[part] = n
         return out
 
-    def compact(self, target_files: int = 1) -> dict[str, int]:
+    def compact(
+        self, target_files: int = 1, min_frag: int = 16
+    ) -> dict[str, int]:
         """Fold each fragmented state table back to ``target_files``
         files under the same ``.bak`` swap protocol the tiered store
         uses (crash between stage and promote → ``recover()``).
         Contents are unchanged — appends are insert-only, so compaction
-        is a pure rewrite, no log to resolve. Tables already at or
-        below ``target_files`` are skipped (docs/tokens are the largest
-        tables; rewriting them when nothing fragmented would be pure
-        wasted IO). Only COMMITTED rows are folded (an orphan batch dir
+        is a pure rewrite, no log to resolve. A table is only REWRITTEN
+        once genuinely fragmented: ``n_files > max(target_files,
+        min_frag)``. The floor matters because every micro-batch adds at
+        least one file per table, so a bare ``n_files > target_files``
+        re-folds the ENTIRE docs/tokens tables after every single batch
+        — O(corpus) IO per maintenance pass, quadratic over the stream's
+        lifetime. With the floor, each full rewrite amortizes over
+        ``min_frag`` batches of appends. Only COMMITTED rows are folded
+        (an orphan batch dir
         from a crashed attempt is dropped — its replay rewrites it);
         the folded output lands in the always-committed ``batch=-1``
         dir and the per-batch commit markers stay behind as the
@@ -856,8 +865,9 @@ class StreamingCorpusIngest:
         concurrently with ``ingest``). Returns the pre-compaction file
         counts of the tables it rewrote."""
         done = {}
+        threshold = max(target_files, min_frag)
         for part, n_files in self.file_report().items():
-            if n_files <= target_files:
+            if n_files <= threshold:
                 continue
             path = f"{self.root}/{part}"
             df = self.spark.read.parquet(path)
@@ -931,7 +941,10 @@ class StreamingCorpusIngest:
         return pruned
 
     def maintenance(
-        self, target_files: int = 1, keep_last_markers: int = 64
+        self,
+        target_files: int = 1,
+        keep_last_markers: int = 64,
+        min_frag: int = 16,
     ) -> dict:
         """The off-hot-path maintenance pass as one call, mirroring
         ``StreamingIngest.maintenance``: heal any crashed compaction
@@ -940,7 +953,7 @@ class StreamingCorpusIngest:
         ``batch_id % k == 0`` hook), never concurrently with
         ``ingest``."""
         restored = self.recover()
-        compacted = self.compact(target_files)
+        compacted = self.compact(target_files, min_frag=min_frag)
         pruned = self.prune_markers(keep_last_markers)
         return {
             "recovered": restored,
@@ -1111,7 +1124,7 @@ class StreamingCorpusIngest:
                 and batch_id >= 0
                 and (batch_id + 1) % self.maintenance_every == 0
             ):
-                self.maintenance()
+                self.maintenance(min_frag=self.maintenance_min_frag)
         finally:
             self._pending_dead = []
             if fresh_c is not None:

@@ -258,7 +258,7 @@ class TestAtomicBatchCommit:
             [(99, "orphan text", "a")],
             "doc_id long, text string, source string",
         ).write.mode("overwrite").parquet(f"{ing.root}/docs/batch=7")
-        ing.compact()
+        ing.compact(min_frag=0)
         docs_dirs = [
             n for n in os.listdir(f"{ing.root}/docs")
             if n.startswith("batch=")
@@ -348,7 +348,7 @@ class TestClusterState:
         before = {(r["node"], r["cluster_id"])
                   for r in ing.clusters().collect()}
         assert before == {(5, 5), (7, 5), (9, 5)}
-        ing.maintenance()  # ≥2 delta files -> the log gets folded
+        ing.maintenance(min_frag=0)  # ≥2 delta files -> the log gets folded
         assert sorted(
             n for n in os.listdir(f"{ing.root}/clusters")
             if n.startswith("batch=")
@@ -426,7 +426,7 @@ class TestMarkerPrune:
         assert sorted(os.listdir(f"{ing.root}/_batches")) == [
             "0", "1", "2", "3"
         ]
-        ing.compact()  # folds every batch dir into batch=-1
+        ing.compact(min_frag=0)  # folds every batch dir into batch=-1
         assert ing.prune_markers(keep_last=2) == 2  # 0 and 1 go
         assert sorted(os.listdir(f"{ing.root}/_batches")) == ["2", "3"]
         # state is intact and dedup still sees the folded corpus
@@ -541,7 +541,8 @@ class TestMarkerPrune:
         state stays folded without an external cron."""
         merges = fit(train_docs, n_merges=10)
         ing = StreamingCorpusIngest(
-            spark, str(tmp_path / "c"), merges, maintenance_every=2
+            spark, str(tmp_path / "c"), merges, maintenance_every=2,
+            maintenance_min_frag=0,
         )
         self._ingest_n(spark, ing, 4)
         docs_dirs = sorted(
@@ -563,13 +564,34 @@ class TestMarkerPrune:
         merges = fit(train_docs, n_merges=10)
         ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
         self._ingest_n(spark, ing, 3)
-        out = ing.maintenance(target_files=1, keep_last_markers=1)
+        out = ing.maintenance(target_files=1, keep_last_markers=1, min_frag=0)
         assert out["recovered"] == []
         assert set(out["compacted"]) >= {"docs", "md5", "index"}
         assert out["markers_pruned"] == 2
         assert sorted(os.listdir(f"{ing.root}/_batches")) == ["2"]
         docs = spark.read.parquet(f"{ing.root}/docs")
         assert docs.count() == 3
+
+    def test_compact_floor_skips_lightly_fragmented(
+        self, spark, tmp_path, train_docs
+    ):
+        """ADVICE r5: every micro-batch adds ≥1 file per table, so a
+        bare n_files > target_files re-folds the ENTIRE corpus after
+        every batch — O(corpus) IO per maintenance pass. The min_frag
+        floor must leave a 3-batch table alone by default and only
+        rewrite once fragmentation crosses it."""
+        merges = fit(train_docs, n_merges=10)
+        ing = StreamingCorpusIngest(spark, str(tmp_path / "c"), merges)
+        self._ingest_n(spark, ing, 3)
+        assert ing.compact() == {}  # default floor (16) not crossed
+        assert ing.maintenance()["compacted"] == {}
+        # batch dirs untouched — nothing was rewritten
+        assert sorted(
+            n for n in os.listdir(f"{ing.root}/docs")
+            if n.startswith("batch=")
+        ) == ["batch=0", "batch=1", "batch=2"]
+        # an explicit low floor folds as before
+        assert "docs" in ing.compact(min_frag=2)
 
 
 class TestCorpusCliVerbs:
@@ -592,7 +614,7 @@ class TestCorpusCliVerbs:
         assert out["files"]["docs"] >= 3  # one file per batch dir
         cli.main([
             "--root", ing.root, "--cpus", "2",
-            "corpus-maintain", "--keep-markers", "1",
+            "corpus-maintain", "--keep-markers", "1", "--min-frag", "0",
         ])
         out = json.loads(capsys.readouterr().out)
         assert out["markers_pruned"] == 2
@@ -751,7 +773,7 @@ class TestStateCompaction:
             r["doc_id"]
             for r in spark.read.parquet(f"{ing.root}/docs").collect()
         )
-        ing.compact()
+        ing.compact(min_frag=0)
         rep2 = ing.file_report()
         assert all(v == 1 for k, v in rep2.items() if k != "dead")
         assert sorted(

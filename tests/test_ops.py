@@ -1974,6 +1974,23 @@ class TestGlobTargets:
             assert _re.match(r, "x[a--z]")
             assert not _re.match(r, "xb")
 
+    def test_glob_class_preescaped_bracket_stays_escaped(self):
+        """ADVICE r5: a class that already escapes '[' ('[\\[ab]') must
+        not gain a second backslash — '\\\\[' would leave the inner '['
+        bare, trip the nested-set probe, and silently degrade the whole
+        class to literal text."""
+        import re as _re
+        import warnings as _warnings
+
+        from kenshin_spark.operators.maintenance import glob_to_regex
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", FutureWarning)
+            r = glob_to_regex(r"s.[\[ab].c")
+            assert _re.match(r, "s.[.c")
+            assert _re.match(r, "s.a.c") and _re.match(r, "s.b.c")
+            assert not _re.match(r, "s.z.c")
+
     def test_fetch_glob_resolves_and_grids(self, spark, tmp_path):
         from kenshin_spark.store import ParquetTieredStore
 

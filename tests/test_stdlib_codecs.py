@@ -190,3 +190,96 @@ class TestSparkWiring:
         assert r["duration_ms"] == 250
         assert r["sample_rate"] == 8000
         assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.01
+
+
+class TestMalformedPayloads:
+    """Codec entry points promise ValueError on ANY malformed payload
+    (struct.error / zlib.error / wave.Error are coerced), so the
+    _fake_decode / _stub_resize fallbacks always fire instead of the
+    whole mapInPandas job crashing on text bytes that happen to start
+    with a container magic (ADVICE r5: 'BM25 ranking')."""
+
+    BMISH = b"BM25 ranking"  # sniffs as bmp, 12 bytes — header read fails
+
+    def test_short_bm_payload_raises_valueerror(self):
+        with pytest.raises(ValueError):
+            codecs.bmp_info(self.BMISH)
+        with pytest.raises(ValueError):
+            codecs.decode_bmp(self.BMISH)
+        with pytest.raises(ValueError):
+            codecs.image_info(self.BMISH)
+
+    def test_corrupt_png_stream_raises_valueerror(self):
+        arr = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        png = bytearray(encode_png(arr, 0))
+        png[40] ^= 0xFF  # corrupt the IDAT zlib stream
+        with pytest.raises(ValueError):
+            codecs.decode_png(bytes(png))
+        # truncated header
+        with pytest.raises(ValueError):
+            codecs.png_info(codecs.PNG_SIG + b"\x00\x00\x00\x0dIHDR\x01")
+
+    def test_riff_wave_text_raises_valueerror(self):
+        with pytest.raises(ValueError):
+            codecs.wav_features(b"RIFFxxxxWAVEnot a real wav")
+
+    def test_fake_decode_falls_through_on_bmish_text(self):
+        from kenshin_spark.multimodal import _fake_decode
+
+        digest, w, h, fmt = _fake_decode(self.BMISH)
+        assert fmt == "fake" and w >= 64 and h >= 64
+
+    def test_image_metadata_survives_text_payloads(self, spark):
+        from kenshin_spark.multimodal import image_metadata
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self.BMISH)),
+             (2, bytearray(b"RIFFxxxxWAVEtext"))],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r["format"] for r in image_metadata(df).collect()}
+        assert rows == {1: "fake", 2: "fake"}
+
+    def test_resize_survives_text_payloads(self, spark):
+        from kenshin_spark.multimodal.transforms import resize_images
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self.BMISH))], "doc_id long, payload binary"
+        )
+        out = resize_images(df, width=4, height=4).first()
+        assert len(bytes(out["resized"])) == 4 * 4 * 3  # stand-in bytes
+
+
+class TestEncodeBmpChannels:
+    """encode_bmp declares 24bpp — RGBA/gray+alpha inputs must be
+    reduced to 3 channels, not written as 4/2 bytes per pixel under a
+    3-byte header (ADVICE r5: silent corruption)."""
+
+    def test_rgba_drops_alpha(self):
+        arr = rng.integers(0, 256, size=(5, 7, 4), dtype=np.uint8)
+        out = codecs.decode_bmp(codecs.encode_bmp(arr))
+        np.testing.assert_array_equal(out, arr[:, :, :3])
+
+    def test_gray_alpha_uses_gray_channel(self):
+        arr = rng.integers(0, 256, size=(3, 4, 2), dtype=np.uint8)
+        out = codecs.decode_bmp(codecs.encode_bmp(arr))
+        for c in range(3):
+            np.testing.assert_array_equal(out[:, :, c], arr[:, :, 0])
+
+    def test_bad_channel_count_rejected(self):
+        with pytest.raises(ValueError):
+            codecs.encode_bmp(np.zeros((2, 2, 5), dtype=np.uint8))
+
+    def test_resize_rgba_png_roundtrips(self, spark):
+        from kenshin_spark.multimodal.transforms import resize_images
+
+        arr = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(arr, 2)))],
+            "doc_id long, payload binary",
+        )
+        out = resize_images(df, width=4, height=4).first()
+        resized = codecs.decode_bmp(bytes(out["resized"]))
+        np.testing.assert_array_equal(
+            resized, codecs.resize_nearest(arr, 4, 4)[:, :, :3]
+        )
