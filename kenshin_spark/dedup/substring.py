@@ -298,6 +298,7 @@ def duplicated_profile_against_index(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """Incremental substring dedup — the daily-ingest shape: profile
     ONLY the new batch against the precomputed corpus gram index. A
@@ -307,9 +308,21 @@ def duplicated_profile_against_index(
 
     Only the batch is tokenized; the corpus contributes its (gh, occ)
     index via one hash-keyed join — per-batch cost is O(batch tokens +
-    index collisions), never a corpus re-scan."""
+    index collisions), never a corpus re-scan.
+
+    The batch gram stream is reused twice (occurrence counts, then the
+    per-doc join); ``materialize_dir`` gives it the same two
+    disciplines as the full-corpus path: hash-only parquet checkpoint
+    (tokenize-once even under cache eviction) vs the ``.cache()``
+    default (batches are micro-batch-sized, so memory reuse is the
+    normal mode)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = gram_hashes(new_batch, w, id_col, text_col).cache()
+    grams = gram_hashes(new_batch, w, id_col, text_col)
+    if materialize_dir is not None:
+        grams.write.mode("overwrite").parquet(materialize_dir)
+        grams = new_batch.sparkSession.read.parquet(materialize_dir)
+    else:
+        grams = grams.cache()
     batch_occ = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_bocc"))
     dup = (
         batch_occ.join(gram_index, "gh", "left")
