@@ -242,3 +242,10 @@ def q_render_maximum_below(spark, sf_dir):
     grid = _grid60(spark, sf_dir)
     ceiling = grid.agg(F.max("value")).first()[0]
     return maximum_below(grid, float(ceiling))
+
+
+# --- engine-path rows (VERDICT r5 item 2): store / schema-change / hs /
+# --- admission / maintenance surfaces, one bank with the render rows ---
+from kenshin_spark.queries_staged_r8_engine import ENGINE_ROWS as _ENGINE_ROWS  # noqa: E402
+
+STAGED_R8.update(_ENGINE_ROWS)

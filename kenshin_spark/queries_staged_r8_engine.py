@@ -1,0 +1,357 @@
+"""Round-8 engine-path rows: driver-oracled queries over the engine
+surfaces that previously had only pytest coverage — the tiered store's
+write/read/compact/expire/propagate/CDC paths, schema change, the .hs
+export/import loop, ingest admission, and the maintenance family
+(VERDICT r5 next-round item 2: "make the round-8 window exercise the
+engine surfaces that today have NO driver row").
+
+Every row drives REAL ``kenshin_spark`` code (ParquetTieredStore &
+friends) against a scratch store built from the ``events`` table, and
+returns a deterministic DataFrame whose DuckDB oracle replays the
+result from the same parquet inputs. Store content is the canonical
+60 s last-write-wins point grid (the LWW60 fragment every ts_* row
+uses); aggregation tiers use ``max`` so cross-engine float identity is
+exact (no accumulation-order sensitivity anywhere in the bank).
+
+Scratch stores live under the system temp dir, one directory per
+(scale-factor, row) pair, wiped at the start of every invocation so
+repeated runs (the driver runs each fn twice: once for the plan sweep,
+once for the result) are idempotent.
+
+Merged into ``STAGED_R8`` by ``queries_staged_r8`` — same staging gate
+(``tests/test_queries_staged_r8.py``), promoted as one bank.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kenshin_spark.config import Schema, SchemaSet
+from kenshin_spark.operators.align import last_write_wins
+from kenshin_spark.queries import PTS, NOW_T, QuerySpec, _points
+from kenshin_spark.store import ParquetTieredStore
+
+ENGINE_ROWS: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        ENGINE_ROWS[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+#: 2024-01-08 UTC — the one-week event window most store rows ingest
+#: (bounds the scratch store at 7 day partitions at every scale factor)
+CUT = 1704672000
+#: 2024-01-01 / 2024-01-02 UTC — the single-day window
+DAY1_START = 1704067200
+DAY1_END = 1704153600
+
+#: shared oracle prefix: raw points, the week window, and its 60 s LWW
+#: grid (t0 = exactly what the store rows upsert)
+_W = f"""pts AS ({PTS}),
+    ptsw AS (SELECT * FROM pts WHERE ts < {CUT}),
+    t0 AS (SELECT metric, ts - ts % 60 AS ts,
+                  arg_max(value, arrival) AS value
+           FROM ptsw GROUP BY 1, 2)"""
+
+#: all-tiers-daily schema, max agg (bit-exact across engines)
+_BANK = Schema.from_strings(
+    "bank", ".*", "60s:90d,300s:180d,3600s:366d", xff=20.0, agg_method="max",
+    cache_retention=600,
+)
+
+
+def _workdir(sf_dir: str, name: str) -> str:
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "kenshin_spark_r8_rows",
+        os.path.basename(os.path.normpath(sf_dir)),
+        name,
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _week_slots(spark, sf_dir):
+    """The week's 60 s LWW grid — the store rows' canonical content."""
+    pts = _points(spark, sf_dir).where(F.col("ts") < CUT)
+    return last_write_wins(pts, 60, arrival_col="arrival")
+
+
+def _store(spark, sf_dir, name, schema=_BANK, mode="cow"):
+    return ParquetTieredStore(
+        spark, schema, os.path.join(_workdir(sf_dir, name), "store"),
+        mode=mode,
+    )
+
+
+# ---------------------------------------------------------------------------
+# upsert / read round-trips (S4, W6)
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "store_cow_upsert_roundtrip",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "S4/W6 — COW upsert round-trip: the week's 60s LWW grid split into "
+    "even/odd-minute batches, upserted into tier0 in two merges "
+    "(partition-bounded read-merge-rewrite, store.py upsert), read back "
+    "via the tier read path; the merge must reassemble exactly the "
+    "one-pass LWW grid",
+)
+def q_store_cow_upsert_roundtrip(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_cow_upsert_roundtrip")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.where(F.col("ts") % 120 == 0))
+    st.upsert(0, slots.where(F.col("ts") % 120 == 60))
+    return st.read(0)
+
+
+@stage(
+    "store_cow_lww_overwrite",
+    f"""
+    WITH {_W}
+    SELECT metric, ts,
+           CASE WHEN metric = 'click' THEN value + 1.0 ELSE value END AS value
+    FROM t0
+    """,
+    "W6 — the ring overwrite semantics on the COW path: a second upsert "
+    "re-writes every 'click' slot with value+1; the batch must win "
+    "last-write-wins against the stored rows (kenshin/storage.py:468-480 "
+    "overwrite-in-place analog) while other metrics pass through "
+    "untouched",
+)
+def q_store_cow_lww_overwrite(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_cow_lww_overwrite")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots)
+    st.upsert(
+        0,
+        slots.where(F.col("metric") == "click").withColumn(
+            "value", F.col("value") + F.lit(1.0)
+        ),
+    )
+    return st.read(0)
+
+
+@stage(
+    "store_mor_append_resolve",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "S4 (mor) — merge-on-read: the same two-batch upsert lands as "
+    "O(batch) appends stamped with CAS-allocated sequence numbers, and "
+    "the read path's resolve aggregation collapses the log to the "
+    "winning row per slot — same result as the COW merge, write cost "
+    "shape of the reference's ring write (kenshin/storage.py:499-503)",
+)
+def q_store_mor_append_resolve(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_mor_append_resolve", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.where(F.col("ts") % 120 == 0))
+    st.upsert(0, slots.where(F.col("ts") % 120 == 60))
+    return st.read(0)
+
+
+@stage(
+    "store_mor_null_overwrite",
+    f"""
+    WITH {_W}
+    SELECT metric, ts,
+           CASE WHEN metric = 'click' THEN NULL ELSE value END AS value
+    FROM t0
+    """,
+    "W6/R6 — NULL overwrite through the mor log: a later append writes "
+    "NULL into every 'click' slot and the resolve must keep the NULL "
+    "(the reference's null sentinel written over a live slot, "
+    "kenshin/storage.py:468-480 + consts.py:4) — max(struct(_seq, "
+    "value)) is NULL-safe in the payload position",
+)
+def q_store_mor_null_overwrite(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_mor_null_overwrite", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots)
+    st.upsert(
+        0,
+        slots.where(F.col("metric") == "click").withColumn(
+            "value", F.lit(None).cast("double")
+        ),
+    )
+    return st.read(0)
+
+
+@stage(
+    "store_mor_compact_invariance",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "M8 — full-tier compaction folds the mor append log to one row per "
+    "slot (stamp 0) under the .bak swap protocol; the read after "
+    "compact must be byte-identical to the resolved log before it "
+    "(read invariance — compaction is pure IO-shape maintenance)",
+)
+def q_store_mor_compact_invariance(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_mor_compact_invariance", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.where(F.col("ts") % 120 == 0))
+    st.upsert(0, slots.where(F.col("ts") % 120 == 60))
+    st.compact(0)
+    return st.read(0)
+
+
+@stage(
+    "store_compact_day_targeted",
+    f"""
+    WITH {_W}, days AS (SELECT DISTINCT CAST(floor(ts / 86400) AS BIGINT)
+                        AS day FROM t0)
+    SELECT day, CAST(2 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after
+    FROM days
+    """,
+    "M8 — the small-file audit + targeted per-day compaction loop: two "
+    "single-file mor appends leave exactly 2 files in every touched day "
+    "partition; needs_compaction flags every day, compact(days=...) "
+    "rewrites exactly those days to 1 sorted file each (store.py "
+    "file_report/needs_compaction/_compact_day — the maintenance pass a "
+    "COW/MOR parquet store needs where the reference's preallocated .hs "
+    "files can't fragment, README.md:63-71)",
+)
+def q_store_compact_day_targeted(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_compact_day_targeted", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.where(F.col("ts") % 120 == 0).coalesce(1))
+    st.upsert(0, slots.where(F.col("ts") % 120 == 60).coalesce(1))
+    before = {r["day"]: r["n_files"] for r in st.file_report(0)}
+    flagged = st.needs_compaction(0, max_files_per_day=1, min_file_bytes=1)
+    st.compact(0, days=flagged)
+    after = {r["day"]: r["n_files"] for r in st.file_report(0)}
+    return spark.createDataFrame(
+        sorted(
+            (d, before[d], after[d]) for d in before
+        ),
+        "day long, files_before long, files_after long",
+    )
+
+
+@stage(
+    "store_upsert_bounded_rewrite",
+    f"""
+    WITH {_W}, days AS (SELECT DISTINCT CAST(floor(ts / 86400) AS BIGINT)
+                        AS day FROM t0)
+    SELECT day,
+           CASE WHEN day = (SELECT min(day) FROM days)
+                THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_files
+    FROM days
+    """,
+    "S4 — the partition-bounded write guarantee, observed from file "
+    "shape: after a full-week append plus a second upsert touching ONLY "
+    "the first day, exactly that day partition has a second file and "
+    "every untouched day still has one (the 100 TB analog of the "
+    "reference's one-sequential-write-per-file, README.md:63-66 — an "
+    "upsert never rewrites partitions it doesn't touch)",
+)
+def q_store_upsert_bounded_rewrite(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_upsert_bounded_rewrite", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.coalesce(1))
+    first_day = DAY1_START // 86400
+    st.upsert(
+        0,
+        slots.where((F.col("ts") / 86400).cast("long") == first_day)
+        .coalesce(1),
+    )
+    return spark.createDataFrame(
+        [(r["day"], r["n_files"]) for r in st.file_report(0)],
+        "day long, n_files long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention / range reads (O4, R1)
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "store_expire_retention",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    t0 AS (SELECT metric, ts - ts % 60 AS ts,
+                  arg_max(value, arrival) AS value
+           FROM pts GROUP BY 1, 2)
+    SELECT metric, ts, value FROM t0, now_t
+    WHERE CAST(floor(ts / 86400) AS BIGINT)
+          >= CAST(floor((now - 604800) / 86400) AS BIGINT)
+    """,
+    "O4 — retention expiry as partition drop: the full month upserted "
+    "into a 7-day-retention tier, expire(now) deletes every day "
+    "partition wholly older than retention (the ring overwriting "
+    "itself, SURVEY O4); the surviving read is exactly the grid "
+    "restricted to days >= the cutoff day — sub-day precision is "
+    "fetch-side clamping's job, never a partition rewrite",
+)
+def q_store_expire_retention(spark, sf_dir):
+    schema = Schema.from_strings(
+        "bank7", ".*", "60s:7d,3600s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    st = _store(spark, sf_dir, "store_expire_retention", schema=schema)
+    pts = _points(spark, sf_dir)
+    slots = last_write_wins(pts, 60, arrival_col="arrival")
+    st.upsert(0, slots)
+    now = int(pts.agg(F.max("ts")).collect()[0][0])
+    st.expire(now)
+    return st.read(0)
+
+
+@stage(
+    "store_read_range_pruning",
+    f"""
+    WITH {_W}
+    SELECT metric, ts, value FROM t0
+    WHERE ts >= {DAY1_START + 2 * 86400} AND ts < {DAY1_START + 4 * 86400}
+    """,
+    "R1 — the partition-pruned range scan: read_range mirrors the ts "
+    "window onto the day partition column so the parquet scan prunes "
+    "whole partitions before any IO (Catalyst can't infer day = "
+    "ts//86400 on its own — store.py read_range is where the 100 TB "
+    "read path gets its pruning)",
+)
+def q_store_read_range_pruning(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_read_range_pruning")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    return st.read_range(
+        0, DAY1_START + 2 * 86400, DAY1_START + 4 * 86400
+    )
+
+
+@stage(
+    "store_hot_tier_hourly_units",
+    f"""
+    WITH {_W}
+    SELECT DISTINCT CAST(floor(ts / 3600) AS BIGINT) AS day
+    FROM t0 WHERE ts < {DAY1_END}
+    """,
+    "S4 — hot-tier partition granularity: a tier whose whole retention "
+    "is <= 2 days partitions HOURLY (store.py part_unit), so a "
+    "micro-batch upsert rewrites ~an hour of data, not a whole day — "
+    "the closest COW analog of the reference's O(1) ring write; the "
+    "row reads the physical partition column back (day = ts//3600 for "
+    "hot tiers)",
+)
+def q_store_hot_tier_hourly_units(spark, sf_dir):
+    schema = Schema.from_strings(
+        "hot", ".*", "60s:1d,300s:7d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    st = _store(spark, sf_dir, "store_hot_tier_hourly_units", schema=schema)
+    slots = _week_slots(spark, sf_dir).where(F.col("ts") < DAY1_END)
+    st.upsert(0, slots)
+    return (
+        spark.read.parquet(st.tier_path(0))
+        .select(F.col("day").cast("long").alias("day"))
+        .distinct()
+    )
