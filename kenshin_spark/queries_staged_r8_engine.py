@@ -355,3 +355,359 @@ def q_store_hot_tier_hourly_units(spark, sf_dir):
         .select(F.col("day").cast("long").alias("day"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# fetch through the store (R1-R3 over persisted tiers)
+# ---------------------------------------------------------------------------
+
+#: DuckDB grid fragment: metrics x [roundup(f), roundup(u)) @ step,
+#: left-joined against a tier CTE named `tier` — mirror of grid_fill
+def _grid_sql(f_expr: str, u_expr: str, step: int,
+              metrics_sql: str = "SELECT DISTINCT event_type AS metric "
+                                 "FROM events") -> str:
+    up = "CAST(floor(({x} + " + str(step - 1) + f") / {step}) AS BIGINT) * {step}"
+    f_r, u_r = up.format(x=f_expr), up.format(x=u_expr)
+    return f"""
+    grid AS (
+      SELECT m.metric, g.ts
+      FROM ({metrics_sql}) m
+      CROSS JOIN (
+        SELECT unnest(generate_series({f_r}, {u_r} - {step}, {step})) AS ts
+        FROM now_t
+      ) g
+    )
+    SELECT grid.metric, grid.ts, tier.value
+    FROM grid LEFT JOIN tier ON tier.metric = grid.metric
+                            AND tier.ts = grid.ts"""
+
+
+_METRICS5 = ["click", "error", "purchase", "signup", "view"]
+
+
+@stage(
+    "store_fetch_tier_selection",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    t0 AS (SELECT metric, ts - ts % 60 AS ts,
+                  arg_max(value, arrival) AS value
+           FROM pts GROUP BY 1, 2),
+    tier AS (SELECT metric, ts - ts % 3600 AS ts, max(value) AS value
+             FROM t0 GROUP BY 1, 2),
+    {_grid_sql("now - 1296000", "now - 1209600", 3600)}
+    """,
+    "R2 — age-based archive selection through the persisted store: a "
+    "15-day-old one-day window on a 7d/90d two-tier store must read the "
+    "COARSE tier (query age, not span, picks resolution — "
+    "kenshin/storage.py:639-642) and grid at 3600 s; the scan goes "
+    "through read_range so only the window's day partitions are touched",
+)
+def q_store_fetch_tier_selection(spark, sf_dir):
+    schema = Schema.from_strings(
+        "bank7", ".*", "60s:7d,3600s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    st = _store(spark, sf_dir, "store_fetch_tier_selection", schema=schema)
+    pts = _points(spark, sf_dir)
+    t0 = last_write_wins(pts, 60, arrival_col="arrival")
+    st.overwrite(0, t0)
+    st.overwrite(
+        1,
+        t0.groupBy(
+            "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
+        ).agg(F.max("value").alias("value")),
+    )
+    now = int(pts.agg(F.max("ts")).collect()[0][0])
+    return st.fetch(_METRICS5, now - 1296000, now - 1209600, now)
+
+
+@stage(
+    "store_fetch_clamp_window",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    t0 AS (SELECT metric, ts - ts % 60 AS ts,
+                  arg_max(value, arrival) AS value
+           FROM pts GROUP BY 1, 2),
+    tier AS (SELECT metric, ts - ts % 3600 AS ts, max(value) AS value
+             FROM t0 GROUP BY 1, 2),
+    {_grid_sql("now - 2592000", "now", 3600)}
+    """,
+    "R1 — fetch clamping through the store: a request reaching 100 days "
+    "back and 5 days forward clamps to [now - max_retention, now] "
+    "(kenshin/storage.py:622-644), which lands the query age on the "
+    "coarse tier; the 30-day hourly grid NULL-fills slots with no data",
+)
+def q_store_fetch_clamp_window(spark, sf_dir):
+    schema = Schema.from_strings(
+        "bank30", ".*", "60s:7d,3600s:30d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    st = _store(spark, sf_dir, "store_fetch_clamp_window", schema=schema)
+    pts = _points(spark, sf_dir)
+    t0 = last_write_wins(pts, 60, arrival_col="arrival")
+    st.overwrite(0, t0)
+    st.overwrite(
+        1,
+        t0.groupBy(
+            "metric", (F.col("ts") - F.col("ts") % 3600).alias("ts")
+        ).agg(F.max("value").alias("value")),
+    )
+    now = int(pts.agg(F.max("ts")).collect()[0][0])
+    return st.fetch(
+        _METRICS5, now - 100 * 86400, now + 5 * 86400, now
+    )
+
+
+@stage(
+    "store_fetch_glob_catalog",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    tier AS (SELECT metric, ts - ts % 60 AS ts,
+                    arg_max(value, arrival) AS value
+             FROM pts GROUP BY 1, 2),
+    {_grid_sql("now - 86400", "now", 60,
+               "SELECT DISTINCT event_type AS metric FROM events "
+               "WHERE event_type IN ('click', 'view')")}
+    """,
+    "R8/M4 — the graphite render-target entry point over the store: "
+    "fetch_glob('{{click,view}}') resolves the alternation glob against "
+    "the CATALOG (a tiny dim scan — never the tier itself when a "
+    "catalog exists), then fetches the matching series on the hot tier "
+    "at 60 s; glob semantics are graphite-web's node-matching rules",
+)
+def q_store_fetch_glob_catalog(spark, sf_dir):
+    schema = Schema.from_strings(
+        "bank7", ".*", "60s:7d,3600s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    st = _store(spark, sf_dir, "store_fetch_glob_catalog", schema=schema)
+    pts = _points(spark, sf_dir)
+    t0 = last_write_wins(pts, 60, arrival_col="arrival")
+    st.overwrite(0, t0)
+    now = int(pts.agg(F.max("ts")).collect()[0][0])
+    st.catalog_add(
+        t0.select("metric").distinct().select(
+            "metric",
+            F.lit("bank7").alias("schema_name"),
+            F.lit(now).cast("long").alias("created_ts"),
+        )
+    )
+    return st.fetch_glob("{click,view}", now - 86400, now, now)
+
+
+@stage(
+    "store_fetch_after_compact",
+    f"""
+    WITH pts AS ({PTS}),
+    ptsw AS (SELECT * FROM pts WHERE ts < {CUT}),
+    now_t AS (SELECT max(ts) AS now FROM (
+        SELECT ts - ts % 60 AS ts FROM ptsw)),
+    tier AS (SELECT metric, ts - ts % 60 AS ts,
+                    arg_max(value, arrival) AS value
+             FROM ptsw GROUP BY 1, 2),
+    {_grid_sql("now - 86400", "now", 60)}
+    """,
+    "R1-R3 + M8 composed — fetch over a compacted mor tier: after two "
+    "append batches and a full-tier compaction (day directories swapped "
+    "under the .bak protocol), the clamp/select/prune/grid-fill read "
+    "path must see exactly the resolved grid — partition discovery is "
+    "intact across the swap and the folded log resolves identically",
+)
+def q_store_fetch_after_compact(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_fetch_after_compact", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.where(F.col("ts") % 120 == 0))
+    st.upsert(0, slots.where(F.col("ts") % 120 == 60))
+    st.compact(0)
+    now = int(slots.agg(F.max("ts")).collect()[0][0])
+    # raw slot max, not roundup: LWW60 slot timestamps are 60 s-aligned
+    return st.fetch(_METRICS5, now - 86400, now, now)
+
+
+# ---------------------------------------------------------------------------
+# propagation + CDC (W7 through the store; mor snapshots)
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "store_propagate_cascade",
+    f"""
+    WITH {_W},
+    t1 AS (SELECT metric, ts - ts % 300 AS ts, max(value) AS value
+           FROM t0 GROUP BY 1, 2),
+    t2 AS (SELECT metric, ts - ts % 3600 AS ts, max(value) AS value
+           FROM t1 GROUP BY 1, 2)
+    SELECT CAST(1 AS BIGINT) AS tier, metric, ts, value FROM t1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS tier, metric, ts, value FROM t2
+    """,
+    "W7 — the write-time downsample cascade through the persisted "
+    "store: one tier0 upsert propagates batch-bounded re-aggregations "
+    "into 300 s and 3600 s tiers (each tier re-aggregates the FINER "
+    "tier's touched slots — archive-to-archive, exactly "
+    "kenshin/storage.py:510-586); the coarse reads must equal the "
+    "nested max cascade",
+)
+def q_store_propagate_cascade(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_propagate_cascade")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots)
+    st.propagate(slots.select("metric", "ts"))
+    t1 = st.read(1).select(F.lit(1).cast("long").alias("tier"), "metric", "ts", "value")
+    t2 = st.read(2).select(F.lit(2).cast("long").alias("tier"), "metric", "ts", "value")
+    return t1.unionByName(t2)
+
+
+@stage(
+    "store_propagate_from_seq_cdc",
+    f"""
+    WITH {_W}
+    SELECT metric, ts - ts % 300 AS ts, max(value) AS value
+    FROM t0 GROUP BY 1, 2
+    """,
+    "W7 catch-up — CDC-driven re-propagation: after the first batch "
+    "cascades normally, a second batch lands in tier0 WITHOUT "
+    "propagating; propagate_from_seq diffs the mor log between the "
+    "pinned stamp and head (changed_between — resolved states, not raw "
+    "appends) and re-downsamples ONLY the changed slots; tier1 must "
+    "converge to the same 300 s grid a full rebuild would produce",
+)
+def q_store_propagate_from_seq_cdc(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_propagate_from_seq_cdc", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    a = slots.where(F.col("ts") % 120 == 0)
+    b = slots.where(F.col("ts") % 120 == 60)
+    st.upsert(0, a)
+    st.propagate(a.select("metric", "ts"))
+    pinned = st.last_seq()
+    st.upsert(0, b)
+    st.propagate_from_seq(pinned)
+    return st.read(1)
+
+
+@stage(
+    "store_changed_between_cdc",
+    f"""
+    WITH {_W}
+    SELECT metric, ts, value + 1.0 AS value FROM t0 WHERE metric = 'click'
+    """,
+    "CDC over the mor log: changed_between(seq1, seq2) must emit "
+    "exactly the slots whose RESOLVED value differs between the two "
+    "snapshots — here the second batch overwrites every 'click' slot "
+    "with value+1, so the diff is precisely those slots at their new "
+    "values (both sides collapse their log prefix before diffing; feed "
+    "to incremental downstream jobs instead of re-reading the tier)",
+)
+def q_store_changed_between_cdc(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_changed_between_cdc", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots)
+    seq1 = st.last_seq()
+    st.upsert(
+        0,
+        slots.where(F.col("metric") == "click").withColumn(
+            "value", F.col("value") + F.lit(1.0)
+        ),
+    )
+    return st.changed_between(0, seq1, st.last_seq())
+
+
+@stage(
+    "store_read_at_snapshot",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "MVCC snapshot read over the mor log: read_at(seq1) excludes every "
+    "row appended after the pinned stamp BEFORE resolving, so a "
+    "pipeline that pinned last_seq() sees the store exactly as it stood "
+    "— the later click-overwrite batch (seq2) must be invisible",
+)
+def q_store_read_at_snapshot(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_read_at_snapshot", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots)
+    seq1 = st.last_seq()
+    st.upsert(
+        0,
+        slots.where(F.col("metric") == "click").withColumn(
+            "value", F.col("value") + F.lit(1.0)
+        ),
+    )
+    return st.read_at(0, seq1)
+
+
+# ---------------------------------------------------------------------------
+# delete / backup / recover / overwrite (M5, maintenance)
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "store_delete_metrics",
+    f"""
+    WITH {_W}
+    SELECT metric, ts, value FROM t0
+    WHERE metric NOT IN ('click', 'error')
+    """,
+    "M5 — metric delete: remove two metrics' rows from every tier "
+    "(bin/kenshin-delete.py:39-96 blanks header slots; real tables "
+    "remove the rows) via the tier rewrite + .bak swap; survivors are "
+    "untouched",
+)
+def q_store_delete_metrics(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_delete_metrics")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    st.delete_metrics(["click", "error"])
+    return st.read(0)
+
+
+@stage(
+    "store_backup_restore",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "backup_to: recursive tier+catalog+sidecar copy through the Hadoop "
+    "FS API (crash-consistent because tier data is immutable-once-"
+    "written parquet); a store opened at the backup root must read the "
+    "identical grid",
+)
+def q_store_backup_restore(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_backup_restore")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    dest = os.path.join(_workdir(sf_dir, "store_backup_restore_dst"), "store")
+    st.backup_to(dest)
+    restored = ParquetTieredStore(st.spark, _BANK, dest)
+    return restored.read(0)
+
+
+@stage(
+    "store_recover_crash_swap",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "crash recovery: a compaction/delete swap that died between stage "
+    "and promote leaves the live tier missing and its .bak present; "
+    "recover() restores the .bak (the reference's change-schema .bak "
+    "dance, bin/kenshin-change-schema.py:103-112) and the read is whole "
+    "again",
+)
+def q_store_recover_crash_swap(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_recover_crash_swap")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    p = st.tier_path(0)
+    # simulate the crash window: live dir staged away, promote never ran
+    assert st.fs.rename(p, p + ".bak")
+    st.recover()
+    return st.read(0)
+
+
+@stage(
+    "store_overwrite_replaces",
+    f"""
+    WITH {_W}
+    SELECT metric, ts, value FROM t0 WHERE metric <> 'view'
+    """,
+    "initial-load semantics: overwrite() fully replaces a tier's "
+    "content (dynamic partition overwrite rewrites every day the new "
+    "frame carries — here all of them), so a reload without 'view' "
+    "leaves no stale 'view' rows behind in any partition",
+)
+def q_store_overwrite_replaces(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_overwrite_replaces")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.overwrite(0, slots)
+    st.overwrite(0, slots.where(F.col("metric") != "view"))
+    return st.read(0)
