@@ -711,3 +711,543 @@ def q_store_overwrite_replaces(spark, sf_dir):
     st.overwrite(0, slots)
     st.overwrite(0, slots.where(F.col("metric") != "view"))
     return st.read(0)
+
+
+# ---------------------------------------------------------------------------
+# fetch grid NULL-fill; schema change (M6); .hs export/import (S6b)
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "store_fetch_grid_nulls",
+    f"""
+    WITH {_W}, now_t AS (SELECT {CUT} AS now),
+    tier AS (SELECT metric, ts, value FROM t0),
+    {_grid_sql("now - 86400", "now", 60)}
+    """,
+    "R3 — grid materialization over the store with NULL fill: fetching "
+    "the week's last day emits exactly (until-from)/step slots per "
+    "metric, NULL where the tier has no point "
+    "(kenshin/storage.py:646-660,681-694) — the empty minutes arrive as "
+    "real SQL NULLs, not sentinels",
+)
+def q_store_fetch_grid_nulls(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_fetch_grid_nulls")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    return st.fetch(_METRICS5, CUT - 86400, CUT, CUT)
+
+
+@stage(
+    "schemachange_rebuild_layout",
+    f"""
+    WITH {_W}
+    SELECT CAST(0 AS BIGINT) AS tier, metric, ts - ts % 120 AS ts,
+           max(value) AS value
+    FROM t0 GROUP BY 2, 3
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS tier, metric, ts - ts % 600 AS ts,
+           max(value) AS value
+    FROM t0 GROUP BY 2, 3
+    """,
+    "M6 — REBUILD: archive layout change re-aggregates the old store's "
+    "layered points into the new tier list (the re-fetch/re-update loop "
+    "of bin/kenshin-change-schema.py:80-114 as one batch job per tier); "
+    "each new tier aggregates the finest old rows that still cover its "
+    "time range — 60s/300s tiers rebuilt as 120s/600s",
+)
+def q_schemachange_rebuild_layout(spark, sf_dir):
+    from kenshin_spark.operators.schema_change import rebuild_store
+
+    old_schema = Schema.from_strings(
+        "old", ".*", "60s:90d,300s:180d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    new_schema = Schema.from_strings(
+        "new", ".*", "120s:90d,600s:180d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    root = _workdir(sf_dir, "schemachange_rebuild_layout")
+    old = ParquetTieredStore(spark, old_schema, os.path.join(root, "old"))
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    old.overwrite(0, slots)
+    old.overwrite(
+        1,
+        slots.groupBy(
+            "metric", (F.col("ts") - F.col("ts") % 300).alias("ts")
+        ).agg(F.max("value").alias("value")),
+    )
+    now = int(slots.agg(F.max("ts")).collect()[0][0])
+    new = rebuild_store(
+        spark, old, new_schema, os.path.join(root, "new"), now
+    )
+    return (
+        new.read(0)
+        .select(F.lit(0).cast("long").alias("tier"), "metric", "ts", "value")
+        .unionByName(
+            new.read(1).select(
+                F.lit(1).cast("long").alias("tier"), "metric", "ts", "value"
+            )
+        )
+    )
+
+
+@stage(
+    "schemachange_meta_verdicts",
+    """
+    SELECT * FROM (VALUES
+      ('agg',    'CHANGE_META'),
+      ('layout', 'REBUILD'),
+      ('same',   'NO_CHANGE'),
+      ('xff',    'CHANGE_META')
+    ) AS t(change_case, verdict)
+    """,
+    "M6 — the header-vs-config diff (bin/kenshin-change-schema.py:38-63) "
+    "as engine code: archive-layout changes demand a REBUILD, xff/agg "
+    "changes are metadata-only (CHANGE_META — stored points encode "
+    "neither), identical schemas are NO_CHANGE",
+)
+def q_schemachange_meta_verdicts(spark, sf_dir):
+    from kenshin_spark.operators.schema_change import diff_schema
+
+    base = _BANK
+    cases = [
+        ("same", base),
+        ("xff", Schema.from_strings(
+            "bank", ".*", "60s:90d,300s:180d,3600s:366d", xff=50.0,
+            agg_method="max", cache_retention=600)),
+        ("agg", Schema.from_strings(
+            "bank", ".*", "60s:90d,300s:180d,3600s:366d", xff=20.0,
+            agg_method="min", cache_retention=600)),
+        ("layout", Schema.from_strings(
+            "bank", ".*", "60s:90d", xff=20.0, agg_method="max",
+            cache_retention=600)),
+    ]
+    return spark.createDataFrame(
+        [(c, diff_schema(base, s)) for c, s in cases],
+        "change_case string, verdict string",
+    )
+
+
+def _export_day1(spark, sf_dir, name, null_metric=None, n_files=4):
+    """Shared .hs export: day 1's LWW60 grid packed into fnv-sharded
+    .hs files via the distributed exporter."""
+    from kenshin_spark.sources.kenshin_hs import export_kenshin_hs
+
+    out_dir = os.path.join(_workdir(sf_dir, name), "hs")
+    day1 = _week_slots(spark, sf_dir).where(F.col("ts") < DAY1_END)
+    if null_metric is not None:
+        day1 = day1.withColumn(
+            "value",
+            F.when(F.col("metric") == null_metric, F.lit(None).cast("double"))
+            .otherwise(F.col("value")),
+        )
+    manifest = export_kenshin_hs(
+        [day1], [(60, 1440)], out_dir, n_files=n_files,
+        agg_method="max", xff=0.5,
+    )
+    manifest.collect()  # force the distributed pack to run
+    return out_dir
+
+
+#: the .hs wide-format replay: a ring slot holds ONE timestamp and a
+#: value per metric packed in the file, so import emits every member
+#: metric at every populated slot (NULL where the member had no point).
+#: Built as {placeholder} so the fnv CTE (defined below) can slot in.
+_HS_ROUNDTRIP_SQL = """
+    t0d AS (SELECT metric, ts, {value_expr} AS value
+            FROM t0 WHERE ts < {day1_end}),
+    slots AS (SELECT DISTINCT s.shard, t.ts
+              FROM t0d t JOIN sharded s ON s.metric = t.metric),
+    grid AS (SELECT m.metric, sl.ts
+             FROM sharded m JOIN slots sl ON sl.shard = m.shard)
+    SELECT grid.metric, grid.ts, t0d.value
+    FROM grid LEFT JOIN t0d ON t0d.metric = grid.metric
+                           AND t0d.ts = grid.ts"""
+
+
+@stage(
+    "hs_export_import_roundtrip",
+    None,  # bound after _fnv_shard_sql is defined below
+
+    "S6b both ways — the migration loop: day 1's grid packed into the "
+    "reference's OWN .hs container (metadata + TAB tags + archive infos "
+    "+ point rings, kenshin/storage.py:281-348) by the distributed "
+    "exporter, then decoded back by the import connector; the "
+    "round-trip must be point-exact (f64 values pack losslessly, ring "
+    "slots at (ts//spp) %% count)",
+)
+def q_hs_export_import_roundtrip(spark, sf_dir):
+    from kenshin_spark.sources.kenshin_hs import read_kenshin_points
+
+    out_dir = _export_day1(spark, sf_dir, "hs_export_import_roundtrip")
+    return read_kenshin_points(spark, os.path.join(out_dir, "*.hs")).select(
+        "metric", "ts", "value"
+    )
+
+
+@stage(
+    "hs_null_sentinel_roundtrip",
+    None,  # bound after _fnv_shard_sql is defined below
+
+    "R6 — the NULL sentinel through the .hs loop: NULL values pack as "
+    "the reference's NULL_VALUE sentinel (-4294967296.0, "
+    "kenshin/consts.py:4) and must come back as real SQL NULLs on "
+    "import — never as the sentinel float",
+)
+def q_hs_null_sentinel_roundtrip(spark, sf_dir):
+    from kenshin_spark.sources.kenshin_hs import read_kenshin_points
+
+    out_dir = _export_day1(
+        spark, sf_dir, "hs_null_sentinel_roundtrip", null_metric="click"
+    )
+    return read_kenshin_points(spark, os.path.join(out_dir, "*.hs")).select(
+        "metric", "ts", "value"
+    )
+
+
+#: fnv1a-32 over day-1 metric names, sharded N-ways — the reference's
+#: own placement hash in recursive SQL (rurouni/fnv1a.pyx:6-23)
+def _fnv_shard_sql(n: int) -> str:
+    return f"""
+    h AS (
+      SELECT metric, 1 AS i, CAST(2166136261 AS BIGINT) AS hash
+      FROM (SELECT DISTINCT metric FROM t0 WHERE ts < {DAY1_END})
+      UNION ALL
+      SELECT metric, i + 1,
+             (xor(hash, CAST(unicode(substr(metric, i, 1)) AS BIGINT))
+              * 16777619) % 4294967296
+      FROM h WHERE i <= length(metric)
+    ),
+    final AS (SELECT metric, hash FROM h WHERE i = length(metric) + 1),
+    signed AS (
+      SELECT metric,
+             CASE WHEN hash >= 2147483648 THEN hash - 4294967296
+                  ELSE hash END AS h32
+      FROM final
+    ),
+    sharded AS (
+      SELECT metric, (((h32 % {n}) + {n}) % {n}) AS shard FROM signed
+    )"""
+
+
+@stage(
+    "hs_header_inspect",
+    f"""
+    WITH RECURSIVE {_W},
+    {_fnv_shard_sql(4)}
+    SELECT 'max' AS agg_method, CAST(86400 AS BIGINT) AS max_retention,
+           CAST(0.5 AS DOUBLE) AS xff, CAST(1 AS BIGINT) AS archive_count,
+           CAST(count(*) AS BIGINT) AS n_metrics
+    FROM sharded GROUP BY shard
+    """,
+    "R9/S6b — header inspect over exported .hs files: one row per "
+    "file with the unpacked metadata (agg id, max retention, xff f32, "
+    "archive count) plus the packed metric-list size; per-file metric "
+    "counts replay the fnv1a placement hash in recursive SQL, so the "
+    "export LAYOUT (which metric landed in which bucket file) is "
+    "verified bit-for-bit, not just the bytes",
+)
+def q_hs_header_inspect(spark, sf_dir):
+    from kenshin_spark.sources.kenshin_hs import read_kenshin_headers
+
+    out_dir = _export_day1(spark, sf_dir, "hs_header_inspect")
+    return read_kenshin_headers(
+        spark, os.path.join(out_dir, "*.hs")
+    ).select(
+        "agg_method",
+        F.col("max_retention").cast("long").alias("max_retention"),
+        F.col("xff").cast("double").alias("xff"),
+        F.col("archive_count").cast("long").alias("archive_count"),
+        F.size("metrics").cast("long").alias("n_metrics"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# admission (P4), keep-alive (M9), GC (M8), catalog routing (P5)
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "ingest_admit_ratelimit",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric, CAST(count(*) AS BIGINT) AS n_points
+    FROM pts
+    WHERE ts < {CUT} AND metric IN ('click', 'error', 'purchase')
+    GROUP BY metric
+    """,
+    "P4 — create rate limiting through the ingest admission path "
+    "(rurouni/cache.py:119-143): a 3-creates/minute token bucket admits "
+    "only the first 3 unknown metrics in deterministic name order "
+    "(click, error, purchase); points of denied metrics are dropped by "
+    "the catalog routing join — fully distributed, the driver only sees "
+    "two scalars",
+)
+def q_ingest_admit_ratelimit(spark, sf_dir):
+    from kenshin_spark.ratelimit import FakeClock
+    from kenshin_spark.streaming.ingest import StreamingIngest
+
+    root = _workdir(sf_dir, "ingest_admit_ratelimit")
+    schemas = SchemaSet((Schema.from_strings(
+        "bank", ".*", "60s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    ),))
+    ing = StreamingIngest(
+        spark, schemas, root, max_creates_per_minute=3, clock=FakeClock(0.0)
+    )
+    pts = _points(spark, sf_dir).where(F.col("ts") < CUT)
+    admitted = ing._admit(pts.select("metric", "ts", "value"), now=0)
+    return admitted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
+@stage(
+    "maintenance_keepalive_dormant",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    cat AS (
+      SELECT DISTINCT event_type AS metric FROM events
+      UNION ALL
+      SELECT * FROM (VALUES ('ghost.a'), ('ghost.b')) AS g(metric)
+    )
+    SELECT metric, now AS ts, CAST(0.0 AS DOUBLE) AS value
+    FROM cat, now_t
+    """,
+    "M9 — keep-alive zero points (bin/kenshin-send-zero-metric.py:26-45): "
+    "every cataloged metric whose newest point is older than a day (the "
+    "week's metrics, measured against the month-end now) or missing "
+    "entirely (the ghost entries) gets a 0-value point at now, so "
+    "dormant metrics survive a migration window",
+)
+def q_maintenance_keepalive_dormant(spark, sf_dir):
+    from kenshin_spark.operators.maintenance import keep_alive_points
+
+    pts = _points(spark, sf_dir)
+    week = pts.where(F.col("ts") < CUT)
+    catalog = week.select("metric").distinct().unionByName(
+        spark.createDataFrame([("ghost.a",), ("ghost.b",)], ["metric"])
+    )
+    now = int(pts.agg(F.max("ts")).collect()[0][0])
+    return keep_alive_points(catalog, week, now, dormant_after=86400)
+
+
+@stage(
+    "store_gc_candidates",
+    """
+    SELECT * FROM (VALUES
+      ('ghost.a', 'bank', CAST(0 AS BIGINT)),
+      ('ghost.b', 'bank', CAST(0 AS BIGINT))
+    ) AS t(metric, schema_name, created_ts)
+    """,
+    "M8 — GC candidates (bin/kenshin-find-file.py:51-73): cataloged "
+    "metrics with no live points left — the catalog entries whose data "
+    "fully expired (the ghosts) fall out of the anti-join against the "
+    "live tier; metrics with points never appear",
+)
+def q_store_gc_candidates(spark, sf_dir):
+    from kenshin_spark.operators.maintenance import gc_candidates
+
+    st = _store(spark, sf_dir, "store_gc_candidates")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots)
+    st.catalog_add(
+        slots.select("metric").distinct()
+        .unionByName(
+            spark.createDataFrame([("ghost.a",), ("ghost.b",)], ["metric"])
+        )
+        .select(
+            "metric",
+            F.lit("bank").alias("schema_name"),
+            F.lit(0).cast("long").alias("created_ts"),
+        )
+    )
+    return gc_candidates(st.catalog(), st.read(0))
+
+
+@stage(
+    "store_catalog_routing",
+    """
+    SELECT metric,
+           CASE WHEN regexp_matches(metric, '^error') THEN 'errors'
+                WHEN regexp_matches(metric, '^(purchase|signup)$')
+                  THEN 'conversion'
+                WHEN regexp_matches(metric, '^(click|view)') THEN 'traffic'
+                ELSE 'default' END AS schema_name
+    FROM (SELECT DISTINCT event_type AS metric FROM events)
+    """,
+    "P5 + catalog — first-regex-wins schema routing persisted through "
+    "the store catalog (rurouni/storage.py:196-210): metric creation "
+    "renders the routing decision as a declarative CASE regex chain "
+    "(JVM-side, no driver round-trip) and the catalog dim table holds "
+    "the placement",
+)
+def q_store_catalog_routing(spark, sf_dir):
+    from kenshin_spark.queries import ROUTING_SCHEMAS
+
+    st = _store(spark, sf_dir, "store_catalog_routing")
+    metrics = _week_slots(spark, sf_dir).select("metric").distinct()
+    st.catalog_add(
+        metrics.select(
+            "metric",
+            F.expr(ROUTING_SCHEMAS.match_sql_case()).alias("schema_name"),
+            F.lit(0).cast("long").alias("created_ts"),
+        )
+    )
+    return st.catalog().select("metric", "schema_name")
+
+
+@stage(
+    "store_mor_seq_stamps",
+    f"""
+    WITH {_W}
+    SELECT CAST(1 AS BIGINT) AS seq, CAST(count(*) AS BIGINT) AS n_rows
+    FROM t0 WHERE ts % 120 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM t0 WHERE ts % 120 = 60
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM t0 WHERE metric = 'click'
+    """,
+    "mor write stamps — the filesystem-CAS sequence allocator: three "
+    "upserts must carry stamps exactly 1, 2, 3 (each batch stamped "
+    "whole — snapshots are batch-atomic), with row counts matching each "
+    "batch; no stamp is ever reused or skipped on the happy path",
+)
+def q_store_mor_seq_stamps(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_mor_seq_stamps", mode="mor")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.where(F.col("ts") % 120 == 0))
+    st.upsert(0, slots.where(F.col("ts") % 120 == 60))
+    st.upsert(0, slots.where(F.col("metric") == "click"))
+    return (
+        spark.read.parquet(st.tier_path(0))
+        .groupBy(F.col("_seq").cast("long").alias("seq"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary (bounded collect), token-bucket replay (P4 semantics)
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "bpe_vocab_topk",
+    r"""
+    SELECT word, freq FROM (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents
+      ) WHERE word <> ''
+      GROUP BY word HAVING count(*) >= 2
+    )
+    ORDER BY freq DESC, word ASC LIMIT 100
+    """,
+    "the BPE trainer's bounded vocabulary scan (the r4->r5 scale fix): "
+    "word frequencies with the JVM-side HAVING (min_count=2) and the "
+    "deterministic top-K cap (max_words=100, freq desc then word asc — "
+    "TakeOrderedAndProject, never an unbounded collect); the driver row "
+    "pins exactly what reaches the trainer at any corpus size",
+)
+def q_bpe_vocab_topk(spark, sf_dir):
+    from kenshin_spark.bpe import word_frequencies
+    from kenshin_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return word_frequencies(docs, min_count=2, max_words=100)
+
+
+@stage(
+    "ratelimit_bucket_replay",
+    f"""
+    WITH RECURSIVE pts AS ({PTS}),
+    mins AS (
+      SELECT ts - ts % 60 AS m, CAST(count(*) AS BIGINT) AS want
+      FROM pts
+      WHERE metric = 'signup' AND ts >= {DAY1_START} AND ts < {DAY1_END}
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT unnest(generate_series({DAY1_START}, {DAY1_END} - 60, 60)) AS m
+    ),
+    sched AS (
+      SELECT s.m, coalesce(w.want, 0) AS want,
+             row_number() OVER (ORDER BY s.m) AS i
+      FROM seq s LEFT JOIN mins w ON w.m = s.m
+    ),
+    rep(i, tokens, granted) AS (
+      SELECT 1, CAST(10 AS DOUBLE),
+             least((SELECT want FROM sched WHERE i = 1), CAST(10 AS BIGINT))
+      UNION ALL
+      SELECT r.i + 1,
+             least(CAST(10 AS DOUBLE), r.tokens - r.granted + 3.0),
+             least(
+               (SELECT want FROM sched WHERE i = r.i + 1),
+               CAST(least(CAST(10 AS DOUBLE),
+                          r.tokens - r.granted + 3.0) AS BIGINT)
+             )
+      FROM rep r WHERE r.i < (SELECT max(i) FROM sched)
+    )
+    SELECT s.m AS minute_ts, s.want, r.granted
+    FROM rep r JOIN sched s ON s.i = r.i
+    WHERE s.want > 0
+    """,
+    "P4 — the token bucket's continuous-refill semantics replayed "
+    "minute-by-minute (rurouni/utils.py:55-104): capacity 10, 3 "
+    "tokens/minute refill, demand = day 1's per-minute signup counts; "
+    "every minute drains min(want, floor(tokens)) and the oracle "
+    "replays the exact recurrence as a recursive CTE — burst capacity, "
+    "depletion and refill verified step for step",
+)
+def q_ratelimit_bucket_replay(spark, sf_dir):
+    from kenshin_spark.ratelimit import FakeClock, TokenBucket
+
+    counts = {
+        int(r["m"]): int(r["c"])
+        for r in _points(spark, sf_dir)
+        .where(
+            (F.col("metric") == "signup")
+            & (F.col("ts") >= DAY1_START)
+            & (F.col("ts") < DAY1_END)
+        )
+        .groupBy((F.col("ts") - F.col("ts") % 60).alias("m"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    clock = FakeClock(0.0)
+    bucket = TokenBucket(capacity=10, fill_rate=0.05, clock=clock)
+    rows = []
+    for m in range(DAY1_START, DAY1_END, 60):
+        want = counts.get(m, 0)
+        granted = bucket.drain(want)
+        if want > 0:
+            rows.append((m, want, granted))
+        clock.advance(60)
+    return spark.createDataFrame(
+        rows, "minute_ts long, want long, granted long"
+    )
+
+
+# bind the .hs round-trip oracles (they need _fnv_shard_sql, defined
+# after their @stage declarations): the replay computes each file's
+# metric group via the recursive fnv1a CTE, then emits the wide-format
+# grid — every member metric at every populated ring slot
+for _n, _vexpr in (
+    ("hs_export_import_roundtrip", "value"),
+    (
+        "hs_null_sentinel_roundtrip",
+        "CASE WHEN metric = 'click' THEN NULL ELSE value END",
+    ),
+):
+    _spec = ENGINE_ROWS[_n]
+    ENGINE_ROWS[_n] = QuerySpec(
+        fn=_spec.fn,
+        oracle=(
+            f"WITH RECURSIVE {_W},\n{_fnv_shard_sql(4)},\n"
+            + _HS_ROUNDTRIP_SQL.format(value_expr=_vexpr, day1_end=DAY1_END)
+        ),
+        doc=_spec.doc,
+    )
+del _n, _vexpr, _spec
