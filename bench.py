@@ -39,7 +39,9 @@ PARTIAL = os.path.join(
 )
 
 
-def _payload(timings: dict[str, float], sf: float | None) -> str:
+def _payload(
+    timings: dict[str, float], sf: float | None, ingest: dict | None = None
+) -> str:
     return json.dumps(
         {
             "metric": "total_wall_all_queries",
@@ -47,24 +49,95 @@ def _payload(timings: dict[str, float], sf: float | None) -> str:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "ingest": ingest,
         }
     )
 
 
-def _summary_line(timings: dict[str, float], sf: float | None) -> str:
+def _summary_line(
+    timings: dict[str, float], sf: float | None, ingest: dict | None = None
+) -> str:
     # The driver tail-captures stdout: a 100-query dict (~3.5 KB) overflowed
     # the capture in r2/r3 and the round shipped no parsed number. The final
-    # stdout line therefore stays compact (<120 bytes); the full per-query
+    # stdout line therefore stays compact (<250 bytes); the full per-query
     # payload lives in bench_partial.json.
-    return json.dumps(
-        {
-            "metric": "total_wall_all_queries",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
+    out = {
+        "metric": "total_wall_all_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if ingest is not None:
+        out["ingest"] = ingest
+    return json.dumps(out)
+
+
+def _bench_ingest(spark, sf_dir: str) -> dict:
+    """Write-path throughput — the reference's headline metric is write
+    IO shape (README.md:63-71, IOPS −97.5% via batching), so the bench
+    measures the composed ts ingest end-to-end: the full events table
+    through ``StreamingIngest.process_batch`` in 2 micro-batches
+    (admit → LWW align → mor append → cascade propagation), then the
+    ``maintenance()`` pass (expiry + small-file audit + targeted
+    compaction). Reports rows/s plus the file-shape numbers the
+    SCALING.md IO claims rest on. Scratch store in the system temp dir,
+    removed afterwards."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kenshin_spark.config import Schema, SchemaSet
+    from kenshin_spark.io import load_table
+    from kenshin_spark.sources.line_protocol import events_as_points
+    from kenshin_spark.streaming.ingest import StreamingIngest
+
+    root = tempfile.mkdtemp(prefix="kenshin_bench_ingest_")
+    try:
+        schemas = SchemaSet((Schema.from_strings(
+            "bench", ".*", "60s:90d,300s:180d,3600s:366d",
+            xff=20.0, agg_method="average", cache_retention=600,
+        ),))
+        pts = events_as_points(load_table(spark, sf_dir, "events"))
+        now = int(pts.agg(F.max("ts")).collect()[0][0])
+        n_rows = pts.count()
+        ing = StreamingIngest(
+            spark, schemas, root, clock=lambda: now, store_mode="mor"
+        )
+        n_batches = 2
+        t0 = _time.perf_counter()
+        for b in range(n_batches):
+            ing.process_batch(
+                pts.where(F.col("arrival") % n_batches == b), b
+            )
+        wall = _time.perf_counter() - t0
+        store = ing.store_for(schemas.schemas[0])
+        files_before = sum(
+            r["n_files"]
+            for i in range(len(schemas.schemas[0].archives))
+            for r in store.file_report(i)
+        )
+        m0 = _time.perf_counter()
+        ing.maintenance(now=now, min_file_bytes=1 << 20)
+        maint_wall = _time.perf_counter() - m0
+        files_after = sum(
+            r["n_files"]
+            for i in range(len(schemas.schemas[0].archives))
+            for r in store.file_report(i)
+        )
+        return {
+            "rows": n_rows,
+            "batches": n_batches,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_rows / wall, 1),
+            "files_before": files_before,
+            "files_after": files_after,
+            "maintenance_sec": round(maint_wall, 3),
         }
-    )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -105,7 +178,18 @@ def main() -> None:
         os.replace(tmp, PARTIAL)
         spark.catalog.clearCache()
 
-    print(_summary_line(timings, sf), flush=True)
+    ingest = None
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":
+        try:
+            ingest = _bench_ingest(spark, SF_DIR)
+        except Exception as exc:  # the query numbers must still ship
+            print(f"[bench ingest] failed: {exc}", file=sys.stderr, flush=True)
+        tmp = PARTIAL + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_payload(timings, sf, ingest))
+        os.replace(tmp, PARTIAL)
+
+    print(_summary_line(timings, sf, ingest), flush=True)
     sys.stdout.flush()
     spark.stop()
 
