@@ -530,3 +530,38 @@ class TestRound4bPlans:
         p = plan_of(QUERIES["text_token_drift"].fn(spark, SF))
         assert "partial_count" in p
         assert "CartesianProduct" not in p
+
+
+class TestSimilarityFamilyPins:
+    """VERDICT r5 item 3: the two queries whose bench wall drifted
+    1.7x r4->r5 live here — pin their physical shapes so any FUTURE
+    drift can be attributed (plan changed) or dismissed (box noise)
+    by running this file, not by eyeballing seconds. The r6 solo
+    re-run reproduced the same +-40% drift on UNTOUCHED TPC rows
+    (q8_market_share, q17_small_quantity), confirming noise; these
+    pins are the standing tripwire."""
+
+    def test_emb_nearest_centroid_shape(self, spark):
+        import re
+
+        p = plan_of(QUERIES["emb_nearest_centroid"].fn(spark, SF))
+        # centroid side broadcasts; the embedding table never shuffles
+        # for the join
+        assert p.count("BroadcastHashJoin") // 2 == 1
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+        # Arrow-batched kernel only — never row-at-a-time Python
+        assert "BatchEvalPython" not in p
+        assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2
+
+    def test_sim_topk_lsh_shape(self, spark):
+        import re
+
+        p = plan_of(QUERIES["sim_topk_lsh"].fn(spark, SF))
+        # all three joins broadcast (query-side frames are tiny);
+        # bucket-join never degenerates to a cartesian product
+        assert p.count("BroadcastHashJoin") // 2 == 3
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+        assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2
