@@ -65,15 +65,16 @@ def _real_decode(payload: bytes) -> tuple[str, int, int, str]:
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
     """Codec step, in preference order: (1) the pure-stdlib codecs
-    (PNG/BMP — REAL decode, no dependencies, `multimodal/codecs.py`);
-    (2) PIL for the entropy-coded containers (JPEG/WebP) when
-    importable — without PIL those raise, keeping the stub boundary
-    loud; (3) deterministic pseudo-metadata for anything else — the
-    testable stand-in for payloads this container can't decode."""
+    (PNG/BMP/baseline-JPEG — REAL decode, no dependencies,
+    `multimodal/codecs.py`); (2) PIL for what remains (WebP,
+    progressive JPEG, exotic profiles) when importable — without PIL
+    those raise, keeping the stub boundary loud; (3) deterministic
+    pseudo-metadata for anything else — the testable stand-in for
+    payloads this container can't decode."""
     from kenshin_spark.multimodal import codecs
 
     kind = codecs.sniff(payload)
-    if kind in ("png", "bmp"):
+    if kind in ("png", "bmp", "jpeg"):
         try:
             w, h, fmt = codecs.image_info(payload)
             return hashlib.md5(payload).hexdigest(), w, h, fmt

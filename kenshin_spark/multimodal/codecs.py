@@ -11,10 +11,14 @@ Supported natively (struct/zlib/wave + numpy only):
   per the PNG spec §9).
 - **WAV**: PCM via the stdlib ``wave`` module — true duration, sample
   rate, channel count, RMS and peak from the samples themselves.
+- **JPEG**: baseline sequential DCT (ITU-T T.81) — marker walk, 8-bit
+  DQT, SOF0, canonical-Huffman DHT, restart intervals, entropy decode,
+  dequantize + inverse zigzag + float iDCT, chroma upsample, JFIF
+  YCbCr→RGB. Gray / 4:4:4 / 4:2:2 / 4:2:0.
 
-JPEG/WebP and compressed/paletted containers still route to the PIL
-seam in ``multimodal/__init__.py`` (they need entropy decoders that do
-not belong here).
+WebP, progressive JPEG, and compressed/paletted containers still route
+to the PIL seam in ``multimodal/__init__.py`` (the remaining declared
+gap — WebP's VP8 entropy decoder does not belong here).
 
 Scale posture: these are per-payload kernels invoked from Arrow
 ``mapInPandas`` batches — decode cost rides in the executors, and the
@@ -243,6 +247,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if kind == "bmp":
         return decode_bmp(payload)
+    if kind == "jpeg":
+        return decode_jpeg(payload)
     raise ValueError(f"no native decoder for {kind or 'unknown'}")
 
 
@@ -256,6 +262,9 @@ def image_info(payload: bytes) -> tuple[int, int, str]:
     if kind == "bmp":
         w, h, _ = bmp_info(payload)
         return w, abs(h), "bmp"
+    if kind == "jpeg":
+        w, h, _ = jpeg_info(payload)
+        return w, h, "jpeg"
     raise ValueError(f"no native decoder for {kind or 'unknown'}")
 
 
@@ -303,3 +312,292 @@ def wav_features(payload: bytes) -> dict:
         "rms": rms,
         "peak": peak,
     }
+
+
+# -- JPEG (baseline sequential DCT) -----------------------------------------
+#
+# A from-scratch baseline-JPEG decoder per ITU-T T.81: marker walk, DQT
+# (8-bit) / SOF0 / DHT (canonical Huffman) / DRI / SOS, entropy decode
+# with byte-stuffing + restart markers, dequantize, inverse zigzag,
+# float iDCT, chroma upsample, JFIF YCbCr->RGB. Covers the profile the
+# wild overwhelmingly ships (baseline, 8-bit, gray/4:4:4/4:2:2/4:2:0);
+# progressive (SOF2), arithmetic coding, 12-bit, and hierarchical raise
+# ValueError and fall through to the PIL seam. The bit-serial Huffman
+# loop is Python: acceptable for kernel-sized images, like PNG's
+# sequential filters above.
+
+#: zigzag order: index i of the scan -> (row, col) in the 8x8 block
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: F = M @ f @ M.T, f = M.T @ F @ M."""
+    n = np.arange(8)
+    k = n[:, None]
+    m = np.cos((2 * n + 1) * k * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict:
+    """Canonical Huffman per T.81 Annex C: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, handling
+    0xFF00 byte stuffing; stops at any real marker (caller handles
+    RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.acc = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(0xFF00 | nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.bits += 8
+
+    def read_bit(self) -> int:
+        if self.bits == 0:
+            self._fill()
+        self.bits -= 1
+        return (self.acc >> self.bits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def byte_align(self) -> None:
+        self.bits = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t raw bits to a signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+@_coerce_codec_errors
+def jpeg_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the frame header without a
+    pixel decode; ValueError for non-baseline frames."""
+    hdr = _jpeg_segments(payload, header_only=True)
+    return hdr["w"], hdr["h"], len(hdr["components"])
+
+
+def _jpeg_segments(payload: bytes, header_only: bool = False) -> dict:
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8), dtype=np.float64)
+                for i, (r, c) in enumerate(_ZIGZAG):
+                    tbl[r, c] = seg[p + 1 + i]
+                qt[tq] = tbl
+                p += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 — baseline(-ish) DCT
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"jpeg: {prec}-bit precision unsupported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq2 = seg[6 + 3 * i:9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq2}
+                )
+            frame = {"w": int(w), "h": int(h), "components": comps}
+            if header_only:
+                return frame
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline sequential supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1:p + 17])
+                nsym = sum(counts)
+                symbols = seg[p + 17:p + 17 + nsym]
+                table = _build_huffman(counts, symbols)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                p += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i:3 + 2 * i]
+                scan[cs] = (tdta >> 4, tdta & 0x0F)
+            return {
+                **frame,
+                "qt": qt,
+                "huff_dc": huff_dc,
+                "huff_ac": huff_ac,
+                "scan": scan,
+                "data_pos": pos + seg_len,
+                "restart": restart,
+            }
+        pos += seg_len
+    if header_only and frame is not None:
+        return frame
+    raise ValueError("jpeg: no scan found")
+
+
+@_coerce_codec_errors
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """HxWx3 uint8 RGB (HxWx1 for grayscale JPEGs)."""
+    hdr = _jpeg_segments(payload)
+    w, h, comps = hdr["w"], hdr["h"], hdr["components"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    reader = _BitReader(payload, hdr["data_pos"])
+    pred = [0] * len(comps)
+    restart = hdr["restart"]
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_index and mcu_index % restart == 0:
+                # RSTn sits between MCUs; predictors reset
+                reader.byte_align()
+                try:
+                    reader._fill()
+                    raise ValueError("jpeg: expected restart marker")
+                except _MarkerHit as hit:
+                    if not (0xFFD0 <= hit.marker <= 0xFFD7):
+                        raise ValueError("jpeg: expected RSTn") from None
+                    reader.pos += 2
+                    reader.bits = 0
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = hdr["scan"][c["id"]]
+                dc_tbl, ac_tbl = hdr["huff_dc"][td], hdr["huff_ac"][ta]
+                q = hdr["qt"][c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block = np.zeros((8, 8), dtype=np.float64)
+                        t = reader.decode_symbol(dc_tbl)
+                        pred[ci] += _extend(reader.read_bits(t), t)
+                        block[0, 0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tbl)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            rr, cc = _ZIGZAG[k]
+                            block[rr, cc] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        px = _DCT_M.T @ (block * q) @ _DCT_M + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_index += 1
+    out_planes = []
+    for c, pl in zip(comps, planes):
+        if c["h"] != hmax or c["v"] != vmax:
+            pl = np.repeat(
+                np.repeat(pl, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        out_planes.append(pl[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0] + 0.5, 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError(f"jpeg: {len(out_planes)}-component images unsupported")
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)

@@ -60,7 +60,7 @@ def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
     digest, target size)."""
     from kenshin_spark.multimodal import codecs, is_real_image
 
-    if codecs.sniff(payload) in ("png", "bmp"):
+    if codecs.sniff(payload) in ("png", "bmp", "jpeg"):
         try:
             arr = codecs.decode_image(payload)
             return codecs.encode_bmp(
