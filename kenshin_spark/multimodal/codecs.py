@@ -601,3 +601,179 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         axis=2,
     )
     return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# -- JPEG encoder (baseline sequential) -------------------------------------
+#
+# The write half of the JPEG loop: FDCT + all-ones quantization
+# (near-lossless) + canonical Huffman per T.81 Annex C/F/K, 4:4:4 or
+# 4:2:0. Custom (declared-in-DHT) tables keep the encoder small; any
+# spec decoder — including decode_jpeg above — reads the stream.
+
+_JPEG_DC_SYMS = bytes(range(12))
+_JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12          # all 12 cats at length 4
+_JPEG_AC_SYMS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_AC_COUNTS = [0] * 7 + [len(_JPEG_AC_SYMS)] + [0] * 8  # all at length 8
+
+
+def _enc_table(counts, symbols):
+    inv = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            inv[symbols[idx]] = (length, code)
+            idx += 1
+            code += 1
+        code <<= 1
+    return inv
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+    def raw_marker(self, marker):
+        self.align()
+        self.out += bytes([0xFF, marker])
+
+
+def _fdct(block):
+    return _DCT_M @ (block - 128.0) @ _DCT_M.T
+
+
+def _encode_block(w, dc_tbl, ac_tbl, coeffs, pred):
+    zz = [coeffs[r][c] for r, c in _ZIGZAG]
+    diff = zz[0] - pred
+    t = int(abs(diff)).bit_length()
+    length, code = dc_tbl[t]
+    w.write(code, length)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_tbl[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        length, code = ac_tbl[(run << 4) | s]
+        w.write(code, length)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        length, code = ac_tbl[0x00]  # EOB
+        w.write(code, length)
+    return zz[0]
+
+
+def encode_jpeg(arr, subsample="444", restart=0):
+    """Baseline-JPEG writer: gray (HxW / HxWx1) or RGB (HxWx3), 4:4:4 or
+    4:2:0, all-ones quant table (near-lossless), one canonical Huffman
+    table pair, optional restart interval — the write half of the
+    multimodal codec loop (resize/export can emit real JPEG containers,
+    the mirror of the .hs exporter closing the import loop)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    h, w_px = arr.shape[:2]
+    if arr.ndim == 2:
+        planes = [arr]
+        samp = [(1, 1)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samp = [(1, 1)] * 3 if subsample == "444" else [(2, 2), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w_px + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    prepped = []
+    for pl, (sh, sv) in zip(planes, samp):
+        full_w, full_h = mcus_x * 8 * hmax, mcus_y * 8 * vmax
+        pad = np.pad(pl, ((0, full_h - h), (0, full_w - w_px)), mode="edge")
+        fx, fy = hmax // sh, vmax // sv
+        if fx > 1 or fy > 1:  # box-average chroma subsample
+            pad = pad.reshape(full_h // fy, fy, full_w // fx, fx).mean(
+                axis=(1, 3)
+            )
+        prepped.append(pad)
+
+    dc_tbl = _enc_table(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_tbl = _enc_table(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    mcu_index = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_index and mcu_index % restart == 0:
+                bw.raw_marker(0xD0 + rst % 8)
+                rst += 1
+                pred = [0] * len(planes)
+            for ci, (pl, (sh, sv)) in enumerate(zip(prepped, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        coeffs = np.rint(
+                            _fdct(pl[y0:y0 + 8, x0:x0 + 8])
+                        ).astype(int)
+                        pred[ci] = _encode_block(
+                            bw, dc_tbl, ac_tbl, coeffs, pred[ci]
+                        )
+            mcu_index += 1
+    bw.align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt_body = bytes([0x00]) + bytes([1] * 64)  # table 0, all ones (zigzag)
+    sof_comps = b"".join(
+        bytes([i + 1, (sh << 4) | sv, 0]) for i, (sh, sv) in enumerate(samp)
+    )
+    sof = struct.pack(">BHHB", 8, h, w_px, len(planes)) + sof_comps
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + _JPEG_DC_SYMS
+        + bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + _JPEG_AC_SYMS
+    )
+    sos = bytes([len(planes)]) + b"".join(
+        bytes([i + 1, 0x00]) for i in range(len(planes))
+    ) + bytes([0, 63, 0])
+    out = b"\xff\xd8"
+    out += seg(0xDB, qt_body)
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dht)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    out += seg(0xDA, sos)
+    out += bytes(bw.out) + b"\xff\xd9"
+    return out
+
+
