@@ -1,0 +1,745 @@
+"""Sixth staged bank — ROUND 10: engine-path rows over the surfaces the
+r8 bank didn't reach — the network serving layer (S3 wire protocols),
+the Whisper migration loop (S6), ingest variants (skew salting,
+dead-letter quality gate, W4 age routing), bucketed co-located joins,
+real multimodal containers built by the engine's own encoders, and the
+new Bloom membership pre-pass.
+
+Same staging mechanism and double gate
+(``tests/test_queries_staged_r10.py``, sf0.001 + sf0.01) as every
+earlier bank. Promote with
+``python tools/promote_staged.py queries_staged_r10`` once round 9's
+window clears.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kenshin_spark.config import Schema, SchemaSet
+from kenshin_spark.operators.align import last_write_wins
+from kenshin_spark.queries import PTS, NOW_T, QuerySpec, _points
+from kenshin_spark.queries_staged_r8_engine import (
+    CUT,
+    DAY1_END,
+    DAY1_START,
+    _W,
+    _grid_sql,
+    _week_slots,
+    _workdir,
+)
+from kenshin_spark.store import ParquetTieredStore
+
+STAGED_R10: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        STAGED_R10[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# S3 — the serving layer, driven over real sockets
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "serving_tcp_cache_query",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "S3 — the reference's cache-query wire protocol end-to-end "
+    "(rurouni/protocols.py:65-84): a CacheQueryServer on an ephemeral "
+    "TCP port serves the week's hot grid through 4-byte length framing "
+    "+ restricted pickle; one cache_query round-trip per metric "
+    "reassembles exactly the LWW60 grid — the bytes cross a real "
+    "socket, not a function call",
+)
+def q_serving_tcp_cache_query(spark, sf_dir):
+    from kenshin_spark.serving import CacheQueryServer, cache_query
+
+    slots = _week_slots(spark, sf_dir)
+    hot: dict[str, list] = {}
+    for r in slots.collect():  # bounded: one week of minute slots
+        hot.setdefault(r["metric"], []).append((r["ts"], r["value"]))
+    for v in hot.values():
+        v.sort()
+    server = CacheQueryServer(lambda m: hot.get(m, []))
+    host, port = server.start()
+    try:
+        rows = [
+            (m, int(ts), float(v))
+            for m in sorted(hot)
+            for ts, v in cache_query(host, port, m)
+        ]
+    finally:
+        server.stop()
+    return spark.createDataFrame(rows, "metric string, ts long, value double")
+
+
+@stage(
+    "serving_http_render",
+    f"""
+    WITH {_W}, now_t AS (SELECT {CUT} AS now),
+    tier AS (SELECT metric, ts, value FROM t0
+             WHERE metric IN ('click', 'view')),
+    g AS (WITH {_grid_sql("now - 21600", "now", 60,
+                          "SELECT DISTINCT event_type AS metric FROM events "
+                          "WHERE event_type IN ('click', 'view')")})
+    SELECT metric, ts, abs(value) AS value FROM g
+    """,
+    "S3 — the HTTP /render endpoint over a persisted store: GET "
+    "/render?target=absolute({click,view}) resolves the glob against "
+    "the store, grid-fills the window, applies the render chain, and "
+    "returns JSON rows — the graphite-web /render parity surface, "
+    "exercised through a real HTTP request",
+)
+def q_serving_http_render(spark, sf_dir):
+    import json
+    from urllib.request import urlopen
+
+    from kenshin_spark.serving import HttpFetchServer, store_render_fn
+
+    schema = Schema.from_strings(
+        "bank7", ".*", "60s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    st = ParquetTieredStore(
+        spark, schema,
+        os.path.join(_workdir(sf_dir, "serving_http_render"), "store"),
+    )
+    st.upsert(0, _week_slots(spark, sf_dir))
+    server = HttpFetchServer(
+        fetch_fn=lambda ms, f, u, n: [],
+        render_fn=store_render_fn(st),
+    )
+    host, port = server.start()
+    try:
+        url = (
+            f"http://{host}:{port}/render?target=absolute(%7Bclick,view%7D)"
+            f"&from={CUT - 21600}&until={CUT}&now={CUT}"
+        )
+        with urlopen(url) as resp:
+            body = json.loads(resp.read())
+    finally:
+        server.stop()
+    return spark.createDataFrame(
+        [(m, int(ts), None if v is None else float(v))
+         for m, ts, v in body["rows"]],
+        "metric string, ts long, value double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — the Whisper migration loop (graphite interop, both directions)
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "whisper_export_import_roundtrip",
+    f"""
+    WITH {_W}
+    SELECT metric, ts, value FROM t0 WHERE ts < {DAY1_END}
+    """,
+    "S6 both ways — graphite interop: day 1's grid exported to Whisper "
+    ".wsp (one metric per file, ring slots at (ts//spp) %% count, gaps "
+    "stay ts==0 — Whisper has no NULL sentinel) by the distributed "
+    "exporter, then decoded back by the import connector; unlike the "
+    ".hs loop there is no wide-format padding, so the round-trip is "
+    "exactly the tall grid",
+)
+def q_whisper_export_import_roundtrip(spark, sf_dir):
+    from kenshin_spark.sources.whisper import (
+        export_whisper,
+        read_whisper_points,
+    )
+
+    out_dir = os.path.join(
+        _workdir(sf_dir, "whisper_export_import_roundtrip"), "wsp"
+    )
+    day1 = _week_slots(spark, sf_dir).where(F.col("ts") < DAY1_END)
+    export_whisper([day1], [(60, 1440)], out_dir, agg_method="max").collect()
+    return read_whisper_points(
+        spark, os.path.join(out_dir, "*.wsp"), base=out_dir
+    ).select("metric", "ts", "value")
+
+
+@stage(
+    "whisper_rehash_to_store",
+    f"""
+    WITH {_W}
+    SELECT metric, ts - ts % 300 AS ts, max(value) AS value
+    FROM t0 WHERE ts < {DAY1_END} GROUP BY 1, 2
+    """,
+    "M7 — the rehash/import job (bin/kenshin-rehash.py:22-100): a "
+    "Whisper tree read distributedly, re-aggregated into a tiered "
+    "store's 300 s archive (finest-source re-agg, max), read back via "
+    "the tier read path — the full migration composition as one row",
+)
+def q_whisper_rehash_to_store(spark, sf_dir):
+    from kenshin_spark.operators.schema_change import import_whisper_to_store
+    from kenshin_spark.sources.whisper import export_whisper
+
+    root = _workdir(sf_dir, "whisper_rehash_to_store")
+    out_dir = os.path.join(root, "wsp")
+    day1 = _week_slots(spark, sf_dir).where(F.col("ts") < DAY1_END)
+    export_whisper([day1], [(60, 1440)], out_dir, agg_method="max").collect()
+    schema = Schema.from_strings(
+        "rehash", ".*", "300s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    st = import_whisper_to_store(
+        spark,
+        os.path.join(out_dir, "*.wsp"),
+        schema,
+        os.path.join(root, "store"),
+        now=DAY1_END,
+        base=out_dir,
+    )
+    return st.read(0)
+
+
+# ---------------------------------------------------------------------------
+# Ingest variants: skew salting, dead-letter quality gate, W4 age routing
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "ingest_salted_lww",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "SURVEY §7.3 skew wiring — the two-stage salted LWW align: "
+    "process_batch with skew_salts=4 spreads each hot metric's "
+    "reduction over 4 reducers (salted partial arg-max, then the "
+    "per-slot final), and the stored tier must be bit-identical to the "
+    "single-stage grid",
+)
+def q_ingest_salted_lww(spark, sf_dir):
+    from kenshin_spark.streaming.ingest import StreamingIngest
+
+    schemas = SchemaSet((Schema.from_strings(
+        "bank", ".*", "60s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    ),))
+    ing = StreamingIngest(
+        spark,
+        schemas,
+        _workdir(sf_dir, "ingest_salted_lww"),
+        clock=lambda: float(CUT),
+        skew_salts=4,
+    )
+    pts = _points(spark, sf_dir).where(F.col("ts") < CUT)
+    ing.process_batch(pts, 0)
+    return ing.store_for(schemas.schemas[0]).read(0)
+
+
+@stage(
+    "ingest_dead_letter_quality",
+    f"""
+    WITH pts AS ({PTS}), ptsw AS (SELECT * FROM pts WHERE ts < {CUT})
+    SELECT 'dead' AS kind, CAST(count(*) AS BIGINT) AS n_rows
+    FROM ptsw WHERE value NOT BETWEEN 0 AND 100
+    UNION ALL
+    SELECT 'stored', CAST(count(*) AS BIGINT)
+    FROM (
+      SELECT metric, ts - ts % 60 AS slot FROM ptsw
+      WHERE value BETWEEN 0 AND 100
+      GROUP BY 1, 2
+    )
+    """,
+    "streaming quality gate + dead letter: process_batch with an "
+    "in_range(value, 0, 100) check routes violating rows to the "
+    "dead-letter parquet (replayable, unlike the reference's log line "
+    "rurouni/protocols.py:40-42) and stores only the survivors' LWW "
+    "slots; the row audits both sides of the split",
+)
+def q_ingest_dead_letter_quality(spark, sf_dir):
+    from kenshin_spark.quality import in_range
+    from kenshin_spark.streaming.ingest import StreamingIngest
+
+    root = _workdir(sf_dir, "ingest_dead_letter_quality")
+    dl = os.path.join(root, "dead")
+    schemas = SchemaSet((Schema.from_strings(
+        "bank", ".*", "60s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    ),))
+    ing = StreamingIngest(
+        spark, schemas, os.path.join(root, "store"),
+        clock=lambda: float(CUT), dead_letter_path=dl,
+        quality_checks=[in_range("value", 0, 100)],
+    )
+    pts = _points(spark, sf_dir).where(F.col("ts") < CUT)
+    ing.process_batch(pts, 0)
+    dead = spark.read.parquet(dl).select(
+        F.lit("dead").alias("kind"), F.lit(1).alias("_one")
+    )
+    stored = ing.store_for(schemas.schemas[0]).read(0).select(
+        F.lit("stored").alias("kind"), F.lit(1).alias("_one")
+    )
+    return (
+        dead.unionByName(stored)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@stage(
+    "ingest_age_routing_tiers",
+    f"""
+    WITH pts AS ({PTS}), now_t AS ({NOW_T}),
+    t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts, now_t WHERE now - ts <= 604800 GROUP BY 1, 2
+    ),
+    prop AS (
+      SELECT metric, ts - ts % 300 AS ts, max(value) AS value
+      FROM t0 GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT metric, ts - ts % 300 AS ts, arg_max(value, arrival) AS value
+      FROM pts, now_t
+      WHERE now - ts > 604800 AND now - ts <= 7776000 GROUP BY 1, 2
+    ),
+    t1 AS (
+      SELECT coalesce(d.metric, p.metric) AS metric,
+             coalesce(d.ts, p.ts) AS ts,
+             CASE WHEN d.metric IS NOT NULL THEN d.value
+                  ELSE p.value END AS value
+      FROM direct d
+      FULL OUTER JOIN prop p ON p.metric = d.metric AND p.ts = d.ts
+    )
+    SELECT CAST(0 AS BIGINT) AS tier, metric, ts, value FROM t0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), metric, ts, value FROM t1
+    """,
+    "W4 + W7 composed — point-age archive routing through the full "
+    "ingest path (kenshin/storage.py:384-425): the newest week lands in "
+    "the 60 s tier and CASCADES into the 300 s tier (the write-time "
+    "downsample every tier0 flush triggers), while older points route "
+    "STRAIGHT into the 300 s tier at its own resolution, their direct "
+    "write winning last-write-wins over any cascaded slot it collides "
+    "with — the oracle replays the exact write order",
+)
+def q_ingest_age_routing_tiers(spark, sf_dir):
+    from kenshin_spark.streaming.ingest import StreamingIngest
+
+    pts = _points(spark, sf_dir)
+    now = int(pts.agg(F.max("ts")).collect()[0][0])
+    schemas = SchemaSet((Schema.from_strings(
+        "bank", ".*", "60s:7d,300s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    ),))
+    ing = StreamingIngest(
+        spark, schemas, _workdir(sf_dir, "ingest_age_routing_tiers"),
+        clock=lambda: float(now),
+    )
+    ing.process_batch(pts, 0)
+    st = ing.store_for(schemas.schemas[0])
+    return (
+        st.read(0)
+        .select(F.lit(0).cast("long").alias("tier"), "metric", "ts", "value")
+        .unionByName(
+            st.read(1).select(
+                F.lit(1).cast("long").alias("tier"), "metric", "ts", "value"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join; glob fetch without a catalog
+# ---------------------------------------------------------------------------
+
+
+@stage(
+    "store_bucketed_colocated_join",
+    f"""
+    WITH {_W},
+    stats AS (SELECT metric, CAST(count(*) AS BIGINT) AS n_slots,
+                     max(value) AS peak
+              FROM t0 GROUP BY metric)
+    SELECT t0.metric, t0.ts, t0.value, s.n_slots, s.peak
+    FROM t0 JOIN stats s ON s.metric = t0.metric
+    """,
+    "SCALING §storage — bucketed co-location: both sides persisted "
+    "bucketed-by-metric + sorted (write_bucketed), so the fact-to-stats "
+    "join plans sort-merge with NO exchange on either side (pinned in "
+    "tests/test_plans.py for the bucketing module); the row verifies "
+    "the joined VALUES, the plan test verifies the shuffle-free shape",
+)
+def q_store_bucketed_colocated_join(spark, sf_dir):
+    from kenshin_spark.bucketing import cobucketed_join, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    slots_t = f"r10_slots_{tag}"
+    stats_t = f"r10_stats_{tag}"
+    for t in (slots_t, stats_t):
+        # drop catalog entry AND any orphaned warehouse dir from a prior
+        # session (saveAsTable refuses a pre-existing location)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        import shutil as _shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        _shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    slots = _week_slots(spark, sf_dir)
+    write_bucketed(slots, slots_t, n_buckets=8)
+    write_bucketed(
+        slots.groupBy("metric").agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.max("value").alias("peak"),
+        ),
+        stats_t,
+        n_buckets=8,
+        sort_cols=("metric",),
+    )
+    return cobucketed_join(spark, slots_t, stats_t, ["metric"]).select(
+        "metric", "ts", "value", "n_slots", "peak"
+    )
+
+
+@stage(
+    "store_fetch_glob_no_catalog",
+    f"""
+    WITH {_W}, now_t AS (SELECT {CUT} AS now),
+    tier AS (SELECT metric, ts, value FROM t0),
+    {_grid_sql("now - 43200", "now", 60,
+               "SELECT DISTINCT event_type AS metric FROM events "
+               "WHERE event_type LIKE 'c%'")}
+    """,
+    "R8/M4 — glob resolution WITHOUT a catalog: fetch_glob falls back "
+    "to the tier-0 metric namespace (the path a fresh store takes "
+    "before any catalog_add), resolving 'c*' against the stored "
+    "metrics and grid-filling the last 12 hours",
+)
+def q_store_fetch_glob_no_catalog(spark, sf_dir):
+    schema = Schema.from_strings(
+        "bank", ".*", "60s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    st = ParquetTieredStore(
+        spark, schema,
+        os.path.join(_workdir(sf_dir, "store_fetch_glob_no_catalog"), "store"),
+    )
+    st.upsert(0, _week_slots(spark, sf_dir))
+    return st.fetch_glob("c*", CUT - 43200, CUT, CUT)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: containers built by the engine's OWN encoders
+# ---------------------------------------------------------------------------
+
+
+def _doc_ids(spark, sf_dir, modulo=50):
+    from kenshin_spark.io import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % modulo == 0
+    )
+
+
+def _gradient(doc_id: int, h: int, w: int):
+    import numpy as np
+
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    return ((doc_id + 31 * y + 17 * x) % 256).astype(np.uint8)
+
+
+@stage(
+    "mm_bmp_container_dims",
+    """
+    SELECT doc_id,
+           8 + doc_id % 24 AS width,
+           8 + (doc_id * 7) % 16 AS height,
+           'bmp' AS format,
+           54 + (8 + (doc_id * 7) % 16)
+              * (((8 + doc_id % 24) * 3 + 3) // 4 * 4) AS n_bytes
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "multimodal loop, write half verified by the read half: per-doc "
+    "gradient arrays encoded to REAL 24-bit BMP containers by the "
+    "engine's encode_bmp inside mapInPandas, then image_metadata "
+    "decodes dims and the byte size follows the BI_RGB layout "
+    "arithmetic (54-byte header + 4-aligned rows) exactly",
+)
+def q_mm_bmp_container_dims(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal import image_metadata
+
+    def kern(batches):
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 24, 8 + (did * 7) % 16
+                rows.append((did, codecs.encode_bmp(_gradient(did, h, w))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        kern, "doc_id long, payload binary"
+    )
+    return image_metadata(payloads).select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "format",
+        "n_bytes",
+    )
+
+
+@stage(
+    "mm_jpeg_container_dims",
+    """
+    SELECT doc_id,
+           8 + doc_id % 24 AS width,
+           8 + (doc_id * 7) % 16 AS height,
+           'jpeg' AS format
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "the JPEG write/read loop as a driver row: per-doc gradients "
+    "encoded to REAL baseline-JPEG containers by the engine's "
+    "encode_jpeg (T.81 FDCT + canonical Huffman), then image_metadata "
+    "parses the frame header natively — no PIL anywhere in the path",
+)
+def q_mm_jpeg_container_dims(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal import image_metadata
+
+    def kern(batches):
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 24, 8 + (did * 7) % 16
+                rows.append((did, codecs.encode_jpeg(_gradient(did, h, w))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        kern, "doc_id long, payload binary"
+    )
+    return image_metadata(payloads).select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "format",
+    )
+
+
+@stage(
+    "mm_resize_pixel_sum",
+    """
+    WITH ij AS (
+      SELECT a.i, b.j
+      FROM (SELECT unnest(generate_series(0, 3)) AS i) a
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) b
+    )
+    SELECT d.doc_id,
+           CAST(3 * sum((d.doc_id + 124 * ij.i + 68 * ij.j) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+    CROSS JOIN ij
+    GROUP BY d.doc_id
+    """,
+    "resize correctness down to the PIXEL VALUES: 16x16 engine-built "
+    "BMP gradients through resize_images (nearest-neighbor -> 4x4 BMP "
+    "re-encode), decoded back and summed — nearest-neighbor is exact "
+    "index math (ys = 4i, xs = 4j), so the oracle replays the selected "
+    "pixels with integer arithmetic alone",
+)
+def q_mm_resize_pixel_sum(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal.transforms import resize_images
+
+    def kern(batches):
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append((did, codecs.encode_bmp(_gradient(did, 16, 16))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        kern, "doc_id long, payload binary"
+    )
+    resized = resize_images(payloads, width=4, height=4)
+
+    def sum_kern(batches):
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["resized"]):
+                arr = codecs.decode_bmp(bytes(blob))
+                rows.append((int(did), int(arr.astype("int64").sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "pixel_sum"])
+
+    return resized.select("doc_id", "resized").mapInPandas(
+        sum_kern, "doc_id long, pixel_sum long"
+    )
+
+
+@stage(
+    "mm_wav_square_rms",
+    """
+    SELECT doc_id,
+           (800 + (doc_id % 5) * 80) / 8 AS duration_ms,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(8192 * (1 + doc_id % 3) AS DOUBLE) / 32768.0 AS rms,
+           800 + (doc_id % 5) * 80 AS n_samples
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "audio features from REAL PCM WAV bytes the row itself synthesizes "
+    "(stdlib wave writer, per-doc square waves): a square wave's RMS "
+    "is exactly its amplitude, and amplitude/rate/length are integer "
+    "functions of doc_id — so duration, rate, and RMS verify exactly, "
+    "not approximately",
+)
+def q_mm_wav_square_rms(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal.transforms import audio_features
+
+    def kern(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 800 + (did % 5) * 80
+                amp = 8192 * (1 + did % 3)
+                samples = np.where(
+                    np.arange(n) % 2 == 0, amp, -amp
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(samples.tobytes())
+                rows.append((did, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        kern, "doc_id long, payload binary"
+    )
+    return audio_features(payloads).select(
+        "doc_id",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "sample_rate",
+        "rms",
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership pre-pass (incremental exact dedup at 100 TB)
+# ---------------------------------------------------------------------------
+
+#: DuckDB replay of the seeded 60-bit md5 position hash
+_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || '|' || fp), 1, 15)) "
+    "AS BIGINT) % {mbits}"
+)
+
+
+def _bloom_oracle(m_words: int, k: int) -> str:
+    mbits = m_words * 62
+    pos_union = "\nUNION ALL\n".join(
+        f"SELECT fp, {_BLOOM_POS.format(i=i, mbits=mbits)} AS pos FROM fps"
+        for i in range(k)
+    )
+    bpos_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, fp, {_BLOOM_POS.format(i=i, mbits=mbits)} AS pos "
+        "FROM batch"
+        for i in range(k)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+    ),
+    fps AS (SELECT DISTINCT fp FROM corpus),
+    pos AS ({pos_union}),
+    bitmap AS (
+      SELECT pos // 62 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    batch AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 0 THEN text || ' novel'
+                      ELSE text END) AS fp
+      FROM documents WHERE doc_id % 10 IN (0, 1)
+    ),
+    bpos AS ({bpos_union}),
+    probed AS (
+      SELECT p.doc_id,
+             count(*) = sum(CASE WHEN
+               (bm.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 62 AS INT)))
+               <> 0 THEN 1 ELSE 0 END) AS bloom_hit
+      FROM bpos p LEFT JOIN bitmap bm ON bm.word = p.pos // 62
+      GROUP BY p.doc_id
+    ),
+    cfps AS (SELECT DISTINCT fp FROM corpus)
+    SELECT b.doc_id, pr.bloom_hit,
+           b.fp IN (SELECT fp FROM cfps) AS exact_dup
+    FROM batch b JOIN probed pr ON pr.doc_id = b.doc_id
+    """
+
+
+@stage(
+    "dedup_bloom_prefilter",
+    _bloom_oracle(64, 4),
+    "incremental exact dedup's membership pre-pass at 100 TB: the "
+    "corpus fingerprint set folds into a FIXED 64-word relational "
+    "Bloom bitmap (bit_or of seeded-md5 positions — broadcasts for "
+    "free at any corpus size), each batch doc probes all k bits "
+    "map-side, and only bloom hits reach the exact md5 join; corpus "
+    "members always hit (no false negatives — pinned by exact_dup => "
+    "bloom_hit on every row), novel texts hit only at the "
+    "false-positive rate, replayed bit-for-bit by the oracle",
+)
+def q_dedup_bloom_prefilter(spark, sf_dir):
+    from kenshin_spark.dedup.exact import bloom_bitmap, bloom_probe
+    from kenshin_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0).select(
+        F.md5("text").alias("fp")
+    )
+    batch = docs.where((F.col("doc_id") % 10).isin(0, 1)).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" novel"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    bitmap = bloom_bitmap(corpus.distinct(), fp_col="fp", m_words=64, k=4)
+    probed = bloom_probe(batch, bitmap, fp_col="fp", m_words=64, k=4)
+    exact = corpus.distinct().withColumn("_dup", F.lit(True))
+    return (
+        batch.join(probed, "fp")
+        .join(exact, "fp", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("exact_dup"),
+        )
+    )
