@@ -61,6 +61,37 @@ def embedding_neardup_pairs(
     )
 
 
+def density_scaled_banding(
+    n_vectors: int,
+    target_bucket: int = 64,
+    base_bands: int = 16,
+    base_rows: int = 4,
+    max_rows: int = 16,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) scaled to corpus density — the knob the
+    sf1 soak measured (SCALING.md r6): candidate volume is Σ|bucket|²,
+    and a 10× corpus at FIXED banding makes every bucket 10× denser,
+    so pair volume grows ~100× (measured 100.6×). Holding expected
+    bucket occupancy ≈ ``target_bucket`` instead keeps candidate
+    generation linear in corpus size:
+
+    - ``rows_per_band`` grows with log2 of density so a band's
+      2^rows buckets track n/target_bucket (AND-amplification —
+      narrower buckets);
+    - ``bands`` grows by one per added row to re-center recall
+      (1−(1−p^r)^b; each extra row costs ~p× per-band recall, each
+      extra band buys an OR-chance back), paying LINEAR band cost for
+      the quadratic bucket cost it avoids.
+
+    Pure arithmetic on one scalar — call with ``df.count()`` or a
+    catalog row count; never data-dependent beyond n."""
+    import math
+
+    need = max(0, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
+    rows = min(max(base_rows, need), max_rows)
+    return base_bands + (rows - base_rows), rows
+
+
 def embedding_neardup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -70,6 +101,7 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    auto_density: bool = False,
 ) -> DataFrame:
     """The 100 TB scale path: banded random-hyperplane LSH bounds the pair
     space to Σ|bucket|² per band instead of n²; a pair is a candidate iff
@@ -93,6 +125,12 @@ def embedding_neardup_pairs_lsh(
         _hyperplane,
     )
 
+    if auto_density and (bands is None or rows_per_band is None):
+        # one scalar to the driver; banding then tracks corpus density
+        # so candidate volume stays linear (see density_scaled_banding)
+        auto_b, auto_r = density_scaled_banding(embeddings.count())
+        bands = auto_b if bands is None else bands
+        rows_per_band = auto_r if rows_per_band is None else rows_per_band
     bands = N_BANDS if bands is None else bands
     rows_per_band = PLANES_PER_BAND if rows_per_band is None else rows_per_band
     planes = _hyperplane(dim, bands * rows_per_band)

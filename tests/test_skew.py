@@ -253,3 +253,50 @@ class TestMinhashBucketJoinSkew:
             assert "SortMergeJoin" in plan  # the band self-join
         finally:
             _restore(spark, saved)
+
+
+class TestDensityScaledBanding:
+    """The sf1-soak finding as engine code (SCALING.md r6): candidate
+    volume is quadratic in bucket density, so banding must track corpus
+    size — density_scaled_banding keeps expected occupancy constant."""
+
+    def test_rows_track_log_density(self):
+        from kenshin_spark.dedup.embedding import density_scaled_banding
+
+        b1, r1 = density_scaled_banding(1_000)
+        b2, r2 = density_scaled_banding(2_000)     # the sf0.1 corpus
+        b3, r3 = density_scaled_banding(20_000)    # the sf1 soak corpus
+        b4, r4 = density_scaled_banding(2_000_000)
+        assert r1 == 4 and b1 == 16                # floor = current defaults
+        assert r2 >= r1 and r3 > r2 and r4 > r3
+        # +1 band per added row — recall re-centering is linear
+        assert b3 - b2 == r3 - r2 and b4 - b3 == r4 - r3
+        # 10x corpus → ~log2(10) ≈ 3 extra rows: buckets/band scale with n
+        assert 3 <= r3 - r2 <= 4
+        # cap respected
+        assert density_scaled_banding(10**12)[1] == 16
+
+    def test_auto_density_pairs_subset_of_exact(self, spark):
+        import duckdb
+
+        from kenshin_spark.dedup.embedding import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_lsh,
+        )
+        from kenshin_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        auto = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_pairs_lsh(
+                emb, threshold=0.4, auto_density=True
+            ).collect()
+        }
+        exact = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+        }
+        assert auto  # finds pairs at this corpus' 0.4 floor
+        assert auto <= exact  # LSH candidates never invent pairs
+        # recall stays useful after the density re-banding
+        assert len(auto) >= int(0.5 * len(exact))
