@@ -743,3 +743,257 @@ def q_dedup_bloom_prefilter(spark, sf_dir):
             F.coalesce(F.col("_dup"), F.lit(False)).alias("exact_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Config parsing (M11), line-protocol dead letters, corrupt-file skip,
+# whisper header inspect, HTTP /fetch
+# ---------------------------------------------------------------------------
+
+_CONF_EXAMPLE = """
+[metric_test]
+pattern = .*metric_test.*
+retentions = 1s:1h,6s:2h
+xFilesFactor = 1.0
+aggregationMethod = average
+cacheRetention = 10s
+metricsPerFile = 2
+
+[rurouni_stats]
+pattern = ^rurouni\\.
+retentions = 60s:2d,300s:7d
+xFilesFactor = 20.0
+aggregationMethod = sum
+cacheRetention = 600s
+
+[everything_else]
+pattern = .*
+retentions = 10s:12h,60s:2d,300s:7d
+cacheRetention = 620s
+"""
+
+
+@stage(
+    "config_parse_storage_schemas",
+    """
+    SELECT * FROM (VALUES
+      ('metric_test', '.*metric_test.*', CAST(2 AS BIGINT), 'average',
+       CAST(7200 AS BIGINT), CAST(10 AS BIGINT)),
+      ('rurouni_stats', '^rurouni\\.', CAST(2 AS BIGINT), 'sum',
+       CAST(604800 AS BIGINT), CAST(600 AS BIGINT)),
+      ('everything_else', '.*', CAST(3 AS BIGINT), 'average',
+       CAST(604800 AS BIGINT), CAST(620 AS BIGINT))
+    ) AS t(name, pattern, n_archives, agg_method, max_retention,
+           cache_retention)
+    """,
+    "M11 — the config system as a driver row: the storage-schemas.conf "
+    "INI dialect (ordered sections = match priority, retention strings, "
+    "time-string cacheRetention, per-section agg/xff) parsed by the "
+    "engine's loader (rurouni/storage.py:116-149 semantics), surfaced "
+    "as the schema table",
+)
+def q_config_parse_storage_schemas(spark, sf_dir):
+    from kenshin_spark.config import parse_storage_schemas
+
+    ss = parse_storage_schemas(_CONF_EXAMPLE)
+    return spark.createDataFrame(
+        [
+            (
+                s.name,
+                s.pattern,
+                len(s.archives),
+                s.agg_method,
+                s.max_retention,
+                s.cache_retention,
+            )
+            for s in ss.schemas
+        ],
+        "name string, pattern string, n_archives long, agg_method string, "
+        "max_retention long, cache_retention long",
+    )
+
+
+@stage(
+    "lp_corrupt_dead_letter",
+    f"""
+    WITH pts AS ({PTS}), ptsw AS (SELECT * FROM pts WHERE ts < {CUT})
+    SELECT 'corrupt' AS kind, CAST(3 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'ok', CAST(count(*) AS BIGINT) FROM ptsw
+    """,
+    "S1 — line-protocol dead-letter accounting: the week's points "
+    "rendered to wire lines plus three injected malformed lines "
+    "(wrong field count, NaN-free garbage value, empty metric); the "
+    "parser must route exactly the bad lines to the corrupt column "
+    "(rurouni/protocols.py:40-42 logs them; the dead-letter column is "
+    "the replayable upgrade) and parse every well-formed line",
+)
+def q_lp_corrupt_dead_letter(spark, sf_dir):
+    from kenshin_spark.sources.line_protocol import parse_metric_lines
+
+    pts = _points(spark, sf_dir).where(F.col("ts") < CUT)
+    lines = pts.select(
+        F.concat_ws(
+            " ", F.col("metric"), F.col("value").cast("string"),
+            F.col("ts").cast("string"),
+        ).alias("value")
+    )
+    bad = spark.createDataFrame(
+        [("only_two_fields 1.0",), ("metric abc 123",), (" 1.0 2.0",)],
+        ["value"],
+    )
+    parsed = parse_metric_lines(lines.unionByName(bad))
+    return (
+        parsed.select(
+            F.when(F.col("corrupt").isNotNull(), "corrupt")
+            .otherwise("ok")
+            .alias("kind")
+        )
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@stage(
+    "hs_import_corrupt_skip",
+    None,  # bound below: the wide-format replay restricted to shards 1-3
+    "S6b resilience — skip_corrupt: one of the four exported .hs "
+    "bucket files truncated to 40 bytes (a mid-copy crash); the import "
+    "with skip_corrupt=True must decode the three intact files and "
+    "drop the bad one without failing the job (at migration scale a "
+    "single truncated file should cost its own rows, not the run)",
+)
+def q_hs_import_corrupt_skip(spark, sf_dir):
+    from kenshin_spark.queries_staged_r8_engine import _export_day1
+    from kenshin_spark.sources.kenshin_hs import read_kenshin_points
+
+    out_dir = _export_day1(spark, sf_dir, "hs_import_corrupt_skip")
+    victim = os.path.join(out_dir, "bucket_00000.hs")
+    with open(victim, "rb") as f:
+        head = f.read(40)
+    with open(victim, "wb") as f:
+        f.write(head)
+    return read_kenshin_points(
+        spark, os.path.join(out_dir, "*.hs"), skip_corrupt=True
+    ).select("metric", "ts", "value")
+
+
+@stage(
+    "whisper_headers_inspect",
+    f"""
+    WITH {_W}
+    SELECT metric, 'max' AS agg_method, CAST(86400 AS BIGINT) AS
+           max_retention, CAST(0.5 AS DOUBLE) AS xff,
+           CAST(1 AS BIGINT) AS archive_count
+    FROM (SELECT DISTINCT metric FROM t0 WHERE ts < {DAY1_END})
+    """,
+    "R9/S6 — whisper header inspect: one row per exported .wsp with the "
+    "unpacked metadata (agg id, retention, xff f32, archive count) and "
+    "the metric name recovered from the file path exactly as "
+    "metric_from_path inverts the export layout",
+)
+def q_whisper_headers_inspect(spark, sf_dir):
+    from kenshin_spark.sources.whisper import (
+        export_whisper,
+        read_whisper_headers,
+    )
+
+    out_dir = os.path.join(
+        _workdir(sf_dir, "whisper_headers_inspect"), "wsp"
+    )
+    day1 = _week_slots(spark, sf_dir).where(F.col("ts") < DAY1_END)
+    export_whisper([day1], [(60, 1440)], out_dir, agg_method="max").collect()
+    return read_whisper_headers(
+        spark, os.path.join(out_dir, "*.wsp"), base=out_dir
+    ).select(
+        "metric",
+        "agg_method",
+        F.col("max_retention").cast("long").alias("max_retention"),
+        F.col("xff").cast("double").alias("xff"),
+        F.col("archive_count").cast("long").alias("archive_count"),
+    )
+
+
+@stage(
+    "serving_http_fetch",
+    f"""
+    WITH {_W}, now_t AS (SELECT {CUT} AS now),
+    tier AS (SELECT metric, ts, value FROM t0),
+    g AS (WITH {_grid_sql("now - 10800", "now", 60)})
+    SELECT metric, ts, value FROM g
+    """,
+    "S3 — the HTTP /fetch endpoint: GET /fetch?metric=...x5&from&until&"
+    "now against a store-backed fetch_fn returns the clamped, "
+    "tier-selected, NULL-filled JSON grid for the requested metrics — "
+    "the thin-API surface SURVEY §3.3 sketches, over a real HTTP "
+    "round-trip",
+)
+def q_serving_http_fetch(spark, sf_dir):
+    import json
+    from urllib.request import urlopen
+
+    from kenshin_spark.serving import HttpFetchServer
+
+    schema = Schema.from_strings(
+        "bank", ".*", "60s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    )
+    st = ParquetTieredStore(
+        spark, schema,
+        os.path.join(_workdir(sf_dir, "serving_http_fetch"), "store"),
+    )
+    st.upsert(0, _week_slots(spark, sf_dir))
+
+    def fetch_fn(metrics, frm, until, now):
+        grid = st.fetch(list(metrics), frm, until, now)
+        if grid is None:
+            return []
+        return [
+            (r["metric"], r["ts"], r["value"])
+            for r in grid.collect()
+        ]
+
+    server = HttpFetchServer(fetch_fn=fetch_fn)
+    host, port = server.start()
+    try:
+        ms = "&".join(
+            f"metric={m}" for m in ("click", "error", "purchase",
+                                    "signup", "view")
+        )
+        url = (
+            f"http://{host}:{port}/fetch?{ms}"
+            f"&from={CUT - 10800}&until={CUT}&now={CUT}"
+        )
+        with urlopen(url) as resp:
+            body = json.loads(resp.read())
+    finally:
+        server.stop()
+    return spark.createDataFrame(
+        [(m, int(ts), None if v is None else float(v))
+         for m, ts, v in body["rows"]],
+        "metric string, ts long, value double",
+    )
+
+
+# bind the corrupt-skip oracle: the wide-format .hs replay restricted
+# to the three intact shards (shard 0's file was truncated)
+_spec = STAGED_R10["hs_import_corrupt_skip"]
+from kenshin_spark.queries_staged_r8_engine import (  # noqa: E402
+    _HS_ROUNDTRIP_SQL,
+    _fnv_shard_sql,
+)
+
+STAGED_R10["hs_import_corrupt_skip"] = QuerySpec(
+    fn=_spec.fn,
+    oracle=(
+        f"WITH RECURSIVE {_W},\n{_fnv_shard_sql(4)},\n"
+        + _HS_ROUNDTRIP_SQL.format(value_expr="value", day1_end=DAY1_END)
+        .replace(
+            "FROM sharded m JOIN slots sl ON sl.shard = m.shard",
+            "FROM (SELECT * FROM sharded WHERE shard <> 0) m "
+            "JOIN slots sl ON sl.shard = m.shard",
+        )
+    ),
+    doc=_spec.doc,
+)
+del _spec
