@@ -509,3 +509,326 @@ def q_dedup_minhash_capped(spark, sf_dir):
         .select("corpus_id", "new_id")
         .orderBy("corpus_id", "new_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 session additions: driver rows for the render-layer functions
+# that had pytest coverage but no registry row yet (divide_series,
+# sort_by_maxima, moving_min/max, square_root, remove_above/below_value,
+# alias_sub + alias_by_metric, scale_to_seconds, time_slice,
+# min/max/range series, highest/lowest_current), plus the fnv hash-ring
+# rebalance delta.  Same tier0 grid (events week -> LWW60) and the same
+# cross-engine float discipline as the live render rows.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.operators.align import last_write_wins  # noqa: E402
+from kenshin_spark.queries import PTS, LWW60, NOW_T, _points, _now  # noqa: E402
+
+
+def _t0(spark, sf_dir):
+    return last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+
+
+@stage(
+    "render_divide_series",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    ma AS (
+      SELECT metric, ts,
+             avg(value) OVER (
+               PARTITION BY metric ORDER BY ts
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             ) AS mval
+      FROM t0
+    )
+    SELECT a.metric, a.ts,
+           CASE WHEN m.mval IS NOT NULL AND m.mval <> 0
+                THEN round(a.value / m.mval * 1000000) / 1000000
+           END AS value
+    FROM t0 a LEFT JOIN ma m ON m.metric = a.metric AND m.ts = a.ts
+    """,
+    "graphite divideSeries(series, movingAverage(series, 3)) — each slot "
+    "relative to its own trailing mean (the local-anomaly ratio); the "
+    "slot-wise join is co-partitioned on (metric, ts) so Catalyst plans "
+    "it without a second shuffle; divisor 0/missing -> NULL; explicit "
+    "round(x*1e6)/1e6 on both engines (the shortest-decimal round(x, 6) "
+    "trap)",
+)
+def q_render_divide_series(spark, sf_dir):
+    from kenshin_spark.functions.render import divide_series, moving_average
+
+    t0 = _t0(spark, sf_dir)
+    out = divide_series(t0, moving_average(t0, 3))
+    return out.select(
+        "metric", "ts",
+        (F.round(F.col("value") * 1000000) / 1000000).alias("value"),
+    )
+
+
+@stage(
+    "render_sort_by_maxima",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    kept AS (
+      SELECT metric FROM t0 GROUP BY metric
+      ORDER BY max(value) DESC, metric LIMIT 3
+    )
+    SELECT a.metric, a.ts, a.value
+    FROM t0 a JOIN kept k ON k.metric = a.metric
+    """,
+    "graphite sortByMaxima + limit(3): keep the 3 series with the "
+    "highest peak — per-series max is a map-side-combined aggregate and "
+    "the survivor set broadcasts back against the grid (no full-series "
+    "shuffle); ties break on the metric name so both engines pick the "
+    "same survivors",
+)
+def q_render_sort_by_maxima(spark, sf_dir):
+    from kenshin_spark.functions.render import sort_by_maxima
+
+    return sort_by_maxima(_t0(spark, sf_dir), 3)
+
+
+@stage(
+    "render_moving_minmax",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           min(value) OVER (
+             PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vmin,
+           max(value) OVER (
+             PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vmax
+    FROM t0
+    """,
+    "graphite movingMin/movingMax(series, 5) as one row: the trailing "
+    "extrema envelope — two window aggregates over the SAME sort order, "
+    "one shuffle + one sort in the plan (Catalyst collapses same-frame "
+    "windows); comparisons only, no float arithmetic, so values match "
+    "bit-for-bit",
+)
+def q_render_moving_minmax(spark, sf_dir):
+    from kenshin_spark.functions.render import moving_max, moving_min
+
+    t0 = _t0(spark, sf_dir)
+    lo = moving_min(t0, 5).withColumnRenamed("value", "vmin")
+    hi = moving_max(t0, 5).withColumnRenamed("value", "vmax")
+    return lo.join(hi, ["metric", "ts"])
+
+
+@stage(
+    "render_square_root",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           CASE WHEN value >= 0 THEN sqrt(value) END AS value
+    FROM t0
+    """,
+    "graphite squareRoot(series): negative slots go NULL (graphite "
+    "emits None there); IEEE-754 sqrt is correctly rounded in both "
+    "engines so the doubles agree bit-for-bit with no rounding guard",
+)
+def q_render_square_root(spark, sf_dir):
+    from kenshin_spark.functions.render import square_root
+
+    return square_root(_t0(spark, sf_dir))
+
+
+@stage(
+    "render_value_gate",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts,
+           CASE WHEN value <= 400.0 THEN value END AS v_capped,
+           CASE WHEN value >= 100.0 THEN value END AS v_floored
+    FROM t0
+    """,
+    "graphite removeAboveValue(series, 400) and removeBelowValue("
+    "series, 100) side by side: out-of-gate slots become NULL while the "
+    "grid shape survives (the alert-silencing primitives); pure "
+    "comparisons, exact on both engines",
+)
+def q_render_value_gate(spark, sf_dir):
+    from kenshin_spark.functions.render import (
+        remove_above_value,
+        remove_below_value,
+    )
+
+    t0 = _t0(spark, sf_dir)
+    capped = remove_above_value(t0, 400.0).withColumnRenamed(
+        "value", "v_capped"
+    )
+    floored = remove_below_value(t0, 100.0).withColumnRenamed(
+        "value", "v_floored"
+    )
+    return capped.join(floored, ["metric", "ts"])
+
+
+@stage(
+    "render_alias_rewrite",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT regexp_replace(metric, '[aeiou]', '~', 'g') AS metric,
+           ts, value
+    FROM t0
+    """,
+    "graphite aliasSub + aliasByMetric composed: vowels rewritten to "
+    "'~' (aliasSub replaces EVERY occurrence — the DuckDB oracle needs "
+    "the 'g' flag where Spark's regexp_replace is global by default), "
+    "then an 'app.' prefix is added and aliasByMetric strips back to "
+    "the last dotted segment — the display-name pipeline as one row",
+)
+def q_render_alias_rewrite(spark, sf_dir):
+    from kenshin_spark.functions.render import alias_by_metric, alias_sub
+
+    out = alias_sub(_t0(spark, sf_dir), "[aeiou]", "~")
+    out = alias_sub(out, "^", "app.")
+    return alias_by_metric(out)
+
+
+@stage(
+    "render_scale_to_seconds",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts, value * 0.25 AS value FROM t0
+    """,
+    "graphite scaleToSeconds(series, 15) on a 60s grid: every slot "
+    "normalized to a per-15s rate (factor 15/60 = 0.25, a binary-exact "
+    "multiplier, so no rounding guard is needed)",
+)
+def q_render_scale_to_seconds(spark, sf_dir):
+    from kenshin_spark.functions.render import scale_to_seconds
+
+    return scale_to_seconds(_t0(spark, sf_dir), 15, 60)
+
+
+@stage(
+    "render_time_slice",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}), now_t AS ({NOW_T})
+    SELECT metric, ts,
+           CASE WHEN ts >= now - 172800 AND ts < now - 86400
+                THEN value END AS value
+    FROM t0, now_t
+    """,
+    "graphite timeSlice(series, now-2d, now-1d): slots outside the "
+    "window become NULL while the grid shape stays (unlike a WHERE — "
+    "downstream consumers keep their slot alignment); `now` is the "
+    "newest raw event on both engines",
+)
+def q_render_time_slice(spark, sf_dir):
+    from kenshin_spark.functions.render import time_slice
+
+    pts = _points(spark, sf_dir)
+    now = _now(pts)
+    t0 = last_write_wins(pts, 60, arrival_col="arrival")
+    return time_slice(t0, now - 172800, now - 86400)
+
+
+@stage(
+    "render_min_max_range",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT 'minSeries' AS metric, ts, min(value) AS value
+    FROM t0 GROUP BY ts
+    UNION ALL
+    SELECT 'maxSeries', ts, max(value) FROM t0 GROUP BY ts
+    UNION ALL
+    SELECT 'rangeOfSeries', ts, max(value) - min(value) FROM t0 GROUP BY ts
+    """,
+    "graphite minSeries / maxSeries / rangeOfSeries as one row: the "
+    "per-slot envelope across series — three synthetic series from the "
+    "same one-shuffle per-ts aggregate; max-min subtraction of exact "
+    "doubles, no rounding guard",
+)
+def q_render_min_max_range(spark, sf_dir):
+    from kenshin_spark.functions.render import (
+        max_series,
+        min_series,
+        range_of_series,
+    )
+
+    t0 = _t0(spark, sf_dir)
+    return (
+        min_series(t0)
+        .unionByName(max_series(t0))
+        .unionByName(range_of_series(t0))
+    )
+
+
+@stage(
+    "render_highest_lowest_current",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    cur AS (
+      SELECT metric, arg_max(value, ts) AS _cur FROM t0
+      WHERE value IS NOT NULL GROUP BY metric
+    ),
+    hi AS (SELECT metric FROM cur ORDER BY _cur DESC, metric LIMIT 2),
+    lo AS (SELECT metric FROM cur ORDER BY _cur ASC, metric LIMIT 2)
+    SELECT 'highest' AS which, a.metric, a.ts, a.value
+    FROM t0 a JOIN hi ON hi.metric = a.metric
+    UNION ALL
+    SELECT 'lowest', a.metric, a.ts, a.value
+    FROM t0 a JOIN lo ON lo.metric = a.metric
+    """,
+    "graphite highestCurrent(2) and lowestCurrent(2) as one row: "
+    "series selected by their freshest non-NULL reading (max_by/arg_max "
+    "over ts), survivors broadcast back against the grid; ties break on "
+    "the metric name on both engines",
+)
+def q_render_highest_lowest_current(spark, sf_dir):
+    from kenshin_spark.functions.render import highest_current, lowest_current
+
+    t0 = _t0(spark, sf_dir)
+    hi = highest_current(t0, 2).select(
+        F.lit("highest").alias("which"), "metric", "ts", "value"
+    )
+    lo = lowest_current(t0, 2).select(
+        F.lit("lowest").alias("which"), "metric", "ts", "value"
+    )
+    return hi.unionByName(lo)
+
+
+@stage(
+    "ts_hashring_rebalance",
+    """
+    WITH RECURSIVE names AS (SELECT DISTINCT event_type AS metric FROM events),
+    h AS (
+      SELECT metric, 1 AS i, CAST(2166136261 AS BIGINT) AS hash FROM names
+      UNION ALL
+      SELECT metric, i + 1,
+             (xor(hash, CAST(unicode(substr(metric, i, 1)) AS BIGINT))
+              * 16777619) % 4294967296
+      FROM h WHERE i <= length(metric)
+    ),
+    final AS (SELECT metric, hash FROM h WHERE i = length(metric) + 1),
+    signed AS (
+      SELECT metric,
+             CASE WHEN hash >= 2147483648 THEN hash - 4294967296
+                  ELSE hash END AS h32
+      FROM final
+    )
+    SELECT metric,
+           CAST(((h32 % 8) + 8) % 8 AS BIGINT) AS node_before,
+           CAST(((h32 % 9) + 9) % 9 AS BIGINT) AS node_after,
+           ((h32 % 8) + 8) % 8 <> ((h32 % 9) + 9) % 9 AS moved
+    FROM signed
+    """,
+    "P3 hash-ring rebalance delta (kenshin/tools/hash.py:4-20): each "
+    "metric's owning node under an 8-node ring vs after adding a 9th "
+    "(nodes[fnv1a(key) %% n] — modulo placement, so most keys move: the "
+    "motivation for keeping placement in the shuffle partitioner "
+    "instead); the oracle recomputes fnv1a-32 in recursive SQL and both "
+    "modulos bit-for-bit",
+)
+def q_ts_hashring_rebalance(spark, sf_dir):
+    from kenshin_spark.functions.hashing import shard_of
+
+    metrics = _points(spark, sf_dir).select("metric").distinct()
+    before = shard_of("metric", 8).cast("long").alias("node_before")
+    after = shard_of("metric", 9).cast("long").alias("node_after")
+    return metrics.select(
+        "metric", before, after,
+        (before != after).alias("moved"),
+    )
