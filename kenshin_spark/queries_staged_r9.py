@@ -832,3 +832,361 @@ def q_ts_hashring_rebalance(spark, sf_dir):
         "metric", before, after,
         (before != after).alias("moved"),
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-path rows part 2: the Deequ-lite constraint suite, the
+# streaming sessions operators driven in their batch form, language-ID
+# margins, normalized-text fingerprints, the hash samplers, and the
+# density-scaled LSH banding law as a replayable plan row.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "quality_suite_orders",
+    """
+    WITH n AS (SELECT count(*) AS n FROM orders),
+    rl AS (
+      SELECT
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+        sum(CASE WHEN o_totalprice IS NOT NULL
+                  AND NOT (o_totalprice BETWEEN 0 AND 600000)
+                 THEN 1 ELSE 0 END) AS v_rng,
+        sum(CASE WHEN o_orderstatus IS NOT NULL
+                  AND NOT regexp_matches(o_orderstatus, '^[FOP]$')
+                 THEN 1 ELSE 0 END) AS v_re,
+        sum(CASE WHEN NOT coalesce(
+                   o_orderdate IS NOT NULL AND o_totalprice > 0, FALSE)
+                 THEN 1 ELSE 0 END) AS v_pred
+      FROM orders
+    ),
+    uq AS (
+      SELECT coalesce(sum(c), 0) AS v_uq FROM (
+        SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+        HAVING count(*) > 1
+      )
+    )
+    SELECT 'not_null(o_custkey)' AS "check", 'o_custkey' AS "column",
+           v_nn = 0 AS passed, CAST(v_nn AS BIGINT) AS n_violations,
+           n AS n_rows
+    FROM rl, n
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,600000)', 'o_totalprice',
+           v_rng = 0, CAST(v_rng AS BIGINT), n FROM rl, n
+    UNION ALL
+    SELECT 'matches(o_orderstatus,^[FOP]$)', 'o_orderstatus',
+           v_re = 0, CAST(v_re AS BIGINT), n FROM rl, n
+    UNION ALL
+    SELECT 'positive_order', '', v_pred = 0, CAST(v_pred AS BIGINT), n
+    FROM rl, n
+    UNION ALL
+    SELECT 'unique(o_orderkey)', 'o_orderkey', v_uq = 0,
+           CAST(v_uq AS BIGINT), CAST(NULL AS BIGINT) FROM uq
+    """,
+    "the Deequ-lite constraint suite (quality.validate) as a driver "
+    "row: not-null / range / regex / predicate checks fused into ONE "
+    "scan (conditional sums, map-side combined — no row shuffle), plus "
+    "the uniqueness check's key-only aggregate; the oracle recomputes "
+    "every verdict and violation count from first principles, including "
+    "the NULL-predicate-counts-as-violation and NULL n_rows for the "
+    "key-scoped unique check",
+)
+def q_quality_suite_orders(spark, sf_dir):
+    from kenshin_spark.quality import (
+        in_range,
+        matches,
+        not_null,
+        predicate,
+        unique,
+        validate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(
+        orders,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 600000),
+            matches("o_orderstatus", "^[FOP]$"),
+            predicate(
+                "o_orderdate IS NOT NULL AND o_totalprice > 0",
+                name="positive_order",
+            ),
+            unique("o_orderkey"),
+        ],
+    )
+
+
+@stage(
+    "q_event_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "the at-least-once ingestion guard (dedup_within_watermark) driven "
+    "in its batch form: on a bounded input the watermarked "
+    "dropDuplicatesWithinWatermark degrades to plain dropDuplicates "
+    "over the same keys — the batch/stream parity invariant the "
+    "streaming suite asserts, here hash-checked against the distinct "
+    "key set (only the keys are emitted: which physical row survives "
+    "dedup is engine-internal)",
+)
+def q_event_dedup_watermark(spark, sf_dir):
+    from kenshin_spark.streaming.sessions import dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_within_watermark(
+        ev, ["user_id", "event_type"], ts_col="ts"
+    ).select("user_id", "event_type")
+
+
+@stage(
+    "q_conversion_attribution",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS click_ts FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    v AS (
+      SELECT user_id, ts AS conv_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT v.user_id, c.click_ts, v.conv_ts,
+             CAST(floor(epoch(v.conv_ts)) - floor(epoch(c.click_ts))
+                  AS BIGINT) AS lag_s
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.click_ts <= v.conv_ts
+       AND c.click_ts >= v.conv_ts - INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           CAST(floor(epoch(conv_ts)) AS BIGINT) AS conv_ts,
+           min(lag_s) AS best_lag_s,
+           count(*) AS n_candidate_clicks
+    FROM pairs GROUP BY 1, 2
+    """,
+    "the stream-stream attribution primitive (attribute_conversions) "
+    "driven in its batch form: every (purchase, prior click/view) pair "
+    "within a 30-minute lookback per user — the watermarked interval "
+    "join whose time range bounds streaming state — reduced to the "
+    "most-recent-click lag and candidate count per conversion; the "
+    "oracle replays the interval join and reduction exactly",
+)
+def q_conversion_attribution(spark, sf_dir):
+    from kenshin_spark.streaming.sessions import attribute_conversions
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type").isin("click", "view"))
+    convs = ev.where(F.col("event_type") == "purchase")
+    pairs = attribute_conversions(clicks, convs, window="30 minutes")
+    return (
+        pairs.groupBy(
+            "user_id", F.unix_timestamp("conv_ts").alias("conv_ts")
+        )
+        .agg(
+            F.min("lag_s").alias("best_lag_s"),
+            F.count(F.lit(1)).alias("n_candidate_clicks"),
+        )
+    )
+
+
+def _lang_margin_oracle() -> str:
+    from kenshin_spark.functions.text import LANG_MARKERS, marker_regex
+
+    scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{marker_regex(w)}'))"
+        for w in LANG_MARKERS.values()
+    )
+    whens = " ".join(
+        f"WHEN len(regexp_extract_all(lower(text), "
+        f"'{marker_regex(w)}')) = s[1] AND s[1] > 0 THEN '{lang}'"
+        for lang, w in LANG_MARKERS.items()
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             list_sort([{scores}], 'DESC') AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s[1] AS BIGINT) AS best_score,
+           CAST(s[2] AS BIGINT) AS second_score,
+           CAST(s[1] - s[2] AS BIGINT) AS margin,
+           CASE {whens} ELSE 'und' END AS pred_lang
+    FROM scored
+    """
+
+
+@stage(
+    "text_lang_margin",
+    _lang_margin_oracle(),
+    "language-ID confidence margin: per doc the best and second-best "
+    "marker-word scores (lang_scores), their gap — the reranker-style "
+    "confidence a corpus router thresholds on — and the argmax "
+    "prediction with the same fixed-order tie-break as text_language_id; "
+    "integer hit counts, replayed via regexp_extract_all on both engines",
+)
+def q_text_lang_margin(spark, sf_dir):
+    from kenshin_spark.functions.text import lang_scores, language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    arr = F.sort_array(
+        F.array(*[c.cast("long") for c in scores.values()]), asc=False
+    )
+    return docs.select(
+        "doc_id",
+        arr[0].alias("best_score"),
+        arr[1].alias("second_score"),
+        (arr[0] - arr[1]).alias("margin"),
+        language_id("text").alias("pred_lang"),
+    )
+
+
+@stage(
+    "text_part_fingerprint",
+    """
+    SELECT p_partkey,
+           md5(regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g'))
+             AS fp,
+           length(regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g'))
+             AS n_norm_chars
+    FROM part
+    """,
+    "content fingerprinting over the part catalog: normalized_text "
+    "(lowercase, strip non-alphanumerics — the exact-dedup key) + md5 "
+    "fingerprint per part name; Spark's regexp_replace is global while "
+    "the DuckDB twin needs the explicit 'g' flag — the cross-engine "
+    "trap this row pins",
+)
+def q_text_part_fingerprint(spark, sf_dir):
+    from kenshin_spark.functions.text import fingerprint_md5, normalized_text
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        fingerprint_md5("p_name").alias("fp"),
+        F.length(normalized_text("p_name")).cast("long").alias(
+            "n_norm_chars"
+        ),
+    )
+
+
+@stage(
+    "sample_hash_rate_by_source",
+    """
+    WITH samp AS (
+      SELECT source FROM documents
+      WHERE CAST(('0x' || substr(md5('ksp|' ||
+              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000000 < 250000
+    ),
+    tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT t.source, t.n_docs, coalesce(s.n_sampled, 0) AS n_sampled
+    FROM tot t LEFT JOIN (
+      SELECT source, count(*) AS n_sampled FROM samp GROUP BY 1
+    ) s ON s.source = t.source
+    """,
+    "rate-based hash sampling (hash_sample, rate 0.25) audited per "
+    "source: membership is keyed to the seeded 60-bit doc_id hash — "
+    "layout- and cluster-independent, re-run-stable, and the filter "
+    "pushes into the scan; the oracle replays the md5 bucket "
+    "arithmetic and per-source achieved counts exactly",
+)
+def q_sample_hash_rate_by_source(spark, sf_dir):
+    from kenshin_spark.functions.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    samp = (
+        hash_sample(docs, 0.25, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return tot.join(samp, "source", "left").select(
+        "source", "n_docs",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
+
+
+@stage(
+    "emb_bottomk_per_label",
+    """
+    SELECT label, vec_id FROM (
+      SELECT label, vec_id,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY CAST(('0x' || substr(md5('ksp|' ||
+                       CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                        vec_id
+             ) AS rn
+      FROM embeddings
+    ) WHERE rn <= 4
+    """,
+    "fixed-size stratified sampling: the 4 vectors per label whose "
+    "seeded 60-bit hashes are lowest (the per-stratum bottom-k — "
+    "nested and mergeable like the global bottom_k_sample, so per-day "
+    "strata roll up without rescanning raw data); ordering is (hash, "
+    "key) so even a collision stays deterministic on both engines",
+)
+def q_emb_bottomk_per_label(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.functions.sampling import hash60
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = (
+        Window.partitionBy("label")
+        .orderBy(hash60("vec_id"), F.col("vec_id"))
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4)
+        .select("label", "vec_id")
+    )
+
+
+@stage(
+    "dedup_banding_auto_plan",
+    """
+    WITH n0 AS (SELECT count(*) AS n FROM embeddings),
+    lad AS (
+      SELECT t.scale, n0.n * t.scale AS n_vectors
+      FROM n0, (VALUES (1), (10), (100), (1000)) t(scale)
+    ),
+    need AS (
+      SELECT l.scale, l.n_vectors,
+             coalesce(min(g.k), 0) AS need
+      FROM lad l LEFT JOIN generate_series(0, 40) g(k)
+        ON 64 * CAST(power(2, g.k) AS BIGINT) >= l.n_vectors
+      GROUP BY 1, 2
+    ),
+    rows_t AS (
+      SELECT scale, n_vectors,
+             least(greatest(4, need), 16) AS rows_per_band
+      FROM need
+    )
+    SELECT scale, n_vectors,
+           CAST(16 + (rows_per_band - 4) AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band
+    FROM rows_t
+    """,
+    "the density-scaled LSH banding law (density_scaled_banding — the "
+    "sf1 soak's fix for quadratic candidate growth) as a replayable "
+    "plan row: for the live corpus size and its 10x/100x/1000x "
+    "projections, the (bands, rows_per_band) the engine would pick to "
+    "hold expected bucket occupancy at 64; the oracle derives "
+    "ceil(log2(n/64)) by integer probe (min k with 64*2^k >= n) so no "
+    "cross-engine libm is in play",
+)
+def q_dedup_banding_auto_plan(spark, sf_dir):
+    from kenshin_spark.dedup.embedding import density_scaled_banding
+    from kenshin_spark.io import load_table as _lt
+
+    n = _lt(spark, sf_dir, "embeddings").count()
+    rows = []
+    for scale in (1, 10, 100, 1000):
+        bands, rpb = density_scaled_banding(n * scale)
+        rows.append((scale, n * scale, bands, rpb))
+    return spark.createDataFrame(
+        rows, "scale int, n_vectors long, bands long, rows_per_band long"
+    )
