@@ -1190,3 +1190,260 @@ def q_dedup_banding_auto_plan(spark, sf_dir):
     return spark.createDataFrame(
         rows, "scale int, n_vectors long, bands long, rows_per_band long"
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-path rows part 3: the graphite target-expression parser driving
+# a real render chain, simhash hamming distances, CMS error audit,
+# forward as-of join with tolerance, seeded correlation scoping, and the
+# container sniffer over engine-built payloads.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "render_target_expression",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    scoped AS (SELECT * FROM t0 WHERE regexp_matches(metric, '^c[^.]*$')),
+    ma AS (
+      SELECT metric, ts,
+             avg(value) OVER (
+               PARTITION BY metric ORDER BY ts
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             ) AS mval
+      FROM scoped
+    )
+    SELECT metric, ts,
+           round(mval * 2.0 * 1000000) / 1000000 AS value
+    FROM ma
+    """,
+    "the graphite-web query language end-to-end: parse_target("
+    "'scale(movingAverage(c*,3),2)') -> (glob, inside-out chain), the "
+    "glob compiled to a regex scan filter (glob_to_regex) and the chain "
+    "applied by apply_chain — the full serving-path translation from a "
+    "dashboard string to a Catalyst plan; the oracle replays glob "
+    "scope, trailing mean and scale with the explicit x*1e6 rounding "
+    "guard",
+)
+def q_render_target_expression(spark, sf_dir):
+    from kenshin_spark.functions.render import apply_chain
+    from kenshin_spark.functions.targets import parse_target
+    from kenshin_spark.operators.maintenance import glob_to_regex
+
+    glob, chain = parse_target("scale(movingAverage(c*,3),2)")
+    scoped = _t0(spark, sf_dir).where(
+        F.col("metric").rlike(glob_to_regex(glob))
+    )
+    out = apply_chain(scoped, chain)
+    return out.select(
+        "metric", "ts",
+        (F.round(F.col("value") * 1000000) / 1000000).alias("value"),
+    )
+
+
+from kenshin_spark.queries import _simhash_oracle  # noqa: E402
+
+
+@stage(
+    "dedup_simhash_hamming",
+    f"""
+    WITH sim AS ({_simhash_oracle()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON b.doc_id = a.doc_id + 1
+    """,
+    "simhash hamming distances between adjacent doc ids: the 60-bit "
+    "fingerprints (one shuffle, 60 conditional-sum aggregates) compared "
+    "by hamming_distance (bit_count of XOR — pure JVM bit ops); the "
+    "oracle replays fingerprints AND distances bit-for-bit, pinning the "
+    "distance kernel the simhash near-dup threshold runs on",
+)
+def q_dedup_simhash_hamming(spark, sf_dir):
+    from kenshin_spark.dedup.simhash import (
+        hamming_distance,
+        simhash_fingerprints,
+    )
+
+    fps = simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming_distance(
+                F.col("a.simhash"), F.col("b.simhash")
+            ).cast("long").alias("hamming"),
+        )
+    )
+
+
+@stage(
+    "sketch_cms_error_profile",
+    """
+    WITH cells AS (
+      SELECT t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   event_type), 1, 15)) AS BIGINT) % 1024 AS bucket,
+             count(*) AS c
+      FROM events CROSS JOIN generate_series(0, 3) t(r)
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT event_type, count(*) AS exact FROM events GROUP BY 1),
+    probe AS (
+      SELECT e.event_type, t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   e.event_type), 1, 15)) AS BIGINT) % 1024 AS bucket
+      FROM exact e CROSS JOIN generate_series(0, 3) t(r)
+    ),
+    est AS (
+      SELECT p.event_type, min(coalesce(cl.c, 0)) AS est
+      FROM probe p
+      LEFT JOIN cells cl ON cl.row = p.row AND cl.bucket = p.bucket
+      GROUP BY 1
+    )
+    SELECT x.event_type, x.exact, e.est, e.est - x.exact AS overcount
+    FROM exact x JOIN est e ON e.event_type = x.event_type
+    """,
+    "count-min sketch error audit: the depth-4 x width-1024 CMS "
+    "estimate next to the exact count per event_type, with the "
+    "one-sided overcount (CMS never undercounts — the invariant this "
+    "row pins at the driver); both the sketch cells and the exact "
+    "counts replay bit-for-bit in SQL",
+)
+def q_sketch_cms_error_profile(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = cms_merge(cms_sketches(ev, "event_type"))
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    est = cms_estimate(merged, exact.select("event_type"), "event_type")
+    return exact.join(est, "event_type").select(
+        "event_type", "exact", "est",
+        (F.col("est") - F.col("exact")).alias("overcount"),
+    )
+
+
+@stage(
+    "ts_asof_forward_tolerance",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    slots AS (SELECT DISTINCT metric, ts - ts % 300 AS ts FROM t0),
+    m AS (
+      SELECT s.metric, s.ts, min(r.ts) AS ts_right
+      FROM slots s LEFT JOIN t0 r
+        ON r.metric = s.metric AND r.ts >= s.ts AND r.ts <= s.ts + 120
+      GROUP BY 1, 2
+    )
+    SELECT m.metric, m.ts, m.ts_right, r.value
+    FROM m LEFT JOIN t0 r
+      ON r.metric = m.metric AND r.ts = m.ts_right
+    """,
+    "forward as-of join with tolerance: every 300s slot start matched "
+    "to the EARLIEST tier0 sample at-or-after it, but only within 120s "
+    "(two grid steps) — beyond that the slot keeps NULLs instead of a "
+    "stale far-future sample; one union-sort pass per key like the "
+    "backward direction (negated-timestamp trick), replayed in SQL via "
+    "min-over-interval + equality join back",
+)
+def q_ts_asof_forward_tolerance(spark, sf_dir):
+    from kenshin_spark.operators.asof import asof_join
+
+    t0 = _t0(spark, sf_dir)
+    slots = t0.select(
+        "metric", (F.col("ts") - F.col("ts") % 300).alias("ts")
+    ).distinct()
+    out = asof_join(
+        slots, t0, direction="forward", tolerance=120
+    )
+    return out.select("metric", "ts", "ts_right", "value")
+
+
+@stage(
+    "ts_corr_seeded",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60}),
+    t1 AS (
+      SELECT metric, ts - ts % 3600 AS ts, arg_max(value, ts) AS value
+      FROM t0 GROUP BY 1, 2
+    ),
+    scoped AS (SELECT * FROM t1 WHERE regexp_matches(metric, '^.*e.*$')),
+    seeds AS (SELECT * FROM t1 WHERE metric = 'click')
+    SELECT a.metric AS metric_a, b.metric AS metric_b,
+           round(corr(a.value, b.value), 6) AS r,
+           count(*) AS n_slots
+    FROM seeds a JOIN scoped b
+      ON b.ts = a.ts AND a.metric <> b.metric
+    WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+    GROUP BY 1, 2
+    HAVING count(*) >= 8
+    """,
+    "seeded + glob-scoped metric correlation: Pearson r of the 'click' "
+    "seed against every metric matching glob '*e*' (the pair-space "
+    "bound a 100TB fleet needs — |seeds| x |scope| instead of "
+    "|metrics|^2), with a min co-observed-slot floor; same "
+    "one-self-join shape as ts_metric_correlation",
+)
+def q_ts_corr_seeded(spark, sf_dir):
+    from kenshin_spark.operators.correlate import metric_correlation
+
+    t1 = last_write_wins(_t0(spark, sf_dir), 3600)
+    return metric_correlation(
+        t1, glob="*e*", seeds=["click"], min_slots=8
+    )
+
+
+@stage(
+    "mm_sniff_formats",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'jpeg'
+                ELSE 'unknown' END AS format
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "container sniffing over engine-built payloads: docs carry real "
+    "BMP (encode_bmp) or baseline-JPEG (encode_jpeg) bytes or garbage, "
+    "and codecs.sniff classifies each by magic bytes inside "
+    "mapInPandas (None -> 'unknown'); the oracle derives the expected "
+    "class from the same doc_id arithmetic that picked the encoder",
+)
+def q_mm_sniff_formats(spark, sf_dir):
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 50 = 0")
+        .select("doc_id")
+    )
+
+    def kern(batches):
+        import numpy as np
+
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 3
+                if kind == 0:
+                    arr = ((did + np.arange(64).reshape(8, 8)) % 256
+                           ).astype(np.uint8)
+                    payload = codecs.encode_bmp(arr)
+                elif kind == 1:
+                    arr = ((did + np.arange(256).reshape(16, 16)) % 256
+                           ).astype(np.uint8)
+                    payload = codecs.encode_jpeg(arr)
+                else:
+                    payload = b"not-a-container-%d" % did
+                fmt = codecs.sniff(payload) or "unknown"
+                rows.append((did, fmt))
+            yield pd.DataFrame(rows, columns=["doc_id", "format"])
+
+    return docs.mapInPandas(kern, "doc_id long, format string")
