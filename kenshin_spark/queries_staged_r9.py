@@ -1447,3 +1447,323 @@ def q_mm_sniff_formats(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "format"])
 
     return docs.mapInPandas(kern, "doc_id long, format string")
+
+
+# --------------------------------------------------------------------------
+# Engine-path rows part 4: Bloom false-positive audit, the dedup funnel,
+# retention-spec parsing, sliding histogram-sketch quantiles, user value
+# deciles, and a second funnel shape.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.queries_staged_r10 import _bloom_oracle  # noqa: E402
+
+
+@stage(
+    "dedup_bloom_fpr_audit",
+    f"""
+    SELECT count(*) AS n_probes,
+           sum(CASE WHEN exact_dup THEN 1 ELSE 0 END) AS n_members,
+           sum(CASE WHEN exact_dup AND bloom_hit THEN 1 ELSE 0 END)
+             AS n_member_hits,
+           sum(CASE WHEN NOT exact_dup THEN 1 ELSE 0 END) AS n_novel,
+           sum(CASE WHEN NOT exact_dup AND bloom_hit THEN 1 ELSE 0 END)
+             AS n_false_pos
+    FROM ({_bloom_oracle(16, 4)})
+    """,
+    "Bloom membership pre-pass false-positive audit: the SAME "
+    "16-word/k=4 relational bitmap + probe as dedup_bloom_prefilter, "
+    "aggregated into the two numbers an ingest planner sizes the "
+    "bitmap by — n_member_hits MUST equal n_members (no false "
+    "negatives, the correctness invariant) while n_false_pos measures "
+    "the saturated-bitmap FP rate that the exact md5 join then "
+    "absorbs; replayed bit-for-bit",
+)
+def q_dedup_bloom_fpr_audit(spark, sf_dir):
+    from kenshin_spark.dedup.exact import bloom_bitmap, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0).select(
+        F.md5("text").alias("fp")
+    )
+    batch = docs.where((F.col("doc_id") % 10).isin(0, 1)).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.col("text"), F.lit(" novel")),
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    bitmap = bloom_bitmap(corpus.distinct(), fp_col="fp", m_words=16, k=4)
+    probed = bloom_probe(batch, bitmap, fp_col="fp", m_words=16, k=4)
+    exact = corpus.distinct().withColumn("_dup", F.lit(True))
+    per_doc = (
+        batch.join(probed, "fp")
+        .join(exact, "fp", "left")
+        .select(
+            "bloom_hit",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("exact_dup"),
+        )
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("exact_dup").cast("long")).alias("n_members"),
+        F.sum((F.col("exact_dup") & F.col("bloom_hit")).cast("long"))
+          .alias("n_member_hits"),
+        F.sum((~F.col("exact_dup")).cast("long")).alias("n_novel"),
+        F.sum((~F.col("exact_dup") & F.col("bloom_hit")).cast("long"))
+          .alias("n_false_pos"),
+    )
+
+
+@stage(
+    "pipeline_dedup_funnel",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+    tot AS (SELECT count(*) AS n FROM documents),
+    ex AS (
+      SELECT count(*) - count(DISTINCT md5(regexp_replace(lower(text),
+               '[^a-z0-9]', '', 'g'))) AS rm
+      FROM documents
+    ),
+    mh AS (
+      SELECT count(*) - count(DISTINCT cluster) AS rm FROM comp
+    )
+    SELECT 'exact' AS stage, ex.rm AS n_removed,
+           tot.n - ex.rm AS n_remaining
+    FROM ex, tot
+    UNION ALL
+    SELECT 'minhash', mh.rm, tot.n - ex.rm - mh.rm FROM mh, ex, tot
+    """,
+    "the dedup funnel a corpus-curation job reports: stage 1 exact "
+    "dedup (normalized-md5 fingerprints, smallest-id survivor — "
+    "exact_dedup) and stage 2 MinHash-LSH near-dup clusters "
+    "(connected_components over the banded pair graph, min-id label), "
+    "each with removed/remaining counts; the oracle replays "
+    "fingerprints, the full LSH pair replay and recursive reachability",
+)
+def q_pipeline_dedup_funnel(spark, sf_dir):
+    from kenshin_spark.dedup.cluster import connected_components
+    from kenshin_spark.dedup.exact import exact_dedup
+    from kenshin_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_fp = exact_dedup(docs).count()
+    comp = connected_components(
+        minhash_lsh_pairs(docs, threshold=0.5)
+    )
+    n_nodes = comp.count()
+    n_clusters = comp.select("cluster_id").distinct().count()
+    rm_ex, rm_mh = n - n_fp, n_nodes - n_clusters
+    return spark.createDataFrame(
+        [
+            ("exact", rm_ex, n - rm_ex),
+            ("minhash", rm_mh, n - rm_ex - rm_mh),
+        ],
+        "stage string, n_removed long, n_remaining long",
+    )
+
+
+@stage(
+    "config_retention_matrix",
+    """
+    SELECT * FROM (VALUES
+      ('60s:1d',  CAST(60 AS BIGINT),    CAST(1440 AS BIGINT)),
+      ('1m:7d',   CAST(60 AS BIGINT),    CAST(10080 AS BIGINT)),
+      ('15m:5y',  CAST(900 AS BIGINT),   CAST(175200 AS BIGINT)),
+      ('300:7200',CAST(300 AS BIGINT),   CAST(7200 AS BIGINT)),
+      ('1h:30d',  CAST(3600 AS BIGINT),  CAST(720 AS BIGINT)),
+      ('1d:1y',   CAST(86400 AS BIGINT), CAST(365 AS BIGINT))
+    ) t(retention, sec_per_point, points)
+    """,
+    "M11 retention-definition parsing (kenshin/storage.py:130-181 "
+    "grammar): '<precision>:<duration>' with s/m/h/d/w/y units, bare "
+    "ints meaning seconds for precision and POINTS for duration — the "
+    "six canonical spellings parsed by RetentionParser against the "
+    "independently hand-computed spec table (a golden matrix, not a "
+    "dual-run: the oracle states the grammar's answers)",
+)
+def q_config_retention_matrix(spark, sf_dir):
+    from kenshin_spark.config import RetentionParser
+
+    specs = ["60s:1d", "1m:7d", "15m:5y", "300:7200", "1h:30d", "1d:1y"]
+    rows = []
+    for s in specs:
+        spp, pts = RetentionParser.parse_retention_def(s)
+        rows.append((s, spp, pts))
+    return spark.createDataFrame(
+        rows, "retention string, sec_per_point long, points long"
+    )
+
+
+@stage(
+    "sketch_histogram_sliding",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 512.0 THEN 257
+                  ELSE CAST(floor((value - 0.0) / 2.0) + 1 AS INT)
+             END AS bucket,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM cells),
+    win AS (
+      SELECT d.day, c.bucket, sum(c.c) AS c
+      FROM days d JOIN cells c
+        ON c.day BETWEEN d.day - 2 AND d.day
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT day, bucket,
+             sum(c) OVER (PARTITION BY day ORDER BY bucket) AS _cum,
+             sum(c) OVER (PARTITION BY day) AS _tot
+      FROM win
+    ),
+    hit AS (
+      SELECT day, min(bucket) AS b FROM cum
+      WHERE _cum >= 0.95 * _tot GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           round(CASE WHEN b <= 0 THEN 0.0 WHEN b >= 257 THEN 512.0
+                      ELSE 0.0 + (b - 1) * 2.0 END, 6) AS p95
+    FROM hit
+    """,
+    "sliding-window quantiles from mergeable histogram cells: daily "
+    "256-bin sketches over events.value rolled up per day over a "
+    "trailing 3-day window (cell-wise sum — the rollup NEVER rescans "
+    "raw data, the whole point of the sketch family at 100 TB), then "
+    "p95 as the left bucket edge; bucketing, window merge and the "
+    "quantile walk replay bit-for-bit",
+)
+def q_sketch_histogram_sliding(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        histogram_quantile,
+        histogram_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    cells = histogram_sketches(
+        ev, "value", "day", lo=0.0, hi=512.0, bins=256
+    )
+    days = cells.select("day").distinct()
+    win = (
+        days.alias("d")
+        .join(
+            cells.alias("c"),
+            F.col("c.day").between(
+                F.date_sub(F.col("d.day"), 2), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("c.bucket"))
+        .agg(F.sum("c.c").alias("c"))
+    )
+    out = histogram_quantile(
+        win, 0.95, "day", lo=0.0, hi=512.0, bins=256
+    ).withColumnRenamed("q0_95", "p95")
+    return out.withColumn("day", F.col("day").cast("string"))
+
+
+@stage(
+    "q_user_value_deciles",
+    """
+    WITH u AS (
+      SELECT user_id,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS total_value
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT user_id, total_value,
+           ntile(4) OVER (ORDER BY total_value DESC, user_id)
+             AS quartile
+    FROM u
+    """,
+    "per-user lifetime value quartiles: DECIMAL-accumulated value sums "
+    "(order-exact — the money-math discipline, no float association "
+    "drift) ranked into ntile(4) with a user_id tie-break so both "
+    "engines assign identical buckets",
+)
+def q_q_user_value_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("total_value")
+        )
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return u.select(
+        "user_id", "total_value", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@stage(
+    "q_event_funnel_daily",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS t_signup FROM e
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view'
+        AND e.ts >= s1.t_signup AND e.ts <= s1.t_signup + 86400
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= s2.t_view AND e.ts <= s2.t_view + 86400
+      GROUP BY 1
+    )
+    SELECT s1.user_id, s1.t_signup, s2.t_view, s3.t_purchase
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    "a second funnel shape through operators/funnel.py: first signup, "
+    "first view within 24h of it, first purchase within 24h of that — "
+    "per-step filtered user-keyed aggregates joined forward, NULLs "
+    "from the first missed step on (activation funnel vs the "
+    "registry's 7-day shopping funnel)",
+)
+def q_q_event_funnel_daily(spark, sf_dir):
+    from kenshin_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+    )
+    out = funnel(ev, ["signup", "view", "purchase"], within=86400)
+    return out.withColumnRenamed("user", "user_id")
