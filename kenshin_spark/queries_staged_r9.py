@@ -1767,3 +1767,368 @@ def q_q_event_funnel_daily(spark, sf_dir):
     )
     out = funnel(ev, ["signup", "view", "purchase"], within=86400)
     return out.withColumnRenamed("user", "user_id")
+
+
+# --------------------------------------------------------------------------
+# Engine-path rows part 5: tagged-series roundtrip, stereo WAV metadata,
+# summarize(max), watermark lateness audit, ship-latency bands, label
+# sign-prototype agreement, and the LSH recall audit.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.queries import _lsh_topk_oracle  # noqa: E402
+
+_BF_TOPK_SQL = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cosine
+      FROM embeddings c, q
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rnk FROM scored
+    ) t WHERE rnk <= 10
+"""
+
+
+@stage(
+    "sim_lsh_recall_audit",
+    f"""
+    SELECT ex.query_id,
+           CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(ap.neighbor_id) * 10 AS BIGINT) AS recall_pct
+    FROM ({_BF_TOPK_SQL}) ex
+    LEFT JOIN (SELECT query_id, neighbor_id FROM ({_lsh_topk_oracle(16, 4)}) z) ap
+      ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+    GROUP BY 1
+    """,
+    "the ANN quality audit a 100TB similarity service runs before "
+    "switching from brute force to the LSH path: recall@10 of the "
+    "banded hyperplane LSH (16x4, Hamming-1 multi-probe) against the "
+    "exact cosine top-10, per query — both sides are the registry's "
+    "own engine paths and both replay bit-for-bit, so the recall "
+    "number itself is hash-checked",
+)
+def q_sim_lsh_recall_audit(spark, sf_dir):
+    from kenshin_spark.similarity import brute_force_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    ex = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ap = lsh_topk(emb, queries, k=10).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    joined = ex.join(
+        ap,
+        (F.col("aq") == F.col("query_id"))
+        & (F.col("an") == F.col("neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("an").alias("n_hits"),
+        (F.count("an") * 10).alias("recall_pct"),
+    )
+
+
+@stage(
+    "ts_tag_roundtrip",
+    f"""
+    WITH pts AS ({PTS}),
+    tagged AS (
+      SELECT metric || ';dc=d' || CAST(arrival % 2 AS VARCHAR)
+                    || ';host=h' || CAST(arrival % 3 AS VARCHAR) AS metric,
+             ts, value
+      FROM pts
+    )
+    SELECT metric,
+           string_split(metric, ';')[1] AS name,
+           string_split(string_split(metric, ';')[3], '=')[2] AS host,
+           count(*) AS n_points
+    FROM tagged
+    WHERE string_split(string_split(metric, ';')[2], '=')[2] = 'd1'
+    GROUP BY 1, 2, 3
+    """,
+    "graphite 1.1 tagged-series handling end-to-end: series names "
+    "built by format_series (sorted-key canonical form, so equal "
+    "series compare equal as strings), filtered by tag_predicate "
+    "(dc=d1 — a pure JVM map lookup, stays inside codegen), and "
+    "projected back through series_name/series_tags; the full tagged "
+    "string stays the series identity like the reference's store "
+    "layout expects",
+)
+def q_ts_tag_roundtrip(spark, sf_dir):
+    from kenshin_spark.functions.tags import (
+        format_series,
+        series_tags,
+        tag_predicate,
+        with_tags,
+    )
+
+    pts = _points(spark, sf_dir)
+    tags = F.map_from_arrays(
+        F.array(F.lit("host"), F.lit("dc")),
+        F.array(
+            F.concat(F.lit("h"), (F.col("arrival") % 3).cast("string")),
+            F.concat(F.lit("d"), (F.col("arrival") % 2).cast("string")),
+        ),
+    )
+    tagged = pts.select(
+        format_series(F.col("metric"), tags).alias("metric"), "ts", "value"
+    )
+    kept = tagged.where(tag_predicate({"dc": "d1"}))
+    named = with_tags(kept)
+    return (
+        named.select(
+            "metric", "name", series_tags("metric")["host"].alias("host")
+        )
+        .groupBy("metric", "name", "host")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+@stage(
+    "mm_wav_stereo_meta",
+    """
+    SELECT doc_id,
+           CAST(400 * (1 + doc_id % 3) * 1000
+                / (4000 * (1 + doc_id % 2)) AS BIGINT) AS duration_ms,
+           CAST(4000 * (1 + doc_id % 2) AS BIGINT) AS sample_rate,
+           CAST(2 AS BIGINT) AS n_channels,
+           CAST(8192 * (1 + doc_id % 3) AS DOUBLE) / 32768.0 AS peak
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "stereo WAV metadata through the native RIFF decoder: per-doc "
+    "2-channel square waves at data-dependent rates and lengths, "
+    "decoded by codecs.wav_features inside mapInPandas — duration, "
+    "rate, channel count and normalized peak are integer functions of "
+    "doc_id so every field verifies exactly",
+)
+def q_mm_wav_stereo_meta(spark, sf_dir):
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 50 = 0")
+        .select("doc_id")
+    )
+
+    def kern(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 400 * (1 + did % 3)
+                rate = 4000 * (1 + did % 2)
+                amp = 8192 * (1 + did % 3)
+                mono = np.where(np.arange(n) % 2 == 0, amp, -amp)
+                stereo = np.empty(n * 2, dtype="<i2")
+                stereo[0::2] = mono
+                stereo[1::2] = -mono
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(2)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(stereo.tobytes())
+                ft = codecs.wav_features(buf.getvalue())
+                rows.append((
+                    did,
+                    int(ft["duration_s"] * 1000),
+                    int(ft["sample_rate"]),
+                    int(ft["n_channels"]),
+                    float(ft["peak"]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "duration_ms", "sample_rate",
+                    "n_channels", "peak",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kern,
+        "doc_id long, duration_ms long, sample_rate long, "
+        "n_channels long, peak double",
+    )
+
+
+@stage(
+    "render_summarize_max",
+    f"""
+    WITH pts AS ({PTS}), t0 AS ({LWW60})
+    SELECT metric, ts - ts % 3600 AS ts, max(value) AS value
+    FROM t0 GROUP BY 1, 2
+    """,
+    "graphite summarize(series, '1h', 'max'): tier0 re-bucketed into "
+    "hour slots by per-slot maximum — the peak-preserving rollup ops "
+    "dashboards use for alert lines; comparisons only, exact on both "
+    "engines",
+)
+def q_render_summarize_max(spark, sf_dir):
+    from kenshin_spark.functions.render import summarize
+
+    return summarize(_t0(spark, sf_dir), 3600, "max")
+
+
+@stage(
+    "q_events_late_watermark_audit",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS high_water
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN high_water - ts > 600 THEN 1 ELSE 0 END)
+             AS late_10m,
+           sum(CASE WHEN high_water - ts > 3600 THEN 1 ELSE 0 END)
+             AS late_1h
+    FROM e GROUP BY 1
+    """,
+    "watermark sizing audit — the question every streaming deployment "
+    "answers before picking withWatermark bounds: replaying the stream "
+    "in arrival order (event_id), how many events arrive more than "
+    "10m/1h behind the running high-water mark and would be DROPPED at "
+    "that delay; one running-max window pass, replayed exactly",
+)
+def q_q_events_late_watermark_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+    )
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    e = ev.withColumn("high_water", F.max("ts").over(w))
+    late = F.col("high_water") - F.col("ts")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((late > 600).cast("long")).alias("late_10m"),
+        F.sum((late > 3600).cast("long")).alias("late_1h"),
+    )
+
+
+@stage(
+    "q_ship_latency_bands",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                  THEN '0-30'
+                WHEN datediff('day', o_orderdate, l_shipdate) <= 60
+                  THEN '31-60'
+                WHEN datediff('day', o_orderdate, l_shipdate) <= 90
+                  THEN '61-90'
+                ELSE '90+' END AS band,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+    "order-to-ship latency bands per order month: the lineitem-orders "
+    "key join (co-partitioned on orderkey — the classic TPC-H join "
+    "Catalyst plans as one shuffle pair) with integer day arithmetic "
+    "banded into fulfilment SLas",
+)
+def q_q_ship_latency_bands(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    lat = F.datediff("l_shipdate", "o_orderdate")
+    band = (
+        F.when(lat <= 30, "0-30")
+        .when(lat <= 60, "31-60")
+        .when(lat <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        j.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            band.alias("band"),
+        )
+        .groupBy("month", "band")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@stage(
+    "emb_sign_agreement_matrix",
+    """
+    WITH votes AS (
+      SELECT label, t.dim,
+             sum(CASE WHEN embedding[t.dim + 1] > 0 THEN 1 ELSE 0 END)
+               AS pos,
+             count(*) AS n
+      FROM embeddings, range(64) t(dim)
+      GROUP BY 1, 2
+    ),
+    proto AS (
+      SELECT label, dim,
+             CASE WHEN pos * 2 > n THEN 1 ELSE 0 END AS bit
+      FROM votes
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                AS BIGINT) AS hamming
+    FROM proto a JOIN proto b ON b.dim = a.dim AND a.label < b.label
+    GROUP BY 1, 2
+    """,
+    "label sign-prototype agreement matrix: per (label, dim) the "
+    "majority SIGN of the embedding coordinate (integer votes — no "
+    "float mean, so no cross-engine accumulation drift) folds each "
+    "label into a 64-bit prototype, and label pairs compare by "
+    "prototype hamming distance — the cheap separability screen before "
+    "spending on centroid math; integers end to end",
+)
+def q_emb_sign_agreement_matrix(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    votes = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum((F.col("v") > 0).cast("long")).alias("pos"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    proto = votes.select(
+        "label", "dim",
+        F.when(F.col("pos") * 2 > F.col("n"), 1).otherwise(0).alias("bit"),
+    )
+    a, b = proto.alias("a"), proto.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.dim") == F.col("a.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum((F.col("a.bit") != F.col("b.bit")).cast("long"))
+            .alias("hamming")
+        )
+    )
