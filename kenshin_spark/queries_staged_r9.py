@@ -2132,3 +2132,143 @@ def q_emb_sign_agreement_matrix(spark, sf_dir):
             .alias("hamming")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-path rows part 6 (bank complete at 50): CMS over a second key
+# domain, exact-percentile parity, money-math segment profile, and ring
+# slot utilization.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "sketch_cms_user_counts",
+    """
+    WITH cells AS (
+      SELECT t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+               AS bucket,
+             count(*) AS c
+      FROM events CROSS JOIN generate_series(0, 3) t(r)
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+    probe AS (
+      SELECT e.user_id, t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+               AS bucket
+      FROM exact e CROSS JOIN generate_series(0, 3) t(r)
+    ),
+    est AS (
+      SELECT p.user_id, min(coalesce(cl.c, 0)) AS est
+      FROM probe p
+      LEFT JOIN cells cl ON cl.row = p.row AND cl.bucket = p.bucket
+      GROUP BY 1
+    )
+    SELECT x.user_id, x.exact, e.est
+    FROM exact x JOIN est e ON e.user_id = x.user_id
+    """,
+    "the CMS family over a second key domain: per-user event "
+    "frequencies from the same depth-4 x width-1024 cells (integer "
+    "keys stringify identically on both engines before the seeded md5 "
+    "— the cross-engine detail this row pins), estimate vs exact side "
+    "by side",
+)
+def q_sketch_cms_user_counts(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+    merged = cms_merge(cms_sketches(ev, "user_id"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(merged, exact.select("user_id"), "user_id")
+    return exact.join(est, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"), "exact", "est"
+    )
+
+
+@stage(
+    "q_events_value_quartiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           count(value) AS n
+    FROM events GROUP BY 1
+    """,
+    "exact interpolated quartiles per event_type: Spark's percentile "
+    "(exact, interpolating) against DuckDB's quantile_cont — the same "
+    "a + (b-a)*frac arithmetic on the same sorted values, the "
+    "discipline the render layer's median/percentile rows rely on",
+)
+def q_q_events_value_quartiles_by_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.count("value").alias("n"),
+    )
+
+
+@stage(
+    "q_segment_balance_profile",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_balance,
+           sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative
+    FROM customer GROUP BY 1
+    """,
+    "market-segment balance profile: DECIMAL-accumulated account "
+    "balances (order-exact money math — float association drift is the "
+    "cross-engine trap), negative-balance counts, one map-side-combined "
+    "aggregate",
+)
+def q_q_segment_balance_profile(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total_balance"),
+        F.sum((F.col("c_acctbal") < 0).cast("long")).alias("n_negative"),
+    )
+
+
+@stage(
+    "ts_ring_slot_utilization",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric,
+           CAST(ts // 86400 AS BIGINT) AS day,
+           count(DISTINCT ts // 3600) AS hours_covered,
+           round(count(DISTINCT ts // 3600) / 24.0 * 1000000) / 1000000
+             AS coverage
+    FROM pts GROUP BY 1, 2
+    """,
+    "ring slot utilization (the reference's fixed-size ring files make "
+    "this a header read; here it is one distinct-aggregate): per "
+    "metric-day, how many of the 24 hour slots hold at least one "
+    "point, and the coverage ratio a retention planner sizes archives "
+    "by",
+)
+def q_ts_ring_slot_utilization(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    hours = F.countDistinct((F.col("ts") / 3600).cast("long"))
+    return pts.groupBy(
+        "metric", (F.col("ts") / 86400).cast("long").alias("day")
+    ).agg(
+        hours.alias("hours_covered"),
+        (F.round(hours / 24.0 * 1000000) / 1000000).alias("coverage"),
+    )
