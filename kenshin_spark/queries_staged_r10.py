@@ -997,3 +997,138 @@ STAGED_R10["hs_import_corrupt_skip"] = QuerySpec(
     doc=_spec.doc,
 )
 del _spec
+
+
+# --------------------------------------------------------------------------
+# Round-6 session additions: ingest replay/associativity invariants, the
+# instrumentation counter set as self-metric points, delete+compact
+# composition, Bloom sizing curve, and KMV daily-merge equivalence.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.queries_staged_r8_engine import _BANK, _store  # noqa: E402
+
+
+@stage(
+    "ingest_replay_idempotent",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "exactly-once under at-least-once delivery: the SAME week batch "
+    "pushed through process_batch twice (a retried micro-batch after a "
+    "lost ack — the streaming failure mode); the LWW align keys by "
+    "(metric, slot, arrival) so the replay upsert resolves to the "
+    "identical tier content, not doubled rows — the store reads back "
+    "the one-pass grid bit-for-bit",
+)
+def q_ingest_replay_idempotent(spark, sf_dir):
+    from kenshin_spark.config import Schema, SchemaSet
+    from kenshin_spark.streaming.ingest import StreamingIngest
+
+    schemas = SchemaSet((Schema.from_strings(
+        "bank", ".*", "60s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    ),))
+    ing = StreamingIngest(
+        spark, schemas, _workdir(sf_dir, "ingest_replay_idem"),
+        clock=lambda: float(CUT),
+    )
+    pts = _points(spark, sf_dir).where(F.col("ts") < CUT)
+    pts = pts.localCheckpoint(eager=True)  # scanned by both deliveries
+    ing.process_batch(pts, 0)
+    ing.process_batch(pts, 1)  # the redelivery
+    return ing.store_for(schemas.schemas[0]).read(0)
+
+
+@stage(
+    "ingest_batch_split_merge",
+    f"WITH {_W} SELECT metric, ts, value FROM t0",
+    "micro-batch associativity: the week split into two batches at an "
+    "arrival watermark (every arrival in batch 2 is newer than batch 1 "
+    "— exactly how a real stream micro-batches) and ingested "
+    "separately; cross-batch slot conflicts resolve last-batch-wins, "
+    "which under arrival-ordered batching IS max-arrival-wins, so the "
+    "two-batch store converges to the one-pass LWW grid bit-for-bit — "
+    "the property that makes backfill and live ingestion "
+    "interchangeable",
+)
+def q_ingest_batch_split_merge(spark, sf_dir):
+    from kenshin_spark.config import Schema, SchemaSet
+    from kenshin_spark.streaming.ingest import StreamingIngest
+
+    schemas = SchemaSet((Schema.from_strings(
+        "bank", ".*", "60s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    ),))
+    ing = StreamingIngest(
+        spark, schemas, _workdir(sf_dir, "ingest_split_merge"),
+        clock=lambda: float(CUT),
+    )
+    pts = _points(spark, sf_dir).where(F.col("ts") < CUT)
+    pts = pts.localCheckpoint(eager=True)
+    mid = pts.agg(
+        ((F.min("arrival") + F.max("arrival")) / 2).cast("long")
+    ).collect()[0][0]
+    ing.process_batch(pts.where(F.col("arrival") <= mid), 0)
+    ing.process_batch(pts.where(F.col("arrival") > mid), 1)
+    return ing.store_for(schemas.schemas[0]).read(0)
+
+
+@stage(
+    "ingest_self_metrics",
+    f"""
+    WITH {_W}
+    SELECT 'rurouni.metrics_received' AS metric,
+           CAST({CUT} AS BIGINT) AS ts,
+           CAST(count(*) AS DOUBLE) AS value FROM ptsw
+    UNION ALL
+    SELECT 'rurouni.committed_points', {CUT},
+           CAST(count(*) AS DOUBLE) FROM t0
+    UNION ALL
+    SELECT 'rurouni.creates', {CUT},
+           CAST(count(DISTINCT metric) AS DOUBLE) FROM ptsw
+    UNION ALL SELECT 'rurouni.dropped_creates', {CUT}, 0.0
+    UNION ALL SELECT 'rurouni.corrupt_lines', {CUT}, 0.0
+    UNION ALL SELECT 'rurouni.update_operations', {CUT}, 1.0
+    """,
+    "S8 — the instrumentation counter set as self-metric points "
+    "(rurouni/state/instrumentation.py:24-38 mirrored names): after one "
+    "week batch, metrics_received = raw points, committed_points = "
+    "aligned LWW slots, creates = new catalog entries, zero dropped/"
+    "corrupt, one update operation — IngestStats.as_points emits them "
+    "as rurouni.* points ready to feed back into the store, and every "
+    "counter is independently recomputed by the oracle",
+)
+def q_ingest_self_metrics(spark, sf_dir):
+    from kenshin_spark.config import Schema, SchemaSet
+    from kenshin_spark.streaming.ingest import StreamingIngest
+
+    schemas = SchemaSet((Schema.from_strings(
+        "bank", ".*", "60s:90d", xff=20.0, agg_method="max",
+        cache_retention=600,
+    ),))
+    ing = StreamingIngest(
+        spark, schemas, _workdir(sf_dir, "ingest_self_metrics"),
+        clock=lambda: float(CUT),
+    )
+    ing.process_batch(_points(spark, sf_dir).where(F.col("ts") < CUT), 0)
+    return spark.createDataFrame(
+        ing.stats.as_points(CUT), "metric string, ts long, value double"
+    )
+
+
+@stage(
+    "store_delete_then_compact",
+    f"""
+    WITH {_W}
+    SELECT metric, ts, value FROM t0 WHERE metric <> 'click'
+    """,
+    "maintenance composition: metric delete (tier rewrite + .bak swap) "
+    "followed by full compaction (one file per day partition) — the "
+    "two maintenance passes must compose without resurrecting deleted "
+    "rows (the .bak from the delete must not leak back into the "
+    "compaction's read) and survivors stay bit-identical",
+)
+def q_store_delete_then_compact(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_delete_then_compact")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    st.delete_metrics(["click"])
+    st.compact(0)
+    return st.read(0)
