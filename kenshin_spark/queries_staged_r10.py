@@ -1132,3 +1132,390 @@ def q_store_delete_then_compact(spark, sf_dir):
     st.delete_metrics(["click"])
     st.compact(0)
     return st.read(0)
+
+
+# --------------------------------------------------------------------------
+# Sketch sizing/merge rows, burstiness, quality-mix, sample-rate
+# estimation, recency bands, native PNG write/read loop.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.io import load_table  # noqa: E402
+from kenshin_spark.queries import _STOP_RE  # noqa: E402
+
+
+def _fpr_at(m_words: int) -> str:
+    return f"""
+    SELECT CAST({m_words} AS BIGINT) AS m_words,
+           sum(CASE WHEN NOT exact_dup THEN 1 ELSE 0 END) AS n_novel,
+           sum(CASE WHEN NOT exact_dup AND bloom_hit THEN 1 ELSE 0 END)
+             AS n_false_pos
+    FROM ({_bloom_oracle(m_words, 4)})
+    """
+
+
+@stage(
+    "sketch_bloom_sizing_curve",
+    " UNION ALL ".join(_fpr_at(m) for m in (16, 64, 256)),
+    "the Bloom sizing decision as data: the SAME corpus fingerprint "
+    "set folded into 16-, 64- and 256-word bitmaps (k=4), probed by "
+    "the same novel batch — the measured false-positive count per "
+    "size, i.e. the exact curve an ingest planner trades broadcast "
+    "bytes against md5-join fallthrough with; replayed bit-for-bit at "
+    "every size",
+)
+def q_sketch_bloom_sizing_curve(spark, sf_dir):
+    from kenshin_spark.dedup.exact import bloom_bitmap, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0).select(
+        F.md5("text").alias("fp")
+    ).distinct().localCheckpoint(eager=True)
+    batch = docs.where((F.col("doc_id") % 10).isin(0, 1)).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.col("text"), F.lit(" novel")),
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    ).localCheckpoint(eager=True)
+    exact = corpus.withColumn("_dup", F.lit(True))
+    out = None
+    for m in (16, 64, 256):
+        bm = bloom_bitmap(corpus, fp_col="fp", m_words=m, k=4)
+        pr = bloom_probe(batch, bm, fp_col="fp", m_words=m, k=4)
+        per = (
+            batch.join(pr, "fp")
+            .join(exact, "fp", "left")
+            .select(
+                "bloom_hit",
+                F.coalesce(F.col("_dup"), F.lit(False)).alias("exact_dup"),
+            )
+        )
+        agg = per.agg(
+            F.lit(m).cast("long").alias("m_words"),
+            F.sum((~F.col("exact_dup")).cast("long")).alias("n_novel"),
+            F.sum((~F.col("exact_dup") & F.col("bloom_hit")).cast("long"))
+              .alias("n_false_pos"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+@stage(
+    "sketch_kmv_merge_daily",
+    """
+    WITH h AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5('ksp|' ||
+               CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    daily AS (
+      SELECT day, h, row_number() OVER (
+        PARTITION BY day ORDER BY h) AS rn
+      FROM h
+    ),
+    merged AS (
+      SELECT DISTINCT h FROM daily WHERE rn <= 256
+      ORDER BY h LIMIT 256
+    ),
+    g AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('ksp|' ||
+               CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events ORDER BY h LIMIT 256
+    ),
+    me AS (
+      SELECT CAST(floor(CASE WHEN count(*) < 256
+               THEN CAST(count(*) AS DOUBLE)
+               ELSE 255.0 * 1152921504606846976.0 / max(h) END)
+             AS BIGINT) AS est FROM merged
+    ),
+    ge AS (
+      SELECT CAST(floor(CASE WHEN count(*) < 256
+               THEN CAST(count(*) AS DOUBLE)
+               ELSE 255.0 * 1152921504606846976.0 / max(h) END)
+             AS BIGINT) AS est FROM g
+    )
+    SELECT me.est AS merged_est, ge.est AS global_est FROM me, ge
+    """,
+    "KMV mergeability — the sketch-rollup contract: per-day bottom-256 "
+    "distinct user-hash sets, unioned and re-bottomed to 256, estimate "
+    "exactly what one global pass estimates (bottom-k of a union == "
+    "bottom-k of per-part bottom-ks), so daily cardinality state rolls "
+    "up without rescanning raw events; both paths replay bit-for-bit",
+)
+def q_sketch_kmv_merge_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.functions.sampling import hash60
+    from kenshin_spark.functions.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    k = 256
+    h = (
+        ev.select(F.to_date("ts").alias("day"), hash60("user_id").alias("h"))
+        .distinct()
+    )
+    daily = h.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("day").orderBy("h"))
+    ).where(F.col("rn") <= k)
+    merged = daily.select("h").distinct().orderBy("h").limit(k)
+    m = merged.agg(F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk"))
+    m_est = m.select(
+        F.floor(
+            F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(float(2**60)) / F.col("_hk")
+            )
+        ).cast("long").alias("merged_est")
+    )
+    g_est = kmv_distinct(ev, "user_id", k=k).select(
+        F.floor("approx_distinct").cast("long").alias("global_est")
+    )
+    return m_est.crossJoin(g_est)
+
+
+@stage(
+    "q_events_burstiness",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+             ) AS in_window
+      FROM e
+    )
+    SELECT user_id, max(in_window) AS peak_10m, count(*) AS n_events
+    FROM w GROUP BY 1
+    """,
+    "per-user burstiness: the maximum number of events inside any "
+    "trailing 10-minute window (a RANGE frame over epoch seconds — "
+    "the value-based window Spark and DuckDB define identically), the "
+    "rate-limiter sizing statistic; integer counts end to end",
+)
+def q_q_events_burstiness(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    e = ev.withColumn("in_window", F.count(F.lit(1)).over(w))
+    return e.groupBy("user_id").agg(
+        F.max("in_window").alias("peak_10m"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@stage(
+    "text_quality_reason_mix",
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stopwords,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             n_tokens >= 25 AND n_tokens <= 100000 AS len_ok,
+             n_chars >= 3 * n_tokens AND n_chars <= 10 * n_tokens
+               AS mean_token_ok,
+             n_stopwords >= 2 AS stopword_ok,
+             n_alpha * 50 >= n_chars * 41 AS alpha_ok
+      FROM f
+    )
+    SELECT count(*) AS n_docs,
+           sum(CASE WHEN len_ok AND mean_token_ok AND stopword_ok
+                     AND alpha_ok THEN 1 ELSE 0 END) AS n_keep,
+           sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS n_len_fail,
+           sum(CASE WHEN NOT mean_token_ok THEN 1 ELSE 0 END)
+             AS n_mean_fail,
+           sum(CASE WHEN NOT stopword_ok THEN 1 ELSE 0 END)
+             AS n_stop_fail,
+           sum(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS n_alpha_fail
+    FROM r
+    """,
+    "the quality-gate dashboard number: per-rule failure counts for "
+    "the Gopher-style verdict (quality_verdict — every rule an "
+    "integer cross-multiplication, no float division anywhere), the "
+    "mix a corpus curator reads before retuning thresholds",
+)
+def q_text_quality_reason_mix(spark, sf_dir):
+    from kenshin_spark.functions.text import quality_verdict
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = quality_verdict("text")
+    d = docs.select(
+        v["len_ok"].alias("len_ok"),
+        v["mean_token_ok"].alias("mean_token_ok"),
+        v["stopword_ok"].alias("stopword_ok"),
+        v["alpha_ok"].alias("alpha_ok"),
+        v["keep"].alias("keep"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum((~F.col("len_ok")).cast("long")).alias("n_len_fail"),
+        F.sum((~F.col("mean_token_ok")).cast("long")).alias("n_mean_fail"),
+        F.sum((~F.col("stopword_ok")).cast("long")).alias("n_stop_fail"),
+        F.sum((~F.col("alpha_ok")).cast("long")).alias("n_alpha_fail"),
+    )
+
+
+@stage(
+    "ts_sample_rate_estimate",
+    f"""
+    WITH pts AS ({PTS}),
+    g AS (
+      SELECT metric,
+             ts - lag(ts) OVER (PARTITION BY metric ORDER BY ts, arrival)
+               AS gap
+      FROM pts
+    )
+    SELECT metric,
+           round(median(gap), 6) AS median_gap_s,
+           count(*) AS n_gaps
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+    "native sample-rate estimation — what a schema advisor runs before "
+    "proposing retention definitions: the exact median inter-point gap "
+    "per metric (lag over (ts, arrival) so duplicate timestamps order "
+    "deterministically), the number the 60s tier0 step should "
+    "approximate; exact interpolated median like the render layer's",
+)
+def q_ts_sample_rate_estimate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir)
+    w = Window.partitionBy("metric").orderBy("ts", "arrival")
+    g = pts.withColumn("gap", F.col("ts") - F.lag("ts").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy("metric").agg(
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("median_gap_s"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
+@stage(
+    "q_customer_recency_bands",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS now FROM orders),
+    last_o AS (
+      SELECT o_custkey, max(o_orderdate) AS last_order FROM orders
+      GROUP BY 1
+    )
+    SELECT CASE WHEN datediff('day', last_order, now) <= 90 THEN '0-90'
+                WHEN datediff('day', last_order, now) <= 365 THEN '91-365'
+                ELSE '365+' END AS band,
+           count(*) AS n_customers
+    FROM last_o, mx GROUP BY 1
+    """,
+    "customer recency banding off the order stream's own high-water "
+    "date: days since each customer's last order, banded into the "
+    "retention cohorts a CRM pipeline feeds; integer day arithmetic "
+    "on both engines",
+)
+def q_q_customer_recency_bands(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    now = orders.agg(F.max("o_orderdate").alias("now"))
+    last_o = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order")
+    )
+    d = F.datediff("now", "last_order")
+    band = (
+        F.when(d <= 90, "0-90").when(d <= 365, "91-365").otherwise("365+")
+    )
+    return (
+        last_o.crossJoin(F.broadcast(now))
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@stage(
+    "mm_png_pixel_sum",
+    """
+    SELECT d.doc_id, d.width, d.height,
+           sum((d.doc_id + 31 * y.v + 17 * x.v) % 256) AS pixel_sum
+    FROM (
+      SELECT doc_id, 8 + doc_id % 24 AS width,
+             8 + (doc_id * 7) % 16 AS height
+      FROM documents WHERE doc_id % 50 = 0
+    ) d
+    CROSS JOIN generate_series(0, 30) x(v)
+    CROSS JOIN generate_series(0, 22) y(v)
+    WHERE x.v < d.width AND y.v < d.height
+    GROUP BY 1, 2, 3
+    """,
+    "the PNG write/read loop, pixels verified to the sum: per-doc "
+    "gradient arrays zlib-packed into minimal spec-conformant PNGs "
+    "(IHDR + filter-0 scanlines + IEND) inside mapInPandas, decoded "
+    "back by the engine's pure-stdlib decode_png, and the decoded "
+    "pixel sum must equal the closed-form gradient sum the oracle "
+    "computes from doc_id arithmetic alone",
+)
+def q_mm_png_pixel_sum(spark, sf_dir):
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 50 = 0")
+        .select("doc_id")
+    )
+
+    def kern(batches):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from kenshin_spark.multimodal import codecs
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 24, 8 + (did * 7) % 16
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                arr = ((did + 31 * y + 17 * x) % 256).astype(np.uint8)
+                raw = b"".join(
+                    b"\x00" + arr[r].tobytes() for r in range(h)
+                )
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                payload = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b"")
+                )
+                dec = codecs.decode_png(payload)
+                rows.append(
+                    (did, dec.shape[1], dec.shape[0], int(dec.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixel_sum"]
+            )
+
+    return docs.mapInPandas(
+        kern, "doc_id long, width long, height long, pixel_sum long"
+    )
