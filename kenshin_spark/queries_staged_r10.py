@@ -1519,3 +1519,254 @@ def q_mm_png_pixel_sum(spark, sf_dir):
     return docs.mapInPandas(
         kern, "doc_id long, width long, height long, pixel_sum long"
     )
+
+
+# --------------------------------------------------------------------------
+# Fingerprint bucket profile, token degree profile, flap rate, and
+# three catalog-analytics rows.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.queries import QUERIES as _REG  # noqa: E402
+
+
+@stage(
+    "text_fp_bucket_profile",
+    f"""
+    SELECT fingerprint % 64 AS bucket, count(*) AS n_docs
+    FROM ({_REG["text_rolling_fingerprint"].oracle}) GROUP BY 1
+    """,
+    "hash-distribution audit of the rolling fingerprint: the min-"
+    "pooled shingle signature bucketed mod 64 with per-bucket counts — "
+    "the uniformity check a fingerprint-partitioned dedup index relies "
+    "on before choosing its shuffle key; derived from the SAME engine "
+    "path and oracle as text_rolling_fingerprint so the bucket "
+    "distribution is hash-checked end to end",
+)
+def q_text_fp_bucket_profile(spark, sf_dir):
+    from kenshin_spark.functions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            (rolling_fingerprint("text") % 64).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@stage(
+    "graph_token_degree_profile",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+             generate_subscripts(
+               string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+      FROM documents
+    ),
+    edges AS (
+      SELECT DISTINCT a.tok AS src, b.tok AS dst
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok <> b.tok
+    ),
+    und AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src, count(DISTINCT dst) AS degree FROM und GROUP BY 1)
+    SELECT degree, count(*) AS n_tokens
+    FROM deg GROUP BY 1
+    """,
+    "token co-occurrence degree distribution: the adjacency-bigram "
+    "graph (the same graph token_pagerank walks), undirected distinct "
+    "neighbor counts per token, folded into a degree histogram — the "
+    "connectivity profile that decides whether pagerank needs "
+    "teleport-heavy damping; integer counts, posexplode + one "
+    "self-join, replayed via generate_subscripts",
+)
+def q_graph_token_degree_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower("text")), r"\s+")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a, b = toks.alias("a"), toks.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .where(F.col("a.tok") != F.col("b.tok"))
+        .select(F.col("a.tok").alias("src"), F.col("b.tok").alias("dst"))
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(
+        F.countDistinct("dst").alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
+@stage(
+    "ts_flap_rate",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    ch AS (
+      SELECT metric, CAST(ts // 86400 AS BIGINT) AS day,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN value = lag(value) OVER w THEN 0 ELSE 1 END AS flip
+      FROM t0 WINDOW w AS (PARTITION BY metric ORDER BY ts)
+    )
+    SELECT metric, day,
+           CAST(sum(flip) AS BIGINT) AS n_flips,
+           count(*) AS n_slots
+    FROM ch GROUP BY 1, 2
+    """,
+    "alert flap rate: per metric-day, how many tier0 slots CHANGED "
+    "value vs the previous slot (the graphite changed() primitive "
+    "aggregated into the flappiness number an alert-tuning pass "
+    "thresholds); the first slot of a series never counts, day "
+    "boundaries use the same epoch floor-division on both engines",
+)
+def q_ts_flap_rate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.functions.render import changed
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    ch = changed(t0)
+    # changed() emits 1.0/0.0 flip flags on the grid; aggregate per day
+    return (
+        ch.groupBy(
+            "metric", (F.col("ts") / 86400).cast("long").alias("day")
+        )
+        .agg(
+            F.sum("value").cast("long").alias("n_flips"),
+            F.count(F.lit(1)).alias("n_slots"),
+        )
+    )
+
+
+@stage(
+    "q_top_parts_by_margin",
+    """
+    WITH m AS (
+      SELECT l_partkey,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                   AS DOUBLE), 2) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT p.p_type, p.p_partkey, m.revenue, m.n_lines,
+             row_number() OVER (
+               PARTITION BY p.p_type
+               ORDER BY m.revenue DESC, p.p_partkey) AS rnk
+      FROM m JOIN part p ON p.p_partkey = m.l_partkey
+    )
+    SELECT p_type, p_partkey, revenue, n_lines FROM r WHERE rnk <= 3
+    """,
+    "top-3 revenue parts per type: DECIMAL-exact discounted revenue "
+    "per part (the TPC-H money-math discipline), broadcast-joined to "
+    "the part dimension and ranked per type with a partkey tie-break",
+)
+def q_q_top_parts_by_margin(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    m = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = m.join(
+        F.broadcast(part), m.l_partkey == part.p_partkey
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("p_type", "p_partkey", "revenue", "n_lines")
+    )
+
+
+@stage(
+    "q_orders_status_timeline",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           o_orderstatus,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_value
+    FROM orders GROUP BY 1, 2
+    """,
+    "order status timeline: monthly order counts and DECIMAL-exact "
+    "value per status — the fulfilment monitoring rollup, one "
+    "map-side-combined aggregate",
+)
+def q_q_orders_status_timeline(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("total_value"),
+    )
+
+
+@stage(
+    "q_supplier_regional_coverage",
+    """
+    SELECT r.r_name,
+           count(*) AS n_suppliers,
+           count(DISTINCT s.s_nationkey) AS n_nations,
+           round(CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_balance
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1
+    """,
+    "supplier coverage per region: the supplier->nation->region "
+    "dimension chain (both dims broadcast — no shuffle beyond the "
+    "final aggregate), nation breadth and DECIMAL-exact balances",
+)
+def q_q_supplier_regional_coverage(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.countDistinct("s_nationkey").alias("n_nations"),
+        F.round(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total_balance"),
+    )
