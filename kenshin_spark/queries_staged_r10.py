@@ -1770,3 +1770,310 @@ def q_q_supplier_regional_coverage(spark, sf_dir):
             2,
         ).alias("total_balance"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tagged line-protocol, store glob + render rollup, IVF recall audit,
+# error budget burn, retention cost model, 4:2:0 JPEG dims, cascade
+# associativity.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "lp_parse_tagged_lines",
+    f"""
+    WITH pts AS ({PTS}),
+    lines AS (
+      SELECT metric || ';dc=d' || CAST(arrival % 2 AS VARCHAR)
+               || ';host=h' || CAST(arrival % 3 AS VARCHAR)
+               || ' ' || CAST(value AS VARCHAR)
+               || ' ' || CAST(ts AS VARCHAR) AS line
+      FROM pts WHERE value IS NOT NULL
+    ),
+    parsed AS (
+      SELECT string_split(string_split(line, ' ')[1], ';')[1] AS name,
+             string_split(string_split(
+               string_split(line, ' ')[1], ';')[3], '=')[2] AS host
+      FROM lines
+    )
+    SELECT name, host, count(*) AS n_points
+    FROM parsed GROUP BY 1, 2
+    """,
+    "tagged series through the wire format: line-protocol rows whose "
+    "metric field carries graphite 1.1 tags (no spaces, so the "
+    "3-field parse is unchanged), parsed by parse_metric_lines and "
+    "projected through series_name/series_tags — the relay-to-catalog "
+    "path for tagged fleets; counts per (name, host) replayed via "
+    "string ops",
+)
+def q_lp_parse_tagged_lines(spark, sf_dir):
+    from kenshin_spark.functions.tags import series_name, series_tags
+    from kenshin_spark.sources.line_protocol import parse_metric_lines
+
+    pts = _points(spark, sf_dir).where(F.col("value").isNotNull())
+    lines = pts.select(
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.col("metric"),
+                F.lit(";dc=d"), (F.col("arrival") % 2).cast("string"),
+                F.lit(";host=h"), (F.col("arrival") % 3).cast("string"),
+            ),
+            F.col("value").cast("string"),
+            F.col("ts").cast("string"),
+        ).alias("value")
+    )
+    parsed = parse_metric_lines(lines).where(F.col("corrupt").isNull())
+    return (
+        parsed.select(
+            series_name("metric").alias("name"),
+            series_tags("metric")["host"].alias("host"),
+        )
+        .groupBy("name", "host")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+@stage(
+    "store_glob_group_rollup",
+    f"""
+    SELECT 'maxSeries' AS metric, ts, max(value) AS value FROM (
+      WITH {_W}, now_t AS (SELECT {CUT} AS now),
+      tier AS (SELECT metric, ts, value FROM t0),
+      {_grid_sql("now - 86400", "now", 60)}
+    ) sub GROUP BY ts
+    """,
+    "the serving-side rollup over a persisted store: fetch_glob('*') "
+    "resolves the namespace from tier0 (no catalog), grids the last "
+    "day NULL-filled, and maxSeries folds the five series into the "
+    "per-slot envelope (exact comparisons — the NULL-ignoring, "
+    "all-NULL-stays-NULL semantics both engines share); glob resolve, "
+    "grid fill and rollup all replay",
+)
+def q_store_glob_group_rollup(spark, sf_dir):
+    from kenshin_spark.functions.render import max_series
+
+    st = _store(spark, sf_dir, "store_glob_rollup")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    grid = st.fetch_glob("*", CUT - 86400, CUT, CUT)
+    return max_series(grid)
+
+
+@stage(
+    "sim_ivf_recall_audit",
+    f"""
+    SELECT ex.query_id,
+           CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(ap.neighbor_id) * 10 AS BIGINT) AS recall_pct
+    FROM (SELECT query_id, neighbor_id FROM
+            ({_REG["sim_topk_ivf_fullprobe"].oracle}) f) ex
+    LEFT JOIN (SELECT query_id, neighbor_id FROM
+            ({_REG["sim_topk_ivf"].oracle}) p) ap
+      ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+    GROUP BY 1
+    """,
+    "IVF probe-budget audit: recall@10 of the n_probe=3 IVF against "
+    "its own full-probe (exhaustive-cell) variant per query — the "
+    "number that justifies the partition-pruned probe at 100 TB; both "
+    "sides are the registry's pinned-quantizer paths, so the recall "
+    "itself replays bit-for-bit",
+)
+def q_sim_ivf_recall_audit(spark, sf_dir):
+    ex = (
+        _REG["sim_topk_ivf_fullprobe"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    ap = (
+        _REG["sim_topk_ivf"].fn(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("aq"),
+            F.col("neighbor_id").alias("an"),
+        )
+    )
+    joined = ex.join(
+        ap,
+        (F.col("aq") == F.col("query_id"))
+        & (F.col("an") == F.col("neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("an").alias("n_hits"),
+        (F.count("an") * 10).alias("recall_pct"),
+    )
+
+
+@stage(
+    "q_events_error_budget_burn",
+    """
+    WITH d AS (
+      SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS BIGINT)
+               AS day,
+             count(*) AS n_events,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_events, n_errors,
+           n_errors * 100 > n_events AS over_budget,
+           sum(greatest(n_errors * 100 - n_events, 0))
+             OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS burn_scaled
+    FROM d
+    """,
+    "SRE error-budget burn-down: daily error counts against a 1% "
+    "budget in scaled-integer arithmetic (errors*100 vs events — no "
+    "float ratios anywhere), with the running burn of over-budget "
+    "excess — the page-the-oncall timeline; one aggregate + one "
+    "ordered window",
+)
+def q_q_events_error_budget_burn(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            (F.unix_timestamp("ts").cast("long") / 86400)
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "n_errors"
+            ),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    excess = F.greatest(
+        F.col("n_errors") * 100 - F.col("n_events"), F.lit(0)
+    )
+    return d.select(
+        "day", "n_events", "n_errors",
+        (F.col("n_errors") * 100 > F.col("n_events")).alias("over_budget"),
+        F.sum(excess).over(w).alias("burn_scaled"),
+    )
+
+
+@stage(
+    "ts_retention_cost_model",
+    """
+    WITH m AS (SELECT count(DISTINCT event_type) AS n_metrics FROM events)
+    SELECT t.sec_per_point, t.points, m.n_metrics,
+           t.points * m.n_metrics AS est_rows
+    FROM (VALUES
+      (CAST(60 AS BIGINT),   CAST(129600 AS BIGINT)),
+      (CAST(300 AS BIGINT),  CAST(51840 AS BIGINT)),
+      (CAST(3600 AS BIGINT), CAST(8784 AS BIGINT))
+    ) t(sec_per_point, points), m
+    """,
+    "retention cost model: the bank schema's archive list "
+    "('60s:90d,300s:180d,3600s:366d') parsed by RetentionParser into "
+    "(step, capacity) and priced against the live metric cardinality — "
+    "worst-case stored rows per archive, the number a capacity planner "
+    "multiplies by bytes/point; parser output is pinned against the "
+    "hand-computed grammar answers times the replayed catalog count",
+)
+def q_ts_retention_cost_model(spark, sf_dir):
+    from kenshin_spark.config import RetentionParser
+
+    archives = [
+        RetentionParser.parse_retention_def(s)
+        for s in ("60s:90d", "300s:180d", "3600s:366d")
+    ]
+    arch_df = spark.createDataFrame(
+        archives, "sec_per_point long, points long"
+    )
+    m = (
+        _points(spark, sf_dir)
+        .agg(F.countDistinct("metric").alias("n_metrics"))
+    )
+    return arch_df.crossJoin(F.broadcast(m)).select(
+        "sec_per_point", "points", "n_metrics",
+        (F.col("points") * F.col("n_metrics")).alias("est_rows"),
+    )
+
+
+@stage(
+    "mm_jpeg_subsample_dims",
+    """
+    SELECT doc_id,
+           16 * (1 + doc_id % 2) AS width,
+           16 AS height,
+           'jpeg' AS format
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "the 4:2:0 chroma path of the JPEG loop: per-doc RGB gradients "
+    "encoded with subsample='420' (half-resolution chroma planes — "
+    "the television-lineage layout most real corpora carry), frame "
+    "headers parsed back natively by image_metadata; dims are "
+    "doc_id arithmetic so the subsampled-component bookkeeping "
+    "verifies exactly",
+)
+def q_mm_jpeg_subsample_dims(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal import image_metadata
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 50 = 0")
+        .select("doc_id")
+    )
+
+    def kern(batches):
+        import numpy as np
+
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 * (1 + did % 2), 16
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                arr = ((did + 31 * y + 17 * x + 5 * c) % 256).astype(
+                    np.uint8
+                )
+                rows.append((did, codecs.encode_jpeg(arr, subsample="420")))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(kern, "doc_id long, payload binary")
+    return image_metadata(payloads).select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "format",
+    )
+
+
+@stage(
+    "ts_cascade_associativity",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT metric, ts - ts % 3600 AS ts, max(value) AS value
+    FROM t0 GROUP BY 1, 2
+    """,
+    "W7 cascade associativity: the 60s->300s->3600s propagation chain "
+    "(operators/downsample.cascade — each tier downsampled from the "
+    "PREVIOUS tier, never from raw) must equal the direct "
+    "60s->3600s aggregate because max is associative — the invariant "
+    "that lets the reference propagate tier-to-tier without error "
+    "accumulation; the oracle computes the direct form",
+)
+def q_ts_cascade_associativity(spark, sf_dir):
+    from kenshin_spark.config import Archive
+    from kenshin_spark.operators.downsample import cascade
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    archives = [
+        Archive(sec_per_point=60, count=129600),
+        Archive(sec_per_point=300, count=51840),
+        Archive(sec_per_point=3600, count=8784),
+    ]
+    return cascade(t0, archives, agg_method="max")[2]
