@@ -2077,3 +2077,290 @@ def q_ts_cascade_associativity(spark, sf_dir):
         Archive(sec_per_point=3600, count=8784),
     ]
     return cascade(t0, archives, agg_method="max")[2]
+
+
+# --------------------------------------------------------------------------
+# Final bank rows: gap-fill over the store grid, the full target-string
+# serving path over a persisted store, kNN label purity, weekday money
+# profile, conversion rate, brand/type matrix, CMS daily-merge.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "store_fetch_keep_last",
+    f"""
+    SELECT metric, ts,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN ts - last_ts <= 180 THEN lastv END AS value
+    FROM (
+      SELECT metric, ts, value,
+             max(CASE WHEN value IS NOT NULL THEN ts END) OVER w AS last_ts,
+             last_value(value IGNORE NULLS) OVER w AS lastv
+      FROM (
+        WITH {_W}, now_t AS (SELECT {CUT} AS now),
+        tier AS (SELECT metric, ts, value FROM t0),
+        {_grid_sql("now - 86400", "now", 60)}
+      ) g
+      WINDOW w AS (PARTITION BY metric ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) x
+    """,
+    "graphite keepLastValue(series, 3) over the persisted store's "
+    "NULL-filled fetch grid: empty minutes forward-fill from the last "
+    "real sample but only across gaps of <= 3 slots (the dashboard "
+    "gap-smoothing rule that must NOT bridge real outages); the "
+    "oracle replays the grid fill and the bounded forward-fill with "
+    "an IGNORE NULLS window",
+)
+def q_store_fetch_keep_last(spark, sf_dir):
+    from kenshin_spark.functions.render import keep_last_value
+    from kenshin_spark.queries_staged_r8_engine import _METRICS5
+
+    st = _store(spark, sf_dir, "store_fetch_keep_last")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    grid = st.fetch(_METRICS5, CUT - 86400, CUT, CUT)
+    return keep_last_value(grid, limit=3)
+
+
+@stage(
+    "render_chain_over_store",
+    f"""
+    SELECT metric, ts,
+           round(avg(value) OVER (
+             PARTITION BY metric ORDER BY ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) * 2.0 * 1000000) / 1000000 AS value
+    FROM (
+      WITH {_W}, now_t AS (SELECT {CUT} AS now),
+      tier AS (SELECT metric, ts, value FROM t0),
+      {_grid_sql("now - 86400", "now", 60,
+                 "SELECT DISTINCT event_type AS metric FROM events "
+                 "WHERE event_type LIKE 'c%' OR event_type LIKE 'e%'")}
+    ) g
+    """,
+    "the COMPLETE dashboard serving path minus the socket: the target "
+    "string 'scale(movingAverage({{c*,e*}},3),2)' parsed by "
+    "parse_target, its brace-alternation glob resolved against the "
+    "persisted store's namespace by fetch_glob, the NULL-filled grid "
+    "pushed through apply_chain — one query string to one Catalyst "
+    "plan over parquet tiers; NULL-ignoring trailing mean and exact "
+    "x2 scale, replayed with the rounding guard",
+)
+def q_render_chain_over_store(spark, sf_dir):
+    from kenshin_spark.functions.render import apply_chain
+    from kenshin_spark.functions.targets import parse_target
+
+    st = _store(spark, sf_dir, "render_chain_store")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    glob, chain = parse_target("scale(movingAverage({c*,e*},3),2)")
+    grid = st.fetch_glob(glob, CUT - 86400, CUT, CUT)
+    out = apply_chain(grid, chain)
+    return out.select(
+        "metric", "ts",
+        (F.round(F.col("value") * 1000000) / 1000000).alias("value"),
+    )
+
+
+@stage(
+    "emb_knn_label_purity",
+    f"""
+    WITH nn AS (
+      SELECT query_id, neighbor_id FROM
+        ({_REG["sim_topk_bruteforce"].oracle}) t
+    )
+    SELECT nn.query_id, q.label AS query_label,
+           CAST(sum(CASE WHEN c.label = q.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_label,
+           count(*) AS k
+    FROM nn
+    JOIN embeddings q ON q.vec_id = nn.query_id
+    JOIN embeddings c ON c.vec_id = nn.neighbor_id
+    GROUP BY 1, 2
+    """,
+    "kNN label purity — the embedding-quality number a labeling "
+    "pipeline gates on: for each brute-force query, how many of its "
+    "exact cosine top-10 share the query's label; derived from the "
+    "registry's own replayable top-k so the purity count itself "
+    "hash-matches",
+)
+def q_emb_knn_label_purity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = _REG["sim_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl")
+    )
+    return (
+        nn.join(F.broadcast(q), "query_id")
+        .join(F.broadcast(c), "neighbor_id")
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.sum((F.col("_nl") == F.col("query_label")).cast("long"))
+            .alias("n_same_label"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+
+
+@stage(
+    "q_order_weekday_value_profile",
+    """
+    SELECT CAST((datediff('day', DATE '1970-01-01', o_orderdate) + 4) % 7 AS BIGINT)
+             AS dow,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE), 2) AS total_value
+    FROM orders GROUP BY 1
+    """,
+    "order volume and DECIMAL-exact value by day of week — computed "
+    "via Thursday-anchored epoch-day arithmetic ((days+4) %% 7) "
+    "because dayofweek() conventions differ across engines: the "
+    "cross-engine determinism rule this row pins",
+)
+def q_q_order_weekday_value_profile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dow = (
+        (F.datediff("o_orderdate", F.lit("1970-01-01")) + 4) % 7
+    ).cast("long")
+    return orders.groupBy(dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("total_value"),
+    )
+
+
+@stage(
+    "q_nation_conversion_rate",
+    """
+    WITH c AS (
+      SELECT n.n_name, count(*) AS n_customers
+      FROM customer cu JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT n.n_name, count(DISTINCT o.o_custkey) AS n_buyers
+      FROM orders o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      GROUP BY 1
+    )
+    SELECT c.n_name, c.n_customers,
+           coalesce(o.n_buyers, 0) AS n_buyers,
+           coalesce(o.n_buyers, 0) * 10000 // c.n_customers
+             AS conversion_bps
+    FROM c LEFT JOIN o ON o.n_name = c.n_name
+    """,
+    "customer-to-buyer conversion per nation in scaled-integer basis "
+    "points (floor division — no float ratio, no rounding trap): the "
+    "funnel number a growth dashboard tracks, nation dim broadcast "
+    "on both joins",
+)
+def q_q_nation_conversion_rate(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    b = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.countDistinct("o_custkey").alias("n_buyers"))
+    )
+    return c.join(b, "n_name", "left").select(
+        "n_name", "n_customers",
+        F.coalesce("n_buyers", F.lit(0)).alias("n_buyers"),
+        F.floor(
+            F.coalesce("n_buyers", F.lit(0)) * 10000 / F.col("n_customers")
+        ).cast("long").alias("conversion_bps"),
+    )
+
+
+@stage(
+    "q_part_brand_type_matrix",
+    """
+    SELECT p_brand, p_type, count(*) AS n_parts,
+           min(p_size) AS min_size, max(p_size) AS max_size
+    FROM part GROUP BY 1, 2
+    """,
+    "brand x type catalog matrix with size envelopes — the "
+    "two-dimensional group-by whose partial aggregation collapses "
+    "map-side; exact integers",
+)
+def q_q_part_brand_type_matrix(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@stage(
+    "sketch_cms_merge_days",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   event_type), 1, 15)) AS BIGINT) % 1024 AS bucket,
+             count(*) AS c
+      FROM events CROSS JOIN generate_series(0, 3) t(r)
+      GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT row, bucket, sum(c) AS c FROM daily GROUP BY 1, 2
+    ),
+    whole AS (
+      SELECT t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   event_type), 1, 15)) AS BIGINT) % 1024 AS bucket,
+             count(*) AS c
+      FROM events CROSS JOIN generate_series(0, 3) t(r)
+      GROUP BY 1, 2
+    )
+    SELECT coalesce(m.row, w.row) AS row,
+           coalesce(m.bucket, w.bucket) AS bucket,
+           coalesce(m.c, 0) AS merged_c,
+           coalesce(w.c, 0) AS whole_c
+    FROM merged m FULL OUTER JOIN whole w
+      ON w.row = m.row AND w.bucket = m.bucket
+    """,
+    "CMS mergeability cell-by-cell: daily depth-4 sketches rolled up "
+    "by cms_merge must equal the one-pass whole-stream sketch in "
+    "EVERY (row, bucket) cell — the property that lets 90 daily "
+    "states answer any-range frequency queries without rescanning "
+    "raw events; the full outer join pins that neither side has "
+    "cells the other lacks",
+)
+def q_sketch_cms_merge_days(spark, sf_dir):
+    from kenshin_spark.functions.sketches import cms_merge, cms_sketches
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = cms_sketches(ev, "event_type", "day")
+    merged = cms_merge(daily).select(
+        "row", "bucket", F.col("c").alias("merged_c")
+    )
+    whole = cms_sketches(ev, "event_type").select(
+        "row", "bucket", F.col("c").alias("whole_c")
+    )
+    return (
+        merged.join(whole, ["row", "bucket"], "full_outer")
+        .select(
+            "row", "bucket",
+            F.coalesce("merged_c", F.lit(0)).alias("merged_c"),
+            F.coalesce("whole_c", F.lit(0)).alias("whole_c"),
+        )
+    )
