@@ -311,3 +311,94 @@ def histogram_quantile(
         *group_cols,
         F.round(edge, 6).alias(f"q{str(q).replace('.', '_')}"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (Theta-sketch-style union / intersection / Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def kmv_bottom_set(
+    df: DataFrame, key_col: str, k: int = 256, seed: str = "ksp"
+) -> DataFrame:
+    """The KMV state object itself: the ``k`` smallest distinct seeded
+    60-bit key hashes as ``(h BIGINT)`` rows — at most ``k`` rows
+    whatever the input size, so it persists/broadcasts for free. This
+    is the sketch the set-algebra estimators below compose; built from
+    the same replayable md5 family as every sampler here, so a DuckDB
+    oracle reproduces it bit-for-bit."""
+    from kenshin_spark.functions.sampling import hash60
+
+    return (
+        df.select(hash60(key_col, seed).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _kmv_estimate_cols(n_col, hk_col, k: int):
+    """Shared (k-1)·2^60/h_k estimator as a Column (exact when the set
+    holds fewer than k hashes)."""
+    return (
+        F.when(n_col < k, n_col.cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(2**60)) / hk_col)
+    )
+
+
+def kmv_union(sets: list[DataFrame], k: int = 256) -> DataFrame:
+    """Union of KMV states = bottom-k of the concatenated hash sets
+    (the mergeability identity: bottom-k of a union == bottom-k of the
+    per-part bottom-ks). Returns another ``(h)`` state, so unions chain
+    and roll up tier-style."""
+    out = sets[0]
+    for s in sets[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Theta-sketch-style set algebra over two KMV states ``a``/``b``
+    (as returned by ``kmv_bottom_set``): one row ``(union_est,
+    inter_est, jaccard_ppm, n_sample, n_both)``.
+
+    Method (Dasgupta et al., Theta sketches; public construction): the
+    union state M = bottom-k(A ∪ B) is a uniform hash-sample of the
+    union, so the fraction of M's hashes present in BOTH input states
+    estimates the Jaccard similarity; intersection = jaccard ×
+    union_est (inclusion–exclusion-free, no bias from differing set
+    sizes). All arithmetic is integer or floor-scaled (ppm) so both
+    engines agree exactly; estimates floor to BIGINT like the other
+    oracle-facing sketch rows."""
+    m = kmv_union([a, b], k)
+    flagged = (
+        m.join(a.withColumnRenamed("h", "ha"), m["h"] == F.col("ha"), "left")
+        .join(b.withColumnRenamed("h", "hb"), m["h"] == F.col("hb"), "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull())
+            .cast("long")
+            .alias("_both"),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("h").alias("_hk"),
+        F.sum("_both").alias("_nb"),
+    )
+    union_est = F.floor(_kmv_estimate_cols(F.col("_n"), F.col("_hk"), k))
+    jac_ppm = F.floor(F.col("_nb") * 1000000 / F.col("_n"))
+    inter_est = F.floor(
+        _kmv_estimate_cols(F.col("_n"), F.col("_hk"), k)
+        * F.col("_nb")
+        / F.col("_n")
+    )
+    return agg.select(
+        union_est.cast("long").alias("union_est"),
+        inter_est.cast("long").alias("inter_est"),
+        jac_ppm.cast("long").alias("jaccard_ppm"),
+        F.col("_n").alias("n_sample"),
+        F.col("_nb").alias("n_both"),
+    )
