@@ -1,0 +1,371 @@
+"""Seventh staged bank — ROUND 11: the KMV set-algebra family
+(theta-sketch-style union/intersection/Jaccard over replayable
+bottom-k hash states), cross-method dedup agreement, quantized-ANN
+recall, Holt aberration counts, anomaly band counts, and the
+nearest-neighbor resize loop verified to the pixel sum.
+
+Same staging mechanism and gate (``tests/test_queries_staged_r11.py``)
+as the earlier banks. Promote with
+``python tools/promote_staged.py queries_staged_r11`` once round 10's
+window clears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kenshin_spark.io import load_table
+from kenshin_spark.queries import QUERIES as _REG
+from kenshin_spark.queries import PTS, QuerySpec, _points
+
+STAGED_R11: dict[str, QuerySpec] = {}
+
+
+def stage(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        STAGED_R11[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+_H60 = (
+    "CAST(('0x' || substr(md5('ksp|' || CAST({x} AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+_KMV_EST = (
+    "CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) "
+    "ELSE {km1}.0 * 1152921504606846976.0 / {hk} END"
+)
+
+
+def _kmv_pair_sql(a_where: str, b_where: str, k: int = 256) -> str:
+    """The full two-set KMV algebra replay over events.user_id."""
+    h = _H60.format(x="user_id")
+    est = _KMV_EST.format(n="n", k=k, km1=k - 1, hk="hk")
+    return f"""
+    sa AS (SELECT DISTINCT {h} AS h FROM events WHERE {a_where}
+           ORDER BY h LIMIT {k}),
+    sb AS (SELECT DISTINCT {h} AS h FROM events WHERE {b_where}
+           ORDER BY h LIMIT {k}),
+    m AS (SELECT DISTINCT h FROM
+            (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+          ORDER BY h LIMIT {k}),
+    fl AS (
+      SELECT m.h,
+             (m.h IN (SELECT h FROM sa)
+              AND m.h IN (SELECT h FROM sb)) AS bth
+      FROM m
+    ),
+    agg AS (
+      SELECT count(*) AS n, max(h) AS hk,
+             sum(CASE WHEN bth THEN 1 ELSE 0 END) AS nb
+      FROM fl
+    ),
+    est AS (
+      SELECT CAST(floor({est}) AS BIGINT) AS union_est,
+             CAST(floor({est} * nb / n) AS BIGINT) AS inter_est,
+             CAST(floor(nb * 1000000 / n) AS BIGINT) AS jaccard_ppm,
+             n AS n_sample, nb AS n_both
+      FROM agg
+    )"""
+
+
+@stage(
+    "sketch_kmv_overlap_types",
+    f"""
+    WITH {_kmv_pair_sql("event_type = 'click'", "event_type = 'view'")}
+    SELECT union_est, inter_est, jaccard_ppm, n_sample, n_both FROM est
+    """,
+    "KMV set algebra over two audiences: distinct clickers vs viewers "
+    "as bottom-256 hash states (kmv_bottom_set), their union state M "
+    "a uniform hash-sample of the union, so the fraction of M present "
+    "in BOTH states estimates Jaccard and intersection = jaccard x "
+    "union_est (the public Theta-sketch construction) — audience "
+    "overlap WITHOUT a distinct-join over raw events; floor-scaled "
+    "integers, replayed bit-for-bit",
+)
+def q_sketch_kmv_overlap_types(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        kmv_bottom_set,
+        kmv_set_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    a = kmv_bottom_set(
+        ev.where(F.col("event_type") == "click"), "user_id", 256
+    )
+    b = kmv_bottom_set(
+        ev.where(F.col("event_type") == "view"), "user_id", 256
+    )
+    return kmv_set_estimates(a, b, 256)
+
+
+@stage(
+    "sketch_kmv_overlap_days",
+    f"""
+    WITH {_kmv_pair_sql(
+        "CAST(floor(epoch(ts)) AS BIGINT) // 86400 ="
+        " (SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)"
+        "  FROM events)",
+        "CAST(floor(epoch(ts)) AS BIGINT) // 86400 ="
+        " (SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 1"
+        "  FROM events)")}
+    SELECT union_est, inter_est, jaccard_ppm, n_sample, n_both FROM est
+    """,
+    "day-over-day user retention from persisted KMV states: day-1 vs "
+    "day-2 distinct-user sketches intersected by the same theta "
+    "construction — the retention overlap a growth dashboard reads "
+    "from two 256-row states instead of a distinct-join over both "
+    "days' raw events; replayed bit-for-bit",
+)
+def q_sketch_kmv_overlap_days(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        kmv_bottom_set,
+        kmv_set_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", (F.unix_timestamp("ts").cast("long") / 86400).cast("long")
+    )
+    d0 = ev.agg(F.min("day")).collect()[0][0]
+    a = kmv_bottom_set(ev.where(F.col("day") == d0), "user_id", 256)
+    b = kmv_bottom_set(ev.where(F.col("day") == d0 + 1), "user_id", 256)
+    return kmv_set_estimates(a, b, 256)
+
+
+@stage(
+    "sketch_kmv_union_rollup",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT {_H60.format(x="user_id")} AS h FROM events
+      ORDER BY h LIMIT 256
+    ),
+    agg AS (SELECT count(*) AS n, max(h) AS hk FROM g)
+    SELECT CAST(floor({_KMV_EST.format(n="n", k=256, km1=255, hk="hk")})
+                AS BIGINT) AS merged_est,
+           CAST(floor({_KMV_EST.format(n="n", k=256, km1=255, hk="hk")})
+                AS BIGINT) AS global_est
+    FROM agg
+    """,
+    "KMV union EXACTNESS (not just approximation): the union of the "
+    "five per-event-type bottom-256 user states re-bottomed to 256 is "
+    "IDENTICAL to the global bottom-256 (bottom-k of a union == "
+    "bottom-k of per-part bottom-ks), so the merged estimate equals "
+    "the one-pass estimate to the bit — the identity that makes "
+    "per-stream sketch state composable at any fan-in; the oracle "
+    "computes the global form for both columns",
+)
+def q_sketch_kmv_union_rollup(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        kmv_bottom_set,
+        kmv_union,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    parts = [
+        kmv_bottom_set(
+            ev.where(F.col("event_type") == t), "user_id", 256
+        )
+        for t in sorted(types)
+    ]
+    merged = kmv_union(parts, 256)
+    glob = kmv_bottom_set(ev, "user_id", 256)
+
+    def est(s, name):
+        agg = s.agg(
+            F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+        )
+        e = F.when(F.col("_n") < 256, F.col("_n").cast("double")).otherwise(
+            F.lit(255.0) * F.lit(float(2**60)) / F.col("_hk")
+        )
+        return agg.select(F.floor(e).cast("long").alias(name))
+
+    return est(merged, "merged_est").crossJoin(est(glob, "global_est"))
+
+
+@stage(
+    "dedup_method_agreement",
+    f"""
+    WITH mh AS (
+      SELECT doc_a, doc_b FROM ({_REG["dedup_minhash_lsh"].oracle}) x
+    ),
+    ng AS (
+      SELECT doc_a, doc_b FROM ({_REG["dedup_ngram_jaccard"].oracle}) y
+    )
+    SELECT
+      CAST((SELECT count(*) FROM mh) AS BIGINT) AS n_minhash,
+      CAST((SELECT count(*) FROM ng) AS BIGINT) AS n_ngram,
+      CAST((SELECT count(*) FROM mh JOIN ng
+            ON ng.doc_a = mh.doc_a AND ng.doc_b = mh.doc_b) AS BIGINT)
+        AS n_both
+    """,
+    "cross-method dedup agreement: the MinHash-LSH near-dup pair set "
+    "against the exact n-gram Jaccard pair set — pair counts and the "
+    "overlap, the validation number that justifies shipping the "
+    "banded approximation at 100 TB; both sides are the registry's "
+    "own replayable paths so the agreement itself hash-checks",
+)
+def q_dedup_method_agreement(spark, sf_dir):
+    mh = _REG["dedup_minhash_lsh"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    ng = _REG["dedup_ngram_jaccard"].fn(spark, sf_dir).select(
+        F.col("doc_a").alias("na"), F.col("doc_b").alias("nb")
+    )
+    both = mh.join(
+        ng, (F.col("na") == F.col("doc_a")) & (F.col("nb") == F.col("doc_b"))
+    )
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+    n_ng = ng.agg(F.count(F.lit(1)).alias("n_ngram"))
+    n_bo = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return n_mh.crossJoin(n_ng).crossJoin(n_bo)
+
+
+@stage(
+    "sim_quantized_recall_audit",
+    f"""
+    SELECT ex.query_id,
+           CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(ap.neighbor_id) * 10 AS BIGINT) AS recall_pct
+    FROM (SELECT query_id, neighbor_id FROM
+            ({_REG["sim_topk_bruteforce"].oracle}) f) ex
+    LEFT JOIN (SELECT query_id, neighbor_id FROM
+            ({_REG["sim_topk_quantized"].oracle}) p) ap
+      ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+    GROUP BY 1
+    """,
+    "int8-quantization recall audit: recall@10 of the quantized "
+    "dot-product path against the exact cosine top-10 per query — "
+    "completes the per-method audit family (LSH r9, IVF r10, "
+    "quantized here) so every ANN variant ships with its measured "
+    "recall; derived from the registry's own replayable paths",
+)
+def q_sim_quantized_recall_audit(spark, sf_dir):
+    ex = _REG["sim_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ap = _REG["sim_topk_quantized"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    joined = ex.join(
+        ap,
+        (F.col("aq") == F.col("query_id"))
+        & (F.col("an") == F.col("neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("an").alias("n_hits"),
+        (F.count("an") * 10).alias("recall_pct"),
+    )
+
+
+@stage(
+    "render_holt_aberration_counts",
+    f"""
+    SELECT metric,
+           CAST(count(*) AS BIGINT) AS n_slots,
+           CAST(sum(aberrant) AS BIGINT) AS n_aberrant
+    FROM ({_REG["render_holt_forecast"].oracle}) h
+    GROUP BY 1
+    """,
+    "holtWintersAberration rolled up: per metric, how many tier0 "
+    "slots fall outside the Holt-linear confidence band — the alert "
+    "volume a threshold-tuning pass reads; derived from the "
+    "registry's replayable double-exponential recursion so the counts "
+    "hash-check",
+)
+def q_render_holt_aberration_counts(spark, sf_dir):
+    out = _REG["render_holt_forecast"].fn(spark, sf_dir)
+    return out.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(F.col("aberrant").cast("long")).alias("n_aberrant"),
+    )
+
+
+@stage(
+    "ts_anomaly_band_counts",
+    f"""
+    SELECT metric,
+           CAST(CAST(ts AS BIGINT) // 86400 AS BIGINT) AS day,
+           CAST(sum(CASE WHEN abs(zscore) > 2.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           count(*) AS n_slots
+    FROM ({_REG["ts_anomaly_zscore"].oracle}) z
+    GROUP BY 1, 2
+    """,
+    "z-score anomaly volume per metric-day: |z| > 2 slot counts from "
+    "the registry's rolling two-sum z-score (the float-discipline "
+    "recursion already proven to replay) — the paging-rate forecast "
+    "an alert-tuning pass runs before enabling a monitor",
+)
+def q_ts_anomaly_band_counts(spark, sf_dir):
+    z = _REG["ts_anomaly_zscore"].fn(spark, sf_dir)
+    return z.groupBy(
+        "metric", (F.col("ts") / 86400).cast("long").alias("day")
+    ).agg(
+        F.sum((F.abs(F.col("zscore")) > 2.0).cast("long")).alias(
+            "n_outliers"
+        ),
+        F.count(F.lit(1)).alias("n_slots"),
+    )
+
+
+@stage(
+    "mm_resize_nearest_sum",
+    """
+    SELECT d.doc_id, d.width // 2 AS out_w, d.height // 2 AS out_h,
+           sum((d.doc_id + 31 * ((y.v * d.height) // (d.height // 2))
+                + 17 * ((x.v * d.width) // (d.width // 2))) % 256)
+             AS pixel_sum
+    FROM (
+      SELECT doc_id, 8 + doc_id % 24 AS width,
+             8 + (doc_id * 7) % 16 AS height
+      FROM documents WHERE doc_id % 50 = 0
+    ) d
+    CROSS JOIN generate_series(0, 14) x(v)
+    CROSS JOIN generate_series(0, 10) y(v)
+    WHERE x.v < d.width // 2 AND y.v < d.height // 2
+    GROUP BY 1, 2, 3
+    """,
+    "the nearest-neighbor resize kernel verified to the pixel: "
+    "gradient images downscaled to half dims by resize_nearest (pure "
+    "integer index arithmetic — src = (dst * src_len) // dst_len, no "
+    "float interpolation), and the resampled pixel sum must equal the "
+    "closed-form the oracle computes from the same index map",
+)
+def q_mm_resize_nearest_sum(spark, sf_dir):
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 50 = 0")
+        .select("doc_id")
+    )
+
+    def kern(batches):
+        import numpy as np
+
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 24, 8 + (did * 7) % 16
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                arr = ((did + 31 * y + 17 * x) % 256).astype(np.uint8)
+                small = codecs.resize_nearest(arr, w // 2, h // 2)
+                rows.append(
+                    (did, small.shape[1], small.shape[0], int(small.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "pixel_sum"]
+            )
+
+    return docs.mapInPandas(
+        kern, "doc_id long, out_w long, out_h long, pixel_sum long"
+    )
