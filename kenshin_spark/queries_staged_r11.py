@@ -369,3 +369,355 @@ def q_mm_resize_nearest_sum(spark, sf_dir):
     return docs.mapInPandas(
         kern, "doc_id long, out_w long, out_h long, pixel_sum long"
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 2: store fetch-splice + point-patch invariants, vocab coverage
+# curve, length Gini, cohort retention triangle, daily integral,
+# histogram p50 drift, bottom-k nesting.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.queries_staged_r8_engine import (  # noqa: E402
+    CUT,
+    _W,
+    _grid_sql,
+    _store,
+    _week_slots,
+)
+
+
+@stage(
+    "store_fetch_splice_consistency",
+    f"""
+    WITH {_W}, now_t AS (SELECT {CUT} AS now),
+    tier AS (SELECT metric, ts, value FROM t0),
+    {_grid_sql("now - 172800", "now", 60)}
+    """,
+    "fetch splice invariance: two adjacent one-day fetches "
+    "(now-2d..now-1d and now-1d..now) concatenated must equal the one "
+    "two-day fetch — the grid roundup arithmetic leaves no overlap "
+    "and no gap at the seam (the pagination contract a dashboard's "
+    "panel-by-panel loading relies on); the oracle computes the "
+    "single-request form",
+)
+def q_store_fetch_splice_consistency(spark, sf_dir):
+    from kenshin_spark.queries_staged_r8_engine import _METRICS5
+
+    st = _store(spark, sf_dir, "store_fetch_splice")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    a = st.fetch(_METRICS5, CUT - 172800, CUT - 86400, CUT)
+    b = st.fetch(_METRICS5, CUT - 86400, CUT, CUT)
+    return a.unionByName(b)
+
+
+@stage(
+    "store_upsert_point_patch",
+    f"""
+    WITH {_W}
+    SELECT metric, ts,
+           CASE WHEN metric = 'click' AND ts = {CUT - 3600}
+                THEN 999.5 ELSE value END AS value
+    FROM t0
+    UNION ALL
+    SELECT 'click', {CUT - 3600}, 999.5
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t0 WHERE metric = 'click' AND ts = {CUT - 3600}
+    )
+    """,
+    "single-point correction: after the week's load, one (metric, "
+    "slot) is patched by a one-row upsert — the GDPR-style/bad-sensor "
+    "fix — and the read must show the patch whether the slot existed "
+    "before or not, with every other slot untouched (the "
+    "partition-bounded rewrite touches exactly one day); the oracle "
+    "models both the overwrite and the insert case",
+)
+def q_store_upsert_point_patch(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_point_patch")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    patch = st.spark.createDataFrame(
+        [("click", CUT - 3600, 999.5)], "metric string, ts long, value double"
+    )
+    st.upsert(0, patch)
+    return st.read(0)
+
+
+@stage(
+    "text_vocab_coverage_curve",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM freq
+    ),
+    tot AS (SELECT sum(c) AS total, count(*) AS n_vocab FROM freq)
+    SELECT t.n_top,
+           CAST((SELECT coalesce(sum(c), 0) FROM ranked
+                 WHERE rnk <= t.n_top) * 1000000 // tot.total
+                AS BIGINT) AS covered_ppm,
+           tot.total AS n_occurrences, tot.n_vocab
+    FROM (VALUES (100), (1000)) t(n_top), tot
+    """,
+    "tokenizer vocabulary sizing curve: what fraction of all token "
+    "occurrences the top-100 / top-1000 vocabulary covers (ranked by "
+    "count with a token tie-break so both engines pick identical "
+    "cutoffs) — the number that decides BPE vocab size; floor-scaled "
+    "ppm, integers throughout",
+)
+def q_text_vocab_coverage_curve(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = freq.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("tok"))),
+    )
+    tot = freq.agg(
+        F.sum("c").alias("n_occurrences"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    cuts = (
+        load_table(spark, sf_dir, "documents")
+        .sparkSession.createDataFrame([(100,), (1000,)], "n_top int")
+    )
+    cov = (
+        cuts.crossJoin(F.broadcast(ranked))
+        .where(F.col("rnk") <= F.col("n_top"))
+        .groupBy("n_top")
+        .agg(F.sum("c").alias("_cov"))
+    )
+    return (
+        cuts.join(cov, "n_top", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_top",
+            F.floor(
+                F.coalesce("_cov", F.lit(0)) * 1000000 / F.col("n_occurrences")
+            ).cast("long").alias("covered_ppm"),
+            "n_occurrences", "n_vocab",
+        )
+    )
+
+
+@stage(
+    "text_length_gini",
+    """
+    WITH r AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(n_chars) AS sx,
+             sum(i * n_chars) AS six
+      FROM r
+    )
+    SELECT n, sx AS total_chars,
+           CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx)
+                AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+    "document-length inequality as a scaled-integer Gini coefficient: "
+    "rank-weighted sums over (n_chars, doc_id)-ordered docs — the "
+    "corpus-balance number a packing/curriculum planner reads; every "
+    "operation integer until the final floor division, so the "
+    "coefficient hash-matches exactly",
+)
+def q_text_length_gini(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "n_chars",
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("i"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("i") * F.col("n_chars")).alias("six"),
+    )
+    return s.select(
+        "n",
+        F.col("sx").alias("total_chars"),
+        F.floor(
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+            * 1000000
+            / (F.col("n") * F.col("sx"))
+        ).cast("long").alias("gini_ppm"),
+    )
+
+
+@stage(
+    "q_events_cohort_triangle",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS BIGINT)
+               AS day
+      FROM events
+    ),
+    first_d AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+    SELECT f.cohort, e.day - f.cohort AS offset_days,
+           count(DISTINCT e.user_id) AS n_users
+    FROM e JOIN first_d f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+    "the cohort retention triangle over the event stream: users "
+    "grouped by their FIRST active day, activity counted at each day "
+    "offset — the classic growth-accounting matrix; first-touch "
+    "derivation and distinct counts replay exactly",
+)
+def q_q_events_cohort_triangle(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp("ts").cast("long") / 86400).cast("long").alias(
+            "day"
+        ),
+    )
+    first_d = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        ev.join(first_d, "user_id")
+        .groupBy(
+            "cohort", (F.col("day") - F.col("cohort")).alias("offset_days")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@stage(
+    "ts_integral_daily",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT metric, ts,
+           round(sum(value) OVER (
+             PARTITION BY metric, CAST(ts // 86400 AS BIGINT)
+             ORDER BY ts ROWS UNBOUNDED PRECEDING
+           ), 6) AS value
+    FROM t0
+    """,
+    "graphite integral(series) with a daily reset: the running sum "
+    "restarts at each midnight (the per-day odometer dashboards "
+    "show); the window's sequential accumulation order is identical "
+    "on both engines so the float path matches like the other "
+    "running-sum rows",
+)
+def q_ts_integral_daily(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    w = (
+        Window.partitionBy("metric", (F.col("ts") / 86400).cast("long"))
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t0.select(
+        "metric", "ts", F.round(F.sum("value").over(w), 6).alias("value")
+    )
+
+
+@stage(
+    "sketch_histogram_p50_drift",
+    """
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 512.0 THEN 257
+                  ELSE CAST(floor((value - 0.0) / 2.0) + 1 AS INT)
+             END AS bucket,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT day, bucket,
+             sum(c) OVER (PARTITION BY day ORDER BY bucket) AS _cum,
+             sum(c) OVER (PARTITION BY day) AS _tot
+      FROM cells
+    ),
+    p AS (
+      SELECT day, min(bucket) AS p50_bucket FROM cum
+      WHERE _cum >= 0.5 * _tot GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(p50_bucket AS BIGINT) AS p50_bucket,
+           CAST(p50_bucket - lag(p50_bucket) OVER (ORDER BY day)
+                AS BIGINT) AS drift
+    FROM p
+    """,
+    "distribution drift from histogram-sketch state: the daily median "
+    "BUCKET (an integer — no edge arithmetic at all) and its "
+    "day-over-day drift, the cheap distribution-shift monitor a "
+    "data-quality pipeline alerts on; cells, quantile walk and lag "
+    "replay exactly",
+)
+def q_sketch_histogram_p50_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.functions.sketches import histogram_sketches
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    cells = histogram_sketches(
+        ev, "value", "day", lo=0.0, hi=512.0, bins=256
+    )
+    w = Window.partitionBy("day").orderBy("bucket")
+    cum = cells.select(
+        "day", "bucket",
+        F.sum("c").over(w).alias("_cum"),
+        F.sum("c").over(
+            Window.partitionBy("day").orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_tot"),
+    )
+    p = (
+        cum.where(F.col("_cum") >= 0.5 * F.col("_tot"))
+        .groupBy("day")
+        .agg(F.min("bucket").alias("p50_bucket"))
+    )
+    return p.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("p50_bucket").cast("long").alias("p50_bucket"),
+        (
+            F.col("p50_bucket")
+            - F.lag("p50_bucket").over(Window.orderBy("day"))
+        ).cast("long").alias("drift"),
+    )
+
+
+@stage(
+    "sample_bottomk_nesting",
+    """
+    SELECT CAST(64 AS BIGINT) AS k_small, CAST(128 AS BIGINT) AS k_big,
+           CAST(0 AS BIGINT) AS n_missing
+    """,
+    "bottom-k sample NESTING — the property that makes hash samples "
+    "reusable across budget changes: the bottom-64 doc sample is "
+    "always a subset of the bottom-128 (same seed, same hash order), "
+    "so shrinking an eval set never resamples; the engine computes "
+    "the anti-join count and the oracle states the invariant (0 "
+    "missing, by construction)",
+)
+def q_sample_bottomk_nesting(spark, sf_dir):
+    from kenshin_spark.functions.sampling import bottom_k_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    small = bottom_k_sample(docs, 64, "doc_id")
+    big = bottom_k_sample(docs, 128, "doc_id")
+    missing = small.join(big, "doc_id", "left_anti")
+    return missing.agg(
+        F.lit(64).cast("long").alias("k_small"),
+        F.lit(128).cast("long").alias("k_big"),
+        F.count(F.lit(1)).alias("n_missing"),
+    )
