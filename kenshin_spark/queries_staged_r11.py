@@ -721,3 +721,323 @@ def q_sample_bottomk_nesting(spark, sf_dir):
         F.lit(128).cast("long").alias("k_big"),
         F.count(F.lit(1)).alias("n_missing"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 3: tier occupancy, quantity mode, priority latency, value
+# cardinality, CMS heavy hitters, semantic-vs-cosine agreement,
+# nation/quarter matrix, Benford audit.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "ts_tier_occupancy",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    t1 AS (SELECT metric, ts - ts % 300 AS ts, max(value) AS value
+           FROM t0 GROUP BY 1, 2),
+    t2 AS (SELECT metric, ts - ts % 3600 AS ts, max(value) AS value
+           FROM t1 GROUP BY 1, 2)
+    SELECT CAST(0 AS BIGINT) AS tier, metric, count(*) AS n_slots
+    FROM t0 GROUP BY 2
+    UNION ALL
+    SELECT 1, metric, count(*) FROM t1 GROUP BY 2
+    UNION ALL
+    SELECT 2, metric, count(*) FROM t2 GROUP BY 2
+    """,
+    "archive occupancy per tier: slot counts per metric down the "
+    "60s/300s/3600s cascade (each tier downsampled from the previous "
+    "— operators/downsample.cascade) — the fill-factor report a "
+    "capacity planner compares against ring capacity; integer counts",
+)
+def q_ts_tier_occupancy(spark, sf_dir):
+    from kenshin_spark.config import Archive
+    from kenshin_spark.operators.align import last_write_wins
+    from kenshin_spark.operators.downsample import cascade
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    tiers = cascade(
+        t0,
+        [
+            Archive(sec_per_point=60, count=129600),
+            Archive(sec_per_point=300, count=51840),
+            Archive(sec_per_point=3600, count=8784),
+        ],
+        agg_method="max",
+    )
+    out = None
+    for i, t in enumerate(tiers):
+        c = t.groupBy("metric").agg(F.count(F.lit(1)).alias("n_slots"))
+        c = c.select(F.lit(i).cast("long").alias("tier"), "metric", "n_slots")
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+@stage(
+    "q_lineitem_quantity_mode",
+    """
+    SELECT l_returnflag, quantity_mode, n_at_mode FROM (
+      SELECT l_returnflag, l_quantity AS quantity_mode,
+             count(*) AS n_at_mode,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY count(*) DESC, l_quantity) AS rnk
+      FROM lineitem GROUP BY 1, 2
+    ) t WHERE rnk = 1
+    """,
+    "modal order quantity per return flag: the most frequent quantity "
+    "with a value tie-break — exact mode (not approx) via one "
+    "grouped count + per-group rank",
+)
+def q_q_lineitem_quantity_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n_at_mode")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n_at_mode").desc(), F.col("l_quantity")
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("quantity_mode"),
+            "n_at_mode",
+        )
+    )
+
+
+@stage(
+    "q_priority_ship_latency",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(quantile_cont(
+             datediff('day', o_orderdate, l_shipdate), 0.5), 6)
+             AS median_days,
+           round(quantile_cont(
+             datediff('day', o_orderdate, l_shipdate), 0.9), 6)
+             AS p90_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    "fulfilment latency by order priority: exact interpolated median "
+    "and p90 of integer day lags through the orderkey join — does "
+    "URGENT actually ship faster; integer inputs keep the "
+    "interpolation exact on both engines",
+)
+def q_q_priority_ship_latency(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_d"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.expr("percentile(lag_d, 0.5)"), 6).alias("median_days"),
+        F.round(F.expr("percentile(lag_d, 0.9)"), 6).alias("p90_days"),
+    )
+
+
+@stage(
+    "ts_value_cardinality_ratio",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric,
+           count(*) AS n_points,
+           count(DISTINCT value) AS n_distinct,
+           CAST(count(DISTINCT value) * 1000000 // count(*) AS BIGINT)
+             AS distinct_ppm
+    FROM pts WHERE value IS NOT NULL GROUP BY 1
+    """,
+    "value-cardinality compression profile per metric: distinct "
+    "values over total points (floor-scaled ppm) — the statistic that "
+    "decides dictionary vs plain parquet encoding for a tier, and "
+    "whether a metric is a low-cardinality state flag or a continuous "
+    "gauge; integers throughout",
+)
+def q_ts_value_cardinality_ratio(spark, sf_dir):
+    pts = _points(spark, sf_dir).where(F.col("value").isNotNull())
+    return pts.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.floor(
+            F.countDistinct("value") * 1000000 / F.count(F.lit(1))
+        ).cast("long").alias("distinct_ppm"),
+    )
+
+
+@stage(
+    "sketch_cms_heavy_hitters",
+    """
+    WITH cells AS (
+      SELECT t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+               AS bucket,
+             count(*) AS c
+      FROM events CROSS JOIN generate_series(0, 3) t(r)
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+    probe AS (
+      SELECT e.user_id, t.r AS row,
+             CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                   CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+               AS bucket
+      FROM exact e CROSS JOIN generate_series(0, 3) t(r)
+    ),
+    est AS (
+      SELECT p.user_id, min(coalesce(cl.c, 0)) AS est
+      FROM probe p
+      LEFT JOIN cells cl ON cl.row = p.row AND cl.bucket = p.bucket
+      GROUP BY 1
+    ),
+    thr AS (SELECT CAST(sum(exact) * 5 // 100 AS BIGINT) AS t FROM exact)
+    SELECT
+      CAST((SELECT count(*) FROM est, thr WHERE est >= t) AS BIGINT)
+        AS n_est_hh,
+      CAST((SELECT count(*) FROM exact, thr WHERE exact >= t) AS BIGINT)
+        AS n_exact_hh,
+      CAST((SELECT count(*) FROM est e
+            JOIN exact x ON x.user_id = e.user_id, thr
+            WHERE e.est >= t AND x.exact >= t) AS BIGINT) AS n_agree
+    """,
+    "heavy-hitter detection from CMS state: users whose estimated "
+    "frequency clears 5%% of total traffic vs the exact heavy-hitter "
+    "set — CMS one-sided error guarantees the estimate NEVER misses a "
+    "true heavy hitter (n_agree == n_exact_hh), only over-reports; "
+    "sketch, threshold and agreement all replay bit-for-bit",
+)
+def q_sketch_cms_heavy_hitters(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+    merged = cms_merge(cms_sketches(ev, "user_id"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(merged, exact.select("user_id"), "user_id")
+    thr = exact.agg(
+        F.floor(F.sum("exact") * 5 / 100).cast("long").alias("t")
+    )
+    j = est.join(exact, "user_id").crossJoin(F.broadcast(thr))
+    return j.agg(
+        F.sum((F.col("est") >= F.col("t")).cast("long")).alias("n_est_hh"),
+        F.sum((F.col("exact") >= F.col("t")).cast("long")).alias(
+            "n_exact_hh"
+        ),
+        F.sum(
+            ((F.col("est") >= F.col("t")) & (F.col("exact") >= F.col("t")))
+            .cast("long")
+        ).alias("n_agree"),
+    )
+
+
+@stage(
+    "dedup_semantic_cosine_agreement",
+    f"""
+    WITH se AS (
+      SELECT vec_a, vec_b FROM ({_REG["dedup_semantic"].oracle}) x
+    ),
+    co AS (
+      SELECT vec_a, vec_b FROM ({_REG["dedup_embedding_neardup"].oracle}) y
+    )
+    SELECT
+      CAST((SELECT count(*) FROM se) AS BIGINT) AS n_semantic,
+      CAST((SELECT count(*) FROM co) AS BIGINT) AS n_cosine,
+      CAST((SELECT count(*) FROM se JOIN co
+            ON co.vec_a = se.vec_a AND co.vec_b = se.vec_b) AS BIGINT)
+        AS n_both
+    """,
+    "SemDeDup-vs-global agreement: the centroid-bucketed semantic "
+    "near-dup pair set against the all-pairs cosine set — how much "
+    "of the exact answer the cluster-scoped scan keeps (the recall "
+    "side of SemDeDup's quadratic-cost dodge); derived from two "
+    "replayable registry paths",
+)
+def q_dedup_semantic_cosine_agreement(spark, sf_dir):
+    se = _REG["dedup_semantic"].fn(spark, sf_dir).select("vec_a", "vec_b")
+    co = _REG["dedup_embedding_neardup"].fn(spark, sf_dir).select(
+        F.col("vec_a").alias("ca"), F.col("vec_b").alias("cb")
+    )
+    both = se.join(
+        co, (F.col("ca") == F.col("vec_a")) & (F.col("cb") == F.col("vec_b"))
+    )
+    return (
+        se.agg(F.count(F.lit(1)).alias("n_semantic"))
+        .crossJoin(co.agg(F.count(F.lit(1)).alias("n_cosine")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+    )
+
+
+@stage(
+    "q_nation_quarter_matrix",
+    """
+    SELECT n.n_name,
+           CAST(strftime(o.o_orderdate, '%Y') AS VARCHAR) || '-Q' ||
+             CAST(quarter(o.o_orderdate) AS VARCHAR) AS quarter,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+    "order volume by nation and quarter: the customer->nation "
+    "dimension chain (nation broadcast) with standard quarter "
+    "arithmetic — identical month-to-quarter mapping on both engines",
+)
+def q_q_nation_quarter_matrix(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    q = F.concat(
+        F.date_format("o_orderdate", "yyyy"),
+        F.lit("-Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    return j.groupBy("n_name", q.alias("quarter")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@stage(
+    "q_order_benford_audit",
+    """
+    SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS first_digit,
+           count(*) AS n_orders
+    FROM orders WHERE o_totalprice >= 1
+    GROUP BY 1
+    """,
+    "Benford first-digit audit over order values: the "
+    "fraud/synthetic-data screen — first digit of the floored total "
+    "price counted per digit; string-of-integer extraction is "
+    "identical on both engines (no float formatting in play)",
+)
+def q_q_order_benford_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            ).alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
