@@ -1041,3 +1041,264 @@ def q_q_order_benford_audit(spark, sf_dir):
         .groupBy("first_digit")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 4: dim sign profile, customer lifespan, balance outliers,
+# containment bands, region revenue share, phash distance profile,
+# alignment audit, tagged groupByNode.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "emb_dim_sign_profile",
+    """
+    SELECT t.dim,
+           sum(CASE WHEN embedding[t.dim + 1] > 0 THEN 1 ELSE 0 END)
+             AS n_pos,
+           sum(CASE WHEN embedding[t.dim + 1] < 0 THEN 1 ELSE 0 END)
+             AS n_neg,
+           sum(CASE WHEN embedding[t.dim + 1] = 0 THEN 1 ELSE 0 END)
+             AS n_zero
+    FROM embeddings, range(64) t(dim)
+    GROUP BY 1
+    """,
+    "per-dimension sign balance across the corpus: positive/negative/"
+    "zero counts per coordinate — the zero-centering check run before "
+    "trusting sign-based sketches (simhash for vectors); pure integer "
+    "comparisons, posexplode + one map-side-combined aggregate",
+)
+def q_emb_dim_sign_profile(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    return e.groupBy("dim").agg(
+        F.sum((F.col("v") > 0).cast("long")).alias("n_pos"),
+        F.sum((F.col("v") < 0).cast("long")).alias("n_neg"),
+        F.sum((F.col("v") == 0).cast("long")).alias("n_zero"),
+    )
+
+
+@stage(
+    "q_order_first_last_gap",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                AS BIGINT) AS span_days
+    FROM orders GROUP BY 1 HAVING count(*) >= 2
+    """,
+    "customer ordering lifespan: first-to-last order span in days for "
+    "repeat customers — the engagement-window statistic cohort "
+    "models bucket by; integer day arithmetic",
+)
+def q_q_order_first_last_gap(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("span_days"),
+        )
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+@stage(
+    "q_supplier_balance_outliers",
+    """
+    WITH q AS (
+      SELECT quantile_cont(s_acctbal, 0.25) AS q1,
+             quantile_cont(s_acctbal, 0.75) AS q3
+      FROM supplier
+    )
+    SELECT count(*) AS n_suppliers,
+           sum(CASE WHEN s_acctbal < q1 - 1.5 * (q3 - q1)
+                    THEN 1 ELSE 0 END) AS n_low_outliers,
+           sum(CASE WHEN s_acctbal > q3 + 1.5 * (q3 - q1)
+                    THEN 1 ELSE 0 END) AS n_high_outliers
+    FROM supplier, q
+    """,
+    "IQR outlier screen over supplier balances: Tukey fences from "
+    "exact interpolated quartiles (the same percentile arithmetic "
+    "both engines share), integer outlier counts — the "
+    "data-validation pass a dimension load runs",
+)
+def q_q_supplier_balance_outliers(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    q = s.agg(
+        F.expr("percentile(s_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(s_acctbal, 0.75)").alias("q3"),
+    )
+    j = s.crossJoin(F.broadcast(q))
+    iqr = F.col("q3") - F.col("q1")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(
+            (F.col("s_acctbal") < F.col("q1") - 1.5 * iqr).cast("long")
+        ).alias("n_low_outliers"),
+        F.sum(
+            (F.col("s_acctbal") > F.col("q3") + 1.5 * iqr).cast("long")
+        ).alias("n_high_outliers"),
+    )
+
+
+@stage(
+    "dedup_containment_bands",
+    f"""
+    SELECT CAST(floor(containment * 10) AS BIGINT) AS band,
+           count(*) AS n_pairs
+    FROM ({_REG["dedup_containment"].oracle}) c
+    GROUP BY 1
+    """,
+    "containment-score distribution: the asymmetric-overlap pairs "
+    "(subset detection — a short doc wholly inside a long one) banded "
+    "by score decile — the threshold-tuning histogram; derived from "
+    "the registry's replayable containment path so the bands "
+    "hash-check",
+)
+def q_dedup_containment_bands(spark, sf_dir):
+    c = _REG["dedup_containment"].fn(spark, sf_dir)
+    return (
+        c.select(
+            F.floor(F.col("containment") * 10).cast("long").alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@stage(
+    "q_region_revenue_share",
+    """
+    WITH r AS (
+      SELECT rg.r_name,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region rg ON rg.r_regionkey = n.n_regionkey
+      GROUP BY 1
+    ),
+    c2 AS (SELECT r_name, CAST(floor(rev * 100) AS BIGINT) AS cents FROM r),
+    t AS (SELECT sum(cents) AS total_cents FROM c2)
+    SELECT c2.r_name,
+           round(CAST(c2.cents AS DOUBLE) / 100.0, 2) AS revenue,
+           c2.cents * 1000000 // t.total_cents AS share_ppm
+    FROM c2, t
+    """,
+    "regional revenue share in DECIMAL end to end: discounted revenue "
+    "accumulated exactly, shares as floor-divided DECIMAL ppm — no "
+    "double enters until the display column; the five-table star join "
+    "with every dimension broadcastable",
+)
+def q_q_region_revenue_share(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rg = load_table(spark, sf_dir, "region")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+    )
+    r = j.groupBy("r_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev")
+    )
+    c2 = r.select(
+        "r_name", F.floor(F.col("rev") * 100).cast("long").alias("cents")
+    )
+    t = c2.agg(F.sum("cents").alias("total_cents"))
+    return c2.crossJoin(F.broadcast(t)).select(
+        "r_name",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.expr("cents * 1000000 DIV total_cents").alias("share_ppm"),
+    )
+
+
+@stage(
+    "mm_phash_distance_profile",
+    f"""
+    SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS n_pairs
+    FROM ({_REG["mm_phash_neardup"].oracle}) p
+    GROUP BY 1
+    """,
+    "perceptual-hash distance profile: the near-dup candidate pairs "
+    "(hamming <= 6 over the 64-bit DCT phash) counted per distance — "
+    "the threshold histogram an image-dedup pass reads; derived from "
+    "the registry's replayable phash path",
+)
+def q_mm_phash_distance_profile(spark, sf_dir):
+    p = _REG["mm_phash_neardup"].fn(spark, sf_dir)
+    return p.groupBy(F.col("hamming").cast("long").alias("hamming")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@stage(
+    "ts_slot_alignment_audit",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric,
+           count(*) AS n_points,
+           sum(CASE WHEN ts % 60 = 0 THEN 1 ELSE 0 END) AS n_aligned,
+           sum(CASE WHEN ts % 60 <> 0 THEN 1 ELSE 0 END) AS n_unaligned
+    FROM pts GROUP BY 1
+    """,
+    "ingest alignment audit: how many raw points already sit on the "
+    "60s grid vs need align-down — the W5 pre-step statistic that "
+    "predicts LWW collision volume (an all-aligned feed makes the "
+    "align a no-op; a jittery one concentrates collisions); integer "
+    "modulo only",
+)
+def q_ts_slot_alignment_audit(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return pts.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum((F.col("ts") % 60 == 0).cast("long")).alias("n_aligned"),
+        F.sum((F.col("ts") % 60 != 0).cast("long")).alias("n_unaligned"),
+    )
+
+
+@stage(
+    "render_group_node_max",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    tagged AS (
+      SELECT 'dc' || CAST(ts % 2 AS VARCHAR) || '.' || metric AS metric,
+             ts, value
+      FROM t0
+    )
+    SELECT string_split(metric, '.')[1] AS metric, ts,
+           max(value) AS value
+    FROM tagged GROUP BY 1, 2
+    """,
+    "graphite groupByNode(0, 'max') over a dotted namespace: series "
+    "re-keyed to their datacenter prefix and folded per slot by max "
+    "(exact comparisons — the NULL-ignoring envelope, not the "
+    "float-sum variant) — the fleet-rollup the render API serves",
+)
+def q_render_group_node_max(spark, sf_dir):
+    from kenshin_spark.functions.render import group_by_node
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    tagged = t0.select(
+        F.concat(
+            F.lit("dc"), (F.col("ts") % 2).cast("string"),
+            F.lit("."), F.col("metric"),
+        ).alias("metric"),
+        "ts", "value",
+    )
+    return group_by_node(tagged, 0, "max")
