@@ -1302,3 +1302,381 @@ def q_render_group_node_max(spark, sf_dir):
         "ts", "value",
     )
     return group_by_node(tagged, 0, "max")
+
+
+# --------------------------------------------------------------------------
+# Batch 5: session value bands, active-day histogram, hapax by source,
+# KMV affinity matrix, discount curve, type/dow heatmap, token ranges,
+# day-partition profile, balance/activity matrix, gap histogram.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_event_session_value_bands",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT user_id, value,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS sum_value
+      FROM g GROUP BY 1, 2
+    )
+    SELECT CAST(floor(coalesce(sum_value, 0) / 100.0) AS BIGINT) AS band,
+           count(*) AS n_sessions
+    FROM sess GROUP BY 1
+    """,
+    "session value distribution: 30-minute-gap sessions (the same "
+    "session_window semantics q_event_sessions_native pins) with "
+    "DECIMAL-exact per-session value sums, banded by 100-value "
+    "buckets — the monetization histogram a product dashboard shows; "
+    "the gap-and-island replay and banding are exact",
+)
+def q_q_event_session_value_bands(spark, sf_dir):
+    from kenshin_spark.streaming.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap="30 minutes")
+    return (
+        sess.select(
+            F.floor(F.coalesce("sum_value", F.lit(0.0)) / 100.0)
+            .cast("long")
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+
+
+@stage(
+    "q_events_active_days_histogram",
+    """
+    WITH u AS (
+      SELECT user_id,
+             count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+               AS active_days
+      FROM events GROUP BY 1
+    )
+    SELECT active_days, count(*) AS n_users FROM u GROUP BY 1
+    """,
+    "engagement depth histogram: users bucketed by how many distinct "
+    "days they were active — the DAU-quality statistic behind "
+    "stickiness ratios; integer distinct-day counts",
+)
+def q_q_events_active_days_histogram(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.countDistinct(
+            (F.unix_timestamp("ts").cast("long") / 86400).cast("long")
+        ).alias("active_days")
+    )
+    return u.groupBy("active_days").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@stage(
+    "text_hapax_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1
+    ),
+    hapax AS (SELECT tok FROM freq WHERE c = 1)
+    SELECT t.source,
+           count(*) AS n_occurrences,
+           sum(CASE WHEN h.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_hapax
+    FROM toks t LEFT JOIN hapax h ON h.tok = t.tok
+    WHERE t.tok <> ''
+    GROUP BY 1
+    """,
+    "corpus-hapax contribution per source: which sources carry the "
+    "vocabulary's singleton tail (the OOV-risk profile a tokenizer "
+    "trainer reads per provider); global hapax set broadcast back "
+    "against the token stream, integer counts",
+)
+def q_text_hapax_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    hapax = freq.where(F.col("c") == 1).select("tok").withColumn(
+        "_h", F.lit(True)
+    )
+    return (
+        toks.join(F.broadcast(hapax), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.sum(F.col("_h").isNotNull().cast("long")).alias("n_hapax"),
+        )
+    )
+
+
+@stage(
+    "sketch_kmv_click_affinity",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}' AS other_type, union_est, inter_est, jaccard_ppm
+    FROM (WITH {_kmv_pair_sql("event_type = 'click'",
+                              f"event_type = '{t}'")}
+          SELECT * FROM est) s{i}
+    """
+        for i, t in enumerate(("error", "purchase", "signup", "view"))
+    ),
+    "audience affinity matrix from KMV states: the click audience "
+    "intersected with each other event type's audience — four theta "
+    "intersections computed from five persisted 256-row states "
+    "instead of four distinct-joins over raw events; every estimate "
+    "floor-scaled and replayed bit-for-bit",
+)
+def q_sketch_kmv_click_affinity(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        kmv_bottom_set,
+        kmv_set_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    click = kmv_bottom_set(
+        ev.where(F.col("event_type") == "click"), "user_id", 256
+    ).localCheckpoint(eager=True)
+    out = None
+    for t in ("error", "purchase", "signup", "view"):
+        other = kmv_bottom_set(
+            ev.where(F.col("event_type") == t), "user_id", 256
+        )
+        est = kmv_set_estimates(click, other, 256).select(
+            F.lit(t).alias("other_type"),
+            "union_est", "inter_est", "jaccard_ppm",
+        )
+        out = est if out is None else out.unionByName(est)
+    return out
+
+
+@stage(
+    "q_discount_quantity_curve",
+    """
+    SELECT round(CAST(l_discount AS DOUBLE), 2) AS discount,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) * 1000000) / 1000000 AS avg_quantity
+    FROM lineitem GROUP BY 1
+    """,
+    "discount elasticity curve: average line quantity at each "
+    "discount level — DECIMAL-summed quantities divided once, with "
+    "the explicit x*1e6 rounding guard on the single float division; "
+    "does a deeper discount actually move volume",
+)
+def q_q_discount_quantity_curve(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.round(F.col("l_discount").cast("double"), 2).alias("discount")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1))
+                * 1000000
+            )
+            / 1000000
+        ).alias("avg_quantity"),
+    )
+
+
+@stage(
+    "q_events_type_dow_heatmap",
+    """
+    SELECT event_type,
+           CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7
+                AS BIGINT) AS dow,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    "event volume heatmap by type and day-of-week — Thursday-anchored "
+    "epoch-day arithmetic instead of dayofweek() (the cross-engine "
+    "convention trap); one map-side-combined aggregate",
+)
+def q_q_events_type_dow_heatmap(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        (F.unix_timestamp("ts").cast("long") / 86400).cast("long") + 4
+    ) % 7
+    return ev.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@stage(
+    "text_token_range_by_lang",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    )
+    SELECT lang,
+           min(n_tok) AS min_tokens,
+           round(quantile_cont(n_tok, 0.5), 6) AS median_tokens,
+           max(n_tok) AS max_tokens,
+           count(*) AS n_docs
+    FROM t GROUP BY 1
+    """,
+    "document length envelope per language: min/median/max whitespace "
+    "token counts — the per-language sizing table a packing planner "
+    "reads; integer counts with the exact interpolated median",
+)
+def q_text_token_range_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    return t.groupBy("lang").agg(
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias(
+            "median_tokens"
+        ),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@stage(
+    "store_day_partition_profile",
+    f"""
+    WITH {_W}
+    SELECT metric, CAST(ts // 86400 AS BIGINT) AS day,
+           count(*) AS n_slots,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM t0 GROUP BY 1, 2
+    """,
+    "day-partition profile through the store read path: per "
+    "(metric, day) slot counts and timestamp envelopes after the "
+    "week's upsert — the physical-layout statistic (rows per day "
+    "partition) that drives compaction and maxPartitionBytes choices, "
+    "read back from the persisted tier",
+)
+def q_store_day_partition_profile(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_day_profile")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    t = st.read(0)
+    return t.groupBy(
+        "metric", (F.col("ts") / 86400).cast("long").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@stage(
+    "q_customer_balance_activity_matrix",
+    """
+    WITH b AS (
+      SELECT c_custkey,
+             ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey)
+               AS balance_q
+      FROM customer
+    ),
+    o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+    SELECT b.balance_q,
+           CASE WHEN coalesce(o.n_orders, 0) = 0 THEN '0'
+                WHEN o.n_orders <= 5 THEN '1-5'
+                WHEN o.n_orders <= 15 THEN '6-15'
+                ELSE '16+' END AS order_band,
+           count(*) AS n_customers
+    FROM b LEFT JOIN o ON o.o_custkey = b.c_custkey
+    GROUP BY 1, 2
+    """,
+    "balance-quartile x activity-band customer matrix: ntile with a "
+    "custkey tie-break (identical bucketing on both engines) crossed "
+    "with order-count bands — the segmentation grid a CRM load "
+    "produces; integers only",
+)
+def q_q_customer_balance_activity_matrix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    b = c.select(
+        "c_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+        .alias("balance_q"),
+    )
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    j = b.join(oc, b.c_custkey == oc.o_custkey, "left")
+    n = F.coalesce("n_orders", F.lit(0))
+    band = (
+        F.when(n == 0, "0")
+        .when(n <= 5, "1-5")
+        .when(n <= 15, "6-15")
+        .otherwise("16+")
+    )
+    return j.groupBy("balance_q", band.alias("order_band")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@stage(
+    "ts_gap_histogram",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT metric,
+             (ts - lag(ts) OVER (PARTITION BY metric ORDER BY ts)) // 60
+               - 1 AS missed
+      FROM t0
+    )
+    SELECT metric, CAST(missed AS BIGINT) AS missed_slots,
+           count(*) AS n_gaps
+    FROM g WHERE missed IS NOT NULL AND missed > 0
+    GROUP BY 1, 2
+    """,
+    "gap-length histogram per metric: how many tier0 slots each "
+    "silence spans (the outage-size distribution that separates "
+    "flaky collection from real downtime, and sizes keepLastValue "
+    "limits); integer lag arithmetic on the aligned grid",
+)
+def q_ts_gap_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    w = Window.partitionBy("metric").orderBy("ts")
+    g = t0.select(
+        "metric",
+        ((F.col("ts") - F.lag("ts").over(w)) / 60 - 1)
+        .cast("long")
+        .alias("missed_slots"),
+    )
+    return (
+        g.where(F.col("missed_slots").isNotNull() & (F.col("missed_slots") > 0))
+        .groupBy("metric", "missed_slots")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
