@@ -1680,3 +1680,280 @@ def q_ts_gap_histogram(spark, sf_dir):
         .groupBy("metric", "missed_slots")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
+
+
+# --------------------------------------------------------------------------
+# Final bank rows: conversion lag bands, prefix diversity, MoM growth,
+# label balance, series lifetime report, part-name words, histogram
+# tail mass, top supplier per nation.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_purchase_lag_bands",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ),
+    v AS (
+      SELECT user_id, ts AS conv_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT CAST(floor(epoch(v.conv_ts)) AS BIGINT)
+               - CAST(floor(epoch(c.view_ts)) AS BIGINT) AS lag_s
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.view_ts <= v.conv_ts
+       AND c.view_ts >= v.conv_ts - INTERVAL 1 HOUR
+    )
+    SELECT CASE WHEN lag_s <= 300 THEN '0-5m'
+                WHEN lag_s <= 900 THEN '5-15m'
+                WHEN lag_s <= 1800 THEN '15-30m'
+                ELSE '30-60m' END AS band,
+           count(*) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+    "view-to-purchase latency bands: every (purchase, prior view "
+    "within 1h) pair — the same bounded interval join the streaming "
+    "attribution operator state-limits — banded into decision-time "
+    "buckets; integer second arithmetic",
+)
+def q_q_purchase_lag_bands(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    v = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("conv_ts")
+    )
+    pairs = v.join(
+        c,
+        (F.col("uid") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("conv_ts"))
+        & (F.col("view_ts") >= F.col("conv_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        (
+            F.unix_timestamp("conv_ts").cast("long")
+            - F.unix_timestamp("view_ts").cast("long")
+        ).alias("lag_s")
+    )
+    band = (
+        F.when(F.col("lag_s") <= 300, "0-5m")
+        .when(F.col("lag_s") <= 900, "5-15m")
+        .when(F.col("lag_s") <= 1800, "15-30m")
+        .otherwise("30-60m")
+    )
+    return pairs.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@stage(
+    "text_prefix_diversity",
+    r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT substr(tok, 1, 3)) AS n_prefixes,
+           count(DISTINCT tok) AS n_vocab
+    FROM toks WHERE tok <> '' GROUP BY 1
+    """,
+    "lexical prefix diversity per language: distinct 3-char token "
+    "prefixes vs full vocabulary — the trie-width statistic that "
+    "predicts prefix-compression wins in a token dictionary; integer "
+    "distinct counts",
+)
+def q_text_prefix_diversity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return toks.groupBy("lang").agg(
+        F.countDistinct(F.substring("tok", 1, 3)).alias("n_prefixes"),
+        F.countDistinct("tok").alias("n_vocab"),
+    )
+
+
+@stage(
+    "q_orders_mom_growth",
+    """
+    WITH m AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           CAST(n_orders - lag(n_orders) OVER (ORDER BY month)
+                AS BIGINT) AS mom_delta
+    FROM m
+    """,
+    "month-over-month order growth: integer deltas via lag over the "
+    "lexicographically ordered month key (yyyy-MM sorts "
+    "chronologically) — the complement of the registry's YoY row",
+)
+def q_q_orders_mom_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return m.select(
+        "month", "n_orders",
+        (
+            F.col("n_orders")
+            - F.lag("n_orders").over(Window.orderBy("month"))
+        ).cast("long").alias("mom_delta"),
+    )
+
+
+@stage(
+    "emb_label_size_balance",
+    """
+    WITH c AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+    mm AS (SELECT min(n_vecs) AS mn, max(n_vecs) AS mx FROM c)
+    SELECT c.label, c.n_vecs,
+           c.n_vecs * 1000000 // mm.mx AS share_of_max_ppm
+    FROM c, mm
+    """,
+    "label balance audit: per-label vector counts and each label's "
+    "size relative to the largest (floor-scaled ppm) — the class-"
+    "imbalance number that decides whether per-label IVF cells need "
+    "rebalancing; integers only",
+)
+def q_emb_label_size_balance(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    mm = c.agg(F.max("n_vecs").alias("mx"))
+    return c.crossJoin(F.broadcast(mm)).select(
+        "label", "n_vecs",
+        F.expr("n_vecs * 1000000 DIV mx").alias("share_of_max_ppm"),
+    )
+
+
+@stage(
+    "ts_series_lifetime_report",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           CAST((max(ts) - min(ts)) // 86400 AS BIGINT) AS lifetime_days,
+           count(*) AS n_points
+    FROM pts GROUP BY 1
+    """,
+    "series lifetime catalog: first/last raw timestamps, whole-day "
+    "lifetime and point counts per metric — the header-inspect analog "
+    "(R9) computed relationally instead of from ring headers; pure "
+    "integer aggregates",
+)
+def q_ts_series_lifetime_report(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return pts.groupBy("metric").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        ((F.max("ts") - F.min("ts")) / 86400).cast("long").alias(
+            "lifetime_days"
+        ),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@stage(
+    "q_part_name_words",
+    r"""
+    SELECT len(string_split_regex(trim(p_name), '\s+')) AS n_words,
+           count(*) AS n_parts,
+           min(p_partkey) AS example_key
+    FROM part GROUP BY 1
+    """,
+    "part-name word-count histogram with a deterministic example key "
+    "per bucket (min partkey) — the catalog-hygiene profile; integer "
+    "splits and counts",
+)
+def q_q_part_name_words(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy(
+        F.size(F.split(F.trim("p_name"), r"\s+")).alias("n_words")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("example_key"),
+    )
+
+
+@stage(
+    "sketch_histogram_tail_mass",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 256.0 THEN 129
+                  ELSE CAST(floor((value - 0.0) / 2.0) + 1 AS INT)
+             END AS bucket,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           sum(c) AS n_values,
+           sum(CASE WHEN bucket = 129 THEN c ELSE 0 END) AS n_overflow,
+           CAST(sum(CASE WHEN bucket = 129 THEN c ELSE 0 END) * 1000000
+                // sum(c) AS BIGINT) AS overflow_ppm
+    FROM cells GROUP BY 1
+    """,
+    "histogram-sketch tail mass: how much probability lands in the "
+    "overflow bucket when the [0,256) bounds clip — the "
+    "bounds-validation number that tells a schema advisor to widen "
+    "the histogram range before trusting its quantiles; integer "
+    "cell sums, floor-scaled ppm",
+)
+def q_sketch_histogram_tail_mass(spark, sf_dir):
+    from kenshin_spark.functions.sketches import histogram_sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = histogram_sketches(
+        ev, "value", "event_type", lo=0.0, hi=256.0, bins=128
+    )
+    over = F.when(F.col("bucket") == 129, F.col("c")).otherwise(0)
+    return cells.groupBy("event_type").agg(
+        F.sum("c").alias("n_values"),
+        F.sum(over).alias("n_overflow"),
+        F.expr(
+            "sum(CASE WHEN bucket = 129 THEN c ELSE 0 END) * 1000000"
+            " DIV sum(c)"
+        ).alias("overflow_ppm"),
+    )
+
+
+@stage(
+    "q_top_supplier_per_nation",
+    """
+    SELECT n_name, s_suppkey, s_acctbal FROM (
+      SELECT n.n_name, s.s_suppkey, s.s_acctbal,
+             row_number() OVER (
+               PARTITION BY n.n_name
+               ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rnk
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ) t WHERE rnk = 1
+    """,
+    "highest-balance supplier per nation: per-group rank with a "
+    "suppkey tie-break (identical winner on both engines), nation "
+    "dim broadcast",
+)
+def q_q_top_supplier_per_nation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("n_name", "s_suppkey", "s_acctbal")
+    )
