@@ -8,6 +8,7 @@ Usage:  python tools/promote_staged.py queries_staged      # round 5
         python tools/promote_staged.py queries_staged_r9   # round 9
         python tools/promote_staged.py queries_staged_r10  # round 10
         python tools/promote_staged.py queries_staged_r11  # round 11
+        python tools/promote_staged.py queries_staged_r12  # round 12
 
 Appends the two promotion lines to the BOTTOM of kenshin_spark/queries.py
 (the circular import resolves because every name the staged module needs
@@ -33,6 +34,7 @@ DICT_NAME = {
     "queries_staged_r9": "STAGED_R9",
     "queries_staged_r10": "STAGED_R10",
     "queries_staged_r11": "STAGED_R11",
+    "queries_staged_r12": "STAGED_R12",
 }
 
 
