@@ -338,3 +338,299 @@ def q_q_events_winsorized_mean(spark, sf_dir):
             / 1000000
         ).alias("winsorized_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 2: .hs size model, quality-weighted token budget, shingle dup
+# mass, flatline runs, status share, daily new users.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.queries import _SHINGLES, _STOP_RE  # noqa: E402
+from kenshin_spark.queries_staged_r8_engine import (  # noqa: E402
+    DAY1_END,
+    _W,
+    _export_day1,
+    _fnv_shard_sql,
+)
+
+
+@stage(
+    "hs_export_size_model",
+    f"""
+    WITH RECURSIVE {_W},
+    {_fnv_shard_sql(4)},
+    files AS (
+      SELECT shard AS file_id,
+             count(*) AS n_metrics,
+             sum(length(metric)) AS name_bytes
+      FROM sharded GROUP BY 1
+    )
+    SELECT file_id, n_metrics,
+           24 + name_bytes + n_metrics + 12
+              + 1440 * (4 + 8 * n_metrics) AS n_bytes
+    FROM files
+    """,
+    "the .hs container's size closed form, verified against real "
+    "bytes on disk: a preallocated ring file is metadata(24) + "
+    "TAB-joined tags (name bytes + one tab per metric) + one "
+    "archive-info(12) + 1440 ring slots x (4 + 8 x metrics-per-file) "
+    "— the exporter's manifest n_bytes must equal the arithmetic for "
+    "every fnv-sharded bucket (kenshin/storage.py:281-311 layout); "
+    "the oracle replays the fnv grouping and the formula",
+)
+def q_hs_export_size_model(spark, sf_dir):
+    import os
+
+    from kenshin_spark.operators.align import last_write_wins
+    from kenshin_spark.queries_staged_r8_engine import _week_slots, _workdir
+    from kenshin_spark.sources.kenshin_hs import export_kenshin_hs
+
+    out_dir = os.path.join(_workdir(sf_dir, "hs_size_model"), "hs")
+    day1 = _week_slots(spark, sf_dir).where(F.col("ts") < DAY1_END)
+    manifest = export_kenshin_hs(
+        [day1], [(60, 1440)], out_dir, n_files=4,
+        agg_method="max", xff=0.5,
+    )
+    return manifest.select("file_id", "n_metrics", "n_bytes")
+
+
+@stage(
+    "pipeline_quality_token_budget",
+    rf"""
+    WITH f AS (
+      SELECT source,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS n_stop,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_tokens,
+             (n_tokens >= 25 AND n_tokens <= 100000
+              AND n_chars >= 3 * n_tokens AND n_chars <= 10 * n_tokens
+              AND n_stop >= 2
+              AND n_alpha * 50 >= n_chars * 41) AS keep
+      FROM f
+    )
+    SELECT source,
+           sum(n_tokens) AS tokens_total,
+           sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS tokens_kept,
+           sum(CASE WHEN keep THEN n_tokens ELSE 0 END) * 1000000
+             // sum(n_tokens) AS kept_ppm
+    FROM r GROUP BY 1
+    """,
+    "the quality gate priced in TOKENS, not documents: per source, "
+    "how much of the token budget survives the Gopher-style verdict "
+    "(long docs failing quality cost disproportionately) — the number "
+    "that reorders cleanup priorities; integer rules, floor-scaled "
+    "ppm",
+)
+def q_pipeline_quality_token_budget(spark, sf_dir):
+    from kenshin_spark.functions.text import quality_verdict, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = quality_verdict("text")
+    d = docs.select(
+        "source",
+        token_count("text").cast("long").alias("n_tokens"),
+        v["keep"].alias("keep"),
+    )
+    kept = F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+    return d.groupBy("source").agg(
+        F.sum("n_tokens").alias("tokens_total"),
+        kept.alias("tokens_kept"),
+        F.expr(
+            "sum(CASE WHEN keep THEN n_tokens ELSE 0 END) * 1000000"
+            " DIV sum(n_tokens)"
+        ).alias("kept_ppm"),
+    )
+
+
+@stage(
+    "text_shingle_dup_mass",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    j AS (
+      SELECT s.doc_id, d.df FROM sh s JOIN df d ON d.shingle = s.shingle
+    ),
+    docs_src AS (SELECT doc_id, source FROM documents)
+    SELECT ds.source,
+           count(*) AS n_shingles,
+           sum(CASE WHEN j.df > 1 THEN 1 ELSE 0 END) AS n_shared,
+           sum(CASE WHEN j.df > 1 THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS shared_ppm
+    FROM j JOIN docs_src ds ON ds.doc_id = j.doc_id
+    GROUP BY 1
+    """,
+    "shingle duplication mass per source: the fraction of a source's "
+    "3-gram shingles that appear in MORE than one document — the "
+    "boilerplate indicator that predicts near-dup removal volume "
+    "before running LSH; the same shingle definition every MinHash "
+    "row replays, integer counts and floor-scaled ppm",
+)
+def q_text_shingle_dup_mass(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("toks"),
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.array_join(
+                    F.slice("toks", i, 3), " "
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    j = sh.join(df, "shingle").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("df") > 1).cast("long")).alias("n_shared"),
+        F.expr(
+            "sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*)"
+        ).alias("shared_ppm"),
+    )
+
+
+@stage(
+    "ts_flatline_run_histogram",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    marks AS (
+      SELECT metric, ts, value,
+             CASE WHEN lag(value) OVER w IS NULL
+                  OR value <> lag(value) OVER w THEN 1 ELSE 0 END AS brk
+      FROM t0 WINDOW w AS (PARTITION BY metric ORDER BY ts)
+    ),
+    runs AS (
+      SELECT metric,
+             sum(brk) OVER (PARTITION BY metric ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marks
+    ),
+    lens AS (
+      SELECT metric, run_id, count(*) AS run_len
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT metric, CAST(run_len AS BIGINT) AS run_len,
+           count(*) AS n_runs
+    FROM lens GROUP BY 1, 2
+    """,
+    "flatline run-length histogram: consecutive equal-value slot runs "
+    "per metric (the gaps-and-islands pass behind ts_flatline_detect) "
+    "folded into a length distribution — separates normal quantized "
+    "gauges from stuck sensors; integer window arithmetic",
+)
+def q_ts_flatline_run_histogram(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    w = Window.partitionBy("metric").orderBy("ts")
+    marks = t0.withColumn(
+        "brk",
+        F.when(
+            F.lag("value").over(w).isNull()
+            | (F.col("value") != F.lag("value").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    runs = marks.withColumn(
+        "run_id",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    lens = runs.groupBy("metric", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return lens.groupBy(
+        "metric", F.col("run_len").cast("long").alias("run_len")
+    ).agg(F.count(F.lit(1)).alias("n_runs"))
+
+
+@stage(
+    "q_orders_status_share_monthly",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS f_share_ppm,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS o_share_ppm
+    FROM orders GROUP BY 1
+    """,
+    "monthly fulfilment mix: finished/open order shares as "
+    "floor-scaled ppm — the operational trend line; integer "
+    "conditional sums",
+)
+def q_q_orders_status_share_monthly(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*)"
+        ).alias("f_share_ppm"),
+        F.expr(
+            "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*)"
+        ).alias("o_share_ppm"),
+    )
+
+
+@stage(
+    "q_events_daily_new_users",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS first_day
+      FROM events GROUP BY 1
+    )
+    , d AS (
+      SELECT CAST(first_day AS BIGINT) AS day, count(*) AS n_new_users
+      FROM f GROUP BY 1
+    )
+    SELECT day, n_new_users,
+           CAST(sum(n_new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM d
+    """,
+    "daily new-user curve with the cumulative total: first-touch day "
+    "per user, grouped and running-summed — the growth chart's two "
+    "lines in one pass; integer day arithmetic",
+)
+def q_q_events_daily_new_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            (F.unix_timestamp("ts").cast("long") / 86400).cast("long")
+        ).alias("first_day")
+    )
+    d = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        "day", "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cumulative_users"),
+    )
