@@ -634,3 +634,313 @@ def q_q_events_daily_new_users(spark, sf_dir):
         "day", "n_new_users",
         F.sum("n_new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 3: idle users, brand price spread, MAD spikes, order size vs
+# latency, word lengths by lang, multi-supplier orders, top spenders,
+# tier1 kernel matrix.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_events_idle_users",
+    """
+    WITH b AS (
+      SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS user_last
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(b.last_day - u.user_last AS BIGINT) AS idle_days,
+           count(*) AS n_users
+    FROM u, b GROUP BY 1
+    """,
+    "churn-risk profile: users bucketed by days since their last "
+    "event relative to the stream's high-water day — the idle-cohort "
+    "histogram a reactivation campaign targets; integer day "
+    "arithmetic",
+)
+def q_q_events_idle_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp("ts").cast("long") / 86400).cast("long").alias(
+            "day"
+        ),
+    )
+    b = ev.agg(F.max("day").alias("last_day"))
+    u = ev.groupBy("user_id").agg(F.max("day").alias("user_last"))
+    return (
+        u.crossJoin(F.broadcast(b))
+        .groupBy(
+            (F.col("last_day") - F.col("user_last"))
+            .cast("long")
+            .alias("idle_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@stage(
+    "q_part_brand_price_spread",
+    """
+    SELECT p_brand,
+           count(*) AS n_parts,
+           min(p_retailprice) AS min_price,
+           max(p_retailprice) AS max_price,
+           round(CAST(max(p_retailprice) - min(p_retailprice) AS DOUBLE),
+                 2) AS spread
+    FROM part GROUP BY 1
+    """,
+    "brand price envelope: min/max retail price and spread per brand "
+    "— exact comparisons plus one subtraction of exact values, the "
+    "assortment-width statistic",
+)
+def q_q_part_brand_price_spread(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.round(
+            (F.max("p_retailprice") - F.min("p_retailprice")).cast(
+                "double"
+            ),
+            2,
+        ).alias("spread"),
+    )
+
+
+@stage(
+    "ts_spike_detection_mad",
+    f"""
+    WITH pts AS ({PTS}),
+    med AS (
+      SELECT metric, quantile_cont(value, 0.5) AS med
+      FROM pts WHERE value IS NOT NULL GROUP BY 1
+    ),
+    dev AS (
+      SELECT p.metric, p.value, m.med,
+             abs(p.value - m.med) AS adev
+      FROM pts p JOIN med m ON m.metric = p.metric
+      WHERE p.value IS NOT NULL
+    ),
+    mad AS (
+      SELECT metric, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.metric,
+           count(*) AS n_points,
+           sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+             AS n_spikes
+    FROM dev d JOIN mad m ON m.metric = d.metric
+    GROUP BY 1
+    """,
+    "MAD spike detection — the robust alternative to the z-score "
+    "rows: points more than 3 median-absolute-deviations from the "
+    "per-metric median, counted; exact interpolated medians give "
+    "identical doubles on both engines and the rest is comparisons",
+)
+def q_ts_spike_detection_mad(spark, sf_dir):
+    pts = _points(spark, sf_dir).where(F.col("value").isNotNull())
+    med = pts.groupBy("metric").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = pts.join(med, "metric").select(
+        "metric", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("metric").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "metric")
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum((F.col("adev") > 3 * F.col("mad")).cast("long")).alias(
+                "n_spikes"
+            ),
+        )
+    )
+
+
+@stage(
+    "q_order_size_vs_latency",
+    """
+    WITH l AS (
+      SELECT l_orderkey,
+             count(*) AS n_lines,
+             max(datediff('day', o_orderdate, l_shipdate)) AS last_ship_d
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1
+    )
+    SELECT CASE WHEN n_lines <= 2 THEN '1-2'
+                WHEN n_lines <= 4 THEN '3-4' ELSE '5+' END AS size_band,
+           count(*) AS n_orders,
+           round(quantile_cont(last_ship_d, 0.5), 6) AS median_last_ship_d
+    FROM l GROUP BY 1
+    """,
+    "does order size delay fulfilment: orders banded by line count "
+    "against the median time-to-LAST-shipment — the completion "
+    "latency, not first-line latency; integer days with the exact "
+    "interpolated median",
+)
+def q_q_order_size_vs_latency(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    l = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max(F.datediff("l_shipdate", "o_orderdate")).alias(
+                "last_ship_d"
+            ),
+        )
+    )
+    band = (
+        F.when(F.col("n_lines") <= 2, "1-2")
+        .when(F.col("n_lines") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    return l.groupBy(band.alias("size_band")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(last_ship_d, 0.5)"), 6).alias(
+            "median_last_ship_d"
+        ),
+    )
+
+
+@stage(
+    "text_word_len_by_lang",
+    r"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    )
+    SELECT lang, CAST(length(tok) AS BIGINT) AS word_len,
+           count(*) AS n_tokens
+    FROM toks WHERE tok <> '' GROUP BY 1, 2
+    """,
+    "word-length histogram per language — the morphology fingerprint "
+    "(agglutinative vs isolating) that sanity-checks the lang labels; "
+    "integer lengths and counts",
+)
+def q_text_word_len_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return toks.groupBy(
+        "lang", F.length("tok").cast("long").alias("word_len")
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
+@stage(
+    "q_multi_supplier_orders",
+    """
+    WITH o AS (
+      SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_suppliers
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           count(*) AS n_orders
+    FROM o GROUP BY 1
+    """,
+    "supplier fan-out per order: how many distinct suppliers each "
+    "order's lines touch, as a histogram — the fulfilment-complexity "
+    "profile; integer distinct counts",
+)
+def q_q_multi_supplier_orders(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    return o.groupBy(
+        F.col("n_suppliers").cast("long").alias("n_suppliers")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@stage(
+    "q_events_value_by_user_topk",
+    """
+    SELECT user_id, total_value, n_events FROM (
+      SELECT user_id,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS total_value,
+             count(*) AS n_events,
+             row_number() OVER (
+               ORDER BY sum(CAST(value AS DECIMAL(18,6))) DESC, user_id
+             ) AS rnk
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ) t WHERE rnk <= 5
+    """,
+    "top-5 spenders: DECIMAL-accumulated user totals ranked with a "
+    "user_id tie-break — ordering happens on the EXACT decimal, not "
+    "the display double, so both engines pick identical winners",
+)
+def q_q_events_value_by_user_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_dec"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.col("_dec").desc(), F.col("user_id"))
+    return (
+        u.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "user_id",
+            F.round(F.col("_dec").cast("double"), 6).alias("total_value"),
+            "n_events",
+        )
+    )
+
+
+@stage(
+    "ts_agg_kernel_tier1",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT metric, ts - ts % 600 AS ts,
+           round(avg(value), 6) AS avg_value,
+           round(sum(value), 6) AS sum_value,
+           arg_max(value, ts) AS last_value,
+           max(value) AS max_value,
+           min(value) AS min_value,
+           count(value) AS n_points
+    FROM t0 GROUP BY 1, 2
+    """,
+    "A0-A4 at tier-1 over the LWW grid: all five aggregation kernels "
+    "(average/sum/last/max/min) computed 60s->600s in one pass — the "
+    "same kernel matrix as ts_agg_kernel but through the propagation "
+    "path (downsampling the ALIGNED tier, not raw points), where "
+    "`last` keys on the slot timestamp alone because LWW already "
+    "resolved arrival order",
+)
+def q_ts_agg_kernel_tier1(spark, sf_dir):
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    return t0.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 600).alias("ts")
+    ).agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.expr("max_by(value, CASE WHEN value IS NOT NULL THEN ts END)")
+        .alias("last_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.count("value").alias("n_points"),
+    )
