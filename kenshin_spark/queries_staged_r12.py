@@ -944,3 +944,222 @@ def q_ts_agg_kernel_tier1(spark, sf_dir):
         F.min("value").alias("min_value"),
         F.count("value").alias("n_points"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 4: LSH band-bucket health, centroid accuracy by label,
+# reactivated users, tax impact, props value bands, whisper size model.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.queries import _DH  # noqa: E402
+
+
+def _bands_sql() -> str:
+    mins = ", ".join(
+        f"min({_DH.format(x=chr(39) + str(s) + '|' + chr(39) + ' || shingle')}) AS h{s}"
+        for s in range(8)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(CAST(h{2*b} AS VARCHAR) || ',' || "
+        f"CAST(h{2*b+1} AS VARCHAR)) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    sh AS ({_SHINGLES}),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({bands})"""
+
+
+@stage(
+    "dedup_band_collision_stats",
+    f"""
+    WITH {_bands_sql()},
+    buckets AS (
+      SELECT band, band_key, count(*) AS bucket_size
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(bucket_size AS BIGINT) AS bucket_size,
+           count(*) AS n_buckets
+    FROM buckets GROUP BY 1, 2
+    """,
+    "LSH index health: the band-bucket size distribution of the "
+    "persisted MinHash index (minhash_band_index) — candidate volume "
+    "is Sigma bucket_size^2, so this histogram IS the cost model the "
+    "max_bucket guard and density-scaled banding act on; seeded-md5 "
+    "signatures and band keys replay bit-for-bit",
+)
+def q_dedup_band_collision_stats(spark, sf_dir):
+    from kenshin_spark.dedup.minhash import minhash_band_index
+
+    idx = minhash_band_index(load_table(spark, sf_dir, "documents"))
+    buckets = idx.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy(
+        F.col("band").cast("long").alias("band"),
+        F.col("bucket_size").cast("long").alias("bucket_size"),
+    ).agg(F.count(F.lit(1)).alias("n_buckets"))
+
+
+@stage(
+    "emb_centroid_accuracy_by_label",
+    f"""
+    SELECT label,
+           count(*) AS n_vecs,
+           sum(CASE WHEN correct THEN 1 ELSE 0 END) AS n_correct
+    FROM ({_REG["emb_nearest_centroid"].oracle}) x
+    GROUP BY 1
+    """,
+    "nearest-centroid classifier accuracy per label: how separable "
+    "each class is under the cosine-to-centroid rule — the per-class "
+    "confusion headline; derived from the registry's replayable "
+    "centroid assignment",
+)
+def q_emb_centroid_accuracy_by_label(spark, sf_dir):
+    x = _REG["emb_nearest_centroid"].fn(spark, sf_dir)
+    return x.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("correct").cast("long")).alias("n_correct"),
+    )
+
+
+@stage(
+    "q_events_reactivated_users",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+               AS gap
+      FROM d
+    )
+    SELECT user_id,
+           count(*) AS n_active_days,
+           sum(CASE WHEN gap >= 3 THEN 1 ELSE 0 END) AS n_reactivations
+    FROM g GROUP BY 1
+    """,
+    "reactivation counting: per user, how many times they returned "
+    "after 3+ silent days (the win-back metric) alongside their "
+    "active-day count; integer lag arithmetic over distinct days",
+)
+def q_q_events_reactivated_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts").cast("long") / 86400).cast("long").alias(
+            "day"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("gap", F.col("day") - F.lag("day").over(w))
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_active_days"),
+        F.sum((F.col("gap") >= 3).cast("long")).alias("n_reactivations"),
+    )
+
+
+@stage(
+    "q_lineitem_tax_impact",
+    """
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                 AS DOUBLE), 2) AS net_revenue,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                 AS DOUBLE), 2) AS charged_revenue,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1
+    """,
+    "tax incidence per return flag: net vs tax-charged revenue — the "
+    "q1 money pipeline extended one more DECIMAL product deep "
+    "(price x (1-disc) x (1+tax) stays exact at scale 6), one "
+    "aggregate",
+)
+def q_q_lineitem_tax_impact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    tax = F.lit(1) + F.col("l_tax").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(price * disc).cast("double"), 2).alias(
+            "net_revenue"
+        ),
+        F.round(F.sum(price * disc * tax).cast("double"), 2).alias(
+            "charged_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@stage(
+    "q_events_props_k_bands",
+    """
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 25
+                AS BIGINT) AS k_band,
+           count(*) AS n_events
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "semi-structured property banding: the JSON k property bucketed "
+    "by 25s per event type (schema-on-read straight into an integer "
+    "histogram) — get_json_object/json_extract_string parity like "
+    "q_events_json_props, one aggregate",
+)
+def q_q_events_props_k_bands(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.where(k.isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(k / 25).cast("long").alias("k_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@stage(
+    "whisper_export_size_model",
+    f"""
+    WITH pts AS ({PTS}),
+    t0 AS (SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival)
+             AS value
+           FROM pts WHERE ts < {1704672000} GROUP BY 1, 2)
+    SELECT DISTINCT metric,
+           CAST(16 + 12 + 1440 * 12 AS BIGINT) AS n_bytes
+    FROM t0
+    """,
+    "the .wsp container's size closed form against real bytes: one "
+    "metric per preallocated file — metadata(16) + one "
+    "archive-info(12) + 1440 ring points x 12 bytes, independent of "
+    "how many points exist (the whisper model the graphite ecosystem "
+    "assumes); the exporter's manifest must hit the arithmetic for "
+    "every metric",
+)
+def q_whisper_export_size_model(spark, sf_dir):
+    import os
+
+    from kenshin_spark.queries_staged_r8_engine import (
+        CUT as _CUT,
+        _week_slots,
+        _workdir,
+    )
+    from kenshin_spark.sources.whisper import export_whisper
+
+    out_dir = os.path.join(_workdir(sf_dir, "wsp_size_model"), "wsp")
+    week = _week_slots(spark, sf_dir)
+    manifest = export_whisper(
+        [week], [(60, 1440)], out_dir, agg_method="max", xff=0.5
+    )
+    return manifest.select("metric", "n_bytes")
