@@ -1163,3 +1163,299 @@ def q_whisper_export_size_model(spark, sf_dir):
         [week], [(60, 1440)], out_dir, agg_method="max", xff=0.5
     )
     return manifest.select("metric", "n_bytes")
+
+
+# --------------------------------------------------------------------------
+# Batch 5: weekend share, negative balances, schema-field audits,
+# referential integrity, jitter offsets, range-vs-topk consistency,
+# delay-vs-shift comparison, session-count bands.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_events_weekend_share",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4)
+                         % 7 IN (5, 6) THEN 1 ELSE 0 END) AS n_weekend,
+           sum(CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4)
+                         % 7 IN (5, 6) THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS weekend_ppm
+    FROM events GROUP BY 1
+    """,
+    "weekend traffic share per event type (Thursday-anchored epoch "
+    "days; 5/6 = Sat/Sun) as floor-scaled ppm — the staffing-model "
+    "split; integer arithmetic only",
+)
+def q_q_events_weekend_share(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        (F.unix_timestamp("ts").cast("long") / 86400).cast("long") + 4
+    ) % 7
+    wk = dow.isin(5, 6).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(wk).alias("n_weekend"),
+        F.floor(F.sum(wk) * 1000000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("weekend_ppm"),
+    )
+
+
+@stage(
+    "q_customer_negbal_by_nation",
+    """
+    SELECT n.n_name,
+           count(*) AS n_customers,
+           sum(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative,
+           sum(CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS negative_ppm
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+    "credit-risk screen: negative-balance customer share per nation "
+    "(floor-scaled ppm), nation dim broadcast — the collections "
+    "prioritization table",
+)
+def q_q_customer_negbal_by_nation(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    neg = (F.col("c_acctbal") < 0).cast("long")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(neg).alias("n_negative"),
+            F.floor(F.sum(neg) * 1000000 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("negative_ppm"),
+        )
+    )
+
+
+@stage(
+    "text_chars_field_audit",
+    """
+    SELECT count(*) AS n_docs,
+           sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)
+             AS n_matching,
+           sum(CASE WHEN n_chars <> length(text)
+                     OR n_chars IS NULL OR text IS NULL
+                    THEN 1 ELSE 0 END) AS n_mismatch
+    FROM documents
+    """,
+    "derived-column audit: does the stored n_chars field actually "
+    "equal length(text) — the staleness check every ingest pipeline "
+    "runs on denormalized columns; one fused scan, integer counts",
+)
+def q_text_chars_field_audit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ok = (F.col("n_chars") == F.length("text")).cast("long")
+    bad = (
+        (F.col("n_chars") != F.length("text"))
+        | F.col("n_chars").isNull()
+        | F.col("text").isNull()
+    ).cast("long")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ok).alias("n_matching"),
+        F.sum(bad).alias("n_mismatch"),
+    )
+
+
+@stage(
+    "q_ref_integrity_audit",
+    """
+    SELECT
+      (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        AS dup_orderkeys,
+      (SELECT count(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lines,
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders
+    """,
+    "referential-integrity audit across the star: duplicate order "
+    "keys, lineitems without an order, orders without a customer — "
+    "the three anti-join counts a warehouse load gates on; key-only "
+    "aggregates and left-anti joins",
+)
+def q_q_ref_integrity_audit(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    dup = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "dup_orderkeys"
+        )
+    )
+    orphan_l = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lines"))
+    )
+    orphan_o = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    return dup.crossJoin(orphan_l).crossJoin(orphan_o)
+
+
+@stage(
+    "ts_jitter_offset_histogram",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric, CAST(ts % 60 // 15 AS BIGINT) AS offset_band,
+           count(*) AS n_points
+    FROM pts GROUP BY 1, 2
+    """,
+    "collection jitter profile: raw timestamps' within-slot offsets "
+    "banded into 15 s quarters per metric — distinguishes cron-styled "
+    "collectors (all in one band) from event-driven feeds (uniform); "
+    "integer modulo arithmetic",
+)
+def q_ts_jitter_offset_histogram(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return pts.groupBy(
+        "metric",
+        F.floor((F.col("ts") % 60) / 15).cast("long").alias("offset_band"),
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@stage(
+    "sim_range_topk_consistency",
+    f"""
+    WITH r AS (
+      SELECT query_id, neighbor_id, cosine
+      FROM ({_REG["sim_range_search"].oracle}) x
+    ),
+    t AS (
+      SELECT query_id, neighbor_id, cosine
+      FROM ({_REG["sim_topk_bruteforce"].oracle}) y
+    )
+    SELECT t.query_id,
+           count(*) AS topk_in_range,
+           sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS found_in_range
+    FROM t LEFT JOIN r
+      ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+    WHERE t.cosine >= 0.2
+    GROUP BY 1
+    """,
+    "range-search/top-k consistency: every brute-force top-10 "
+    "neighbor at cosine >= 0.2 must appear in the 0.2 range search "
+    "(found == total per query) — the cross-operator contract that "
+    "catches threshold drift between the two ANN entry points; both "
+    "sides replay",
+)
+def q_sim_range_topk_consistency(spark, sf_dir):
+    r = _REG["sim_range_search"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("rq"), F.col("neighbor_id").alias("rn")
+    )
+    t = _REG["sim_topk_bruteforce"].fn(spark, sf_dir).where(
+        F.col("cosine") >= 0.2
+    )
+    j = t.join(
+        r,
+        (F.col("rq") == F.col("query_id"))
+        & (F.col("rn") == F.col("neighbor_id")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("topk_in_range"),
+        F.sum(F.col("rn").isNotNull().cast("long")).alias(
+            "found_in_range"
+        ),
+    )
+
+
+@stage(
+    "render_delay_shift_compare",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT metric, ts,
+             lag(value, 3) OVER (PARTITION BY metric ORDER BY ts)
+               AS v_delay
+      FROM t0
+    ),
+    s AS (
+      SELECT a.metric, a.ts, b.value AS v_shift
+      FROM t0 a LEFT JOIN t0 b
+        ON b.metric = a.metric AND b.ts = a.ts - 180
+    )
+    SELECT d.metric,
+           count(*) AS n_slots,
+           sum(CASE WHEN d.v_delay IS NOT DISTINCT FROM s.v_shift
+                    THEN 1 ELSE 0 END) AS n_agree
+    FROM d JOIN s ON s.metric = d.metric AND s.ts = d.ts
+    GROUP BY 1
+    """,
+    "delay(3) vs timeShift(180s) semantics, quantified: on a complete "
+    "grid the row-based lag and the time-based self-join agree; every "
+    "disagreement is a GAP in the series (lag skips over holes, the "
+    "time join honors them) — the subtle render-API distinction "
+    "graphite users trip on, counted per metric",
+)
+def q_render_delay_shift_compare(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.functions.render import delay, time_shift
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    d = delay(t0, 3).withColumnRenamed("value", "v_delay")
+    shifted = time_shift(t0, 180).select(
+        "metric", "ts", F.col("value").alias("v_shift")
+    )
+    # keep the ORIGINAL slot set: shifted slots that fall in a gap
+    # contribute NULL, exactly like the oracle's left join
+    s = t0.select("metric", "ts").join(shifted, ["metric", "ts"], "left")
+    j = d.join(s, ["metric", "ts"])
+    return j.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(
+            F.col("v_delay").eqNullSafe(F.col("v_shift")).cast("long")
+        ).alias("n_agree"),
+    )
+
+
+@stage(
+    "q_user_session_count_bands",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    u AS (SELECT user_id, sum(new_s) AS n_sessions FROM s GROUP BY 1)
+    SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+           count(*) AS n_users
+    FROM u GROUP BY 1
+    """,
+    "sessions-per-user histogram: the 30-minute-gap session count per "
+    "user folded into a distribution — the engagement-frequency "
+    "companion to the session-length histogram; integer window "
+    "arithmetic",
+)
+def q_q_user_session_count_bands(spark, sf_dir):
+    from kenshin_spark.streaming.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, gap="30 minutes")
+    u = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return u.groupBy(
+        F.col("n_sessions").cast("long").alias("n_sessions")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
