@@ -1459,3 +1459,267 @@ def q_q_user_session_count_bands(spark, sf_dir):
     return u.groupBy(
         F.col("n_sessions").cast("long").alias("n_sessions")
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# Batch 6: priority value boxes, uptime streaks, qty/price bands,
+# exact-dedup survivor stats, error-after-purchase, dim audit, KMV k
+# sensitivity, first/last token match.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_order_value_by_priority_box",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+    FROM orders GROUP BY 1
+    """,
+    "order value box plot per priority: exact interpolated quartiles "
+    "— does URGENT money look different; the same percentile "
+    "discipline as the events quartile row",
+)
+def q_q_order_value_by_priority_box(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+    )
+
+
+@stage(
+    "ts_longest_uptime_streak",
+    f"""
+    WITH pts AS ({PTS}),
+    h AS (SELECT DISTINCT metric, ts // 3600 AS hr FROM pts),
+    g AS (
+      SELECT metric, hr,
+             hr - row_number() OVER (PARTITION BY metric ORDER BY hr)
+               AS grp
+      FROM h
+    ),
+    runs AS (
+      SELECT metric, count(*) AS streak_h FROM g GROUP BY metric, grp
+    )
+    SELECT metric,
+           CAST(max(streak_h) AS BIGINT) AS longest_streak_h,
+           count(*) AS n_streaks
+    FROM runs GROUP BY 1
+    """,
+    "longest consecutive-hour uptime streak per metric: the classic "
+    "gaps-and-islands (hour index minus row_number groups consecutive "
+    "hours) — the reliability headline an SLO narrative quotes; "
+    "integer arithmetic",
+)
+def q_ts_longest_uptime_streak(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir)
+    h = pts.select(
+        "metric", (F.col("ts") / 3600).cast("long").alias("hr")
+    ).distinct()
+    w = Window.partitionBy("metric").orderBy("hr")
+    g = h.withColumn("grp", F.col("hr") - F.row_number().over(w))
+    runs = g.groupBy("metric", "grp").agg(
+        F.count(F.lit(1)).alias("streak_h")
+    )
+    return runs.groupBy("metric").agg(
+        F.max("streak_h").cast("long").alias("longest_streak_h"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@stage(
+    "q_lineitem_qty_price_bands",
+    """
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+           CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_band,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1, 2
+    """,
+    "quantity x price 2-D histogram: floor-banded axes over the fact "
+    "table — the density grid a pricing analysis heatmaps; identical "
+    "floor arithmetic on both engines",
+)
+def q_q_lineitem_qty_price_bands(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_band"),
+        F.floor(F.col("l_extendedprice") / 10000)
+        .cast("long")
+        .alias("price_band"),
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+@stage(
+    "dedup_exact_survivor_stats",
+    """
+    WITH g AS (
+      SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+             min(doc_id) AS survivor_id,
+             count(*) AS n_dups
+      FROM documents GROUP BY 1
+    )
+    SELECT count(*) AS n_groups,
+           sum(n_dups) AS n_docs,
+           sum(n_dups - 1) AS n_removed,
+           CAST(max(n_dups) AS BIGINT) AS largest_group
+    FROM g
+    """,
+    "exact-dedup ledger: fingerprint groups (normalized-md5, "
+    "smallest-id survivor — exact_dedup's output), with the removal "
+    "ledger a curation report publishes: groups, docs, removed, "
+    "largest clone family; integer counts over the engine's own "
+    "grouping",
+)
+def q_dedup_exact_survivor_stats(spark, sf_dir):
+    from kenshin_spark.dedup.exact import exact_dedup
+
+    g = exact_dedup(load_table(spark, sf_dir, "documents"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_dups").alias("n_docs"),
+        F.sum(F.col("n_dups") - 1).alias("n_removed"),
+        F.max("n_dups").cast("long").alias("largest_group"),
+    )
+
+
+@stage(
+    "q_events_error_after_purchase",
+    """
+    WITH p AS (
+      SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, ts AS e_ts FROM events WHERE event_type = 'error'
+    )
+    SELECT p.user_id,
+           count(*) AS n_purchases,
+           sum(CASE WHEN x.hit THEN 1 ELSE 0 END) AS n_with_error_5m
+    FROM p LEFT JOIN LATERAL (
+      SELECT count(*) > 0 AS hit FROM e
+      WHERE e.user_id = p.user_id
+        AND e.e_ts > p.p_ts AND e.e_ts <= p.p_ts + INTERVAL 5 MINUTE
+    ) x ON TRUE
+    GROUP BY 1
+    """,
+    "post-purchase error rate: purchases followed by an error from "
+    "the same user within 5 minutes — the checkout-reliability "
+    "signal; a bounded interval semi-join per purchase, integer "
+    "counts",
+)
+def q_q_events_error_after_purchase(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"),
+        F.monotonically_increasing_id().alias("_pid"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), F.col("ts").alias("e_ts")
+    )
+    j = p.join(
+        e,
+        (F.col("eu") == F.col("user_id"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 5 MINUTE")),
+        "left",
+    )
+    per_p = j.groupBy("user_id", "_pid").agg(
+        (F.count("e_ts") > 0).alias("hit")
+    )
+    return per_p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("hit").cast("long")).alias("n_with_error_5m"),
+    )
+
+
+@stage(
+    "q_region_nation_audit",
+    """
+    SELECT r.r_name, count(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+    "dimension completeness audit: nations per region — the tiny "
+    "catalog sanity row every star-schema load starts with",
+)
+def q_q_region_nation_audit(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+def _kmv_global_sql(k: int) -> str:
+    h = "CAST(('0x' || substr(md5('ksp|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(floor(CASE WHEN count(*) < {k}
+                 THEN CAST(count(*) AS DOUBLE)
+                 ELSE {k - 1}.0 * 1152921504606846976.0 / max(h) END)
+           AS BIGINT) AS approx_users
+    FROM (SELECT DISTINCT {h} AS h FROM events ORDER BY h LIMIT {k}) s
+    """
+
+
+@stage(
+    "sketch_kmv_k_sensitivity",
+    " UNION ALL ".join(_kmv_global_sql(k) for k in (64, 128, 256)),
+    "KMV accuracy-vs-state tradeoff: the distinct-user estimate at "
+    "k = 64/128/256 side by side (relative error ~ 1/sqrt(k), state "
+    "= k rows) — the sizing table that picks the sketch budget; each "
+    "estimate replays bit-for-bit",
+)
+def q_sketch_kmv_k_sensitivity(spark, sf_dir):
+    from kenshin_spark.functions.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for k in (64, 128, 256):
+        e = kmv_distinct(ev, "user_id", k=k).select(
+            F.lit(k).cast("long").alias("k"),
+            F.floor("approx_distinct").cast("long").alias("approx_users"),
+        )
+        out = e if out is None else out.unionByName(e)
+    return out
+
+
+@stage(
+    "text_first_last_token",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN toks[1] = toks[len(toks)] THEN 1 ELSE 0 END)
+             AS n_ring_docs
+    FROM t GROUP BY 1
+    """,
+    "first-token == last-token incidence per language (the 'ring "
+    "structure' text statistic that flags templated/generated "
+    "content); array indexing and string equality only",
+)
+def q_text_first_last_token(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    t = docs.select(
+        "lang",
+        (F.element_at(toks, 1) == F.element_at(toks, -1))
+        .cast("long")
+        .alias("ring"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ring").alias("n_ring_docs"),
+    )
