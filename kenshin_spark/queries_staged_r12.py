@@ -1723,3 +1723,176 @@ def q_text_first_last_token(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ring").alias("n_ring_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Final bank rows: hour-of-day counts, priority breadth, size mode,
+# NULL-value share, quarter coverage, customer name audit.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "ts_hour_of_day_counts",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric,
+           CAST(ts // 3600 % 24 AS BIGINT) AS hour,
+           count(*) AS n_points
+    FROM pts GROUP BY 1, 2
+    """,
+    "collection cadence by hour of day per metric — the raw-count "
+    "companion to the seasonal average profile, exposing collector "
+    "outages that averaging hides; integer epoch arithmetic",
+)
+def q_ts_hour_of_day_counts(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return pts.groupBy(
+        "metric",
+        ((F.col("ts") / 3600).cast("long") % 24).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@stage(
+    "q_customer_priority_breadth",
+    """
+    WITH b AS (
+      SELECT o_custkey,
+             count(DISTINCT o_orderpriority) AS n_priorities
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(n_priorities AS BIGINT) AS n_priorities,
+           count(*) AS n_customers
+    FROM b GROUP BY 1
+    """,
+    "priority breadth histogram: how many distinct order priorities "
+    "each customer has used — behavioural diversity in one distinct "
+    "aggregate",
+)
+def q_q_customer_priority_breadth(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities")
+    )
+    return b.groupBy(
+        F.col("n_priorities").cast("long").alias("n_priorities")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@stage(
+    "q_part_size_mode_by_type",
+    """
+    SELECT p_type, size_mode, n_at_mode FROM (
+      SELECT p_type, p_size AS size_mode, count(*) AS n_at_mode,
+             row_number() OVER (
+               PARTITION BY p_type ORDER BY count(*) DESC, p_size) AS rnk
+      FROM part GROUP BY 1, 2
+    ) t WHERE rnk = 1
+    """,
+    "modal part size per type with a size tie-break — the default-"
+    "dimension pick a catalog UI pre-selects; grouped counts + "
+    "per-group rank",
+)
+def q_q_part_size_mode_by_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    counted = part.groupBy("p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("n_at_mode")
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("n_at_mode").desc(), F.col("p_size")
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "p_type", F.col("p_size").alias("size_mode"), "n_at_mode"
+        )
+    )
+
+
+@stage(
+    "q_events_value_null_share",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+           sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS null_ppm
+    FROM events GROUP BY 1
+    """,
+    "NULL-value incidence per event type as floor-scaled ppm — the "
+    "instrumentation-health number that distinguishes 'metric "
+    "carries no payload' from 'payload pipeline is broken'",
+)
+def q_q_events_value_null_share(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    isnull = F.col("value").isNull().cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(isnull).alias("n_null"),
+        F.floor(F.sum(isnull) * 1000000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("null_ppm"),
+    )
+
+
+@stage(
+    "q_orders_quarter_coverage",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y') AS VARCHAR) || '-Q' ||
+             CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+           count(*) AS n_orders,
+           count(DISTINCT o_orderdate) AS n_active_days,
+           CAST(min(o_orderdate) AS VARCHAR) AS first_day,
+           CAST(max(o_orderdate) AS VARCHAR) AS last_day
+    FROM orders GROUP BY 1
+    """,
+    "order-stream coverage per quarter: volume, distinct active days "
+    "and the date envelope — the completeness report that catches "
+    "partial loads at period boundaries; dates stringified so both "
+    "engines compare identically",
+)
+def q_q_orders_quarter_coverage(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    q = F.concat(
+        F.date_format("o_orderdate", "yyyy"),
+        F.lit("-Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    return orders.groupBy(q.alias("quarter")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderdate").alias("n_active_days"),
+        F.min("o_orderdate").cast("string").alias("first_day"),
+        F.max("o_orderdate").cast("string").alias("last_day"),
+    )
+
+
+@stage(
+    "q_customer_name_key_audit",
+    """
+    SELECT count(*) AS n_customers,
+           sum(CASE WHEN c_name = 'Customer#' ||
+                         lpad(CAST(c_custkey AS VARCHAR), 9, '0')
+                    THEN 1 ELSE 0 END) AS n_canonical,
+           sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS n_null_names
+    FROM customer
+    """,
+    "name-key consistency audit: does c_name follow the canonical "
+    "'Customer#<zero-padded key>' form — the referential naming "
+    "invariant TPC-H data generators promise; string building and "
+    "equality only",
+)
+def q_q_customer_name_key_audit(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    canonical = F.concat(
+        F.lit("Customer#"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((F.col("c_name") == canonical).cast("long")).alias(
+            "n_canonical"
+        ),
+        F.sum(F.col("c_name").isNull().cast("long")).alias("n_null_names"),
+    )
