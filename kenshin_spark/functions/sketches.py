@@ -402,3 +402,41 @@ def kmv_set_estimates(
         F.col("_n").alias("n_sample"),
         F.col("_nb").alias("n_both"),
     )
+
+
+def kmv_difference(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Directional set differences from two KMV states: one row
+    ``(a_minus_b_est, b_minus_a_est, union_est)``. Same theta-sketch
+    construction as ``kmv_set_estimates`` — the union sample M is
+    uniform over A ∪ B, so the fraction of M in A-only (resp. B-only)
+    scales the union estimate. "How many users clicked but never
+    purchased" from two 256-row states; floors to BIGINT like the
+    other oracle-facing estimators."""
+    m = kmv_union([a, b], k)
+    flagged = (
+        m.join(a.withColumnRenamed("h", "ha"), m["h"] == F.col("ha"), "left")
+        .join(b.withColumnRenamed("h", "hb"), m["h"] == F.col("hb"), "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNull())
+            .cast("long").alias("_a_only"),
+            (F.col("hb").isNotNull() & F.col("ha").isNull())
+            .cast("long").alias("_b_only"),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("h").alias("_hk"),
+        F.sum("_a_only").alias("_na"),
+        F.sum("_b_only").alias("_nb"),
+    )
+    est = _kmv_estimate_cols(F.col("_n"), F.col("_hk"), k)
+    return agg.select(
+        F.floor(est * F.col("_na") / F.col("_n")).cast("long")
+        .alias("a_minus_b_est"),
+        F.floor(est * F.col("_nb") / F.col("_n")).cast("long")
+        .alias("b_minus_a_est"),
+        F.floor(est).cast("long").alias("union_est"),
+    )
