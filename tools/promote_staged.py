@@ -35,6 +35,7 @@ DICT_NAME = {
     "queries_staged_r10": "STAGED_R10",
     "queries_staged_r11": "STAGED_R11",
     "queries_staged_r12": "STAGED_R12",
+    "queries_staged_r13": "STAGED_R13",
 }
 
 
