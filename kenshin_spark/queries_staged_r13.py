@@ -307,3 +307,170 @@ def q_q_order_ship_spread(spark, sf_dir):
     return o.groupBy(
         F.col("spread_d").cast("long").alias("spread_days")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# --------------------------------------------------------------------------
+# Batch 2: first-touch mix, WoW volume, price medians, dow value
+# matrix, vector extrema, same-day multi-orders.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_events_first_touch_mix",
+    """
+    WITH f AS (
+      SELECT user_id, arg_min(event_type, ts) AS first_type
+      FROM events GROUP BY 1
+    )
+    SELECT first_type, count(*) AS n_users FROM f GROUP BY 1
+    """,
+    "acquisition mix: users grouped by their FIRST event type "
+    "(min_by over the raw timestamp) — which door people arrive "
+    "through; arg_min/min_by parity between engines",
+)
+def q_q_events_first_touch_mix(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.expr("min_by(event_type, ts)").alias("first_type")
+    )
+    return f.groupBy("first_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@stage(
+    "ts_week_over_week_volume",
+    f"""
+    WITH pts AS ({PTS}),
+    w AS (
+      SELECT metric, CAST(ts // 604800 AS BIGINT) AS week,
+             count(*) AS n_points
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT metric, week, n_points,
+           CAST(n_points - lag(n_points) OVER (
+             PARTITION BY metric ORDER BY week) AS BIGINT) AS wow_delta
+    FROM w
+    """,
+    "week-over-week ingest volume per metric with integer deltas — "
+    "the capacity trend the rate-limiter budget follows; epoch-week "
+    "bucketing and lag, all integers",
+)
+def q_ts_week_over_week_volume(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir)
+    w = pts.groupBy(
+        "metric", (F.col("ts") / 604800).cast("long").alias("week")
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+    win = Window.partitionBy("metric").orderBy("week")
+    return w.select(
+        "metric", "week", "n_points",
+        (F.col("n_points") - F.lag("n_points").over(win))
+        .cast("long")
+        .alias("wow_delta"),
+    )
+
+
+@stage(
+    "q_part_price_median_by_type",
+    """
+    SELECT p_type,
+           count(*) AS n_parts,
+           round(quantile_cont(p_retailprice, 0.5), 6) AS median_price
+    FROM part GROUP BY 1
+    """,
+    "median retail price per part type — exact interpolated median "
+    "over the catalog, the pricing-ladder sanity table",
+)
+def q_q_part_price_median_by_type(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.expr("percentile(p_retailprice, 0.5)"), 6).alias(
+            "median_price"
+        ),
+    )
+
+
+@stage(
+    "q_events_dow_value_matrix",
+    """
+    SELECT event_type,
+           CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7
+                AS BIGINT) AS dow,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "value flow by type and day-of-week: DECIMAL-accumulated totals "
+    "on the Thursday-anchored dow grid — the revenue-cadence matrix "
+    "behind staffing and promo timing",
+)
+def q_q_events_dow_value_matrix(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    dow = (
+        (F.unix_timestamp("ts").cast("long") / 86400).cast("long") + 4
+    ) % 7
+    return ev.groupBy("event_type", dow.alias("dow")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_value")
+    )
+
+
+@stage(
+    "emb_vector_extrema",
+    """
+    SELECT vec_id,
+           list_min(embedding) AS v_min,
+           list_max(embedding) AS v_max,
+           CAST(list_position(embedding, list_max(embedding)) - 1
+                AS BIGINT) AS argmax_dim
+    FROM embeddings
+    """,
+    "per-vector extrema and the dominant dimension: array min/max "
+    "(exact float comparisons) plus the 0-based argmax via first "
+    "position — the quick look that spots dead or saturated "
+    "dimensions; array builtins on both engines",
+)
+def q_emb_vector_extrema(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.array_min("embedding").alias("v_min"),
+        F.array_max("embedding").alias("v_max"),
+        (F.array_position("embedding", F.array_max("embedding")) - 1)
+        .cast("long")
+        .alias("argmax_dim"),
+    )
+
+
+@stage(
+    "q_orders_same_day_multi",
+    """
+    WITH d AS (
+      SELECT o_custkey, o_orderdate, count(*) AS n_same_day
+      FROM orders GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT CAST(n_same_day AS BIGINT) AS n_same_day,
+           count(*) AS n_customer_days
+    FROM d GROUP BY 1
+    """,
+    "same-day multi-ordering: (customer, day) pairs with 2+ orders, "
+    "as a histogram — the fraud/bot screen and the split-cart "
+    "indicator; one grouped count with HAVING",
+)
+def q_q_orders_same_day_multi(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    d = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n_same_day"))
+        .where(F.col("n_same_day") >= 2)
+    )
+    return d.groupBy(
+        F.col("n_same_day").cast("long").alias("n_same_day")
+    ).agg(F.count(F.lit(1)).alias("n_customer_days"))
