@@ -474,3 +474,310 @@ def q_q_orders_same_day_multi(spark, sf_dir):
     return d.groupBy(
         F.col("n_same_day").cast("long").alias("n_same_day")
     ).agg(F.count(F.lit(1)).alias("n_customer_days"))
+
+
+# --------------------------------------------------------------------------
+# Batch 3: min-agg cascade, unaligned-now fetch, whitespace-tolerant
+# line protocol, segment/region matrix, daily value envelopes, minhash
+# signature uniformity, top priority per nation, band coverage, flag
+# matrix.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.config import Schema  # noqa: E402
+from kenshin_spark.queries_staged_r8_engine import (  # noqa: E402
+    CUT,
+    _W,
+    _grid_sql,
+    _store,
+    _week_slots,
+)
+
+
+@stage(
+    "store_min_agg_cascade",
+    f"""
+    WITH {_W}
+    SELECT metric, ts - ts % 300 AS ts, min(value) AS value
+    FROM t0 GROUP BY 1, 2
+    """,
+    "A4 through the persisted cascade: a store whose schema declares "
+    "`min` aggregation propagates tier0 -> 300s by per-slot minimum "
+    "(exact comparisons like max — the other float-safe kernel); "
+    "tier1 read back must equal the direct min replay",
+)
+def q_store_min_agg_cascade(spark, sf_dir):
+    schema = Schema.from_strings(
+        "bankmin", ".*", "60s:90d,300s:180d", xff=20.0,
+        agg_method="min", cache_retention=600,
+    )
+    st = _store(spark, sf_dir, "store_min_cascade", schema=schema)
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots)
+    st.propagate(slots.select("metric", "ts"))
+    return st.read(1)
+
+
+@stage(
+    "store_fetch_unaligned_now",
+    f"""
+    WITH {_W},
+    now_t AS (SELECT CAST({CUT} + 37 AS BIGINT) AS now),
+    tier AS (SELECT metric, ts, value FROM t0),
+    {_grid_sql("now - 3600 - 37", "now - 37", 60)}
+    """,
+    "R1 clamp arithmetic with an UNALIGNED now: a fetch issued 37 s "
+    "past the slot boundary must round its window up to whole slots "
+    "(roundup(from), roundup(until)) exactly like the reference's "
+    "fetch clamp — the off-grid-request path every live dashboard "
+    "exercises; the oracle replays the roundup",
+)
+def q_store_fetch_unaligned_now(spark, sf_dir):
+    from kenshin_spark.queries_staged_r8_engine import _METRICS5
+
+    st = _store(spark, sf_dir, "store_unaligned_now")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    now = CUT + 37
+    return st.fetch(_METRICS5, now - 3600 - 37, now - 37, now)
+
+
+@stage(
+    "lp_whitespace_tolerance",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric, count(*) * 3 AS n_parsed
+    FROM pts WHERE value IS NOT NULL GROUP BY 1
+    """,
+    "wire-format whitespace tolerance: every point serialized three "
+    "ways (single space, double space, tab) and ALL of them must "
+    "parse — parse_metric_lines splits on \\s+ so collector quirks "
+    "don't become dead letters; parsed counts are exactly 3x the "
+    "source points per metric",
+)
+def q_lp_whitespace_tolerance(spark, sf_dir):
+    from kenshin_spark.sources.line_protocol import parse_metric_lines
+
+    pts = _points(spark, sf_dir).where(F.col("value").isNotNull())
+    base = F.concat_ws(
+        " ", "metric", F.col("value").cast("string"),
+        F.col("ts").cast("string"),
+    )
+    double = F.concat(
+        F.col("metric"), F.lit("  "), F.col("value").cast("string"),
+        F.lit(" "), F.col("ts").cast("string"),
+    )
+    tabbed = F.concat(
+        F.col("metric"), F.lit("\t"), F.col("value").cast("string"),
+        F.lit("\t"), F.col("ts").cast("string"),
+    )
+    lines = (
+        pts.select(base.alias("value"))
+        .unionByName(pts.select(double.alias("value")))
+        .unionByName(pts.select(tabbed.alias("value")))
+    )
+    parsed = parse_metric_lines(lines).where(F.col("corrupt").isNull())
+    return parsed.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_parsed")
+    )
+
+
+@stage(
+    "q_customer_segment_region_matrix",
+    """
+    SELECT c.c_mktsegment, r.r_name, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+    """,
+    "segment x region customer matrix — the territory-planning grid, "
+    "both dims broadcast",
+)
+def q_q_customer_segment_region_matrix(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("c_mktsegment", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@stage(
+    "q_events_value_minmax_by_day",
+    """
+    SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS BIGINT)
+             AS day,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           count(value) AS n_values
+    FROM events GROUP BY 1
+    """,
+    "daily value envelope: exact min/max per day — the range "
+    "metadata a zone-map/pruning layer would persist per partition",
+)
+def q_q_events_value_minmax_by_day(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.unix_timestamp("ts").cast("long") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.count("value").alias("n_values"),
+    )
+
+
+@stage(
+    "dedup_sig_uniformity",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> array_to_string(toks[i : i + 2], ' ')
+               )) AS shingle
+        FROM (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        )
+      )
+    ),
+    sig AS (
+      SELECT doc_id,
+             min(CAST(('0x' || substr(md5('0|' || shingle), 1, 15))
+                 AS BIGINT)) AS h0
+      FROM sh GROUP BY doc_id
+    )
+    SELECT CAST(h0 // 144115188075855872 AS BIGINT) AS band,
+           count(*) AS n_docs
+    FROM sig GROUP BY 1
+    """,
+    "minhash signature uniformity: the h0 component's top-3-bit "
+    "distribution across docs (eight 2^57-wide bands of the 60-bit "
+    "space) — minima of uniform hashes skew low, and this histogram "
+    "is the sanity check that the seeded-md5 family behaves like the "
+    "theory assumes; integer bucketing only",
+)
+def q_dedup_sig_uniformity(spark, sf_dir):
+    from kenshin_spark.dedup.minhash import minhash_signatures, shingles
+
+    sig = minhash_signatures(
+        shingles(load_table(spark, sf_dir, "documents"))
+    )
+    return sig.groupBy(
+        F.floor(F.col("h0") / F.lit(144115188075855872)).cast("long")
+        .alias("band")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@stage(
+    "q_nation_top_priority",
+    """
+    SELECT n_name, top_priority, n_orders FROM (
+      SELECT n.n_name, o.o_orderpriority AS top_priority,
+             count(*) AS n_orders,
+             row_number() OVER (
+               PARTITION BY n.n_name
+               ORDER BY count(*) DESC, o.o_orderpriority) AS rnk
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ) t WHERE rnk = 1
+    """,
+    "dominant order priority per nation: grouped counts reduced to "
+    "the per-nation argmax with a priority tie-break",
+)
+def q_q_nation_top_priority(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("n_orders").desc(), F.col("o_orderpriority")
+    )
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "n_name",
+            F.col("o_orderpriority").alias("top_priority"),
+            "n_orders",
+        )
+    )
+
+
+@stage(
+    "render_band_coverage",
+    f"""
+    WITH pts AS ({PTS}), t0 AS (
+      SELECT metric, ts - ts % 60 AS ts, arg_max(value, arrival) AS value
+      FROM pts GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT metric,
+             quantile_cont(value, 0.1) AS lo,
+             quantile_cont(value, 0.9) AS hi
+      FROM t0 GROUP BY 1
+    )
+    SELECT t.metric,
+           count(*) AS n_slots,
+           sum(CASE WHEN t.value >= b.lo AND t.value <= b.hi
+                    THEN 1 ELSE 0 END) AS n_in_band
+    FROM t0 t JOIN b ON b.metric = t.metric
+    GROUP BY 1
+    """,
+    "percentile band coverage: how many tier0 slots sit inside the "
+    "series' own [p10, p90] band — the nPercentile flat-line pair "
+    "quantified (by construction ~80%%, deviations flag heavy tails); "
+    "exact interpolated bounds, integer counts",
+)
+def q_render_band_coverage(spark, sf_dir):
+    from kenshin_spark.operators.align import last_write_wins
+
+    t0 = last_write_wins(_points(spark, sf_dir), 60, arrival_col="arrival")
+    b = t0.groupBy("metric").agg(
+        F.expr("percentile(value, 0.1)").alias("lo"),
+        F.expr("percentile(value, 0.9)").alias("hi"),
+    )
+    j = t0.join(b, "metric")
+    return j.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(
+            (
+                (F.col("value") >= F.col("lo"))
+                & (F.col("value") <= F.col("hi"))
+            ).cast("long")
+        ).alias("n_in_band"),
+    )
+
+
+@stage(
+    "q_lineitem_flag_status_matrix",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_lines,
+           sum(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+    "the q1 grouping reduced to its integer core: line counts and "
+    "whole-unit quantity totals per (returnflag, linestatus)",
+)
+def q_q_lineitem_flag_status_matrix(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
