@@ -781,3 +781,192 @@ def q_q_lineitem_flag_status_matrix(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 4: ghost-metric grid, lang/source matrix, large-coordinate
+# counts, same-day signup conversion, integer-value share, order value
+# span.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "store_fetch_ghost_metric",
+    f"""
+    WITH now_t AS (SELECT CAST({CUT} AS BIGINT) AS now),
+    tier AS (SELECT CAST(NULL AS VARCHAR) AS metric,
+                    CAST(NULL AS BIGINT) AS ts,
+                    CAST(NULL AS DOUBLE) AS value
+             WHERE FALSE),
+    {_grid_sql("now - 3600", "now", 60,
+               "SELECT 'ghost.metric' AS metric")}
+    """,
+    "R3 edge: fetching a metric the store has NEVER seen still emits "
+    "the full NULL grid (the dashboard contract — a missing series "
+    "renders as gaps, not an error or an empty frame); 60 slots of "
+    "real SQL NULLs",
+)
+def q_store_fetch_ghost_metric(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_ghost_metric")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    return st.fetch(["ghost.metric"], CUT - 3600, CUT, CUT)
+
+
+@stage(
+    "text_lang_source_matrix",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+    "corpus composition matrix: doc and character volume per "
+    "(language, source) cell — the coverage table a mixture plan "
+    "starts from",
+)
+def q_text_lang_source_matrix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@stage(
+    "emb_large_coord_counts",
+    """
+    SELECT label,
+           count(*) AS n_vectors,
+           sum(len(list_filter(embedding, x -> abs(x) > 0.3)))
+             AS n_large_coords
+    FROM embeddings GROUP BY 1
+    """,
+    "coordinate saturation per label: how many |x| > 0.3 components "
+    "the label's vectors carry in total — the sparsity/peakedness "
+    "profile int8 quantization ranges are tuned from; exact float "
+    "comparisons folded to integers",
+)
+def q_emb_large_coord_counts(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_large = F.size(
+        F.filter("embedding", lambda x: F.abs(x) > 0.3)
+    ).cast("long")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(n_large).alias("n_large_coords"),
+    )
+
+
+@stage(
+    "q_events_signup_sameday_purchase",
+    """
+    WITH s AS (
+      SELECT user_id,
+             min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS signup_day
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS p_day
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT count(*) AS n_signups,
+           sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_sameday_buyers
+    FROM (
+      SELECT s.user_id,
+             max(CASE WHEN p.p_day = s.signup_day THEN TRUE
+                      ELSE FALSE END) AS hit
+      FROM s LEFT JOIN p ON p.user_id = s.user_id
+      GROUP BY 1
+    ) z
+    """,
+    "activation headline: users who purchased on their signup day — "
+    "first-touch day join, integer day arithmetic, one number the "
+    "growth review opens with",
+)
+def q_q_events_signup_sameday_purchase(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts").cast("long") / 86400).cast("long")
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(day).alias("signup_day")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("p_day"))
+        .distinct()
+        .withColumnRenamed("user_id", "pu")
+    )
+    j = s.join(
+        p,
+        (F.col("pu") == F.col("user_id"))
+        & (F.col("p_day") == F.col("signup_day")),
+        "left",
+    )
+    per_u = j.groupBy("user_id").agg(
+        F.max(F.col("pu").isNotNull()).alias("hit")
+    )
+    return per_u.agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum(F.col("hit").cast("long")).alias("n_sameday_buyers"),
+    )
+
+
+@stage(
+    "ts_integer_value_share",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric,
+           count(value) AS n_values,
+           sum(CASE WHEN value = floor(value) THEN 1 ELSE 0 END)
+             AS n_whole,
+           sum(CASE WHEN value = floor(value) THEN 1 ELSE 0 END)
+             * 1000000 // count(value) AS whole_ppm
+    FROM pts WHERE value IS NOT NULL GROUP BY 1
+    """,
+    "value-precision audit: how many of a metric's values are whole "
+    "numbers (value == floor(value) — an exact float predicate) — "
+    "separates counters and enum gauges from continuous measurements, "
+    "the typing hint a schema advisor uses; floor-scaled ppm",
+)
+def q_ts_integer_value_share(spark, sf_dir):
+    pts = _points(spark, sf_dir).where(F.col("value").isNotNull())
+    whole = (F.col("value") == F.floor("value")).cast("long")
+    return pts.groupBy("metric").agg(
+        F.count("value").alias("n_values"),
+        F.sum(whole).alias("n_whole"),
+        F.floor(F.sum(whole) * 1000000 / F.count("value"))
+        .cast("long")
+        .alias("whole_ppm"),
+    )
+
+
+@stage(
+    "q_customer_order_value_span",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_value,
+           max(o_totalprice) AS max_value,
+           round(CAST(max(o_totalprice) - min(o_totalprice) AS DOUBLE), 2)
+             AS value_span
+    FROM orders GROUP BY 1 HAVING count(*) >= 2
+    """,
+    "per-customer order value envelope for repeat buyers: exact "
+    "min/max and their spread — the basket-volatility statistic",
+)
+def q_q_customer_order_value_span(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_value"),
+            F.max("o_totalprice").alias("max_value"),
+            F.round(
+                (F.max("o_totalprice") - F.min("o_totalprice")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("value_span"),
+        )
+        .where(F.col("n_orders") >= 2)
+    )
