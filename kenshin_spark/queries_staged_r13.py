@@ -970,3 +970,284 @@ def q_q_customer_order_value_span(spark, sf_dir):
         )
         .where(F.col("n_orders") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 5: double-fire detector, hour co-activity, ship-before-order
+# audit, first-letter profile, date envelope, region-quarter heat,
+# intra-nation trade, histogram clip audit.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_events_back_to_back",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type,
+             ts - lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts) AS gap
+      FROM e
+    )
+    SELECT event_type,
+           count(*) AS n_pairs,
+           sum(CASE WHEN gap <= 10 THEN 1 ELSE 0 END) AS n_rapid
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+    "double-fire detector: same-user same-type event pairs within "
+    "10 s (client retry storms / duplicate instrumentation) — the "
+    "at-least-once symptom the watermark dedup guards against, "
+    "quantified per type; integer lag arithmetic",
+)
+def q_q_events_back_to_back(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    g = ev.withColumn("gap", F.col("ts") - F.lag("ts").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("gap") <= 10).cast("long")).alias("n_rapid"),
+    )
+
+
+@stage(
+    "ts_hour_coactivity_matrix",
+    f"""
+    WITH pts AS ({PTS}),
+    h AS (SELECT DISTINCT metric, ts // 3600 AS hr FROM pts)
+    SELECT a.metric AS metric_a, b.metric AS metric_b,
+           count(*) AS n_shared_hours
+    FROM h a JOIN h b
+      ON b.hr = a.hr AND a.metric < b.metric
+    GROUP BY 1, 2
+    """,
+    "metric co-activity matrix: hours where BOTH metrics reported, "
+    "for every pair — the co-observation denominator the correlation "
+    "rows divide by, exposed as its own integrity row; integer "
+    "hour-set intersection",
+)
+def q_ts_hour_coactivity_matrix(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    h = pts.select(
+        "metric", (F.col("ts") / 3600).cast("long").alias("hr")
+    ).distinct()
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.hr") == F.col("a.hr"))
+            & (F.col("a.metric") < F.col("b.metric")),
+        )
+        .groupBy(
+            F.col("a.metric").alias("metric_a"),
+            F.col("b.metric").alias("metric_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_hours"))
+    )
+
+
+@stage(
+    "q_ship_before_order_audit",
+    """
+    SELECT count(*) AS n_lines,
+           sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+             AS n_ship_before_order,
+           sum(CASE WHEN l_shipdate = o_orderdate THEN 1 ELSE 0 END)
+             AS n_same_day_ship
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    """,
+    "temporal-integrity audit: lines shipped BEFORE their order date "
+    "(impossible-history bug class) and same-day shipments — the "
+    "date-sanity gate a fact load runs; one joined scan, integer "
+    "counts",
+)
+def q_q_ship_before_order_audit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l_shipdate") < F.col("o_orderdate")).cast("long")
+        ).alias("n_ship_before_order"),
+        F.sum(
+            (F.col("l_shipdate") == F.col("o_orderdate")).cast("long")
+        ).alias("n_same_day_ship"),
+    )
+
+
+@stage(
+    "text_first_letter_profile",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    )
+    SELECT substr(tok, 1, 1) AS first_letter,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_distinct
+    FROM toks WHERE tok <> '' GROUP BY 1
+    """,
+    "first-letter distribution of the token stream with per-letter "
+    "vocabulary counts — the trie fan-out root profile; string "
+    "slicing and counts",
+)
+def q_text_first_letter_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    return toks.groupBy(
+        F.substring("tok", 1, 1).alias("first_letter")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+
+
+@stage(
+    "q_orders_date_envelope",
+    """
+    SELECT CAST(min(o_orderdate) AS VARCHAR) AS first_order,
+           CAST(max(o_orderdate) AS VARCHAR) AS last_order,
+           CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                AS BIGINT) AS span_days,
+           count(DISTINCT o_orderdate) AS n_active_days,
+           count(*) AS n_orders
+    FROM orders
+    """,
+    "order-stream envelope: the first/last order dates, whole-day "
+    "span, active-day count and volume — the one-row dataset "
+    "fingerprint a load manifest records",
+)
+def q_q_orders_date_envelope(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_orderdate").cast("string").alias("first_order"),
+        F.max("o_orderdate").cast("string").alias("last_order"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("span_days"),
+        F.countDistinct("o_orderdate").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@stage(
+    "q_region_quarter_heat",
+    """
+    SELECT r.r_name,
+           CAST(quarter(o.o_orderdate) AS BIGINT) AS q,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+    """,
+    "regional seasonality heat: order volume by region and calendar "
+    "quarter (year-collapsed) — both dims broadcast, standard "
+    "quarter arithmetic",
+)
+def q_q_region_quarter_heat(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            "r_name", F.quarter("o_orderdate").cast("long").alias("q")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@stage(
+    "q_intranation_trade_share",
+    """
+    WITH t AS (
+      SELECT cn.n_nationkey = sn.n_nationkey AS domestic
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT count(*) AS n_lines,
+           sum(CASE WHEN domestic THEN 1 ELSE 0 END) AS n_domestic,
+           sum(CASE WHEN domestic THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS domestic_ppm
+    FROM t
+    """,
+    "domestic-trade share: lines where customer and supplier sit in "
+    "the same nation (the q7 join tree reduced to one ppm number) — "
+    "the fact table against two key joins and two broadcast dims",
+)
+def q_q_intranation_trade_share(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+    )
+    dom = (F.col("c_nationkey") == F.col("s_nationkey")).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(dom).alias("n_domestic"),
+        F.floor(F.sum(dom) * 1000000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("domestic_ppm"),
+    )
+
+
+@stage(
+    "sketch_histogram_clip_audit",
+    """
+    WITH cells AS (
+      SELECT CASE WHEN value < 50.0 THEN 0
+                  WHEN value >= 200.0 THEN 76
+                  ELSE CAST(floor((value - 50.0) / 2.0) + 1 AS INT)
+             END AS bucket,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    )
+    SELECT sum(c) AS n_values,
+           sum(CASE WHEN bucket = 0 THEN c ELSE 0 END) AS n_underflow,
+           sum(CASE WHEN bucket = 76 THEN c ELSE 0 END) AS n_overflow
+    FROM cells
+    """,
+    "histogram bounds-clipping audit BOTH ways: a deliberately narrow "
+    "[50, 200) sketch and the mass falling into its underflow and "
+    "overflow buckets — the two-sided range-validation the "
+    "tail-mass row covers only above; integer cell sums",
+)
+def q_sketch_histogram_clip_audit(spark, sf_dir):
+    from kenshin_spark.functions.sketches import histogram_sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = histogram_sketches(ev, "value", lo=50.0, hi=200.0, bins=75)
+    return cells.agg(
+        F.sum("c").alias("n_values"),
+        F.sum(F.when(F.col("bucket") == 0, F.col("c")).otherwise(0))
+        .alias("n_underflow"),
+        F.sum(F.when(F.col("bucket") == 76, F.col("c")).otherwise(0))
+        .alias("n_overflow"),
+    )
