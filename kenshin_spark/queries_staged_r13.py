@@ -1251,3 +1251,591 @@ def q_sketch_histogram_clip_audit(spark, sf_dir):
         F.sum(F.when(F.col("bucket") == 76, F.col("c")).otherwise(0))
         .alias("n_overflow"),
     )
+
+
+# --------------------------------------------------------------------------
+# Final bank rows: activity Gini, weekly medians, shared name words,
+# basket concentration, common openers, value modes, discount bands,
+# priority/dow matrix, inter-session gaps, alpha-only share, BMP row
+# padding, CMS depth sensitivity, nation balance sheet, top-2 type mix.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_events_activity_gini_by_type",
+    """
+    WITH u AS (
+      SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, n,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY n, user_id) AS i
+      FROM u
+    ),
+    s AS (
+      SELECT event_type, count(*) AS k, sum(n) AS sx, sum(i * n) AS six
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, k AS n_users,
+           CAST((2 * six - (k + 1) * sx) * 1000000 // (k * sx)
+                AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+    "activity inequality per event type as a scaled-integer Gini: "
+    "rank-weighted user activity sums — is purchase volume carried by "
+    "whales while views spread evenly; integers until the final floor "
+    "division",
+)
+def q_q_events_activity_gini_by_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("n", "user_id")
+    r = u.withColumn("i", F.row_number().over(w))
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("i") * F.col("n")).alias("six"),
+    )
+    return s.select(
+        "event_type",
+        F.col("k").alias("n_users"),
+        F.floor(
+            (2 * F.col("six") - (F.col("k") + 1) * F.col("sx"))
+            * 1000000
+            / (F.col("k") * F.col("sx"))
+        ).cast("long").alias("gini_ppm"),
+    )
+
+
+@stage(
+    "ts_median_value_weekly",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT metric, CAST(ts // 604800 AS BIGINT) AS week,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           count(value) AS n_points
+    FROM pts WHERE value IS NOT NULL GROUP BY 1, 2
+    """,
+    "weekly median value per metric — the robust level trend the "
+    "render layer's nPercentile flat-lines come from, materialized as "
+    "state; exact interpolated medians",
+)
+def q_ts_median_value_weekly(spark, sf_dir):
+    pts = _points(spark, sf_dir).where(F.col("value").isNotNull())
+    return pts.groupBy(
+        "metric", (F.col("ts") / 604800).cast("long").alias("week")
+    ).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.count("value").alias("n_points"),
+    )
+
+
+@stage(
+    "q_part_name_common_words",
+    r"""
+    WITH w AS (
+      SELECT p_partkey,
+             unnest(string_split_regex(trim(p_name), '\s+')) AS word
+      FROM part
+    ),
+    c AS (
+      SELECT word, count(*) AS n_parts FROM w GROUP BY 1
+    )
+    SELECT word, n_parts FROM (
+      SELECT word, n_parts,
+             row_number() OVER (ORDER BY n_parts DESC, word) AS rnk
+      FROM c
+    ) t WHERE rnk <= 20
+    """,
+    "top-20 words across part names — the catalog's shared-vocabulary "
+    "core (color/material tokens), with a word tie-break for "
+    "deterministic ranking",
+)
+def q_q_part_name_common_words(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = part.select(
+        F.explode(F.split(F.trim("p_name"), r"\s+")).alias("word")
+    )
+    c = w.groupBy("word").agg(F.count(F.lit(1)).alias("n_parts"))
+    win = Window.orderBy(F.col("n_parts").desc(), F.col("word"))
+    return (
+        c.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= 20)
+        .select("word", "n_parts")
+    )
+
+
+@stage(
+    "q_customer_basket_concentration",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS max_cents,
+             CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+                  AS BIGINT) AS total_cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT o_custkey, n_orders,
+           max_cents * 1000000 // total_cents AS top_order_ppm
+    FROM c
+    """,
+    "basket concentration for repeat buyers: the largest order's "
+    "share of lifetime spend in integer cents (DECIMAL sum, floor to "
+    "cents, floor-divide — the full cross-engine money discipline in "
+    "one row); flags one-big-purchase customers",
+)
+def q_q_customer_basket_concentration(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    c = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.floor(F.max("o_totalprice") * 100)
+            .cast("long")
+            .alias("max_cents"),
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+            ).cast("long").alias("total_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= 2)
+    )
+    return c.select(
+        "o_custkey", "n_orders",
+        F.expr("max_cents * 1000000 DIV total_cents").alias(
+            "top_order_ppm"
+        ),
+    )
+
+
+@stage(
+    "text_common_openers",
+    r"""
+    WITH f AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+')[1] AS opener
+      FROM documents
+    )
+    SELECT opener, n_docs FROM (
+      SELECT opener, count(*) AS n_docs,
+             row_number() OVER (ORDER BY count(*) DESC, opener) AS rnk
+      FROM f GROUP BY 1
+    ) t WHERE rnk <= 10
+    """,
+    "top-10 document openers (first token) — the template/boilerplate "
+    "tell a curation pass reads before writing dedup rules",
+)
+def q_text_common_openers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        F.element_at(
+            F.split(F.trim(F.lower("text")), r"\s+"), 1
+        ).alias("opener")
+    )
+    c = f.groupBy("opener").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("opener"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("opener", "n_docs")
+    )
+
+
+@stage(
+    "ts_value_mode_per_metric",
+    f"""
+    WITH pts AS ({PTS}),
+    c AS (
+      SELECT metric, value, count(*) AS n FROM pts
+      WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT metric, value AS mode_value, n AS n_at_mode FROM (
+      SELECT metric, value, n,
+             row_number() OVER (
+               PARTITION BY metric ORDER BY n DESC, value) AS rnk
+      FROM c
+    ) t WHERE rnk = 1
+    """,
+    "modal raw value per metric with a value tie-break — the "
+    "default-state detector (a gauge stuck at its resting level); "
+    "grouped counts + per-group rank, exact float equality grouping",
+)
+def q_ts_value_mode_per_metric(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir).where(F.col("value").isNotNull())
+    c = pts.groupBy("metric", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("metric").orderBy(
+        F.col("n").desc(), F.col("value")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "metric", F.col("value").alias("mode_value"),
+            F.col("n").alias("n_at_mode"),
+        )
+    )
+
+
+@stage(
+    "q_discount_by_quantity_bands",
+    """
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) * 1000000) / 1000000 AS avg_discount
+    FROM lineitem GROUP BY 1
+    """,
+    "discount depth by quantity band: DECIMAL-summed discounts "
+    "divided once with the rounding guard — do bulk lines actually "
+    "get better rates",
+)
+def q_q_discount_by_quantity_bands(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1))
+                * 1000000
+            )
+            / 1000000
+        ).alias("avg_discount"),
+    )
+
+
+@stage(
+    "q_priority_weekday_matrix",
+    """
+    SELECT o_orderpriority,
+           CAST((datediff('day', DATE '1970-01-01', o_orderdate) + 4) % 7
+                AS BIGINT) AS dow,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+    "priority x weekday order matrix on the Thursday-anchored dow "
+    "grid — does urgency cluster on particular days",
+)
+def q_q_priority_weekday_matrix(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dow = (
+        (F.datediff("o_orderdate", F.lit("1970-01-01")) + 4) % 7
+    ).cast("long")
+    return orders.groupBy("o_orderpriority", dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@stage(
+    "q_intersession_gap_bands",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT CASE WHEN gap_s <= 7200 THEN '30m-2h'
+                WHEN gap_s <= 86400 THEN '2h-1d'
+                ELSE '1d+' END AS band,
+           count(*) AS n_gaps
+    FROM s WHERE new_s = 1 AND gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+    "inter-session gap distribution: the silences that DEFINE session "
+    "boundaries, banded — the histogram that justifies (or indicts) "
+    "the 30-minute gap parameter; integer second arithmetic",
+)
+def q_q_intersession_gap_bands(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = ev.select(
+        "user_id", "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).withColumn(
+        "gap_s",
+        F.unix_timestamp("ts").cast("long")
+        - F.unix_timestamp("prev_ts").cast("long"),
+    )
+    gaps = s.where(F.col("gap_s") > 1800)
+    band = (
+        F.when(F.col("gap_s") <= 7200, "30m-2h")
+        .when(F.col("gap_s") <= 86400, "2h-1d")
+        .otherwise("1d+")
+    )
+    return gaps.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+
+
+@stage(
+    "text_alpha_only_share",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN regexp_matches(text, '^[a-z ]*$')
+                    THEN 1 ELSE 0 END) AS n_alpha_only
+    FROM documents GROUP BY 1
+    """,
+    "charset purity per source: documents made only of lowercase "
+    "letters and spaces (the synthetic corpus's contract — a nonzero "
+    "complement means upstream contamination); anchored regex on "
+    "both engines",
+)
+def q_text_alpha_only_share(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pure = F.col("text").rlike("^[a-z ]*$").cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pure).alias("n_alpha_only"),
+    )
+
+
+@stage(
+    "mm_bmp_row_padding",
+    """
+    SELECT doc_id,
+           9 + doc_id % 4 AS width,
+           6 AS height,
+           54 + 6 * (((9 + doc_id % 4) * 3 + 3) // 4 * 4) AS n_bytes,
+           CAST(((9 + doc_id % 4) * 3 + 3) // 4 * 4
+                - (9 + doc_id % 4) * 3 AS BIGINT) AS pad_bytes
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "the BMP 4-byte row-padding edge: odd widths (9-12 px) whose "
+    "3-byte pixels don't align — the exporter must pad each row to a "
+    "4-byte boundary and the decoder must skip it; byte size and pad "
+    "width verified against the BI_RGB arithmetic per doc",
+)
+def q_mm_bmp_row_padding(spark, sf_dir):
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 50 = 0")
+        .select("doc_id")
+    )
+
+    def kern(batches):
+        import numpy as np
+
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 9 + did % 4, 6
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                arr = ((did + 31 * y + 17 * x) % 256).astype(np.uint8)
+                payload = codecs.encode_bmp(arr)
+                dw, dh, _ = codecs.bmp_info(payload)
+                row_bytes = (w * 3 + 3) // 4 * 4
+                rows.append(
+                    (did, dw, dh, len(payload), row_bytes - w * 3)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes",
+                         "pad_bytes"],
+            )
+
+    return docs.mapInPandas(
+        kern,
+        "doc_id long, width long, height long, n_bytes long, "
+        "pad_bytes long",
+    )
+
+
+def _cms_total_overcount(depth: int) -> str:
+    return f"""
+    SELECT CAST({depth} AS BIGINT) AS depth,
+           sum(est - exact) AS total_overcount FROM (
+      WITH cells AS (
+        SELECT t.r AS row,
+               CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                     CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256
+                 AS bucket,
+               count(*) AS c
+        FROM events CROSS JOIN generate_series(0, {depth - 1}) t(r)
+        GROUP BY 1, 2
+      ),
+      exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+      probe AS (
+        SELECT e.user_id, e.exact, t.r AS row,
+               CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' ||
+                     CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256
+                 AS bucket
+        FROM exact e CROSS JOIN generate_series(0, {depth - 1}) t(r)
+      )
+      SELECT p.user_id, max(p.exact) AS exact,
+             min(coalesce(cl.c, 0)) AS est
+      FROM probe p
+      LEFT JOIN cells cl ON cl.row = p.row AND cl.bucket = p.bucket
+      GROUP BY 1
+    ) z
+    """
+
+
+@stage(
+    "sketch_cms_depth_sensitivity",
+    " UNION ALL ".join(_cms_total_overcount(d) for d in (1, 2, 4)),
+    "CMS depth sizing: the TOTAL overcount across all users at depth "
+    "1/2/4 on a deliberately narrow width-256 sketch — each extra row "
+    "takes a min over an independent hashing, collapsing collision "
+    "error; the measured curve that picks depth; replayed bit-for-bit "
+    "at every depth",
+)
+def q_sketch_cms_depth_sensitivity(spark, sf_dir):
+    from kenshin_spark.functions.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    out = None
+    for d in (1, 2, 4):
+        merged = cms_merge(cms_sketches(ev, "user_id", depth=d, width=256))
+        est = cms_estimate(
+            merged, exact.select("user_id"), "user_id", depth=d, width=256
+        )
+        agg = (
+            est.join(exact, "user_id")
+            .agg(
+                F.lit(d).cast("long").alias("depth"),
+                F.sum(F.col("est") - F.col("exact")).alias(
+                    "total_overcount"
+                ),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+@stage(
+    "q_nation_balance_sheet",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                   AS DOUBLE), 2) AS customer_balance
+      FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nk,
+             round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2)))
+                   AS DOUBLE), 2) AS supplier_balance
+      FROM supplier GROUP BY 1
+    )
+    SELECT n.n_name,
+           coalesce(c.customer_balance, 0.0) AS customer_balance,
+           coalesce(s.supplier_balance, 0.0) AS supplier_balance
+    FROM nation n
+    LEFT JOIN c ON c.nk = n.n_nationkey
+    LEFT JOIN s ON s.nk = n.n_nationkey
+    """,
+    "per-nation balance sheet: DECIMAL-exact customer vs supplier "
+    "account totals side by side, every nation present (left joins "
+    "off the dimension) — the two-sided exposure table",
+)
+def q_q_nation_balance_sheet(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cb = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("customer_balance")
+    )
+    sb = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.round(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("supplier_balance")
+    )
+    return (
+        n.join(cb, n.n_nationkey == cb.nk, "left")
+        .join(sb, n.n_nationkey == sb.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("customer_balance", F.lit(0.0)).alias(
+                "customer_balance"
+            ),
+            F.coalesce("supplier_balance", F.lit(0.0)).alias(
+                "supplier_balance"
+            ),
+        )
+    )
+
+
+@stage(
+    "q_events_top2_type_mix",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type) AS rnk
+      FROM c
+    )
+    SELECT a.event_type AS primary_type, b.event_type AS secondary_type,
+           count(*) AS n_users
+    FROM r a JOIN r b
+      ON b.user_id = a.user_id AND a.rnk = 1 AND b.rnk = 2
+    GROUP BY 1, 2
+    """,
+    "behavioural pairing: each user's top-2 event types (count-ranked "
+    "with a type tie-break) crossed into a (primary, secondary) "
+    "matrix — the persona grid; integer ranks",
+)
+def q_q_events_top2_type_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    r = c.withColumn("rnk", F.row_number().over(w))
+    a = r.where(F.col("rnk") == 1).select(
+        "user_id", F.col("event_type").alias("primary_type")
+    )
+    b = r.where(F.col("rnk") == 2).select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("secondary_type"),
+    )
+    return (
+        a.join(b, a.user_id == b.u2)
+        .groupBy("primary_type", "secondary_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
