@@ -36,6 +36,7 @@ DICT_NAME = {
     "queries_staged_r11": "STAGED_R11",
     "queries_staged_r12": "STAGED_R12",
     "queries_staged_r13": "STAGED_R13",
+    "queries_staged_r14": "STAGED_R14",
 }
 
 
