@@ -269,3 +269,281 @@ def q_text_doc_vocab_bands(spark, sf_dir):
     return docs.select(
         F.floor(n_types / 25).cast("long").alias("vocab_band")
     ).groupBy("vocab_band").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Batch 2: store propagate-after-delete, user first-week profile,
+# token suffixes, peak minute, supplier balance rank percentile,
+# shared-opener sources, event value round-number bias, order priority
+# share of value.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.queries_staged_r8_engine import (  # noqa: E402
+    _W,
+    _store,
+    _week_slots,
+)
+
+
+@stage(
+    "store_propagate_after_delete",
+    f"""
+    WITH {_W}
+    SELECT metric, ts - ts % 300 AS ts, max(value) AS value
+    FROM t0 WHERE metric <> 'click' GROUP BY 1, 2
+    """,
+    "maintenance ordering: delete a metric FIRST, then propagate the "
+    "cascade — tier1 must build from the post-delete tier0 (no ghost "
+    "rows resurrected from the deleted metric's slots); the oracle "
+    "computes the cascade over the surviving metrics",
+)
+def q_store_propagate_after_delete(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_prop_after_del")
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots)
+    st.delete_metrics(["click"])
+    st.propagate(
+        slots.where(F.col("metric") != "click").select("metric", "ts")
+    )
+    return st.read(1)
+
+
+@stage(
+    "q_user_first_week_profile",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_ts
+      FROM events GROUP BY 1
+    )
+    SELECT e.user_id,
+           count(*) AS n_first_week_events,
+           count(DISTINCT e.event_type) AS n_types_tried
+    FROM events e JOIN f ON f.user_id = e.user_id
+    WHERE CAST(floor(epoch(e.ts)) AS BIGINT) < f.first_ts + 604800
+    GROUP BY 1
+    """,
+    "onboarding intensity: each user's activity volume and type "
+    "breadth inside their FIRST week — the early-engagement features "
+    "a churn model trains on; first-touch join, integer arithmetic",
+)
+def q_q_user_first_week_profile(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+    )
+    f = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(f, "user_id").where(
+        F.col("ts") < F.col("first_ts") + 604800
+    )
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_first_week_events"),
+        F.countDistinct("event_type").alias("n_types_tried"),
+    )
+
+
+@stage(
+    "text_token_suffix_profile",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    )
+    SELECT substr(tok, length(tok), 1) AS last_letter,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_distinct
+    FROM toks WHERE tok <> '' GROUP BY 1
+    """,
+    "token suffix profile: last-letter distribution with per-letter "
+    "vocabulary — the morphology tail (plural/verb endings) that "
+    "complements the first-letter trie profile",
+)
+def q_text_token_suffix_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    return toks.groupBy(
+        F.substring(F.col("tok"), -1, 1).alias("last_letter")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+
+
+@stage(
+    "q_events_peak_minute",
+    """
+    SELECT minute, n_events FROM (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+             count(*) AS n_events,
+             row_number() OVER (
+               ORDER BY count(*) DESC,
+                        CAST(floor(epoch(ts)) AS BIGINT) // 60) AS rnk
+      FROM events GROUP BY 1
+    ) t WHERE rnk <= 5
+    """,
+    "the five busiest minutes of the stream — the burst events a "
+    "postmortem zooms into; epoch-minute bucketing with a minute "
+    "tie-break",
+)
+def q_q_events_peak_minute(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        (F.unix_timestamp("ts").cast("long") / 60)
+        .cast("long")
+        .alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("minute"))
+    return (
+        m.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("minute", "n_events")
+    )
+
+
+@stage(
+    "q_supplier_balance_rank_pct",
+    """
+    WITH r AS (
+      SELECT s_suppkey, s_acctbal,
+             row_number() OVER (ORDER BY s_acctbal, s_suppkey) AS rnk,
+             count(*) OVER () AS n
+      FROM supplier
+    )
+    SELECT s_suppkey, s_acctbal,
+           (rnk - 1) * 1000000 // (n - 1) AS rank_ppm
+    FROM r WHERE rnk <= 3 OR rnk > n - 3
+    """,
+    "balance rank percentile for the three poorest and three richest "
+    "suppliers: integer rank-ppm ((rank-1)/(n-1), floor-scaled) — the "
+    "percentile arithmetic a scorecard shows without float division",
+)
+def q_q_supplier_balance_rank_pct(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    r = s.select(
+        "s_suppkey", "s_acctbal",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return (
+        r.where((F.col("rnk") <= 3) | (F.col("rnk") > F.col("n") - 3))
+        .select(
+            "s_suppkey", "s_acctbal",
+            F.expr("(rnk - 1) * 1000000 DIV (n - 1)").alias("rank_ppm"),
+        )
+    )
+
+
+@stage(
+    "text_shared_openers_by_source",
+    r"""
+    WITH f AS (
+      SELECT source,
+             string_split_regex(trim(lower(text)), '\s+')[1] AS opener
+      FROM documents
+    ),
+    x AS (
+      SELECT opener, count(DISTINCT source) AS n_sources
+      FROM f GROUP BY 1
+    )
+    SELECT CAST(n_sources AS BIGINT) AS n_sources,
+           count(*) AS n_openers
+    FROM x GROUP BY 1
+    """,
+    "opener-sharing profile: how many sources each first-token "
+    "appears in, histogrammed — cross-source boilerplate shows up as "
+    "openers shared by every provider; integer distinct counts",
+)
+def q_text_shared_openers_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        F.element_at(F.split(F.trim(F.lower("text")), r"\s+"), 1).alias(
+            "opener"
+        ),
+    )
+    x = f.groupBy("opener").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    return x.groupBy(
+        F.col("n_sources").cast("long").alias("n_sources")
+    ).agg(F.count(F.lit(1)).alias("n_openers"))
+
+
+@stage(
+    "q_events_round_value_bias",
+    """
+    SELECT event_type,
+           count(value) AS n_values,
+           sum(CASE WHEN CAST(value AS BIGINT) % 10 = 0
+                     AND value = floor(value) THEN 1 ELSE 0 END)
+             AS n_round10,
+           sum(CASE WHEN value = floor(value)
+                     AND CAST(value AS BIGINT) % 10 = 0
+                    THEN 1 ELSE 0 END) * 1000000 // count(value)
+             AS round10_ppm
+    FROM events WHERE value IS NOT NULL AND value >= 0
+    GROUP BY 1
+    """,
+    "round-number bias: whole multiples of 10 among event values "
+    "(human-entered or defaulted data clusters on round numbers; "
+    "organic measurements don't) — the synthetic-data tell; exact "
+    "float predicates folded to integers",
+)
+def q_q_events_round_value_bias(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    is_round = (
+        (F.col("value") == F.floor("value"))
+        & (F.col("value").cast("long") % 10 == 0)
+    ).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.sum(is_round).alias("n_round10"),
+        F.floor(F.sum(is_round) * 1000000 / F.count("value"))
+        .cast("long")
+        .alias("round10_ppm"),
+    )
+
+
+@stage(
+    "q_priority_value_share",
+    """
+    WITH p AS (
+      SELECT o_orderpriority,
+             CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(cents) AS total FROM p)
+    SELECT p.o_orderpriority,
+           p.cents * 1000000 // t.total AS value_share_ppm
+    FROM p, t
+    """,
+    "order value share by priority in integer cents (DECIMAL sum -> "
+    "floor cents -> floor-divided ppm, the full money discipline) — "
+    "does URGENT carry the revenue or just the noise",
+)
+def q_q_priority_value_share(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.groupBy("o_orderpriority").agg(
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+        ).cast("long").alias("cents")
+    )
+    t = p.agg(F.sum("cents").alias("total"))
+    return p.crossJoin(F.broadcast(t)).select(
+        "o_orderpriority",
+        F.expr("cents * 1000000 DIV total").alias("value_share_ppm"),
+    )
