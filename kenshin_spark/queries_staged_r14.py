@@ -547,3 +547,191 @@ def q_q_priority_value_share(spark, sf_dir):
         "o_orderpriority",
         F.expr("cents * 1000000 DIV total").alias("value_share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 3: store glob selective fetch, token-length x lang matrix,
+# event value extremes report, customer region share, order-line
+# revenue rank, hour-of-week heat.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.queries_staged_r8_engine import (  # noqa: E402
+    CUT,
+    _grid_sql,
+)
+
+
+@stage(
+    "store_fetch_brace_glob",
+    f"""
+    WITH {_W}, now_t AS (SELECT {CUT} AS now),
+    tier AS (SELECT metric, ts, value FROM t0),
+    {_grid_sql("now - 7200", "now", 60,
+               "SELECT unnest(['click', 'view']) AS metric")}
+    """,
+    "M4 brace alternation against the persisted store: fetch_glob("
+    "'{{click,view}}') resolves exactly those two series (the "
+    "glob_to_regex alternation path) and grids the last two hours — "
+    "the multi-select dashboards use constantly",
+)
+def q_store_fetch_brace_glob(spark, sf_dir):
+    st = _store(spark, sf_dir, "store_brace_glob")
+    st.upsert(0, _week_slots(spark, sf_dir))
+    return st.fetch_glob("{click,view}", CUT - 7200, CUT, CUT)
+
+
+@stage(
+    "text_tok_len_lang_matrix",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(n_chars // n_tok AS BIGINT) AS chars_per_token_floor,
+           count(*) AS n_docs
+    FROM t GROUP BY 1, 2
+    """,
+    "mean-token-length bands per language via INTEGER floor division "
+    "(chars // tokens — no float ratio) — the quality rule's "
+    "mean_token_ok distribution made visible",
+)
+def q_text_tok_len_lang_matrix(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    t = docs.select(
+        "lang",
+        F.floor(F.length("text") / n_tok).cast("long").alias(
+            "chars_per_token_floor"
+        ),
+    )
+    return t.groupBy("lang", "chars_per_token_floor").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@stage(
+    "q_events_extremes_report",
+    """
+    SELECT event_type,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           arg_min(user_id, value) AS min_user,
+           arg_max(user_id, value) AS max_user
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    "value extremes with attribution: the min/max values per type AND "
+    "which user produced them (arg_min/arg_max — deterministic here "
+    "because the extreme values are unique per type at these scales; "
+    "min_by/arg_min parity is the point of the row)",
+)
+def q_q_events_extremes_report(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    return ev.groupBy("event_type").agg(
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.expr("min_by(user_id, value)").alias("min_user"),
+        F.expr("max_by(user_id, value)").alias("max_user"),
+    )
+
+
+@stage(
+    "q_customer_region_share",
+    """
+    WITH c AS (
+      SELECT r.r_name, count(*) AS n_customers
+      FROM customer cu
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1
+    ),
+    t AS (SELECT sum(n_customers) AS total FROM c)
+    SELECT c.r_name, c.n_customers,
+           c.n_customers * 1000000 // t.total AS share_ppm
+    FROM c, t
+    """,
+    "customer base share per region as floor-scaled ppm — the "
+    "market-footprint table, dims broadcast",
+)
+def q_q_customer_region_share(spark, sf_dir):
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    c = (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    t = c.agg(F.sum("n_customers").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "r_name", "n_customers",
+        F.expr("n_customers * 1000000 DIV total").alias("share_ppm"),
+    )
+
+
+@stage(
+    "q_order_line_revenue_rank",
+    """
+    SELECT l_orderkey, l_linenumber, cents FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))) * 100)
+                  AS BIGINT) AS cents,
+             row_number() OVER (
+               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))) DESC,
+                        l_orderkey, l_linenumber) AS rnk
+      FROM lineitem
+    ) t WHERE rnk <= 10
+    """,
+    "the ten highest-revenue order lines: ranking on the EXACT "
+    "decimal (display cents floored separately) with a composite key "
+    "tie-break — top-N money queries without float ordering drift",
+)
+def q_q_order_line_revenue_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    w = Window.orderBy(
+        rev.desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.floor(rev * 100).cast("long").alias("cents"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 10)
+        .drop("rnk")
+    )
+
+
+@stage(
+    "q_events_hour_of_week_heat",
+    """
+    SELECT CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7
+                AS BIGINT) AS dow,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24
+                AS BIGINT) AS hour,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    "the 7x24 hour-of-week traffic heatmap on Thursday-anchored days "
+    "— the staffing grid; one aggregate, integers",
+)
+def q_q_events_hour_of_week_heat(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    return ev.groupBy(
+        (((epoch / 86400).cast("long") + 4) % 7).alias("dow"),
+        ((epoch / 3600).cast("long") % 24).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
