@@ -735,3 +735,282 @@ def q_q_events_hour_of_week_heat(spark, sf_dir):
         (((epoch / 86400).cast("long") + 4) % 7).alias("dow"),
         ((epoch / 3600).cast("long") % 24).alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# --------------------------------------------------------------------------
+# Batch 4: two-sum stddev, availability by dow, whole-quantity audit,
+# leap-day orders, token repeat bands, duplicate-ts audit, cent
+# digits, vocab split jaccard, supplier part fan-out.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_events_value_stddev_twosum",
+    """
+    SELECT event_type,
+           count(value) AS n,
+           round(sqrt(greatest(
+             (sum(value * value) - sum(value) * sum(value) / count(value))
+               / count(value), 0.0)) * 1000000) / 1000000 AS stddev_pop
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    "population stddev per event type via the EXPLICIT two-sum "
+    "formula (sum, sum-of-squares, one closing expression) — native "
+    "stddev aggregates stream differently per engine, but writing the "
+    "algebra out makes the float path op-for-op identical; the "
+    "render layer's moving_stdev discipline at aggregate scope",
+)
+def q_q_events_value_stddev_twosum(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    s1 = F.sum("value")
+    s2 = F.sum(F.col("value") * F.col("value"))
+    n = F.count("value")
+    var = F.greatest((s2 - s1 * s1 / n) / n, F.lit(0.0))
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (F.round(F.sqrt(var) * 1000000) / 1000000).alias("stddev_pop"),
+    )
+
+
+@stage(
+    "ts_availability_by_dow",
+    f"""
+    WITH pts AS ({PTS}),
+    h AS (
+      SELECT DISTINCT metric, ts // 3600 AS hr FROM pts
+    )
+    SELECT metric,
+           CAST((hr // 24 + 4) % 7 AS BIGINT) AS dow,
+           count(*) AS hours_up
+    FROM h GROUP BY 1, 2
+    """,
+    "availability by day-of-week: distinct reporting hours per "
+    "(metric, dow) on the Thursday-anchored grid — do weekend "
+    "collectors sleep; integer slot arithmetic",
+)
+def q_ts_availability_by_dow(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    h = pts.select(
+        "metric", (F.col("ts") / 3600).cast("long").alias("hr")
+    ).distinct()
+    return h.groupBy(
+        "metric",
+        (((F.col("hr") / 24).cast("long") + 4) % 7).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("hours_up"))
+
+
+@stage(
+    "q_lineitem_qty_whole_audit",
+    """
+    SELECT count(*) AS n_lines,
+           sum(CASE WHEN l_quantity = floor(l_quantity)
+                    THEN 1 ELSE 0 END) AS n_whole,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+    "quantity typing audit: are all line quantities whole numbers "
+    "(the TPC-H generator contract) plus the value envelope — the "
+    "check that licenses casting the column to integer downstream",
+)
+def q_q_lineitem_qty_whole_audit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l_quantity") == F.floor("l_quantity")).cast("long")
+        ).alias("n_whole"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@stage(
+    "q_orders_leap_day",
+    """
+    SELECT count(*) AS n_leap_day_orders,
+           count(DISTINCT CAST(strftime(o_orderdate, '%Y') AS VARCHAR))
+             AS n_leap_years
+    FROM orders
+    WHERE strftime(o_orderdate, '%m-%d') = '02-29'
+    """,
+    "calendar edge audit: orders dated February 29 and how many leap "
+    "years carry them — the date-handling smoke every warehouse "
+    "pipeline should pass (zero is a valid, verified answer)",
+)
+def q_q_orders_leap_day(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    leap = orders.where(
+        F.date_format("o_orderdate", "MM-dd") == "02-29"
+    )
+    return leap.agg(
+        F.count(F.lit(1)).alias("n_leap_day_orders"),
+        F.countDistinct(F.date_format("o_orderdate", "yyyy")).alias(
+            "n_leap_years"
+        ),
+    )
+
+
+@stage(
+    "text_max_token_repeat_bands",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, max(c) AS max_repeat FROM (
+        SELECT doc_id, tok, count(*) AS c FROM t
+        WHERE tok <> '' GROUP BY 1, 2
+      ) x GROUP BY 1
+    )
+    SELECT CAST(max_repeat AS BIGINT) AS max_repeat,
+           count(*) AS n_docs
+    FROM m GROUP BY 1
+    """,
+    "intra-document repetition histogram: each doc's most-repeated "
+    "token count — the repetition-filter threshold histogram "
+    "(gibberish and keyword stuffing live in the tail); integer "
+    "counts",
+)
+def q_text_max_token_repeat_bands(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    c = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    m = c.groupBy("doc_id").agg(F.max("c").alias("max_repeat"))
+    return m.groupBy(
+        F.col("max_repeat").cast("long").alias("max_repeat")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@stage(
+    "ts_duplicate_ts_audit",
+    f"""
+    WITH pts AS ({PTS}),
+    d AS (
+      SELECT metric, ts, count(*) AS n FROM pts GROUP BY 1, 2
+    )
+    SELECT metric,
+           count(*) AS n_timestamps,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_duplicated,
+           CAST(max(n) AS BIGINT) AS max_depth
+    FROM d GROUP BY 1
+    """,
+    "duplicate-timestamp audit on the RAW stream: how many exact "
+    "(metric, ts) keys arrive more than once and the worst collision "
+    "depth — the pre-LWW pressure gauge (every duplicate is an "
+    "arrival-order resolution the align must make); integer counts",
+)
+def q_ts_duplicate_ts_audit(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    d = pts.groupBy("metric", "ts").agg(F.count(F.lit(1)).alias("n"))
+    return d.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_timestamps"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_duplicated"),
+        F.max("n").cast("long").alias("max_depth"),
+    )
+
+
+@stage(
+    "q_price_cent_digits",
+    """
+    SELECT CAST(CAST(floor(o_totalprice * 100) AS BIGINT) % 10
+                AS BIGINT) AS cent_digit,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    "last-cent digit distribution of order totals — the pricing-"
+    "artifact detector (a uniform spread means computed totals; "
+    "spikes at 0/9 mean psychological pricing); integer cents "
+    "arithmetic",
+)
+def q_q_price_cent_digits(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.floor(F.col("o_totalprice") * 100).cast("long") % 10
+    ).cast("long")
+    return orders.groupBy(digit.alias("cent_digit")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@stage(
+    "text_vocab_split_jaccard",
+    r"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS half,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    v AS (SELECT DISTINCT half, tok FROM toks WHERE tok <> ''),
+    a AS (SELECT tok FROM v WHERE half = 0),
+    b AS (SELECT tok FROM v WHERE half = 1),
+    i AS (SELECT count(*) AS n FROM a JOIN b ON b.tok = a.tok),
+    u AS (
+      SELECT count(DISTINCT tok) AS n FROM v
+    )
+    SELECT (SELECT count(*) FROM a) AS vocab_a,
+           (SELECT count(*) FROM b) AS vocab_b,
+           i.n AS vocab_shared,
+           i.n * 1000000 // u.n AS jaccard_ppm
+    FROM i, u
+    """,
+    "corpus self-consistency: vocabulary Jaccard between the even- "
+    "and odd-doc halves — a homogeneous corpus splits with high "
+    "overlap, a multi-domain mix doesn't; the split-half reliability "
+    "check, floor-scaled ppm",
+)
+def q_text_vocab_split_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    v = toks.distinct()
+    a = v.where(F.col("half") == 0).select("tok")
+    b = v.where(F.col("half") == 1).select(F.col("tok").alias("tb"))
+    shared = a.join(b, a.tok == b.tb).agg(
+        F.count(F.lit(1)).alias("vocab_shared")
+    )
+    va = a.agg(F.count(F.lit(1)).alias("vocab_a"))
+    vb = b.agg(F.count(F.lit(1)).alias("vocab_b"))
+    un = v.select("tok").distinct().agg(F.count(F.lit(1)).alias("u"))
+    return (
+        va.crossJoin(vb).crossJoin(shared).crossJoin(un)
+        .select(
+            "vocab_a", "vocab_b", "vocab_shared",
+            F.expr("vocab_shared * 1000000 DIV u").alias("jaccard_ppm"),
+        )
+    )
+
+
+@stage(
+    "q_supplier_part_fanout",
+    """
+    WITH s AS (
+      SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_parts // 5 AS BIGINT) AS parts_band,
+           count(*) AS n_suppliers
+    FROM s GROUP BY 1
+    """,
+    "supplier catalog breadth: distinct parts shipped per supplier, "
+    "banded by 5 — specialist vs generalist supplier mix; integer "
+    "distinct counts",
+)
+def q_q_supplier_part_fanout(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    return s.groupBy(
+        F.floor(F.col("n_parts") / 5).cast("long").alias("parts_band")
+    ).agg(F.count(F.lit(1)).alias("n_suppliers"))
