@@ -1014,3 +1014,664 @@ def q_q_supplier_part_fanout(spark, sf_dir):
     return s.groupBy(
         F.floor(F.col("n_parts") / 5).cast("long").alias("parts_band")
     ).agg(F.count(F.lit(1)).alias("n_suppliers"))
+
+
+# --------------------------------------------------------------------------
+# Final bank rows (to 50): first-vs-repeat value, daypart value,
+# daily volume envelopes, brand size envelope, return rate by volume,
+# same-minute depth, hourly global volume, year/priority share,
+# opener-closer pairs, supplier-nation fan-out, shipdate envelopes,
+# value-band priority matrix, bigram openers, stream share, nation
+# ratios, error concentration, orderkey density, and friends.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_first_vs_repeat_value",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rnk
+      FROM orders
+    )
+    SELECT CASE WHEN rnk = 1 THEN 'first' ELSE 'repeat' END AS order_kind,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / count(*) * 100) / 100 AS avg_value
+    FROM r GROUP BY 1
+    """,
+    "first-order vs repeat-order value: is the first basket bigger — "
+    "per-customer (date, key)-ordered ranking, DECIMAL-summed "
+    "averages with the cent rounding guard",
+)
+def q_q_first_vs_repeat_value(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    r = orders.withColumn("rnk", F.row_number().over(w))
+    kind = F.when(F.col("rnk") == 1, "first").otherwise("repeat")
+    return r.groupBy(kind.alias("order_kind")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1))
+                * 100
+            )
+            / 100
+        ).alias("avg_value"),
+    )
+
+
+@stage(
+    "q_value_by_daypart",
+    """
+    SELECT CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24
+                     BETWEEN 6 AND 11 THEN 'morning'
+                WHEN CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24
+                     BETWEEN 12 AND 17 THEN 'afternoon'
+                WHEN CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24
+                     BETWEEN 18 AND 23 THEN 'evening'
+                ELSE 'night' END AS daypart,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+    "value flow by daypart: DECIMAL totals across the four trading "
+    "windows — the intraday revenue cadence",
+)
+def q_q_value_by_daypart(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    hr = (F.unix_timestamp("ts").cast("long") / 3600).cast("long") % 24
+    daypart = (
+        F.when(hr.between(6, 11), "morning")
+        .when(hr.between(12, 17), "afternoon")
+        .when(hr.between(18, 23), "evening")
+        .otherwise("night")
+    )
+    return ev.groupBy(daypart.alias("daypart")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_value"),
+    )
+
+
+@stage(
+    "ts_daily_volume_envelope",
+    f"""
+    WITH pts AS ({PTS}),
+    d AS (
+      SELECT metric, ts // 86400 AS day, count(*) AS n
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT metric,
+           count(*) AS n_days,
+           CAST(min(n) AS BIGINT) AS min_daily,
+           CAST(max(n) AS BIGINT) AS max_daily,
+           sum(n) AS total_points
+    FROM d GROUP BY 1
+    """,
+    "daily ingest volume envelope per metric: min/max points per day "
+    "and the active-day count — the flatness check a capacity "
+    "forecast assumes; integer counts",
+)
+def q_ts_daily_volume_envelope(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    d = pts.groupBy(
+        "metric", (F.col("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return d.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("n").cast("long").alias("min_daily"),
+        F.max("n").cast("long").alias("max_daily"),
+        F.sum("n").alias("total_points"),
+    )
+
+
+@stage(
+    "q_brand_size_envelope",
+    """
+    SELECT p_brand,
+           count(DISTINCT p_size) AS n_sizes,
+           min(p_size) AS min_size,
+           max(p_size) AS max_size
+    FROM part GROUP BY 1
+    """,
+    "brand size range: distinct sizes and the envelope per brand — "
+    "assortment depth in integers",
+)
+def q_q_brand_size_envelope(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@stage(
+    "q_return_rate_by_qty_band",
+    """
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+           count(*) AS n_lines,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS n_returned,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS return_ppm
+    FROM lineitem GROUP BY 1
+    """,
+    "return rate by order volume: do big lines come back more — "
+    "floor-scaled ppm per quantity band",
+)
+def q_q_return_rate_by_qty_band(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(ret).alias("n_returned"),
+        F.floor(F.sum(ret) * 1000000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("return_ppm"),
+    )
+
+
+@stage(
+    "q_events_same_minute_depth",
+    """
+    WITH m AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(n AS BIGINT) AS events_in_minute,
+           count(*) AS n_user_minutes
+    FROM m GROUP BY 1
+    """,
+    "per-user-minute event depth histogram — the client-side batching "
+    "fingerprint (depth >1 means bundled sends); integer counts",
+)
+def q_q_events_same_minute_depth(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "user_id",
+        (F.unix_timestamp("ts").cast("long") / 60)
+        .cast("long")
+        .alias("minute"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return m.groupBy(
+        F.col("n").cast("long").alias("events_in_minute")
+    ).agg(F.count(F.lit(1)).alias("n_user_minutes"))
+
+
+@stage(
+    "ts_hourly_global_volume",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT CAST(ts // 3600 % 24 AS BIGINT) AS hour,
+           count(*) AS n_points,
+           count(DISTINCT metric) AS n_metrics
+    FROM pts GROUP BY 1
+    """,
+    "global hour-of-day ingest profile: points and reporting metrics "
+    "per hour — the fleet-wide load curve behind shard sizing",
+)
+def q_ts_hourly_global_volume(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return pts.groupBy(
+        ((F.col("ts") / 3600).cast("long") % 24).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("metric").alias("n_metrics"),
+    )
+
+
+@stage(
+    "q_year_priority_share",
+    """
+    WITH y AS (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS VARCHAR) AS year,
+             o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (SELECT year, sum(n) AS total FROM y GROUP BY 1)
+    SELECT y.year, y.o_orderpriority,
+           y.n * 1000000 // t.total AS share_ppm
+    FROM y JOIN t ON t.year = y.year
+    """,
+    "priority mix drift across years: floor-scaled share of each "
+    "priority within its year — the policy-change detector",
+)
+def q_q_year_priority_share(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    y = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("year"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = y.groupBy("year").agg(F.sum("n").alias("total"))
+    return y.join(t, "year").select(
+        "year", "o_orderpriority",
+        F.expr("n * 1000000 DIV total").alias("share_ppm"),
+    )
+
+
+@stage(
+    "text_opener_closer_pairs",
+    r"""
+    WITH t AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT toks[1] AS opener, toks[len(toks)] AS closer FROM t
+    )
+    SELECT opener, closer, n_docs FROM (
+      SELECT opener, closer, count(*) AS n_docs,
+             row_number() OVER (
+               ORDER BY count(*) DESC, opener, closer) AS rnk
+      FROM p GROUP BY 1, 2
+    ) x WHERE rnk <= 10
+    """,
+    "top (first-token, last-token) pairs — template frames show up "
+    "as repeated opener/closer combinations; deterministic "
+    "(count, opener, closer) ranking",
+)
+def q_text_opener_closer_pairs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    p = docs.select(
+        F.element_at(toks, 1).alias("opener"),
+        F.element_at(toks, -1).alias("closer"),
+    )
+    c = p.groupBy("opener", "closer").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.orderBy(
+        F.col("n_docs").desc(), F.col("opener"), F.col("closer")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("opener", "closer", "n_docs")
+    )
+
+
+@stage(
+    "q_supplier_nation_fanout",
+    """
+    WITH n AS (
+      SELECT s_nationkey, count(*) AS n_suppliers
+      FROM supplier GROUP BY 1
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           count(*) AS n_nations
+    FROM n GROUP BY 1
+    """,
+    "suppliers-per-nation histogram — dimension balance in two "
+    "grouped counts",
+)
+def q_q_supplier_nation_fanout(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return n.groupBy(
+        F.col("n_suppliers").cast("long").alias("n_suppliers")
+    ).agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+@stage(
+    "q_shipdate_envelope_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(min(l_shipdate) AS VARCHAR) AS first_ship,
+           CAST(max(l_shipdate) AS VARCHAR) AS last_ship,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1
+    """,
+    "shipping-date envelope per return flag (stringified dates for "
+    "cross-engine comparison) — the R-flag cutoff structure TPC-H "
+    "bakes in, made visible",
+)
+def q_q_shipdate_envelope_by_flag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_shipdate").cast("string").alias("first_ship"),
+        F.max("l_shipdate").cast("string").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@stage(
+    "q_value_band_priority_matrix",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS value_band,
+           o_orderpriority,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+    "order value band x priority matrix: floor-banded totals crossed "
+    "with priority — do expensive orders get expedited",
+)
+def q_q_value_band_priority_matrix(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.floor(F.col("o_totalprice") / 50000)
+        .cast("long")
+        .alias("value_band"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@stage(
+    "text_bigram_openers",
+    r"""
+    WITH t AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT toks[1] || ' ' || toks[2] AS opening_bigram FROM t
+      WHERE len(toks) >= 2
+    )
+    SELECT opening_bigram, n_docs FROM (
+      SELECT opening_bigram, count(*) AS n_docs,
+             row_number() OVER (
+               ORDER BY count(*) DESC, opening_bigram) AS rnk
+      FROM p GROUP BY 1
+    ) x WHERE rnk <= 10
+    """,
+    "top opening bigrams — the two-token template detector "
+    "complementing the single-opener row",
+)
+def q_text_bigram_openers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    p = docs.where(F.size(toks) >= 2).select(
+        F.concat(
+            F.element_at(toks, 1), F.lit(" "), F.element_at(toks, 2)
+        ).alias("opening_bigram")
+    )
+    c = p.groupBy("opening_bigram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("opening_bigram"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("opening_bigram", "n_docs")
+    )
+
+
+@stage(
+    "ts_stream_share_per_metric",
+    f"""
+    WITH pts AS ({PTS}),
+    m AS (SELECT metric, count(*) AS n FROM pts GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM m)
+    SELECT m.metric, m.n AS n_points,
+           m.n * 1000000 // t.total AS share_ppm
+    FROM m, t
+    """,
+    "stream share per metric as floor-scaled ppm — the skew table "
+    "the salted-LWW path consults before picking skew_salts",
+)
+def q_ts_stream_share_per_metric(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    m = pts.groupBy("metric").agg(F.count(F.lit(1)).alias("n_points"))
+    t = m.agg(F.sum("n_points").alias("total"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "metric", "n_points",
+        F.expr("n_points * 1000000 DIV total").alias("share_ppm"),
+    )
+
+
+@stage(
+    "q_nation_cust_supp_ratio",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nk, count(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, count(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT n.n_name,
+           coalesce(c.n_cust, 0) AS n_customers,
+           coalesce(s.n_supp, 0) AS n_suppliers,
+           CASE WHEN coalesce(s.n_supp, 0) > 0
+                THEN coalesce(c.n_cust, 0) * 1000 // s.n_supp
+           END AS cust_per_supp_milli
+    FROM nation n
+    LEFT JOIN c ON c.nk = n.n_nationkey
+    LEFT JOIN s ON s.nk = n.n_nationkey
+    """,
+    "customer-to-supplier ratio per nation in milli-units (integer "
+    "floor division, NULL where a nation has no suppliers) — the "
+    "demand/supply balance table off two dimension scans",
+)
+def q_q_nation_cust_supp_ratio(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cc = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    ss = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    j = (
+        n.join(cc, n.n_nationkey == cc.nk, "left")
+        .join(ss, n.n_nationkey == ss.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+    return j.withColumn(
+        "cust_per_supp_milli",
+        F.when(
+            F.col("n_suppliers") > 0,
+            F.expr("n_customers * 1000 DIV n_suppliers"),
+        ),
+    )
+
+
+@stage(
+    "q_error_user_gini",
+    """
+    WITH u AS (
+      SELECT user_id, count(*) AS n FROM events
+      WHERE event_type = 'error' GROUP BY 1
+    ),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM u
+    ),
+    s AS (SELECT count(*) AS k, sum(n) AS sx, sum(i * n) AS six FROM r)
+    SELECT k AS n_users_with_errors, sx AS n_errors,
+           CAST((2 * six - (k + 1) * sx) * 1000000 // (k * sx)
+                AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+    "error concentration: is the error stream one broken client or "
+    "everyone equally — the scaled-integer Gini over per-user error "
+    "counts; the triage question, answered deterministically",
+)
+def q_q_error_user_gini(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    )
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    r = u.select(
+        "n", F.row_number().over(Window.orderBy("n", "user_id")).alias("i")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("i") * F.col("n")).alias("six"),
+    )
+    return s.select(
+        F.col("k").alias("n_users_with_errors"),
+        F.col("sx").alias("n_errors"),
+        F.floor(
+            (2 * F.col("six") - (F.col("k") + 1) * F.col("sx"))
+            * 1000000
+            / (F.col("k") * F.col("sx"))
+        ).cast("long").alias("gini_ppm"),
+    )
+
+
+@stage(
+    "q_orderkey_density_audit",
+    """
+    SELECT count(*) AS n_orders,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           count(*) * 1000000 // (max(o_orderkey) - min(o_orderkey) + 1)
+             AS density_ppm
+    FROM orders
+    """,
+    "key-space density: orders vs the orderkey range they span "
+    "(TPC-H deliberately leaves key gaps — the audit that catches a "
+    "densely-reindexed copy masquerading as generator output); "
+    "integer floor division",
+)
+def q_q_orderkey_density_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.expr(
+            "count(*) * 1000000 DIV (max(o_orderkey) - min(o_orderkey)"
+            " + 1)"
+        ).alias("density_ppm"),
+    )
+
+
+@stage(
+    "q_events_value_type_minmax_user",
+    """
+    WITH u AS (
+      SELECT user_id, event_type,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS total_value
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type,
+           min(total_value) AS min_user_total,
+           max(total_value) AS max_user_total,
+           count(*) AS n_users
+    FROM u GROUP BY 1
+    """,
+    "per-type user-total envelope: the lightest and heaviest user "
+    "totals per event type (DECIMAL-exact inner sums) — the spread "
+    "behind the whale curve",
+)
+def q_q_events_value_type_minmax_user(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_value")
+    )
+    return u.groupBy("event_type").agg(
+        F.min("total_value").alias("min_user_total"),
+        F.max("total_value").alias("max_user_total"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@stage(
+    "q_part_type_size_spread",
+    """
+    SELECT p_type,
+           count(*) AS n_parts,
+           CAST(max(p_size) - min(p_size) AS BIGINT) AS size_spread
+    FROM part GROUP BY 1
+    """,
+    "size spread per part type — integer envelope widths over the "
+    "catalog",
+)
+def q_q_part_type_size_spread(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.max("p_size") - F.min("p_size"))
+        .cast("long")
+        .alias("size_spread"),
+    )
+
+
+@stage(
+    "q_events_multi_type_minutes",
+    """
+    WITH m AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+             count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(n_types AS BIGINT) AS n_types,
+           count(*) AS n_user_minutes
+    FROM m GROUP BY 1
+    """,
+    "behavioural density: distinct event types inside a single "
+    "user-minute, histogrammed — multi-type minutes are real "
+    "engagement, single-type bursts are retries",
+)
+def q_q_events_multi_type_minutes(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "user_id",
+        (F.unix_timestamp("ts").cast("long") / 60)
+        .cast("long")
+        .alias("minute"),
+    ).agg(F.countDistinct("event_type").alias("n_types"))
+    return m.groupBy(
+        F.col("n_types").cast("long").alias("n_types")
+    ).agg(F.count(F.lit(1)).alias("n_user_minutes"))
+
+
+@stage(
+    "q_customer_name_number_gap",
+    """
+    SELECT count(*) AS n_customers,
+           max(c_custkey) - count(*) AS key_gaps,
+           min(c_custkey) AS min_key
+    FROM customer
+    """,
+    "customer key continuity: gaps between the key range and the "
+    "row count — the generator-vs-reindex audit for the customer "
+    "dimension",
+)
+def q_q_customer_name_number_gap(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.max("c_custkey") - F.count(F.lit(1))).alias("key_gaps"),
+        F.min("c_custkey").alias("min_key"),
+    )
