@@ -248,3 +248,354 @@ def q_q_orders_quarter_aov_trend(spark, sf_dir):
         "quarter", "n_orders",
         F.expr("cents DIV n_orders").alias("aov_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 2: repurchase lag, Benford on the catalog, reorder rate,
+# half-life churn, nation YoY, per-type peak cell, mislabel rate,
+# idle suppliers.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_second_purchase_lag_bands",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+      FROM events WHERE event_type = 'purchase'
+    ),
+    l AS (
+      SELECT a.user_id, (b.ts - a.ts) // 86400 AS lag_days
+      FROM p a JOIN p b
+        ON b.user_id = a.user_id AND a.rnk = 1 AND b.rnk = 2
+    )
+    SELECT CASE WHEN lag_days = 0 THEN 'same_day'
+                WHEN lag_days <= 7 THEN '1-7d'
+                WHEN lag_days <= 30 THEN '8-30d'
+                ELSE '30d+' END AS band,
+           count(*) AS n_users
+    FROM l GROUP BY 1
+    """,
+    "time to second purchase: first-to-second purchase lag per user "
+    "banded into repurchase windows — the retention lever metric; "
+    "(ts, event_id)-ordered ranks, integer day arithmetic",
+)
+def q_q_second_purchase_lag_bands(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.withColumn("rnk", F.row_number().over(w))
+    a = p.where(F.col("rnk") == 1).select("user_id", F.col("ts").alias("t1"))
+    b = p.where(F.col("rnk") == 2).select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("t2")
+    )
+    l = a.join(b, a.user_id == b.u2).select(
+        ((F.col("t2") - F.col("t1")) / 86400).cast("long").alias(
+            "lag_days"
+        )
+    )
+    band = (
+        F.when(F.col("lag_days") == 0, "same_day")
+        .when(F.col("lag_days") <= 7, "1-7d")
+        .when(F.col("lag_days") <= 30, "8-30d")
+        .otherwise("30d+")
+    )
+    return l.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@stage(
+    "q_part_price_benford",
+    """
+    SELECT substr(CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS first_digit,
+           count(*) AS n_parts
+    FROM part WHERE p_retailprice >= 1
+    GROUP BY 1
+    """,
+    "Benford screen on the part catalog — generator pricing formulas "
+    "produce a distinctive (non-Benford) first-digit spectrum; the "
+    "same integer-string extraction as the orders row",
+)
+def q_q_part_price_benford(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.where(F.col("p_retailprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("p_retailprice").cast("long").cast("string"), 1, 1
+            ).alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@stage(
+    "q_part_reorder_rate",
+    """
+    WITH cp AS (
+      SELECT o.o_custkey, l.l_partkey,
+             count(DISTINCT l.l_orderkey) AS n_orders
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_customer_parts,
+           sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS n_reordered,
+           sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS reorder_ppm
+    FROM cp
+    """,
+    "part reorder rate: (customer, part) pairs bought in 2+ distinct "
+    "orders over all pairs — the repeat-demand share replenishment "
+    "forecasting keys on; floor-scaled ppm",
+)
+def q_q_part_reorder_rate(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    re = (F.col("n_orders") >= 2).cast("long")
+    return cp.agg(
+        F.count(F.lit(1)).alias("n_customer_parts"),
+        F.sum(re).alias("n_reordered"),
+        F.floor(F.sum(re) * 1000000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("reorder_ppm"),
+    )
+
+
+@stage(
+    "q_events_halflife_churn",
+    """
+    WITH b AS (
+      SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) AS t1
+      FROM events
+    ),
+    u AS (
+      SELECT e.user_id,
+             max(CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT)
+                       < (b.t0 + b.t1) / 2 THEN 1 ELSE 0 END)
+               AS in_first_half,
+             max(CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT)
+                       >= (b.t0 + b.t1) / 2 THEN 1 ELSE 0 END)
+               AS in_second_half
+      FROM events e, b GROUP BY 1
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN in_first_half = 1 AND in_second_half = 0
+                    THEN 1 ELSE 0 END) AS n_churned,
+           sum(CASE WHEN in_first_half = 0 AND in_second_half = 1
+                    THEN 1 ELSE 0 END) AS n_new,
+           sum(CASE WHEN in_first_half = 1 AND in_second_half = 1
+                    THEN 1 ELSE 0 END) AS n_retained
+    FROM u
+    """,
+    "half-life churn split: users active only in the stream's first "
+    "half (churned), only in the second (new), or both (retained) — "
+    "the simplest honest churn decomposition; integer midpoint "
+    "arithmetic",
+)
+def q_q_events_halflife_churn(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("ts")
+    )
+    b = ev.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    j = ev.crossJoin(F.broadcast(b))
+    mid = (F.col("t0") + F.col("t1")) / 2
+    u = j.groupBy("user_id").agg(
+        F.max((F.col("ts") < mid).cast("int")).alias("in_first_half"),
+        F.max((F.col("ts") >= mid).cast("int")).alias("in_second_half"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            ((F.col("in_first_half") == 1) & (F.col("in_second_half") == 0))
+            .cast("long")
+        ).alias("n_churned"),
+        F.sum(
+            ((F.col("in_first_half") == 0) & (F.col("in_second_half") == 1))
+            .cast("long")
+        ).alias("n_new"),
+        F.sum(
+            ((F.col("in_first_half") == 1) & (F.col("in_second_half") == 1))
+            .cast("long")
+        ).alias("n_retained"),
+    )
+
+
+@stage(
+    "q_nation_yoy_growth",
+    """
+    WITH y AS (
+      SELECT n.n_name,
+             CAST(strftime(o.o_orderdate, '%Y') AS VARCHAR) AS year,
+             count(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, year, n_orders,
+           CAST(n_orders - lag(n_orders) OVER (
+             PARTITION BY n_name ORDER BY year) AS BIGINT) AS yoy_delta
+    FROM y
+    """,
+    "order growth per nation year over year: integer deltas via lag "
+    "over the lexicographic year key — the market momentum table",
+)
+def q_q_nation_yoy_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    y = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.date_format("o_orderdate", "yyyy").alias("year")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("n_name").orderBy("year")
+    return y.select(
+        "n_name", "year", "n_orders",
+        (F.col("n_orders") - F.lag("n_orders").over(w))
+        .cast("long")
+        .alias("yoy_delta"),
+    )
+
+
+@stage(
+    "q_type_peak_dow_hour",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7
+                  AS BIGINT) AS dow,
+             CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24
+                  AS BIGINT) AS hour,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow, hour, n_events FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY n_events DESC, dow, hour) AS rnk
+      FROM g
+    ) t WHERE rnk = 1
+    """,
+    "the hottest hour-of-week cell per event type: the 7x24 heatmap "
+    "argmax with a (dow, hour) tie-break — one cell per type for the "
+    "capacity headline",
+)
+def q_q_type_peak_dow_hour(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    g = ev.groupBy(
+        "event_type",
+        (((epoch / 86400).cast("long") + 4) % 7).alias("dow"),
+        ((epoch / 3600).cast("long") % 24).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("dow"), F.col("hour")
+    )
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("event_type", "dow", "hour", "n_events")
+    )
+
+
+
+
+def _mislabel_pred_sql() -> str:
+    from kenshin_spark.functions.text import LANG_MARKERS, marker_regex
+
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '{marker_regex(w)}'))"
+        for lang, w in LANG_MARKERS.items()
+    }
+    greatest = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = {greatest} AND {greatest} > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return (
+        f"SELECT doc_id, CASE {whens} ELSE 'und' END AS pred "
+        "FROM documents"
+    )
+
+@stage(
+    "text_mislabel_rate_by_source",
+    f"""
+    WITH q AS ({_mislabel_pred_sql()}),
+    p AS (
+      SELECT d.source,
+             CASE WHEN d.lang = q.pred THEN 1 ELSE 0 END AS ok
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(1 - ok) AS n_mismatch,
+           sum(1 - ok) * 1000000 // count(*) AS mismatch_ppm
+    FROM p GROUP BY 1
+    """,
+    "label-vs-prediction mismatch rate per source: which PROVIDER "
+    "ships mislabeled languages — the per-source rollup of the "
+    "confusion matrix; floor-scaled ppm",
+)
+def q_text_mislabel_rate_by_source(spark, sf_dir):
+    from kenshin_spark.functions.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    ok = (F.col("lang") == language_id("text")).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.lit(1) - ok).alias("n_mismatch"),
+        F.floor(F.sum(F.lit(1) - ok) * 1000000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mismatch_ppm"),
+    )
+
+
+@stage(
+    "q_supplier_no_sales_audit",
+    """
+    SELECT
+      (SELECT count(*) FROM supplier) AS n_suppliers,
+      (SELECT count(*) FROM supplier s
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_suppkey = s.s_suppkey))
+        AS n_idle_suppliers
+    """,
+    "idle-supplier audit: suppliers with zero shipped lines (the "
+    "dimension rows the fact table never references) — one anti-join "
+    "count",
+)
+def q_q_supplier_no_sales_audit(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    idle = s.join(
+        li.select("l_suppkey").distinct(),
+        s.s_suppkey == F.col("l_suppkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_idle_suppliers"))
+    tot = s.agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return tot.crossJoin(idle)
