@@ -599,3 +599,310 @@ def q_q_supplier_no_sales_audit(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n_idle_suppliers"))
     tot = s.agg(F.count(F.lit(1)).alias("n_suppliers"))
     return tot.crossJoin(idle)
+
+
+# --------------------------------------------------------------------------
+# Batch 3: dow consistency, order-gap p90 bands, char share, metric
+# name audit, brand depth, zero values, segment medians, priority set,
+# max-value days, tokenizer diff bands.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_user_dow_consistency",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7
+                  AS BIGINT) AS dow,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, sum(n) AS total FROM d GROUP BY 1),
+    m AS (
+      SELECT d.user_id, max(d.n) AS top_dow_n FROM d GROUP BY 1
+    )
+    SELECT m.user_id, t.total AS n_events,
+           m.top_dow_n * 1000000 // t.total AS top_dow_share_ppm
+    FROM m JOIN t ON t.user_id = m.user_id
+    """,
+    "weekly-habit consistency: the share of each user's events that "
+    "land on their single busiest weekday — routine users score high, "
+    "uniform users ~1/7; floor-scaled ppm",
+)
+def q_q_user_dow_consistency(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        (F.unix_timestamp("ts").cast("long") / 86400).cast("long") + 4
+    ) % 7
+    d = ev.groupBy("user_id", dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = d.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"), F.max("n").alias("top_dow_n")
+    )
+    return agg.select(
+        "user_id", "n_events",
+        F.expr("top_dow_n * 1000000 DIV n_events").alias(
+            "top_dow_share_ppm"
+        ),
+    )
+
+
+@stage(
+    "q_order_gap_p90_bands",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             datediff('day',
+               lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_d
+      FROM orders
+    ),
+    p AS (
+      SELECT o_custkey, quantile_cont(gap_d, 0.9) AS p90
+      FROM g WHERE gap_d IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(floor(p90 / 30) AS BIGINT) AS p90_month_band,
+           count(*) AS n_customers
+    FROM p GROUP BY 1
+    """,
+    "order-cadence tail per customer: the p90 inter-order gap banded "
+    "by months — the reorder-reminder timing table; exact "
+    "interpolated percentiles over integer day gaps",
+)
+def q_q_order_gap_p90_bands(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    g = orders.select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_d"),
+    ).where(F.col("gap_d").isNotNull())
+    p = g.groupBy("o_custkey").agg(
+        F.expr("percentile(gap_d, 0.9)").alias("p90")
+    )
+    return p.groupBy(
+        F.floor(F.col("p90") / 30).cast("long").alias("p90_month_band")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@stage(
+    "text_char_share_by_lang",
+    """
+    WITH l AS (
+      SELECT lang, sum(n_chars) AS chars FROM documents GROUP BY 1
+    ),
+    t AS (SELECT sum(chars) AS total FROM l)
+    SELECT l.lang, l.chars,
+           l.chars * 1000000 // t.total AS share_ppm
+    FROM l, t
+    """,
+    "character-volume share per language — the mixture weight the "
+    "temperature sampler rebalances, floor-scaled",
+)
+def q_text_char_share_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    l = docs.groupBy("lang").agg(F.sum("n_chars").alias("chars"))
+    t = l.agg(F.sum("chars").alias("total"))
+    return l.crossJoin(F.broadcast(t)).select(
+        "lang", "chars",
+        F.expr("chars * 1000000 DIV total").alias("share_ppm"),
+    )
+
+
+@stage(
+    "ts_metric_name_audit",
+    f"""
+    WITH pts AS ({PTS}),
+    m AS (SELECT DISTINCT metric FROM pts)
+    SELECT count(*) AS n_metrics,
+           sum(CASE WHEN regexp_matches(metric, '^[a-z_.]+$')
+                    THEN 1 ELSE 0 END) AS n_wellformed,
+           CAST(min(length(metric)) AS BIGINT) AS min_len,
+           CAST(max(length(metric)) AS BIGINT) AS max_len
+    FROM m
+    """,
+    "metric-name hygiene: names matching the lowercase dotted "
+    "convention plus the length envelope — the catalog lint every "
+    "relay enforces before admission",
+)
+def q_ts_metric_name_audit(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    m = pts.select("metric").distinct()
+    ok = F.col("metric").rlike("^[a-z_.]+$").cast("long")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_metrics"),
+        F.sum(ok).alias("n_wellformed"),
+        F.min(F.length("metric")).cast("long").alias("min_len"),
+        F.max(F.length("metric")).cast("long").alias("max_len"),
+    )
+
+
+@stage(
+    "q_types_per_brand",
+    """
+    WITH b AS (
+      SELECT p_brand, count(DISTINCT p_type) AS n_types
+      FROM part GROUP BY 1
+    )
+    SELECT CAST(n_types AS BIGINT) AS n_types, count(*) AS n_brands
+    FROM b GROUP BY 1
+    """,
+    "catalog depth histogram: distinct part types carried per brand — "
+    "assortment breadth in two grouped counts",
+)
+def q_q_types_per_brand(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    b = part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types")
+    )
+    return b.groupBy(
+        F.col("n_types").cast("long").alias("n_types")
+    ).agg(F.count(F.lit(1)).alias("n_brands"))
+
+
+@stage(
+    "q_events_zero_value_count",
+    """
+    SELECT event_type,
+           count(value) AS n_values,
+           sum(CASE WHEN value = 0.0 THEN 1 ELSE 0 END) AS n_zero
+    FROM events GROUP BY 1
+    """,
+    "exact-zero incidence per event type — zeros are semantically "
+    "loaded (no-op vs missing vs free); exact float equality counts",
+)
+def q_q_events_zero_value_count(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n_values"),
+        F.sum((F.col("value") == 0.0).cast("long")).alias("n_zero"),
+    )
+
+
+@stage(
+    "q_segment_balance_median",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(quantile_cont(c_acctbal, 0.5), 6) AS median_balance
+    FROM customer GROUP BY 1
+    """,
+    "median account balance per market segment — the robust central "
+    "tendency next to the r9 decimal totals; exact interpolated "
+    "median",
+)
+def q_q_segment_balance_median(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias(
+            "median_balance"
+        ),
+    )
+
+
+@stage(
+    "q_priority_set_audit",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank
+    FROM orders GROUP BY 1
+    """,
+    "priority vocabulary audit: the distinct priority strings, their "
+    "volumes, and the numeric rank embedded in the label (the "
+    "'1-URGENT' convention the generator promises) — parsing the "
+    "enum's own encoding",
+)
+def q_q_priority_set_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.substring("o_orderpriority", 1, 1)
+        .cast("long")
+        .alias("priority_rank"),
+    ).select("o_orderpriority", "n_orders", "priority_rank")
+
+
+@stage(
+    "q_events_max_value_day",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS BIGINT)
+               AS day,
+             max(value) AS day_max
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, day, day_max FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY day_max DESC, day) AS rnk
+      FROM g
+    ) t WHERE rnk = 1
+    """,
+    "record day per event type: the day carrying the all-time max "
+    "value, with a day tie-break — the incident-lookup row",
+)
+def q_q_events_max_value_day(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    g = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts").cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.max("value").alias("day_max"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("day_max").desc(), F.col("day")
+    )
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("event_type", "day", "day_max")
+    )
+
+
+@stage(
+    "text_tokenizer_diff_bands",
+    r"""
+    WITH t AS (
+      SELECT len(regexp_extract_all(text,
+                 '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) -
+             len(string_split_regex(trim(text), '\s+')) AS diff
+      FROM documents
+    )
+    SELECT CAST(diff AS BIGINT) AS token_diff, count(*) AS n_docs
+    FROM t GROUP BY 1
+    """,
+    "tokenizer disagreement: BPE-ish token count minus whitespace "
+    "token count per doc, histogrammed — zero on this punctuation-"
+    "free corpus by construction, nonzero the moment symbols appear "
+    "(the contract between the two engine tokenizers, pinned)",
+)
+def q_text_tokenizer_diff_bands(spark, sf_dir):
+    from kenshin_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    diff = (
+        bpe_ish_token_count("text").cast("long")
+        - token_count("text").cast("long")
+    )
+    return docs.select(diff.alias("token_diff")).groupBy(
+        "token_diff"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
