@@ -906,3 +906,357 @@ def q_text_tokenizer_diff_bands(spark, sf_dir):
     return docs.select(diff.alias("token_diff")).groupBy(
         "token_diff"
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Batch 4: session opening types, price bands by flag, December share,
+# doc length medians, nation-count Gini, first-day coverage, balance
+# vs volume matrix, vec-id continuity, top-user value share, name
+# length bands.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_session_first_type",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT user_id, ts, event_type, event_id,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM s
+    ),
+    f AS (
+      SELECT user_id, sid,
+             arg_min(event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) * 1000000 + event_id)
+               AS first_type
+      FROM g GROUP BY 1, 2
+    )
+    SELECT first_type, count(*) AS n_sessions FROM f GROUP BY 1
+    """,
+    "session opening move: the first event type of every 30-minute "
+    "session ((ts, event_id)-ordered min_by for deterministic "
+    "tie-breaks) — which doors sessions start through, not just "
+    "users (the r13 first-touch row at session granularity)",
+)
+def q_q_session_first_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    g = s.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    f = g.groupBy("user_id", "sid").agg(
+        F.expr(
+            "min_by(event_type,"
+            " unix_timestamp(ts) * 1000000 + event_id)"
+        ).alias("first_type")
+    )
+    return f.groupBy("first_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+@stage(
+    "q_price_band_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice / 20000) AS BIGINT) AS price_band,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1, 2
+    """,
+    "price-band mix per return flag — do returns skew expensive; "
+    "floor banding, integer counts",
+)
+def q_q_price_band_by_flag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / 20000)
+        .cast("long")
+        .alias("price_band"),
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+@stage(
+    "q_orders_december_share",
+    """
+    WITH y AS (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS VARCHAR) AS year,
+             count(*) AS n_orders,
+             sum(CASE WHEN strftime(o_orderdate, '%m') = '12'
+                      THEN 1 ELSE 0 END) AS n_december
+      FROM orders GROUP BY 1
+    )
+    SELECT year, n_orders, n_december,
+           n_december * 1000000 // n_orders AS december_ppm
+    FROM y
+    """,
+    "December concentration per year: the seasonal-peak share a "
+    "staffing plan budgets against; floor-scaled ppm",
+)
+def q_q_orders_december_share(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dec = (F.date_format("o_orderdate", "MM") == "12").cast("long")
+    y = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec).alias("n_december"),
+    )
+    return y.select(
+        "year", "n_orders", "n_december",
+        F.expr("n_december * 1000000 DIV n_orders").alias(
+            "december_ppm"
+        ),
+    )
+
+
+@stage(
+    "text_len_median_by_lang",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+    FROM documents GROUP BY 1
+    """,
+    "median document length per language — the robust sizing row "
+    "next to the min/median/max token envelope",
+)
+def q_text_len_median_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias(
+            "median_chars"
+        ),
+    )
+
+
+@stage(
+    "q_customer_nation_gini",
+    """
+    WITH c AS (
+      SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1
+    ),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n, c_nationkey) AS i FROM c
+    ),
+    s AS (SELECT count(*) AS k, sum(n) AS sx, sum(i * n) AS six FROM r)
+    SELECT k AS n_nations, sx AS n_customers,
+           CAST((2 * six - (k + 1) * sx) * 1000000 // (k * sx)
+                AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+    "geographic concentration of the customer base as a "
+    "scaled-integer Gini over per-nation counts — one number for "
+    "the market-spread narrative",
+)
+def q_q_customer_nation_gini(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    r = g.select(
+        "n",
+        F.row_number().over(Window.orderBy("n", "c_nationkey")).alias("i"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("i") * F.col("n")).alias("six"),
+    )
+    return s.select(
+        F.col("k").alias("n_nations"),
+        F.col("sx").alias("n_customers"),
+        F.floor(
+            (2 * F.col("six") - (F.col("k") + 1) * F.col("sx"))
+            * 1000000
+            / (F.col("k") * F.col("sx"))
+        ).cast("long").alias("gini_ppm"),
+    )
+
+
+@stage(
+    "ts_first_day_coverage",
+    f"""
+    WITH pts AS ({PTS}),
+    b AS (SELECT min(ts // 86400) AS d0 FROM pts)
+    SELECT metric,
+           sum(CASE WHEN ts // 86400 = d0 THEN 1 ELSE 0 END)
+             AS first_day_points,
+           count(*) AS total_points
+    FROM pts, b GROUP BY 1
+    """,
+    "cold-start coverage: each metric's share of points on the "
+    "stream's first day — did every series start reporting from day "
+    "one (a migration-completeness check); integer day arithmetic",
+)
+def q_ts_first_day_coverage(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    b = pts.agg(
+        F.min((F.col("ts") / 86400).cast("long")).alias("d0")
+    )
+    j = pts.crossJoin(F.broadcast(b))
+    first = (
+        (F.col("ts") / 86400).cast("long") == F.col("d0")
+    ).cast("long")
+    return j.groupBy("metric").agg(
+        F.sum(first).alias("first_day_points"),
+        F.count(F.lit(1)).alias("total_points"),
+    )
+
+
+@stage(
+    "q_supplier_balance_volume_matrix",
+    """
+    WITH v AS (
+      SELECT l_suppkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+    ),
+    b AS (
+      SELECT s_suppkey,
+             ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey)
+               AS balance_q
+      FROM supplier
+    )
+    SELECT b.balance_q,
+           CASE WHEN coalesce(v.n_lines, 0) = 0 THEN '0'
+                WHEN v.n_lines <= 20 THEN '1-20'
+                WHEN v.n_lines <= 50 THEN '21-50'
+                ELSE '50+' END AS volume_band,
+           count(*) AS n_suppliers
+    FROM b LEFT JOIN v ON v.l_suppkey = b.s_suppkey
+    GROUP BY 1, 2
+    """,
+    "supplier balance quartile x shipping volume matrix — does "
+    "account health track throughput; deterministic ntile with key "
+    "tie-break",
+)
+def q_q_supplier_balance_volume_matrix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    b = s.select(
+        "s_suppkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey")))
+        .alias("balance_q"),
+    )
+    j = b.join(v, b.s_suppkey == v.l_suppkey, "left")
+    n = F.coalesce("n_lines", F.lit(0))
+    band = (
+        F.when(n == 0, "0")
+        .when(n <= 20, "1-20")
+        .when(n <= 50, "21-50")
+        .otherwise("50+")
+    )
+    return j.groupBy("balance_q", band.alias("volume_band")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+
+
+@stage(
+    "emb_vec_id_continuity",
+    """
+    SELECT count(*) AS n_vectors,
+           min(vec_id) AS min_id,
+           max(vec_id) AS max_id,
+           max(vec_id) - min(vec_id) + 1 - count(*) AS n_gaps
+    FROM embeddings
+    """,
+    "vector key continuity: gaps in the vec_id range — the "
+    "load-completeness audit for the embedding store",
+)
+def q_emb_vec_id_continuity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+        (
+            F.max("vec_id") - F.min("vec_id") + 1 - F.count(F.lit(1))
+        ).alias("n_gaps"),
+    )
+
+
+@stage(
+    "q_top_user_value_share",
+    """
+    WITH u AS (
+      SELECT event_type, user_id,
+             CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 1000000)
+                  AS BIGINT) AS micros
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, sum(micros) AS total, max(micros) AS top
+      FROM u GROUP BY 1
+    )
+    SELECT event_type,
+           top * 1000000 // total AS top_user_share_ppm
+    FROM t
+    """,
+    "single-whale concentration per event type: the top user's share "
+    "of total value in integer micro-units end to end (DECIMAL sum, "
+    "floor micros, floor-divided ppm)",
+)
+def q_q_top_user_value_share(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,6)")) * 1000000
+        ).cast("long").alias("micros")
+    )
+    t = u.groupBy("event_type").agg(
+        F.sum("micros").alias("total"), F.max("micros").alias("top")
+    )
+    return t.select(
+        "event_type",
+        F.expr("top * 1000000 DIV total").alias("top_user_share_ppm"),
+    )
+
+
+@stage(
+    "q_part_name_length_bands",
+    """
+    SELECT CAST(length(p_name) // 5 AS BIGINT) AS len_band,
+           count(*) AS n_parts
+    FROM part GROUP BY 1
+    """,
+    "part-name length histogram in 5-char bands — the column-width "
+    "profile a storage planner sizes dictionaries from",
+)
+def q_q_part_name_length_bands(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy(
+        F.floor(F.length("p_name") / 5).cast("long").alias("len_band")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
