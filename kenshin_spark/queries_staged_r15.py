@@ -1260,3 +1260,388 @@ def q_q_part_name_length_bands(spark, sf_dir):
     return part.groupBy(
         F.floor(F.length("p_name") / 5).cast("long").alias("len_band")
     ).agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+# --------------------------------------------------------------------------
+# Final bank rows (to 50): weekly value totals, key parity, source
+# length bands, tax vocabulary, segment shares, daily metric counts,
+# id-range audits, brand counts, month envelopes, opener diversity,
+# linenumber profile, type volume share, label id envelopes, flag
+# medians, event-id density, week count envelope.
+# --------------------------------------------------------------------------
+
+
+@stage(
+    "q_events_weekly_value_totals",
+    """
+    SELECT CAST(CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS BIGINT)
+             AS week,
+           count(value) AS n_values,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total_value
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+    """,
+    "weekly value totals, DECIMAL-exact — the finance rollup cadence",
+)
+def q_q_events_weekly_value_totals(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    return ev.groupBy(
+        (F.unix_timestamp("ts").cast("long") / 604800)
+        .cast("long")
+        .alias("week")
+    ).agg(
+        F.count("value").alias("n_values"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_value"),
+    )
+
+
+@stage(
+    "q_orderkey_parity_split",
+    """
+    SELECT CAST(o_orderkey % 2 AS BIGINT) AS parity,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    "key parity balance — a hash-partitioning smoke (generator keys "
+    "skew odd/even in a known way; a 50/50 split means re-keying "
+    "happened)",
+)
+def q_q_orderkey_parity_split(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        (F.col("o_orderkey") % 2).cast("long").alias("parity")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@stage(
+    "text_source_length_bands",
+    """
+    SELECT source,
+           CAST(n_chars // 200 AS BIGINT) AS len_band,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    "document length bands per source — the provider-shape comparison "
+    "behind mixture decisions",
+)
+def q_text_source_length_bands(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "source",
+        F.floor(F.col("n_chars") / 200).cast("long").alias("len_band"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@stage(
+    "q_lineitem_tax_vocabulary",
+    """
+    SELECT round(CAST(l_tax AS DOUBLE), 2) AS tax_rate,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1
+    """,
+    "the tax-rate vocabulary: distinct rates and their volumes — the "
+    "enum audit for a column that should hold few values",
+)
+def q_q_lineitem_tax_vocabulary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.round(F.col("l_tax").cast("double"), 2).alias("tax_rate")
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+@stage(
+    "q_segment_share",
+    """
+    WITH s AS (
+      SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS total FROM s)
+    SELECT s.c_mktsegment, s.n AS n_customers,
+           s.n * 1000000 // t.total AS share_ppm
+    FROM s, t
+    """,
+    "market segment shares as floor-scaled ppm — the composition "
+    "headline",
+)
+def q_q_segment_share(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    s = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    t = s.agg(F.sum("n_customers").alias("total"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "c_mktsegment", "n_customers",
+        F.expr("n_customers * 1000000 DIV total").alias("share_ppm"),
+    )
+
+
+@stage(
+    "ts_reporting_metrics_per_day",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT CAST(ts // 86400 AS BIGINT) AS day,
+           count(DISTINCT metric) AS n_metrics,
+           count(*) AS n_points
+    FROM pts GROUP BY 1
+    """,
+    "fleet reporting census per day: distinct metrics and point "
+    "volume — the series-count stability line a catalog monitor "
+    "watches",
+)
+def q_ts_reporting_metrics_per_day(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return pts.groupBy(
+        (F.col("ts") / 86400).cast("long").alias("day")
+    ).agg(
+        F.countDistinct("metric").alias("n_metrics"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@stage(
+    "q_events_user_id_range",
+    """
+    SELECT count(DISTINCT user_id) AS n_users,
+           min(user_id) AS min_id,
+           max(user_id) AS max_id,
+           max(user_id) - min(user_id) + 1 - count(DISTINCT user_id)
+             AS n_gaps
+    FROM events
+    """,
+    "user-id space audit: distinct users vs the id range they span — "
+    "the completeness check on the user dimension implied by the "
+    "event stream",
+)
+def q_q_events_user_id_range(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("user_id").alias("min_id"),
+        F.max("user_id").alias("max_id"),
+        (
+            F.max("user_id") - F.min("user_id") + 1
+            - F.countDistinct("user_id")
+        ).alias("n_gaps"),
+    )
+
+
+@stage(
+    "q_brand_part_counts",
+    """
+    SELECT count(DISTINCT p_brand) AS n_brands,
+           count(*) AS n_parts,
+           count(*) // count(DISTINCT p_brand) AS avg_parts_per_brand
+    FROM part
+    """,
+    "brand census: brand count, part count and the integer mean parts "
+    "per brand — the catalog shape summary",
+)
+def q_q_brand_part_counts(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.agg(
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.expr("count(*) DIV count(DISTINCT p_brand)").alias(
+            "avg_parts_per_brand"
+        ),
+    )
+
+
+@stage(
+    "q_orders_month_envelope",
+    """
+    WITH m AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT count(*) AS n_months,
+           CAST(min(n) AS BIGINT) AS min_monthly,
+           CAST(max(n) AS BIGINT) AS max_monthly
+    FROM m
+    """,
+    "monthly volume envelope: the min/max orders any month carries — "
+    "the seasonality amplitude in two numbers",
+)
+def q_q_orders_month_envelope(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return m.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.min("n").cast("long").alias("min_monthly"),
+        F.max("n").cast("long").alias("max_monthly"),
+    )
+
+
+@stage(
+    "text_opener_diversity_by_source",
+    r"""
+    WITH f AS (
+      SELECT source,
+             string_split_regex(trim(lower(text)), '\s+')[1] AS opener
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT opener) AS n_distinct_openers
+    FROM f GROUP BY 1
+    """,
+    "opener diversity per source: distinct first tokens vs docs — "
+    "low diversity flags templated providers",
+)
+def q_text_opener_diversity_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        F.element_at(F.split(F.trim(F.lower("text")), r"\s+"), 1).alias(
+            "opener"
+        ),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("opener").alias("n_distinct_openers"),
+    )
+
+
+@stage(
+    "q_linenumber_profile",
+    """
+    SELECT CAST(l_linenumber AS BIGINT) AS linenumber,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1
+    """,
+    "line-number occupancy: how many orders reach each line slot — "
+    "the order-size decay curve in its rawest form",
+)
+def q_q_linenumber_profile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_linenumber").cast("long").alias("linenumber")
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+@stage(
+    "q_event_type_volume_share",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS total FROM s)
+    SELECT s.event_type, s.n AS n_events,
+           s.n * 1000000 // t.total AS share_ppm
+    FROM s, t
+    """,
+    "event type volume shares as floor-scaled ppm — the traffic "
+    "composition headline",
+)
+def q_q_event_type_volume_share(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    t = s.agg(F.sum("n_events").alias("total"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "event_type", "n_events",
+        F.expr("n_events * 1000000 DIV total").alias("share_ppm"),
+    )
+
+
+@stage(
+    "emb_label_id_envelope",
+    """
+    SELECT label,
+           count(*) AS n_vectors,
+           min(vec_id) AS min_id,
+           max(vec_id) AS max_id
+    FROM embeddings GROUP BY 1
+    """,
+    "label id envelopes: are labels interleaved across the id space "
+    "or block-assigned — the layout fact that decides whether "
+    "label-filtered scans can prune",
+)
+def q_emb_label_id_envelope(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+    )
+
+
+@stage(
+    "q_qty_median_by_flag",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+    FROM lineitem GROUP BY 1
+    """,
+    "median line quantity per return flag — the robust companion to "
+    "the flag/status totals",
+)
+def q_q_qty_median_by_flag(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias(
+            "median_qty"
+        ),
+    )
+
+
+@stage(
+    "q_event_id_density",
+    """
+    SELECT count(*) AS n_events,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id,
+           count(*) * 1000000 // (max(event_id) - min(event_id) + 1)
+             AS density_ppm
+    FROM events
+    """,
+    "event-id space density: rows vs the id range — sequence-gap "
+    "audit for the arrival-order column every LWW decision keys on",
+)
+def q_q_event_id_density(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.expr(
+            "count(*) * 1000000 DIV (max(event_id) - min(event_id) + 1)"
+        ).alias("density_ppm"),
+    )
+
+
+@stage(
+    "ts_week_count_envelope",
+    f"""
+    WITH pts AS ({PTS}),
+    w AS (
+      SELECT metric, ts // 604800 AS week, count(*) AS n
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT metric,
+           count(*) AS n_weeks,
+           CAST(min(n) AS BIGINT) AS min_weekly,
+           CAST(max(n) AS BIGINT) AS max_weekly
+    FROM w GROUP BY 1
+    """,
+    "weekly volume envelope per metric — the ingest-stability "
+    "companion to the daily envelope at coarser grain",
+)
+def q_ts_week_count_envelope(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    w = pts.groupBy(
+        "metric", (F.col("ts") / 604800).cast("long").alias("week")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return w.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.min("n").cast("long").alias("min_weekly"),
+        F.max("n").cast("long").alias("max_weekly"),
+    )
