@@ -249,3 +249,205 @@ def q_render_maximum_below(spark, sf_dir):
 from kenshin_spark.queries_staged_r8_engine import ENGINE_ROWS as _ENGINE_ROWS  # noqa: E402
 
 STAGED_R8.update(_ENGINE_ROWS)
+
+
+# --------------------------------------------------------------------------
+# Round-6 continuation top-up (42 -> 50): eight light profiling rows so
+# the round-8 window carries 50 FRESH verified rows instead of 8
+# re-verifications.
+# --------------------------------------------------------------------------
+
+from kenshin_spark.io import load_table  # noqa: E402
+
+
+@stage(
+    "q_events_value_p99_by_type",
+    """
+    SELECT event_type,
+           count(value) AS n,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+    "tail latency discipline on the value column: exact interpolated "
+    "p99 per event type — the alerting percentile, same cross-engine "
+    "interpolation contract as the render median",
+)
+def q_q_events_value_p99_by_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@stage(
+    "ts_daily_points_median",
+    f"""
+    WITH pts AS ({PTS}),
+    d AS (
+      SELECT metric, ts // 86400 AS day, count(*) AS n
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT metric,
+           round(quantile_cont(n, 0.5), 6) AS median_daily_points,
+           count(*) AS n_days
+    FROM d GROUP BY 1
+    """,
+    "typical daily ingest per metric: the median points-per-day — the "
+    "robust load figure a schema advisor converts into a step size",
+)
+def q_ts_daily_points_median(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    d = pts.groupBy(
+        "metric", (F.col("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return d.groupBy("metric").agg(
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias(
+            "median_daily_points"
+        ),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@stage(
+    "q_orders_global_revenue",
+    """
+    SELECT count(*) AS n_orders,
+           CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+                AS BIGINT) AS total_cents
+    FROM orders
+    """,
+    "the one-number revenue headline in integer cents: DECIMAL sum, "
+    "floor to cents — the figure every other share row divides by, "
+    "pinned on its own",
+)
+def q_q_orders_global_revenue(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+        ).cast("long").alias("total_cents"),
+    )
+
+
+@stage(
+    "q_customer_top10_balance",
+    """
+    SELECT c_custkey, c_acctbal FROM (
+      SELECT c_custkey, c_acctbal,
+             row_number() OVER (
+               ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) t WHERE rnk <= 10
+    """,
+    "the ten richest customers — exact-value ranking with a key "
+    "tie-break, the credit-desk shortlist",
+)
+def q_q_customer_top10_balance(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@stage(
+    "text_extreme_docs_by_lang",
+    """
+    SELECT lang,
+           arg_min(doc_id, n_chars * 1000000 + doc_id) AS shortest_doc,
+           min(n_chars) AS min_chars,
+           arg_max(doc_id, n_chars * 1000000 - doc_id) AS longest_doc,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+    "extreme documents per language with deterministic attribution: "
+    "shortest and longest docs via composite (length, key) arg_min/"
+    "arg_max so length ties resolve identically on both engines",
+)
+def q_text_extreme_docs_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.expr("min_by(doc_id, n_chars * 1000000 + doc_id)").alias(
+            "shortest_doc"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.expr("max_by(doc_id, n_chars * 1000000 - doc_id)").alias(
+            "longest_doc"
+        ),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@stage(
+    "q_part_size_parity",
+    """
+    SELECT CAST(p_size % 2 AS BIGINT) AS parity,
+           count(*) AS n_parts
+    FROM part GROUP BY 1
+    """,
+    "size parity split of the part catalog — the cheapest possible "
+    "distribution audit, pinned",
+)
+def q_q_part_size_parity(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy(
+        (F.col("p_size") % 2).cast("long").alias("parity")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@stage(
+    "q_zero_discount_share",
+    """
+    SELECT count(*) AS n_lines,
+           sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS n_zero,
+           sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS zero_ppm
+    FROM lineitem
+    """,
+    "undiscounted share of the fact table as floor-scaled ppm — the "
+    "promo-penetration complement",
+)
+def q_q_zero_discount_share(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    z = (F.col("l_discount") == 0).cast("long")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(z).alias("n_zero"),
+        F.floor(F.sum(z) * 1000000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("zero_ppm"),
+    )
+
+
+@stage(
+    "ts_stream_envelope",
+    f"""
+    WITH pts AS ({PTS})
+    SELECT count(*) AS n_points,
+           count(DISTINCT metric) AS n_metrics,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           CAST((max(ts) - min(ts)) // 86400 AS BIGINT) AS span_days
+    FROM pts
+    """,
+    "the stream's one-row fingerprint: points, series, timestamp "
+    "envelope and whole-day span — what a load manifest records "
+    "before anything else runs",
+)
+def q_ts_stream_envelope(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("metric").alias("n_metrics"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        ((F.max("ts") - F.min("ts")) / 86400).cast("long").alias(
+            "span_days"
+        ),
+    )
