@@ -42,15 +42,29 @@ def _coerce_codec_errors(fn):
     so callers' PIL-seam fallbacks (``except ValueError``) always fire.
     Truncated headers raise struct.error and corrupt streams raise
     zlib.error / wave.Error / EOFError — none of which subclass
-    ValueError — so coerce them here."""
+    ValueError — so coerce them here.  JPEG adds two more leak paths: a
+    truncated entropy stream indexes past the payload (IndexError) and
+    an early/injected marker escapes the scan loop as _MarkerHit; both
+    must also degrade to ValueError so one corrupt image falls through
+    to the PIL/stand-in seam instead of killing the Arrow batch."""
     import wave
 
     @functools.wraps(fn)
     def wrapper(payload, *args, **kwargs):
         try:
             return fn(payload, *args, **kwargs)
-        except (struct.error, zlib.error, wave.Error, EOFError) as exc:
+        except (
+            struct.error,
+            zlib.error,
+            wave.Error,
+            EOFError,
+            IndexError,
+        ) as exc:
             raise ValueError(f"{fn.__name__}: malformed payload ({exc})") from exc
+        except _MarkerHit as exc:
+            raise ValueError(
+                f"{fn.__name__}: unexpected marker 0x{exc.marker:04x}"
+            ) from exc
 
     return wrapper
 

@@ -5660,65 +5660,84 @@ DRIVER_VERIFIED = frozenset({
     "dedup_substring_scrub", "dedup_substring_spans", "dedup_substring_top",
     "emb_centroid_outliers", "emb_centroid_pair_distance", "emb_centroids",
     "emb_dim_profile", "emb_ivf_cell_stats", "emb_label_confusion",
-    "emb_nearest_centroid", "emb_norm_profile", "emb_sparsity",
-    "emb_sq_error_profile", "graph_triangle_count", "mm_audio_features",
-    "mm_frame_sample", "mm_image_metadata", "mm_phash_bands",
+    "emb_nearest_centroid", "emb_norm_by_label", "emb_norm_profile",
+    "emb_sign_sketch_buckets", "emb_sparsity", "emb_sq_error_profile",
+    "graph_triangle_count", "mm_audio_features", "mm_frame_sample",
+    "mm_image_metadata", "mm_modality_mix", "mm_phash_bands",
     "mm_phash_neardup", "pipeline_corpus_curation", "pipeline_decontaminate",
     "pipeline_leakage_split", "pipeline_quality_report",
     "pipeline_sequence_packing", "pipeline_source_mixture",
-    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
-    "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_cnt", "q17_small_quantity", "q18_large_orders",
-    "q19_disjunctive", "q1_pricing_summary", "q20_promotion_suppliers",
-    "q21_sole_return_supplier", "q22_dormant_customers",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_late_orders",
-    "q5_local_supplier", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_nation_revenue", "q_cube_orders",
-    "q_cumulative_revenue", "q_customer_order_range", "q_customer_pareto",
-    "q_customer_rfm", "q_discount_distribution", "q_event_cooccurrence",
-    "q_event_funnel", "q_event_sessions", "q_event_sessions_native",
-    "q_event_transitions", "q_events_daily", "q_events_error_rate",
+    "pipeline_token_budget", "q10_returned_items", "q11_important_parts",
+    "q12_priority_lines", "q13_order_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
+    "q18_large_orders", "q19_disjunctive", "q1_pricing_summary",
+    "q20_promotion_suppliers", "q21_sole_return_supplier",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_late_orders", "q5_local_supplier", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_nation_revenue",
+    "q_abc_analysis", "q_brand_return_rate", "q_cube_orders",
+    "q_cumulative_revenue", "q_customer_balance_deciles",
+    "q_customer_order_range", "q_customer_pareto", "q_customer_rfm",
+    "q_discount_distribution", "q_discount_tax_grid", "q_event_bounce_rate",
+    "q_event_cooccurrence", "q_event_dwell_time", "q_event_first_touch",
+    "q_event_funnel", "q_event_hour_of_week", "q_event_interarrival_bands",
+    "q_event_path_top", "q_event_peak_minutes", "q_event_sessions",
+    "q_event_sessions_native", "q_event_transitions", "q_event_type_entropy",
+    "q_event_user_lifespan", "q_events_daily", "q_events_error_rate",
     "q_events_hopping_window", "q_events_hourly_heatmap",
     "q_events_json_props", "q_events_props_histogram", "q_events_stickiness",
     "q_events_value_percentiles", "q_funnel_conversion_time",
     "q_interval_join", "q_lineitem_unpivot", "q_market_basket",
-    "q_median_order_gap", "q_nation_coverage", "q_new_vs_returning",
+    "q_median_order_gap", "q_monthly_priority_mix",
+    "q_nation_balance_profile", "q_nation_coverage", "q_new_vs_returning",
     "q_order_lines_histogram", "q_order_value_outliers",
     "q_orders_grouping_sets", "q_orders_pivot", "q_orders_seasonality",
-    "q_orders_yoy_growth", "q_part_type_share", "q_price_deciles",
-    "q_price_percentiles", "q_region_trade_matrix", "q_retention_cohorts",
-    "q_rolling_weekly_users", "q_rollup_orders",
-    "q_session_length_histogram", "q_supplier_hhi", "q_table_profile",
-    "q_window_topk_customers", "render_as_percent", "render_chain_pipeline",
-    "render_derivative", "render_diff_series", "render_ewma",
-    "render_group_by_node", "render_hitcount", "render_holt_forecast",
-    "render_integral_top2", "render_interpolate", "render_keep_last_value",
-    "render_max_datapoints", "render_moving_average", "render_moving_median",
-    "render_moving_stdev", "render_moving_sum", "render_per_second",
-    "render_percentile_of_series", "render_range_of_series",
-    "render_remove_above_percentile", "render_sort_by_total",
-    "render_time_shift", "sample_stratified", "sim_knn_graph",
-    "sim_range_search", "sim_topk_bruteforce", "sim_topk_ivf",
-    "sim_topk_ivf_fullprobe", "sim_topk_lsh", "sim_topk_pq",
-    "sim_topk_pq_rerank", "sim_topk_quantized", "text_bigram_lm",
-    "text_chunking", "text_collocations", "text_digit_ratio",
-    "text_fingerprint", "text_hapax_rate", "text_language_id",
-    "text_length_histogram", "text_ngram_novelty", "text_oov_rate",
+    "q_orders_yoy_growth", "q_part_size_profile", "q_part_type_share",
+    "q_price_deciles", "q_price_percentiles", "q_quantity_price_corr",
+    "q_region_trade_matrix", "q_retention_cohorts",
+    "q_revenue_region_quarter", "q_rolling_weekly_users", "q_rollup_orders",
+    "q_session_length_histogram", "q_supplier_hhi",
+    "q_supplier_nation_share", "q_supplier_part_breadth", "q_table_profile",
+    "q_top3_parts_per_brand", "q_window_topk_customers", "render_as_percent",
+    "render_average_above", "render_chain_pipeline", "render_changed",
+    "render_count_series", "render_delay", "render_derivative",
+    "render_diff_series", "render_ewma", "render_grep_exclude",
+    "render_group_by_node", "render_highest_max", "render_hitcount",
+    "render_holt_forecast", "render_integral_top2", "render_interpolate",
+    "render_keep_last_value", "render_logarithm", "render_lowest_average",
+    "render_max_datapoints", "render_most_deviant", "render_moving_average",
+    "render_moving_extrema", "render_moving_median", "render_moving_stdev",
+    "render_moving_sum", "render_n_percentile", "render_nonneg_derivative",
+    "render_offset_scale", "render_per_second",
+    "render_percentile_of_series", "render_pow_roundtrip",
+    "render_range_of_series", "render_remove_above_percentile",
+    "render_slice_scale", "render_sort_by_total", "render_stddev_series",
+    "render_summarize_avg", "render_time_shift", "render_value_clamp",
+    "sample_stratified", "sim_knn_graph", "sim_range_search",
+    "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivf_fullprobe",
+    "sim_topk_lsh", "sim_topk_pq", "sim_topk_pq_rerank",
+    "sim_topk_quantized", "text_ari_readability", "text_bigram_lm",
+    "text_char_class_profile", "text_chunking", "text_collocations",
+    "text_digit_ratio", "text_fingerprint", "text_first_token_profile",
+    "text_hapax_rate", "text_language_id", "text_length_histogram",
+    "text_ngram_novelty", "text_numeric_density_bands", "text_oov_rate",
     "text_pii_scrub", "text_quality", "text_quality_filter",
     "text_quality_model", "text_repetition_filter",
-    "text_rolling_fingerprint", "text_tfidf_topk", "text_token_count",
-    "text_token_count_bpe", "text_token_diversity", "text_token_drift",
-    "text_token_pagerank", "text_vocab_topk", "text_word_length_profile",
-    "ts_agg_kernel", "ts_align_lww", "ts_anomaly_zscore", "ts_asof_join",
-    "ts_availability", "ts_counter_rate", "ts_debug_discontinuities",
-    "ts_downsample_cascade", "ts_downsample_tier1", "ts_fetch_grid",
-    "ts_flatline_detect", "ts_hot_cold_union", "ts_index_rebuild",
-    "ts_largest_gap", "ts_level_shift", "ts_line_protocol",
-    "ts_merge_series", "ts_metric_correlation", "ts_metric_delete",
-    "ts_metric_search", "ts_monotonic_violations", "ts_pickle_roundtrip",
-    "ts_propagation_ready", "ts_retention_expiry", "ts_schema_match",
-    "ts_seasonal_decompose", "ts_seasonal_profile", "ts_shard_routing",
-    "ts_tag_catalog", "ts_tag_filter", "ts_tier_selection", "ts_trend_slope",
+    "text_rolling_fingerprint", "text_sentence_stats", "text_tfidf_topk",
+    "text_token_count", "text_token_count_bpe", "text_token_diversity",
+    "text_token_drift", "text_token_pagerank", "text_top_bigrams_per_lang",
+    "text_vocab_topk", "text_whitespace_anomalies",
+    "text_word_length_profile", "ts_agg_kernel", "ts_align_lww",
+    "ts_anomaly_zscore", "ts_asof_join", "ts_availability",
+    "ts_counter_rate", "ts_debug_discontinuities", "ts_downsample_cascade",
+    "ts_downsample_tier1", "ts_fetch_grid", "ts_flatline_detect",
+    "ts_hot_cold_union", "ts_index_rebuild", "ts_largest_gap",
+    "ts_level_shift", "ts_line_protocol", "ts_merge_series",
+    "ts_metric_correlation", "ts_metric_delete", "ts_metric_search",
+    "ts_monotonic_violations", "ts_pickle_roundtrip", "ts_propagation_ready",
+    "ts_retention_expiry", "ts_schema_match", "ts_seasonal_decompose",
+    "ts_seasonal_profile", "ts_shard_routing", "ts_tag_catalog",
+    "ts_tag_filter", "ts_tier_selection", "ts_trend_slope",
     "ts_value_histogram", "ts_value_profile", "ts_weekday_profile",
 })
 
@@ -5740,3 +5759,8 @@ QUERIES.update(_STAGED)
 # --- promoted staged bank: queries_staged_r6 (see HANDOFF.md) ---
 from kenshin_spark.queries_staged_r6 import STAGED_R6 as _STAGED_R6  # noqa: E402
 QUERIES.update(_STAGED_R6)
+
+
+# --- promoted staged bank: queries_staged_r7 (see HANDOFF.md) ---
+from kenshin_spark.queries_staged_r7 import STAGED_R7 as _STAGED_R7  # noqa: E402
+QUERIES.update(_STAGED_R7)

@@ -163,11 +163,15 @@ class TestMultimodalTransforms:
         assert r["sample_rate"] == 16_000
         assert 0.0 < r["rms"] < 1.0
 
-    def test_real_image_magic_raises(self):
+    def test_undecodable_real_image_magic_degrades(self):
+        """A payload with a real-image magic that no available codec can
+        decode takes the deterministic stand-in path (r7: the PIL seam
+        is fenced — one bad image must not kill the Arrow batch)."""
         from kenshin_spark.multimodal.transforms import _stub_resize
 
-        with pytest.raises(NotImplementedError):
-            _stub_resize(b"\x89PNG____", 8, 8)
+        out = _stub_resize(b"\x89PNG____", 8, 8)
+        assert len(out) == 8 * 8 * 3
+        assert out == _stub_resize(b"\x89PNG____", 8, 8)
 
 
 class TestIVF:

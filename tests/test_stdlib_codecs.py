@@ -250,6 +250,54 @@ class TestMalformedPayloads:
         assert len(bytes(out["resized"])) == 4 * 4 * 3  # stand-in bytes
 
 
+class TestCorruptJpegCoercion:
+    """JPEG decode must keep the ValueError contract on corrupt input
+    (ADVICE r6): a truncated entropy stream indexes past the payload
+    (IndexError) and an injected early marker escapes as _MarkerHit —
+    both previously leaked through _coerce_codec_errors and crashed the
+    whole Arrow batch in image_metadata / resize_images."""
+
+    @staticmethod
+    def _jpg():
+        arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        return codecs.encode_jpeg(arr)
+
+    def test_truncated_entropy_stream_raises_valueerror(self):
+        jpg = self._jpg()
+        for cut in (len(jpg) // 2, len(jpg) - 8):
+            with pytest.raises(ValueError):
+                codecs.decode_jpeg(jpg[:cut])
+
+    def test_injected_early_eoi_raises_valueerror(self):
+        jpg = self._jpg()
+        sos = jpg.find(b"\xff\xda")
+        ent = sos + 2 + int.from_bytes(jpg[sos + 2 : sos + 4], "big")
+        bad = jpg[: ent + 4] + b"\xff\xd9" + jpg[ent + 4 :]
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(bad)
+
+    def test_image_metadata_survives_corrupt_jpeg(self, spark):
+        from kenshin_spark.multimodal import image_metadata
+
+        jpg = self._jpg()
+        df = spark.createDataFrame(
+            [(1, bytearray(jpg[: len(jpg) // 2])), (2, bytearray(jpg))],
+            "doc_id long, payload binary",
+        )
+        rows = {r["doc_id"]: r["format"] for r in image_metadata(df).collect()}
+        assert rows[2] == "jpeg" and rows[1] in ("fake", "jpeg")
+
+    def test_resize_survives_corrupt_jpeg(self, spark):
+        from kenshin_spark.multimodal.transforms import resize_images
+
+        jpg = self._jpg()
+        df = spark.createDataFrame(
+            [(1, bytearray(jpg[: len(jpg) // 2]))], "doc_id long, payload binary"
+        )
+        out = resize_images(df, width=4, height=4).first()
+        assert len(bytes(out["resized"])) == 4 * 4 * 3
+
+
 class TestEncodeBmpChannels:
     """encode_bmp declares 24bpp — RGBA/gray+alpha inputs must be
     reduced to 3 channels, not written as 4/2 bytes per pixel under a
