@@ -69,20 +69,38 @@ def _summary_line(
         "n_queries": len(timings),
     }
     if ingest is not None:
-        out["ingest"] = ingest
+        # compact: the full ingest detail (file shapes, maintenance,
+        # aggregated-mode capture) lives in bench_partial.json
+        brief = {
+            k: ingest[k]
+            for k in ("rows", "batches", "rows_per_sec")
+            if k in ingest
+        }
+        agg = ingest.get("aggregated_rocksdb")
+        if isinstance(agg, dict) and "rows_per_sec" in agg:
+            brief["agg_rows_per_sec"] = agg["rows_per_sec"]
+            brief["rocksdb"] = agg.get("rocksdb")
+        out["ingest"] = brief
     return json.dumps(out)
 
 
 def _bench_ingest(spark, sf_dir: str) -> dict:
     """Write-path throughput — the reference's headline metric is write
-    IO shape (README.md:63-71, IOPS −97.5% via batching), so the bench
-    measures the composed ts ingest end-to-end: the full events table
-    through ``StreamingIngest.process_batch`` in 2 micro-batches
-    (admit → LWW align → mor append → cascade propagation), then the
-    ``maintenance()`` pass (expiry + small-file audit + targeted
-    compaction). Reports rows/s plus the file-shape numbers the
-    SCALING.md IO claims rest on. Scratch store in the system temp dir,
-    removed afterwards."""
+    IO shape (README.md:63-71, IOPS −97.5% via batching).
+
+    r7 scale-up (VERDICT r6 item 5: the r6 2-batch/100k capture was
+    sandbox-noise-sized): the events table is replicated to ≥1M points
+    (metric-suffixed copies — 10× the series fleet, same distributions)
+    and driven through ``StreamingIngest.process_batch`` in 10
+    micro-batches (admit → LWW align → mor append → cascade
+    propagation), then the ``maintenance()`` pass (expiry + small-file
+    audit + targeted compaction).  A second capture runs the same
+    points through the WATERMARKED aggregated mode (the stateful
+    hot-cache path) as a real availableNow stream under the RocksDB
+    state provider, proving sustained stateful throughput.  Knobs:
+    SPARK_GRAFT_BENCH_INGEST_ROWS (default 1_000_000),
+    SPARK_GRAFT_BENCH_INGEST=0 skips everything."""
+    import math
     import shutil
     import tempfile
     import time as _time
@@ -94,19 +112,30 @@ def _bench_ingest(spark, sf_dir: str) -> dict:
     from kenshin_spark.sources.line_protocol import events_as_points
     from kenshin_spark.streaming.ingest import StreamingIngest
 
+    target = int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_ROWS", "1000000"))
     root = tempfile.mkdtemp(prefix="kenshin_bench_ingest_")
     try:
         schemas = SchemaSet((Schema.from_strings(
             "bench", ".*", "60s:90d,300s:180d,3600s:366d",
             xff=20.0, agg_method="average", cache_retention=600,
         ),))
-        pts = events_as_points(load_table(spark, sf_dir, "events"))
+        base = events_as_points(load_table(spark, sf_dir, "events"))
+        n_base = base.count()
+        reps = max(1, math.ceil(target / max(n_base, 1)))
+        # 10x the series fleet, not 10x the density: each replica is a
+        # metric-suffixed copy, so admission/catalog/LWW key counts all
+        # scale with the row count (the realistic fleet-growth shape)
+        pts = base.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(reps)]))
+        ).withColumn(
+            "metric", F.concat_ws("_", "metric", F.col("_r"))
+        ).drop("_r").localCheckpoint(eager=True)
         now = int(pts.agg(F.max("ts")).collect()[0][0])
-        n_rows = pts.count()
+        n_rows = n_base * reps
         ing = StreamingIngest(
             spark, schemas, root, clock=lambda: now, store_mode="mor"
         )
-        n_batches = 2
+        n_batches = 10
         t0 = _time.perf_counter()
         for b in range(n_batches):
             ing.process_batch(
@@ -127,17 +156,108 @@ def _bench_ingest(spark, sf_dir: str) -> dict:
             for i in range(len(schemas.schemas[0].archives))
             for r in store.file_report(i)
         )
-        return {
+        out = {
             "rows": n_rows,
             "batches": n_batches,
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(n_rows / wall, 1),
             "files_before": files_before,
             "files_after": files_after,
+            "files_per_batch": round(files_before / n_batches, 1),
             "maintenance_sec": round(maint_wall, 3),
         }
+        try:
+            out["aggregated_rocksdb"] = _bench_ingest_aggregated(
+                spark, pts, now
+            )
+        except Exception as exc:  # the direct capture still ships
+            print(f"[bench ingest agg] failed: {exc}",
+                  file=sys.stderr, flush=True)
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _bench_ingest_aggregated(spark, pts, now: int) -> dict:
+    """The stateful hot-cache path at the same scale: the replicated
+    points as a REAL file-source stream (10 time-ordered slices,
+    maxFilesPerTrigger=1 → 10 micro-batches), watermarked window
+    aggregation with state held by the RocksDB provider, flushed to a
+    mor store per batch.  Time-ordered arrival keeps the watermark
+    honest (random arrival would drop most of a week's history as
+    late)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kenshin_spark.config import Schema, SchemaSet
+    from kenshin_spark.session import enable_rocksdb_state
+    from kenshin_spark.streaming.ingest import StreamingIngest
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(provider_conf, None)
+    tmp = tempfile.mkdtemp(prefix="kenshin_bench_agg_")
+    in_dir, cp, root = f"{tmp}/in", f"{tmp}/cp", f"{tmp}/store"
+    try:
+        schema = Schema.from_strings(
+            "bench", ".*", "60s:90d,300s:180d,3600s:366d",
+            xff=20.0, agg_method="average", cache_retention=600,
+        )
+        ing = StreamingIngest(
+            spark, SchemaSet((schema,)), root, clock=lambda: now,
+            store_mode="mor",
+        )
+        # 10 time-ordered slices, one file each (sequential writes →
+        # ascending mtime → the file source replays them in time order)
+        lo, hi = [
+            int(v) for v in pts.agg(F.min("ts"), F.max("ts")).first()
+        ]
+        span = max(1, (hi - lo + 1))
+        n_slices = 10
+        for s in range(n_slices):
+            a = lo + span * s // n_slices
+            b = lo + span * (s + 1) // n_slices
+            pts.where((F.col("ts") >= a) & (F.col("ts") < b + (s == n_slices - 1))) \
+                .coalesce(1).write.mode("append").parquet(in_dir)
+        enable_rocksdb_state(spark)
+        stream = spark.readStream.schema(
+            "metric string, ts long, value double, arrival long"
+        ).option("maxFilesPerTrigger", "1").parquet(in_dir)
+        t0 = _time.perf_counter()
+        q = ing.start_aggregated(
+            stream, schema, checkpoint=cp, trigger={"availableNow": True}
+        )
+        q.awaitTermination(1800)
+        wall = _time.perf_counter() - t0
+        n_rows = pts.count()
+        prog = q.recentProgress
+        state_metrics = {}
+        for p in reversed(prog):
+            ops = p.get("stateOperators") if isinstance(p, dict) else None
+            if ops:
+                state_metrics = ops[0].get("customMetrics", {})
+                break
+        hot = ing.hot_points(cp).count()
+        return {
+            "rows": n_rows,
+            "batches": len(prog),
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_rows / wall, 1),
+            "committed_points": ing.stats.committed_points,
+            "hot_points": hot,
+            "rocksdb": any(k.startswith("rocksdb") for k in state_metrics),
+        }
+    finally:
+        if before is None:
+            try:
+                spark.conf.unset(provider_conf)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(provider_conf, before)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:

@@ -92,6 +92,57 @@ def density_scaled_banding(
     return base_bands + (rows - base_rows), rows
 
 
+def recall_calibrated_banding(
+    n_vectors: int,
+    threshold: float = 0.4,
+    target_recall: float = 0.9,
+    target_bucket: int = 64,
+    base_bands: int = 16,
+    base_rows: int = 4,
+    max_rows: int = 16,
+    max_bands: int = 512,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) holding BOTH bucket occupancy ≈
+    ``target_bucket`` and LSH recall ≥ ``target_recall`` at the design
+    ``threshold``.
+
+    The r7 recall audit (SCALING.md) measured what the theory predicts:
+    ``density_scaled_banding``'s one-band-per-row growth collapses
+    recall at scale — at sf1 the auto-picked (21, 9) point retains only
+    ~34% of exact pairs at cosine 0.4, because each added row multiplies
+    per-band recall by p = 1 − acos(threshold)/π ≈ 0.63 while each added
+    band only buys one more OR-chance. Holding recall through the
+    1−(1−p^r)^b curve needs bands to grow GEOMETRICALLY with rows:
+
+        bands(r) = ceil( ln(1−R) / ln(1−p^r) )
+
+    which makes total candidate volume ~ bands·n·target_bucket ≈
+    n^(1+ρ) with ρ = ln(1/p^r-ish) — the classic sub-quadratic LSH
+    exponent. That is the honest trade: ``density_scaled_banding``
+    keeps cost LINEAR and lets recall fall (cheap census / telemetry
+    dedup); this variant keeps recall CALIBRATED and pays the
+    sub-quadratic premium (training-data dedup where a missed duplicate
+    is a contamination risk). ``max_bands`` caps runaway growth on
+    extreme corpora; hitting it means the configured recall is not
+    reachable at this density — raise target_bucket instead.
+
+    Rows follow the same log2-density law as ``density_scaled_banding``
+    so the two knobs pick the SAME bucket sharpness and differ only in
+    how many bands pay for it."""
+    import math
+
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError(f"target_recall must be in (0,1): {target_recall}")
+    need = max(0, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
+    rows = min(max(base_rows, need), max_rows)
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_band = p**rows
+    if p_band >= 1.0:
+        return base_bands, rows
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return max(base_bands, min(bands, max_bands)), rows
+
+
 def embedding_neardup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -102,6 +153,7 @@ def embedding_neardup_pairs_lsh(
     vec_col: str = "embedding",
     max_bucket: int | None = None,
     auto_density: bool = False,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """The 100 TB scale path: banded random-hyperplane LSH bounds the pair
     space to Σ|bucket|² per band instead of n²; a pair is a candidate iff
@@ -126,9 +178,18 @@ def embedding_neardup_pairs_lsh(
     )
 
     if auto_density and (bands is None or rows_per_band is None):
-        # one scalar to the driver; banding then tracks corpus density
-        # so candidate volume stays linear (see density_scaled_banding)
-        auto_b, auto_r = density_scaled_banding(embeddings.count())
+        # one scalar to the driver; banding then tracks corpus density.
+        # target_recall=None → linear-cost banding (recall decays with
+        # density — measured curve in SCALING.md); a float → bands grow
+        # geometrically to hold recall at the verify threshold
+        # (sub-quadratic n^(1+ρ) cost; see recall_calibrated_banding).
+        n = embeddings.count()
+        if target_recall is None:
+            auto_b, auto_r = density_scaled_banding(n)
+        else:
+            auto_b, auto_r = recall_calibrated_banding(
+                n, threshold=threshold, target_recall=target_recall
+            )
         bands = auto_b if bands is None else bands
         rows_per_band = auto_r if rows_per_band is None else rows_per_band
     bands = N_BANDS if bands is None else bands

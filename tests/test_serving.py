@@ -9,6 +9,7 @@ import urllib.parse
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from kenshin_spark.config import Schema
 from kenshin_spark.serving import CacheQueryServer, HttpFetchServer, cache_query
@@ -156,3 +157,167 @@ class TestHttpRender:
                 bare.stop()
         finally:
             srv.stop()
+
+
+class TestConcurrentServingDuringWrites:
+    """The reference daemon answers cache queries WHILE the writer
+    thread flushes (rurouni/protocols.py:65-84 against writer.py's
+    writeForever loop). Spark analog: TCP cache queries and HTTP
+    fetches keep landing — across a real network boundary, from many
+    client threads — while ``StreamingIngest.process_batch`` commits
+    micro-batches into the same mor store. Every response must be
+    well-formed and value-correct for whatever prefix of batches it
+    observed; nothing may error or hang."""
+
+    def test_concurrent_queries_mid_process_batch(self, spark, tmp_path):
+        import threading
+        import urllib.request
+
+        from kenshin_spark.config import SchemaSet
+        from kenshin_spark.streaming import StreamingIngest
+
+        schema = Schema.from_strings(
+            "c", ".*", "60s:1d,300s:7d", xff=1.0, agg_method="max"
+        )
+        now = 86_400 * 10
+        ing = StreamingIngest(
+            spark,
+            SchemaSet((schema,)),
+            str(tmp_path / "root"),
+            clock=lambda: now,
+            store_mode="mor",
+        )
+
+        def batch_points(b: int):
+            # batch b writes 8 slots per metric at disjoint, aligned ts;
+            # value encodes (batch, slot) so any response is checkable
+            rows = [
+                (m, now - 7200 + 60 * (8 * b + j), float(100 * b + j), now)
+                for m in ("srv.a", "srv.b")
+                for j in range(8)
+            ]
+            return spark.createDataFrame(
+                rows, "metric string, ts long, value double, arrival long"
+            )
+
+        expected = {}  # (metric, ts) -> value over ALL batches
+        n_batches = 4
+        for b in range(n_batches):
+            for r in batch_points(b).collect():
+                expected[(r["metric"], r["ts"])] = r["value"]
+
+        ing.process_batch(batch_points(0), 0)  # store exists pre-serve
+        store = ing.store_for(schema)
+
+        def lookup(metric):
+            return [
+                (r["ts"], r["value"])
+                for r in store.read(0).where(
+                    F.col("metric") == metric
+                ).collect()
+            ]
+
+        def fetch_fn(metrics, frm, until, now_):
+            df = store.fetch(metrics, frm, until, now_)
+            return (
+                []
+                if df is None
+                else [
+                    (r["metric"], r["ts"], r["value"]) for r in df.collect()
+                ]
+            )
+
+        tcp = CacheQueryServer(lookup)
+        http = HttpFetchServer(fetch_fn)
+        th, tp = tcp.start()
+        hh, hp = http.start()
+        writer_done = threading.Event()
+        errors: list = []
+        responses: list = []
+        lock = threading.Lock()
+
+        def writer():
+            try:
+                for b in range(1, n_batches):
+                    ing.process_batch(batch_points(b), b)
+            except Exception as exc:  # pragma: no cover
+                errors.append(("writer", exc))
+            finally:
+                writer_done.set()
+
+        def tcp_client(metric):
+            while True:
+                stop = writer_done.is_set()
+                try:
+                    got = cache_query(th, tp, metric)
+                    with lock:
+                        responses.append(("tcp", metric, got))
+                except Exception as exc:
+                    errors.append(("tcp", exc))
+                    return
+                if stop:
+                    return
+
+        def http_client(metric):
+            url = (
+                f"http://{hh}:{hp}/fetch?metric={metric}"
+                f"&from={now - 7200}&until={now}&now={now}"
+            )
+            while True:
+                stop = writer_done.is_set()
+                try:
+                    with urllib.request.urlopen(url, timeout=60) as resp:
+                        body = json.load(resp)
+                    with lock:
+                        responses.append(("http", metric, body["rows"]))
+                except Exception as exc:
+                    errors.append(("http", exc))
+                    return
+                if stop:
+                    return
+
+        threads = [threading.Thread(target=writer)]
+        for m in ("srv.a", "srv.b"):
+            threads += [
+                threading.Thread(target=tcp_client, args=(m,)),
+                threading.Thread(target=http_client, args=(m,)),
+            ]
+        try:
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            assert not any(t.is_alive() for t in threads), "hung thread"
+            assert not errors, errors
+
+            # every mid-write response is value-correct for its keys
+            n_checked = 0
+            for kind, metric, rows in responses:
+                if kind == "tcp":
+                    for ts, v in rows:
+                        assert expected[(metric, ts)] == v
+                        n_checked += 1
+                else:
+                    for m, ts, v in rows:
+                        if v is not None:  # fetch grid NULL-pads
+                            assert expected[(m, ts)] == v
+                            n_checked += 1
+            assert n_checked > 0
+
+            # post-write: both surfaces see ALL batches
+            final = dict(cache_query(th, tp, "srv.a"))
+            want = {
+                ts: v for (m, ts), v in expected.items() if m == "srv.a"
+            }
+            assert final == want
+            got_http = {
+                (m, ts): v
+                for m, ts, v in fetch_fn(["srv.b"], now - 7200, now, now)
+                if v is not None
+            }
+            assert got_http == {
+                (m, ts): v for (m, ts), v in expected.items() if m == "srv.b"
+            }
+        finally:
+            tcp.stop()
+            http.stop()

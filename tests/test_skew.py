@@ -300,3 +300,57 @@ class TestDensityScaledBanding:
         assert auto <= exact  # LSH candidates never invent pairs
         # recall stays useful after the density re-banding
         assert len(auto) >= int(0.5 * len(exact))
+
+
+class TestRecallCalibratedBanding:
+    """r7: the recall contract (SCALING.md measured curve). The density
+    law's one-band-per-row growth lets recall decay (measured 94.8% →
+    32.3% along the sf1 trajectory); recall_calibrated_banding grows
+    bands geometrically (ceil(ln(1-R)/ln(1-p^r))) to hold it."""
+
+    def test_band_arithmetic_tracks_theory(self):
+        from kenshin_spark.dedup.embedding import recall_calibrated_banding
+
+        # floor: small corpora keep the verified defaults
+        assert recall_calibrated_banding(1_000) == (16, 4)
+        # sf1 soak corpus: rows follow the density law, bands grow
+        # geometrically (the measured 92.8%-recall point)
+        assert recall_calibrated_banding(20_000) == (145, 9)
+        assert recall_calibrated_banding(20_000, target_recall=0.8) == (101, 9)
+        # cap: unreachable recall at extreme density saturates, not hangs
+        b, r = recall_calibrated_banding(2_000_000)
+        assert b == 512 and r == 15
+        # monotone in target recall
+        b1, _ = recall_calibrated_banding(20_000, target_recall=0.5)
+        b2, _ = recall_calibrated_banding(20_000, target_recall=0.95)
+        assert b1 < b2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            recall_calibrated_banding(1000, target_recall=1.0)
+
+    def test_calibrated_recall_floor_vs_exact(self, spark):
+        """At sf0.01 density (≈2k vectors) the calibrated R=0.9 point
+        must actually deliver ≥0.8 recall against the exact ground
+        truth — the contract the sf1 sweep measured, re-pinned at test
+        scale so CI catches a regression in the banding math or the
+        banded plan."""
+        from kenshin_spark.dedup.embedding import (
+            embedding_neardup_pairs,
+            embedding_neardup_pairs_lsh,
+        )
+        from kenshin_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        exact = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+        }
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_neardup_pairs_lsh(
+                emb, threshold=0.4, auto_density=True, target_recall=0.9
+            ).collect()
+        }
+        assert got <= exact
+        assert exact and len(got) >= 0.8 * len(exact)
