@@ -5655,57 +5655,71 @@ DRIVER_VERIFIED = frozenset({
     "dedup_cross_neardup", "dedup_embedding_incremental",
     "dedup_embedding_lsh", "dedup_embedding_neardup", "dedup_exact",
     "dedup_minhash_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_rate_by_source", "dedup_semantic", "dedup_shingle_df",
-    "dedup_simhash", "dedup_substring_incremental", "dedup_substring_ngram",
-    "dedup_substring_scrub", "dedup_substring_spans", "dedup_substring_top",
-    "emb_centroid_outliers", "emb_centroid_pair_distance", "emb_centroids",
-    "emb_dim_profile", "emb_ivf_cell_stats", "emb_label_confusion",
-    "emb_nearest_centroid", "emb_norm_by_label", "emb_norm_profile",
-    "emb_sign_sketch_buckets", "emb_sparsity", "emb_sq_error_profile",
-    "graph_triangle_count", "mm_audio_features", "mm_frame_sample",
-    "mm_image_metadata", "mm_modality_mix", "mm_phash_bands",
-    "mm_phash_neardup", "pipeline_corpus_curation", "pipeline_decontaminate",
-    "pipeline_leakage_split", "pipeline_quality_report",
-    "pipeline_sequence_packing", "pipeline_source_mixture",
-    "pipeline_token_budget", "q10_returned_items", "q11_important_parts",
-    "q12_priority_lines", "q13_order_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
-    "q18_large_orders", "q19_disjunctive", "q1_pricing_summary",
-    "q20_promotion_suppliers", "q21_sole_return_supplier",
-    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_late_orders", "q5_local_supplier", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_nation_revenue",
-    "q_abc_analysis", "q_brand_return_rate", "q_cube_orders",
-    "q_cumulative_revenue", "q_customer_balance_deciles",
-    "q_customer_order_range", "q_customer_pareto", "q_customer_rfm",
-    "q_discount_distribution", "q_discount_tax_grid", "q_event_bounce_rate",
-    "q_event_cooccurrence", "q_event_dwell_time", "q_event_first_touch",
-    "q_event_funnel", "q_event_hour_of_week", "q_event_interarrival_bands",
-    "q_event_path_top", "q_event_peak_minutes", "q_event_sessions",
-    "q_event_sessions_native", "q_event_transitions", "q_event_type_entropy",
-    "q_event_user_lifespan", "q_events_daily", "q_events_error_rate",
+    "dedup_prefix_groups", "dedup_rate_by_source", "dedup_semantic",
+    "dedup_shingle_df", "dedup_simhash", "dedup_substring_incremental",
+    "dedup_substring_ngram", "dedup_substring_scrub",
+    "dedup_substring_spans", "dedup_substring_top", "emb_centroid_outliers",
+    "emb_centroid_pair_distance", "emb_centroids", "emb_dim_profile",
+    "emb_dim_variance_topk", "emb_distance_histogram", "emb_ivf_cell_stats",
+    "emb_label_confusion", "emb_nearest_centroid", "emb_norm_by_label",
+    "emb_norm_profile", "emb_sign_sketch_buckets", "emb_sparsity",
+    "emb_sq_error_profile", "graph_triangle_count", "mm_audio_features",
+    "mm_frame_sample", "mm_image_metadata", "mm_modality_mix",
+    "mm_phash_bands", "mm_phash_neardup", "pipeline_corpus_curation",
+    "pipeline_decontaminate", "pipeline_jaccard_sweep",
+    "pipeline_leakage_split", "pipeline_length_cut_impact",
+    "pipeline_packing_waste", "pipeline_quality_report",
+    "pipeline_quality_vs_length", "pipeline_sequence_packing",
+    "pipeline_source_mixture", "pipeline_token_budget", "q10_returned_items",
+    "q11_important_parts", "q12_priority_lines", "q13_order_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_quantity", "q18_large_orders", "q19_disjunctive",
+    "q1_pricing_summary", "q20_promotion_suppliers",
+    "q21_sole_return_supplier", "q22_dormant_customers",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_late_orders",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_nation_revenue", "q_abc_analysis",
+    "q_basket_value_matrix", "q_brand_return_rate", "q_cube_orders",
+    "q_cumulative_new_customers", "q_cumulative_revenue",
+    "q_customer_balance_deciles", "q_customer_order_range",
+    "q_customer_pareto", "q_customer_rfm", "q_discount_distribution",
+    "q_discount_tax_grid", "q_event_bounce_rate",
+    "q_event_conversion_by_breadth", "q_event_cooccurrence",
+    "q_event_dwell_time", "q_event_error_streaks", "q_event_first_touch",
+    "q_event_funnel", "q_event_holdout_lift", "q_event_hour_of_week",
+    "q_event_interarrival_bands", "q_event_path_top", "q_event_peak_minutes",
+    "q_event_session_depth", "q_event_sessions", "q_event_sessions_native",
+    "q_event_transitions", "q_event_type_breadth", "q_event_type_entropy",
+    "q_event_user_lifespan", "q_event_whale_curve", "q_events_daily",
+    "q_events_error_rate", "q_events_error_rate_by_hour",
     "q_events_hopping_window", "q_events_hourly_heatmap",
     "q_events_json_props", "q_events_props_histogram", "q_events_stickiness",
     "q_events_value_percentiles", "q_funnel_conversion_time",
     "q_interval_join", "q_lineitem_unpivot", "q_market_basket",
     "q_median_order_gap", "q_monthly_priority_mix",
-    "q_nation_balance_profile", "q_nation_coverage", "q_new_vs_returning",
-    "q_order_lines_histogram", "q_order_value_outliers",
-    "q_orders_grouping_sets", "q_orders_pivot", "q_orders_seasonality",
-    "q_orders_yoy_growth", "q_part_size_profile", "q_part_type_share",
-    "q_price_deciles", "q_price_percentiles", "q_quantity_price_corr",
-    "q_region_trade_matrix", "q_retention_cohorts",
+    "q_nation_balance_profile", "q_nation_coverage",
+    "q_nation_type_affinity", "q_new_vs_returning", "q_order_dow_profile",
+    "q_order_gap_bands", "q_order_linenumber_decay",
+    "q_order_lines_histogram", "q_order_value_bands",
+    "q_order_value_outliers", "q_orders_grouping_sets", "q_orders_pivot",
+    "q_orders_seasonality", "q_orders_yoy_growth",
+    "q_part_brand_size_coverage", "q_part_name_tokens",
+    "q_part_size_profile", "q_part_type_share", "q_price_deciles",
+    "q_price_percentiles", "q_quantity_price_corr", "q_region_trade_matrix",
+    "q_repeat_customer_rate", "q_retention_cohorts",
     "q_revenue_region_quarter", "q_rolling_weekly_users", "q_rollup_orders",
-    "q_session_length_histogram", "q_supplier_hhi",
-    "q_supplier_nation_share", "q_supplier_part_breadth", "q_table_profile",
-    "q_top3_parts_per_brand", "q_window_topk_customers", "render_as_percent",
-    "render_average_above", "render_chain_pipeline", "render_changed",
-    "render_count_series", "render_delay", "render_derivative",
-    "render_diff_series", "render_ewma", "render_grep_exclude",
-    "render_group_by_node", "render_highest_max", "render_hitcount",
-    "render_holt_forecast", "render_integral_top2", "render_interpolate",
-    "render_keep_last_value", "render_logarithm", "render_lowest_average",
-    "render_max_datapoints", "render_most_deviant", "render_moving_average",
+    "q_session_length_histogram", "q_supplier_active_months",
+    "q_supplier_hhi", "q_supplier_nation_share", "q_supplier_part_breadth",
+    "q_table_profile", "q_top3_parts_per_brand", "q_window_topk_customers",
+    "render_alias_by_node", "render_as_percent", "render_average_above",
+    "render_average_below", "render_chain_pipeline", "render_changed",
+    "render_count_series", "render_current_above", "render_delay",
+    "render_derivative", "render_diff_series", "render_ewma",
+    "render_grep_exclude", "render_group_by_node", "render_highest_max",
+    "render_hitcount", "render_holt_forecast", "render_integral_top2",
+    "render_interpolate", "render_keep_last_value", "render_limit_alias",
+    "render_logarithm", "render_lowest_average", "render_max_datapoints",
+    "render_minimum_above", "render_most_deviant", "render_moving_average",
     "render_moving_extrema", "render_moving_median", "render_moving_stdev",
     "render_moving_sum", "render_n_percentile", "render_nonneg_derivative",
     "render_offset_scale", "render_per_second",
@@ -5717,28 +5731,35 @@ DRIVER_VERIFIED = frozenset({
     "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_ivf_fullprobe",
     "sim_topk_lsh", "sim_topk_pq", "sim_topk_pq_rerank",
     "sim_topk_quantized", "text_ari_readability", "text_bigram_lm",
-    "text_char_class_profile", "text_chunking", "text_collocations",
-    "text_digit_ratio", "text_fingerprint", "text_first_token_profile",
-    "text_hapax_rate", "text_language_id", "text_length_histogram",
-    "text_ngram_novelty", "text_numeric_density_bands", "text_oov_rate",
-    "text_pii_scrub", "text_quality", "text_quality_filter",
-    "text_quality_model", "text_repetition_filter",
-    "text_rolling_fingerprint", "text_sentence_stats", "text_tfidf_topk",
-    "text_token_count", "text_token_count_bpe", "text_token_diversity",
-    "text_token_drift", "text_token_pagerank", "text_top_bigrams_per_lang",
-    "text_vocab_topk", "text_whitespace_anomalies",
-    "text_word_length_profile", "ts_agg_kernel", "ts_align_lww",
-    "ts_anomaly_zscore", "ts_asof_join", "ts_availability",
-    "ts_counter_rate", "ts_debug_discontinuities", "ts_downsample_cascade",
-    "ts_downsample_tier1", "ts_fetch_grid", "ts_flatline_detect",
-    "ts_hot_cold_union", "ts_index_rebuild", "ts_largest_gap",
-    "ts_level_shift", "ts_line_protocol", "ts_merge_series",
-    "ts_metric_correlation", "ts_metric_delete", "ts_metric_search",
-    "ts_monotonic_violations", "ts_pickle_roundtrip", "ts_propagation_ready",
-    "ts_retention_expiry", "ts_schema_match", "ts_seasonal_decompose",
-    "ts_seasonal_profile", "ts_shard_routing", "ts_tag_catalog",
-    "ts_tag_filter", "ts_tier_selection", "ts_trend_slope",
-    "ts_value_histogram", "ts_value_profile", "ts_weekday_profile",
+    "text_brevity_law", "text_char_class_profile", "text_chunking",
+    "text_collocations", "text_digit_ratio", "text_fingerprint",
+    "text_first_token_profile", "text_hapax_rate", "text_heaps_curve",
+    "text_language_id", "text_length_histogram", "text_ngram_novelty",
+    "text_numeric_density_bands", "text_oov_rate", "text_pii_scrub",
+    "text_quality", "text_quality_filter", "text_quality_model",
+    "text_repetition_filter", "text_rolling_fingerprint",
+    "text_sentence_stats", "text_source_vocab_jaccard",
+    "text_stopword_coverage", "text_tfidf_topk", "text_token_count",
+    "text_token_count_bpe", "text_token_diversity", "text_token_drift",
+    "text_token_pagerank", "text_token_position_profile",
+    "text_top_bigrams_per_lang", "text_vocab_topk",
+    "text_whitespace_anomalies", "text_word_length_profile",
+    "text_zipf_slope", "ts_agg_divergence", "ts_agg_kernel", "ts_align_lww",
+    "ts_anomaly_zscore", "ts_archive_estimate", "ts_asof_join",
+    "ts_autocorr_lag1", "ts_availability", "ts_counter_gauge_classify",
+    "ts_counter_rate", "ts_daily_spread", "ts_debug_discontinuities",
+    "ts_downsample_cascade", "ts_downsample_tier1", "ts_fetch_grid",
+    "ts_flatline_detect", "ts_hot_cold_union", "ts_index_rebuild",
+    "ts_ingest_jitter", "ts_largest_gap", "ts_level_shift",
+    "ts_line_protocol", "ts_lww_overwrite_pressure", "ts_mean_crossings",
+    "ts_merge_series", "ts_metric_correlation", "ts_metric_delete",
+    "ts_metric_search", "ts_monotonic_violations", "ts_occupancy",
+    "ts_pickle_roundtrip", "ts_propagation_ready", "ts_retention_expiry",
+    "ts_schema_match", "ts_seasonal_decompose", "ts_seasonal_profile",
+    "ts_shard_routing", "ts_staleness", "ts_tag_catalog", "ts_tag_filter",
+    "ts_tier_age_distribution", "ts_tier_selection", "ts_top_changepoint",
+    "ts_trend_slope", "ts_value_histogram", "ts_value_profile",
+    "ts_weekday_profile", "ts_weekend_weekday_profile", "ts_xff_sensitivity",
 })
 
 
@@ -5764,3 +5785,8 @@ QUERIES.update(_STAGED_R6)
 # --- promoted staged bank: queries_staged_r7 (see HANDOFF.md) ---
 from kenshin_spark.queries_staged_r7 import STAGED_R7 as _STAGED_R7  # noqa: E402
 QUERIES.update(_STAGED_R7)
+
+
+# --- promoted staged bank: queries_staged_r8 (see HANDOFF.md) ---
+from kenshin_spark.queries_staged_r8 import STAGED_R8 as _STAGED_R8  # noqa: E402
+QUERIES.update(_STAGED_R8)
