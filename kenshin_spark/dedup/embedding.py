@@ -143,6 +143,15 @@ def recall_calibrated_banding(
     return max(base_bands, min(bands, max_bands)), rows
 
 
+# Sentinel distinguishing "caller said nothing" from an explicit
+# target_recall=None (census mode). With auto_density=True and no
+# explicit choice, the engine defaults to the CALIBRATED R=0.9 knob:
+# the sf1 sweep (SCALING.md r7) measured calibrated (145,9) at both
+# higher recall (92.8% vs 32.3%) AND lower wall (32.2 s vs 57.0 s)
+# than the linear-cost auto path, so the safe default costs nothing.
+_CALIBRATED_DEFAULT = object()
+
+
 def embedding_neardup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -153,7 +162,7 @@ def embedding_neardup_pairs_lsh(
     vec_col: str = "embedding",
     max_bucket: int | None = None,
     auto_density: bool = False,
-    target_recall: float | None = None,
+    target_recall: "float | None" = _CALIBRATED_DEFAULT,  # type: ignore[assignment]
 ) -> DataFrame:
     """The 100 TB scale path: banded random-hyperplane LSH bounds the pair
     space to Σ|bucket|² per band instead of n²; a pair is a candidate iff
@@ -167,6 +176,14 @@ def embedding_neardup_pairs_lsh(
     bucket, only distinct candidate id-pairs are shuffled, and the verify
     step broadcasts the candidate set into two corpus scans. The corpus
     vectors themselves are shuffled only keyed by the candidate pairs.
+
+    ``auto_density=True`` defaults to recall-CALIBRATED banding at
+    R=0.9 (r8 default flip): the measured sf1 table (SCALING.md) shows
+    the calibrated point both exceeds its recall target (92.8% vs the
+    linear knob's 32.3%) and runs 1.8× faster, so holding recall costs
+    nothing at measured scale. Pass ``target_recall=None`` explicitly
+    for census-mode linear-cost banding (recall decays with density),
+    or a float for a different calibration point.
     """
     from kenshin_spark.dedup.fanout import fan_out
     from kenshin_spark.functions.vectors import l2_norm
@@ -177,6 +194,13 @@ def embedding_neardup_pairs_lsh(
         _hyperplane,
     )
 
+    if target_recall is _CALIBRATED_DEFAULT:
+        # default flipped in r8 (VERDICT r7 item 3): for a training-data
+        # dedup engine a silently-decaying recall is the wrong default,
+        # and the measured sf1 table shows calibrated banding is also
+        # FASTER than the linear floor. Explicit target_recall=None
+        # opts back into census-mode linear-cost banding.
+        target_recall = 0.9
     if auto_density and (bands is None or rows_per_band is None):
         # one scalar to the driver; banding then tracks corpus density.
         # target_recall=None → linear-cost banding (recall decays with

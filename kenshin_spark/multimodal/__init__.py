@@ -64,6 +64,11 @@ def _real_decode(payload: bytes) -> tuple[str, int, int, str]:
 
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
+    digest, width, height, fmt, _ = _decode_with_flag(payload)
+    return digest, width, height, fmt
+
+
+def _decode_with_flag(payload: bytes) -> tuple[str, int, int, str, bool]:
     """Codec step, in preference order: (1) the pure-stdlib codecs
     (PNG/BMP/baseline-JPEG — REAL decode, no dependencies,
     `multimodal/codecs.py`); (2) PIL for what remains (WebP,
@@ -73,43 +78,74 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
     PIL itself rejects the payload).  A 100 TB corpus WILL contain
     containers outside the decodable set, and one undecodable image
     must degrade to pseudo-metadata, never crash the Arrow batch
-    (VERDICT r6 item 6: the seam is fenced, not loud)."""
+    (VERDICT r6 item 6: the seam is fenced, not loud).
+
+    The last bool is the DEGRADE flag: True iff the payload carries a
+    real-image container magic but every decode path fell through —
+    the silent-by-design path r7's fence created, surfaced per-batch
+    via ``observe()`` in :func:`image_metadata` (VERDICT r7 item 5)
+    so production can watch the rate without un-fencing the seam."""
     from kenshin_spark.multimodal import codecs
 
     kind = codecs.sniff(payload)
     if kind in ("png", "bmp", "jpeg"):
         try:
             w, h, fmt = codecs.image_info(payload)
-            return hashlib.md5(payload).hexdigest(), w, h, fmt
+            return hashlib.md5(payload).hexdigest(), w, h, fmt, False
         except ValueError:
             pass  # unsupported profile (e.g. paletted PNG) → PIL seam
     if is_real_image(payload):
         try:
-            return _real_decode(payload)
+            return (*_real_decode(payload), False)
         except Exception:
             pass  # no PIL, or PIL rejected it → deterministic stand-in
     digest = hashlib.md5(payload).hexdigest()
     width = 64 + int(digest[:4], 16) % 1024
     height = 64 + int(digest[4:8], 16) % 1024
-    return digest, width, height, "fake"
+    return digest, width, height, "fake", is_real_image(payload)
 
 
 def extract_image_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, payload) → IMAGE_META_SCHEMA rows."""
+    """mapInPandas kernel: (doc_id, payload) → IMAGE_META_SCHEMA rows
+    plus the internal ``_degraded`` flag (dropped before the public
+    schema; summed by the operator-level ``observe()``)."""
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(payload)
-            digest, width, height, fmt = _fake_decode(b)
-            out.append((int(doc_id), len(b), digest, width, height, fmt))
+            digest, width, height, fmt, degraded = _decode_with_flag(b)
+            out.append(
+                (int(doc_id), len(b), digest, width, height, fmt, degraded)
+            )
         yield pd.DataFrame(
             out,
-            columns=["doc_id", "n_bytes", "content_md5", "width", "height", "format"],
+            columns=[
+                "doc_id", "n_bytes", "content_md5", "width", "height",
+                "format", "_degraded",
+            ],
         )
 
 
-def image_metadata(docs_with_payload: DataFrame) -> DataFrame:
-    """The public operator: binary column → typed metadata table."""
-    return docs_with_payload.select("doc_id", "payload").mapInPandas(
-        extract_image_meta, IMAGE_META_SCHEMA
+def image_metadata(
+    docs_with_payload: DataFrame, observation=None
+) -> DataFrame:
+    """The public operator: binary column → typed metadata table.
+
+    Every run carries an ``observe()`` with ``images_degraded`` (count
+    of real-image containers that fell through to pseudo-metadata —
+    the fenced codec seam firing silently) and ``images_total``.
+    Named-observation metrics surface in QueryExecutionListener events
+    (batch) and in ``StreamingQueryProgress.observedMetrics`` — the
+    same channel the S8 instrumentation listener republishes — so the
+    degrade rate is production-visible without un-fencing the seam.
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to read the
+    counters directly after an action (batch only)."""
+    meta = docs_with_payload.select("doc_id", "payload").mapInPandas(
+        extract_image_meta, IMAGE_META_SCHEMA + ", _degraded boolean"
     )
+    meta = meta.observe(
+        observation if observation is not None else "image_decode",
+        F.sum(F.col("_degraded").cast("long")).alias("images_degraded"),
+        F.count(F.lit(1)).alias("images_total"),
+    )
+    return meta.drop("_degraded")

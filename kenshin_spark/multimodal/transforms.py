@@ -52,6 +52,13 @@ def _real_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    out, _ = _resize_with_flag(payload, width, height)
+    return out
+
+
+def _resize_with_flag(
+    payload: bytes, width: int, height: int
+) -> tuple[bytes, bool]:
     """Codec step, in preference order: PNG/BMP resize natively
     (stdlib decode → nearest-neighbor → 24-bit BMP re-encode, all
     deterministic — `multimodal/codecs.py`); entropy-coded containers
@@ -59,7 +66,10 @@ def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
     containers this environment cannot decode — gets deterministic
     stand-in bytes derived from (payload digest, target size), so one
     undecodable image never crashes the Arrow batch (VERDICT r6 item
-    6: the seam is fenced, not loud)."""
+    6: the seam is fenced, not loud). The bool is the DEGRADE flag:
+    True iff a real-image container fell through to stand-in bytes —
+    summed per batch by the ``observe()`` in :func:`resize_images`
+    (VERDICT r7 item 5)."""
     from kenshin_spark.multimodal import codecs, is_real_image
 
     if codecs.sniff(payload) in ("png", "bmp", "jpeg"):
@@ -67,28 +77,37 @@ def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
             arr = codecs.decode_image(payload)
             return codecs.encode_bmp(
                 codecs.resize_nearest(arr, width, height)
-            )
+            ), False
         except ValueError:
             pass  # unsupported profile → PIL seam
     if is_real_image(payload):
         try:
-            return _real_resize(payload, width, height)
+            return _real_resize(payload, width, height), False
         except Exception:
             pass  # no PIL, or PIL rejected it → deterministic stand-in
     seed = hashlib.md5(payload + f"|{width}x{height}".encode()).digest()
-    return (seed * ((width * height * 3) // len(seed) + 1))[: width * height * 3]
+    out = (seed * ((width * height * 3) // len(seed) + 1))[: width * height * 3]
+    return out, is_real_image(payload)
 
 
 def resize_images(
-    df: DataFrame, width: int = 224, height: int = 224
+    df: DataFrame, width: int = 224, height: int = 224, observation=None
 ) -> DataFrame:
-    """(doc_id, payload) → resized binary + digest, Arrow-batched."""
+    """(doc_id, payload) → resized binary + digest, Arrow-batched.
+
+    Carries the same degrade ``observe()`` as ``image_metadata``:
+    ``images_degraded`` counts real-image containers that fell through
+    to stand-in bytes (the fenced codec seam), ``images_total`` the
+    batch size — visible to QueryExecutionListener / streaming
+    ``observedMetrics`` (the S8 channel), or directly via a passed
+    ``pyspark.sql.Observation`` (batch only)."""
+    from pyspark.sql import functions as F
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                out = _stub_resize(bytes(payload), width, height)
+                out, degraded = _resize_with_flag(bytes(payload), width, height)
                 rows.append(
                     (
                         int(doc_id),
@@ -96,14 +115,26 @@ def resize_images(
                         height,
                         out,
                         hashlib.md5(out).hexdigest(),
+                        degraded,
                     )
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "width", "height", "resized", "resize_md5"],
+                columns=[
+                    "doc_id", "width", "height", "resized", "resize_md5",
+                    "_degraded",
+                ],
             )
 
-    return df.select("doc_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+    resized = df.select("doc_id", "payload").mapInPandas(
+        kernel, RESIZED_SCHEMA + ", _degraded boolean"
+    )
+    resized = resized.observe(
+        observation if observation is not None else "image_resize",
+        F.sum(F.col("_degraded").cast("long")).alias("images_degraded"),
+        F.count(F.lit(1)).alias("images_total"),
+    )
+    return resized.drop("_degraded")
 
 
 def sample_frames(

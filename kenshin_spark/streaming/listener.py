@@ -35,11 +35,19 @@ class ObservedMetricsListener(StreamingQueryListener):
         self.progress_events += 1
         p = event.progress
         self.totals["input_rows"] += int(p.numInputRows or 0)
-        obs = (p.observedMetrics or {}).get(self.observation_name)
-        if obs is not None:
+        for name, obs in (p.observedMetrics or {}).items():
             row = obs.asDict()
-            self.totals["rows"] += int(row.get("rows") or 0)
-            self.totals["corrupt"] += int(row.get("corrupt") or 0)
+            if name == self.observation_name:
+                self.totals["rows"] += int(row.get("rows") or 0)
+                self.totals["corrupt"] += int(row.get("corrupt") or 0)
+            else:
+                # any other observe() riding the stream (e.g. the codec
+                # degrade counters image_decode.images_degraded /
+                # images_total, VERDICT r7 item 5) folds in namespaced,
+                # so one listener re-ingests every instrumented seam
+                for k, v in row.items():
+                    if isinstance(v, (int, float)):
+                        self.totals[f"{name}.{k}"] += v
 
     def onQueryTerminated(self, event) -> None:
         pass
