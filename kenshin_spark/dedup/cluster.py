@@ -32,6 +32,7 @@ a reliable dir instead — noted inline.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,6 +55,7 @@ def connected_components(
     b: str = "doc_b",
     max_iter: int = 25,
     algorithm: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(node, cluster_id)`` for every node appearing in ``pairs``;
     ``cluster_id`` is the minimum node id of the component (stable,
@@ -68,9 +70,15 @@ def connected_components(
     ``algorithm="star"`` is the alternating large-star/small-star scheme
     (Kiveris et al., SoCC'14) — O(log n) rounds on ANY graph, the
     fallback for adversarially long path/chain graphs where label
-    propagation would need diameter rounds."""
+    propagation would need diameter rounds.
+
+    ``stats``, when a dict is passed, is filled in-place with
+    ``{"algorithm", "rounds"}`` (and ``"edges"`` on the paths that
+    materialize the symmetric edge set) — the observability hook the
+    sf1 profiling in SCALING.md reads; rounds is the fixpoint-iteration
+    count (0 for the driver path, which has none)."""
     if algorithm == "star":
-        return _star_components(pairs, a, b, max_iter)
+        return _star_components(pairs, a, b, max_iter, stats)
     if algorithm == "auto":
         und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         edges = (
@@ -80,9 +88,14 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if edges.count() <= DRIVER_CC_GATE:
+        n_edges = edges.count()
+        if stats is not None:
+            stats["edges"] = n_edges
+        if n_edges <= DRIVER_CC_GATE:
+            if stats is not None:
+                stats.update(algorithm="driver", rounds=0)
             return _driver_components(edges)
-        return _label_components(edges, max_iter)
+        return _label_components(edges, max_iter, stats)
     if algorithm != "label":
         raise ValueError(f"unknown CC algorithm {algorithm!r}")
     und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -93,50 +106,65 @@ def connected_components(
         # reliable dir so executor loss doesn't recompute the detector).
         .localCheckpoint(eager=True)
     )
-    return _label_components(edges, max_iter)
+    return _label_components(edges, max_iter, stats)
 
 
 def _driver_components(edges: DataFrame) -> DataFrame:
-    """Union-find over a collected edge list — the under-the-gate path.
-    ``edges`` is the symmetric deduplicated (src, dst) set; only the two
-    id columns ever reach the driver. Roots are component minima, so the
-    labelling is identical to the distributed fixpoint's."""
+    """Vectorized connected components over a collected edge list — the
+    under-the-gate path. ``edges`` is the symmetric deduplicated
+    (src, dst) set; only the two id columns ever reach the driver
+    (one Arrow batch).
+
+    Solver: numpy hook + pointer-jumping (the Shiloach-Vishkin shape) —
+    each round lowers every node's label to the min over its neighbors'
+    labels (``np.minimum.at``) then halves label-chains with
+    ``lbl = lbl[lbl]``; both are O(E + N) vectorized passes and the
+    combination converges in O(log N) rounds on any graph. The r8
+    profile (SCALING.md) measured the per-edge Python union-find this
+    replaces at 50 s for 4M symmetric edges; this form solves the same
+    graph in well under a second, so the gate's cost is the Arrow
+    collect, not the solve. Labels converge to component MINIMA, so the
+    output is row-identical to the distributed fixpoints'."""
+    import numpy as np
+
     spark = edges.sparkSession
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
     pdf = edges.select("src", "dst").toPandas()  # Arrow batch, ids only
-    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-        if s not in parent:
-            parent[s] = s
-        if d not in parent:
-            parent[d] = d
-        rs, rd = find(s), find(d)
-        if rs != rd:
-            # union by MIN root so the representative is the component
-            # minimum without a second pass
-            lo, hi = (rs, rd) if rs < rd else (rd, rs)
-            parent[hi] = lo
-    rows = [(n, find(n)) for n in parent]
     schema_t = dict(edges.dtypes)["src"]
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], schema=f"node {schema_t}, cluster_id {schema_t}"
+        )
+    s = pdf["src"].to_numpy()
+    d = pdf["dst"].to_numpy()
+    # factorize node ids to 0..n-1, keeping numeric order so that the
+    # min over compact indices IS the min over original ids
+    nodes = np.unique(np.concatenate([s, d]))
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = lbl.copy()
+        np.minimum.at(lbl, si, lbl[di])  # hook: pull neighbor minima
+        lbl = lbl[lbl]  # pointer jumping halves label chains
+        lbl = lbl[lbl]
+        if np.array_equal(lbl, prev):
+            break
     return spark.createDataFrame(
-        rows, schema=f"node {schema_t}, cluster_id {schema_t}"
+        pd.DataFrame({"node": nodes, "cluster_id": nodes[lbl]}),
+        schema=f"node {schema_t}, cluster_id {schema_t}",
     )
 
 
-def _label_components(edges: DataFrame, max_iter: int) -> DataFrame:
+def _label_components(
+    edges: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     prev_sum = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -156,11 +184,14 @@ def _label_components(edges: DataFrame, max_iter: int) -> DataFrame:
         if cur_sum == prev_sum:  # labels are non-increasing → fixpoint
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats.update(algorithm="label", rounds=rounds)
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 
 def _star_components(
-    pairs: DataFrame, a: str, b: str, max_iter: int
+    pairs: DataFrame, a: str, b: str, max_iter: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14).
@@ -198,7 +229,9 @@ def _star_components(
     )
     edges = und
     prev_fp = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # -- large-star: needs both directions to see every neighbor
         sym = edges.unionAll(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -233,6 +266,8 @@ def _star_components(
         if fp == prev_fp:
             break
         prev_fp = fp
+    if stats is not None:
+        stats.update(algorithm="star", rounds=rounds)
     # fixpoint: union of stars — every edge is (member, component-min);
     # centers label themselves (nodes with no outgoing edge)
     return nodes.join(

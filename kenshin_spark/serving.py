@@ -205,6 +205,42 @@ class HttpFetchServer:
         self._server.server_close()
 
 
+def store_serving_fns(store) -> tuple[
+    Callable[[str], Datapoints],
+    Callable[[list[str], int, int, int], list[tuple]],
+]:
+    """``(lookup, fetch_fn)`` over a ``ParquetTieredStore`` for the two
+    servers, each wrapped in ``store.consistent_read`` — so a response
+    is never a torn read against an in-flight compaction/expiry swap
+    (the plain-parquet gap a snapshotting table format closes natively;
+    reference analog: cache queries answered mid-writeForever flush,
+    rurouni/protocols.py:65-84). ``lookup`` serves the tier-0 points
+    for one metric (the cache-query shape); ``fetch_fn`` the R1 grid
+    fetch."""
+    from pyspark.sql import functions as F
+
+    def lookup(metric: str) -> Datapoints:
+        return store.consistent_read(
+            lambda: [
+                (r["ts"], r["value"])
+                for r in store.read(0)
+                .where(F.col("metric") == metric)
+                .collect()
+            ]
+        )
+
+    def fetch_fn(metrics, frm, until, now):
+        def _go():
+            df = store.fetch(metrics, frm, until, now)
+            if df is None:
+                return []
+            return [(r["metric"], r["ts"], r["value"]) for r in df.collect()]
+
+        return store.consistent_read(_go)
+
+    return lookup, fetch_fn
+
+
 def store_render_fn(store) -> Callable[[str, int, int, int], list[tuple]]:
     """Wire a ``ParquetTieredStore`` to the ``/render`` endpoint: parse
     the graphite target (nested function calls around a metric glob),
@@ -214,14 +250,17 @@ def store_render_fn(store) -> Callable[[str, int, int, int], list[tuple]]:
     from kenshin_spark.functions.targets import parse_target
 
     def render_fn(target: str, frm: int, until: int, now: int) -> list[tuple]:
-        glob, chain = parse_target(target)
-        grid = store.fetch_glob(glob, frm, until, now)
-        if grid is None:
-            return []
-        out = apply_chain(grid, chain)
-        return [
-            (r["metric"], r["ts"], r["value"])
-            for r in out.orderBy("metric", "ts").collect()
-        ]
+        def _go():
+            glob, chain = parse_target(target)
+            grid = store.fetch_glob(glob, frm, until, now)
+            if grid is None:
+                return []
+            out = apply_chain(grid, chain)
+            return [
+                (r["metric"], r["ts"], r["value"])
+                for r in out.orderBy("metric", "ts").collect()
+            ]
+
+        return store.consistent_read(_go)
 
     return render_fn

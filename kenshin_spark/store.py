@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import json
 import os
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +68,23 @@ CATALOG_SCHEMA = T.StructType(
         T.StructField("created_ts", T.LongType(), False),
     ]
 )
+
+
+def _is_stale_read(exc: Exception) -> bool:
+    """A scan that listed files before a concurrent swap/expiry deleted
+    them — Spark surfaces it as FAILED_READ_FILE.FILE_NOT_EXIST (or a
+    raw FileNotFoundException from the committer). These are the ONLY
+    errors ``consistent_read`` retries."""
+    text = f"{type(exc).__name__}: {exc}"
+    return any(
+        marker in text
+        for marker in (
+            "FAILED_READ_FILE",
+            "FileNotFoundException",
+            "PATH_NOT_FOUND",
+            "does not exist",
+        )
+    )
 
 
 class ParquetTieredStore:
@@ -134,6 +153,106 @@ class ParquetTieredStore:
             self._seq_sidecar, json.dumps({"last_seq": n})
         )
         return n
+
+    # -- the swap seqlock (serving reads vs file transitions) --------------
+
+    @property
+    def _epoch_sidecar(self) -> str:
+        return os.path.join(self.root, "_swap_epoch")
+
+    def swap_epoch(self) -> int:
+        """Monotonic counter over DESTRUCTIVE file transitions (day-dir
+        swaps, tier swaps, expiry deletes): ODD while one is in flight,
+        EVEN when quiescent — a filesystem seqlock. Plain Parquet has no
+        snapshot isolation (fs.py's object-store caveat; Delta/Iceberg
+        give it for free), so without this a serving read that lists
+        files just before ``compact()`` promotes a day dir fails
+        FAILED_READ_FILE mid-scan — or worse, reads the gap between the
+        two renames and silently misses the day. Writers are
+        single-process by design (the reference daemon's one writeForever
+        thread, rurouni/writer.py); nesting inside one store object is
+        handled in-process."""
+        try:
+            return int(self.fs.read_text(self._epoch_sidecar))
+        except Exception:
+            return 0
+
+    _swap_depth = 0  # in-process nesting (compact() -> _compact_day())
+
+    @contextmanager
+    def _swap_guard(self):
+        """Bump the epoch to odd for the duration of a destructive file
+        transition; back to even after. Guards ONLY the rename/delete
+        window, never the (non-destructive, underscore-staged) tmp
+        writes — so readers spin for milliseconds, not for the length of
+        a compaction job."""
+        if self._swap_depth:
+            self._swap_depth += 1
+            try:
+                yield
+            finally:
+                self._swap_depth -= 1
+            return
+        e = self.swap_epoch()
+        if e % 2:  # crash debris: a guard death left it odd; re-even it
+            e += 1
+        self._swap_depth = 1
+        self.fs.write_text_atomic(self._epoch_sidecar, str(e + 1))
+        try:
+            yield
+        finally:
+            self._swap_depth = 0
+            self.fs.write_text_atomic(self._epoch_sidecar, str(e + 2))
+
+    def consistent_read(
+        self,
+        fn,
+        retries: int = 10,
+        backoff_s: float = 0.05,
+        deadline_s: float = 30.0,
+    ):
+        """Run driver-side read ``fn`` (build-DataFrame-and-collect; it is
+        re-invoked from scratch on retry) with seqlock validation: the
+        result is returned only if no destructive transition was in
+        flight at the start and the epoch did not move during the read.
+        Stale-file-read errors (a concurrently swapped/expired file) are
+        retried, anything else propagates. The serving layer
+        (serving.store_serving_fns) wraps every lookup in this — the
+        analog of the reference daemon answering cache queries while
+        writeForever flushes (rurouni/protocols.py:65-84). On a table
+        format with snapshot isolation this method degenerates to one
+        plain ``fn()``.
+
+        Degradation order under sustained swap fire (a long maintenance
+        pass swapping day after day, where epoch movement overlaps
+        almost every scan): (1) a clean read at a stable epoch — the
+        guarantee; (2) after ``retries`` epoch-moved validation
+        failures, the first ERROR-FREE read even if the epoch moved
+        during it — availability over the microsecond mid-listing gap
+        (and on the mor append log a completed scan is prefix-correct
+        anyway); (3) nothing but stale-read errors until ``deadline_s``
+        → re-raise the last one."""
+        deadline = time.monotonic() + deadline_s
+        validations = 0
+        attempt = 0
+        while True:
+            attempt += 1
+            e0 = self.swap_epoch()
+            if e0 % 2:  # transition in flight — wait out the renames
+                time.sleep(min(backoff_s * attempt, 0.5))
+                continue
+            try:
+                out = fn()
+            except Exception as exc:
+                if not _is_stale_read(exc) or time.monotonic() > deadline:
+                    raise
+                time.sleep(min(backoff_s * attempt, 0.5))
+                continue
+            if self.swap_epoch() == e0:
+                return out
+            validations += 1
+            if validations >= retries or time.monotonic() > deadline:
+                return out  # error-free but epoch moved — see degradation
 
     def prune_seq_claims(self) -> int:
         """GC the CAS claim markers below the committed sidecar hint —
@@ -280,9 +399,12 @@ class ParquetTieredStore:
         out = self._with_day(slots, i)
         if self.mode == "mor":
             out = out.withColumn("_seq", F.lit(self._next_seq()))
-        out.write.mode("overwrite").partitionBy("day").parquet(
-            self.tier_path(i)
-        )
+        # destructive for the whole job (overwrite deletes in-commit), so
+        # the guard spans the write — initial loads aren't the serving path
+        with self._swap_guard():
+            out.write.mode("overwrite").partitionBy("day").parquet(
+                self.tier_path(i)
+            )
 
     def upsert(self, i: int, slots: DataFrame) -> None:
         """Merge aligned slots into tier i, new values winning per
@@ -321,9 +443,12 @@ class ParquetTieredStore:
             .agg(F.max(F.struct("_seq", "value")).alias("_w"))
             .select("metric", "ts", F.col("_w.value").alias("value"), "day")
         )
-        merged.sortWithinPartitions("day", "metric", "ts").write.mode(
-            "overwrite"
-        ).partitionBy("day").parquet(path)
+        # cow rewrites the touched day partitions in-commit — destructive
+        # for the job's duration, hence mor is the serve-under-writes mode
+        with self._swap_guard():
+            merged.sortWithinPartitions("day", "metric", "ts").write.mode(
+                "overwrite"
+            ).partitionBy("day").parquet(path)
 
     # -- retention (O4) ---------------------------------------------------
 
@@ -336,13 +461,17 @@ class ParquetTieredStore:
             if not self.fs.exists(path):
                 continue
             cutoff_day = (now - arch.retention) // self.part_unit(i)
+            doomed = [
+                d for d in self.fs.list_names(path)
+                if d.startswith("day=")
+                and int(d.split("=", 1)[1]) < cutoff_day
+            ]
             gone = []
-            for d in self.fs.list_names(path):
-                if d.startswith("day="):
-                    day = int(d.split("=", 1)[1])
-                    if day < cutoff_day:
+            if doomed:
+                with self._swap_guard():  # seqlock vs serving reads
+                    for d in doomed:
                         self.fs.delete(os.path.join(path, d))
-                        gone.append(day)
+                        gone.append(int(d.split("=", 1)[1]))
             if gone:
                 dropped[i] = sorted(gone)
         self.prune_seq_claims()
@@ -607,7 +736,8 @@ class ParquetTieredStore:
         )
         # .bak swap protocol (fs.py): a crash mid-swap is recoverable via
         # recover(), never a half-deleted tier
-        self.fs.swap(path, tmp)
+        with self._swap_guard():
+            self.fs.swap(path, tmp)
 
     def _compact_day(
         self, i: int, day: int, target_files_per_day: int
@@ -647,12 +777,15 @@ class ParquetTieredStore:
         )
         if self.fs.exists(bak):  # debris from a crash after promote
             self.fs.delete(bak)
-        if not self.fs.rename(day_dir, bak):
-            raise IOError(f"compact: could not stage {day_dir} -> {bak}")
-        if not self.fs.rename(tmp, day_dir):
-            self.fs.rename(bak, day_dir)  # roll back
-            raise IOError(f"compact: could not promote {tmp} -> {day_dir}")
-        self.fs.delete(bak)
+        with self._swap_guard():  # seqlock: renames only, not the write
+            if not self.fs.rename(day_dir, bak):
+                raise IOError(f"compact: could not stage {day_dir} -> {bak}")
+            if not self.fs.rename(tmp, day_dir):
+                self.fs.rename(bak, day_dir)  # roll back
+                raise IOError(
+                    f"compact: could not promote {tmp} -> {day_dir}"
+                )
+            self.fs.delete(bak)
         return True
 
     # -- delete (M5) ------------------------------------------------------
@@ -673,13 +806,15 @@ class ParquetTieredStore:
             )
             tmp = path + ".tmp"
             kept.write.mode("overwrite").partitionBy("day").parquet(tmp)
-            self.fs.swap(path, tmp)
+            with self._swap_guard():
+                self.fs.swap(path, tmp)
         cat_path = self.catalog_path
         if self.fs.exists(cat_path):
             kept_cat = self.catalog().where(~F.col("metric").isin(metrics))
             tmp = cat_path + ".tmp"
             kept_cat.write.mode("overwrite").parquet(tmp)
-            self.fs.swap(cat_path, tmp)
+            with self._swap_guard():
+                self.fs.swap(cat_path, tmp)
 
     def recover(self) -> list[str]:
         """Crash recovery for interrupted ``compact``/``delete_metrics``
