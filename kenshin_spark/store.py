@@ -112,6 +112,15 @@ class ParquetTieredStore:
         # dynamic mode: .partitionBy().mode("overwrite") rewrites only the
         # partitions present in the written frame — the MERGE primitive here
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        #: consistent_read observability (the S8 self-metrics shape): how
+        #: often serving reads waited on / raced / degraded past the swap
+        #: seqlock — a silently-degrading replica shows up here, not in logs
+        self.read_retry_stats = {
+            "inflight_waits": 0,
+            "stale_retries": 0,
+            "epoch_races": 0,
+            "degraded_returns": 0,
+        }
 
     @property
     def _seq_sidecar(self) -> str:
@@ -235,10 +244,12 @@ class ParquetTieredStore:
         deadline = time.monotonic() + deadline_s
         validations = 0
         attempt = 0
+        stats = self.read_retry_stats
         while True:
             attempt += 1
             e0 = self.swap_epoch()
             if e0 % 2:  # transition in flight — wait out the renames
+                stats["inflight_waits"] += 1
                 time.sleep(min(backoff_s * attempt, 0.5))
                 continue
             try:
@@ -246,12 +257,15 @@ class ParquetTieredStore:
             except Exception as exc:
                 if not _is_stale_read(exc) or time.monotonic() > deadline:
                     raise
+                stats["stale_retries"] += 1
                 time.sleep(min(backoff_s * attempt, 0.5))
                 continue
             if self.swap_epoch() == e0:
                 return out
             validations += 1
+            stats["epoch_races"] += 1
             if validations >= retries or time.monotonic() > deadline:
+                stats["degraded_returns"] += 1
                 return out  # error-free but epoch moved — see degradation
 
     def prune_seq_claims(self) -> int:

@@ -379,6 +379,7 @@ class TestSwapSeqlock:
 
         assert st.consistent_read(flaky) == 42
         assert len(calls) == 2
+        assert st.read_retry_stats["stale_retries"] == 1  # observable
 
         def broken():
             raise ValueError("real engine bug — must propagate")
@@ -400,6 +401,8 @@ class TestSwapSeqlock:
             return len(seen)
 
         assert st.consistent_read(racy) == 2
+        assert st.read_retry_stats["epoch_races"] == 1
+        assert st.read_retry_stats["degraded_returns"] == 0
 
     def test_consistent_read_waits_out_inflight_swap(self, spark, tmp_path):
         import threading
