@@ -216,11 +216,30 @@ def store_serving_fns(store) -> tuple[
     reference analog: cache queries answered mid-writeForever flush,
     rurouni/protocols.py:65-84). ``lookup`` serves the tier-0 points
     for one metric (the cache-query shape); ``fetch_fn`` the R1 grid
-    fetch."""
+    fetch.
+
+    Every lookup additionally tags its jobs with the ``serving``
+    scheduler pool (a per-thread local property — exactly right here,
+    since each socket handler runs on its own thread): under
+    ``get_spark(fair_pools=True)`` serving scans get a weighted fair
+    share of executors instead of FIFO-queueing behind a maintenance
+    pass's compaction jobs; under the default FIFO scheduler the tag is
+    inert."""
     from pyspark.sql import functions as F
 
+    from kenshin_spark.session import SERVING_POOL
+
+    sc = store.spark.sparkContext
+
+    def _pooled(fn):
+        sc.setLocalProperty("spark.scheduler.pool", SERVING_POOL)
+        try:
+            return store.consistent_read(fn)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
     def lookup(metric: str) -> Datapoints:
-        return store.consistent_read(
+        return _pooled(
             lambda: [
                 (r["ts"], r["value"])
                 for r in store.read(0)
@@ -236,7 +255,7 @@ def store_serving_fns(store) -> tuple[
                 return []
             return [(r["metric"], r["ts"], r["value"]) for r in df.collect()]
 
-        return store.consistent_read(_go)
+        return _pooled(_go)
 
     return lookup, fetch_fn
 
@@ -248,6 +267,10 @@ def store_render_fn(store) -> Callable[[str, int, int, int], list[tuple]]:
     verb runs, packaged for the HTTP server."""
     from kenshin_spark.functions.render import apply_chain
     from kenshin_spark.functions.targets import parse_target
+
+    from kenshin_spark.session import SERVING_POOL
+
+    sc = store.spark.sparkContext
 
     def render_fn(target: str, frm: int, until: int, now: int) -> list[tuple]:
         def _go():
@@ -261,6 +284,10 @@ def store_render_fn(store) -> Callable[[str, int, int, int], list[tuple]]:
                 for r in out.orderBy("metric", "ts").collect()
             ]
 
-        return store.consistent_read(_go)
+        sc.setLocalProperty("spark.scheduler.pool", SERVING_POOL)
+        try:
+            return store.consistent_read(_go)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
 
     return render_fn

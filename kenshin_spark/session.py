@@ -52,16 +52,42 @@ def enable_rocksdb_state(spark: SparkSession) -> None:
     )
 
 
+#: FAIR-scheduler pool the serving layer tags its jobs with
+#: (serving.store_serving_fns) — weight 4 so a cache-query/fetch lands
+#: tasks promptly even while a maintenance pass (compaction, expiry,
+#: full-tier rewrites) has the executors busy. Pools are a per-thread
+#: local property, so only jobs explicitly tagged land here; everything
+#: else stays in the default pool. In the (default) FIFO scheduler the
+#: tag is inert — opt in with ``get_spark(fair_pools=True)`` or
+#: ``SPARK_GRAFT_FAIR_POOLS=1``.
+SERVING_POOL = "serving"
+
+_FAIR_ALLOCATION_XML = """<?xml version="1.0"?>
+<allocations>
+  <pool name="serving">
+    <schedulingMode>FAIR</schedulingMode>
+    <weight>4</weight>
+    <minShare>2</minShare>
+  </pool>
+</allocations>
+"""
+
+
 def get_spark(
     app_name: str = "kenshin_spark",
     cpus: int | None = None,
     rocksdb_state: bool | None = None,
+    fair_pools: bool | None = None,
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     if rocksdb_state is None:
         rocksdb_state = os.environ.get(
             "SPARK_GRAFT_ROCKSDB_STATE", ""
+        ).lower() in ("1", "true", "yes")
+    if fair_pools is None:
+        fair_pools = os.environ.get(
+            "SPARK_GRAFT_FAIR_POOLS", ""
         ).lower() in ("1", "true", "yes")
     master = f"local[{cpus}]" if cpus else "local[*]"
     shuffle_parts = str(cpus or os.cpu_count() or 32)
@@ -80,6 +106,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if fair_pools:
+        # scheduler mode + allocation file bind at CONTEXT creation —
+        # a getOrCreate() onto an existing FIFO session won't apply them
+        import tempfile
+
+        alloc = os.path.join(
+            tempfile.gettempdir(), "kenshin_fair_pools.xml"
+        )
+        with open(alloc, "w", encoding="utf-8") as fh:
+            fh.write(_FAIR_ALLOCATION_XML)
+        builder = builder.config("spark.scheduler.mode", "FAIR").config(
+            "spark.scheduler.allocation.file", alloc
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if rocksdb_state:

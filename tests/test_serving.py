@@ -470,3 +470,47 @@ class TestSwapSeqlock:
         assert not errors, errors
         rows = fetch_fn(["m.a"], 0, 60 * 9, 60 * 9)
         assert {ts: v for _, ts, v in rows if v is not None} == want
+
+
+class TestServingPool:
+    def test_lookup_tags_and_resets_scheduler_pool(self, spark, tmp_path):
+        """store_serving_fns must tag its jobs with the serving pool for
+        the duration of the lookup and reset the thread's local property
+        after — leaking the tag would put unrelated jobs on this thread
+        into the serving pool. (Pool WEIGHTING only applies under
+        get_spark(fair_pools=True); the tag itself is scheduler-mode
+        agnostic.)"""
+        from kenshin_spark.serving import store_serving_fns
+        from kenshin_spark.session import SERVING_POOL
+
+        st = ParquetTieredStore(
+            spark, SCHEMA, str(tmp_path / "pool"), mode="mor"
+        )
+        st.upsert(
+            0,
+            spark.createDataFrame(
+                [("m.p", 60, 1.0), ("m.p", 120, 2.0)],
+                ["metric", "ts", "value"],
+            ),
+        )
+        seen = {}
+        orig_read = st.read
+
+        def spying_read(i):
+            seen["pool"] = spark.sparkContext.getLocalProperty(
+                "spark.scheduler.pool"
+            )
+            return orig_read(i)
+
+        st.read = spying_read
+        lookup, fetch_fn = store_serving_fns(st)
+        assert dict(lookup("m.p")) == {60: 1.0, 120: 2.0}
+        assert seen["pool"] == SERVING_POOL
+        assert (
+            spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+            is None
+        )
+        rows = fetch_fn(["m.p"], 0, 180, 180)
+        assert {ts: v for _, ts, v in rows if v is not None} == {
+            60: 1.0, 120: 2.0,
+        }
