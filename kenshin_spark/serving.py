@@ -205,18 +205,34 @@ class HttpFetchServer:
         self._server.server_close()
 
 
-def store_serving_fns(store) -> tuple[
+def store_serving_fns(store, reader=None) -> tuple[
     Callable[[str], Datapoints],
     Callable[[list[str], int, int, int], list[tuple]],
 ]:
     """``(lookup, fetch_fn)`` over a ``ParquetTieredStore`` for the two
-    servers, each wrapped in ``store.consistent_read`` — so a response
-    is never a torn read against an in-flight compaction/expiry swap
+    servers, each wrapped in ``consistent_read`` — so a response is
+    never a torn read against an in-flight compaction/expiry swap
     (the plain-parquet gap a snapshotting table format closes natively;
     reference analog: cache queries answered mid-writeForever flush,
     rurouni/protocols.py:65-84). ``lookup`` serves the tier-0 points
     for one metric (the cache-query shape); ``fetch_fn`` the R1 grid
     fetch.
+
+    Reads go through a READER clone of the store on an isolated child
+    ``SparkSession`` (same SparkContext/executors, separate SQL conf)
+    with ``spark.sql.files.ignoreMissingFiles=true``: a tier-wide scan
+    overlapping a day-swap then skips the vanished file instead of
+    failing the whole job. Exactness still comes from the seqlock —
+    a read validated at a stable even epoch saw no swap, and one that
+    raced a swap is retried. Without this, a maintenance pass that
+    swaps hundreds of fragmented days back-to-back starves tier-wide
+    serving scans: every ~1 s attempt overlaps SOME swap and a bounded
+    retry budget eventually errors (measured in the 1M load capture).
+    Missing-file tolerance is scoped to the serving session only — the
+    writer's own reads keep failing loudly on vanished files, which is
+    the correct behavior everywhere except under a live swap. Pass
+    ``reader`` explicitly to override (tests; a Delta/Iceberg-backed
+    store needs neither the clone nor the conf).
 
     Every lookup additionally tags its jobs with the ``serving``
     scheduler pool (a per-thread local property — exactly right here,
@@ -229,12 +245,20 @@ def store_serving_fns(store) -> tuple[
 
     from kenshin_spark.session import SERVING_POOL
 
-    sc = store.spark.sparkContext
+    if reader is None:
+        session = store.spark.newSession()
+        session.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+        session.conf.set(
+            "spark.sql.legacy.parquet.nanosAsLong",
+            store.spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        )
+        reader = type(store)(session, store.schema, store.root, mode=store.mode)
+    sc = reader.spark.sparkContext
 
     def _pooled(fn):
         sc.setLocalProperty("spark.scheduler.pool", SERVING_POOL)
         try:
-            return store.consistent_read(fn)
+            return reader.consistent_read(fn)
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
 
@@ -242,7 +266,7 @@ def store_serving_fns(store) -> tuple[
         return _pooled(
             lambda: [
                 (r["ts"], r["value"])
-                for r in store.read(0)
+                for r in reader.read(0)
                 .where(F.col("metric") == metric)
                 .collect()
             ]
@@ -250,13 +274,14 @@ def store_serving_fns(store) -> tuple[
 
     def fetch_fn(metrics, frm, until, now):
         def _go():
-            df = store.fetch(metrics, frm, until, now)
+            df = reader.fetch(metrics, frm, until, now)
             if df is None:
                 return []
             return [(r["metric"], r["ts"], r["value"]) for r in df.collect()]
 
         return _pooled(_go)
 
+    lookup.reader_store = fetch_fn.reader_store = reader  # introspection
     return lookup, fetch_fn
 
 

@@ -234,37 +234,48 @@ class ParquetTieredStore:
 
         Degradation order under sustained swap fire (a long maintenance
         pass swapping day after day, where epoch movement overlaps
-        almost every scan): (1) a clean read at a stable epoch — the
-        guarantee; (2) after ``retries`` epoch-moved validation
+        almost every scan): (1) a clean read at a stable even epoch —
+        the guarantee; (2) after ``retries`` epoch-moved validation
         failures, the first ERROR-FREE read even if the epoch moved
         during it — availability over the microsecond mid-listing gap
         (and on the mor append log a completed scan is prefix-correct
-        anyway); (3) nothing but stale-read errors until ``deadline_s``
-        → re-raise the last one."""
-        deadline = time.monotonic() + deadline_s
+        anyway); (3) ``retries`` consecutive stale-read failures →
+        re-raise. Budgets are COUNT-based, never wall-based: a slow
+        scan queued behind maintenance must not burn the retry budget
+        before its first stale failure (the load harness caught exactly
+        that — a >30 s first attempt raising with zero retries).
+        ``deadline_s`` bounds only the in-flight wait spin, so a reader
+        polling a store whose writer crashed mid-guard (epoch stuck
+        odd) degrades to plain reads instead of hanging."""
+        wait_deadline = time.monotonic() + deadline_s
         validations = 0
-        attempt = 0
+        stale = 0
+        waits = 0
         stats = self.read_retry_stats
         while True:
-            attempt += 1
             e0 = self.swap_epoch()
-            if e0 % 2:  # transition in flight — wait out the renames
+            if e0 % 2 and time.monotonic() < wait_deadline:
+                # transition in flight — wait out the renames
+                waits += 1
                 stats["inflight_waits"] += 1
-                time.sleep(min(backoff_s * attempt, 0.5))
+                time.sleep(min(backoff_s * waits, 0.5))
                 continue
             try:
                 out = fn()
             except Exception as exc:
-                if not _is_stale_read(exc) or time.monotonic() > deadline:
+                if not _is_stale_read(exc):
                     raise
+                stale += 1
                 stats["stale_retries"] += 1
-                time.sleep(min(backoff_s * attempt, 0.5))
+                if stale >= retries:
+                    raise
+                time.sleep(min(backoff_s * stale, 0.5))
                 continue
-            if self.swap_epoch() == e0:
+            if e0 % 2 == 0 and self.swap_epoch() == e0:
                 return out
             validations += 1
             stats["epoch_races"] += 1
-            if validations >= retries or time.monotonic() > deadline:
+            if validations >= retries:
                 stats["degraded_returns"] += 1
                 return out  # error-free but epoch moved — see degradation
 

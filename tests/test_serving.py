@@ -503,7 +503,8 @@ class TestServingPool:
             return orig_read(i)
 
         st.read = spying_read
-        lookup, fetch_fn = store_serving_fns(st)
+        # reader=st: tag behavior is what's under test, not the clone
+        lookup, fetch_fn = store_serving_fns(st, reader=st)
         assert dict(lookup("m.p")) == {60: 1.0, 120: 2.0}
         assert seen["pool"] == SERVING_POOL
         assert (
@@ -514,3 +515,35 @@ class TestServingPool:
         assert {ts: v for _, ts, v in rows if v is not None} == {
             60: 1.0, 120: 2.0,
         }
+
+    def test_default_reader_is_isolated_missing_file_tolerant(
+        self, spark, tmp_path
+    ):
+        """The default serving reader is a clone on a CHILD SparkSession
+        with ignoreMissingFiles=true — scoped there so the writer's own
+        scans still fail loudly on vanished files."""
+        from kenshin_spark.serving import store_serving_fns
+
+        st = ParquetTieredStore(
+            spark, SCHEMA, str(tmp_path / "iso"), mode="mor"
+        )
+        st.upsert(
+            0,
+            spark.createDataFrame(
+                [("m.i", 60, 1.0)], ["metric", "ts", "value"]
+            ),
+        )
+        lookup, fetch_fn = store_serving_fns(st)
+        reader = lookup.reader_store
+        assert reader is not st and reader.root == st.root
+        assert reader.spark is not st.spark  # isolated SQL conf
+        assert (
+            reader.spark.conf.get("spark.sql.files.ignoreMissingFiles")
+            == "true"
+        )
+        # the writer session keeps the default (loud) behavior
+        assert (
+            st.spark.conf.get("spark.sql.files.ignoreMissingFiles")
+            == "false"
+        )
+        assert dict(lookup("m.i")) == {60: 1.0}
