@@ -279,6 +279,26 @@ class ParquetTieredStore:
                 stats["degraded_returns"] += 1
                 return out  # error-free but epoch moved — see degradation
 
+    def retry_metrics(self, now: int) -> list[tuple[str, int, float]]:
+        """``read_retry_stats`` + the current swap epoch as self-metric
+        points in the S8 shape (``rurouni.*`` instrumentation,
+        rurouni/state/instrumentation.py:66-113) — feed through
+        ``StreamingIngest.process_batch`` so a serving replica's seqlock
+        pressure is queryable like any other metric. Name the replica
+        via the store's schema so fleets aggregate per schema."""
+        pts = [
+            (f"rurouni.store.{self.schema.name}.read.{k}", now, float(v))
+            for k, v in self.read_retry_stats.items()
+        ]
+        pts.append(
+            (
+                f"rurouni.store.{self.schema.name}.swap_epoch",
+                now,
+                float(self.swap_epoch()),
+            )
+        )
+        return pts
+
     def prune_seq_claims(self) -> int:
         """GC the CAS claim markers below the committed sidecar hint —
         they are only load-bearing ABOVE it (a marker ≤ the persisted

@@ -547,3 +547,62 @@ class TestServingPool:
             == "false"
         )
         assert dict(lookup("m.i")) == {60: 1.0}
+
+
+class TestRetrySelfMetrics:
+    def test_retry_counters_roundtrip_through_ingest(self, spark, tmp_path):
+        """store.retry_metrics emits the seqlock pressure counters in the
+        S8 self-metrics shape, and they round-trip through the real
+        ingest path like the reference's rurouni.* counters
+        (rurouni/state/instrumentation.py:66-113)."""
+        from kenshin_spark.config import SchemaSet
+        from kenshin_spark.streaming import StreamingIngest
+
+        st = ParquetTieredStore(
+            spark, SCHEMA, str(tmp_path / "rm"), mode="mor"
+        )
+        st.upsert(
+            0,
+            spark.createDataFrame(
+                [("m.r", 60, 1.0)], ["metric", "ts", "value"]
+            ),
+        )
+
+        def racy():
+            if not st.read_retry_stats["epoch_races"]:
+                with st._swap_guard():
+                    pass
+            return 1
+
+        st.consistent_read(racy)
+        now = 86_400 * 10
+        pts = st.retry_metrics(now)
+        names = {m for m, _, _ in pts}
+        assert f"rurouni.store.{SCHEMA.name}.read.epoch_races" in names
+        assert f"rurouni.store.{SCHEMA.name}.swap_epoch" in names
+        got = {m: v for m, _, v in pts}
+        assert got[f"rurouni.store.{SCHEMA.name}.read.epoch_races"] == 1.0
+        assert got[f"rurouni.store.{SCHEMA.name}.swap_epoch"] % 2 == 0
+
+        mon_schema = Schema.from_strings(
+            "selfmon", "^rurouni\\.", "60s:1d", xff=1.0, agg_method="last"
+        )
+        ing = StreamingIngest(
+            spark,
+            SchemaSet((mon_schema,)),
+            str(tmp_path / "mon"),
+            clock=lambda: now,
+            store_mode="mor",
+        )
+        ing.process_batch(
+            spark.createDataFrame(pts, ["metric", "ts", "value"])
+            .withColumn("arrival", F.lit(now)),
+            0,
+        )
+        mon = ing.store_for(mon_schema)
+        stored = {
+            r["metric"]: r["value"] for r in mon.read(0).collect()
+        }
+        assert (
+            stored[f"rurouni.store.{SCHEMA.name}.read.epoch_races"] == 1.0
+        )
