@@ -49,6 +49,15 @@ class HadoopFS:
         # own integrity (atomic tmp+rename of whole small files).
         self._fs.setWriteChecksum(False)
         self._fs.setVerifyChecksum(False)
+        # local-scheme fast path for the TINY metadata files (seqlock
+        # epoch, seq sidecar): each py4j call costs ~10 ms, so a
+        # tmp+rename through the JVM is ~50 ms — measured at 18 s of a
+        # 50 s maintenance pass (2 epoch writes x ~190 day-swaps) and
+        # 10 ms on every serving read. Python os.replace has IDENTICAL
+        # atomic-rename semantics on a local filesystem, so file:/bare
+        # paths take it; hdfs:/s3a: keep the Hadoop API.
+        scheme = self._fs.getUri().getScheme()
+        self._local_fast = scheme in (None, "file")
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -115,7 +124,18 @@ class HadoopFS:
 
     # -- small-file IO (store metadata, not data) --------------------------
 
+    @staticmethod
+    def _strip_scheme(path: str) -> str:
+        if path.startswith("file://"):
+            return path[len("file://"):]
+        if path.startswith("file:"):
+            return path[len("file:"):]
+        return path
+
     def read_text(self, path: str) -> str:
+        if self._local_fast:
+            with open(self._strip_scheme(path), encoding="utf-8") as fh:
+                return fh.read()
         # py4j passes byte[] ARGUMENTS by value (a filled buffer never
         # comes back) — read via a method whose RETURN is the byte[]
         stream = self._fs.open(self._p(path))
@@ -131,6 +151,16 @@ class HadoopFS:
         """Write via ``<path>.tmp`` + rename so readers never observe a
         torn file."""
         tmp = path + ".tmp"
+        if self._local_fast:
+            import os
+
+            lp, lt = self._strip_scheme(path), self._strip_scheme(tmp)
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            with open(lt, "w", encoding="utf-8") as fh:
+                fh.write(text)
+                fh.flush()
+            os.replace(lt, lp)  # same atomic-rename contract as below
+            return
         out = self._fs.create(self._p(tmp), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
