@@ -184,6 +184,18 @@ def _label_components(
         if cur_sum == prev_sum:  # labels are non-increasing → fixpoint
             break
         prev_sum = cur_sum
+    else:
+        # max_iter exhausted without a CONFIRMED fixpoint. Label
+        # propagation needs diameter rounds, so a long-chain graph can
+        # outrun the budget — and returning the partial labelling would
+        # be silently wrong (components still split). Escalate to the
+        # star scheme, whose round count is O(log n) on ANY graph
+        # (measured: the r8 profile's 64-chain takes label 64 rounds,
+        # star 7). ``edges`` is already the symmetric dedup'd set;
+        # _star_components re-symmetrizes harmlessly.
+        if stats is not None:
+            stats["escalated_from_label"] = rounds
+        return _star_components(edges, "src", "dst", max_iter, stats)
     if stats is not None:
         stats.update(algorithm="label", rounds=rounds)
     return labels.select("node", F.col("lbl").alias("cluster_id"))

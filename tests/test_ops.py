@@ -1171,6 +1171,27 @@ class TestConnectedComponents:
         got = connected_components(pairs).collect()
         assert all(r["cluster_id"] == 1 for r in got) and len(got) == 12
 
+    def test_label_escalates_to_star_past_diameter_budget(self, spark):
+        """Label propagation needs diameter rounds; when max_iter is
+        exhausted WITHOUT a confirmed fixpoint it must NOT return the
+        (silently wrong) partial labelling — it escalates to the star
+        scheme, which is O(log n) rounds on any graph (the r8 CC
+        profile's finding: chain64 = label 64 rounds vs star 7)."""
+        from kenshin_spark.dedup import connected_components
+
+        n = 40  # diameter 39 > the small budget below
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
+        )
+        stats: dict = {}
+        got = connected_components(
+            pairs, algorithm="label", max_iter=10, stats=stats
+        ).collect()
+        assert stats["escalated_from_label"] == 10
+        assert stats["algorithm"] == "star"  # who actually finished
+        assert len(got) == n
+        assert all(r["cluster_id"] == 1 for r in got)  # ONE component
+
     def test_cluster_sizes_and_survivors(self, spark):
         from kenshin_spark.dedup import canonical_survivors, duplicate_clusters
 
