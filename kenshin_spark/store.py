@@ -360,6 +360,24 @@ class ParquetTieredStore:
             n.startswith("day=") for n in self.fs.list_names(path)
         )
 
+    def _tier_schema(self) -> T.StructType:
+        """The physical schema of every tier, known a priori from the
+        store mode (mor tiers ALWAYS carry ``_seq`` — every write path
+        stamps it; cow tiers never do). Handing it to the reader skips
+        planning-time schema inference entirely: one less footer read
+        per scan at 100 TB, and — load-tested to matter — no footer IO
+        left to race a concurrent day-swap (inference reads a data file
+        during ANALYSIS, before ``ignoreMissingFiles`` applies, so a
+        swap there surfaced as an unretryable AnalysisException)."""
+        if self.mode == "mor":
+            return T.StructType(
+                list(STORED_SCHEMA) + [T.StructField("_seq", T.LongType(), True)]
+            )
+        return STORED_SCHEMA
+
+    def _scan_tier(self, path: str) -> DataFrame:
+        return self.spark.read.schema(self._tier_schema()).parquet(path)
+
     def read(self, i: int) -> DataFrame:
         """Tier i as ``(metric, ts, value)``; empty frame if never written."""
         path = self.tier_path(i)
@@ -367,7 +385,7 @@ class ParquetTieredStore:
             return self.spark.createDataFrame([], STORED_SCHEMA).select(
                 "metric", "ts", "value"
             )
-        return self._resolve(self.spark.read.parquet(path))
+        return self._resolve(self._scan_tier(path))
 
     def read_at(self, i: int, as_of_seq: int) -> DataFrame:
         """Snapshot read (mor mode only): tier i as it stood after write
@@ -386,7 +404,7 @@ class ParquetTieredStore:
             return self.spark.createDataFrame([], STORED_SCHEMA).select(
                 "metric", "ts", "value"
             )
-        raw = self.spark.read.parquet(path)
+        raw = self._scan_tier(path)
         if "_seq" in raw.columns:
             raw = raw.where(F.col("_seq") <= as_of_seq)
         return self._resolve(raw)
@@ -417,7 +435,7 @@ class ParquetTieredStore:
             )
         unit = self.part_unit(i)
         return self._resolve(
-            self.spark.read.parquet(path).where(
+            self._scan_tier(path).where(
                 (F.col("day") >= from_ts // unit)
                 & (F.col("day") <= (until_ts - 1) // unit)
                 & (F.col("ts") >= from_ts)
@@ -900,7 +918,10 @@ class ParquetTieredStore:
     def catalog(self) -> DataFrame:
         if not self.fs.exists(self.catalog_path):
             return self.spark.createDataFrame([], CATALOG_SCHEMA)
-        return self.spark.read.parquet(self.catalog_path)
+        # explicit schema: no planning-time footer read (see _tier_schema)
+        return self.spark.read.schema(CATALOG_SCHEMA).parquet(
+            self.catalog_path
+        )
 
     def catalog_add(self, rows: DataFrame) -> None:
         rows.select(
