@@ -2364,3 +2364,22 @@ def q_sketch_cms_merge_days(spark, sf_dir):
             F.coalesce("whole_c", F.lit(0)).alias("whole_c"),
         )
     )
+
+# --- oracle result-type normalization (VERDICT r8 "What's wrong" #1) ---
+# DuckDB types uncast sum()/integer-// results HUGEINT, which its pandas
+# conversion renders float64 while the Spark twin hands int64 — equal
+# values, different driver hash. Columns below were flagged by
+# tools/lint_oracles.py; cast_bigint_cols wraps each oracle in a
+# SELECT * REPLACE (CAST(col AS BIGINT) AS col) shell (lossless: all are
+# counts/ppm far below 2**63). The lint runs as tests/test_oracle_types.py
+# so no new HUGEINT oracle can stage.
+from kenshin_spark.oracle_types import apply_bigint_casts  # noqa: E402
+
+_BIGINT_CASTS = {
+    "sketch_bloom_sizing_curve": ("n_novel", "n_false_pos",),
+    "text_quality_reason_mix": ("n_keep", "n_len_fail", "n_mean_fail", "n_stop_fail", "n_alpha_fail",),
+    "mm_png_pixel_sum": ("pixel_sum",),
+    "q_events_error_budget_burn": ("n_errors", "burn_scaled",),
+    "sketch_cms_merge_days": ("merged_c",),
+}
+apply_bigint_casts(STAGED_R10, _BIGINT_CASTS)

@@ -1957,3 +1957,28 @@ def q_q_top_supplier_per_nation(spark, sf_dir):
         .where(F.col("rnk") == 1)
         .select("n_name", "s_suppkey", "s_acctbal")
     )
+
+# --- oracle result-type normalization (VERDICT r8 "What's wrong" #1) ---
+# DuckDB types uncast sum()/integer-// results HUGEINT, which its pandas
+# conversion renders float64 while the Spark twin hands int64 — equal
+# values, different driver hash. Columns below were flagged by
+# tools/lint_oracles.py; cast_bigint_cols wraps each oracle in a
+# SELECT * REPLACE (CAST(col AS BIGINT) AS col) shell (lossless: all are
+# counts/ppm far below 2**63). The lint runs as tests/test_oracle_types.py
+# so no new HUGEINT oracle can stage.
+from kenshin_spark.oracle_types import apply_bigint_casts  # noqa: E402
+
+_BIGINT_CASTS = {
+    "sketch_kmv_overlap_types": ("n_both",),
+    "sketch_kmv_overlap_days": ("n_both",),
+    "mm_resize_nearest_sum": ("pixel_sum",),
+    "text_vocab_coverage_curve": ("n_occurrences",),
+    "text_length_gini": ("total_chars",),
+    "emb_dim_sign_profile": ("n_pos", "n_neg", "n_zero",),
+    "q_supplier_balance_outliers": ("n_low_outliers", "n_high_outliers",),
+    "q_region_revenue_share": ("share_ppm",),
+    "ts_slot_alignment_audit": ("n_aligned", "n_unaligned",),
+    "text_hapax_by_source": ("n_hapax",),
+    "sketch_histogram_tail_mass": ("n_values", "n_overflow",),
+}
+apply_bigint_casts(STAGED_R11, _BIGINT_CASTS)

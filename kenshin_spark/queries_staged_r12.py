@@ -1896,3 +1896,36 @@ def q_q_customer_name_key_audit(spark, sf_dir):
         ),
         F.sum(F.col("c_name").isNull().cast("long")).alias("n_null_names"),
     )
+
+# --- oracle result-type normalization (VERDICT r8 "What's wrong" #1) ---
+# DuckDB types uncast sum()/integer-// results HUGEINT, which its pandas
+# conversion renders float64 while the Spark twin hands int64 — equal
+# values, different driver hash. Columns below were flagged by
+# tools/lint_oracles.py; cast_bigint_cols wraps each oracle in a
+# SELECT * REPLACE (CAST(col AS BIGINT) AS col) shell (lossless: all are
+# counts/ppm far below 2**63). The lint runs as tests/test_oracle_types.py
+# so no new HUGEINT oracle can stage.
+from kenshin_spark.oracle_types import apply_bigint_casts  # noqa: E402
+
+_BIGINT_CASTS = {
+    "sample_weighted_rate_audit": ("total_weight",),
+    "emb_ivf_cell_balance": ("largest_share_ppm",),
+    "hs_export_size_model": ("n_bytes",),
+    "pipeline_quality_token_budget": ("tokens_total", "tokens_kept", "kept_ppm",),
+    "text_shingle_dup_mass": ("n_shared", "shared_ppm",),
+    "q_orders_status_share_monthly": ("f_share_ppm", "o_share_ppm",),
+    "ts_spike_detection_mad": ("n_spikes",),
+    "emb_centroid_accuracy_by_label": ("n_correct",),
+    "q_events_reactivated_users": ("n_reactivations",),
+    "q_events_weekend_share": ("n_weekend", "weekend_ppm",),
+    "q_customer_negbal_by_nation": ("n_negative", "negative_ppm",),
+    "text_chars_field_audit": ("n_matching", "n_mismatch",),
+    "sim_range_topk_consistency": ("found_in_range",),
+    "render_delay_shift_compare": ("n_agree",),
+    "dedup_exact_survivor_stats": ("n_docs", "n_removed",),
+    "q_events_error_after_purchase": ("n_with_error_5m",),
+    "text_first_last_token": ("n_ring_docs",),
+    "q_events_value_null_share": ("n_null", "null_ppm",),
+    "q_customer_name_key_audit": ("n_canonical", "n_null_names",),
+}
+apply_bigint_casts(STAGED_R12, _BIGINT_CASTS)

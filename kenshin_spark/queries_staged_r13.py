@@ -1839,3 +1839,32 @@ def q_q_events_top2_type_mix(spark, sf_dir):
         .groupBy("primary_type", "secondary_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+# --- oracle result-type normalization (VERDICT r8 "What's wrong" #1) ---
+# DuckDB types uncast sum()/integer-// results HUGEINT, which its pandas
+# conversion renders float64 while the Spark twin hands int64 — equal
+# values, different driver hash. Columns below were flagged by
+# tools/lint_oracles.py; cast_bigint_cols wraps each oracle in a
+# SELECT * REPLACE (CAST(col AS BIGINT) AS col) shell (lossless: all are
+# counts/ppm far below 2**63). The lint runs as tests/test_oracle_types.py
+# so no new HUGEINT oracle can stage.
+from kenshin_spark.oracle_types import apply_bigint_casts  # noqa: E402
+
+_BIGINT_CASTS = {
+    "ts_cascade_count_conservation": ("tier1_input_slots",),
+    "q_supplier_line_share": ("share_ppm",),
+    "q_events_props_coverage": ("n_null", "n_parse_ok",),
+    "render_band_coverage": ("n_in_band",),
+    "q_lineitem_flag_status_matrix": ("total_qty",),
+    "text_lang_source_matrix": ("total_chars",),
+    "emb_large_coord_counts": ("n_large_coords",),
+    "q_events_signup_sameday_purchase": ("n_sameday_buyers",),
+    "ts_integer_value_share": ("n_whole", "whole_ppm",),
+    "q_events_back_to_back": ("n_rapid",),
+    "q_ship_before_order_audit": ("n_ship_before_order", "n_same_day_ship",),
+    "q_intranation_trade_share": ("n_domestic", "domestic_ppm",),
+    "sketch_histogram_clip_audit": ("n_values", "n_underflow", "n_overflow",),
+    "text_alpha_only_share": ("n_alpha_only",),
+    "sketch_cms_depth_sensitivity": ("total_overcount",),
+}
+apply_bigint_casts(STAGED_R13, _BIGINT_CASTS)

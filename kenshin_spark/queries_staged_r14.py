@@ -1675,3 +1675,27 @@ def q_q_customer_name_number_gap(spark, sf_dir):
         (F.max("c_custkey") - F.count(F.lit(1))).alias("key_gaps"),
         F.min("c_custkey").alias("min_key"),
     )
+
+# --- oracle result-type normalization (VERDICT r8 "What's wrong" #1) ---
+# DuckDB types uncast sum()/integer-// results HUGEINT, which its pandas
+# conversion renders float64 while the Spark twin hands int64 — equal
+# values, different driver hash. Columns below were flagged by
+# tools/lint_oracles.py; cast_bigint_cols wraps each oracle in a
+# SELECT * REPLACE (CAST(col AS BIGINT) AS col) shell (lossless: all are
+# counts/ppm far below 2**63). The lint runs as tests/test_oracle_types.py
+# so no new HUGEINT oracle can stage.
+from kenshin_spark.oracle_types import apply_bigint_casts  # noqa: E402
+
+_BIGINT_CASTS = {
+    "q_events_round_value_bias": ("n_round10", "round10_ppm",),
+    "q_priority_value_share": ("value_share_ppm",),
+    "q_customer_region_share": ("share_ppm",),
+    "q_lineitem_qty_whole_audit": ("n_whole",),
+    "ts_duplicate_ts_audit": ("n_duplicated",),
+    "ts_daily_volume_envelope": ("total_points",),
+    "q_return_rate_by_qty_band": ("n_returned", "return_ppm",),
+    "q_year_priority_share": ("share_ppm",),
+    "ts_stream_share_per_metric": ("share_ppm",),
+    "q_error_user_gini": ("n_errors",),
+}
+apply_bigint_casts(STAGED_R14, _BIGINT_CASTS)

@@ -1645,3 +1645,32 @@ def q_ts_week_count_envelope(spark, sf_dir):
         F.min("n").cast("long").alias("min_weekly"),
         F.max("n").cast("long").alias("max_weekly"),
     )
+
+# --- oracle result-type normalization (VERDICT r8 "What's wrong" #1) ---
+# DuckDB types uncast sum()/integer-// results HUGEINT, which its pandas
+# conversion renders float64 while the Spark twin hands int64 — equal
+# values, different driver hash. Columns below were flagged by
+# tools/lint_oracles.py; cast_bigint_cols wraps each oracle in a
+# SELECT * REPLACE (CAST(col AS BIGINT) AS col) shell (lossless: all are
+# counts/ppm far below 2**63). The lint runs as tests/test_oracle_types.py
+# so no new HUGEINT oracle can stage.
+from kenshin_spark.oracle_types import apply_bigint_casts  # noqa: E402
+
+_BIGINT_CASTS = {
+    "q_events_daily_type_mix_drift": ("share_ppm",),
+    "text_quality_pass_by_lang": ("n_keep",),
+    "q_part_reorder_rate": ("n_reordered", "reorder_ppm",),
+    "q_events_halflife_churn": ("n_churned", "n_new", "n_retained",),
+    "text_mislabel_rate_by_source": ("n_mismatch", "mismatch_ppm",),
+    "q_user_dow_consistency": ("n_events", "top_dow_share_ppm",),
+    "text_char_share_by_lang": ("chars", "share_ppm",),
+    "ts_metric_name_audit": ("n_wellformed",),
+    "q_events_zero_value_count": ("n_zero",),
+    "q_orders_december_share": ("n_december", "december_ppm",),
+    "q_customer_nation_gini": ("n_customers",),
+    "ts_first_day_coverage": ("first_day_points",),
+    "q_top_user_value_share": ("top_user_share_ppm",),
+    "q_segment_share": ("share_ppm",),
+    "q_event_type_volume_share": ("share_ppm",),
+}
+apply_bigint_casts(STAGED_R15, _BIGINT_CASTS)

@@ -435,12 +435,15 @@ def q_dedup_clusters_label_distributed(spark, sf_dir):
 def q_q_zero_discount_share(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     z = (F.col("l_discount") == 0).cast("long")
+    # integer `div`, not floor(double /): bit-exact vs the oracle's
+    # BIGINT `//` at any scale (VERDICT r8 item 1)
+    ppm = F.expr(
+        "(sum(CAST(l_discount = 0 AS LONG)) * 1000000) div count(1)"
+    )
     return li.agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(z).alias("n_zero"),
-        F.floor(F.sum(z) * 1000000 / F.count(F.lit(1)))
-        .cast("long")
-        .alias("zero_ppm"),
+        ppm.alias("zero_ppm"),
     )
 
 
@@ -470,3 +473,18 @@ def q_ts_stream_envelope(spark, sf_dir):
             "span_days"
         ),
     )
+
+# --- oracle result-type normalization (VERDICT r8 "What's wrong" #1) ---
+# DuckDB types uncast sum()/integer-// results HUGEINT, which its pandas
+# conversion renders float64 while the Spark twin hands int64 — equal
+# values, different driver hash. Columns below were flagged by
+# tools/lint_oracles.py; cast_bigint_cols wraps each oracle in a
+# SELECT * REPLACE (CAST(col AS BIGINT) AS col) shell (lossless: all are
+# counts/ppm far below 2**63). The lint runs as tests/test_oracle_types.py
+# so no new HUGEINT oracle can stage.
+from kenshin_spark.oracle_types import apply_bigint_casts  # noqa: E402
+
+_BIGINT_CASTS = {
+    "q_zero_discount_share": ("n_zero", "zero_ppm",),
+}
+apply_bigint_casts(STAGED_R8, _BIGINT_CASTS)

@@ -2272,3 +2272,20 @@ def q_ts_ring_slot_utilization(spark, sf_dir):
         hours.alias("hours_covered"),
         (F.round(hours / 24.0 * 1000000) / 1000000).alias("coverage"),
     )
+
+# --- oracle result-type normalization (VERDICT r8 "What's wrong" #1) ---
+# DuckDB types uncast sum()/integer-// results HUGEINT, which its pandas
+# conversion renders float64 while the Spark twin hands int64 — equal
+# values, different driver hash. Columns below were flagged by
+# tools/lint_oracles.py; cast_bigint_cols wraps each oracle in a
+# SELECT * REPLACE (CAST(col AS BIGINT) AS col) shell (lossless: all are
+# counts/ppm far below 2**63). The lint runs as tests/test_oracle_types.py
+# so no new HUGEINT oracle can stage.
+from kenshin_spark.oracle_types import apply_bigint_casts  # noqa: E402
+
+_BIGINT_CASTS = {
+    "dedup_bloom_fpr_audit": ("n_members", "n_member_hits", "n_novel", "n_false_pos",),
+    "q_events_late_watermark_audit": ("late_10m", "late_1h",),
+    "q_segment_balance_profile": ("n_negative",),
+}
+apply_bigint_casts(STAGED_R9, _BIGINT_CASTS)

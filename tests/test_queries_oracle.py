@@ -63,6 +63,25 @@ def test_query_matches_oracle(spark, duck, name):
     )
     assert len(got) == len(want), f"{name}: rowcount {len(got)} vs {len(want)}"
 
+    # dtype-kind guard (VERDICT r8 item 1): the driver hashes serialized
+    # values, so Spark int64 vs oracle float64 is a red row even when the
+    # values compare equal below (int == float → True). A null-free column
+    # pair may not straddle the int/float divide — that is exactly the
+    # HUGEINT→float64 signature. (Columns WITH nulls are exempt: both
+    # engines legitimately surface nullable ints as float64/object.)
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if got[c].isna().any() or want[c].isna().any():
+            continue
+        if (gk in "iu" and wk == "f") or (gk == "f" and wk in "iu"):
+            raise AssertionError(
+                f"{name}: column {c!r} dtype kind mismatch "
+                f"spark={got[c].dtype} oracle={want[c].dtype} — "
+                "the driver hash WILL flag this (HUGEINT class, "
+                "VERDICT r8); CAST the oracle column AS BIGINT or "
+                "align the Spark twin's type"
+            )
+
     g, w = canon(got), canon(want)
     mism = []
     for i in range(len(g)):
