@@ -2033,47 +2033,6 @@ def q_q_events_late_watermark_audit(spark, sf_dir):
 
 
 @stage(
-    "q_ship_latency_bands",
-    """
-    SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
-           CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
-                  THEN '0-30'
-                WHEN datediff('day', o_orderdate, l_shipdate) <= 60
-                  THEN '31-60'
-                WHEN datediff('day', o_orderdate, l_shipdate) <= 90
-                  THEN '61-90'
-                ELSE '90+' END AS band,
-           count(*) AS n_lines
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY 1, 2
-    """,
-    "order-to-ship latency bands per order month: the lineitem-orders "
-    "key join (co-partitioned on orderkey — the classic TPC-H join "
-    "Catalyst plans as one shuffle pair) with integer day arithmetic "
-    "banded into fulfilment SLas",
-)
-def q_q_ship_latency_bands(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    lat = F.datediff("l_shipdate", "o_orderdate")
-    band = (
-        F.when(lat <= 30, "0-30")
-        .when(lat <= 60, "31-60")
-        .when(lat <= 90, "61-90")
-        .otherwise("90+")
-    )
-    return (
-        j.select(
-            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-            band.alias("band"),
-        )
-        .groupBy("month", "band")
-        .agg(F.count(F.lit(1)).alias("n_lines"))
-    )
-
-
-@stage(
     "emb_sign_agreement_matrix",
     """
     WITH votes AS (

@@ -88,11 +88,12 @@ def test_promotion_dry_run_window_arithmetic():
     from kenshin_spark.queries_staged_r13 import STAGED_R13
     from kenshin_spark.queries_staged_r14 import STAGED_R14
     from kenshin_spark.queries_staged_r15 import STAGED_R15
+    from kenshin_spark.queries_staged_r16 import STAGED_R16
 
     banks = [set(STAGED), set(STAGED_R6), set(STAGED_R7), set(STAGED_R8),
              set(STAGED_R9), set(STAGED_R10), set(STAGED_R11),
              set(STAGED_R12), set(STAGED_R13), set(STAGED_R14),
-             set(STAGED_R15)]
+             set(STAGED_R15), set(STAGED_R16)]
     for a in range(len(banks)):
         for b in range(a + 1, len(banks)):
             assert not banks[a] & banks[b], "bank name collision"

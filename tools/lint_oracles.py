@@ -48,6 +48,7 @@ BANKS = [
     ("queries_staged_r13", "STAGED_R13"),
     ("queries_staged_r14", "STAGED_R14"),
     ("queries_staged_r15", "STAGED_R15"),
+    ("queries_staged_r16", "STAGED_R16"),
 ]
 
 
