@@ -43,6 +43,9 @@ def test_serving_correct_under_ingest_and_rocksdb_stream(spark):
     # raise); here pin that the harness actually exercised both sides
     assert a["n_errors"] == 0 and a["hung"] == 0
     assert a["served"] > 0 and a["value_checks"] > 0
+    # /render rides the same reader-session clone as /fetch (VERDICT r8
+    # item 2) — the fleet's render clients must actually have served
+    assert a.get("render_n", 0) > 0, "render clients never served"
     assert a["final_slots_verified"] > 0
     assert b["n_errors"] == 0 and b["hung"] == 0
     assert b["served"] > 0

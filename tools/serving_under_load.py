@@ -3,7 +3,8 @@
 scale (VERDICT r7 item 6): the r7 concurrent-serving test proved the
 assertion shape at toy scale (2 metrics x 4 batches); this drives the
 SAME shape against the 1M-point bench ingest — N concurrent TCP
-cache-query + HTTP fetch clients hammering a live store while
+cache-query + HTTP fetch + HTTP render clients hammering a live store
+while
 
   phase A: ``StreamingIngest.process_batch`` commits 10 direct-mode
            micro-batches, then runs ``maintenance()`` (expiry + small-
@@ -30,7 +31,8 @@ has committed, rurouni/protocols.py:65-84):
 
 Reports requests served, error count, value-check count, and p50/p95
 client latency per surface. Knobs: SPARK_GRAFT_LOAD_ROWS (default
-1_000_000), SPARK_GRAFT_LOAD_CLIENTS (default 8, half TCP half HTTP).
+1_000_000), SPARK_GRAFT_LOAD_CLIENTS (default 8, round-robin
+TCP / fetch / render).
 Importable: tests/test_serving_load.py runs the same harness at small
 scale; the BENCH_NOTES r8 entry records the 1M capture.
 """
@@ -46,6 +48,7 @@ import sys
 import tempfile
 import threading
 import time
+import urllib.parse
 import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -111,9 +114,11 @@ def _admissible_phase_a(spark, pts, probe_metrics, n_batches: int):
 
 
 class _ClientFleet:
-    """N looping clients (half TCP cache-query, half HTTP fetch)
-    against a live store; collects latencies and value-checks every
-    response against an admissible-values map."""
+    """N looping clients (round-robin TCP cache-query / HTTP fetch /
+    HTTP render) against a live store; collects latencies and
+    value-checks every response against an admissible-values map (the
+    render clients request ``scale(metric,2)`` and check ``value/2`` —
+    exact in IEEE — so a torn read can't hide behind the chain)."""
 
     def __init__(self, tcp_addr, http_addr, probe_metrics, admissible,
                  window: tuple[int, int, int], n_clients: int = 8):
@@ -124,7 +129,7 @@ class _ClientFleet:
         self.n_clients = n_clients
         self.stop_evt = threading.Event()
         self.errors: list = []
-        self.lat: dict[str, list[float]] = {"tcp": [], "http": []}
+        self.lat: dict[str, list[float]] = {"tcp": [], "http": [], "render": []}
         self.checked = 0
         self.served = 0
         self._lock = threading.Lock()
@@ -184,10 +189,37 @@ class _ClientFleet:
                         self._check(mm, ts, v)
                         self.checked += 1
 
+    def _render_loop(self, i: int):
+        h, p = self.http_addr
+        while not self.stop_evt.is_set():
+            m = self.metrics[i % len(self.metrics)]
+            target = urllib.parse.quote(f"scale({m},2)")
+            url = (
+                f"http://{h}:{p}/render?target={target}"
+                f"&from={self.frm}&until={self.until}&now={self.now}"
+            )
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(url, timeout=600) as resp:
+                    body = json.load(resp)
+            except Exception as exc:
+                self.errors.append(("render", repr(exc)))
+                return
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.lat["render"].append(dt)
+                self.served += 1
+                for mm, ts, v in body["rows"]:
+                    if v is not None:  # render grid NULL-pads like fetch
+                        self._check(mm, ts, v / 2)  # scale(,2) inverse, exact
+                        self.checked += 1
+
     def start(self):
+        loops = (self._tcp_loop, self._http_loop, self._render_loop)
         for i in range(self.n_clients):
-            fn = self._tcp_loop if i % 2 == 0 else self._http_loop
-            t = threading.Thread(target=fn, args=(i,), daemon=True)
+            t = threading.Thread(
+                target=loops[i % len(loops)], args=(i,), daemon=True
+            )
             t.start()
             self._threads.append(t)
 
@@ -219,15 +251,20 @@ def _servers_for(store):
     from kenshin_spark.serving import (
         CacheQueryServer,
         HttpFetchServer,
+        store_render_fn,
         store_serving_fns,
     )
 
-    # the engine's serving wiring: both lookups run under the store's
-    # swap seqlock (consistent_read), so compaction/expiry swaps under
-    # fire surface as a few ms of retry, never a torn read or a 500
+    # the engine's serving wiring: all three lookups run under the
+    # store's swap seqlock (consistent_read) THROUGH THE SHARED READER
+    # CLONE (ignoreMissingFiles session), so compaction/expiry swaps
+    # under fire surface as a few ms of retry, never a torn read, a
+    # starved scan, or a 500. /render shares the clone (VERDICT r8
+    # "What's wrong" #2).
     lookup, fetch_fn = store_serving_fns(store)
+    render_fn = store_render_fn(store, reader=fetch_fn.reader_store)
     tcp = CacheQueryServer(lookup)
-    http = HttpFetchServer(fetch_fn)
+    http = HttpFetchServer(fetch_fn, render_fn=render_fn)
     return tcp, http, fetch_fn
 
 
