@@ -159,6 +159,12 @@ class HadoopFS:
             with open(lt, "w", encoding="utf-8") as fh:
                 fh.write(text)
                 fh.flush()
+                # fsync before the rename: without it a power loss can
+                # persist the sidecar as an empty/truncated file, which
+                # last_seq/_next_seq would choke on (ADVICE r8). These
+                # files are tiny and written rarely relative to reads,
+                # so the sync cost is negligible.
+                os.fsync(fh.fileno())
             os.replace(lt, lp)  # same atomic-rename contract as below
             return
         out = self._fs.create(self._p(tmp), True)

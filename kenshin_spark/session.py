@@ -111,10 +111,13 @@ def get_spark(
         # a getOrCreate() onto an existing FIFO session won't apply them
         import tempfile
 
-        alloc = os.path.join(
-            tempfile.gettempdir(), "kenshin_fair_pools.xml"
+        # unique per process (mkstemp, not a fixed name in the shared
+        # temp dir): a predictable path is pre-creatable/symlinkable by
+        # another local user and races concurrent processes (ADVICE r8)
+        fd, alloc = tempfile.mkstemp(
+            prefix="kenshin_fair_pools_", suffix=".xml"
         )
-        with open(alloc, "w", encoding="utf-8") as fh:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
             fh.write(_FAIR_ALLOCATION_XML)
         builder = builder.config("spark.scheduler.mode", "FAIR").config(
             "spark.scheduler.allocation.file", alloc

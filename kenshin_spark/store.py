@@ -31,6 +31,7 @@ Spark-native equivalent, designed for 100 TB:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from contextlib import contextmanager
@@ -41,6 +42,8 @@ from pyspark.sql import types as T
 
 from kenshin_spark.config import AGG_SQL, Schema
 from kenshin_spark.fs import HadoopFS
+
+_LOG = logging.getLogger(__name__)
 from kenshin_spark.operators.align import align_ts
 
 DAY = 86400
@@ -73,8 +76,12 @@ CATALOG_SCHEMA = T.StructType(
 def _is_stale_read(exc: Exception) -> bool:
     """A scan that listed files before a concurrent swap/expiry deleted
     them — Spark surfaces it as FAILED_READ_FILE.FILE_NOT_EXIST (or a
-    raw FileNotFoundException from the committer). These are the ONLY
-    errors ``consistent_read`` retries."""
+    raw FileNotFoundException from the committer), and a vanished
+    directory at planning time as [PATH_NOT_FOUND]. These file-level
+    error classes are the ONLY errors ``consistent_read`` retries — a
+    broad substring like 'does not exist' would also match permanent
+    AnalysisExceptions (missing table/view/column, a genuinely wrong
+    path) and burn the whole retry budget on them (ADVICE r8)."""
     text = f"{type(exc).__name__}: {exc}"
     return any(
         marker in text
@@ -82,7 +89,6 @@ def _is_stale_read(exc: Exception) -> bool:
             "FAILED_READ_FILE",
             "FileNotFoundException",
             "PATH_NOT_FOUND",
-            "does not exist",
         )
     )
 
@@ -143,8 +149,9 @@ class ParquetTieredStore:
         over the tier — at 100 TB that would be a full-table aggregate
         just to open the store. Legacy stores without a sidecar fall back
         to the tier scan once."""
-        n = self.last_seq()
-        if n == 0 and not self.fs.exists(self._seq_sidecar):
+        hint = self._last_seq_or_none()
+        n = hint or 0
+        if hint is None:
             for i in range(len(self.schema.archives)):
                 path = self.tier_path(i)
                 if not self._tier_empty(path):
@@ -277,7 +284,22 @@ class ParquetTieredStore:
             stats["epoch_races"] += 1
             if validations >= retries:
                 stats["degraded_returns"] += 1
-                return out  # error-free but epoch moved — see degradation
+                # error-free but epoch moved — see degradation order in
+                # the docstring. Don't degrade silently (ADVICE r8): the
+                # serving reader runs with ignoreMissingFiles=true, so a
+                # degraded return can omit day partitions deleted
+                # mid-scan and the client would otherwise see an
+                # ordinary response with only a process-local counter
+                # as evidence.
+                _LOG.warning(
+                    "consistent_read degraded return after %d epoch "
+                    "races (store=%s): result may reflect a mid-swap "
+                    "listing; degraded_returns=%d",
+                    validations,
+                    self.root,
+                    stats["degraded_returns"],
+                )
+                return out
 
     def retry_metrics(self, now: int) -> list[tuple[str, int, float]]:
         """``read_retry_stats`` + the current swap epoch as self-metric
@@ -342,14 +364,32 @@ class ParquetTieredStore:
             .select("metric", "ts", F.col("_w.value").alias("value"))
         )
 
-    def last_seq(self) -> int:
-        """The newest committed write stamp (0 if nothing written) — pass
-        to ``read_at`` for a stable snapshot."""
-        if self.fs.exists(self._seq_sidecar):
+    def _last_seq_or_none(self) -> int | None:
+        """Sidecar stamp, or None when the sidecar is missing OR
+        unparsable (empty/truncated — e.g. power loss between create and
+        fsync on a filesystem that doesn't order them). Unparsable maps
+        to None, not 0, so ``_next_seq`` takes the same once-only
+        tier-scan fallback as a legacy store instead of bricking writes
+        or slow-probing the claims dir from 1 (ADVICE r8); the write
+        path fsyncs before rename, so this is defense in depth."""
+        if not self.fs.exists(self._seq_sidecar):
+            return None
+        try:
             return int(
                 json.loads(self.fs.read_text(self._seq_sidecar))["last_seq"]
             )
-        return 0
+        except (ValueError, KeyError, TypeError):
+            _LOG.warning(
+                "unparsable _seq sidecar at %s — falling back to the "
+                "tier max(_seq) scan (torn write from a crash?)",
+                self._seq_sidecar,
+            )
+            return None
+
+    def last_seq(self) -> int:
+        """The newest committed write stamp (0 if nothing written) — pass
+        to ``read_at`` for a stable snapshot."""
+        return self._last_seq_or_none() or 0
 
     def _tier_empty(self, path: str) -> bool:
         """True when the tier has no data partitions — absent entirely, or
@@ -405,8 +445,17 @@ class ParquetTieredStore:
                 "metric", "ts", "value"
             )
         raw = self._scan_tier(path)
-        if "_seq" in raw.columns:
-            raw = raw.where(F.col("_seq") <= as_of_seq)
+        # NULL-tolerant as-of filter: with the explicit _tier_schema the
+        # _seq column always EXISTS, but rows from files that physically
+        # lack it (a tier written before this store ran in mor mode, or
+        # imported data) read back as NULL. Those rows predate every
+        # stamp, so they belong in every snapshot — a bare
+        # `_seq <= as_of` would silently drop them all (ADVICE r8).
+        # _resolve's max(struct(_seq, value)) already ranks NULL lowest,
+        # so stamped rows still win LWW over legacy ones.
+        raw = raw.where(
+            (F.col("_seq") <= as_of_seq) | F.col("_seq").isNull()
+        )
         return self._resolve(raw)
 
     def changed_between(

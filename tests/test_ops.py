@@ -3632,3 +3632,82 @@ class TestRenderScalarExtras:
         s = {r["ts"]: r["value"] for r in square_root(g).collect()}
         assert s[0] == 2.0 and s[60] is None  # negative → NULL
         assert {r["metric"] for r in alias_by_metric(g).collect()} == {"c"}
+
+
+class TestAdviceR8Hardening:
+    """Regression tests for the round-8 ADVICE items: legacy-mor
+    snapshot reads, torn seq sidecars, and stale-read marker scope."""
+
+    def _mor(self, spark, tmp_path):
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
+        return ParquetTieredStore(
+            spark, schema, str(tmp_path / "st"), mode="mor"
+        )
+
+    def test_read_at_keeps_legacy_rows_without_seq(self, spark, tmp_path):
+        """Files that physically lack _seq (a tier written before mor, or
+        imported) read back as NULL under the explicit tier schema; the
+        as-of filter must keep them (they predate every stamp), and
+        stamped rows must still win LWW over them (ADVICE r8 medium)."""
+        store = self._mor(spark, tmp_path)
+        # legacy rows: write WITHOUT _seq straight into the tier layout
+        legacy = spark.createDataFrame(
+            [("m", 60, 1.0, 0), ("n", 60, 5.0, 0)],
+            "metric string, ts long, value double, day long",
+        )
+        legacy.write.partitionBy("day").parquet(store.tier_path(0))
+        df = spark.createDataFrame(
+            [("m", 60, 2.0)], "metric string, ts long, value double"
+        )
+        store.upsert(0, df)  # stamped seq=1, overwrites m@60
+        snap = {
+            (r["metric"], r["ts"]): r["value"]
+            for r in store.read_at(0, store.last_seq()).collect()
+        }
+        # n@60 is a legacy row — a bare `_seq <= as_of` would drop it
+        assert snap[("n", 60)] == 5.0
+        # the stamped write still wins LWW over the legacy value
+        assert snap[("m", 60)] == 2.0
+
+    def test_torn_seq_sidecar_recovers_via_tier_scan(self, spark, tmp_path):
+        """An empty/truncated _seq.json (crash between create and fsync)
+        must not brick writes: last_seq treats it as missing and
+        _next_seq falls back to the once-only tier max(_seq) scan, so
+        stamps stay monotonic (ADVICE r8 low)."""
+        store = self._mor(spark, tmp_path)
+        df = spark.createDataFrame(
+            [("m", 60, 1.0)], "metric string, ts long, value double"
+        )
+        for _ in range(3):
+            store.upsert(0, df)
+        assert store.last_seq() == 3
+        # tear the sidecar (and drop the claim markers — the CAS dir may
+        # have been GC'd by expire(), so recovery can't lean on it)
+        store.fs.write_text_atomic(store._seq_sidecar, "")
+        for name in store.fs.list_names(store._seq_claims):
+            store.fs.delete(store._seq_claims + "/" + name)
+        assert store.last_seq() == 0  # unreadable → hint gone
+        n = store._next_seq()
+        assert n == 4  # recovered from max(_seq) over the tier, not 1
+
+    def test_stale_read_markers_exclude_plain_does_not_exist(self):
+        """Permanent errors whose message merely contains 'does not
+        exist' (missing table/view/column) must NOT be retried; the
+        file-level classes a racing swap actually produces must
+        (ADVICE r8 low)."""
+        from kenshin_spark.store import _is_stale_read
+
+        assert not _is_stale_read(
+            Exception("[TABLE_OR_VIEW_NOT_FOUND] The table `x` does not exist")
+        )
+        assert not _is_stale_read(Exception("column `v` does not exist"))
+        assert _is_stale_read(
+            Exception("[FAILED_READ_FILE.FILE_NOT_EXIST] reading file x")
+        )
+        assert _is_stale_read(
+            Exception("java.io.FileNotFoundException: /x/part-0.parquet")
+        )
+        assert _is_stale_read(Exception("[PATH_NOT_FOUND] Path does not exist"))
