@@ -275,10 +275,27 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    # ingest FIRST, on a quiet box: the r8 driver capture recorded the
+    # aggregated path at 0.62x its solo number because the ingest block
+    # shared the session tail with 348 queries' worth of JVM/GC/page-
+    # cache pressure (BENCH_NOTES r8; VERDICT r8 next-round item 4) —
+    # measured before the suite, the number reflects the engine, not
+    # the box's late-session state.
+    timings: dict[str, float] = {}
+    ingest = None
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":
+        try:
+            ingest = _bench_ingest(spark, SF_DIR)
+        except Exception as exc:  # the query numbers must still ship
+            print(f"[bench ingest] failed: {exc}", file=sys.stderr, flush=True)
+        tmp = PARTIAL + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_payload(timings, sf, ingest))
+        os.replace(tmp, PARTIAL)
+
     # warm-then-measure: the first execution of each query pays one-time
     # codegen/JIT compilation (~4s for the DECIMAL-heavy plans); the timed
     # run reports steady-state engine throughput, the number that scales.
-    timings: dict[str, float] = {}
     names = driver_order()
     for i, name in enumerate(names):
         fn = QUERIES[name].fn
@@ -294,20 +311,9 @@ def main() -> None:
         # checkpoint: a JVM death mid-run still leaves a parseable artifact
         tmp = PARTIAL + ".tmp"
         with open(tmp, "w") as f:
-            f.write(_payload(timings, sf))
-        os.replace(tmp, PARTIAL)
-        spark.catalog.clearCache()
-
-    ingest = None
-    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":
-        try:
-            ingest = _bench_ingest(spark, SF_DIR)
-        except Exception as exc:  # the query numbers must still ship
-            print(f"[bench ingest] failed: {exc}", file=sys.stderr, flush=True)
-        tmp = PARTIAL + ".tmp"
-        with open(tmp, "w") as f:
             f.write(_payload(timings, sf, ingest))
         os.replace(tmp, PARTIAL)
+        spark.catalog.clearCache()
 
     print(_summary_line(timings, sf, ingest), flush=True)
     sys.stdout.flush()

@@ -645,31 +645,55 @@ class ParquetTieredStore:
         kenshin/storage.py:510-586, bounded to the affected window exactly
         like the reference's propagation range."""
         agg = AGG_SQL[self.schema.agg_method]
-        touched = batch_slots.select("metric", F.col("ts").cast("long"))
-        bounds = touched.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
-        ).collect()[0]
-        if bounds["lo"] is None:
-            return
-        lo, hi = int(bounds["lo"]), int(bounds["hi"])
-        for i in range(from_tier + 1, len(self.schema.archives)):
-            step = self.schema.archives[i].sec_per_point
-            slots = touched.select(
-                "metric", align_ts(F.col("ts"), step).alias("slot")
-            ).distinct()
-            # bound the finer-tier scan to the touched coarse-slot range —
-            # partition pruning keeps propagation cost ∝ batch, not table
-            finer = self.read_range(i - 1, lo - lo % step, hi - hi % step + step)
-            window = finer.join(
-                F.broadcast(slots),
-                (finer["metric"] == slots["metric"])
-                & (align_ts(finer["ts"], step) == slots["slot"]),
-            ).select(finer["metric"], finer["ts"], finer["value"])
-            re_agg = window.groupBy(
-                "metric", align_ts(F.col("ts"), step).alias("ts")
-            ).agg(F.expr(agg.format(v="value", t="ts")).alias("value"))
-            self.upsert(i, re_agg)
-            touched = re_agg.select("metric", "ts")
+        # each tier's touched-slot frame is consumed twice (this tier's
+        # upsert write + the next tier's broadcast build) — cache them
+        # so the cascade computes every level exactly once instead of
+        # re-running the whole upstream plan per action (foreachBatch
+        # frames re-execute their stateful source otherwise)
+        cached: list[DataFrame] = []
+        touched = batch_slots.select(
+            "metric", F.col("ts").cast("long")
+        ).persist()
+        cached.append(touched)
+        try:
+            bounds = touched.agg(
+                F.min("ts").alias("lo"), F.max("ts").alias("hi")
+            ).collect()[0]
+            if bounds["lo"] is None:
+                return
+            lo, hi = int(bounds["lo"]), int(bounds["hi"])
+            for i in range(from_tier + 1, len(self.schema.archives)):
+                step = self.schema.archives[i].sec_per_point
+                slots = touched.select(
+                    "metric", align_ts(F.col("ts"), step).alias("slot")
+                ).distinct()
+                # bound the finer-tier scan to the touched coarse-slot
+                # range — partition pruning keeps propagation cost
+                # ∝ batch, not table
+                finer = self.read_range(
+                    i - 1, lo - lo % step, hi - hi % step + step
+                )
+                window = finer.join(
+                    F.broadcast(slots),
+                    (finer["metric"] == slots["metric"])
+                    & (align_ts(finer["ts"], step) == slots["slot"]),
+                ).select(finer["metric"], finer["ts"], finer["value"])
+                re_agg = window.groupBy(
+                    "metric", align_ts(F.col("ts"), step).alias("ts")
+                ).agg(
+                    F.expr(agg.format(v="value", t="ts")).alias("value")
+                ).persist()
+                cached.append(re_agg)
+                # writes from a cached frame keep the raw shuffle
+                # partitioning (no AQE coalesce) — shape the append
+                # explicitly so a small re-agg doesn't fan out into one
+                # file per shuffle partition per day
+                n_slots = re_agg.count()
+                self.upsert(i, re_agg.coalesce(1 + n_slots // 500_000))
+                touched = re_agg.select("metric", "ts")
+        finally:
+            for df in cached:
+                df.unpersist()
 
     def backup_to(self, dest_root: str) -> list[str]:
         """Copy every tier, the catalog, and the seq sidecar to
