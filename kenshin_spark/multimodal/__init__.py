@@ -94,7 +94,8 @@ def _decode_with_flag(payload: bytes) -> tuple[str, int, int, str, bool]:
             return hashlib.md5(payload).hexdigest(), w, h, fmt, False
         except ValueError:
             pass  # unsupported profile (e.g. paletted PNG) → PIL seam
-    if is_real_image(payload):
+    real = is_real_image(payload)
+    if real:
         try:
             return (*_real_decode(payload), False)
         except Exception:
@@ -102,7 +103,7 @@ def _decode_with_flag(payload: bytes) -> tuple[str, int, int, str, bool]:
     digest = hashlib.md5(payload).hexdigest()
     width = 64 + int(digest[:4], 16) % 1024
     height = 64 + int(digest[4:8], 16) % 1024
-    return digest, width, height, "fake", is_real_image(payload)
+    return digest, width, height, "fake", real
 
 
 def extract_image_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

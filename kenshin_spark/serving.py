@@ -216,7 +216,11 @@ def reader_clone(store):
     epoch saw no swap. Missing-file tolerance stays scoped to this
     session only; the writer's own reads keep failing loudly."""
     session = store.spark.newSession()
-    session.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    # the commit protocol knows what its readers need: the seqlock
+    # backend asks for ignoreMissingFiles (exactness comes from epoch
+    # validation); a snapshot-isolated backend asks for nothing
+    for k, v in store.commit.reader_conf().items():
+        session.conf.set(k, v)
     session.conf.set(
         "spark.sql.legacy.parquet.nanosAsLong",
         store.spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),

@@ -33,13 +33,16 @@ from __future__ import annotations
 import json
 import logging
 import os
-import time
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kenshin_spark.commit import (  # _is_stale_read re-exported for tests
+    CommitProtocol,
+    SeqlockCommitProtocol,
+    _is_stale_read,  # noqa: F401
+)
 from kenshin_spark.config import AGG_SQL, Schema
 from kenshin_spark.fs import HadoopFS
 
@@ -73,26 +76,6 @@ CATALOG_SCHEMA = T.StructType(
 )
 
 
-def _is_stale_read(exc: Exception) -> bool:
-    """A scan that listed files before a concurrent swap/expiry deleted
-    them — Spark surfaces it as FAILED_READ_FILE.FILE_NOT_EXIST (or a
-    raw FileNotFoundException from the committer), and a vanished
-    directory at planning time as [PATH_NOT_FOUND]. These file-level
-    error classes are the ONLY errors ``consistent_read`` retries — a
-    broad substring like 'does not exist' would also match permanent
-    AnalysisExceptions (missing table/view/column, a genuinely wrong
-    path) and burn the whole retry budget on them (ADVICE r8)."""
-    text = f"{type(exc).__name__}: {exc}"
-    return any(
-        marker in text
-        for marker in (
-            "FAILED_READ_FILE",
-            "FileNotFoundException",
-            "PATH_NOT_FOUND",
-        )
-    )
-
-
 class ParquetTieredStore:
     """``mode="cow"`` (default): every upsert merges and rewrites the
     touched partitions — reads are cheapest, writes pay partition-sized
@@ -104,7 +87,12 @@ class ParquetTieredStore:
     usage: mor for high-frequency hot ingest, cow for read-heavy tiers."""
 
     def __init__(
-        self, spark: SparkSession, schema: Schema, root: str, mode: str = "cow"
+        self,
+        spark: SparkSession,
+        schema: Schema,
+        root: str,
+        mode: str = "cow",
+        commit_protocol: CommitProtocol | None = None,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown store mode {mode!r}")
@@ -118,15 +106,14 @@ class ParquetTieredStore:
         # dynamic mode: .partitionBy().mode("overwrite") rewrites only the
         # partitions present in the written frame — the MERGE primitive here
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        #: consistent_read observability (the S8 self-metrics shape): how
-        #: often serving reads waited on / raced / degraded past the swap
-        #: seqlock — a silently-degrading replica shows up here, not in logs
-        self.read_retry_stats = {
-            "inflight_waits": 0,
-            "stale_retries": 0,
-            "epoch_races": 0,
-            "degraded_returns": 0,
-        }
+        #: the commit surface (swap guard / epoch / consistent_read) as a
+        #: swappable protocol — plain-parquet seqlock by default; a
+        #: Delta/Iceberg-backed store passes a SnapshotCommitProtocol and
+        #: every primitive degenerates to the format's native feature
+        #: (see kenshin_spark.commit for the full mapping)
+        self.commit: CommitProtocol = commit_protocol or SeqlockCommitProtocol(
+            self.fs, os.path.join(root, "_swap_epoch"), label=root
+        )
 
     @property
     def _seq_sidecar(self) -> str:
@@ -170,55 +157,41 @@ class ParquetTieredStore:
         )
         return n
 
-    # -- the swap seqlock (serving reads vs file transitions) --------------
+    # -- the commit surface (swap guard / epoch / consistent_read) --------
+    # delegated to self.commit — SeqlockCommitProtocol on plain parquet,
+    # SnapshotCommitProtocol on a transactional table format (see
+    # kenshin_spark.commit for the primitive-by-primitive mapping)
 
     @property
     def _epoch_sidecar(self) -> str:
         return os.path.join(self.root, "_swap_epoch")
 
+    @property
+    def read_retry_stats(self) -> dict:
+        """consistent_read observability (the S8 self-metrics shape): how
+        often serving reads waited on / raced / degraded past the commit
+        protocol — a silently-degrading replica shows up here."""
+        return self.commit.stats
+
     def swap_epoch(self) -> int:
-        """Monotonic counter over DESTRUCTIVE file transitions (day-dir
-        swaps, tier swaps, expiry deletes): ODD while one is in flight,
-        EVEN when quiescent — a filesystem seqlock. Plain Parquet has no
-        snapshot isolation (fs.py's object-store caveat; Delta/Iceberg
-        give it for free), so without this a serving read that lists
-        files just before ``compact()`` promotes a day dir fails
-        FAILED_READ_FILE mid-scan — or worse, reads the gap between the
-        two renames and silently misses the day. Writers are
-        single-process by design (the reference daemon's one writeForever
-        thread, rurouni/writer.py); nesting inside one store object is
-        handled in-process."""
-        try:
-            return int(self.fs.read_text(self._epoch_sidecar))
-        except Exception:
-            return 0
+        """Monotonic version over DESTRUCTIVE file transitions (day-dir
+        swaps, tier swaps, expiry deletes): under the default seqlock
+        backend, ODD while one is in flight, EVEN when quiescent; under
+        a table format, the table version/snapshot id. Plain Parquet has
+        no snapshot isolation (fs.py's object-store caveat), so without
+        the seqlock a serving read that lists files just before
+        ``compact()`` promotes a day dir fails FAILED_READ_FILE mid-scan
+        — or worse, reads the gap between the two renames and silently
+        misses the day. Writers are single-process by design (the
+        reference daemon's one writeForever thread, rurouni/writer.py);
+        nesting inside one store object is handled by the protocol."""
+        return self.commit.epoch()
 
-    _swap_depth = 0  # in-process nesting (compact() -> _compact_day())
-
-    @contextmanager
     def _swap_guard(self):
-        """Bump the epoch to odd for the duration of a destructive file
-        transition; back to even after. Guards ONLY the rename/delete
-        window, never the (non-destructive, underscore-staged) tmp
-        writes — so readers spin for milliseconds, not for the length of
-        a compaction job."""
-        if self._swap_depth:
-            self._swap_depth += 1
-            try:
-                yield
-            finally:
-                self._swap_depth -= 1
-            return
-        e = self.swap_epoch()
-        if e % 2:  # crash debris: a guard death left it odd; re-even it
-            e += 1
-        self._swap_depth = 1
-        self.fs.write_text_atomic(self._epoch_sidecar, str(e + 1))
-        try:
-            yield
-        finally:
-            self._swap_depth = 0
-            self.fs.write_text_atomic(self._epoch_sidecar, str(e + 2))
+        """Critical section around a destructive file transition —
+        ``commit.guard_transition()``; a no-op under snapshot-isolated
+        backends whose commits are atomic in the transaction log."""
+        return self.commit.guard_transition()
 
     def consistent_read(
         self,
@@ -228,78 +201,17 @@ class ParquetTieredStore:
         deadline_s: float = 30.0,
     ):
         """Run driver-side read ``fn`` (build-DataFrame-and-collect; it is
-        re-invoked from scratch on retry) with seqlock validation: the
-        result is returned only if no destructive transition was in
-        flight at the start and the epoch did not move during the read.
-        Stale-file-read errors (a concurrently swapped/expired file) are
-        retried, anything else propagates. The serving layer
+        re-invoked from scratch on retry) so the result is never a torn
+        view of an in-flight transition. The serving layer
         (serving.store_serving_fns) wraps every lookup in this — the
         analog of the reference daemon answering cache queries while
-        writeForever flushes (rurouni/protocols.py:65-84). On a table
-        format with snapshot isolation this method degenerates to one
-        plain ``fn()``.
-
-        Degradation order under sustained swap fire (a long maintenance
-        pass swapping day after day, where epoch movement overlaps
-        almost every scan): (1) a clean read at a stable even epoch —
-        the guarantee; (2) after ``retries`` epoch-moved validation
-        failures, the first ERROR-FREE read even if the epoch moved
-        during it — availability over the microsecond mid-listing gap
-        (and on the mor append log a completed scan is prefix-correct
-        anyway); (3) ``retries`` consecutive stale-read failures →
-        re-raise. Budgets are COUNT-based, never wall-based: a slow
-        scan queued behind maintenance must not burn the retry budget
-        before its first stale failure (the load harness caught exactly
-        that — a >30 s first attempt raising with zero retries).
-        ``deadline_s`` bounds only the in-flight wait spin, so a reader
-        polling a store whose writer crashed mid-guard (epoch stuck
-        odd) degrades to plain reads instead of hanging."""
-        wait_deadline = time.monotonic() + deadline_s
-        validations = 0
-        stale = 0
-        waits = 0
-        stats = self.read_retry_stats
-        while True:
-            e0 = self.swap_epoch()
-            if e0 % 2 and time.monotonic() < wait_deadline:
-                # transition in flight — wait out the renames
-                waits += 1
-                stats["inflight_waits"] += 1
-                time.sleep(min(backoff_s * waits, 0.5))
-                continue
-            try:
-                out = fn()
-            except Exception as exc:
-                if not _is_stale_read(exc):
-                    raise
-                stale += 1
-                stats["stale_retries"] += 1
-                if stale >= retries:
-                    raise
-                time.sleep(min(backoff_s * stale, 0.5))
-                continue
-            if e0 % 2 == 0 and self.swap_epoch() == e0:
-                return out
-            validations += 1
-            stats["epoch_races"] += 1
-            if validations >= retries:
-                stats["degraded_returns"] += 1
-                # error-free but epoch moved — see degradation order in
-                # the docstring. Don't degrade silently (ADVICE r8): the
-                # serving reader runs with ignoreMissingFiles=true, so a
-                # degraded return can omit day partitions deleted
-                # mid-scan and the client would otherwise see an
-                # ordinary response with only a process-local counter
-                # as evidence.
-                _LOG.warning(
-                    "consistent_read degraded return after %d epoch "
-                    "races (store=%s): result may reflect a mid-swap "
-                    "listing; degraded_returns=%d",
-                    validations,
-                    self.root,
-                    stats["degraded_returns"],
-                )
-                return out
+        writeForever flushes (rurouni/protocols.py:65-84). Degradation
+        order, retry budgets, and the stale-marker scope live with the
+        backend (kenshin_spark.commit.SeqlockCommitProtocol); on a table
+        format this is one plain ``fn()``."""
+        return self.commit.consistent_read(
+            fn, retries=retries, backoff_s=backoff_s, deadline_s=deadline_s
+        )
 
     def retry_metrics(self, now: int) -> list[tuple[str, int, float]]:
         """``read_retry_stats`` + the current swap epoch as self-metric
