@@ -796,10 +796,26 @@ class ParquetTieredStore:
         if self._tier_empty(path):
             return [] if days is not None else None
         if days is not None:
-            return [
-                d for d in days
-                if self._compact_day(i, d, target_files_per_day)
-            ]
+            # two-phase: stage every day's rewrite first (the expensive
+            # Spark jobs, non-destructive), then promote ALL of them
+            # under ONE guard. A maintenance pass compacting ~190
+            # fragmented days used to flip the epoch 380 times — with a
+            # transition every ~200 ms, any serving scan longer than
+            # that raced SOME swap on every attempt and went retry-bound
+            # (~20 s p95 in the 1M load capture). Batched, readers see
+            # at most one transition per maintenance pass, and the guard
+            # window is the renames only (ms per day), never the writes.
+            staged = []
+            for d in days:
+                prep = self._stage_day_compact(i, d, target_files_per_day)
+                if prep is not None:
+                    staged.append((d, prep))
+            if not staged:
+                return []
+            with self._swap_guard():
+                for _, prep in staged:
+                    self._promote_day_compact(*prep)
+            return [d for d, _ in staged]
         raw = self.spark.read.parquet(path)
         if "_seq" in raw.columns:
             # fold the mor append log to one row per slot, stamp 0
@@ -834,19 +850,21 @@ class ParquetTieredStore:
         with self._swap_guard():
             self.fs.swap(path, tmp)
 
-    def _compact_day(
+    def _stage_day_compact(
         self, i: int, day: int, target_files_per_day: int
-    ) -> bool:
-        """Compact ONE day partition in place: read just that directory
-        (files inside a ``day=`` dir don't carry the partition column),
-        fold the mor log if present, rewrite as ``target_files_per_day``
-        sorted files, swap the day directory. Slots never span days, so
+    ) -> tuple[str, str, str] | None:
+        """Phase 1 of a day compaction — the EXPENSIVE, non-destructive
+        part, run outside any guard: read just that ``day=`` directory
+        (files inside it don't carry the partition column), fold the mor
+        log if present, rewrite as ``target_files_per_day`` sorted files
+        into an underscore-staged tmp dir. Slots never span days, so
         folding one day's log is exactly as correct as folding the
-        tier's. Returns False when the partition doesn't exist."""
+        tier's. Returns ``(day_dir, tmp, bak)`` for phase 2, or None
+        when the partition doesn't exist."""
         path = self.tier_path(i)
         day_dir = os.path.join(path, f"day={day}")
         if not self.fs.exists(day_dir):
-            return False
+            return None
         raw = self.spark.read.parquet(day_dir)
         if "_seq" in raw.columns:
             df = (
@@ -872,15 +890,28 @@ class ParquetTieredStore:
         )
         if self.fs.exists(bak):  # debris from a crash after promote
             self.fs.delete(bak)
+        return day_dir, tmp, bak
+
+    def _promote_day_compact(self, day_dir: str, tmp: str, bak: str) -> None:
+        """Phase 2 — the destructive renames; caller holds the guard."""
+        if not self.fs.rename(day_dir, bak):
+            raise IOError(f"compact: could not stage {day_dir} -> {bak}")
+        if not self.fs.rename(tmp, day_dir):
+            self.fs.rename(bak, day_dir)  # roll back
+            raise IOError(f"compact: could not promote {tmp} -> {day_dir}")
+        self.fs.delete(bak)
+
+    def _compact_day(
+        self, i: int, day: int, target_files_per_day: int
+    ) -> bool:
+        """Compact ONE day partition in place (stage + promote under its
+        own guard). ``compact(days=[...])`` batches the promotes of many
+        days under a single guard instead — see there."""
+        prep = self._stage_day_compact(i, day, target_files_per_day)
+        if prep is None:
+            return False
         with self._swap_guard():  # seqlock: renames only, not the write
-            if not self.fs.rename(day_dir, bak):
-                raise IOError(f"compact: could not stage {day_dir} -> {bak}")
-            if not self.fs.rename(tmp, day_dir):
-                self.fs.rename(bak, day_dir)  # roll back
-                raise IOError(
-                    f"compact: could not promote {tmp} -> {day_dir}"
-                )
-            self.fs.delete(bak)
+            self._promote_day_compact(*prep)
         return True
 
     # -- delete (M5) ------------------------------------------------------

@@ -92,3 +92,26 @@ class TestSnapshotBackend:
         assert got == {60: 1.0, 120: 2.0}
         assert not st.fs.exists(st._epoch_sidecar)  # never written
         assert st.read_retry_stats["epoch_races"] == 0
+
+
+class TestBatchedCompactionGuard:
+    def test_multi_day_compact_is_one_epoch_transition(self, spark, tmp_path):
+        """compact(days=[...]) promotes every staged day under ONE guard:
+        the epoch moves by exactly 2 regardless of day count (it used to
+        move 2 per day — the swap-storm that drove serving p95
+        retry-bound in the 1M load capture)."""
+        schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+        st = ParquetTieredStore(
+            spark, schema, str(tmp_path / "st"), mode="mor"
+        )
+        day = 86400
+        rows = [("m", d * day + 60 * k, 1.0) for d in range(6) for k in range(3)]
+        for k in range(3):  # fragment: 3 appends per day
+            st.upsert(0, spark.createDataFrame(
+                rows, "metric string, ts long, value double"))
+        e0 = st.swap_epoch()
+        done = st.compact(0, days=[0, 1, 2, 3, 4])
+        assert done == [0, 1, 2, 3, 4]
+        assert st.swap_epoch() == e0 + 2  # one transition, not five
+        # and the fold is still correct
+        assert st.read(0).count() == 18
