@@ -1455,7 +1455,7 @@ def q_mm_sniff_formats(spark, sf_dir):
 # deciles, and a second funnel shape.
 # --------------------------------------------------------------------------
 
-from kenshin_spark.queries_staged_r10 import _bloom_oracle  # noqa: E402
+from kenshin_spark.bloom_oracle import _bloom_oracle  # noqa: E402
 
 
 @stage(
