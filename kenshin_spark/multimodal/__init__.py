@@ -70,9 +70,9 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
 
 def _decode_with_flag(payload: bytes) -> tuple[str, int, int, str, bool]:
     """Codec step, in preference order: (1) the pure-stdlib codecs
-    (PNG/BMP/baseline-JPEG — REAL decode, no dependencies,
-    `multimodal/codecs.py`); (2) PIL for what remains (WebP,
-    progressive JPEG, exotic profiles) when importable; (3)
+    (PNG/BMP/baseline-JPEG/progressive-JPEG — REAL decode, no
+    dependencies, `multimodal/codecs.py`); (2) PIL for what remains
+    (lossy-VP8 WebP, exotic profiles) when importable; (3)
     deterministic pseudo-metadata for everything else — including
     real-image containers this environment cannot decode (no PIL, or
     PIL itself rejects the payload).  A 100 TB corpus WILL contain

@@ -15,10 +15,18 @@ Supported natively (struct/zlib/wave + numpy only):
   DQT, SOF0, canonical-Huffman DHT, restart intervals, entropy decode,
   dequantize + inverse zigzag + float iDCT, chroma upsample, JFIF
   YCbCr→RGB. Gray / 4:4:4 / 4:2:2 / 4:2:0.
+- **Progressive JPEG** (SOF2, T.81 Annex G): multi-scan coefficient
+  accumulation — interleaved/non-interleaved DC first + refinement
+  scans, AC spectral-selection bands with EOBn run decoding, AC
+  successive-approximation refinement with correction bits, restart
+  intervals — then one vectorized dequant + iDCT pass. The write half
+  (:func:`encode_jpeg_progressive`) emits a spec-conformant
+  spectral-selection + successive-approximation scan script so the
+  decoder is pinned by roundtrips, not fixtures.
 
-WebP, progressive JPEG, and compressed/paletted containers still route
-to the PIL seam in ``multimodal/__init__.py`` (the remaining declared
-gap — WebP's VP8 entropy decoder does not belong here).
+VP8-lossy WebP and compressed/paletted containers still route to the
+PIL seam in ``multimodal/__init__.py`` (VP8's boolean arithmetic
+decoder + loop filter is a whole video codec and does not belong here).
 
 Scale posture: these are per-payload kernels invoked from Arrow
 ``mapInPandas`` batches — decode cost rides in the executors, and the
@@ -353,6 +361,11 @@ _ZIGZAG = [
 ]
 
 
+#: zigzag index k -> flattened natural index r*8+c (both directions:
+#: ``nat[..., _ZZ_FLAT] = zz`` de-zigzags, ``nat[..., _ZZ_FLAT]`` gathers)
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZIGZAG])
+
+
 def _dct_matrix() -> np.ndarray:
     """Orthonormal 8x8 DCT-II basis: F = M @ f @ M.T, f = M.T @ F @ M."""
     n = np.arange(8)
@@ -446,9 +459,55 @@ def _extend(v: int, t: int) -> int:
 @_coerce_codec_errors
 def jpeg_info(payload: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from the frame header without a
-    pixel decode; ValueError for non-baseline frames."""
+    pixel decode (baseline or progressive); ValueError for other
+    processes (arithmetic, lossless, hierarchical)."""
     hdr = _jpeg_segments(payload, header_only=True)
     return hdr["w"], hdr["h"], len(hdr["components"])
+
+
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        if pq != 0:
+            raise ValueError("jpeg: 16-bit quant tables unsupported")
+        tbl = np.zeros((8, 8), dtype=np.float64)
+        for i, (r, c) in enumerate(_ZIGZAG):
+            tbl[r, c] = seg[p + 1 + i]
+        qt[tq] = tbl
+        p += 65
+
+
+def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0x0F
+        counts = list(seg[p + 1:p + 17])
+        nsym = sum(counts)
+        symbols = seg[p + 17:p + 17 + nsym]
+        table = _build_huffman(counts, symbols)
+        (huff_dc if tc == 0 else huff_ac)[th] = table
+        p += 17 + nsym
+
+
+def _parse_sof(seg: bytes, progressive: bool) -> dict:
+    prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+    if prec != 8:
+        raise ValueError(f"jpeg: {prec}-bit precision unsupported")
+    comps = []
+    for i in range(ncomp):
+        cid, hv, tq2 = seg[6 + 3 * i:9 + 3 * i]
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq2})
+    return {
+        "w": int(w), "h": int(h), "components": comps,
+        "progressive": progressive,
+    }
+
+
+#: SOFn markers for processes out of scope (arithmetic / lossless /
+#: hierarchical / differential) — ValueError, PIL-seam fall-through
+_JPEG_UNSUPPORTED_SOF = (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                         0xCD, 0xCE, 0xCF)
 
 
 def _jpeg_segments(payload: bytes, header_only: bool = False) -> dict:
@@ -472,42 +531,17 @@ def _jpeg_segments(payload: bytes, header_only: bool = False) -> dict:
         (seg_len,) = struct.unpack(">H", payload[pos:pos + 2])
         seg = payload[pos + 2:pos + seg_len]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise ValueError("jpeg: 16-bit quant tables unsupported")
-                tbl = np.zeros((8, 8), dtype=np.float64)
-                for i, (r, c) in enumerate(_ZIGZAG):
-                    tbl[r, c] = seg[p + 1 + i]
-                qt[tq] = tbl
-                p += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 — baseline(-ish) DCT
-            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise ValueError(f"jpeg: {prec}-bit precision unsupported")
-            comps = []
-            for i in range(ncomp):
-                cid, hv, tq2 = seg[6 + 3 * i:9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq2}
-                )
-            frame = {"w": int(w), "h": int(h), "components": comps}
+            _parse_dqt(seg, qt)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            frame = _parse_sof(seg, progressive=(marker == 0xC2))
             if header_only:
                 return frame
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline sequential supported")
+        elif marker in _JPEG_UNSUPPORTED_SOF:
+            raise ValueError(
+                "jpeg: only baseline/progressive DCT supported"
+            )
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0x0F
-                counts = list(seg[p + 1:p + 17])
-                nsym = sum(counts)
-                symbols = seg[p + 17:p + 17 + nsym]
-                table = _build_huffman(counts, symbols)
-                (huff_dc if tc == 0 else huff_ac)[th] = table
-                p += 17 + nsym
+            _parse_dht(seg, huff_dc, huff_ac)
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -533,10 +567,133 @@ def _jpeg_segments(payload: bytes, header_only: bool = False) -> dict:
     raise ValueError("jpeg: no scan found")
 
 
+def _skip_entropy(payload: bytes, pos: int) -> int:
+    """Position of the next real marker after an entropy-coded segment
+    (skipping 0xFF00 stuffing, RSTn, and 0xFF fill bytes)."""
+    while True:
+        nxt = payload.find(b"\xff", pos)
+        if nxt < 0 or nxt + 1 >= len(payload):
+            return len(payload)
+        b = payload[nxt + 1]
+        if b == 0x00 or 0xD0 <= b <= 0xD7:
+            pos = nxt + 2
+        elif b == 0xFF:  # fill byte
+            pos = nxt + 1
+        else:
+            return nxt
+
+
+def _jpeg_all_scans(payload: bytes) -> tuple[dict, dict, list[dict]]:
+    """Full multi-scan walk (progressive streams): (frame, quant
+    tables, scans). Each scan snapshots the Huffman tables in effect at
+    its SOS — T.81 allows redefining tables between scans."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    scans: list[dict] = []
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2:pos + seg_len]
+        if marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            frame = _parse_sof(seg, progressive=(marker == 0xC2))
+        elif marker in _JPEG_UNSUPPORTED_SOF:
+            raise ValueError(
+                "jpeg: only baseline/progressive DCT supported"
+            )
+        elif marker == 0xC4:
+            _parse_dht(seg, huff_dc, huff_ac)
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            comp_ids = []
+            dc_tbls: dict[int, dict | None] = {}
+            ac_tbls: dict[int, dict | None] = {}
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i:3 + 2 * i]
+                comp_ids.append(cs)
+                dc_tbls[cs] = huff_dc.get(tdta >> 4)
+                ac_tbls[cs] = huff_ac.get(tdta & 0x0F)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            scans.append({
+                "comps": comp_ids,
+                "dc": dc_tbls,
+                "ac": ac_tbls,
+                "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 0x0F,
+                "data_pos": pos + seg_len,
+                "restart": restart,
+            })
+            pos = _skip_entropy(payload, pos + seg_len)
+            continue
+        pos += seg_len
+    if frame is None or not scans:
+        raise ValueError("jpeg: no scan found")
+    return frame, qt, scans
+
+
+def _consume_rst(reader: _BitReader) -> None:
+    """RSTn sits byte-aligned between MCUs; skip it (predictor/EOB-run
+    resets are the caller's job)."""
+    reader.byte_align()
+    try:
+        reader._fill()
+        raise ValueError("jpeg: expected restart marker")
+    except _MarkerHit as hit:
+        if not (0xFFD0 <= hit.marker <= 0xFFD7):
+            raise ValueError("jpeg: expected RSTn") from None
+        reader.pos += 2
+        reader.bits = 0
+
+
+def _assemble_planes(comps, planes, w, h, hmax, vmax) -> np.ndarray:
+    """Upsample subsampled planes, crop to image dims, JFIF YCbCr→RGB."""
+    out_planes = []
+    for c, pl in zip(comps, planes):
+        if c["h"] != hmax or c["v"] != vmax:
+            pl = np.repeat(
+                np.repeat(pl, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        out_planes.append(pl[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0] + 0.5, 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError(f"jpeg: {len(out_planes)}-component images unsupported")
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
 @_coerce_codec_errors
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """HxWx3 uint8 RGB (HxWx1 for grayscale JPEGs)."""
+    """HxWx3 uint8 RGB (HxWx1 for grayscale JPEGs) — baseline and
+    progressive DCT."""
     hdr = _jpeg_segments(payload)
+    if hdr.get("progressive"):
+        return _decode_jpeg_progressive(payload)
     w, h, comps = hdr["w"], hdr["h"], hdr["components"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -554,16 +711,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart and mcu_index and mcu_index % restart == 0:
-                # RSTn sits between MCUs; predictors reset
-                reader.byte_align()
-                try:
-                    reader._fill()
-                    raise ValueError("jpeg: expected restart marker")
-                except _MarkerHit as hit:
-                    if not (0xFFD0 <= hit.marker <= 0xFFD7):
-                        raise ValueError("jpeg: expected RSTn") from None
-                    reader.pos += 2
-                    reader.bits = 0
+                _consume_rst(reader)
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 td, ta = hdr["scan"][c["id"]]
@@ -595,26 +743,191 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_index += 1
-    out_planes = []
-    for c, pl in zip(comps, planes):
-        if c["h"] != hmax or c["v"] != vmax:
-            pl = np.repeat(
-                np.repeat(pl, vmax // c["v"], axis=0), hmax // c["h"], axis=1
-            )
-        out_planes.append(pl[:h, :w])
-    if len(out_planes) == 1:
-        y = np.clip(out_planes[0] + 0.5, 0, 255).astype(np.uint8)
-        return y[:, :, None]
-    if len(out_planes) != 3:
-        raise ValueError(f"jpeg: {len(out_planes)}-component images unsupported")
-    y, cb, cr = out_planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-        axis=2,
-    )
-    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+    return _assemble_planes(comps, planes, w, h, hmax, vmax)
+
+
+# -- JPEG progressive decode (T.81 Annex G.2) --------------------------------
+#
+# Progressive streams deliver each component's DCT coefficients across
+# several scans: a DC-first scan (optionally interleaved) plus DC
+# refinements, then per-component AC spectral-selection bands, each
+# optionally split into a first pass and successive-approximation
+# refinement passes carrying one correction bit per already-nonzero
+# coefficient. Decode accumulates integer coefficients per block in
+# zigzag order, then runs ONE vectorized dequant + iDCT pass — the
+# entropy half is bit-serial Python (like baseline), the math half is
+# whole-array numpy.
+
+
+def _decode_dc_scan(scan, frame, coefs, geom, payload):
+    """DC scan (Ss=Se=0): first pass (Ah=0) decodes size-coded diffs at
+    point transform Al; refinement (Ah>0) is one raw bit per block."""
+    comps = frame["components"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    scan_cis = [by_id[cid] for cid in scan["comps"]]
+    al, first = scan["al"], scan["ah"] == 0
+    restart = scan["restart"]
+    reader = _BitReader(payload, scan["data_pos"])
+    pred = {ci: 0 for ci in scan_cis}
+    mcus_x, mcus_y = geom["mcus_x"], geom["mcus_y"]
+    interleaved = len(scan_cis) > 1
+    if interleaved:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                blocks = []
+                for ci in scan_cis:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append(
+                                (ci, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                units.append(blocks)
+    else:
+        ci = scan_cis[0]
+        bh, bw = geom["used"][ci]
+        units = [[(ci, by, bx)] for by in range(bh) for bx in range(bw)]
+    for idx, blocks in enumerate(units):
+        if restart and idx and idx % restart == 0:
+            _consume_rst(reader)
+            pred = {ci: 0 for ci in scan_cis}
+        for ci, by, bx in blocks:
+            if first:
+                t = reader.decode_symbol(scan["dc"][comps[ci]["id"]])
+                pred[ci] += _extend(reader.read_bits(t), t)
+                coefs[ci][by, bx, 0] = pred[ci] << al
+            elif reader.read_bit():
+                coefs[ci][by, bx, 0] |= 1 << al
+
+
+def _decode_ac_scan(scan, frame, coefs, geom, payload):
+    """AC scan (Ss>0, single component per T.81): spectral-selection
+    first pass with EOBn runs (Ah=0), or successive-approximation
+    refinement with correction bits (Ah>0) — the G.2.2 algorithm."""
+    comps = frame["components"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    if len(scan["comps"]) != 1:
+        raise ValueError("jpeg: interleaved AC progressive scan")
+    ci = by_id[scan["comps"][0]]
+    ac_tbl = scan["ac"][scan["comps"][0]]
+    if ac_tbl is None:
+        raise ValueError("jpeg: AC scan without AC table")
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    restart = scan["restart"]
+    reader = _BitReader(payload, scan["data_pos"])
+    bh, bw = geom["used"][ci]
+    coef = coefs[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    idx = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and idx and idx % restart == 0:
+                _consume_rst(reader)
+                eobrun = 0
+            idx += 1
+            zz = coef[by, bx]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:  # EOBn: run of (1<<r)+bits blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC index overflow")
+                    zz[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+                continue
+            # refinement pass: correction bits for already-nonzero
+            # coefficients, newly-nonzero coefficients arrive as ±p1
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_symbol(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break  # rest of block: EOB correction loop
+                        newval = 0  # ZRL: 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("jpeg: bad refinement size")
+                        newval = p1 if reader.read_bit() else m1
+                    # advance over r zero-history coefficients, emitting
+                    # a correction bit at each nonzero one passed
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB-run blocks still carry correction bits for every
+                # already-nonzero coefficient in the band
+                while k <= se:
+                    if zz[k] != 0 and reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
+    frame, qt, scans = _jpeg_all_scans(payload)
+    comps, w, h = frame["components"], frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    used = []
+    coefs = []
+    for c in comps:
+        # full grid covers interleaved-MCU padding; non-interleaved
+        # scans address only the used sub-grid (T.81 A.2.2 vs A.2.3)
+        cw = -(-(w * c["h"]) // hmax)
+        chs = -(-(h * c["v"]) // vmax)
+        used.append((-(-chs // 8), -(-cw // 8)))
+        coefs.append(
+            np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        )
+    geom = {"mcus_x": mcus_x, "mcus_y": mcus_y, "used": used}
+    for scan in scans:
+        if scan["ss"] == 0:
+            if scan["se"] != 0:
+                raise ValueError("jpeg: DC scan with Se != 0")
+            _decode_dc_scan(scan, frame, coefs, geom, payload)
+        else:
+            _decode_ac_scan(scan, frame, coefs, geom, payload)
+    planes = []
+    for c, zz_arr in zip(comps, coefs):
+        q = qt[c["tq"]]
+        nat = np.zeros(zz_arr.shape, dtype=np.float64)
+        nat[:, :, _ZZ_FLAT] = zz_arr
+        blocks = nat.reshape(*zz_arr.shape[:2], 8, 8) * q
+        px = np.einsum("ij,abjk,kl->abil", _DCT_M.T, blocks, _DCT_M) + 128.0
+        nby, nbx = zz_arr.shape[:2]
+        planes.append(px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+    return _assemble_planes(comps, planes, w, h, hmax, vmax)
 
 
 # -- JPEG encoder (baseline sequential) -------------------------------------
@@ -626,9 +939,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 _JPEG_DC_SYMS = bytes(range(12))
 _JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12          # all 12 cats at length 4
-_JPEG_AC_SYMS = bytes(
-    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
-)
+# full (run, size) alphabet incl. s=0 rows: EOB0..EOB14 ((r<<4)|0) and
+# ZRL (0xF0) — progressive AC scans emit EOBn run lengths; 176 symbols
+# at length 8 under-subscribe the code space (176/256)
+_JPEG_AC_SYMS = bytes([(r << 4) | s for r in range(16) for s in range(11)])
 _JPEG_AC_COUNTS = [0] * 7 + [len(_JPEG_AC_SYMS)] + [0] * 8  # all at length 8
 
 
@@ -675,8 +989,56 @@ def _fdct(block):
     return _DCT_M @ (block - 128.0) @ _DCT_M.T
 
 
-def _encode_block(w, dc_tbl, ac_tbl, coeffs, pred):
-    zz = [coeffs[r][c] for r, c in _ZIGZAG]
+def _jpeg_plane_prep(arr, subsample):
+    """Shared encoder front half: color transform, MCU edge-padding,
+    box-average chroma subsampling. Returns (prepped planes, sampling
+    factors, h, w, mcus_x, mcus_y)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    h, w_px = arr.shape[:2]
+    if arr.ndim == 2:
+        planes = [arr]
+        samp = [(1, 1)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samp = [(1, 1)] * 3 if subsample == "444" else [(2, 2), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w_px + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    prepped = []
+    for pl, (sh, sv) in zip(planes, samp):
+        full_w, full_h = mcus_x * 8 * hmax, mcus_y * 8 * vmax
+        pad = np.pad(pl, ((0, full_h - h), (0, full_w - w_px)), mode="edge")
+        fx, fy = hmax // sh, vmax // sv
+        if fx > 1 or fy > 1:  # box-average chroma subsample
+            pad = pad.reshape(full_h // fy, fy, full_w // fx, fx).mean(
+                axis=(1, 3)
+            )
+        prepped.append(pad)
+    return prepped, samp, h, w_px, mcus_x, mcus_y
+
+
+def _jpeg_coefficients(arr, subsample):
+    """FDCT + all-ones quantization over every block at once: one
+    (blocks_y, blocks_x, 64) int array per component, zigzag order."""
+    prepped, samp, h, w_px, mcus_x, mcus_y = _jpeg_plane_prep(arr, subsample)
+    coefs = []
+    for pl in prepped:
+        bh, bw = pl.shape[0] // 8, pl.shape[1] // 8
+        blocks = pl.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("ij,abjk,kl->abil", _DCT_M, blocks - 128.0, _DCT_M.T)
+        nat = np.rint(f).astype(np.int64).reshape(bh, bw, 64)
+        coefs.append(nat[:, :, _ZZ_FLAT])
+    return coefs, samp, h, w_px, mcus_x, mcus_y
+
+
+def _encode_block(w, dc_tbl, ac_tbl, zz, pred):
     diff = zz[0] - pred
     t = int(abs(diff)).bit_length()
     length, code = dc_tbl[t]
@@ -710,39 +1072,12 @@ def encode_jpeg(arr, subsample="444", restart=0):
     table pair, optional restart interval — the write half of the
     multimodal codec loop (resize/export can emit real JPEG containers,
     the mirror of the .hs exporter closing the import loop)."""
-    arr = np.asarray(arr, dtype=np.float64)
-    if arr.ndim == 3 and arr.shape[2] == 1:
-        arr = arr[:, :, 0]
-    h, w_px = arr.shape[:2]
-    if arr.ndim == 2:
-        planes = [arr]
-        samp = [(1, 1)]
-    else:
-        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [y, cb, cr]
-        samp = [(1, 1)] * 3 if subsample == "444" else [(2, 2), (1, 1), (1, 1)]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcus_x = (w_px + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    prepped = []
-    for pl, (sh, sv) in zip(planes, samp):
-        full_w, full_h = mcus_x * 8 * hmax, mcus_y * 8 * vmax
-        pad = np.pad(pl, ((0, full_h - h), (0, full_w - w_px)), mode="edge")
-        fx, fy = hmax // sh, vmax // sv
-        if fx > 1 or fy > 1:  # box-average chroma subsample
-            pad = pad.reshape(full_h // fy, fy, full_w // fx, fx).mean(
-                axis=(1, 3)
-            )
-        prepped.append(pad)
+    coefs, samp, h, w_px, mcus_x, mcus_y = _jpeg_coefficients(arr, subsample)
 
     dc_tbl = _enc_table(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
     ac_tbl = _enc_table(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(coefs)
     mcu_index = 0
     rst = 0
     for my in range(mcus_y):
@@ -750,44 +1085,249 @@ def encode_jpeg(arr, subsample="444", restart=0):
             if restart and mcu_index and mcu_index % restart == 0:
                 bw.raw_marker(0xD0 + rst % 8)
                 rst += 1
-                pred = [0] * len(planes)
-            for ci, (pl, (sh, sv)) in enumerate(zip(prepped, samp)):
+                pred = [0] * len(coefs)
+            for ci, (zz_arr, (sh, sv)) in enumerate(zip(coefs, samp)):
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        coeffs = np.rint(
-                            _fdct(pl[y0:y0 + 8, x0:x0 + 8])
-                        ).astype(int)
+                        zz = zz_arr[my * sv + by, mx * sh + bx].tolist()
                         pred[ci] = _encode_block(
-                            bw, dc_tbl, ac_tbl, coeffs, pred[ci]
+                            bw, dc_tbl, ac_tbl, zz, pred[ci]
                         )
             mcu_index += 1
     bw.align()
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+    sos = bytes([len(coefs)]) + b"".join(
+        bytes([i + 1, 0x00]) for i in range(len(coefs))
+    ) + bytes([0, 63, 0])
+    out = b"\xff\xd8"
+    out += _jpeg_headers(0xC0, samp, h, w_px)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    out += _seg(0xDA, sos)
+    out += bytes(bw.out) + b"\xff\xd9"
+    return out
 
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_headers(sof_marker, samp, h, w_px):
+    """DQT (all-ones) + SOFn + DHT shared by both encoders."""
     qt_body = bytes([0x00]) + bytes([1] * 64)  # table 0, all ones (zigzag)
     sof_comps = b"".join(
         bytes([i + 1, (sh << 4) | sv, 0]) for i, (sh, sv) in enumerate(samp)
     )
-    sof = struct.pack(">BHHB", 8, h, w_px, len(planes)) + sof_comps
+    sof = struct.pack(">BHHB", 8, h, w_px, len(samp)) + sof_comps
     dht = (
         bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + _JPEG_DC_SYMS
         + bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + _JPEG_AC_SYMS
     )
-    sos = bytes([len(planes)]) + b"".join(
-        bytes([i + 1, 0x00]) for i in range(len(planes))
-    ) + bytes([0, 63, 0])
-    out = b"\xff\xd8"
-    out += seg(0xDB, qt_body)
-    out += seg(0xC0, sof)
-    out += seg(0xC4, dht)
+    return _seg(0xDB, qt_body) + _seg(sof_marker, sof) + _seg(0xC4, dht)
+
+
+# -- JPEG progressive encoder (T.81 Annex G.1) -------------------------------
+
+
+def encode_jpeg_progressive(arr, subsample="444", levels=1, restart=0):
+    """Progressive-JPEG writer (SOF2): spectral selection (DC scan, AC
+    bands 1–5 and 6–63 per component) layered with ``levels`` rounds of
+    successive approximation (first passes at Al=levels, then
+    refinement scans stepping Al down to 0, correction bits per G.1.2).
+    With the all-ones quant table the fully-refined stream carries
+    exactly the coefficients :func:`encode_jpeg` would — the decoded
+    pixels are bit-identical to the baseline encoding, which is what
+    pins :func:`_decode_jpeg_progressive` in tests. ``levels=0`` emits
+    a pure spectral-selection script."""
+    coefs, samp, h, w_px, mcus_x, mcus_y = _jpeg_coefficients(arr, subsample)
+    ncomp = len(coefs)
+    dc_tbl = _enc_table(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_tbl = _enc_table(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    used = []  # non-interleaved scans cover only the used block grid
+    for sh, sv in samp:
+        cw = -(-(w_px * sh) // hmax)
+        chs = -(-(h * sv) // vmax)
+        used.append((-(-chs // 8), -(-cw // 8)))
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # every table lives in slot 0
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_scan(al, first):
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        idx = rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and idx and idx % restart == 0:
+                    bw.raw_marker(0xD0 + rst % 8)
+                    rst += 1
+                    pred = [0] * ncomp
+                for ci, (zz_arr, (sh, sv)) in enumerate(zip(coefs, samp)):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(zz_arr[my * sv + by, mx * sh + bx, 0])
+                            if first:
+                                # Python >> floors, the arithmetic shift
+                                # the DC point transform requires
+                                diff = (dc >> al) - pred[ci]
+                                pred[ci] += diff
+                                t = abs(diff).bit_length()
+                                length, code = dc_tbl[t]
+                                bw.write(code, length)
+                                if t:
+                                    bw.write(
+                                        diff if diff >= 0
+                                        else diff + (1 << t) - 1, t,
+                                    )
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+                idx += 1
+        bw.align()
+        return bytes(bw.out)
+
+    def ac_first(ci, ss, se, al):
+        bw = _BitWriter()
+        zz_arr, (bh, bwd) = coefs[ci], used[ci]
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                length, code = ac_tbl[nbits << 4]
+                bw.write(code, length)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        idx = rst = 0
+        for by in range(bh):
+            for bxi in range(bwd):
+                if restart and idx and idx % restart == 0:
+                    flush_eob()
+                    bw.raw_marker(0xD0 + rst % 8)
+                    rst += 1
+                idx += 1
+                zz = zz_arr[by, bxi]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        length, code = ac_tbl[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                    s = t.bit_length()
+                    length, code = ac_tbl[(r << 4) | s]
+                    bw.write(code, length)
+                    bw.write(t if v >= 0 else t ^ ((1 << s) - 1), s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.align()
+        return bytes(bw.out)
+
+    def ac_refine(ci, ss, se, al):
+        bw = _BitWriter()
+        zz_arr, (bh, bwd) = coefs[ci], used[ci]
+        eobrun = 0
+        pending: list[int] = []  # correction bits riding the next EOBn
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                length, code = ac_tbl[nbits << 4]
+                bw.write(code, length)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                for b in pending:
+                    bw.write(b, 1)
+                eobrun = 0
+                pending = []
+
+        idx = rst = 0
+        for by in range(bh):
+            for bxi in range(bwd):
+                if restart and idx and idx % restart == 0:
+                    flush_eob()
+                    bw.raw_marker(0xD0 + rst % 8)
+                    rst += 1
+                idx += 1
+                zz = zz_arr[by, bxi]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = ss - 1  # band index of the last newly-nonzero coef
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = ss + i
+                r = 0
+                br: list[int] = []  # corrections since the last symbol
+                for i, t in enumerate(absv):
+                    k = ss + i
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRLs only when more newly-nonzero coefs follow;
+                    # otherwise the zeros fold into the EOB run
+                    while r > 15 and k <= eob:
+                        flush_eob()
+                        length, code = ac_tbl[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    if t > 1:  # already nonzero: one correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eob()  # newly nonzero: run/1 symbol + sign
+                    length, code = ac_tbl[(r << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(0 if int(zz[k]) < 0 else 1, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == 0x7FFF or len(pending) > 937:
+                        flush_eob()
+        flush_eob()
+        bw.align()
+        return bytes(bw.out)
+
+    all_ids = [i + 1 for i in range(ncomp)]
+    bands = [(1, 5), (6, 63)]
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_headers(0xC2, samp, h, w_px)
     if restart:
-        out += seg(0xDD, struct.pack(">H", restart))
-    out += seg(0xDA, sos)
-    out += bytes(bw.out) + b"\xff\xd9"
-    return out
+        out += _seg(0xDD, struct.pack(">H", restart))
+    out += sos_header(all_ids, 0, 0, 0, levels) + dc_scan(levels, True)
+    for b in range(levels, 0, -1):
+        out += sos_header(all_ids, 0, 0, b, b - 1) + dc_scan(b - 1, False)
+    for ci in range(ncomp):
+        for bs, be in bands:
+            out += sos_header([ci + 1], bs, be, 0, levels)
+            out += ac_first(ci, bs, be, levels)
+    for b in range(levels, 0, -1):
+        for ci in range(ncomp):
+            for bs, be in bands:
+                out += sos_header([ci + 1], bs, be, b, b - 1)
+                out += ac_refine(ci, bs, be, b - 1)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 

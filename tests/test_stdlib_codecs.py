@@ -386,12 +386,12 @@ class TestJpeg:
         out = codecs.decode_jpeg(encode_jpeg(arr))
         assert out.shape == (13, 19, 3)
 
-    def test_progressive_raises_valueerror(self):
+    def test_unsupported_processes_raise(self):
         arr = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
         jpg = bytearray(encode_jpeg(arr))
         sof_at = jpg.find(b"\xff\xc0")
-        jpg[sof_at + 1] = 0xC2  # pretend progressive
-        with pytest.raises(ValueError, match="baseline"):
+        jpg[sof_at + 1] = 0xC9  # pretend arithmetic-coded
+        with pytest.raises(ValueError, match="baseline/progressive"):
             codecs.decode_jpeg(bytes(jpg))
         with pytest.raises(ValueError):
             codecs.decode_jpeg(b"\xff\xd8\xff\xe0truncated")
@@ -420,3 +420,90 @@ class TestJpeg:
         out = resize_images(df, width=8, height=8).first()
         resized = codecs.decode_bmp(bytes(out["resized"]))
         assert resized.shape == (8, 8, 3)
+
+
+class TestJpegProgressive:
+    """Progressive JPEG (SOF2, T.81 Annex G): the encoder emits the
+    exact coefficients the baseline encoder would, so the progressive
+    decode must be BIT-IDENTICAL to the baseline decode of the same
+    array — the strongest pin available without golden fixtures."""
+
+    def test_gray_matches_baseline_exactly(self):
+        arr = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+        base = codecs.decode_jpeg(encode_jpeg(arr))
+        prog = codecs.decode_jpeg(codecs.encode_jpeg_progressive(arr))
+        np.testing.assert_array_equal(base, prog)
+        # and the container is genuinely progressive
+        jp = codecs.encode_jpeg_progressive(arr)
+        assert b"\xff\xc2" in jp and b"\xff\xc0" not in jp[2:]
+
+    def test_rgb_444_matches_baseline(self):
+        arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            codecs.decode_jpeg(encode_jpeg(arr)),
+            codecs.decode_jpeg(codecs.encode_jpeg_progressive(arr)),
+        )
+
+    def test_rgb_420_odd_dims_matches_baseline(self):
+        # 4:2:0 + odd dims: interleaved DC over padded MCU grid while
+        # the non-interleaved AC scans cover only the used block grid
+        arr = rng.integers(0, 256, size=(13, 19, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            codecs.decode_jpeg(encode_jpeg(arr, subsample="420")),
+            codecs.decode_jpeg(
+                codecs.encode_jpeg_progressive(arr, subsample="420")
+            ),
+        )
+
+    @pytest.mark.parametrize("levels", [0, 1, 2])
+    def test_successive_approximation_levels(self, levels):
+        # levels=0: pure spectral selection; levels>=1 add DC+AC
+        # refinement scans with correction bits; all fully refine
+        arr = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+        base = codecs.decode_jpeg(encode_jpeg(arr))
+        prog = codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(arr, levels=levels)
+        )
+        np.testing.assert_array_equal(base, prog)
+
+    def test_restart_markers_reset_pred_and_eobrun(self):
+        arr = rng.integers(0, 256, size=(16, 40), dtype=np.uint8)
+        plain = codecs.decode_jpeg(codecs.encode_jpeg_progressive(arr))
+        with_rst = codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(arr, restart=3)
+        )
+        np.testing.assert_array_equal(plain, with_rst)
+
+    def test_long_eob_runs(self):
+        # smooth gradient: AC bands near-empty -> EOBn with r > 0
+        # spanning many blocks; constant image: maximal run per scan
+        grad = np.outer(np.linspace(0, 255, 64), np.ones(64)).astype(np.uint8)
+        const = np.full((48, 48), 77, dtype=np.uint8)
+        for arr in (grad, const):
+            np.testing.assert_array_equal(
+                codecs.decode_jpeg(encode_jpeg(arr)),
+                codecs.decode_jpeg(codecs.encode_jpeg_progressive(arr)),
+            )
+
+    def test_jpeg_info_reads_progressive_header(self):
+        arr = rng.integers(0, 256, size=(9, 31, 3), dtype=np.uint8)
+        jp = codecs.encode_jpeg_progressive(arr)
+        assert codecs.jpeg_info(jp) == (31, 9, 3)
+        assert codecs.image_info(jp) == (31, 9, "jpeg")
+
+    def test_truncated_progressive_raises_valueerror(self):
+        jp = codecs.encode_jpeg_progressive(
+            rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        )
+        for cut in (len(jp) // 4, len(jp) // 2, len(jp) - 3):
+            with pytest.raises(ValueError):
+                codecs.decode_jpeg(jp[:cut])
+
+    def test_decode_seam_treats_progressive_as_real(self):
+        from kenshin_spark.multimodal import _decode_with_flag
+
+        jp = codecs.encode_jpeg_progressive(
+            rng.integers(0, 256, size=(12, 20), dtype=np.uint8)
+        )
+        digest, w, h, fmt, degraded = _decode_with_flag(jp)
+        assert (w, h, fmt, degraded) == (20, 12, "jpeg", False)
