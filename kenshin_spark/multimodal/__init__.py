@@ -70,9 +70,11 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, str]:
 
 def _decode_with_flag(payload: bytes) -> tuple[str, int, int, str, bool]:
     """Codec step, in preference order: (1) the pure-stdlib codecs
-    (PNG/BMP/baseline-JPEG/progressive-JPEG — REAL decode, no
-    dependencies, `multimodal/codecs.py`); (2) PIL for what remains
-    (lossy-VP8 WebP, exotic profiles) when importable; (3)
+    (PNG/BMP/baseline-JPEG/progressive-JPEG/lossless-WebP — REAL
+    decode, no dependencies, `multimodal/codecs.py` + `webp.py`;
+    WebP header parsing also covers lossy-VP8/VP8X dims); (2) PIL for
+    what remains (lossy-VP8 pixels, exotic profiles) when importable;
+    (3)
     deterministic pseudo-metadata for everything else — including
     real-image containers this environment cannot decode (no PIL, or
     PIL itself rejects the payload).  A 100 TB corpus WILL contain
@@ -88,7 +90,7 @@ def _decode_with_flag(payload: bytes) -> tuple[str, int, int, str, bool]:
     from kenshin_spark.multimodal import codecs
 
     kind = codecs.sniff(payload)
-    if kind in ("png", "bmp", "jpeg"):
+    if kind in ("png", "bmp", "jpeg", "webp"):
         try:
             w, h, fmt = codecs.image_info(payload)
             return hashlib.md5(payload).hexdigest(), w, h, fmt, False

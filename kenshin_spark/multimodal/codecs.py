@@ -271,6 +271,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if kind == "jpeg":
         return decode_jpeg(payload)
+    if kind == "webp":  # VP8L lossless only; lossy VP8 -> PIL seam
+        from kenshin_spark.multimodal import webp
+
+        return webp.decode_webp(payload)
     raise ValueError(f"no native decoder for {kind or 'unknown'}")
 
 
@@ -287,6 +291,11 @@ def image_info(payload: bytes) -> tuple[int, int, str]:
     if kind == "jpeg":
         w, h, _ = jpeg_info(payload)
         return w, h, "jpeg"
+    if kind == "webp":  # header-only: works for lossy VP8/VP8X too
+        from kenshin_spark.multimodal import webp
+
+        w, h = webp.webp_info(payload)
+        return w, h, "webp"
     raise ValueError(f"no native decoder for {kind or 'unknown'}")
 
 
