@@ -56,6 +56,7 @@ def connected_components(
     max_iter: int = 25,
     algorithm: str = "auto",
     stats: dict | None = None,
+    patience: int = 8,
 ) -> DataFrame:
     """``(node, cluster_id)`` for every node appearing in ``pairs``;
     ``cluster_id`` is the minimum node id of the component (stable,
@@ -72,11 +73,23 @@ def connected_components(
     fallback for adversarially long path/chain graphs where label
     propagation would need diameter rounds.
 
+    ``patience`` bounds how many label rounds may run WITHOUT a
+    confirmed fixpoint before escalating to star (capped by
+    ``max_iter``). Dedup graphs converge in 2-7 rounds (SCALING.md r8
+    profile), so the default 8 never fires on genuine near-dup graphs;
+    an adversarial long-chain graph escalates after 8 rounds instead of
+    burning the whole ``max_iter`` budget first. Escalation is a
+    HYBRID, not a restart: star runs on the label-CONTRACTED quotient
+    graph (every partially-converged cluster collapses to one node), so
+    the propagation work on the dense bulk is kept and star only pays
+    for the chain remnants that defeated label propagation.
+
     ``stats``, when a dict is passed, is filled in-place with
     ``{"algorithm", "rounds"}`` (and ``"edges"`` on the paths that
-    materialize the symmetric edge set) — the observability hook the
-    sf1 profiling in SCALING.md reads; rounds is the fixpoint-iteration
-    count (0 for the driver path, which has none)."""
+    materialize the symmetric edge set; ``"escalated_from_label"`` +
+    ``"contracted_edges"`` on the hybrid path) — the observability hook
+    the sf1 profiling in SCALING.md reads; rounds is the
+    fixpoint-iteration count (0 for the driver path, which has none)."""
     if algorithm == "star":
         return _star_components(pairs, a, b, max_iter, stats)
     if algorithm == "auto":
@@ -95,7 +108,7 @@ def connected_components(
             if stats is not None:
                 stats.update(algorithm="driver", rounds=0)
             return _driver_components(edges)
-        return _label_components(edges, max_iter, stats)
+        return _label_components(edges, max_iter, stats, patience)
     if algorithm != "label":
         raise ValueError(f"unknown CC algorithm {algorithm!r}")
     und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -106,7 +119,7 @@ def connected_components(
         # reliable dir so executor loss doesn't recompute the detector).
         .localCheckpoint(eager=True)
     )
-    return _label_components(edges, max_iter, stats)
+    return _label_components(edges, max_iter, stats, patience)
 
 
 def _driver_components(edges: DataFrame) -> DataFrame:
@@ -156,14 +169,16 @@ def _driver_components(edges: DataFrame) -> DataFrame:
 
 
 def _label_components(
-    edges: DataFrame, max_iter: int, stats: dict | None = None
+    edges: DataFrame, max_iter: int, stats: dict | None = None,
+    patience: int | None = None,
 ) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    budget = max_iter if patience is None else min(patience, max_iter)
     prev_sum = None
     rounds = 0
-    for _ in range(max_iter):
+    for _ in range(budget):
         rounds += 1
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -185,17 +200,49 @@ def _label_components(
             break
         prev_sum = cur_sum
     else:
-        # max_iter exhausted without a CONFIRMED fixpoint. Label
+        # patience exhausted without a CONFIRMED fixpoint. Label
         # propagation needs diameter rounds, so a long-chain graph can
         # outrun the budget — and returning the partial labelling would
         # be silently wrong (components still split). Escalate to the
         # star scheme, whose round count is O(log n) on ANY graph
         # (measured: the r8 profile's 64-chain takes label 64 rounds,
-        # star 7). ``edges`` is already the symmetric dedup'd set;
-        # _star_components re-symmetrizes harmlessly.
+        # star 7) — but run it on the label-CONTRACTED quotient graph,
+        # not the raw edges: every partially-converged cluster collapses
+        # to a single node (dedup graphs are dense, so this is most of
+        # the mass), and star pays only for the chain remnants. The
+        # quotient preserves components, its minima ARE the component
+        # minima (the min node always labels itself), so composing the
+        # two labellings is row-identical to either pure algorithm.
         if stats is not None:
             stats["escalated_from_label"] = rounds
-        return _star_components(edges, "src", "dst", max_iter, stats)
+        sl = labels.select(F.col("node").alias("src"), F.col("lbl").alias("sl"))
+        dl = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dl"))
+        contracted = (
+            edges.join(sl, "src")
+            .join(dl, "dst")
+            .select(F.col("sl").alias("src"), F.col("dl").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_contracted = contracted.count()
+        if stats is not None:
+            stats["contracted_edges"] = n_contracted
+        if n_contracted == 0:  # converged on the last round, unconfirmed
+            if stats is not None:
+                stats.update(algorithm="label", rounds=rounds)
+            return labels.select("node", F.col("lbl").alias("cluster_id"))
+        roots = _star_components(contracted, "src", "dst", max_iter, stats)
+        return (
+            labels.join(
+                roots.withColumnRenamed("node", "lbl"), "lbl", "left"
+            )
+            # labels isolated in the quotient already converged
+            .select(
+                "node",
+                F.coalesce("cluster_id", F.col("lbl")).alias("cluster_id"),
+            )
+        )
     if stats is not None:
         stats.update(algorithm="label", rounds=rounds)
     return labels.select("node", F.col("lbl").alias("cluster_id"))

@@ -1172,11 +1172,13 @@ class TestConnectedComponents:
         assert all(r["cluster_id"] == 1 for r in got) and len(got) == 12
 
     def test_label_escalates_to_star_past_diameter_budget(self, spark):
-        """Label propagation needs diameter rounds; when max_iter is
-        exhausted WITHOUT a confirmed fixpoint it must NOT return the
-        (silently wrong) partial labelling — it escalates to the star
-        scheme, which is O(log n) rounds on any graph (the r8 CC
-        profile's finding: chain64 = label 64 rounds vs star 7)."""
+        """Label propagation needs diameter rounds; when the patience
+        budget is exhausted WITHOUT a confirmed fixpoint it must NOT
+        return the (silently wrong) partial labelling — it escalates to
+        the star scheme, which is O(log n) rounds on any graph (the r8
+        CC profile's finding: chain64 = label 64 rounds vs star 7).
+        Escalation runs star on the label-CONTRACTED quotient, keeping
+        the propagation work instead of restarting from raw edges."""
         from kenshin_spark.dedup import connected_components
 
         n = 40  # diameter 39 > the small budget below
@@ -1185,12 +1187,67 @@ class TestConnectedComponents:
         )
         stats: dict = {}
         got = connected_components(
-            pairs, algorithm="label", max_iter=10, stats=stats
+            pairs, algorithm="label", max_iter=10, patience=4, stats=stats
         ).collect()
-        assert stats["escalated_from_label"] == 10
+        assert stats["escalated_from_label"] == 4  # patience, not max_iter
         assert stats["algorithm"] == "star"  # who actually finished
+        # the quotient chain shrinks by ~patience hops, no more
+        assert 0 < stats["contracted_edges"] < 2 * n
         assert len(got) == n
         assert all(r["cluster_id"] == 1 for r in got)  # ONE component
+
+    def test_hybrid_escalation_keeps_dense_cluster_work(self, spark):
+        """Mixed graph: dense cliques (label converges them within
+        patience) + one long chain (defeats label). The hybrid must (1)
+        contract the cliques away — the quotient carries ONLY chain
+        remnants — and (2) still produce the exact component minima for
+        every node."""
+        from kenshin_spark.dedup import connected_components
+
+        cliques = [
+            (base + i, base + j)
+            for base in (100, 200, 300)
+            for i in range(8)
+            for j in range(i + 1, 8)
+        ]
+        chain = [(1000 + i, 1001 + i) for i in range(30)]
+        pairs = spark.createDataFrame(cliques + chain, ["doc_a", "doc_b"])
+        stats: dict = {}
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, algorithm="label", max_iter=25, patience=3,
+                stats=stats,
+            ).collect()
+        }
+        assert stats["escalated_from_label"] == 3
+        # cliques (84 sym edges each) collapsed; only chain remnants left
+        assert stats["contracted_edges"] <= 2 * 30
+        for base in (100, 200, 300):
+            assert all(got[base + i] == base for i in range(8))
+        assert all(got[1000 + i] == 1000 for i in range(31))
+
+    def test_patience_never_fires_on_converging_graphs(self, spark):
+        """Dedup-shaped graphs converge in 2-7 rounds; with the default
+        patience the label path must finish WITHOUT escalation and with
+        identical output to before."""
+        from kenshin_spark.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+            ["doc_a", "doc_b"],
+        )
+        stats: dict = {}
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, algorithm="label", stats=stats
+            ).collect()
+        }
+        assert stats["algorithm"] == "label"
+        assert "escalated_from_label" not in stats
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20}
 
     def test_cluster_sizes_and_survivors(self, spark):
         from kenshin_spark.dedup import canonical_survivors, duplicate_clusters

@@ -161,3 +161,27 @@ class TestCodecsWiring:
         )
         r = image_metadata(df).first()
         assert (r["width"], r["height"], r["format"]) == (34, 21, "webp")
+
+    def test_resize_roundtrips_webp_in_and_out(self, spark):
+        from kenshin_spark.multimodal import codecs
+        from kenshin_spark.multimodal.transforms import resize_images
+
+        arr = np.repeat(
+            np.repeat(rng.integers(0, 256, (4, 4, 4), dtype=np.uint8), 4, 0),
+            4, 1,
+        )  # blocky 16x16 RGBA so nearest-neighbor is exact
+        df = spark.createDataFrame(
+            [(1, bytearray(webp.encode_webp_lossless(arr)))],
+            "doc_id long, payload binary",
+        )
+        out = resize_images(df, width=4, height=4, out_format="webp").first()
+        resized = webp.decode_webp(bytes(out["resized"]))
+        np.testing.assert_array_equal(
+            resized, codecs.resize_nearest(arr, 4, 4)
+        )
+        # default BMP out still works on webp input (alpha dropped)
+        out2 = resize_images(df, width=4, height=4).first()
+        bmp = codecs.decode_bmp(bytes(out2["resized"]))
+        np.testing.assert_array_equal(
+            bmp, codecs.resize_nearest(arr, 4, 4)[:, :, :3]
+        )
