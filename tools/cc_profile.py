@@ -18,6 +18,11 @@ measure ONLY the CC computation, not pair detection):
 - ``chain64``      — a 64-node path: the adversarial-diameter case label
   propagation is worst at (rounds = diameter) and star exists for
   (rounds = O(log n), Kiveris et al. SoCC'14).
+- ``mixed_escalation`` — dense 12-cliques + one 5,000-node chain: the
+  r9 hybrid-escalation target (label converges the cliques within
+  patience, then star runs on the label-contracted quotient carrying
+  only the chain remnant; ``escalated_after`` / ``contracted_edges``
+  in the row record it).
 - ``cliques_*``    — ring-of-cliques synthetics at ~0.5M / 2M / 8M edges
   bracketing DRIVER_CC_GATE, to place the driver-vs-distributed
   crossover empirically.
@@ -109,6 +114,11 @@ def _run(spark, pairs_path: str, algorithm: str, max_iter: int = 200):
         "wall_s": round(wall, 2),
         "rounds": stats.get("rounds"),
         "edges_sym": stats.get("edges"),
+        # hybrid-escalation observability (r9): label rounds spent
+        # before the patience budget fired, and the size of the
+        # label-contracted quotient star actually ran on
+        "escalated_after": stats.get("escalated_from_label"),
+        "contracted_edges": stats.get("contracted_edges"),
         "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
         "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
         "n_nodes": fp[0],
@@ -180,6 +190,31 @@ def _build_graphs(spark, quick: bool) -> dict[str, str]:
             F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
         ),
     )
+
+    # mixed_escalation (r9): dense near-dup mass (3,000 12-cliques, the
+    # shape label converges in 2 rounds) + one 5,000-node chain that
+    # defeats it — the graph the hybrid patience+contract escalation is
+    # FOR. The label row here measures the hybrid: expect
+    # escalated_after == patience and contracted_edges ≈ the chain
+    # remnant only (the cliques vanish from the quotient).
+    cliq = (
+        spark.range(3_000 * 12)
+        .select(
+            (F.col("id") / 12).cast("long").alias("blk"),
+            (F.col("id") % 12).alias("i"),
+        )
+        .crossJoin(spark.range(1, 12).select(F.col("id").alias("j")))
+        .where(F.col("i") < F.col("j"))
+        .select(
+            (F.col("blk") * 100 + F.col("i")).alias("doc_a"),
+            (F.col("blk") * 100 + F.col("j")).alias("doc_b"),
+        )
+    )
+    chain = spark.range(5_000).select(
+        (F.col("id") + 10_000_000).alias("doc_a"),
+        (F.col("id") + 10_000_001).alias("doc_b"),
+    )
+    save("mixed_escalation", cliq.unionByName(chain))
 
     # ring-of-cliques family: nodes in blocks of 16, each node linked to
     # its next k in-block neighbors → edges ≈ n*k (diameter ≤ 15/k per
