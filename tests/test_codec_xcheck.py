@@ -1,0 +1,132 @@
+"""Cross-validate the native codecs against an INDEPENDENT decoder —
+Spark's ``image`` data source (javax.imageio in the JVM) — on real-world
+files that ship inside this container's toolchains. Roundtrip tests
+can't catch a self-consistent-but-wrong bitstream convention (an
+encoder and decoder sharing the same mistake); decoding files written
+by real encoders can. Every test skips cleanly when its fixture file
+isn't present (the files ride along with pyenv/rustup, not this repo).
+
+Expected envelopes (measured r9): PNG is lossless → BIT-exact. JPEG
+decoders legitimately differ in iDCT rounding and chroma-upsampling
+filter (T.81 mandates neither), so photos agree to ~±2 and the
+worst-case is chroma edges after 4:2:0 upsampling — luma, which has no
+upsampling, stays tight even there.
+"""
+
+import glob
+
+import numpy as np
+import pytest
+
+from kenshin_spark.multimodal import codecs
+
+
+def _first(*patterns):
+    for pat in patterns:
+        hits = sorted(glob.glob(pat))
+        if hits:
+            return hits[0]
+    return None
+
+
+def _first_decodable_png(*patterns):
+    """First real PNG inside the supported profile (8-bit,
+    non-paletted, non-interlaced) — 16-bit/paletted icons correctly
+    raise ValueError and are not what this cross-check targets."""
+    for pat in patterns:
+        for p in sorted(glob.glob(pat)):
+            try:
+                codecs.decode_png(open(p, "rb").read())
+                return p
+            except (ValueError, OSError):
+                continue
+    return None
+
+
+REAL_PNG = _first_decodable_png(
+    "/root/.pyenv/versions/*/lib/python*/idlelib/Icons/idle_*.png",
+    "/mnt/sandboxing/**/kernels/python3/logo-64x64.png",
+)
+REAL_BASELINE_JPG = _first(
+    "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/assets/verify.jpeg",
+)
+REAL_PROGRESSIVE_JPG = _first(
+    "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/assets/f3.jpg",
+)
+REAL_TINY_420_JPG = _first(
+    "/root/.pyenv/versions/*/lib/python*/test/test_email/data/python.jpg",
+)
+
+
+def _imageio_rgb(spark, path):
+    """Decode via the JVM's javax.imageio (Spark image source); BGR(A)
+    storage → RGB(A)."""
+    row = spark.read.format("image").load(path).select("image.*").first()
+    ch = row["nChannels"]
+    arr = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+        row["height"], row["width"], ch
+    )
+    return arr[:, :, [2, 1, 0, 3]] if ch == 4 else arr[:, :, ::-1]
+
+
+def _luma(a):
+    a = a.astype(np.float64)
+    return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+
+@pytest.mark.skipif(REAL_PNG is None, reason="no real PNG in container")
+def test_png_decode_bit_exact_vs_imageio(spark):
+    payload = open(REAL_PNG, "rb").read()
+    mine = codecs.decode_png(payload)
+    ref = _imageio_rgb(spark, REAL_PNG)
+    assert mine.shape == ref.shape
+    np.testing.assert_array_equal(mine, ref)  # lossless: no tolerance
+
+
+@pytest.mark.skipif(
+    REAL_BASELINE_JPG is None, reason="no real baseline JPEG in container"
+)
+def test_baseline_jpeg_photo_vs_imageio(spark):
+    payload = open(REAL_BASELINE_JPG, "rb").read()
+    assert payload[: len(b"\xff\xd8\xff")] == b"\xff\xd8\xff"
+    mine = codecs.decode_jpeg(payload).astype(int)
+    ref = _imageio_rgb(spark, REAL_BASELINE_JPG).astype(int)
+    assert mine.shape == ref.shape
+    ad = np.abs(mine - ref)
+    # measured r9: mean 0.385, max 2 — leave headroom for jdk drift
+    assert ad.mean() < 1.0 and ad.max() <= 4
+
+
+@pytest.mark.skipif(
+    REAL_PROGRESSIVE_JPG is None,
+    reason="no real progressive JPEG in container",
+)
+def test_progressive_jpeg_real_world_vs_imageio(spark):
+    """A 720x477 SOF2 photo written by a real encoder: multi-scan DC/AC
+    spectral selection + successive approximation, 4:2:0. The decisive
+    check that the Annex-G implementation matches the spec, not just
+    its own encoder."""
+    payload = open(REAL_PROGRESSIVE_JPG, "rb").read()
+    w, h, ncomp = codecs.jpeg_info(payload)
+    assert (w, h, ncomp) == (720, 477, 3)
+    mine = codecs.decode_jpeg(payload).astype(int)
+    ref = _imageio_rgb(spark, REAL_PROGRESSIVE_JPG).astype(int)
+    assert mine.shape == ref.shape
+    ad = np.abs(mine - ref)
+    # measured r9: mean 1.78, 92% within ±5 (chroma-upsample style
+    # differences on edges); a convention bug would blow way past this
+    assert ad.mean() < 3.0
+    assert (ad <= 5).mean() > 0.90
+
+
+@pytest.mark.skipif(
+    REAL_TINY_420_JPG is None, reason="no tiny 4:2:0 JPEG in container"
+)
+def test_tiny_420_logo_luma_vs_imageio(spark):
+    # sharp-edged 16x16 4:2:0 logo: chroma upsampling styles diverge
+    # most here, but luma has no upsampling and must stay tight
+    payload = open(REAL_TINY_420_JPG, "rb").read()
+    mine = codecs.decode_jpeg(payload)
+    ref = _imageio_rgb(spark, REAL_TINY_420_JPG)
+    ld = np.abs(_luma(mine) - _luma(ref))
+    assert ld.mean() < 1.5  # measured r9: 0.81
