@@ -113,9 +113,16 @@ class CommitProtocol(ABC):
         retries: int = 10,
         backoff_s: float = 0.05,
         deadline_s: float = 30.0,
+        flags: dict | None = None,
     ):
         """Run driver-side read ``fn`` (re-invoked from scratch on
-        retry) such that the result is never a torn view."""
+        retry) such that the result is never a torn view. ``flags``,
+        when a dict is passed, is filled in-place with per-READ
+        degradation markers (``degraded``/``epoch_races``/
+        ``stale_retries``) — the per-request sibling of the process-wide
+        ``stats`` counters, so a serving layer can propagate "this
+        response may reflect a mid-swap listing" to the caller
+        (ADVICE r8: a warning log alone leaves the client blind)."""
 
     def reader_conf(self) -> dict[str, str]:
         """SQL confs a dedicated serving-reader session needs."""
@@ -189,6 +196,7 @@ class SeqlockCommitProtocol(CommitProtocol):
         retries: int = 10,
         backoff_s: float = 0.05,
         deadline_s: float = 30.0,
+        flags: dict | None = None,
     ):
         wait_deadline = time.monotonic() + deadline_s
         validations = 0
@@ -235,6 +243,10 @@ class SeqlockCommitProtocol(CommitProtocol):
                     self.label,
                     stats["degraded_returns"],
                 )
+                if flags is not None:
+                    flags["degraded"] = True
+                    flags["epoch_races"] = validations
+                    flags["stale_retries"] = stale
                 return out
 
     def reader_conf(self) -> dict[str, str]:
@@ -276,7 +288,8 @@ class SnapshotCommitProtocol(CommitProtocol):
         yield
 
     def consistent_read(self, fn: Callable, retries: int = 10,
-                        backoff_s: float = 0.05, deadline_s: float = 30.0):
+                        backoff_s: float = 0.05, deadline_s: float = 30.0,
+                        flags: dict | None = None):
         # snapshot isolation is the default read mode — one shot, no
-        # validation loop, no retry budget
+        # validation loop, no retry budget, and never a degraded return
         return fn()

@@ -117,6 +117,23 @@ def _recv_exact(sock, n: int) -> bytes | None:
     return buf
 
 
+def flags_kw(flags: dict | None) -> dict:
+    """kwargs for an endpoint fn that may or may not accept the
+    per-request ``flags`` out-param (plain lambdas in tests don't)."""
+    return {"flags": flags} if flags is not None else {}
+
+
+def _rows_body(rows, flags: dict | None) -> dict:
+    body = {"rows": [list(r) for r in rows]}
+    if flags and flags.get("degraded"):
+        # the per-request sibling of the process-wide read_retry_stats:
+        # this response was served past the epoch-validation budget and
+        # may reflect a mid-swap listing (ADVICE r8 — clients must not
+        # be blind to it). Additive key: rows shape is unchanged.
+        body["degraded"] = True
+    return body
+
+
 class HttpFetchServer:
     """``/fetch`` + ``/hot`` (+ optional ``/render``) as JSON.
     ``fetch_fn(metrics, from, until, now)`` returns
@@ -125,7 +142,11 @@ class HttpFetchServer:
     returns datapoints; ``render_fn(target, from, until, now)`` resolves
     a graphite target expression (glob + function chain — see
     ``functions.targets.parse_target``) to the same row shape, giving
-    the wire surface graphite-web's /render parity."""
+    the wire surface graphite-web's /render parity. Endpoint fns MAY
+    additionally accept ``flags: dict`` (the ``store_serving_fns`` /
+    ``store_render_fn`` wrappers do): when a consistent read degrades
+    past its validation budget, the JSON body carries
+    ``"degraded": true`` alongside the rows."""
 
     def __init__(
         self,
@@ -146,13 +167,15 @@ class HttpFetchServer:
                 q = parse_qs(url.query)
                 try:
                     if url.path == "/fetch":
+                        flags = outer._flags_for(outer.fetch_fn)
                         rows = outer.fetch_fn(
                             q.get("metric", []),
                             int(q["from"][0]),
                             int(q["until"][0]),
                             int(q["now"][0]),
+                            **flags_kw(flags),
                         )
-                        body = {"rows": [list(r) for r in rows]}
+                        body = _rows_body(rows, flags)
                     elif url.path == "/hot" and outer.hot_fn is not None:
                         body = {
                             "datapoints": [
@@ -160,13 +183,15 @@ class HttpFetchServer:
                             ]
                         }
                     elif url.path == "/render" and outer.render_fn is not None:
+                        flags = outer._flags_for(outer.render_fn)
                         rows = outer.render_fn(
                             q["target"][0],
                             int(q["from"][0]),
                             int(q["until"][0]),
                             int(q["now"][0]),
+                            **flags_kw(flags),
                         )
-                        body = {"rows": [list(r) for r in rows]}
+                        body = _rows_body(rows, flags)
                     else:
                         self.send_error(404)
                         return
@@ -189,9 +214,29 @@ class HttpFetchServer:
         self.fetch_fn = fetch_fn
         self.hot_fn = hot_fn
         self.render_fn = render_fn
+        # which endpoint fns accept the per-request flags out-param
+        # (decided once at wiring time; plain lambdas never do)
+        import inspect
+
+        def accepts(fn):
+            try:
+                return fn is not None and "flags" in inspect.signature(
+                    fn
+                ).parameters
+            except (TypeError, ValueError):
+                return False
+
+        self._flag_aware = {
+            id(fn) for fn in (fetch_fn, render_fn) if accepts(fn)
+        }
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.address: tuple[str, int] = self._server.server_address[:2]
         self._thread: threading.Thread | None = None
+
+    def _flags_for(self, fn) -> dict | None:
+        """A fresh per-request flags dict for flag-aware endpoint fns,
+        None for plain callables (no kwarg injected)."""
+        return {} if id(fn) in self._flag_aware else None
 
     def start(self) -> tuple[str, int]:
         self._thread = threading.Thread(
@@ -272,31 +317,32 @@ def store_serving_fns(store, reader=None) -> tuple[
         reader = reader_clone(store)
     sc = reader.spark.sparkContext
 
-    def _pooled(fn):
+    def _pooled(fn, flags=None):
         sc.setLocalProperty("spark.scheduler.pool", SERVING_POOL)
         try:
-            return reader.consistent_read(fn)
+            return reader.consistent_read(fn, flags=flags)
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
 
-    def lookup(metric: str) -> Datapoints:
+    def lookup(metric: str, flags: dict | None = None) -> Datapoints:
         return _pooled(
             lambda: [
                 (r["ts"], r["value"])
                 for r in reader.read(0)
                 .where(F.col("metric") == metric)
                 .collect()
-            ]
+            ],
+            flags,
         )
 
-    def fetch_fn(metrics, frm, until, now):
+    def fetch_fn(metrics, frm, until, now, flags: dict | None = None):
         def _go():
             df = reader.fetch(metrics, frm, until, now)
             if df is None:
                 return []
             return [(r["metric"], r["ts"], r["value"]) for r in df.collect()]
 
-        return _pooled(_go)
+        return _pooled(_go, flags)
 
     lookup.reader_store = fetch_fn.reader_store = reader  # introspection
     return lookup, fetch_fn
@@ -325,7 +371,10 @@ def store_render_fn(
         reader = reader_clone(store)
     sc = reader.spark.sparkContext
 
-    def render_fn(target: str, frm: int, until: int, now: int) -> list[tuple]:
+    def render_fn(
+        target: str, frm: int, until: int, now: int,
+        flags: dict | None = None,
+    ) -> list[tuple]:
         def _go():
             glob, chain = parse_target(target)
             grid = reader.fetch_glob(glob, frm, until, now)
@@ -339,7 +388,7 @@ def store_render_fn(
 
         sc.setLocalProperty("spark.scheduler.pool", SERVING_POOL)
         try:
-            return reader.consistent_read(_go)
+            return reader.consistent_read(_go, flags=flags)
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
 

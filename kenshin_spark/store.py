@@ -199,6 +199,7 @@ class ParquetTieredStore:
         retries: int = 10,
         backoff_s: float = 0.05,
         deadline_s: float = 30.0,
+        flags: dict | None = None,
     ):
         """Run driver-side read ``fn`` (build-DataFrame-and-collect; it is
         re-invoked from scratch on retry) so the result is never a torn
@@ -208,9 +209,12 @@ class ParquetTieredStore:
         writeForever flushes (rurouni/protocols.py:65-84). Degradation
         order, retry budgets, and the stale-marker scope live with the
         backend (kenshin_spark.commit.SeqlockCommitProtocol); on a table
-        format this is one plain ``fn()``."""
+        format this is one plain ``fn()``. ``flags`` (a dict, optional)
+        receives per-read degradation markers — see
+        ``CommitProtocol.consistent_read``."""
         return self.commit.consistent_read(
-            fn, retries=retries, backoff_s=backoff_s, deadline_s=deadline_s
+            fn, retries=retries, backoff_s=backoff_s, deadline_s=deadline_s,
+            flags=flags,
         )
 
     def retry_metrics(self, now: int) -> list[tuple[str, int, float]]:

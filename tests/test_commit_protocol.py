@@ -115,3 +115,90 @@ class TestBatchedCompactionGuard:
         assert st.swap_epoch() == e0 + 2  # one transition, not five
         # and the fold is still correct
         assert st.read(0).count() == 18
+
+
+class TestDegradedReadFlags:
+    """ADVICE r8 follow-through: a degraded consistent_read must be
+    visible PER REQUEST, not only in process-wide counters — the
+    protocol fills a caller-passed flags dict, and the HTTP layer
+    surfaces it as `"degraded": true` in the response body."""
+
+    def _always_racing_protocol(self):
+        from kenshin_spark.commit import SeqlockCommitProtocol
+
+        class TickingFs:
+            """Epoch moves on every read: every validation races."""
+
+            def __init__(self):
+                self.n = 0
+
+            def read_text(self, path):
+                self.n += 2  # stays even: never an in-flight wait
+                return str(self.n)
+
+            def write_text_atomic(self, path, text):
+                pass
+
+        return SeqlockCommitProtocol(TickingFs(), "/nowhere/epoch")
+
+    def test_flags_filled_on_degraded_return(self):
+        proto = self._always_racing_protocol()
+        flags = {}
+        out = proto.consistent_read(
+            lambda: 42, retries=3, backoff_s=0.0, flags=flags
+        )
+        assert out == 42
+        assert flags["degraded"] is True
+        assert flags["epoch_races"] == 3
+        assert proto.stats["degraded_returns"] == 1
+
+    def test_flags_untouched_on_clean_read(self, spark, tmp_path):
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        st = ParquetTieredStore(
+            spark,
+            Schema.from_strings("s", ".*", "60s:1d", xff=0.5,
+                                agg_method="average"),
+            str(tmp_path / "flg"),
+        )
+        flags = {}
+        assert st.consistent_read(lambda: 7, flags=flags) == 7
+        assert flags == {}
+
+    def test_snapshot_backend_never_degrades(self):
+        from kenshin_spark.commit import SnapshotCommitProtocol
+
+        proto = SnapshotCommitProtocol(lambda: 5)
+        flags = {}
+        assert proto.consistent_read(lambda: 1, flags=flags) == 1
+        assert flags == {}
+
+    def test_http_body_carries_degraded_marker(self):
+        import json
+        import urllib.request
+
+        from kenshin_spark.serving import HttpFetchServer
+
+        def fetch_fn(metrics, frm, until, now, flags=None):
+            if flags is not None:
+                flags["degraded"] = True
+            return [("m", 0, 1.0)]
+
+        def plain_fetch(metrics, frm, until, now):
+            return [("m", 0, 1.0)]
+
+        for fn, expect in ((fetch_fn, True), (plain_fetch, False)):
+            srv = HttpFetchServer(fn)
+            host, port = srv.start()
+            try:
+                body = json.loads(
+                    urllib.request.urlopen(
+                        f"http://{host}:{port}/fetch?metric=m&from=0"
+                        f"&until=1&now=1"
+                    ).read()
+                )
+                assert body["rows"] == [["m", 0, 1.0]]
+                assert body.get("degraded", False) is expect
+            finally:
+                srv.stop()

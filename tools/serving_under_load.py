@@ -132,6 +132,7 @@ class _ClientFleet:
         self.lat: dict[str, list[float]] = {"tcp": [], "http": [], "render": []}
         self.checked = 0
         self.served = 0
+        self.degraded = 0  # responses flagged "degraded": true (ADVICE r8)
         self._lock = threading.Lock()
         self._threads: list[threading.Thread] = []
 
@@ -184,6 +185,7 @@ class _ClientFleet:
             with self._lock:
                 self.lat["http"].append(dt)
                 self.served += 1
+                self.degraded += bool(body.get("degraded"))
                 for mm, ts, v in body["rows"]:
                     if v is not None:  # fetch grid NULL-pads
                         self._check(mm, ts, v)
@@ -209,6 +211,7 @@ class _ClientFleet:
             with self._lock:
                 self.lat["render"].append(dt)
                 self.served += 1
+                self.degraded += bool(body.get("degraded"))
                 for mm, ts, v in body["rows"]:
                     if v is not None:  # render grid NULL-pads like fetch
                         self._check(mm, ts, v / 2)  # scale(,2) inverse, exact
@@ -231,6 +234,7 @@ class _ClientFleet:
         out = {
             "clients": self.n_clients,
             "served": self.served,
+            "degraded_responses": self.degraded,
             "value_checks": self.checked,
             "errors": self.errors[:5],
             "n_errors": len(self.errors),
