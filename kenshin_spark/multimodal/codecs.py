@@ -67,6 +67,7 @@ def _coerce_codec_errors(fn):
             wave.Error,
             EOFError,
             IndexError,
+            KeyError,  # malformed multi-scan headers (bad table/comp ids)
         ) as exc:
             raise ValueError(f"{fn.__name__}: malformed payload ({exc})") from exc
         except _MarkerHit as exc:
@@ -696,13 +697,39 @@ def _assemble_planes(comps, planes, w, h, hmax, vmax) -> np.ndarray:
     return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
 
 
+def _jpeg_sof_marker(payload: bytes) -> int:
+    """The SOFn marker byte, from a lengths-only marker walk (no
+    table parsing) — the cheap dispatch between the baseline and
+    progressive decode paths."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        if marker in (0xD9, 0xDA):
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos:pos + 2])
+        pos += seg_len
+    raise ValueError("jpeg: no frame header")
+
+
 @_coerce_codec_errors
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """HxWx3 uint8 RGB (HxWx1 for grayscale JPEGs) — baseline and
     progressive DCT."""
-    hdr = _jpeg_segments(payload)
-    if hdr.get("progressive"):
+    if _jpeg_sof_marker(payload) == 0xC2:
+        # dispatch BEFORE the baseline parse: the progressive path
+        # walks all scans itself, so parsing tables twice per payload
+        # would be pure waste on the Arrow-batch hot path
         return _decode_jpeg_progressive(payload)
+    hdr = _jpeg_segments(payload)
     w, h, comps = hdr["w"], hdr["h"], hdr["components"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -773,7 +800,13 @@ def _decode_dc_scan(scan, frame, coefs, geom, payload):
     point transform Al; refinement (Ah>0) is one raw bit per block."""
     comps = frame["components"]
     by_id = {c["id"]: i for i, c in enumerate(comps)}
+    if any(cid not in by_id for cid in scan["comps"]):
+        raise ValueError("jpeg: scan names a component not in the frame")
     scan_cis = [by_id[cid] for cid in scan["comps"]]
+    if scan["ah"] == 0 and any(
+        scan["dc"][cid] is None for cid in scan["comps"]
+    ):
+        raise ValueError("jpeg: DC scan without DC table")
     al, first = scan["al"], scan["ah"] == 0
     restart = scan["restart"]
     reader = _BitReader(payload, scan["data_pos"])
@@ -818,6 +851,8 @@ def _decode_ac_scan(scan, frame, coefs, geom, payload):
     by_id = {c["id"]: i for i, c in enumerate(comps)}
     if len(scan["comps"]) != 1:
         raise ValueError("jpeg: interleaved AC progressive scan")
+    if scan["comps"][0] not in by_id:
+        raise ValueError("jpeg: scan names a component not in the frame")
     ci = by_id[scan["comps"][0]]
     ac_tbl = scan["ac"][scan["comps"][0]]
     if ac_tbl is None:
@@ -992,10 +1027,6 @@ class _BitWriter:
     def raw_marker(self, marker):
         self.align()
         self.out += bytes([0xFF, marker])
-
-
-def _fdct(block):
-    return _DCT_M @ (block - 128.0) @ _DCT_M.T
 
 
 def _jpeg_plane_prep(arr, subsample):

@@ -15,12 +15,19 @@ Decoder coverage is the full VP8L feature set:
   pixel), LZ77 backward references with the 120-entry 2D distance map,
   and meta-Huffman groups via a recursively decoded entropy image.
 
-The encoder emits literals, optional distance-1 RLE backrefs, optional
-color-cache hits, and any single fixed transform (or subtract-green +
-predictor stacked) so every decoder path above is pinned by lossless
-roundtrips rather than fixtures. Lossy VP8 is a whole video codec
-(boolean arithmetic decoder + loop filter) and stays routed to the PIL
-seam, as does animation (ANMF).
+The encoder emits literals, horizontal/vertical RLE backrefs (coded
+via the 2D distance map whenever an entry lands on the distance, so
+roundtrips exercise it), color-cache hits, a real two-group
+meta-Huffman split, and each fixed transform (stackable) — every
+decoder path above is pinned by lossless roundtrips rather than
+fixtures. Lossy VP8 is a whole video codec (boolean arithmetic decoder
++ loop filter) and stays routed to the PIL seam, as does animation
+(ANMF). The 120-entry distance map is DERIVED at import from the
+spec's inverse plane-to-code LUT with a permutation check — the r9
+review caught a corrupted hand transcription of the flat list, and no
+real VP8L file exists in-container to cross-check against (javax.imageio
+cannot decode WebP), so deriving from the independent representation is
+the strongest available pin; structural tests cover the rest.
 
 Scale posture matches codecs.py: per-payload kernels invoked from
 Arrow ``mapInPandas`` batches — decode cost rides in the executors.
@@ -35,26 +42,40 @@ import numpy as np
 #: code-length-code transmission order (spec §5.2.2)
 _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
-#: dist_code 1..120 -> (dx, dy) 2D offsets (spec §5.2.3); the pixel
-#: distance is dx + dy * xsize, clamped to >= 1
-_DIST_MAP = [
-    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
-    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
-    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
-    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
-    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
-    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
-    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
-    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
-    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
-    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
-    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
-    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
-    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
-    (-6, 6), (2, 8), (-2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3),
-    (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 4), (7, 7), (-7, 7), (8, 5),
-    (8, 6), (8, 7),
+#: the spec's plane-to-code LUT (spec §5.2.3 / libwebp
+#: backward_references): row = dy (0..7), column = 8 - dx (dx in
+#: -7..8), value = dist_code - 1 (255 = no code: dy == 0 with dx <= 0
+#: would reference undecoded pixels). The r9 review caught a corrupted
+#: hand transcription of the derived 120-entry list (122 entries, tail
+#: order shifted — real-file codes >= 106 would have decoded wrong), so
+#: the list is now DERIVED from this independent representation and
+#: permutation-checked at import.
+_PLANE_TO_CODE = [
+    96, 73, 55, 39, 23, 13, 5, 1, 255, 255, 255, 255, 255, 255, 255, 255,
+    101, 78, 58, 42, 26, 16, 8, 2, 0, 3, 9, 17, 27, 43, 59, 79,
+    102, 86, 62, 46, 32, 20, 10, 6, 4, 7, 11, 21, 33, 47, 63, 87,
+    105, 90, 70, 52, 37, 28, 18, 14, 12, 15, 19, 29, 38, 53, 71, 91,
+    110, 99, 82, 66, 48, 35, 30, 24, 22, 25, 31, 36, 49, 67, 83, 100,
+    115, 108, 94, 76, 64, 50, 44, 40, 34, 41, 45, 51, 65, 77, 95, 109,
+    118, 113, 103, 92, 80, 68, 60, 56, 54, 57, 61, 69, 81, 93, 104, 114,
+    119, 116, 111, 106, 97, 88, 84, 74, 72, 75, 85, 89, 98, 107, 112, 117,
 ]
+
+
+def _build_dist_map() -> list[tuple[int, int]]:
+    assert sorted(v for v in _PLANE_TO_CODE if v != 255) == list(range(120))
+    table: list = [None] * 120
+    for dy in range(8):
+        for col in range(16):
+            v = _PLANE_TO_CODE[dy * 16 + col]
+            if v != 255:
+                table[v] = (8 - col, dy)
+    return table
+
+
+#: dist_code 1..120 -> (dx, dy) 2D offsets; the pixel distance is
+#: dx + dy * xsize, clamped to >= 1
+_DIST_MAP = _build_dist_map()
 
 
 # -- bit IO (LSB-first, per VP8L) --------------------------------------------
@@ -675,6 +696,9 @@ def _to_argb_array(arr: np.ndarray) -> np.ndarray:
     if ch == 1:
         out[:, :, 1] = out[:, :, 2] = out[:, :, 3] = arr[:, :, 0]
         out[:, :, 0] = 255
+    elif ch == 2:  # gray+alpha (PNG color type 4 decodes to HxWx2)
+        out[:, :, 1] = out[:, :, 2] = out[:, :, 3] = arr[:, :, 0]
+        out[:, :, 0] = arr[:, :, 1]
     elif ch == 3:
         out[:, :, 1:4] = arr
         out[:, :, 0] = 255
@@ -746,49 +770,111 @@ def _write_subimage_all_zero(w: _LsbWriter) -> None:
         w.bits(0, 1)  # symbol 0
 
 
+def _write_subimage_split(w: _LsbWriter, mw: int, mh: int,
+                          split_at: int) -> None:
+    """Entropy sub-image assigning meta group 0 to tile columns left of
+    ``split_at`` and group 1 to the rest (red=0, green=group): one
+    2-symbol simple code for green, single-symbol codes elsewhere, then
+    one green bit per tile."""
+    w.bits(0, 1)  # no color cache
+    # green: simple 2-symbol code {0, 1}
+    w.bits(1, 1)
+    w.bits(1, 1)  # 2 symbols
+    w.bits(0, 1)  # 1-bit first symbol
+    w.bits(0, 1)  # symbol 0
+    w.bits(1, 8)  # symbol 1
+    for _ in range(4):  # red / blue / alpha / distance: single symbol 0
+        w.bits(1, 1)
+        w.bits(0, 1)
+        w.bits(0, 1)
+        w.bits(0, 1)
+    for ty in range(mh):
+        _ = ty
+        for tx in range(mw):
+            # canonical: symbol 0 -> code 0, symbol 1 -> code 1
+            w.code(1 if tx >= split_at else 0, 1)
+
+
+def _dist_code_for(distance: int, width: int) -> int:
+    """Smallest dist_code for ``distance``: a 2D neighbor code (1..120)
+    when some map entry lands on it at this width, else the plain form
+    ``distance + 120`` — mirrors the decoder's mapping exactly, and
+    makes roundtrips exercise the 2D table."""
+    for idx, (dx, dy) in enumerate(_DIST_MAP):
+        if max(dx + dy * width, 1) == distance:
+            return idx + 1
+    return distance + 120
+
+
 def _emit_spatial(w: _LsbWriter, px: np.ndarray, width: int,
-                  use_cache: int, use_rle: bool, use_meta: bool,
+                  use_cache: int, use_rle: bool, use_meta,
                   level0: bool) -> None:
-    """Tokenize (cache-aware) then emit one spatially-coded image."""
+    """Tokenize (cache-aware) then emit one spatially-coded image.
+    ``use_meta``: falsy = no entropy image; True = all-zero 1-group
+    image; ``"split"`` = two REAL groups (left/right tile halves, each
+    with its own five codes) so the decoder's per-pixel group selection
+    is exercised with genuinely different tables."""
     n = px.shape[0]
+    height = n // width
+    split = use_meta == "split"
+    mw = -(-width // 4)
+    mh = -(-height // 4)
+    split_at = mw // 2 if split else mw  # tiles >= split_at -> group 1
+    ngroups = 2 if split and split_at < mw else 1
+
+    def group_of(pos: int) -> int:
+        if ngroups == 1:
+            return 0
+        return 1 if ((pos % width) >> 2) >= split_at else 0
+
     cache = [None] * (1 << use_cache) if use_cache else None
-    tokens = []
+    tokens = []  # (group, token)
     pos = 0
     while pos < n:
         a, red, g, b = (int(v) for v in px[pos])
-        run = 0
-        if use_rle and pos > 0:
-            while (pos + run < n
-                   and (px[pos + run] == px[pos - 1]).all()
-                   and run < 4096):
-                run += 1
-        if run >= 2:  # distance-1 copy
-            tokens.append(("copy", run, 1))
+        grp = group_of(pos)
+        # RLE: prefer the longer of a horizontal (distance 1) and a
+        # vertical (distance == width) run; vertical backrefs exercise
+        # the 2D distance map's (0, 1) entry
+        best_run, best_dist = 0, 1
+        if use_rle:
+            for dist in (1, width):
+                if pos < dist:
+                    continue
+                run = 0
+                while (pos + run < n
+                       and (px[pos + run] == px[pos + run - dist]).all()
+                       and run < 4096):
+                    run += 1
+                if run > best_run:
+                    best_run, best_dist = run, dist
+        if best_run >= 2:
+            tokens.append((grp, ("copy", best_run, best_dist)))
             if cache is not None:
-                for i in range(run):
+                for i in range(best_run):
                     aa, rr, gg, bb = (int(v) for v in px[pos + i])
                     v32 = _argb(aa, rr, gg, bb)
                     cache[_cache_key(v32, use_cache)] = v32
-            pos += run
+            pos += best_run
             continue
         v32 = _argb(a, red, g, b)
         if cache is not None:
             key = _cache_key(v32, use_cache)
             if cache[key] == v32:
-                tokens.append(("cache", key))
+                tokens.append((grp, ("cache", key)))
                 pos += 1
                 continue
             cache[key] = v32
-        tokens.append(("lit", a, red, g, b))
+        tokens.append((grp, ("lit", a, red, g, b)))
         pos += 1
-    # histograms over the 5 alphabets
+    # histograms over the 5 alphabets, per meta group
     green_size = 256 + 24 + ((1 << use_cache) if use_cache else 0)
-    fg = [0] * green_size
-    fr = [0] * 256
-    fb = [0] * 256
-    fa = [0] * 256
-    fd = [0] * 40
-    for t in tokens:
+    hists = [
+        [[0] * green_size, [0] * 256, [0] * 256, [0] * 256, [0] * 40]
+        for _ in range(ngroups)
+    ]
+    for grp, t in tokens:
+        fg, fr, fb, fa, fd = hists[grp]
         if t[0] == "lit":
             _, a, red, g, b = t
             fg[g] += 1
@@ -798,7 +884,7 @@ def _emit_spatial(w: _LsbWriter, px: np.ndarray, width: int,
         elif t[0] == "copy":
             lp, _, _ = _prefix_encode(t[1])
             fg[256 + lp] += 1
-            dp, _, _ = _prefix_encode(t[2] + 120)  # plain distance code
+            dp, _, _ = _prefix_encode(_dist_code_for(t[2], width))
             fd[dp] += 1
         else:
             fg[280 + t[1]] += 1
@@ -811,31 +897,34 @@ def _emit_spatial(w: _LsbWriter, px: np.ndarray, width: int,
     if level0:
         if use_meta:
             w.bits(1, 1)
-            w.bits(0, 3)  # huffman_bits = 2 -> 4px tiles, all group 0
-            mw = -(-width // 4)
-            mh = -(-(n // width) // 4)
-            _write_subimage_all_zero(w)
-            _ = (mw, mh)  # zero pixels read 0 bits; dims implicit
+            w.bits(0, 3)  # huffman_bits = 2 -> 4px tiles
+            if split and ngroups == 2:
+                _write_subimage_split(w, mw, mh, split_at)
+            else:
+                _write_subimage_all_zero(w)
         else:
             w.bits(0, 1)
-    codes = []
-    for freqs, size in ((fg, green_size), (fr, 256), (fb, 256),
-                        (fa, 256), (fd, 40)):
-        if not any(freqs):
-            freqs = list(freqs)
-            freqs[0] = 1  # unused alphabet: 1-symbol placeholder code
-        lengths = _limited_lengths(freqs, 15)
-        used = [s for s, ln in enumerate(lengths) if ln]
-        if len(used) == 1 and used[0] >= 256:
-            # simple codes carry <=8-bit symbols only; add a mate
-            lengths[0] = 1
-            lengths[used[0]] = 1
-        _write_code(w, lengths)
-        codes.append(_canon_codes(lengths) if len(
-            [s for s, ln in enumerate(lengths) if ln]) > 1 else
-            {[s for s, ln in enumerate(lengths) if ln][0]: (0, 0)})
-    cg, cr, cb, ca, cd = codes
-    for t in tokens:
+    group_codes = []
+    for grp in range(ngroups):
+        codes = []
+        for freqs, size in zip(hists[grp],
+                               (green_size, 256, 256, 256, 40)):
+            if not any(freqs):
+                freqs = list(freqs)
+                freqs[0] = 1  # unused alphabet: 1-symbol placeholder
+            lengths = _limited_lengths(freqs, 15)
+            used = [s for s, ln in enumerate(lengths) if ln]
+            if len(used) == 1 and used[0] >= 256:
+                # simple codes carry <=8-bit symbols only; add a mate
+                lengths[0] = 1
+                lengths[used[0]] = 1
+            _write_code(w, lengths)
+            codes.append(_canon_codes(lengths) if len(
+                [s for s, ln in enumerate(lengths) if ln]) > 1 else
+                {[s for s, ln in enumerate(lengths) if ln][0]: (0, 0)})
+        group_codes.append(codes)
+    for grp, t in tokens:
+        cg, cr, cb, ca, cd = group_codes[grp]
         if t[0] == "lit":
             _, a, red, g, b = t
             for sym, tbl in ((g, cg), (red, cr), (b, cb), (a, ca)):
@@ -847,7 +936,7 @@ def _emit_spatial(w: _LsbWriter, px: np.ndarray, width: int,
             w.code(code, ln)
             if lbits:
                 w.bits(lev, lbits)
-            dp, dev, dbits = _prefix_encode(t[2] + 120)
+            dp, dev, dbits = _prefix_encode(_dist_code_for(t[2], width))
             ln, code = cd[dp]
             w.code(code, ln)
             if dbits:
@@ -861,14 +950,16 @@ def encode_webp_lossless(arr, use_cache: int = 0, use_rle: bool = True,
                          predictor: int | None = None,
                          color_transform: tuple[int, int, int] | None = None,
                          subtract_green: bool = False,
-                         use_meta: bool = False,
+                         use_meta=False,
                          palette: bool = False) -> bytes:
     """Lossless WebP (VP8L) writer. Transforms are single-tile /
     fixed-parameter — enough to make every decoder transform path a
     lossless roundtrip. ``use_cache`` is the color-cache bit width
     (0 = off); ``use_rle`` emits distance-1 backward references for
     pixel runs; ``palette`` color-indexes (<=256 distinct colors, with
-    1/2/4-bit pixel packing for small palettes)."""
+    1/2/4-bit pixel packing for small palettes); ``use_meta`` emits a
+    meta-Huffman entropy image (True = trivial 1-group, ``"split"`` =
+    two real groups split at the middle tile column)."""
     px2d = _to_argb_array(arr)
     h, width = px2d.shape[:2]
     if width > 1 << 14 or h > 1 << 14:

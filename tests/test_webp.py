@@ -185,3 +185,82 @@ class TestCodecsWiring:
         np.testing.assert_array_equal(
             bmp, codecs.resize_nearest(arr, 4, 4)[:, :, :3]
         )
+
+
+class TestDistanceMapAndMeta:
+    """r9 review follow-up: the 2D distance map and multi-group
+    meta-Huffman were decoder-only paths no roundtrip exercised."""
+
+    def test_dist_map_structural_invariants(self):
+        m = webp._DIST_MAP
+        assert len(m) == 120
+        assert len(set(m)) == 120
+        assert all(-8 <= dx <= 8 and 0 <= dy <= 8 for dx, dy in m)
+        # dy == 0 entries point strictly left (already-decoded pixels)
+        assert all(dx > 0 for dx, dy in m if dy == 0)
+        # the spec's first sixteen entries, independently re-checked
+        assert m[:16] == [
+            (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
+            (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
+            (1, 3), (-1, 3),
+        ]
+
+    @pytest.mark.parametrize("w", [1, 2, 3, 5, 8, 9])
+    def test_vertical_runs_use_2d_distance_codes(self, w):
+        # distance == width maps through (0, 1): dist_code 1 for any w
+        assert webp._dist_code_for(w, w) <= 120
+        col = rng.integers(0, 256, (1, w, 3), dtype=np.uint8)
+        rt(np.repeat(col, 25, axis=0))
+
+    def test_horizontal_runs_use_2d_distance_codes(self):
+        assert webp._dist_code_for(1, 7) == 2  # (1, 0) is entry index 1
+        arr = np.repeat(
+            rng.integers(0, 256, (6, 1, 3), dtype=np.uint8), 9, axis=1
+        )
+        rt(arr)
+
+    def test_plain_distance_codes_beyond_map(self):
+        # distances no 2D entry reaches encode as dist_code d + 120
+        assert webp._dist_code_for(1000, 7) == 1120
+
+    def test_split_meta_two_real_groups(self):
+        # left/right halves carry genuinely different Huffman tables;
+        # the decoder must switch groups per pixel position
+        arr = np.zeros((12, 16, 3), dtype=np.uint8)
+        arr[:, :8] = rng.integers(0, 4, (12, 8, 3)) * 80  # few symbols
+        arr[:, 8:] = rng.integers(0, 256, (12, 8, 3))  # dense alphabet
+        rt(arr, use_meta="split", use_rle=False)
+        rt(arr, use_meta="split", use_cache=4)
+
+    def test_gray_alpha_channels_encode(self):
+        la = rng.integers(0, 256, (6, 7, 2), dtype=np.uint8)
+        out = webp.decode_webp(webp.encode_webp_lossless(la))
+        np.testing.assert_array_equal(out[:, :, 0], la[:, :, 0])
+        np.testing.assert_array_equal(out[:, :, 1], la[:, :, 0])
+        np.testing.assert_array_equal(out[:, :, 3], la[:, :, 1])
+
+
+class TestProgressiveFencing:
+    """r9 review follow-up: malformed progressive streams must degrade
+    as ValueError (the _coerce_codec_errors contract), never escape as
+    AttributeError/KeyError and kill an Arrow batch."""
+
+    def test_scan_with_unknown_component_raises_valueerror(self):
+        jp = bytearray(codecs.encode_jpeg_progressive(
+            rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        ))
+        # first SOS: corrupt its component id (component count 1,
+        # header: FF DA len2 ns cid tdta ...)
+        at = bytes(jp).find(b"\xff\xda")
+        jp[at + 5] = 99  # component id nobody declared
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(bytes(jp))
+
+    def test_dc_scan_without_dc_table_raises_valueerror(self):
+        jp = bytearray(codecs.encode_jpeg_progressive(
+            rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        ))
+        at = bytes(jp).find(b"\xff\xda")
+        jp[at + 6] = 0x77  # Td=7 (undefined slot), Ta=7
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(bytes(jp))
