@@ -154,19 +154,67 @@ def resize_images(
     return resized.drop("_degraded")
 
 
+def _real_webp_frames(payload: bytes, every_ms: int, max_frames: int):
+    """REAL frame sampling for animated WebP: walk the ANMF timeline,
+    pick the frame covering each ``every_ms`` tick, and decode VP8L
+    frame pixels natively (frame_md5 = digest of the raw pixel array —
+    a content hash, not a container hash). Raises ValueError for
+    non-animated / undecodable payloads (callers fall back to the
+    deterministic fake)."""
+    from kenshin_spark.multimodal import webp
+
+    frames = webp.webp_frames(payload)
+    if not frames:
+        raise ValueError("webp: not animated")
+    starts = []
+    t = 0
+    for f in frames:
+        starts.append(t)
+        t += max(int(f["duration_ms"]), 1)
+    total_ms = t
+    rows = []
+    fi = 0
+    for i in range(max_frames):
+        ts = i * every_ms
+        if ts >= total_ms and i > 0:
+            break
+        while fi + 1 < len(frames) and starts[fi + 1] <= ts:
+            fi += 1
+        f = frames[fi]
+        arr = webp.decode_webp_frame(f)  # ValueError on lossy frames
+        rows.append((
+            i, ts, hashlib.md5(arr.tobytes()).hexdigest(), len(f["data"]),
+        ))
+    return rows
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
     """Video frame sampling: one input row → up to ``max_frames`` frame
-    rows (STUB decode; would be ffmpeg seek+decode). The fake 'video
-    duration' is derived from payload length so cardinality is
-    deterministic and testable."""
+    rows. Animated WebP (ANMF + VP8L frames) samples FOR REAL — the
+    frame timeline comes from the container's per-frame durations and
+    each sampled frame's pixels decode natively. Every other container
+    keeps the deterministic fake (would be ffmpeg seek+decode); its
+    fake 'video duration' derives from payload length so cardinality
+    stays deterministic and testable."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kenshin_spark.multimodal import codecs
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                if codecs.sniff(b) == "webp":
+                    try:
+                        for i, ts, md5, nb in _real_webp_frames(
+                            b, every_ms, max_frames
+                        ):
+                            rows.append((int(doc_id), i, ts, md5, nb))
+                        continue
+                    except ValueError:
+                        pass  # still/lossy webp → deterministic fake
                 duration_ms = len(b) * 10  # fake: 10ms of video per byte
                 n = min(max_frames, max(1, duration_ms // every_ms))
                 for i in range(int(n)):

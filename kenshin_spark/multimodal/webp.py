@@ -21,8 +21,11 @@ roundtrips exercise it), color-cache hits, a real two-group
 meta-Huffman split, and each fixed transform (stackable) — every
 decoder path above is pinned by lossless roundtrips rather than
 fixtures. Lossy VP8 is a whole video codec (boolean arithmetic decoder
-+ loop filter) and stays routed to the PIL seam, as does animation
-(ANMF). The 120-entry distance map is DERIVED at import from the
++ loop filter) and stays routed to the PIL seam. Animated WebP parses
+natively (``webp_frames``: ANMF timeline, dims, durations) and VP8L
+frame pixels decode natively too — ``transforms.sample_frames`` rides
+it for real frame sampling; only lossy frame PIXELS fall through.
+The 120-entry distance map is DERIVED at import from the
 spec's inverse plane-to-code LUT with a permutation check — the r9
 review caught a corrupted hand transcription of the flat list, and no
 real VP8L file exists in-container to cross-check against (javax.imageio
@@ -1047,3 +1050,95 @@ def encode_webp_lossless(arr, use_cache: int = 0, use_rle: bool = True,
     if len(data) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+# -- animated WebP (VP8X + ANIM/ANMF container) -------------------------------
+#
+# Frame-level parsing is header work (offsets/dims/durations from ANMF
+# chunk headers), and frames whose payload is VP8L decode natively via
+# the codec above — which makes video-style frame sampling REAL for
+# animated lossless WebP instead of the deterministic fake the other
+# video containers get. Lossy (VP8) frames still parse (metadata) but
+# their pixels route to the PIL seam like any lossy payload.
+
+
+def _chunk_bytes(tag: bytes, body: bytes) -> bytes:
+    out = tag + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        out += b"\x00"
+    return out
+
+
+def webp_frames(payload: bytes) -> list[dict]:
+    """ANMF frame table of an animated WebP: one dict per frame with
+    ``x, y, w, h, duration_ms, kind`` ('vp8l' | 'vp8') and the frame's
+    raw image-chunk ``data`` (the VP8L/VP8 chunk payload). Empty list
+    for a non-animated container."""
+    frames = []
+    for tag, data in _riff_chunks(payload):
+        if tag != b"ANMF":
+            continue
+        if len(data) < 16:
+            raise ValueError("webp: truncated ANMF header")
+        x2 = int.from_bytes(data[0:3], "little")
+        y2 = int.from_bytes(data[3:6], "little")
+        w = 1 + int.from_bytes(data[6:9], "little")
+        h = 1 + int.from_bytes(data[9:12], "little")
+        dur = int.from_bytes(data[12:15], "little")
+        sub = data[16:]
+        pos = 0
+        kind, img = None, None
+        while pos + 8 <= len(sub):
+            t = sub[pos:pos + 4]
+            (size,) = struct.unpack("<I", sub[pos + 4:pos + 8])
+            body = sub[pos + 8:pos + 8 + size]
+            if t == b"VP8L":
+                kind, img = "vp8l", body
+                break
+            if t == b"VP8 ":
+                kind, img = "vp8", body
+                break
+            pos += 8 + size + (size & 1)  # skip ALPH etc.
+        if kind is None:
+            raise ValueError("webp: ANMF frame without image chunk")
+        frames.append({
+            "x": 2 * x2, "y": 2 * y2, "w": w, "h": h,
+            "duration_ms": dur, "kind": kind, "data": img,
+        })
+    return frames
+
+
+def decode_webp_frame(frame: dict) -> np.ndarray:
+    """Pixels of one ``webp_frames`` entry (VP8L frames only)."""
+    if frame["kind"] != "vp8l":
+        raise ValueError("webp: lossy frame pixels need PIL")
+    return _decode_vp8l(frame["data"])
+
+
+def encode_webp_animation(frames, loop: int = 0) -> bytes:
+    """Animated WebP writer (test vehicle for the frame parser):
+    ``frames`` is a list of ``(array, duration_ms)``; every frame is
+    VP8L-coded full-canvas at (0, 0)."""
+    if not frames:
+        raise ValueError("webp: animation needs at least one frame")
+    first = _to_argb_array(frames[0][0])
+    h, w = first.shape[:2]
+    vp8x = bytes([0x02]) + bytes(3)  # animation flag + reserved
+    vp8x += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    body = _chunk_bytes(b"VP8X", vp8x)
+    body += _chunk_bytes(b"ANIM", bytes(4) + struct.pack("<H", loop))
+    for arr, dur in frames:
+        px = _to_argb_array(arr)
+        fh, fw = px.shape[:2]
+        riff = encode_webp_lossless(arr)
+        vp8l_len = struct.unpack("<I", riff[16:20])[0]
+        vp8l = riff[20:20 + vp8l_len]
+        anmf = (
+            bytes(3) + bytes(3)  # x/2, y/2 = 0
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([0])  # no blend, dispose-to-none
+            + _chunk_bytes(b"VP8L", vp8l)
+        )
+        body += _chunk_bytes(b"ANMF", anmf)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
