@@ -232,7 +232,19 @@ def _label_components(
             if stats is not None:
                 stats.update(algorithm="label", rounds=rounds)
             return labels.select("node", F.col("lbl").alias("cluster_id"))
-        roots = _star_components(contracted, "src", "dst", max_iter, stats)
+        if n_contracted <= DRIVER_CC_GATE:
+            # the contraction usually collapses the graph by orders of
+            # magnitude (the dense mass is gone); when what's left fits
+            # the driver gate, one Arrow collect + the vectorized
+            # union-find beats multiple star fixpoint rounds of
+            # scheduling latency — the same size-gated trade as the
+            # auto path's gate, applied to the quotient
+            if stats is not None:
+                stats.update(algorithm="label+driver", rounds=rounds)
+            roots = _driver_components(contracted)
+        else:
+            roots = _star_components(contracted, "src", "dst", max_iter,
+                                     stats)
         return (
             labels.join(
                 roots.withColumnRenamed("node", "lbl"), "lbl", "left"

@@ -67,3 +67,292 @@ def q_q_ship_latency_bands(spark, sf_dir):
         .groupBy("month", "band")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+# --------------------------------------------------------------------------
+# r9-continuation surface: lossless-WebP / progressive-JPEG codecs,
+# animated-frame sampling, and the hybrid CC escalation — each new
+# engine component gets a driver-oracled row (topping this overflow
+# bank up from 1 to 6; the window still fits with room to spare).
+# --------------------------------------------------------------------------
+
+
+def _doc_ids(spark, sf_dir, modulo=50):
+    from kenshin_spark.io import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % modulo == 0
+    )
+
+
+def _rgb_gradient(doc_id: int, h: int, w: int):
+    import numpy as np
+
+    y = np.arange(h)[:, None, None]
+    x = np.arange(w)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    return ((doc_id + 31 * y + 17 * x + 5 * c) % 256).astype(np.uint8)
+
+
+@stage(
+    "mm_webp_container_dims",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(5 + doc_id % 12 AS BIGINT) AS width,
+           CAST(4 + (doc_id * 3) % 9 AS BIGINT) AS height,
+           'webp' AS format
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "the lossless-WebP write/read loop as a driver row: per-doc RGB "
+    "gradients encoded to REAL VP8L containers by the engine's "
+    "encode_webp_lossless (canonical-Huffman bitstream, color cache on "
+    "odd docs), then image_metadata parses the 14-bit VP8L dims "
+    "natively — no PIL anywhere in the path (multimodal/webp.py)",
+)
+def q_mm_webp_container_dims(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal import image_metadata
+
+    def kern(batches):
+        from kenshin_spark.multimodal import webp
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 12, 4 + (did * 3) % 9
+                payload = webp.encode_webp_lossless(
+                    _rgb_gradient(did, h, w), use_cache=4 * (did % 2)
+                )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        kern, "doc_id long, payload binary"
+    )
+    return image_metadata(payloads).select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "format",
+    )
+
+
+@stage(
+    "mm_progressive_jpeg_dims",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(8 + doc_id % 24 AS BIGINT) AS width,
+           CAST(8 + (doc_id * 7) % 16 AS BIGINT) AS height,
+           'jpeg' AS format
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "progressive JPEG (SOF2) as a driver row: per-doc gradients "
+    "encoded with encode_jpeg_progressive (spectral selection + "
+    "successive approximation at doc-varying levels), then "
+    "image_metadata reads the SOF2 frame header natively "
+    "(multimodal/codecs.py T.81 Annex G path)",
+)
+def q_mm_progressive_jpeg_dims(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal import image_metadata
+
+    def kern(batches):
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 24, 8 + (did * 7) % 16
+                payload = codecs.encode_jpeg_progressive(
+                    _rgb_gradient(did, h, w), levels=did % 3
+                )
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        kern, "doc_id long, payload binary"
+    )
+    return image_metadata(payloads).select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "format",
+    )
+
+
+@stage(
+    "mm_webp_resize_pixel_sum",
+    """
+    WITH ijc AS (
+      SELECT a.i, b.j, c.c
+      FROM (SELECT unnest(generate_series(0, 7)) AS i) a
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) b
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(sum((d.doc_id + 62 * ijc.i + 34 * ijc.j + 5 * ijc.c) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+    CROSS JOIN ijc
+    GROUP BY d.doc_id
+    """,
+    "the WebP resize loop down to PIXEL VALUES: 16x16 engine-built "
+    "VP8L gradients through resize_images(out_format='webp') "
+    "(nearest-neighbor -> 8x8 VP8L re-encode), decoded back and the "
+    "RGB channels summed — nearest-neighbor is exact index math "
+    "(ys = 2i, xs = 2j), so the oracle replays the selected pixels "
+    "with integer arithmetic alone",
+)
+def q_mm_webp_resize_pixel_sum(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal.transforms import resize_images
+
+    def kern(batches):
+        from kenshin_spark.multimodal import webp
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append(
+                    (did, webp.encode_webp_lossless(_rgb_gradient(did, 16, 16)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        kern, "doc_id long, payload binary"
+    )
+    resized = resize_images(payloads, width=8, height=8, out_format="webp")
+
+    def sum_kern(batches):
+        from kenshin_spark.multimodal import webp
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["resized"]):
+                arr = webp.decode_webp(bytes(payload))
+                rows.append((int(did), int(arr[:, :, :3].sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "pixel_sum"])
+
+    return resized.select("doc_id", "resized").mapInPandas(
+        sum_kern, "doc_id long, pixel_sum long"
+    )
+
+
+@stage(
+    "mm_anim_frame_timeline",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST((2 + doc_id % 3) * (1 + doc_id % 2) AS BIGINT) AS n_sampled,
+           CAST(((2 + doc_id % 3) * (1 + doc_id % 2) - 1) * 100 AS BIGINT)
+             AS max_ts_ms
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    "animated-WebP frame sampling as a driver row: per-doc VP8X+ANMF "
+    "animations (2-4 frames, 100/200 ms durations) built by "
+    "encode_webp_animation, sampled by transforms.sample_frames at "
+    "100 ms ticks over the REAL container timeline (webp_frames + "
+    "native VP8L frame decode); the oracle replays the timeline "
+    "arithmetic: n_sampled = total_ms / 100 = n_frames * dur_units",
+)
+def q_mm_anim_frame_timeline(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal.transforms import sample_frames
+
+    def kern(batches):
+        from kenshin_spark.multimodal import webp
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                dur = 100 * (1 + did % 2)
+                frames = [
+                    (_rgb_gradient(did + 7 * k, 4, 4), dur) for k in range(n)
+                ]
+                rows.append((did, webp.encode_webp_animation(frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        kern, "doc_id long, payload binary"
+    )
+    return (
+        sample_frames(payloads, every_ms=100, max_frames=8)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("frame_ts_ms").alias("max_ts_ms"),
+        )
+    )
+
+
+@stage(
+    "dedup_clusters_hybrid_escalation",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS node,
+           CAST((SELECT min(doc_id) FROM documents
+                 WHERE doc_id % 10 = 0 AND doc_id < 320)
+                AS BIGINT) AS cluster_id
+    FROM documents WHERE doc_id % 10 = 0 AND doc_id < 320
+    UNION ALL
+    SELECT CAST(10000000 + d.doc_id * 10 + u.k AS BIGINT) AS node,
+           CAST(10000000 + d.doc_id * 10 AS BIGINT) AS cluster_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 70 = 0) d,
+         unnest(generate_series(0, 3)) AS u(k)
+    """,
+    "the r9 hybrid CC escalation as a driver row: a mixed graph (a "
+    "32-node chain — fixed size, so the adversarial diameter is "
+    "SF-independent — plus 4-cliques on "
+    "synthetic ids per 70th doc, scaling with the data) forced down "
+    "the label path with patience=2 — label converges the cliques, "
+    "the chain defeats it, escalation contracts to the quotient and "
+    "solves it under the driver gate (dedup/cluster.py), and the composed "
+    "labelling must equal the component minima the oracle derives "
+    "from the construction (chain -> min chain id, clique -> its "
+    "block min)",
+)
+def q_dedup_clusters_hybrid_escalation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kenshin_spark.dedup.cluster import connected_components
+
+    chain_nodes = _doc_ids(spark, sf_dir, modulo=10).where(
+        F.col("doc_id") < 320
+    )
+    w = Window.orderBy("doc_id")
+    chain = (
+        chain_nodes.select(
+            F.col("doc_id").alias("doc_a"),
+            F.lead("doc_id").over(w).alias("doc_b"),
+        )
+        .where(F.col("doc_b").isNotNull())
+    )
+    clique_base = _doc_ids(spark, sf_dir, modulo=70).select(
+        (F.lit(10_000_000) + F.col("doc_id") * 10).alias("base")
+    )
+    ks = spark.range(4).select(F.col("id").alias("k"))
+    members = clique_base.crossJoin(ks).select(
+        "base", (F.col("base") + F.col("k")).alias("node")
+    )
+    cliques = (
+        members.alias("x")
+        .join(members.alias("y"), "base")
+        .where(F.col("x.node") < F.col("y.node"))
+        .select(
+            F.col("x.node").alias("doc_a"), F.col("y.node").alias("doc_b")
+        )
+    )
+    pairs = chain.unionByName(cliques)
+    return connected_components(
+        pairs, algorithm="label", max_iter=50, patience=2
+    ).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )

@@ -1190,11 +1190,34 @@ class TestConnectedComponents:
             pairs, algorithm="label", max_iter=10, patience=4, stats=stats
         ).collect()
         assert stats["escalated_from_label"] == 4  # patience, not max_iter
-        assert stats["algorithm"] == "star"  # who actually finished
+        # a sub-gate quotient is solved driver-side (one Arrow collect)
+        assert stats["algorithm"] == "label+driver"
         # the quotient chain shrinks by ~patience hops, no more
         assert 0 < stats["contracted_edges"] < 2 * n
         assert len(got) == n
         assert all(r["cluster_id"] == 1 for r in got)  # ONE component
+
+    def test_escalation_runs_star_past_the_quotient_gate(
+        self, spark, monkeypatch
+    ):
+        """When the contracted quotient is still over the driver gate,
+        escalation finishes with star — forced here by shrinking the
+        gate under the quotient size."""
+        from kenshin_spark.dedup import cluster
+
+        n = 40
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
+        )
+        monkeypatch.setattr(cluster, "DRIVER_CC_GATE", 1)
+        stats: dict = {}
+        got = cluster.connected_components(
+            pairs, algorithm="label", max_iter=25, patience=4, stats=stats
+        ).collect()
+        assert stats["escalated_from_label"] == 4
+        assert stats["algorithm"] == "star"  # quotient over the tiny gate
+        assert len(got) == n
+        assert all(r["cluster_id"] == 1 for r in got)
 
     def test_hybrid_escalation_keeps_dense_cluster_work(self, spark):
         """Mixed graph: dense cliques (label converges them within
@@ -1221,6 +1244,7 @@ class TestConnectedComponents:
             ).collect()
         }
         assert stats["escalated_from_label"] == 3
+        assert stats["algorithm"] == "label+driver"  # quotient fits the gate
         # cliques (84 sym edges each) collapsed; only chain remnants left
         assert stats["contracted_edges"] <= 2 * 30
         for base in (100, 200, 300):
