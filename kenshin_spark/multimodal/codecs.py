@@ -68,6 +68,7 @@ def _coerce_codec_errors(fn):
             EOFError,
             IndexError,
             KeyError,  # malformed multi-scan headers (bad table/comp ids)
+            OverflowError,  # absurd corrupted coefficients vs int32 planes
         ) as exc:
             raise ValueError(f"{fn.__name__}: malformed payload ({exc})") from exc
         except _MarkerHit as exc:
@@ -504,10 +505,15 @@ def _parse_sof(seg: bytes, progressive: bool) -> dict:
     prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
     if prec != 8:
         raise ValueError(f"jpeg: {prec}-bit precision unsupported")
+    if w == 0 or h == 0 or not 1 <= ncomp <= 4:
+        raise ValueError("jpeg: bad frame dimensions/component count")
     comps = []
     for i in range(ncomp):
         cid, hv, tq2 = seg[6 + 3 * i:9 + 3 * i]
-        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq2})
+        sh, sv = hv >> 4, hv & 0x0F
+        if not (1 <= sh <= 4 and 1 <= sv <= 4):  # T.81 B.2.2
+            raise ValueError("jpeg: bad sampling factors")
+        comps.append({"id": cid, "h": sh, "v": sv, "tq": tq2})
     return {
         "w": int(w), "h": int(h), "components": comps,
         "progressive": progressive,
@@ -757,6 +763,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     for bx in range(c["h"]):
                         block = np.zeros((8, 8), dtype=np.float64)
                         t = reader.decode_symbol(dc_tbl)
+                        if t > 15:  # corrupted stream: absurd category
+                            raise ValueError("jpeg: bad DC size category")
                         pred[ci] += _extend(reader.read_bits(t), t)
                         block[0, 0] = pred[ci]
                         k = 1
@@ -837,6 +845,8 @@ def _decode_dc_scan(scan, frame, coefs, geom, payload):
         for ci, by, bx in blocks:
             if first:
                 t = reader.decode_symbol(scan["dc"][comps[ci]["id"]])
+                if t > 15:  # T.81: DC size category <= 15 (11 for 8-bit)
+                    raise ValueError("jpeg: bad DC size category")
                 pred[ci] += _extend(reader.read_bits(t), t)
                 coefs[ci][by, bx, 0] = pred[ci] << al
             elif reader.read_bit():
