@@ -72,8 +72,9 @@ class TestLossless:
     @settings(max_examples=25, deadline=None)
     @given(arr=images(channels=(3,)))
     def test_vp8l_palette_roundtrip_when_small_palette(self, arr):
-        # quantize to <= 8 colors so palette mode always applies
-        arr = (arr // 32) * 32
+        # quantize each channel to 4 levels: <= 4^3 = 64 distinct
+        # colors, safely under the 256-entry palette cap
+        arr = (arr // 64) * 64
         out = webp.decode_webp(webp.encode_webp_lossless(arr, palette=True))
         np.testing.assert_array_equal(out[:, :, :3], arr)
 
