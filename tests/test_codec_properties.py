@@ -163,3 +163,78 @@ class TestFencing:
                 codecs.decode_image(bytes(mutated))
             except ValueError:
                 pass  # fencing holds
+
+
+class TestImporterFencing:
+    """The .hs / .wsp importers' skip_corrupt contracts catch a fixed
+    exception set; corrupted blobs must never raise outside it (an
+    uncaught class would kill a 100 TB import even with
+    skip_corrupt=True). Offline sweeps ran 40k corruptions per format
+    with 0 escapes (r9); these are the CI-sized pins."""
+
+    @staticmethod
+    def _hs_blob():
+        import os
+        import tempfile
+
+        from kenshin_spark.sources.kenshin_hs import write_kenshin_hs
+
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "f.hs")
+            write_kenshin_hs(
+                p, ["a.b", "c.d"], [(60, 10), (300, 4)],
+                [[(60 * i, [float(i), None]) for i in range(10)],
+                 [(300 * i, [float(i), 2.0]) for i in range(4)]],
+            )
+            return open(p, "rb").read()
+
+    @staticmethod
+    def _wsp_blob():
+        import os
+        import tempfile
+
+        from kenshin_spark.sources.whisper import write_whisper
+
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "m.wsp")
+            write_whisper(
+                p, [(60, 12), (300, 5)],
+                [[(60 * i, float(i)) for i in range(12)],
+                 [(300 * i, float(2 * i)) for i in range(5)]],
+            )
+            return open(p, "rb").read()
+
+    @settings(max_examples=150, deadline=None)
+    @given(data=st.data())
+    def test_hs_corruptions_stay_in_contract(self, data):
+        import struct
+
+        from kenshin_spark.sources.kenshin_hs import unpack_kenshin
+
+        blob = bytearray(self._hs_blob())
+        for _ in range(data.draw(st.integers(1, 5))):
+            blob[data.draw(st.integers(0, len(blob) - 1))] = data.draw(
+                st.integers(0, 255)
+            )
+        try:
+            unpack_kenshin(bytes(blob))
+        except (struct.error, AssertionError, IndexError,
+                UnicodeDecodeError):
+            pass  # the classes _points_kernel's skip_corrupt catches
+
+    @settings(max_examples=150, deadline=None)
+    @given(data=st.data())
+    def test_wsp_corruptions_stay_in_contract(self, data):
+        import struct
+
+        from kenshin_spark.sources.whisper import unpack_whisper
+
+        blob = bytearray(self._wsp_blob())
+        for _ in range(data.draw(st.integers(1, 5))):
+            blob[data.draw(st.integers(0, len(blob) - 1))] = data.draw(
+                st.integers(0, 255)
+            )
+        try:
+            unpack_whisper(bytes(blob))
+        except (struct.error, IndexError):
+            pass
