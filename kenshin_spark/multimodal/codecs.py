@@ -703,37 +703,16 @@ def _assemble_planes(comps, planes, w, h, hmax, vmax) -> np.ndarray:
     return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
 
 
-def _jpeg_sof_marker(payload: bytes) -> int:
-    """The SOFn marker byte, from a lengths-only marker walk (no
-    table parsing) — the cheap dispatch between the baseline and
-    progressive decode paths."""
-    if not payload.startswith(b"\xff\xd8"):
-        raise ValueError("jpeg: bad SOI")
-    pos = 2
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("jpeg: expected marker")
-        marker = payload[pos + 1]
-        pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue
-        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return marker
-        if marker in (0xD9, 0xDA):
-            break
-        (seg_len,) = struct.unpack(">H", payload[pos:pos + 2])
-        pos += seg_len
-    raise ValueError("jpeg: no frame header")
-
-
 @_coerce_codec_errors
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """HxWx3 uint8 RGB (HxWx1 for grayscale JPEGs) — baseline and
     progressive DCT."""
-    if _jpeg_sof_marker(payload) == 0xC2:
-        # dispatch BEFORE the baseline parse: the progressive path
-        # walks all scans itself, so parsing tables twice per payload
-        # would be pure waste on the Arrow-batch hot path
+    # dispatch on the frame header only (the walk stops at SOFn, before
+    # the entropy tables): the progressive path re-walks all scans
+    # itself, so a FULL baseline parse here would be wasted work on the
+    # Arrow-batch hot path — and reusing _jpeg_segments keeps one
+    # marker walk instead of a third hand-rolled copy
+    if _jpeg_segments(payload, header_only=True).get("progressive"):
         return _decode_jpeg_progressive(payload)
     hdr = _jpeg_segments(payload)
     w, h, comps = hdr["w"], hdr["h"], hdr["components"]

@@ -174,6 +174,7 @@ def _real_webp_frames(payload: bytes, every_ms: int, max_frames: int):
     total_ms = t
     rows = []
     fi = 0
+    md5_by_frame: dict[int, str] = {}  # a frame may cover several ticks
     for i in range(max_frames):
         ts = i * every_ms
         if ts >= total_ms and i > 0:
@@ -181,10 +182,10 @@ def _real_webp_frames(payload: bytes, every_ms: int, max_frames: int):
         while fi + 1 < len(frames) and starts[fi + 1] <= ts:
             fi += 1
         f = frames[fi]
-        arr = webp.decode_webp_frame(f)  # ValueError on lossy frames
-        rows.append((
-            i, ts, hashlib.md5(arr.tobytes()).hexdigest(), len(f["data"]),
-        ))
+        if fi not in md5_by_frame:  # decode each frame ONCE
+            arr = webp.decode_webp_frame(f)  # ValueError on lossy frames
+            md5_by_frame[fi] = hashlib.md5(arr.tobytes()).hexdigest()
+        rows.append((i, ts, md5_by_frame[fi], len(f["data"])))
     return rows
 
 

@@ -42,6 +42,8 @@ import struct
 
 import numpy as np
 
+from kenshin_spark.multimodal.codecs import _coerce_codec_errors
+
 #: code-length-code transmission order (spec §5.2.2)
 _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
@@ -66,13 +68,18 @@ _PLANE_TO_CODE = [
 
 
 def _build_dist_map() -> list[tuple[int, int]]:
-    assert sorted(v for v in _PLANE_TO_CODE if v != 255) == list(range(120))
+    # unconditional (not an assert: -O must not strip the integrity
+    # check the r9 transcription bug motivated)
+    if sorted(v for v in _PLANE_TO_CODE if v != 255) != list(range(120)):
+        raise ValueError("webp: plane-to-code LUT is not a 120-permutation")
     table: list = [None] * 120
     for dy in range(8):
         for col in range(16):
             v = _PLANE_TO_CODE[dy * 16 + col]
             if v != 255:
                 table[v] = (8 - col, dy)
+    if any(t is None for t in table):
+        raise ValueError("webp: plane-to-code LUT left distance-map holes")
     return table
 
 
@@ -656,6 +663,7 @@ def _riff_chunks(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are even-padded
 
 
+@_coerce_codec_errors
 def decode_webp(payload: bytes) -> np.ndarray:
     """HxWx4 uint8 RGBA from a lossless (VP8L) WebP; ValueError for
     lossy VP8 / animation (PIL-seam fall-through)."""
@@ -665,6 +673,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
     raise ValueError("webp: no VP8L chunk (lossy/animated needs PIL)")
 
 
+@_coerce_codec_errors
 def webp_info(payload: bytes) -> tuple[int, int]:
     """(width, height) from VP8L, VP8X, or lossy-VP8 headers — no
     pixel decode, so info works even for containers routed to PIL."""
@@ -791,8 +800,7 @@ def _write_subimage_split(w: _LsbWriter, mw: int, mh: int,
         w.bits(0, 1)
         w.bits(0, 1)
         w.bits(0, 1)
-    for ty in range(mh):
-        _ = ty
+    for _ in range(mh):
         for tx in range(mw):
             # canonical: symbol 0 -> code 0, symbol 1 -> code 1
             w.code(1 if tx >= split_at else 0, 1)
@@ -831,7 +839,10 @@ def _emit_spatial(w: _LsbWriter, px: np.ndarray, width: int,
         return 1 if ((pos % width) >> 2) >= split_at else 0
 
     cache = [None] * (1 << use_cache) if use_cache else None
-    tokens = []  # (group, token)
+    # the RLE distances are a two-element set; map each to its dist
+    # code once instead of scanning _DIST_MAP per copy token
+    dist_codes = {d: _dist_code_for(d, width) for d in {1, width}}
+    tokens = []  # (group, token); copy tokens carry the DIST CODE
     pos = 0
     while pos < n:
         a, red, g, b = (int(v) for v in px[pos])
@@ -852,7 +863,7 @@ def _emit_spatial(w: _LsbWriter, px: np.ndarray, width: int,
                 if run > best_run:
                     best_run, best_dist = run, dist
         if best_run >= 2:
-            tokens.append((grp, ("copy", best_run, best_dist)))
+            tokens.append((grp, ("copy", best_run, dist_codes[best_dist])))
             if cache is not None:
                 for i in range(best_run):
                     aa, rr, gg, bb = (int(v) for v in px[pos + i])
@@ -887,7 +898,7 @@ def _emit_spatial(w: _LsbWriter, px: np.ndarray, width: int,
         elif t[0] == "copy":
             lp, _, _ = _prefix_encode(t[1])
             fg[256 + lp] += 1
-            dp, _, _ = _prefix_encode(_dist_code_for(t[2], width))
+            dp, _, _ = _prefix_encode(t[2])  # token carries the dist code
             fd[dp] += 1
         else:
             fg[280 + t[1]] += 1
@@ -901,7 +912,7 @@ def _emit_spatial(w: _LsbWriter, px: np.ndarray, width: int,
         if use_meta:
             w.bits(1, 1)
             w.bits(0, 3)  # huffman_bits = 2 -> 4px tiles
-            if split and ngroups == 2:
+            if ngroups == 2:
                 _write_subimage_split(w, mw, mh, split_at)
             else:
                 _write_subimage_all_zero(w)
@@ -939,7 +950,7 @@ def _emit_spatial(w: _LsbWriter, px: np.ndarray, width: int,
             w.code(code, ln)
             if lbits:
                 w.bits(lev, lbits)
-            dp, dev, dbits = _prefix_encode(_dist_code_for(t[2], width))
+            dp, dev, dbits = _prefix_encode(t[2])
             ln, code = cd[dp]
             w.code(code, ln)
             if dbits:
@@ -1068,6 +1079,7 @@ def _chunk_bytes(tag: bytes, body: bytes) -> bytes:
     return out
 
 
+@_coerce_codec_errors
 def webp_frames(payload: bytes) -> list[dict]:
     """ANMF frame table of an animated WebP: one dict per frame with
     ``x, y, w, h, duration_ms, kind`` ('vp8l' | 'vp8') and the frame's
@@ -1107,6 +1119,7 @@ def webp_frames(payload: bytes) -> list[dict]:
     return frames
 
 
+@_coerce_codec_errors
 def decode_webp_frame(frame: dict) -> np.ndarray:
     """Pixels of one ``webp_frames`` entry (VP8L frames only)."""
     if frame["kind"] != "vp8l":

@@ -77,12 +77,9 @@ def q_q_ship_latency_bands(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def _doc_ids(spark, sf_dir, modulo=50):
-    from kenshin_spark.io import load_table
-
-    return load_table(spark, sf_dir, "documents").select("doc_id").where(
-        F.col("doc_id") % modulo == 0
-    )
+# shared with the r10 bank (one definition; r10 never imports r16, so
+# no bank-import cycle — the hazard the bloom_oracle split fixed)
+from kenshin_spark.queries_staged_r10 import _doc_ids  # noqa: E402
 
 
 def _rgb_gradient(doc_id: int, h: int, w: int):
