@@ -389,8 +389,27 @@ def _dct_matrix() -> np.ndarray:
 _DCT_M = _dct_matrix()
 
 
-def _build_huffman(counts: list[int], symbols: bytes) -> dict:
-    """Canonical Huffman per T.81 Annex C: {(length, code): symbol}."""
+class _HuffTable:
+    """Canonical table plus an 8-bit primary LUT: codes of length <= 8
+    (every code our own encoder emits, and the overwhelming bulk of
+    wild tables) decode with ONE indexed lookup instead of a bit-serial
+    tree walk — the classic fast-Huffman layout."""
+
+    __slots__ = ("codes", "lut")
+
+    def __init__(self, codes: dict):
+        self.codes = codes
+        lut: list = [None] * 256
+        for (length, code), sym in codes.items():
+            if length <= 8:
+                base = code << (8 - length)
+                for i in range(1 << (8 - length)):
+                    lut[base | i] = (sym, length)
+        self.lut = lut
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> _HuffTable:
+    """Canonical Huffman per T.81 Annex C."""
     table = {}
     code = 0
     idx = 0
@@ -400,13 +419,17 @@ def _build_huffman(counts: list[int], symbols: bytes) -> dict:
             idx += 1
             code += 1
         code <<= 1
-    return table
+    return _HuffTable(table)
 
 
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment, handling
     0xFF00 byte stuffing; stops at any real marker (caller handles
-    RSTn)."""
+    RSTn). Bits buffer byte-at-a-time up to the current demand, so
+    after any consume at most 7 bits linger — which keeps
+    ``byte_align`` (discard the partial byte) exact at restart
+    boundaries, where the next byte is always a marker and therefore
+    never enters the buffer."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -435,24 +458,48 @@ class _BitReader:
         return (self.acc >> self.bits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.bits < n:
+            self._fill()
+        self.bits -= n
+        v = (self.acc >> self.bits) & ((1 << n) - 1)
+        self.acc &= (1 << self.bits) - 1  # keep the int small
         return v
 
-    def decode_symbol(self, table: dict) -> int:
+    def _decode_walk(self, codes: dict) -> int:
         length = 0
         code = 0
         while length < 16:
             code = (code << 1) | self.read_bit()
             length += 1
-            sym = table.get((length, code))
+            sym = codes.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("jpeg: invalid Huffman code")
 
+    def decode_symbol(self, table: _HuffTable) -> int:
+        bits = self.bits
+        if bits < 8:
+            try:
+                while self.bits < 8:
+                    self._fill()
+            except _MarkerHit:
+                # stream tail: fall back to the serial walk, which
+                # consumes only the bits that exist
+                return self._decode_walk(table.codes)
+            bits = self.bits
+        ent = table.lut[(self.acc >> (bits - 8)) & 0xFF]
+        if ent is not None:
+            sym, length = ent
+            self.bits = bits - length
+            self.acc &= (1 << self.bits) - 1
+            return sym
+        return self._decode_walk(table.codes)  # code longer than 8 bits
+
     def byte_align(self) -> None:
         self.bits = 0
+        self.acc = 0
 
 
 class _MarkerHit(Exception):
