@@ -111,6 +111,19 @@ class _LsbReader:
     def bit(self) -> int:
         return self.bits(1)
 
+    def peek8(self) -> tuple[int, int]:
+        """Up to 8 lookahead bits (LSB-first) WITHOUT consuming —
+        the Huffman fast path's window; no byte stuffing in VP8L, so
+        peeking is pure bit addressing."""
+        d = self.data
+        p = self.pos
+        nbits = min(8, len(d) * 8 - p)
+        v = 0
+        for i in range(nbits):
+            q = p + i
+            v |= ((d[q >> 3] >> (q & 7)) & 1) << i
+        return v, nbits
+
 
 class _LsbWriter:
     def __init__(self):
@@ -134,9 +147,30 @@ class _LsbWriter:
 # -- canonical Huffman (DEFLATE ordering: by length, then symbol) ------------
 
 
+class _Vp8lHuff:
+    """Canonical code table plus an 8-bit primary LUT (indexed by the
+    RAW LSB-first lookahead window: a code's stream bits arrive
+    MSB-of-the-code first, so LUT index bit i is code bit len-1-i) —
+    codes <= 8 bits decode with one indexed lookup."""
+
+    __slots__ = ("codes", "lut")
+
+    def __init__(self, codes: dict):
+        self.codes = codes
+        lut: list = [None] * 256
+        for (ln, code), sym in codes.items():
+            if ln <= 8:
+                base = 0
+                for i in range(ln):
+                    base |= ((code >> (ln - 1 - i)) & 1) << i
+                for filler in range(1 << (8 - ln)):
+                    lut[base | (filler << ln)] = (sym, ln)
+        self.lut = lut
+
+
 def _canon_table(lengths: list[int]):
     """(('single', sym)) for a one-symbol code (reads 0 bits), else a
-    complete {(len, code): sym} table; ValueError on over/under-full."""
+    complete :class:`_Vp8lHuff`; ValueError on over/under-full."""
     used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
     if not used:
         raise ValueError("webp: empty huffman code")
@@ -156,7 +190,7 @@ def _canon_table(lengths: list[int]):
         code <<= 1
     if kraft != 1 << maxlen:
         raise ValueError("webp: incomplete huffman code")
-    return table
+    return _Vp8lHuff(table)
 
 
 def _canon_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
@@ -176,12 +210,20 @@ def _canon_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 def _hdecode(r: _LsbReader, table) -> int:
     if isinstance(table, tuple):  # ('single', sym)
         return table[1]
+    window, avail = r.peek8()
+    if avail == 8:
+        ent = table.lut[window]
+        if ent is not None:
+            sym, ln = ent
+            r.pos += ln
+            return sym
+    codes = table.codes
     code = 0
     ln = 0
     while ln < 15:
         code = (code << 1) | r.bit()
         ln += 1
-        sym = table.get((ln, code))
+        sym = codes.get((ln, code))
         if sym is not None:
             return sym
     raise ValueError("webp: bad huffman code")
