@@ -425,11 +425,13 @@ def _build_huffman(counts: list[int], symbols: bytes) -> _HuffTable:
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment, handling
     0xFF00 byte stuffing; stops at any real marker (caller handles
-    RSTn). Bits buffer byte-at-a-time up to the current demand, so
-    after any consume at most 7 bits linger — which keeps
-    ``byte_align`` (discard the partial byte) exact at restart
-    boundaries, where the next byte is always a marker and therefore
-    never enters the buffer."""
+    RSTn). ``decode_symbol``'s fill-to-8 can leave up to 14 buffered
+    bits MID-STREAM, so ``byte_align`` is only exact where this codec
+    calls it — restart boundaries — where marker bytes never enter the
+    buffer (``_fill`` raises on them) and every non-padding bit has
+    been consumed, leaving at most the final byte's <= 7 padding bits.
+    Do NOT add a mid-stream ``byte_align``: it would silently discard
+    buffered data bytes."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data

@@ -114,15 +114,16 @@ class _LsbReader:
     def peek8(self) -> tuple[int, int]:
         """Up to 8 lookahead bits (LSB-first) WITHOUT consuming —
         the Huffman fast path's window; no byte stuffing in VP8L, so
-        peeking is pure bit addressing."""
+        the window is two byte fetches, not a per-bit loop (this sits
+        on the per-symbol hot path, 4-5 calls per literal pixel)."""
         d = self.data
         p = self.pos
         nbits = min(8, len(d) * 8 - p)
-        v = 0
-        for i in range(nbits):
-            q = p + i
-            v |= ((d[q >> 3] >> (q & 7)) & 1) << i
-        return v, nbits
+        if nbits <= 0:
+            return 0, 0
+        b = p >> 3
+        chunk = d[b] | ((d[b + 1] << 8) if b + 1 < len(d) else 0)
+        return (chunk >> (p & 7)) & ((1 << nbits) - 1), nbits
 
 
 class _LsbWriter:
