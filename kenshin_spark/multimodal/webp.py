@@ -132,6 +132,10 @@ class _LsbWriter:
         self.bitpos = 0
 
     def bits(self, v: int, n: int) -> None:
+        if v >> n:
+            raise ValueError(
+                f"webp writer: value {v} does not fit in {n} bits"
+            )
         for i in range(n):
             if self.bitpos == 0:
                 self.out.append(0)
@@ -324,6 +328,8 @@ def _read_code(r: _LsbReader, alphabet_size: int):
         first = r.bits(8) if r.bit() else r.bit()
         lengths = [0] * alphabet_size
         if num_symbols == 1:
+            if first >= alphabet_size:
+                raise ValueError("webp: simple code symbol out of range")
             return ("single", first)
         second = r.bits(8)
         if first >= alphabet_size or second >= alphabet_size:
@@ -1028,25 +1034,35 @@ def encode_webp_lossless(arr, use_cache: int = 0, use_rle: bool = True,
     w.bits(0, 3)  # version
     # transforms, in read order; decode inverts in reverse order, so
     # the forward pipeline below applies them in the SAME order
-    size_bits = max(2, max(width - 1, h - 1).bit_length())
+    # the 3-bit wire field caps size_bits at 9 (512-px tiles); wider
+    # images emit a genuinely multi-tile transform image (constant
+    # mode replicated per tile) instead of silently truncating the
+    # field (ADVICE r9: _LsbWriter.bits used to drop the high bits)
+    size_bits = min(9, max(2, max(width - 1, h - 1).bit_length()))
+    tile_w = -(-width // (1 << size_bits))
+    tile_h = -(-h // (1 << size_bits))
+
+    def _tile_image(argb_row: list[int]) -> np.ndarray:
+        tiles = np.zeros((tile_w * tile_h, 4), dtype=np.int32)
+        tiles[:, :] = argb_row
+        return tiles
+
     if predictor is not None:
         w.bits(1, 1)
         w.bits(0, 2)
         w.bits(size_bits - 2, 3)
-        tile = np.zeros((1, 4), dtype=np.int32)
-        tile[0, 2] = predictor  # green channel carries the mode
-        _emit_spatial(w, tile, 1, 0, False, False, level0=False)
+        # green channel carries the mode
+        _emit_spatial(w, _tile_image([0, 0, predictor, 0]), tile_w,
+                      0, False, False, level0=False)
         px2d = _fwd_predictor(px2d, predictor)
     if color_transform is not None:
         g2r, g2b, r2b = color_transform
         w.bits(1, 1)
         w.bits(1, 2)
         w.bits(size_bits - 2, 3)
-        tile = np.zeros((1, 4), dtype=np.int32)
-        tile[0, 3] = g2r  # blue channel
-        tile[0, 2] = g2b  # green channel
-        tile[0, 1] = r2b  # red channel
-        _emit_spatial(w, tile, 1, 0, False, False, level0=False)
+        # channels: [alpha, red, green, blue] = [0, r2b, g2b, g2r]
+        _emit_spatial(w, _tile_image([0, r2b, g2b, g2r]), tile_w,
+                      0, False, False, level0=False)
         px2d = _fwd_color_transform(px2d, g2r, g2b, r2b)
     if subtract_green:
         w.bits(1, 1)

@@ -1,8 +1,12 @@
-"""Overflow bank — ROUND 16: exactly one row, ``q_ship_latency_bands``,
+"""Overflow bank — ROUND 16: six rows. ``q_ship_latency_bands`` was
 deferred from the round-9 bank so round 9's 50-slot driver window could
 seat the re-verification of ``q_zero_discount_share`` (the one
 never-green registry row, red on the r8 HUGEINT oracle-typing bug fixed
-in this round's ``oracle_types`` sweep) alongside 49 new rows.
+in that round's ``oracle_types`` sweep) alongside 49 new rows; the
+round-9 continuation session added five driver rows for the native
+codec + hybrid-CC work (VP8L dims, progressive-JPEG dims, the WebP
+resize pixel-sum loop, the animated frame timeline, and the hybrid CC
+escalation graph).
 
 Same staging mechanism and gate as the earlier banks
 (``tests/test_queries_staged_r16.py``). Promote with

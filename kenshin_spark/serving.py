@@ -177,11 +177,20 @@ class HttpFetchServer:
                         )
                         body = _rows_body(rows, flags)
                     elif url.path == "/hot" and outer.hot_fn is not None:
+                        flags = outer._flags_for(outer.hot_fn)
                         body = {
                             "datapoints": [
-                                list(p) for p in outer.hot_fn(q["metric"][0])
+                                list(p)
+                                for p in outer.hot_fn(
+                                    q["metric"][0], **flags_kw(flags)
+                                )
                             ]
                         }
+                        if flags and flags.get("degraded"):
+                            # same contract as _rows_body: a /hot served
+                            # past the validation budget must not leave
+                            # the client blind (ADVICE r9)
+                            body["degraded"] = True
                     elif url.path == "/render" and outer.render_fn is not None:
                         flags = outer._flags_for(outer.render_fn)
                         rows = outer.render_fn(
@@ -227,7 +236,7 @@ class HttpFetchServer:
                 return False
 
         self._flag_aware = {
-            id(fn) for fn in (fetch_fn, render_fn) if accepts(fn)
+            id(fn) for fn in (fetch_fn, hot_fn, render_fn) if accepts(fn)
         }
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.address: tuple[str, int] = self._server.server_address[:2]

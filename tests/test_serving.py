@@ -102,6 +102,41 @@ class TestHttpFetchServer:
         finally:
             srv.stop()
 
+    def test_hot_surfaces_degraded_flag(self):
+        """ADVICE r9: /hot must carry the per-request degraded marker
+        exactly like /fetch and /render — a flag-aware hot_fn that
+        degrades past its validation budget may not leave the client
+        blind."""
+
+        def hot_fn(metric, flags: dict | None = None):
+            if flags is not None:
+                flags["degraded"] = True
+            return [(5, 1.5)]
+
+        srv = HttpFetchServer(lambda *a: [], hot_fn=hot_fn)
+        host, port = srv.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/hot?metric=x"
+            ) as resp:
+                body = json.load(resp)
+            assert body["datapoints"] == [[5, 1.5]]
+            assert body["degraded"] is True
+
+            # a plain (flag-unaware) hot_fn keeps the old body shape
+            bare = HttpFetchServer(lambda *a: [], hot_fn=lambda m: [(5, 1.5)])
+            h2, p2 = bare.start()
+            try:
+                with urllib.request.urlopen(
+                    f"http://{h2}:{p2}/hot?metric=x"
+                ) as resp:
+                    b2 = json.load(resp)
+                assert "degraded" not in b2
+            finally:
+                bare.stop()
+        finally:
+            srv.stop()
+
     def test_engine_error_returns_500_not_dropped_connection(self, spark):
         """A non-client error raised by the wired fn (e.g. a Spark
         analysis failure during fetch/collect) must come back as an

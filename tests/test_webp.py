@@ -99,8 +99,36 @@ class TestTransforms:
         arr = rng.integers(0, 2, (5, 13), dtype=np.uint8) * 255
         rt(arr, palette=True)
 
+    def test_wide_image_transforms_multi_tile(self):
+        # ADVICE r9: the 3-bit size_bits field caps tiles at 512 px —
+        # images past that must emit a genuinely multi-tile transform
+        # image, not a truncated field (the old writer silently dropped
+        # the high bits of size_bits - 2)
+        arr = rng.integers(0, 256, (6, 700, 3), dtype=np.uint8)
+        rt(arr, predictor=2)
+        rt(arr, color_transform=(10, 20, 30))
+        rt(arr, predictor=11, color_transform=(5, 5, 5))
+        tall = rng.integers(0, 256, (600, 5, 3), dtype=np.uint8)
+        rt(tall, predictor=5)
+
+    def test_writer_rejects_oversized_field_values(self):
+        w = webp._LsbWriter()
+        with pytest.raises(ValueError):
+            w.bits(8, 3)  # 8 needs 4 bits
+
 
 class TestMalformed:
+    def test_single_symbol_simple_code_range_checked(self):
+        # ADVICE r9: the 1-symbol simple-code path must validate the
+        # symbol against the alphabet like the 2-symbol path does
+        w = webp._LsbWriter()
+        w.bits(1, 1)    # simple code
+        w.bits(0, 1)    # one symbol
+        w.bits(1, 1)    # 8-bit symbol
+        w.bits(255, 8)  # out of range for a 40-entry alphabet
+        with pytest.raises(ValueError, match="symbol out of range"):
+            webp._read_code(webp._LsbReader(bytes(w.out)), 40)
+
     def test_truncated_streams_raise(self):
         payload = webp.encode_webp_lossless(
             rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)

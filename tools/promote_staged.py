@@ -48,15 +48,14 @@ def main(argv: list[str]) -> int:
         return 2
     module, dname = argv[0], DICT_NAME[argv[0]]
     src = QUERIES_PY.read_text()
-    marker = f"from kenshin_spark.{module} import {dname}"
-    if marker in src:
+    marker = f'_register_bank("kenshin_spark.{module}", "{dname}")'
+    if marker in src or f"from kenshin_spark.{module} import {dname}" in src:
         print(f"{module} already promoted — nothing to do")
         return 0
     block = (
         f"\n\n# --- promoted staged bank: {module} "
         f"(see HANDOFF.md) ---\n"
-        f"{marker} as _{dname}  # noqa: E402\n"
-        f"QUERIES.update(_{dname})\n"
+        f'_register_bank("kenshin_spark.{module}", "{dname}")\n'
     )
     QUERIES_PY.write_text(src + block)
     print(f"promoted {module} ({dname}) into QUERIES — now run:")
