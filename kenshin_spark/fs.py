@@ -88,6 +88,19 @@ class HadoopFS:
             if st.isFile()
         ]
 
+    def list_file_status(self, path: str) -> list[tuple[str, int, float]]:
+        """``(basename, size_bytes, mtime_seconds)`` for the direct child
+        FILES of ``path`` ([] if absent) — the vacuum primitive (age-
+        gated physical reclaim of logically-retired files)."""
+        if not self.exists(path):
+            return []
+        return [
+            (st.getPath().getName(), st.getLen(),
+             st.getModificationTime() / 1000.0)
+            for st in self._fs.listStatus(self._p(path))
+            if st.isFile()
+        ]
+
     # -- mutation ----------------------------------------------------------
 
     def mkdirs(self, path: str) -> None:

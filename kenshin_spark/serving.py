@@ -279,7 +279,15 @@ def reader_clone(store):
         "spark.sql.legacy.parquet.nanosAsLong",
         store.spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
     )
-    return type(store)(session, store.schema, store.root, mode=store.mode)
+    kwargs = {}
+    if store.commit.plans_from_manifest:
+        # the clone must plan from the same committed file list — a
+        # default (seqlock) clone of a manifest store would list
+        # directories and see retired files awaiting vacuum
+        kwargs["commit_protocol"] = "manifest"
+    return type(store)(
+        session, store.schema, store.root, mode=store.mode, **kwargs
+    )
 
 
 def store_serving_fns(store, reader=None) -> tuple[

@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 
 from kenshin_spark.commit import (  # _is_stale_read re-exported for tests
     CommitProtocol,
+    ManifestCommitProtocol,
     SeqlockCommitProtocol,
     _is_stale_read,  # noqa: F401
 )
@@ -92,7 +93,7 @@ class ParquetTieredStore:
         schema: Schema,
         root: str,
         mode: str = "cow",
-        commit_protocol: CommitProtocol | None = None,
+        commit_protocol: CommitProtocol | str | None = None,
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown store mode {mode!r}")
@@ -107,10 +108,17 @@ class ParquetTieredStore:
         # partitions present in the written frame — the MERGE primitive here
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         #: the commit surface (swap guard / epoch / consistent_read) as a
-        #: swappable protocol — plain-parquet seqlock by default; a
+        #: swappable protocol — plain-parquet seqlock by default;
+        #: ``"manifest"`` selects the manifest-log backend (snapshot
+        #: isolation on plain parquet: readers plan from the committed
+        #: file list, O(1) consistent reads, no retries); a
         #: Delta/Iceberg-backed store passes a SnapshotCommitProtocol and
         #: every primitive degenerates to the format's native feature
         #: (see kenshin_spark.commit for the full mapping)
+        if commit_protocol == "manifest":
+            commit_protocol = ManifestCommitProtocol(self.fs, root, label=root)
+        elif commit_protocol == "seqlock":
+            commit_protocol = None
         self.commit: CommitProtocol = commit_protocol or SeqlockCommitProtocol(
             self.fs, os.path.join(root, "_swap_epoch"), label=root
         )
@@ -142,7 +150,7 @@ class ParquetTieredStore:
             for i in range(len(self.schema.archives)):
                 path = self.tier_path(i)
                 if not self._tier_empty(path):
-                    df = self.spark.read.parquet(path)
+                    df = self._scan_tier(path)
                     if "_seq" in df.columns:
                         row = df.agg(F.max("_seq")).collect()[0]
                         n = max(n, int(row[0] or 0))
@@ -268,6 +276,133 @@ class ParquetTieredStore:
         the long coarse tiers. The ``day`` column stores ``ts // unit``."""
         return HOUR if self.schema.archives[i].retention <= HOT_RETENTION_CUTOFF else DAY
 
+    # -- manifest-mode plumbing --------------------------------------------
+
+    @property
+    def _manifest_mode(self) -> bool:
+        """True when the commit protocol keeps a committed file list —
+        reads then plan from it (never a directory listing) and every
+        write stages invisibly + flips the manifest atomically."""
+        return self.commit.plans_from_manifest
+
+    def _rel(self, path: str) -> str:
+        """``path`` relative to the store root — the manifest's key
+        space (so a backed-up/restored store's manifest stays valid)."""
+        return os.path.relpath(path, self.root)
+
+    def _plan_abs(self, path: str) -> list[str] | None:
+        """The committed live files under ``path`` as absolute paths, or
+        None when this backend plans from directory listings."""
+        if not self._manifest_mode:
+            return None
+        return [
+            os.path.join(self.root, rel)
+            for rel, _ in self.commit.live_files(self._rel(path))
+        ]
+
+    def _adopt(
+        self, df: DataFrame, dest_path: str, partitioned: bool = True
+    ) -> list[tuple[str, int]]:
+        """Manifest-mode write primitive: write ``df`` to a private
+        ``_stage/<tag>`` directory (underscore-prefixed — invisible to
+        partition discovery), then MOVE the data files into the live
+        tree under tag-unique names. Readers plan from the committed
+        manifest, so adopted files stay invisible until the caller's
+        transaction flips the pointer; a crash at any point strands only
+        invisible files for ``vacuum`` to reclaim. Returns
+        ``(rel_path, size)`` pairs for the transaction."""
+        import uuid
+
+        tag = uuid.uuid4().hex[:12]
+        stage = os.path.join(self.root, "_stage", tag)
+        writer = df.write.mode("overwrite")
+        if partitioned:
+            writer = writer.partitionBy("day")
+        writer.parquet(stage)
+        adopted: list[tuple[str, int]] = []
+
+        def _move(src_dir: str, dst_dir: str) -> None:
+            self.fs.mkdirs(dst_dir)
+            for fname, size in self.fs.list_files(src_dir):
+                if not fname.endswith(".parquet"):
+                    continue
+                dst = os.path.join(dst_dir, f"{tag}-{fname}")
+                if not self.fs.rename(os.path.join(src_dir, fname), dst):
+                    raise IOError(f"adopt: could not move {fname} -> {dst}")
+                adopted.append((self._rel(dst), size))
+
+        if partitioned:
+            for dname in self.fs.list_names(stage):
+                if dname.startswith("day="):
+                    _move(
+                        os.path.join(stage, dname),
+                        os.path.join(dest_path, dname),
+                    )
+        else:
+            _move(stage, dest_path)
+        self.fs.delete(stage)
+        return adopted
+
+    def vacuum(self, grace_s: float = 3600.0, now: float | None = None) -> list[str]:
+        """Physically reclaim files no committed manifest references —
+        superseded rewrites, logically-expired partitions, crash-stranded
+        stage debris — that are older than ``grace_s`` (the VACUUM
+        retention contract: a scan must finish within the grace window
+        of the snapshot it planned, exactly like Delta's
+        ``VACUUM ... RETAIN`` / Iceberg's ``expire_snapshots``). Also
+        trims superseded manifest generations past the grace window.
+        No-op under listing-planned backends (their mutations delete
+        eagerly under the swap guard). Returns the paths removed."""
+        import time as _time
+
+        if not self._manifest_mode:
+            return []
+        cutoff = (now if now is not None else _time.time()) - grace_s
+        live = {rel for rel, _ in self.commit.live_files("")}
+        removed: list[str] = []
+
+        def _sweep_dir(d: str) -> None:
+            for fname, _sz, mtime in self.fs.list_file_status(d):
+                rel = self._rel(os.path.join(d, fname))
+                if rel not in live and mtime < cutoff:
+                    self.fs.delete(os.path.join(d, fname))
+                    removed.append(rel)
+
+        roots = [self.tier_path(i) for i in range(len(self.schema.archives))]
+        roots.append(self.catalog_path)
+        for r in roots:
+            for dname in self.fs.list_names(r):
+                sub = os.path.join(r, dname)
+                if dname.startswith("day="):
+                    _sweep_dir(sub)
+                    if not self.fs.list_names(sub):  # now-empty partition
+                        self.fs.delete(sub)
+            _sweep_dir(r)
+        stage_root = os.path.join(self.root, "_stage")
+        for dname in self.fs.list_names(stage_root):
+            sub = os.path.join(stage_root, dname)
+            # a crashed staged write may be partitioned (day= children)
+            statuses = list(self.fs.list_file_status(sub))
+            for child in self.fs.list_names(sub):
+                statuses += self.fs.list_file_status(os.path.join(sub, child))
+            if statuses and all(m < cutoff for _, _, m in statuses):
+                self.fs.delete(sub)
+                removed.append(self._rel(sub))
+        latest = self.commit.epoch()
+        for fname, _sz, mtime in self.fs.list_file_status(
+            os.path.join(self.root, "_manifest")
+        ):
+            if not fname.endswith(".json"):
+                continue
+            try:
+                seq = int(fname[: -len(".json")])
+            except ValueError:
+                continue
+            if seq < latest and mtime < cutoff:
+                self.fs.delete(os.path.join(self.root, "_manifest", fname))
+                removed.append(self._rel(os.path.join("_manifest", fname)))
+        return removed
+
     # -- read -------------------------------------------------------------
 
     def _resolve(self, df: DataFrame) -> DataFrame:
@@ -309,7 +444,11 @@ class ParquetTieredStore:
 
     def _tier_empty(self, path: str) -> bool:
         """True when the tier has no data partitions — absent entirely, or
-        expiry dropped every day= child (schema inference would fail)."""
+        expiry dropped every day= child (schema inference would fail).
+        Under a manifest backend the committed file list is the truth
+        (the directory may hold retired files awaiting vacuum)."""
+        if self._manifest_mode:
+            return not self.commit.live_files(self._rel(path))
         if not self.fs.exists(path):
             return True
         return not any(
@@ -332,7 +471,38 @@ class ParquetTieredStore:
         return STORED_SCHEMA
 
     def _scan_tier(self, path: str) -> DataFrame:
-        return self.spark.read.schema(self._tier_schema()).parquet(path)
+        reader = self.spark.read.schema(self._tier_schema())
+        files = self._plan_abs(path)
+        if files is None:
+            return reader.parquet(path)
+        # plan from the committed file list — partition values (day=) are
+        # still derived from the paths via basePath; a retired file that
+        # physically remains on disk (awaiting vacuum) is never scanned
+        return reader.option("basePath", path).parquet(*files)
+
+    def _dayless_schema(self) -> T.StructType:
+        """``_tier_schema`` without the ``day`` partition column — the
+        physical schema of files READ WITHOUT basePath (a single day
+        partition's files carry no partition-derived column)."""
+        return T.StructType(
+            [f for f in self._tier_schema() if f.name != "day"]
+        )
+
+    def _scan_day(self, i: int, day: int) -> DataFrame | None:
+        """One day partition of tier i WITHOUT the day column (the
+        compaction-stage read shape), planned per the backend; None when
+        the partition has no live data."""
+        day_dir = os.path.join(self.tier_path(i), f"day={day}")
+        if self._manifest_mode:
+            files = self._plan_abs(day_dir)
+            if not files:
+                return None
+            return self.spark.read.schema(self._dayless_schema()).parquet(
+                *files
+            )
+        if not self.fs.exists(day_dir):
+            return None
+        return self.spark.read.parquet(day_dir)
 
     def read(self, i: int) -> DataFrame:
         """Tier i as ``(metric, ts, value)``; empty frame if never written."""
@@ -474,6 +644,14 @@ class ParquetTieredStore:
         out = self._with_day(slots, i)
         if self.mode == "mor":
             out = out.withColumn("_seq", F.lit(self._next_seq()))
+        if self._manifest_mode:
+            # stage + adopt invisibly, then one atomic pointer flip that
+            # retires the whole old tier — readers mid-scan keep their
+            # snapshot's files (vacuum reclaims them after the grace)
+            adds = self._adopt(out, self.tier_path(i))
+            with self.commit.txn() as tx:
+                tx.replace(f"tier={i}", adds)
+            return
         # destructive for the whole job (overwrite deletes in-commit), so
         # the guard spans the write — initial loads aren't the serving path
         with self._swap_guard():
@@ -494,18 +672,29 @@ class ParquetTieredStore:
         # BETWEEN compactions (compact() re-sorts anyway)
         if self.mode == "mor":
             # O(batch) append; the read path resolves last-write-wins
-            new.withColumn("_seq", F.lit(self._next_seq())).sortWithinPartitions(
-                "day", "metric", "ts"
-            ).write.mode("append").partitionBy("day").parquet(path)
+            stamped = new.withColumn(
+                "_seq", F.lit(self._next_seq())
+            ).sortWithinPartitions("day", "metric", "ts")
+            if self._manifest_mode:
+                adds = self._adopt(stamped, path)
+                with self.commit.txn() as tx:
+                    for rel, size in adds:
+                        tx.add(rel, size)
+                return
+            stamped.write.mode("append").partitionBy("day").parquet(path)
             return
-        if not self.fs.exists(path):
-            new.sortWithinPartitions("day", "metric", "ts").write.mode(
-                "overwrite"
-            ).partitionBy("day").parquet(path)
+        if self._tier_empty(path):
+            shaped = new.sortWithinPartitions("day", "metric", "ts")
+            if self._manifest_mode:
+                adds = self._adopt(shaped, path)
+                with self.commit.txn() as tx:
+                    tx.replace(f"tier={i}", adds)
+                return
+            shaped.write.mode("overwrite").partitionBy("day").parquet(path)
             return
         days = [r["day"] for r in new.select("day").distinct().collect()]
         existing = (
-            self.spark.read.parquet(path)
+            self._scan_tier(path)
             .where(F.col("day").isin(days))
             .select("metric", "ts", "value", "day")
         )
@@ -518,6 +707,20 @@ class ParquetTieredStore:
             .agg(F.max(F.struct("_seq", "value")).alias("_w"))
             .select("metric", "ts", F.col("_w.value").alias("value"), "day")
         )
+        if self._manifest_mode:
+            # the merged frame carries exactly the touched days — adopt
+            # its files, then one transaction retires those days' old
+            # files and commits the rewrites; readers never see a
+            # half-merged partition and nothing is deleted in-commit
+            adds = self._adopt(
+                merged.sortWithinPartitions("day", "metric", "ts"), path
+            )
+            with self.commit.txn() as tx:
+                for d in days:
+                    tx.drop(f"tier={i}/day={d}")
+                for rel, size in adds:
+                    tx.add(rel, size)
+            return
         # cow rewrites the touched day partitions in-commit — destructive
         # for the job's duration, hence mor is the serve-under-writes mode
         with self._swap_guard():
@@ -527,10 +730,36 @@ class ParquetTieredStore:
 
     # -- retention (O4) ---------------------------------------------------
 
+    def _live_days(self, i: int) -> list[int]:
+        """Day partition values of tier i per the committed manifest."""
+        days = set()
+        for rel, _ in self.commit.live_files(f"tier={i}"):
+            part = rel.split("/")[1]
+            if part.startswith("day="):
+                days.add(int(part[4:]))
+        return sorted(days)
+
     def expire(self, now: int) -> dict[int, list[int]]:
         """Drop day partitions wholly outside each tier's retention.
-        Returns {tier: [dropped days]} (the partition-drop DDL at scale)."""
+        Returns {tier: [dropped days]} (the partition-drop DDL at scale).
+        Under the manifest backend expiry is LOGICAL — one transaction
+        retires every doomed partition across all tiers atomically, and
+        ``vacuum`` reclaims the bytes after the grace window (so scans
+        planned before the expiry keep reading their snapshot)."""
         dropped: dict[int, list[int]] = {}
+        if self._manifest_mode:
+            with self.commit.txn() as tx:
+                for i, arch in enumerate(self.schema.archives):
+                    cutoff_day = (now - arch.retention) // self.part_unit(i)
+                    gone = [
+                        d for d in self._live_days(i) if d < cutoff_day
+                    ]
+                    for d in gone:
+                        tx.drop(f"tier={i}/day={d}")
+                    if gone:
+                        dropped[i] = gone
+            self.prune_seq_claims()
+            return dropped
         for i, arch in enumerate(self.schema.archives):
             path = self.tier_path(i)
             if not self.fs.exists(path):
@@ -635,6 +864,15 @@ class ParquetTieredStore:
                 self._seq_sidecar, os.path.join(dest_root, "_seq.json")
             )
             copied.append(self._seq_sidecar)
+        manifest_dir = os.path.join(self.root, "_manifest")
+        if self.fs.exists(manifest_dir):
+            # the manifest keys are root-relative, so the copied log is
+            # valid at the new root as-is (retired files come along in
+            # the tier copies — harmless; vacuum reclaims them there too)
+            self.fs.copy_tree(
+                manifest_dir, os.path.join(dest_root, "_manifest")
+            )
+            copied.append(manifest_dir)
         return copied
 
     def propagate_from_seq(self, since_seq: int, from_tier: int = 0) -> int:
@@ -693,11 +931,7 @@ class ParquetTieredStore:
         from kenshin_spark.operators.maintenance import glob_to_regex
 
         pat = glob_to_regex(target)
-        src = (
-            self.catalog()
-            if self.fs.exists(self.catalog_path)
-            else self.read(0)
-        )
+        src = self.catalog() if self._has_catalog() else self.read(0)
         metrics = (
             src.select("metric").where(F.col("metric").rlike(pat)).distinct()
         )
@@ -717,6 +951,24 @@ class ParquetTieredStore:
         ``openCostInBytes`` each). Driver cost is one listing per day
         partition — bounded by retention/partition-unit, not data."""
         path = self.tier_path(i)
+        if self._manifest_mode:
+            # the manifest already knows every live file and size — the
+            # audit is a dict walk, no listing at all (and retired files
+            # awaiting vacuum never pollute the shape)
+            by_day: dict[int, list[int]] = {}
+            for rel, size in self.commit.live_files(f"tier={i}"):
+                part = rel.split("/")[1]
+                if part.startswith("day="):
+                    by_day.setdefault(int(part[4:]), []).append(size)
+            return [
+                {
+                    "day": d,
+                    "n_files": len(sizes),
+                    "bytes": sum(sizes),
+                    "min_file_bytes": min(sizes),
+                }
+                for d, sizes in sorted(by_day.items())
+            ]
         report = []
         for name in sorted(self.fs.list_names(path)):
             if not name.startswith("day="):
@@ -799,6 +1051,8 @@ class ParquetTieredStore:
         path = self.tier_path(i)
         if self._tier_empty(path):
             return [] if days is not None else None
+        if self._manifest_mode:
+            return self._compact_manifest(i, target_files_per_day, days)
         if days is not None:
             # two-phase: stage every day's rewrite first (the expensive
             # Spark jobs, non-destructive), then promote ALL of them
@@ -853,6 +1107,68 @@ class ParquetTieredStore:
         # recover(), never a half-deleted tier
         with self._swap_guard():
             self.fs.swap(path, tmp)
+
+    def _fold_log(self, raw: DataFrame, with_day: bool) -> DataFrame:
+        """Collapse a mor append log to one row per slot (stamp 0); pass
+        cow frames through. The shared kernel of every compaction path."""
+        keys = ["metric", "ts"] + (["day"] if with_day else [])
+        if "_seq" not in raw.columns:
+            cols = keys[:2] + ["value"] + (["day"] if with_day else [])
+            return raw.select(*cols)
+        return (
+            raw.groupBy(*keys)
+            .agg(F.max(F.struct("_seq", "value")).alias("_w"))
+            .select(
+                "metric", "ts", F.col("_w.value").alias("value"),
+                *(["day"] if with_day else []),
+                F.lit(0).alias("_seq"),
+            )
+        )
+
+    def _compact_manifest(
+        self, i: int, target_files_per_day: int, days: list[int] | None
+    ) -> list[int] | None:
+        """Manifest-mode compaction: every rewrite is staged + adopted
+        invisibly, then ONE transaction retires the old files and
+        commits the new — no ``.bak`` dance, no guard, and readers
+        mid-scan keep their snapshot (old files persist until
+        ``vacuum``). ``days=None`` rewrites the whole tier shaped like
+        the listing-mode full compact; ``days=[...]`` folds each day to
+        ``target_files_per_day`` files."""
+        path = self.tier_path(i)
+        if days is None:
+            raw = self._scan_tier(path)
+            df = self._fold_log(raw, with_day=True)
+            if target_files_per_day == 1:
+                shaped = df.repartition("day")
+            else:
+                shaped = df.repartition(
+                    "day",
+                    F.pmod(F.xxhash64("metric"), F.lit(target_files_per_day)),
+                )
+            adds = self._adopt(
+                shaped.sortWithinPartitions("day", "metric", "ts"), path
+            )
+            with self.commit.txn() as tx:
+                tx.replace(f"tier={i}", adds)
+            return None
+        staged: list[tuple[int, list[tuple[str, int]]]] = []
+        for d in days:
+            raw = self._scan_day(i, d)
+            if raw is None:
+                continue
+            df = self._fold_log(raw, with_day=False)
+            adds = self._adopt(
+                df.repartition(target_files_per_day)
+                .sortWithinPartitions("metric", "ts"),
+                os.path.join(path, f"day={d}"),
+                partitioned=False,
+            )
+            staged.append((d, adds))
+        with self.commit.txn() as tx:
+            for d, adds in staged:
+                tx.replace(f"tier={i}/day={d}", adds)
+        return [d for d, _ in staged]
 
     def _stage_day_compact(
         self, i: int, day: int, target_files_per_day: int
@@ -926,11 +1242,35 @@ class ParquetTieredStore:
         we actually remove the rows). Plain-Parquet implementation rewrites
         each tier without the deleted metrics; on Delta/Iceberg this is a
         metadata-level ``DELETE WHERE metric IN (...)``."""
+        if self._manifest_mode:
+            # one transaction across every tier AND the catalog — the
+            # delete is all-or-nothing, which the per-directory swap
+            # protocol below can't promise
+            with self.commit.txn() as tx:
+                for i in range(len(self.schema.archives)):
+                    path = self.tier_path(i)
+                    if self._tier_empty(path):
+                        continue
+                    kept = self._scan_tier(path).where(
+                        ~F.col("metric").isin(metrics)
+                    )
+                    tx.replace(f"tier={i}", self._adopt(kept, path))
+                if self.commit.live_files("_catalog"):
+                    kept_cat = self.catalog().where(
+                        ~F.col("metric").isin(metrics)
+                    )
+                    tx.replace(
+                        "_catalog",
+                        self._adopt(
+                            kept_cat, self.catalog_path, partitioned=False
+                        ),
+                    )
+            return
         for i in range(len(self.schema.archives)):
             path = self.tier_path(i)
             if self._tier_empty(path):
                 continue
-            raw = self.spark.read.parquet(path)
+            raw = self._scan_tier(path)
             kept = raw.where(~F.col("metric").isin(metrics)).select(
                 *raw.columns
             )
@@ -982,7 +1322,17 @@ class ParquetTieredStore:
     def catalog_path(self) -> str:
         return os.path.join(self.root, "_catalog")
 
+    def _has_catalog(self) -> bool:
+        if self._manifest_mode:
+            return bool(self.commit.live_files("_catalog"))
+        return self.fs.exists(self.catalog_path)
+
     def catalog(self) -> DataFrame:
+        if self._manifest_mode:
+            files = self._plan_abs(self.catalog_path)
+            if not files:
+                return self.spark.createDataFrame([], CATALOG_SCHEMA)
+            return self.spark.read.schema(CATALOG_SCHEMA).parquet(*files)
         if not self.fs.exists(self.catalog_path):
             return self.spark.createDataFrame([], CATALOG_SCHEMA)
         # explicit schema: no planning-time footer read (see _tier_schema)
@@ -991,8 +1341,15 @@ class ParquetTieredStore:
         )
 
     def catalog_add(self, rows: DataFrame) -> None:
-        rows.select(
+        shaped = rows.select(
             F.col("metric").cast("string"),
             F.col("schema_name").cast("string"),
             F.col("created_ts").cast("long"),
-        ).write.mode("append").parquet(self.catalog_path)
+        )
+        if self._manifest_mode:
+            adds = self._adopt(shaped, self.catalog_path, partitioned=False)
+            with self.commit.txn() as tx:
+                for rel, size in adds:
+                    tx.add(rel, size)
+            return
+        shaped.write.mode("append").parquet(self.catalog_path)

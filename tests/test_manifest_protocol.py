@@ -1,0 +1,297 @@
+"""The manifest-log commit backend (VERDICT r9 "What's missing" #1):
+snapshot isolation on plain parquet. Readers plan every scan from an
+atomically-committed file list instead of directory listings, so
+``consistent_read`` is one plain call (no retries, no degraded class,
+no ``ignoreMissingFiles``), maintenance retires files LOGICALLY, and
+``vacuum`` reclaims bytes after a grace window — the local stand-in
+for a Delta/Iceberg commit log, built on the store's own atomic-rename
+sidecar machinery."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kenshin_spark.commit import ManifestCommitProtocol
+from kenshin_spark.config import Schema
+from kenshin_spark.store import ParquetTieredStore
+
+SCHEMA = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
+DAY = 86400
+
+
+def _mk(spark, tmp_path, mode="mor", schema=SCHEMA, name="st"):
+    return ParquetTieredStore(
+        spark, schema, str(tmp_path / name), mode=mode,
+        commit_protocol="manifest",
+    )
+
+
+def _rows(spark, pts):
+    return spark.createDataFrame(
+        pts, "metric string, ts long, value double"
+    )
+
+
+def _disk_parquet(root, tier=0):
+    out = []
+    tdir = os.path.join(root, f"tier={tier}")
+    for dirpath, _dirs, files in os.walk(tdir):
+        out += [
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        ]
+    return out
+
+
+class TestManifestProtocolSurface:
+    def test_store_accepts_the_string_selector(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        assert isinstance(st.commit, ManifestCommitProtocol)
+        assert st.commit.reader_conf() == {}  # no ignoreMissingFiles
+        assert not st.fs.exists(st._epoch_sidecar)  # seqlock never runs
+
+    def test_consistent_read_is_one_plain_shot(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        calls = []
+        flags = {}
+        assert st.consistent_read(
+            lambda: calls.append(1) or 42, flags=flags
+        ) == 42
+        assert calls == [1] and flags == {}  # no loop, never degraded
+
+    def test_epoch_is_the_commit_count(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        assert st.swap_epoch() == 0
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        assert st.swap_epoch() == 1
+        st.upsert(0, _rows(spark, [("m", 120, 2.0)]))
+        assert st.swap_epoch() == 2
+        # a transaction with no changes must not move the epoch
+        with st.commit.txn():
+            pass
+        assert st.swap_epoch() == 2
+
+    def test_manifest_pointer_flip_is_the_commit(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        latest = os.path.join(st.root, "_manifest", "_latest")
+        assert st.fs.read_text(latest) == "1"
+        snap = st.commit.snapshot()
+        assert all(rel.startswith("tier=0/day=") for rel in snap)
+        assert all(size > 0 for size in snap.values())
+
+
+class TestManifestStoreRoundtrip:
+    def test_mor_upsert_resolve(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0), ("m", 120, 2.0)]))
+        st.upsert(0, _rows(spark, [("m", 120, 9.0)]))  # LWW overwrite
+        got = {r["ts"]: r["value"] for r in st.read(0).collect()}
+        assert got == {60: 1.0, 120: 9.0}
+
+    def test_cow_upsert_merges_touched_days(self, spark, tmp_path):
+        st = _mk(spark, tmp_path, mode="cow")
+        st.upsert(0, _rows(
+            spark, [("m", 60, 1.0), ("m", DAY + 60, 2.0)]))
+        st.upsert(0, _rows(spark, [("m", 60, 7.0)]))  # day 0 only
+        got = {r["ts"]: r["value"] for r in st.read(0).collect()}
+        assert got == {60: 7.0, DAY + 60: 2.0}
+        # day 1's original file is still the live one (untouched days
+        # are never rewritten); day 0 has exactly the rewrite
+        days = {rel.split("/")[1] for rel, _ in st.commit.live_files("tier=0")}
+        assert days == {"day=0", "day=1"}
+
+    def test_read_range_prunes_and_resolves(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [
+            ("m", 60, 1.0), ("m", DAY + 60, 2.0), ("m", 2 * DAY + 60, 3.0),
+        ]))
+        got = [r["value"] for r in st.read_range(0, DAY, 2 * DAY).collect()]
+        assert got == [2.0]
+
+    def test_snapshot_reads_and_cdc(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        s1 = st.last_seq()
+        st.upsert(0, _rows(spark, [("m", 60, 5.0), ("n", 120, 2.0)]))
+        s2 = st.last_seq()
+        at1 = {r["metric"]: r["value"] for r in st.read_at(0, s1).collect()}
+        assert at1 == {"m": 1.0}
+        diff = {(r["metric"], r["ts"], r["value"])
+                for r in st.changed_between(0, s1, s2).collect()}
+        assert diff == {("m", 60, 5.0), ("n", 120, 2.0)}
+
+
+class TestSnapshotIsolation:
+    def test_compact_retires_logically_not_physically(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        for k in range(3):  # fragment day 0 with three appends
+            st.upsert(0, _rows(spark, [("m", 60 * (k + 1), float(k))]))
+        before = set(_disk_parquet(st.root))
+        assert st.compact(0, days=[0]) == [0]
+        # old files persist on disk (a reader's snapshot stays valid)...
+        assert before <= set(_disk_parquet(st.root))
+        # ...but the committed view is the folded rewrite
+        live = st.commit.live_files("tier=0")
+        assert len(live) == 1
+        got = {r["ts"]: r["value"] for r in st.read(0).collect()}
+        assert got == {60: 0.0, 120: 1.0, 180: 2.0}
+
+    def test_scan_planned_before_compact_survives_it(self, spark, tmp_path):
+        """The headline guarantee: a DataFrame planned against snapshot N
+        collects correctly even after maintenance committed N+1 — the
+        exact scenario that made seqlock reads retry/degrade."""
+        st = _mk(spark, tmp_path)
+        for k in range(3):
+            st.upsert(0, _rows(spark, [("m", 60 * (k + 1), float(k))]))
+        pinned = st.read(0)  # planned now, collected later
+        st.compact(0, days=[0])
+        st.upsert(0, _rows(spark, [("m", 240, 9.0)]))
+        got = {r["ts"]: r["value"] for r in pinned.collect()}
+        assert got == {60: 0.0, 120: 1.0, 180: 2.0}  # its snapshot
+
+    def test_expire_is_logical_until_vacuum(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0), ("m", 29 * DAY, 2.0)]))
+        n_disk = len(_disk_parquet(st.root))
+        dropped = st.expire(now=31 * DAY)
+        assert dropped == {0: [0]}
+        # immediately invisible to readers...
+        assert [r["value"] for r in st.read(0).collect()] == [2.0]
+        # ...but the bytes survive until the grace window passes
+        assert len(_disk_parquet(st.root)) == n_disk
+        removed = st.vacuum(grace_s=0.0, now=time.time() + 10)
+        assert any("day=0" in r for r in removed)
+        assert len(_disk_parquet(st.root)) < n_disk
+        assert [r["value"] for r in st.read(0).collect()] == [2.0]
+
+    def test_vacuum_respects_grace(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        st.compact(0, days=[0])
+        assert st.vacuum(grace_s=3600.0) == []  # too young to reclaim
+        removed = st.vacuum(grace_s=0.0, now=time.time() + 10)
+        assert removed  # the pre-compact append file
+        got = {r["ts"]: r["value"] for r in st.read(0).collect()}
+        assert got == {60: 1.0}
+
+    def test_stranded_adopted_files_are_invisible(self, spark, tmp_path):
+        """Crash between adopt and manifest flip: files sit in the live
+        tree but no manifest references them — readers never see them,
+        vacuum reclaims them."""
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        # strand a rogue file next to the live one
+        live_rel, _ = st.commit.live_files("tier=0")[0]
+        src = os.path.join(st.root, live_rel)
+        rogue = os.path.join(os.path.dirname(src), "deadbeef-stranded.parquet")
+        import shutil
+
+        shutil.copyfile(src, rogue)
+        assert st.read(0).count() == 1  # not double-counted
+        removed = st.vacuum(grace_s=0.0, now=time.time() + 10)
+        assert any("stranded" in r for r in removed)
+        assert not os.path.exists(rogue)
+
+    def test_vacuum_trims_old_manifests_keeps_latest(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        for k in range(3):
+            st.upsert(0, _rows(spark, [("m", 60 * (k + 1), 1.0)]))
+        st.vacuum(grace_s=0.0, now=time.time() + 10)
+        mdir = os.path.join(st.root, "_manifest")
+        jsons = [n for n in os.listdir(mdir) if n.endswith(".json")]
+        assert jsons == ["0000000003.json"]
+        assert st.read(0).count() == 3
+
+
+class TestManifestMaintenance:
+    def test_full_compact_and_file_report(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        for k in range(4):
+            st.upsert(0, _rows(spark, [
+                ("m", 60 * (k + 1), float(k)), ("m", DAY + 60 * (k + 1), 1.0),
+            ]))
+        rep = st.file_report(0)
+        assert [r["day"] for r in rep] == [0, 1]
+        assert all(r["n_files"] == 4 for r in rep)
+        assert st.needs_compaction(0, max_files_per_day=2) == [0, 1]
+        st.compact(0)
+        rep = st.file_report(0)
+        assert all(r["n_files"] == 1 for r in rep)
+        assert st.read(0).count() == 8
+
+    def test_delete_metrics_is_one_transaction(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("keep", 60, 1.0), ("doom", 60, 2.0)]))
+        st.catalog_add(spark.createDataFrame(
+            [("keep", "s", 0), ("doom", "s", 0)],
+            "metric string, schema_name string, created_ts long",
+        ))
+        e0 = st.swap_epoch()
+        st.delete_metrics(["doom"])
+        assert st.swap_epoch() == e0 + 1  # tiers + catalog in ONE commit
+        assert [r["metric"] for r in st.read(0).collect()] == ["keep"]
+        assert [r["metric"] for r in st.catalog().collect()] == ["keep"]
+
+    def test_fetch_glob_uses_manifest_catalog(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("sys.cpu.a", 60, 1.0)]))
+        st.catalog_add(spark.createDataFrame(
+            [("sys.cpu.a", "s", 0)],
+            "metric string, schema_name string, created_ts long",
+        ))
+        grid = st.fetch_glob("sys.cpu.*", 0, 120, now=120)
+        vals = [r["value"] for r in grid.collect() if r["value"] is not None]
+        assert vals == [1.0]
+
+    def test_overwrite_replaces_tier(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0), ("m", DAY + 60, 2.0)]))
+        st.overwrite(0, _rows(spark, [("m", 60, 8.0)]))
+        got = {r["ts"]: r["value"] for r in st.read(0).collect()}
+        assert got == {60: 8.0}
+
+    def test_backup_carries_the_manifest(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        st.compact(0, days=[0])
+        dest = str(tmp_path / "bak")
+        st.backup_to(dest)
+        restored = ParquetTieredStore(
+            spark, SCHEMA, dest, mode="mor", commit_protocol="manifest"
+        )
+        got = {r["ts"]: r["value"] for r in restored.read(0).collect()}
+        assert got == {60: 1.0}
+        # the restored manifest excludes the retired pre-compact file
+        assert len(restored.commit.live_files("tier=0")) == 1
+
+
+class TestManifestServing:
+    def test_reader_clone_propagates_the_backend(self, spark, tmp_path):
+        from kenshin_spark.serving import reader_clone
+
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        reader = reader_clone(st)
+        assert reader.commit.plans_from_manifest
+        assert (
+            reader.spark.conf.get(
+                "spark.sql.files.ignoreMissingFiles", "false"
+            )
+            == "false"
+        )  # the seqlock-only conf is retired under this backend
+        got = {r["ts"]: r["value"] for r in reader.read(0).collect()}
+        assert got == {60: 1.0}
+
+    def test_serving_fns_never_degrade(self, spark, tmp_path):
+        from kenshin_spark.serving import store_serving_fns
+
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        lookup, fetch_fn = store_serving_fns(st)
+        flags = {}
+        assert lookup("m", flags=flags) == [(60, 1.0)]
+        assert flags == {}
+        assert st.read_retry_stats["stale_retries"] == 0
+        assert st.read_retry_stats["degraded_returns"] == 0
