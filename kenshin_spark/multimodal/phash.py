@@ -17,11 +17,14 @@ Spark-first shape — every step is a JVM expression (no Python UDFs):
 - exact Hamming distance re-verifies candidates via
   ``zip_with + bit_count`` over the band arrays.
 
-Codec boundary: this container ships no image libs, so the pixel grid
-here is a deterministic md5-derived fake (same convention as
-multimodal/transforms.py — meaning only exact-duplicate payloads
-collide; real decoded grayscale restores the perceptual behavior).
-``ahash_bands`` is codec-agnostic: hand it any 64-int pixel column.
+Codec boundary: ``real_pixels`` decodes PNG/BMP/JPEG (incl.
+progressive)/lossless-WebP payloads through the engine's own pure-
+Python codecs and area-means them to the 8×8 grayscale grid — real
+perceptual behavior, no image libs needed; payloads outside the native
+set degrade to the deterministic md5 stand-in (``pixels_real=false``,
+exact-duplicate collisions only). ``fake_pixels`` remains the
+SQL-replayable harness; ``ahash_bands`` is codec-agnostic: hand it any
+64-int pixel column.
 
 Scale notes (100 TB): fingerprints are 4 rows of 16 bytes per image —
 the banded join shuffles ~64 bytes per image, never pixels or payloads;
@@ -52,6 +55,92 @@ def fake_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             " 16, 10) as int))"
         ),
     ).drop("_h")
+
+
+def grid_from_payload(payload: bytes) -> tuple[list[int], bool]:
+    """Decode a real image container natively and reduce it to the 8×8
+    integer grayscale grid aHash consumes: ITU-R 601 integer luma
+    (``(299R + 587G + 114B) // 1000`` — exact, replayable), then an
+    area-mean over the 8×8 block partition (integer floor division, so
+    a block-constant image reduces to its block values EXACTLY — the
+    property the driver row's oracle replays). Images smaller than 8×8
+    are nearest-upscaled first. Returns ``(grid, True)`` on a native
+    decode, or ``(md5-derived stand-in grid, False)`` when no native
+    decoder covers the payload (the same fenced degrade path as
+    ``image_metadata``: one undecodable image must never crash the
+    Arrow batch)."""
+    import hashlib
+
+    import numpy as np
+
+    from kenshin_spark.multimodal import codecs
+
+    try:
+        arr = codecs.decode_image(payload)
+    except Exception:
+        digest = hashlib.md5(payload).hexdigest()
+        return [
+            int(
+                hashlib.md5(f"{digest}|{i}".encode()).hexdigest()[:2], 16
+            )
+            for i in range(N_PIXELS)
+        ], False
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[2] >= 3:
+        luma = (
+            299 * arr[:, :, 0].astype(np.int64)
+            + 587 * arr[:, :, 1].astype(np.int64)
+            + 114 * arr[:, :, 2].astype(np.int64)
+        ) // 1000
+    else:
+        luma = arr[:, :, 0].astype(np.int64)
+    h, w = luma.shape
+    if h < 8 or w < 8:
+        up = codecs.resize_nearest(
+            luma[:, :, None].astype(np.uint8), max(w, 8), max(h, 8)
+        )
+        luma = up[:, :, 0].astype(np.int64)
+        h, w = luma.shape
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 8) // w
+    sums = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(sums, (ys[:, None], xs[None, :]), luma)
+    counts = np.outer(np.bincount(ys, minlength=8),
+                      np.bincount(xs, minlength=8))
+    grid = sums // counts
+    return [int(v) for v in grid.reshape(-1)], True
+
+
+def real_pixels(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """The REAL decode+resize step for perceptual dedup (VERDICT r9
+    next-round #3): ``(id, payload)`` → ``(id, pixels array<int>,
+    pixels_real boolean)`` via the native codecs (PNG/BMP/JPEG incl.
+    progressive/lossless-WebP), Arrow-batched through ``mapInPandas``
+    so payload bytes never leave the executor. ``pixels_real`` is False
+    on the fenced degrade path (md5 stand-in — exact-duplicate
+    collisions only). Near-dup pairs across re-encoded variants of one
+    image — the thing the md5 stand-in can by construction never find —
+    fall out of feeding this into :func:`phash_neardup_pairs`."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                grid, real = grid_from_payload(bytes(payload))
+                rows.append((int(did), grid, real))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "pixels", "pixels_real"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, pixels array<int>, pixels_real boolean"
+    )
 
 
 def ahash_bands(df: DataFrame, pixels_col: str = "pixels") -> DataFrame:
