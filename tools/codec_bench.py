@@ -54,7 +54,55 @@ def main() -> None:
             real[label] = _t(codecs.decode_image, payload)
     if real:
         report["real_files_ms"] = real
+    if real and "--jvm" in sys.argv:
+        report["bulk_resize_ms"] = _bulk_resize_bench()
     print(json.dumps(report, indent=1))
+
+
+def _bulk_resize_bench(copies: int = 64) -> dict:
+    """The production bulk-decode comparison (VERDICT r9 next-round #4):
+    ``resize_images`` over N copies of the real photos, native codecs vs
+    the ``decoder="jvm"`` javax.imageio path (spill included, so the
+    JVM number carries its real overhead). Run with ``--jvm``."""
+    import tempfile
+
+    from kenshin_spark.multimodal.transforms import resize_images
+    from kenshin_spark.session import get_spark
+
+    spark = get_spark("codec-bench", cpus=8)
+    payloads = []
+    for pat in (
+        "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/assets/verify.jpeg",
+        "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/assets/f3.jpg",
+    ):
+        hits = sorted(glob.glob(pat))
+        if hits:
+            payloads.append(open(hits[0], "rb").read())
+    rows = [
+        (k, bytearray(payloads[k % len(payloads)]))
+        for k in range(copies)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary"
+    ).repartition(8).cache()
+    df.count()
+    out = {}
+    for label, kwargs in (
+        ("native", {}),
+        ("jvm", {"decoder": "jvm", "scratch_dir": tempfile.mkdtemp()}),
+    ):
+        t0 = time.perf_counter()
+        n = resize_images(df, 224, 224, **kwargs).count()
+        wall = time.perf_counter() - t0
+        out[label] = {
+            "images": n,
+            "wall_ms": round(wall * 1000, 1),
+            "images_per_s": round(n / wall, 1),
+        }
+    out["jvm_speedup"] = round(
+        out["native"]["wall_ms"] / out["jvm"]["wall_ms"], 1
+    )
+    return out
 
 
 if __name__ == "__main__":
