@@ -480,3 +480,69 @@ def q_mm_phash_real_pixels(spark, sf_dir):
             F.col("pert_h").cast("long").alias("pert_h"),
         )
     )
+
+
+@stage(
+    "store_manifest_snapshot_lifecycle",
+    None,  # placeholder — real oracle set below (needs the r8 fragment)
+)
+def q_store_manifest_snapshot_lifecycle(spark, sf_dir):
+    import os
+    import time
+
+    from kenshin_spark.queries_staged_r8_engine import (
+        _BANK,
+        _week_slots,
+        _workdir,
+        DAY1_END,
+    )
+    from kenshin_spark.store import ParquetTieredStore
+
+    st = ParquetTieredStore(
+        spark,
+        _BANK,
+        os.path.join(
+            _workdir(sf_dir, "store_manifest_snapshot_lifecycle"), "store"
+        ),
+        mode="mor",
+        commit_protocol="manifest",
+    )
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.where(F.col("ts") % 120 == 0))
+    st.upsert(0, slots.where(F.col("ts") % 120 == 60))
+    # fold the first two day partitions' append logs (logical replace —
+    # the superseded files stay on disk until vacuum)
+    st.compact(0, days=st._live_days(0)[:2])
+    # logical expiry of day 0 (Jan 1): one manifest transaction, no
+    # physical delete; then vacuum reclaims every retired file
+    st.expire(now=DAY1_END + 90 * 86400)
+    st.vacuum(grace_s=0.0, now=time.time() + 60)
+    return st.read(0)
+
+
+def _set_manifest_oracle():
+    from kenshin_spark.queries_staged_r8_engine import _W, DAY1_END
+
+    spec = STAGED_R16["store_manifest_snapshot_lifecycle"]
+    STAGED_R16["store_manifest_snapshot_lifecycle"] = QuerySpec(
+        fn=spec.fn,
+        oracle=(
+            f"WITH {_W} SELECT metric, ts, value FROM t0 "
+            f"WHERE ts >= {DAY1_END}"
+        ),
+        doc=(
+            "the manifest-log commit backend's full lifecycle as a "
+            "driver row (VERDICT r9 next-round #2): mor upserts in two "
+            "stamped appends, a two-day log fold committed as one "
+            "manifest transaction, LOGICAL retention expiry of day 0 "
+            "(a manifest drop — files persist for readers mid-scan), "
+            "then vacuum physically reclaims every retired file; the "
+            "read back — planned from the committed file list, never a "
+            "directory listing — must equal the week's LWW grid minus "
+            "the expired day (kenshin_spark/commit.py "
+            "ManifestCommitProtocol, store.py manifest branches)"
+        ),
+    )
+
+
+_set_manifest_oracle()
