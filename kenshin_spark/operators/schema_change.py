@@ -165,10 +165,17 @@ def change_schema(
     the new policy object; REBUILD builds at ``tmp_root`` then swaps it in
     with a ``.bak`` of the original (bin/kenshin-change-schema.py:115-125).
     """
+    # the re-opened store keeps the original's storage mode and commit
+    # backend (a manifest-backed store re-opened as seqlock would list
+    # directories and see retired files awaiting vacuum)
+    kwargs = {"mode": store.mode}
+    if store.commit.plans_from_manifest:
+        kwargs["commit_protocol"] = "manifest"
     action = diff_schema(store.schema, new_schema)
     if action in (NO_CHANGE, CHANGE_META):
         return SchemaChangeResult(
-            action, ParquetTieredStore(spark, new_schema, store.root)
+            action,
+            ParquetTieredStore(spark, new_schema, store.root, **kwargs),
         )
     tmp_root = tmp_root or store.root + ".tmp"
     rebuilt = rebuild_store(spark, store, new_schema, tmp_root, now)
@@ -177,6 +184,11 @@ def change_schema(
         raise FileExistsError(f"backup already exists: {bak}")
     os.rename(store.root, bak)
     os.rename(tmp_root, store.root)
+    # the REBUILT tree was written by build_tiers_from_layered under its
+    # own (seqlock-default) store, so re-open it plainly: a whole-root
+    # swap is outside the manifest log's history, exactly like the
+    # reference's .bak dance (bin/kenshin-change-schema.py:103-112)
     return SchemaChangeResult(
-        REBUILD, ParquetTieredStore(spark, new_schema, store.root)
+        REBUILD,
+        ParquetTieredStore(spark, new_schema, store.root, mode=store.mode),
     )
