@@ -2326,6 +2326,11 @@ def q_sketch_cms_merge_days(spark, sf_dir):
 from kenshin_spark.oracle_types import apply_bigint_casts  # noqa: E402
 
 _BIGINT_CASTS = {
+    # DuckDB integer `/` returns DOUBLE; the Spark twin is long (the
+    # division is exact — every n is a multiple of 8). Caught by the
+    # registry gate's dtype-straddle check post-promotion (the r9
+    # HUGEINT class's int-vs-float sibling).
+    "mm_wav_square_rms": ("duration_ms",),
     "sketch_bloom_sizing_curve": ("n_novel", "n_false_pos",),
     "text_quality_reason_mix": ("n_keep", "n_len_fail", "n_mean_fail", "n_stop_fail", "n_alpha_fail",),
     "mm_png_pixel_sum": ("pixel_sum",),
