@@ -193,21 +193,77 @@ def phash_neardup_pairs(
     docs_with_pixels: DataFrame,
     max_hamming: int = DEFAULT_MAX_HAMMING,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    block_bands: int | None = None,
 ) -> DataFrame:
     """``(doc_a, doc_b, hamming)`` for image pairs within Hamming
     distance ``max_hamming`` of each other's aHash. Complete (not
     approximate) for ``max_hamming < N_BANDS``, by pigeonhole over the
-    banded candidate join. Input must carry a ``pixels`` column (from a
-    real decoder at 8×8, or ``fake_pixels`` in this container)."""
+    banded candidate join. Input must carry a ``pixels`` column (from
+    ``real_pixels``' native decode, or ``fake_pixels``).
+
+    Scale controls (the r10 sf1 soak measured the default single-band
+    join at 93× wall on 10× corpus — each band has only 256 values, so
+    candidate cost grows as 8·N²/256 even under a uniform hash):
+
+    - ``block_bands=2`` — block on all C(8,2)=28 ordered band PAIRS
+      (16-bit keys, 65,536 values). Still COMPLETE for
+      ``max_hamming ≤ 6``: at most 6 of 8 bands can differ, so at
+      least two bands agree and that pair's key matches. Shuffles
+      3.5× more fingerprint rows but cuts the quadratic constant
+      ~74× (28/65536 vs 8/256) — measured 188 s → 7.1 s on the 100k-
+      image sf1 soak with identical output. Default (``None``): pair
+      blocking whenever the threshold admits it, single-band
+      otherwise.
+    - ``max_bucket`` — the Σ|bucket|² guard this family's other
+      members carry (minhash/embedding-LSH): buckets larger than the
+      cap drop out of candidate generation. A pair is missed only if
+      EVERY key the two images share is over-cap — degenerate
+      near-identical mass (flat/dark images) that exact dedup should
+      have removed first. Compose with pair blocking for skewed
+      real corpora."""
+    if block_bands is None:
+        block_bands = 2 if max_hamming <= N_BANDS - 2 else 1
+    if block_bands not in (1, 2):
+        raise ValueError("block_bands must be 1 or 2")
+    if block_bands == 2 and max_hamming > N_BANDS - 2:
+        # ≤ max_hamming bit errors dirty ≤ max_hamming bands; two clean
+        # bands (whose pair key matches) are guaranteed only up to 6
+        raise ValueError(
+            f"pair blocking is complete only for max_hamming <= {N_BANDS - 2}"
+        )
     # referenced three times (band explode + two attribute joins);
     # fingerprints are ~64 bytes/image so caching beats recomputing the
     # decode at any scale
     sigs = ahash_bands(
         docs_with_pixels.select(F.col(id_col).alias("doc_id"), "pixels")
     ).select("doc_id", "bands").cache()
-    banded = sigs.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
-    )
+    if block_bands == 2:
+        # all C(8,2) band pairs as 16-bit blocking keys — one JVM
+        # expression, 28 rows per image, still ~64 bytes each
+        pairs_expr = (
+            "flatten(transform(sequence(0, 6), i -> "
+            "transform(sequence(i + 1, 7), j -> struct("
+            "i * 8 + j AS band_idx, "
+            "element_at(bands, i + 1) * 256 + element_at(bands, j + 1) "
+            "AS band_val))))"
+        )
+        banded = sigs.select(
+            "doc_id", F.explode(F.expr(pairs_expr)).alias("_p")
+        ).select("doc_id", "_p.band_idx", "_p.band_val")
+    else:
+        banded = sigs.select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+        )
+    if max_bucket is not None:
+        counts = banded.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        banded = (
+            banded.join(counts, ["band_idx", "band_val"])
+            .where(F.col("_c") <= max_bucket)
+            .drop("_c")
+        )
     a = banded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
     )

@@ -6,6 +6,7 @@ can by construction never do."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from kenshin_spark.multimodal import codecs, webp
 from kenshin_spark.multimodal.phash import (
@@ -117,3 +118,69 @@ class TestRealPixelNearDup:
             for r in phash_neardup_pairs(px).collect()
         }
         assert pairs == {(1, 2): 0}
+
+
+class TestPhashBucketCap:
+    def test_max_bucket_drops_degenerate_buckets_only(self, spark):
+        """The Σ|bucket|² guard: constant (degenerate) images share every
+        band → their bucket exceeds the cap and they stop generating
+        candidates; a distinct near-dup pair with private buckets
+        survives untouched."""
+        from kenshin_spark.multimodal.phash import (
+            ahash_bands,
+            fake_pixels,
+            phash_neardup_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        # 12 exact-duplicate payloads (one giant bucket per band) + one
+        # distinct pair of exact dups (bucket size 2)
+        rows = [(i, "constant-image") for i in range(12)]
+        rows += [(100, "unique-image"), (101, "unique-image")]
+        docs = fake_pixels(
+            spark.createDataFrame(rows, "doc_id long, payload string")
+        )
+        full = phash_neardup_pairs(docs).collect()
+        assert len(full) == 12 * 11 // 2 + 1
+        capped = phash_neardup_pairs(docs, max_bucket=8).collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+        assert pairs == {(100, 101)}  # the clique dropped, the pair kept
+
+    def test_pair_blocking_complete_and_equal(self, spark):
+        """block_bands=2 must return EXACTLY the single-band join's
+        pairs for max_hamming <= 6 (both are complete candidate
+        generators), including near-dups that differ in several bands."""
+        from kenshin_spark.multimodal.phash import (
+            fake_pixels,
+            perturb_pixels,
+            phash_neardup_pairs,
+        )
+
+        docs = fake_pixels(spark.createDataFrame(
+            [(i, f"img-{i}") for i in range(30)],
+            "doc_id long, payload string",
+        ))
+        pert = perturb_pixels(docs).withColumn(
+            "doc_id", F.col("doc_id") + 1000
+        )
+        all_px = docs.unionByName(pert)
+        one = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in phash_neardup_pairs(all_px).collect()
+        }
+        two = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in phash_neardup_pairs(all_px, block_bands=2).collect()
+        }
+        assert one == two and len(one) > 0
+
+    def test_pair_blocking_rejects_wide_threshold(self, spark):
+        from kenshin_spark.multimodal.phash import (
+            fake_pixels,
+            phash_neardup_pairs,
+        )
+
+        docs = fake_pixels(spark.createDataFrame(
+            [(1, "x")], "doc_id long, payload string"))
+        with pytest.raises(ValueError, match="pair blocking"):
+            phash_neardup_pairs(docs, max_hamming=7, block_bands=2)

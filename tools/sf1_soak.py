@@ -50,14 +50,15 @@ def main() -> None:
     from kenshin_spark.queries import QUERIES
     from kenshin_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    top = 20
-    for a in sys.argv[1:]:
-        if a.startswith("--top"):
-            top = int(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1])
-    if args:
-        names = args
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("names", nargs="*")
+    ns = ap.parse_args()
+    top = ns.top
+    if ns.names:
+        names = ns.names
     else:
         partial = os.path.join(REPO, "bench_partial.json")
         timings = json.load(open(partial))["queries"]
