@@ -95,10 +95,15 @@ class StreamingIngest:
         store_mode: str = "cow",
         skew_salts: int | None = None,
         quality_checks=None,
+        commit_protocol: str | None = None,
     ):
         self.spark = spark
         self.schemas = schemas
         self.root = root
+        #: commit backend for every store this ingest opens: None =
+        #: seqlock (default), "manifest" = the manifest-log backend
+        #: (snapshot-isolated reads; maintenance() then also vacuums)
+        self.commit_protocol = commit_protocol
         #: spread hot metrics' LWW align over N reducers (SURVEY §7.3);
         #: None = single-stage (map-side partials usually suffice)
         self.skew_salts = skew_salts
@@ -140,6 +145,7 @@ class StreamingIngest:
                 schema,
                 f"{self.root}/{schema.name}",
                 mode=self.store_mode,
+                commit_protocol=self.commit_protocol,
             )
         return self._stores[schema.name]
 
@@ -150,7 +156,8 @@ class StreamingIngest:
         any_schema = self.schemas.schemas[0]
         if "_root" not in self._stores:
             self._stores["_root"] = ParquetTieredStore(
-                self.spark, any_schema, self.root
+                self.spark, any_schema, self.root,
+                commit_protocol=self.commit_protocol,
             )
         return self._stores["_root"]
 
@@ -453,6 +460,7 @@ class StreamingIngest:
         max_files_per_day: int = 8,
         min_file_bytes: int = 8 << 20,
         target_files_per_day: int = 1,
+        vacuum_grace_s: float = 3600.0,
     ) -> dict:
         """The periodic maintenance pass the reference runs as cron'd
         bin/ scripts: for every store this ingest has touched, expire
@@ -484,6 +492,14 @@ class StreamingIngest:
                     if done:
                         compacted[i] = done
             out[name] = {"expired": expired, "compacted": compacted}
+            if store._manifest_mode:
+                # manifest backends retire files logically; maintenance
+                # is where the physical reclaim belongs. The grace is
+                # the VACUUM-retention contract: any scan planned more
+                # than vacuum_grace_s ago must have finished.
+                out[name]["vacuumed"] = len(
+                    store.vacuum(grace_s=vacuum_grace_s)
+                )
         return out
 
     # -- instrumentation (S8) ---------------------------------------------

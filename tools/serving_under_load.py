@@ -273,7 +273,8 @@ def _servers_for(store):
 
 
 def run(spark, sf_dir: str, target_rows: int, n_clients: int = 8,
-        n_batches: int = 10, n_probe: int = 6) -> dict:
+        n_batches: int = 10, n_probe: int = 6,
+        commit: str | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from kenshin_spark.config import Schema, SchemaSet
@@ -292,7 +293,11 @@ def run(spark, sf_dir: str, target_rows: int, n_clients: int = 8,
         "bench", ".*", "60s:90d,300s:180d,3600s:366d",
         xff=20.0, agg_method="average", cache_retention=600,
     )
-    report: dict = {"rows": n_rows, "probe_metrics": probe}
+    report: dict = {
+        "rows": n_rows,
+        "probe_metrics": probe,
+        "commit_protocol": commit or "seqlock",
+    }
 
     # ---------- phase A: direct batches + maintenance under fire
     admissible, final = _admissible_phase_a(spark, pts, probe, n_batches)
@@ -300,7 +305,7 @@ def run(spark, sf_dir: str, target_rows: int, n_clients: int = 8,
     try:
         ing = StreamingIngest(
             spark, SchemaSet((schema,)), root, clock=lambda: now,
-            store_mode="mor",
+            store_mode="mor", commit_protocol=commit,
         )
         ing.process_batch(pts.where(F.col("arrival") % n_batches == 0), 0)
         store = ing.store_for(schema)
@@ -321,6 +326,9 @@ def run(spark, sf_dir: str, target_rows: int, n_clients: int = 8,
             tcp.stop()
             http.stop()
         a["writer_wall_s"] = round(time.perf_counter() - t0, 1)
+        a["reader_retry_stats"] = dict(
+            fetch_fn.reader_store.read_retry_stats
+        )
         # post-write: the fetch grid agrees with full-history LWW on
         # every probed slot inside the window (grid slots are
         # [roundup(from), roundup(until)) per operators/fetch.grid_fill)
@@ -351,7 +359,7 @@ def run(spark, sf_dir: str, target_rows: int, n_clients: int = 8,
     try:
         ing = StreamingIngest(
             spark, SchemaSet((schema,)), root, clock=lambda: now,
-            store_mode="mor",
+            store_mode="mor", commit_protocol=commit,
         )
         lo, hi = [int(v) for v in pts.agg(F.min("ts"), F.max("ts")).first()]
         span = max(1, hi - lo + 1)
@@ -395,6 +403,9 @@ def run(spark, sf_dir: str, target_rows: int, n_clients: int = 8,
             tcp.stop()
             http.stop()
         b["stream_wall_s"] = round(time.perf_counter() - t0, 1)
+        b["reader_retry_stats"] = dict(
+            fetch_fn.reader_store.read_retry_stats
+        )
         final_rows = {
             (r["metric"], r["ts"]): r["value"]
             for r in store.read(0)
@@ -428,9 +439,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     rows = int(os.environ.get("SPARK_GRAFT_LOAD_ROWS", "1000000"))
     clients = int(os.environ.get("SPARK_GRAFT_LOAD_CLIENTS", "8"))
+    # SPARK_GRAFT_LOAD_COMMIT=manifest runs both phases on the
+    # manifest-log backend (snapshot-isolated reads — the capture's
+    # retry/degraded counters must then be exactly zero)
+    commit = os.environ.get("SPARK_GRAFT_LOAD_COMMIT") or None
     spark = get_spark("serving-under-load", cpus=None)
     spark.sparkContext.setLogLevel("ERROR")
-    report = run(spark, sf_dir, rows, n_clients=clients)
+    report = run(spark, sf_dir, rows, n_clients=clients, commit=commit)
     print(json.dumps(report, indent=1))
     spark.stop()
 
