@@ -117,6 +117,21 @@ class ParquetTieredStore:
         #: (see kenshin_spark.commit for the full mapping)
         if commit_protocol == "manifest":
             commit_protocol = ManifestCommitProtocol(self.fs, root, label=root)
+            # manifest scans pass EXPLICIT file lists; above the default
+            # threshold (32 paths) Spark's InMemoryFileIndex launches a
+            # parallel-listing JOB per scan, which FIFO-queues behind
+            # writer jobs — measured ~1 s added to EVERY serving read at
+            # 300 live files (and a 2x phase-A writer wall in the 1M
+            # load capture). Driver-side sequential stat of local/HDFS
+            # paths is micro-seconds per file; an object-store
+            # deployment at very high file counts would instead keep
+            # file counts bounded via compact() (the manifest already
+            # knows sizes — injecting them needs a custom FileIndex,
+            # noted as the upstream-integration path).
+            spark.conf.set(
+                "spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "1000000",
+            )
         elif commit_protocol == "seqlock":
             commit_protocol = None
         self.commit: CommitProtocol = commit_protocol or SeqlockCommitProtocol(
