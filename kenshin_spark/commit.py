@@ -92,6 +92,22 @@ def _is_stale_read(exc: Exception) -> bool:
     )
 
 
+def _is_not_found(exc: Exception) -> bool:
+    """Missing-file errors only — the one class a metadata read may
+    translate to "not written yet". Local fast path raises
+    FileNotFoundError; the py4j path surfaces Hadoop's
+    FileNotFoundException inside a Py4JJavaError, so match on the
+    rendered text the same way ``_is_stale_read`` does."""
+    if isinstance(exc, (FileNotFoundError, NotADirectoryError)):
+        return True
+    text = f"{type(exc).__name__}: {exc}"
+    return (
+        "FileNotFoundException" in text
+        or "PATH_NOT_FOUND" in text
+        or "No such file" in text
+    )
+
+
 class CommitProtocol(ABC):
     """What a store needs from its transactional layer — see module
     docstring. Implementations must be cheap to call on every read."""
@@ -314,6 +330,7 @@ class ManifestTxn:
     def __init__(self):
         self.drops: list[str] = []
         self.adds: dict[str, int] = {}
+        self.clears: list[str] = []
 
     def drop(self, prefix: str) -> None:
         self.drops.append(prefix.rstrip("/"))
@@ -325,6 +342,11 @@ class ManifestTxn:
         self.drop(prefix)
         for rel, size in adds:
             self.add(rel, size)
+
+    def clear_tombstone(self, rel: str) -> None:
+        """Forget a tombstone after ``vacuum`` physically reclaimed the
+        file — keeps the manifest from growing with its own history."""
+        self.clears.append(rel)
 
 
 class ManifestCommitProtocol(CommitProtocol):
@@ -381,7 +403,9 @@ class ManifestCommitProtocol(CommitProtocol):
             "epoch_races": 0,
             "degraded_returns": 0,
         }
-        self._cache: tuple[int, dict[str, int]] | None = None
+        self._cache: (
+            tuple[int, dict[str, int], dict[str, float]] | None
+        ) = None
 
     # -- the log ------------------------------------------------------
 
@@ -394,28 +418,52 @@ class ManifestCommitProtocol(CommitProtocol):
 
     def epoch(self) -> int:
         """The committed manifest sequence number (0 = never written) —
-        exactly a table format's version/snapshot id."""
+        exactly a table format's version/snapshot id. Only a MISSING
+        pointer means "no manifest yet"; any other error (permissions,
+        transient IO, py4j) propagates — swallowed, it would make
+        readers silently see an empty store, and inside
+        ``commit_txn``'s snapshot it would rebuild the file list from
+        ``{}`` and permanently drop every live file (ADVICE r10)."""
         try:
             return int(self.fs.read_text(self._latest_path))
-        except Exception:
-            return 0
+        except Exception as exc:
+            if _is_not_found(exc):
+                return 0
+            raise
 
     def snapshot(self, seq: int | None = None) -> dict[str, int]:
         """The committed file list ``{rel_path: size}`` at ``seq``
         (default: latest). One tiny pointer read per call; the parsed
         manifest is cached by sequence number, so steady-state reads
         cost O(1) metadata IO regardless of store size."""
+        return self._load(seq)[0]
+
+    def tombstones(self, seq: int | None = None) -> dict[str, float]:
+        """Retired-but-not-yet-reclaimed files ``{rel_path:
+        retired_at_unix}`` at ``seq`` (default: latest) — the analog of
+        Delta's RemoveFile.deletionTimestamp. ``vacuum`` ages files by
+        THIS stamp, never by file mtime: a file written long ago but
+        retired a second ago must survive the full grace window so a
+        scan planned from the pre-retirement snapshot can finish."""
+        return self._load(seq)[1]
+
+    def _load(
+        self, seq: int | None = None
+    ) -> tuple[dict[str, int], dict[str, float]]:
         if seq is None:
             seq = self.epoch()
         if seq == 0:
-            return {}
+            return {}, {}
         if self._cache is not None and self._cache[0] == seq:
-            return self._cache[1]
-        files = json.loads(self.fs.read_text(self._manifest_path(seq)))[
-            "files"
-        ]
-        self._cache = (seq, files)
-        return files
+            return self._cache[1], self._cache[2]
+        body = json.loads(self.fs.read_text(self._manifest_path(seq)))
+        files = body["files"]
+        # manifests written before the tombstone field default to {}:
+        # their already-retired files take vacuum's untracked-debris
+        # (mtime-gated) path, the pre-tombstone behavior
+        tombs = body.get("tombstones", {})
+        self._cache = (seq, files, tombs)
+        return files, tombs
 
     def live_files(self, prefix: str = "") -> list[tuple[str, int]]:
         """Live data files under a directory prefix, ``(rel, size)``
@@ -437,24 +485,39 @@ class ManifestCommitProtocol(CommitProtocol):
         yield tx
         self.commit_txn(tx)
 
-    def commit_txn(self, tx: ManifestTxn) -> int:
-        if not tx.drops and not tx.adds:
+    def commit_txn(self, tx: ManifestTxn, now: float | None = None) -> int:
+        if not tx.drops and not tx.adds and not tx.clears:
             return self.epoch()
-        files = dict(self.snapshot())
+        if now is None:
+            now = time.time()
+        files, tombs = self._load()
+        files = dict(files)
+        tombs = dict(tombs)
         for prefix in tx.drops:
             p = prefix + "/"
             for rel in [r for r in files if r.startswith(p) or r == prefix]:
                 del files[rel]
+                # retirement stamp: vacuum ages by this, not file mtime
+                # (ADVICE r10 — a fresh retirement of an old file must
+                # still get the full grace window)
+                tombs[rel] = now
+        for rel in tx.adds:
+            tombs.pop(rel, None)  # re-added under the same path: live
         files.update(tx.adds)
+        for rel in tx.clears:
+            tombs.pop(rel, None)
         seq = self.epoch() + 1
         self.fs.write_text_atomic(
             self._manifest_path(seq),
-            json.dumps({"seq": seq, "files": files}, sort_keys=True),
+            json.dumps(
+                {"seq": seq, "files": files, "tombstones": tombs},
+                sort_keys=True,
+            ),
         )
         # THE commit point — atomic pointer flip; the manifest body
         # above is complete and fsynced-before-rename already
         self.fs.write_text_atomic(self._latest_path, str(seq))
-        self._cache = (seq, files)
+        self._cache = (seq, files, tombs)
         return seq
 
     # -- the protocol surface -----------------------------------------

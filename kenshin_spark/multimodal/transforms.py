@@ -153,6 +153,53 @@ _RESIZE_COLS = [
 ]
 
 
+def _reap_stale_spills(
+    scratch_root: str, older_than_s: float, now: float
+) -> None:
+    """Best-effort removal of spill subdirectories from PREVIOUS
+    ``_resize_images_jvm`` calls. A spill must outlive its (lazy)
+    result DataFrame, so it can't be deleted at function exit; instead
+    each call reaps same-root debris old enough that no job can still
+    be reading it (same mtime-age contract as store vacuum's stage
+    debris)."""
+    import os
+    import shutil
+
+    try:
+        names = os.listdir(scratch_root)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith("spill_"):
+            continue
+        sub = os.path.join(scratch_root, name)
+        try:
+            if os.path.getmtime(sub) < now - older_than_s:
+                shutil.rmtree(sub, ignore_errors=True)
+        except OSError:
+            continue
+
+
+def _read_origin_bytes(origin: str) -> bytes:
+    """Executor-side scheme-aware byte read of an image-source origin
+    (``file:``, ``hdfs:``, ``s3a:``… — pyarrow resolves the
+    filesystem); plain local paths read directly."""
+    if origin.startswith("file:"):
+        path = origin[len("file:"):]
+        while path.startswith("//"):  # file:///p and file://host/p forms
+            path = path[1:]
+        with open(path, "rb") as fh:
+            return fh.read()
+    if "://" in origin:
+        from pyarrow import fs as pafs
+
+        filesystem, path = pafs.FileSystem.from_uri(origin)
+        with filesystem.open_input_stream(path) as fh:
+            return fh.read()
+    with open(origin, "rb") as fh:
+        return fh.read()
+
+
 def _native_resize_kernel(width: int, height: int, out_format: str):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -212,13 +259,23 @@ def _resize_images_jvm(
     files, which is how a 100 TB image corpus arrives anyway."""
     import os
     import tempfile
+    import time
     import uuid
 
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    scratch = scratch_dir or os.path.join(
-        tempfile.gettempdir(), f"ksp_jvm_decode_{uuid.uuid4().hex[:12]}"
+    # every call spills under its OWN uuid subdirectory — a reused
+    # scratch_dir must never let stale '{doc_id}.img' files from a
+    # previous dataset feed phantom rows into this scan (ADVICE r10).
+    # The spill must outlive this (lazy) DataFrame, so same-root debris
+    # from PRIOR calls is reaped here by age instead of at job end.
+    scratch_root = scratch_dir or os.path.join(
+        tempfile.gettempdir(), "ksp_jvm_decode"
+    )
+    _reap_stale_spills(scratch_root, older_than_s=24 * 3600, now=time.time())
+    scratch = os.path.join(
+        scratch_root, f"spill_{uuid.uuid4().hex[:12]}"
     )
     src = df.select("doc_id", "payload")
 
@@ -263,12 +320,11 @@ def _resize_images_jvm(
                 if h <= 0:  # imageio could not decode (WebP, garbage…):
                     # per-image native fallback, same batch — the
                     # spilled file IS the payload, so no join, no
-                    # second image-source scan, no double JVM decode
-                    local = origin[len("file:"):] if origin.startswith(
-                        "file:"
-                    ) else origin
-                    with open(local, "rb") as fh:
-                        payload = fh.read()
+                    # second image-source scan, no double JVM decode.
+                    # Read through a scheme-aware filesystem: on the
+                    # documented shared-storage deployment the origin
+                    # is hdfs:/s3a:, not a local path (ADVICE r10)
+                    payload = _read_origin_bytes(origin)
                     out, degraded = _resize_with_flag(
                         payload, width, height, out_format
                     )

@@ -185,10 +185,16 @@ def change_schema(
     os.rename(store.root, bak)
     os.rename(tmp_root, store.root)
     # the REBUILT tree was written by build_tiers_from_layered under its
-    # own (seqlock-default) store, so re-open it plainly: a whole-root
-    # swap is outside the manifest log's history, exactly like the
-    # reference's .bak dance (bin/kenshin-change-schema.py:103-112)
-    return SchemaChangeResult(
-        REBUILD,
-        ParquetTieredStore(spark, new_schema, store.root, mode=store.mode),
+    # own (seqlock-default) store — a whole-root swap is outside the
+    # manifest log's history, exactly like the reference's .bak dance
+    # (bin/kenshin-change-schema.py:103-112). When the SOURCE store was
+    # manifest-backed, every other handle to this root (serving
+    # reader_clones, a StreamingIngest re-open) still plans from the
+    # manifest, so bootstrap one for the rebuilt tree — without it they
+    # read epoch 0 and silently see every tier as empty (ADVICE r10)
+    new_store = ParquetTieredStore(
+        spark, new_schema, store.root, **kwargs
     )
+    if new_store.commit.plans_from_manifest:
+        new_store.init_manifest_from_tree()
+    return SchemaChangeResult(REBUILD, new_store)

@@ -434,12 +434,9 @@ def q_store_fetch_glob_no_catalog(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _doc_ids(spark, sf_dir, modulo=50):
-    from kenshin_spark.io import load_table
-
-    return load_table(spark, sf_dir, "documents").select("doc_id").where(
-        F.col("doc_id") % modulo == 0
-    )
+# _doc_ids moved to bank_common (leaf module) so later banks can share
+# it without a bank->bank import cycle on executors
+from kenshin_spark.bank_common import _doc_ids  # noqa: E402
 
 
 def _gradient(doc_id: int, h: int, w: int):

@@ -1790,9 +1790,10 @@ def q_q_ship_latency_bands(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-# shared with the r10 bank (one definition; r10 never imports r16, so
-# no bank-import cycle — the hazard the bloom_oracle split fixed)
-from kenshin_spark.queries_staged_r10 import _doc_ids  # noqa: E402
+# shared with the r10 bank via the leaf module (a bank->bank import
+# here deadlocks on executors: unpickling an r10 kernel re-imports
+# queries.py, which imports THIS bank before r10 finishes binding)
+from kenshin_spark.bank_common import _doc_ids  # noqa: E402
 
 
 def _rgb_gradient(doc_id: int, h: int, w: int):

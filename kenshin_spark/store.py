@@ -38,9 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import threading
+from contextlib import contextmanager
+
 from kenshin_spark.commit import (  # _is_stale_read re-exported for tests
     CommitProtocol,
     ManifestCommitProtocol,
+    ManifestTxn,
     SeqlockCommitProtocol,
     _is_stale_read,  # noqa: F401
 )
@@ -52,6 +56,46 @@ from kenshin_spark.operators.align import align_ts
 
 DAY = 86400
 HOUR = 3600
+
+#: Manifest scans pass EXPLICIT file lists; above the default threshold
+#: (32 paths) Spark's InMemoryFileIndex launches a parallel-listing JOB
+#: per scan, which FIFO-queues behind writer jobs — measured ~1 s added
+#: to EVERY serving read at 300 live files (and a 2x phase-A writer wall
+#: in the 1M load capture). Driver-side sequential stat of local/HDFS
+#: paths is micro-seconds per file. The override is scoped to the
+#: explicit-list planning call (set/restore under a refcount so stacked
+#: store scans don't flap it) instead of mutating the session conf for
+#: every other scan in the SparkSession (ADVICE r10).
+_PPD_KEY = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+_ppd_lock = threading.Lock()
+_ppd_depth: dict[int, tuple[int, str | None]] = {}  # id(spark) -> (n, prev)
+
+
+@contextmanager
+def _explicit_list_planning(spark):
+    sid = id(spark)
+    with _ppd_lock:
+        depth, prev = _ppd_depth.get(sid, (0, None))
+        if depth == 0:
+            try:
+                prev = spark.conf.get(_PPD_KEY)
+            except Exception:
+                prev = None
+            spark.conf.set(_PPD_KEY, "1000000")
+        _ppd_depth[sid] = (depth + 1, prev)
+    try:
+        yield
+    finally:
+        with _ppd_lock:
+            depth, prev = _ppd_depth[sid]
+            if depth == 1:
+                del _ppd_depth[sid]
+                if prev is None:
+                    spark.conf.unset(_PPD_KEY)
+                else:
+                    spark.conf.set(_PPD_KEY, prev)
+            else:
+                _ppd_depth[sid] = (depth - 1, prev)
 
 #: tiers whose whole retention fits in this many seconds partition hourly —
 #: hot tiers get fine-grained partitions so a micro-batch upsert rewrites
@@ -117,21 +161,6 @@ class ParquetTieredStore:
         #: (see kenshin_spark.commit for the full mapping)
         if commit_protocol == "manifest":
             commit_protocol = ManifestCommitProtocol(self.fs, root, label=root)
-            # manifest scans pass EXPLICIT file lists; above the default
-            # threshold (32 paths) Spark's InMemoryFileIndex launches a
-            # parallel-listing JOB per scan, which FIFO-queues behind
-            # writer jobs — measured ~1 s added to EVERY serving read at
-            # 300 live files (and a 2x phase-A writer wall in the 1M
-            # load capture). Driver-side sequential stat of local/HDFS
-            # paths is micro-seconds per file; an object-store
-            # deployment at very high file counts would instead keep
-            # file counts bounded via compact() (the manifest already
-            # knows sizes — injecting them needs a custom FileIndex,
-            # noted as the upstream-integration path).
-            spark.conf.set(
-                "spark.sql.sources.parallelPartitionDiscovery.threshold",
-                "1000000",
-            )
         elif commit_protocol == "seqlock":
             commit_protocol = None
         self.commit: CommitProtocol = commit_protocol or SeqlockCommitProtocol(
@@ -358,6 +387,41 @@ class ParquetTieredStore:
         self.fs.delete(stage)
         return adopted
 
+    def init_manifest_from_tree(self) -> int:
+        """Bootstrap the manifest for a tree written OUTSIDE the log — a
+        schema-change REBUILD swaps in a root built by a fresh (seqlock)
+        store, so a manifest-mode re-open would read epoch 0 and see
+        every tier as empty (ADVICE r10). Enumerates every data file on
+        disk into one commit. Refuses when a manifest already exists:
+        after retirements, a listing would resurrect files awaiting
+        vacuum."""
+        if not self._manifest_mode:
+            return 0
+        if self.commit.epoch() != 0:
+            raise RuntimeError(
+                "init_manifest_from_tree: manifest already exists at "
+                f"{self.root} (epoch {self.commit.epoch()}); a listing "
+                "rebuild would resurrect retired files"
+            )
+
+        def _adopt_dir(tx, d: str) -> None:
+            for fname, size in self.fs.list_files(d):
+                if fname.endswith(".parquet"):
+                    tx.add(self._rel(os.path.join(d, fname)), size)
+
+        with self.commit.txn() as tx:
+            roots = [
+                self.tier_path(i)
+                for i in range(len(self.schema.archives))
+            ]
+            roots.append(self.catalog_path)
+            for r in roots:
+                for dname in self.fs.list_names(r):
+                    if dname.startswith("day="):
+                        _adopt_dir(tx, os.path.join(r, dname))
+                _adopt_dir(tx, r)
+        return self.commit.epoch()
+
     def vacuum(self, grace_s: float = 3600.0, now: float | None = None) -> list[str]:
         """Physically reclaim files no committed manifest references —
         superseded rewrites, logically-expired partitions, crash-stranded
@@ -374,12 +438,39 @@ class ParquetTieredStore:
             return []
         cutoff = (now if now is not None else _time.time()) - grace_s
         live = {rel for rel, _ in self.commit.live_files("")}
+        tombs = self.commit.tombstones()
         removed: list[str] = []
 
+        # 1) tombstoned files age by their RETIREMENT stamp recorded in
+        # the manifest (Delta's RemoveFile.deletionTimestamp), never by
+        # file mtime: compact/expire/delete retire files that may have
+        # been written long before, and a reader that planned from the
+        # pre-retirement snapshot gets the full grace window to finish
+        # (ADVICE r10). Reclaimed tombstones are then dropped from the
+        # manifest in one transaction so the log doesn't grow forever.
+        reclaimed: list[str] = []
+        for rel, retired_at in sorted(tombs.items()):
+            if retired_at >= cutoff:
+                continue
+            path = os.path.join(self.root, rel)
+            if self.fs.exists(path):
+                self.fs.delete(path)
+            removed.append(rel)
+            reclaimed.append(rel)
+        if reclaimed:
+            tx_ = ManifestTxn()
+            for rel in reclaimed:
+                tx_.clear_tombstone(rel)
+            self.commit.commit_txn(tx_)
+
+        # 2) untracked debris — files neither live nor tombstoned
+        # (crash-stranded adopts that never committed, or retirements
+        # from a pre-tombstone manifest) — has no recorded retirement
+        # time, so the file mtime gate is the only signal available
         def _sweep_dir(d: str) -> None:
             for fname, _sz, mtime in self.fs.list_file_status(d):
                 rel = self._rel(os.path.join(d, fname))
-                if rel not in live and mtime < cutoff:
+                if rel not in live and rel not in tombs and mtime < cutoff:
                     self.fs.delete(os.path.join(d, fname))
                     removed.append(rel)
 
@@ -493,7 +584,8 @@ class ParquetTieredStore:
         # plan from the committed file list — partition values (day=) are
         # still derived from the paths via basePath; a retired file that
         # physically remains on disk (awaiting vacuum) is never scanned
-        return reader.option("basePath", path).parquet(*files)
+        with _explicit_list_planning(self.spark):
+            return reader.option("basePath", path).parquet(*files)
 
     def _dayless_schema(self) -> T.StructType:
         """``_tier_schema`` without the ``day`` partition column — the
@@ -512,9 +604,10 @@ class ParquetTieredStore:
             files = self._plan_abs(day_dir)
             if not files:
                 return None
-            return self.spark.read.schema(self._dayless_schema()).parquet(
-                *files
-            )
+            with _explicit_list_planning(self.spark):
+                return self.spark.read.schema(
+                    self._dayless_schema()
+                ).parquet(*files)
         if not self.fs.exists(day_dir):
             return None
         return self.spark.read.parquet(day_dir)
@@ -1347,7 +1440,10 @@ class ParquetTieredStore:
             files = self._plan_abs(self.catalog_path)
             if not files:
                 return self.spark.createDataFrame([], CATALOG_SCHEMA)
-            return self.spark.read.schema(CATALOG_SCHEMA).parquet(*files)
+            with _explicit_list_planning(self.spark):
+                return self.spark.read.schema(CATALOG_SCHEMA).parquet(
+                    *files
+                )
         if not self.fs.exists(self.catalog_path):
             return self.spark.createDataFrame([], CATALOG_SCHEMA)
         # explicit schema: no planning-time footer read (see _tier_schema)

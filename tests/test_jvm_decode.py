@@ -113,3 +113,46 @@ def test_real_photo_jvm_vs_native_envelope(spark, tmp_path):
     assert a.shape == b.shape
     mean_abs = np.abs(a - b).mean()
     assert mean_abs < 3.0, mean_abs  # the r9 xcheck photo envelope
+
+
+class TestScratchReuse:
+    def test_reused_scratch_dir_yields_no_phantom_rows(
+        self, spark, tmp_path
+    ):
+        """ADVICE r10: two calls sharing one scratch_dir must not leak
+        the first dataset's spilled files into the second scan — each
+        call spills under its own uuid subdirectory."""
+        scratch = str(tmp_path / "shared")
+        df1 = _rows(
+            spark, [(i, codecs.encode_bmp(_img(i))) for i in (1, 2, 3)]
+        )
+        out1 = resize_images(
+            df1, 8, 8, decoder="jvm", scratch_dir=scratch
+        ).collect()
+        assert {r["doc_id"] for r in out1} == {1, 2, 3}
+        # second, DISJOINT dataset through the same scratch root
+        df2 = _rows(spark, [(9, codecs.encode_bmp(_img(9)))])
+        out2 = resize_images(
+            df2, 8, 8, decoder="jvm", scratch_dir=scratch
+        ).collect()
+        assert {r["doc_id"] for r in out2} == {9}  # no phantom 1/2/3
+
+    def test_stale_spills_are_reaped_by_age(self, tmp_path):
+        import os
+        import time
+
+        from kenshin_spark.multimodal.transforms import _reap_stale_spills
+
+        root = tmp_path / "shared"
+        old = root / "spill_deadbeef"
+        fresh = root / "spill_cafebabe"
+        other = root / "keepme"
+        for d in (old, fresh, other):
+            d.mkdir(parents=True)
+        past = time.time() - 48 * 3600
+        os.utime(old, (past, past))
+        _reap_stale_spills(str(root), older_than_s=24 * 3600,
+                           now=time.time())
+        assert not old.exists()      # aged out
+        assert fresh.exists()        # possibly still being scanned
+        assert other.exists()        # non-spill content untouched

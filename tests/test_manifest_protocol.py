@@ -295,3 +295,123 @@ class TestManifestServing:
         assert flags == {}
         assert st.read_retry_stats["stale_retries"] == 0
         assert st.read_retry_stats["degraded_returns"] == 0
+
+
+class TestTombstoneVacuum:
+    """vacuum ages tracked files by RETIREMENT time recorded in the
+    manifest (Delta's RemoveFile.deletionTimestamp analog), never by
+    file mtime (ADVICE r10 high): a file written long ago but retired a
+    second ago gets the full grace window, so a scan planned from the
+    pre-retirement snapshot can still finish."""
+
+    def test_old_file_retired_now_survives_the_grace(
+        self, spark, tmp_path
+    ):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        # age the data file on disk WAY past any grace window
+        old = time.time() - 7 * 86400
+        for p in _disk_parquet(st.root):
+            os.utime(p, (old, old))
+        live_before = _disk_parquet(st.root)
+        # retire it logically a moment ago (compact folds the append log)
+        st.upsert(0, _rows(spark, [("m", 120, 2.0)]))
+        st.compact(0, days=st._live_days(0))
+        # the mtime-gated bug would reclaim the week-old file here even
+        # though it was retired < grace_s ago
+        removed = st.vacuum(grace_s=3600.0)
+        assert removed == []
+        for p in live_before:
+            assert os.path.exists(p), "retired-within-grace file reclaimed"
+        # past the grace window (by retirement stamp) it IS reclaimed
+        removed = st.vacuum(grace_s=3600.0, now=time.time() + 7200)
+        assert removed
+        got = {r["ts"]: r["value"] for r in st.read(0).collect()}
+        assert got == {60: 1.0, 120: 2.0}
+
+    def test_reclaim_clears_the_tombstone_from_the_manifest(
+        self, spark, tmp_path
+    ):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        st.upsert(0, _rows(spark, [("m", 120, 2.0)]))
+        st.compact(0, days=st._live_days(0))
+        assert st.commit.tombstones()  # the folded append files
+        st.vacuum(grace_s=0.0, now=time.time() + 10)
+        assert st.commit.tombstones() == {}  # log does not grow forever
+
+    def test_untracked_debris_still_uses_the_mtime_gate(
+        self, spark, tmp_path
+    ):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        live_rel, _ = st.commit.live_files("tier=0")[0]
+        src = os.path.join(st.root, live_rel)
+        rogue = os.path.join(
+            os.path.dirname(src), "deadbeef-stranded.parquet"
+        )
+        import shutil
+
+        shutil.copyfile(src, rogue)
+        # young debris survives; old debris is swept
+        assert st.vacuum(grace_s=3600.0) == []
+        assert os.path.exists(rogue)
+        old = time.time() - 7200
+        os.utime(rogue, (old, old))
+        removed = st.vacuum(grace_s=3600.0)
+        assert any("stranded" in r for r in removed)
+        assert not os.path.exists(rogue)
+
+
+class TestEpochErrorPropagation:
+    """epoch() translates ONLY missing-pointer to 0 (ADVICE r10 medium):
+    a transient IO error must propagate, or the next commit rebuilds the
+    file list from {} and silently drops every live file."""
+
+    def test_missing_pointer_is_epoch_zero(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        assert st.commit.epoch() == 0
+
+    def test_io_error_propagates_not_empty_store(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        assert st.commit.epoch() == 1
+
+        real = st.commit.fs.read_text
+
+        def flaky(path):
+            if path.endswith("_latest"):
+                raise PermissionError("transient ACL hiccup")
+            return real(path)
+
+        st.commit.fs.read_text = flaky
+        try:
+            with pytest.raises(PermissionError):
+                st.commit.epoch()
+            # the write path must not silently rebuild from {}
+            from kenshin_spark.commit import ManifestTxn
+
+            tx = ManifestTxn()
+            tx.add("tier=0/day=0/bogus.parquet", 1)
+            with pytest.raises(PermissionError):
+                st.commit.commit_txn(tx)
+        finally:
+            st.commit.fs.read_text = real
+        # store intact after the hiccup clears
+        assert st.commit.epoch() == 1
+        assert {r["ts"] for r in st.read(0).collect()} == {60}
+
+
+class TestScopedPlanningConf:
+    def test_session_conf_not_left_mutated(self, spark, tmp_path):
+        """The parallel-partition-discovery override applies only while
+        an explicit-file-list scan is being planned — opening a manifest
+        store (or reading it) must not change planning behavior for
+        every other scan in the session (ADVICE r10)."""
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        before = spark.conf.get(key)
+        st = _mk(spark, tmp_path)
+        assert spark.conf.get(key) == before  # constructor: untouched
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        assert st.read(0).count() == 1
+        assert spark.conf.get(key) == before  # read: set + restored

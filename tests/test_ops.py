@@ -120,6 +120,39 @@ class TestSchemaChange:
         t1 = rows(res.store.read(1))
         assert t1 == [("m", 99960, 2.5)]  # single 120s slot, avg of 4
 
+    def test_rebuild_on_manifest_store_reinits_the_manifest(
+        self, spark, tmp_path
+    ):
+        """ADVICE r10: after a REBUILD, the swapped-in root was written
+        outside the manifest log — every handle that still plans from a
+        manifest (serving clones, a manifest-mode re-open) would read
+        epoch 0 and silently see EMPTY tiers unless change_schema
+        bootstraps a manifest for the rebuilt tree."""
+        root = str(tmp_path / "store")
+        store = ParquetTieredStore(
+            spark, self.OLD, root, commit_protocol="manifest"
+        )
+        now = 100_000
+        pts = spark.createDataFrame(
+            [("m", now - 40, 1.0), ("m", now - 30, 2.0)],
+            ["metric", "ts", "value"],
+        )
+        store.upsert(0, pts)
+        new_schema = Schema.from_strings(
+            "s", ".*", "20s:1h,120s:1d", xff=1.0, agg_method="average"
+        )
+        res = change_schema(spark, store, new_schema, now)
+        assert res.action == REBUILD
+        # the returned store keeps the backend and sees the data
+        assert res.store.commit.plans_from_manifest
+        assert rows(res.store.read(0)) == [("m", 99960, 1.5)]
+        # and so does a FRESH manifest-mode re-open of the same root
+        reopened = ParquetTieredStore(
+            spark, new_schema, root, commit_protocol="manifest"
+        )
+        assert reopened.commit.epoch() >= 1
+        assert rows(reopened.read(0)) == [("m", 99960, 1.5)]
+
     def test_change_meta_keeps_data(self, spark, tmp_path):
         root = str(tmp_path / "store")
         store = ParquetTieredStore(spark, self.OLD, root)
