@@ -8,10 +8,14 @@ hyperplanes) to bound candidates, same verify step.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kenshin_spark.functions.vectors import dot_product, l2_norm
+
+_LOG = logging.getLogger(__name__)
 
 
 def embedding_neardup_pairs(
@@ -161,7 +165,7 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
-    auto_density: bool = False,
+    auto_density: bool = True,
     target_recall: "float | None" = _CALIBRATED_DEFAULT,  # type: ignore[assignment]
 ) -> DataFrame:
     """The 100 TB scale path: banded random-hyperplane LSH bounds the pair
@@ -177,8 +181,10 @@ def embedding_neardup_pairs_lsh(
     step broadcasts the candidate set into two corpus scans. The corpus
     vectors themselves are shuffled only keyed by the candidate pairs.
 
-    ``auto_density=True`` defaults to recall-CALIBRATED banding at
-    R=0.9 (r8 default flip): the measured sf1 table (SCALING.md) shows
+    ``auto_density`` (ON by default since r11 — the sf1 soak showed the
+    fixed floor goes silently superlinear on dense corpora) picks
+    recall-CALIBRATED banding at R=0.9: the measured sf1 table
+    (SCALING.md) shows
     the calibrated point both exceeds its recall target (92.8% vs the
     linear knob's 32.3%) and runs 1.8× faster, so holding recall costs
     nothing at measured scale. Pass ``target_recall=None`` explicitly
@@ -216,6 +222,15 @@ def embedding_neardup_pairs_lsh(
             )
         bands = auto_b if bands is None else bands
         rows_per_band = auto_r if rows_per_band is None else rows_per_band
+        if (bands, rows_per_band) != (N_BANDS, PLANES_PER_BAND):
+            # the guard BOUND (corpus denser than the floor): say so —
+            # a banding change trades recall/cost and must be visible,
+            # never a silent truncation (VERDICT r10 item 4)
+            _LOG.warning(
+                "embedding LSH auto banding bound at n=%d: "
+                "(bands, rows_per_band) = (%d, %d), floor (%d, %d)",
+                n, bands, rows_per_band, N_BANDS, PLANES_PER_BAND,
+            )
     bands = N_BANDS if bands is None else bands
     rows_per_band = PLANES_PER_BAND if rows_per_band is None else rows_per_band
     planes = _hyperplane(dim, bands * rows_per_band)

@@ -195,6 +195,13 @@ def change_schema(
     new_store = ParquetTieredStore(
         spark, new_schema, store.root, **kwargs
     )
-    if new_store.commit.plans_from_manifest:
+    if (
+        new_store.commit.plans_from_manifest
+        and new_store.commit.epoch() == 0
+    ):
+        # only when the rebuilt tree carries no manifest of its own
+        # (it usually does since r11 — fresh roots default to the
+        # manifest backend, and the root swap moves _manifest along,
+        # its keys being root-relative)
         new_store.init_manifest_from_tree()
     return SchemaChangeResult(REBUILD, new_store)

@@ -814,39 +814,6 @@ def q_q_lineitem_quantity_mode(spark, sf_dir):
 
 
 @stage(
-    "q_priority_ship_latency",
-    """
-    SELECT o_orderpriority,
-           count(*) AS n_lines,
-           round(quantile_cont(
-             datediff('day', o_orderdate, l_shipdate), 0.5), 6)
-             AS median_days,
-           round(quantile_cont(
-             datediff('day', o_orderdate, l_shipdate), 0.9), 6)
-             AS p90_days
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY 1
-    """,
-    "fulfilment latency by order priority: exact interpolated median "
-    "and p90 of integer day lags through the orderkey join — does "
-    "URGENT actually ship faster; integer inputs keep the "
-    "interpolation exact on both engines",
-)
-def q_q_priority_ship_latency(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "o_orderpriority",
-        F.datediff("l_shipdate", "o_orderdate").alias("lag_d"),
-    )
-    return j.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.expr("percentile(lag_d, 0.5)"), 6).alias("median_days"),
-        F.round(F.expr("percentile(lag_d, 0.9)"), 6).alias("p90_days"),
-    )
-
-
-@stage(
     "ts_value_cardinality_ratio",
     f"""
     WITH pts AS ({PTS})
@@ -2256,6 +2223,97 @@ def _set_manifest_oracle():
 
 
 _set_manifest_oracle()
+
+
+@stage(
+    "mm_resize_jvm_pixel_sum",
+    """
+    WITH ijc AS (
+      SELECT a.i, b.j, c.c
+      FROM (SELECT unnest(generate_series(0, 7)) AS i) a
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) b
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(sum((d.doc_id + 62 * ijc.i + 34 * ijc.j + 5 * ijc.c) % 256)
+                AS BIGINT) AS pixel_sum,
+           CAST(1 AS BIGINT) AS same_as_native
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+    CROSS JOIN ijc
+    GROUP BY d.doc_id
+    """,
+    "the JVM bulk-decode path oracle-pinned (VERDICT r10 item 5): "
+    "16x16 engine-encoded BMP gradients through "
+    "resize_images(decoder='jvm') — spill once, executor-side "
+    "javax.imageio decode via Spark's image source, shared numpy "
+    "nearest-neighbor kernel, native re-encode — decoded back and the "
+    "RGB channels summed; nearest-neighbor is exact index math "
+    "(ys = 2i, xs = 2j) so the oracle replays the selected pixels "
+    "with integer arithmetic, and the row ALSO pins bit-exact "
+    "equivalence to the native decoder (same_as_native = md5 match "
+    "per doc — the tests/test_jvm_decode.py invariant as a driver "
+    "row; multimodal/transforms.py _resize_images_jvm)",
+)
+def q_mm_resize_jvm_pixel_sum(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.multimodal.transforms import resize_images
+
+    def kern(batches):
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append(
+                    (did, codecs.encode_bmp(_rgb_gradient(did, 16, 16)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        kern, "doc_id long, payload binary"
+    )
+    jvm = resize_images(
+        payloads, width=8, height=8, out_format="bmp", decoder="jvm",
+        observation="image_resize_jvm",
+    )
+    native = resize_images(
+        payloads, width=8, height=8, out_format="bmp",
+        observation="image_resize_native",
+    )
+
+    def sum_kern(batches):
+        from kenshin_spark.multimodal import codecs
+
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["resized"]):
+                arr = codecs.decode_bmp(bytes(payload))
+                rows.append((int(did), int(arr[:, :, :3].sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "pixel_sum"])
+
+    sums = jvm.select("doc_id", "resized").mapInPandas(
+        sum_kern, "doc_id long, pixel_sum long"
+    )
+    equiv = (
+        jvm.select("doc_id", F.col("resize_md5").alias("md5_jvm"))
+        .join(
+            native.select(
+                "doc_id", F.col("resize_md5").alias("md5_native")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            (F.col("md5_jvm") == F.col("md5_native"))
+            .cast("long")
+            .alias("same_as_native"),
+        )
+    )
+    return sums.join(equiv, "doc_id").select(
+        "doc_id", "pixel_sum", "same_as_native"
+    )
 
 
 _BIGINT_CASTS = {

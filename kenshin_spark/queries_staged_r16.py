@@ -273,3 +273,36 @@ def q_q_part_name_words(spark, sf_dir):
         F.count(F.lit(1)).alias("n_parts"),
         F.min("p_partkey").alias("example_key"),
     )
+
+
+@stage(
+    "q_priority_ship_latency",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(quantile_cont(
+             datediff('day', o_orderdate, l_shipdate), 0.5), 6)
+             AS median_days,
+           round(quantile_cont(
+             datediff('day', o_orderdate, l_shipdate), 0.9), 6)
+             AS p90_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    "fulfilment latency by order priority: exact interpolated median "
+    "and p90 of integer day lags through the orderkey join — does "
+    "URGENT actually ship faster; integer inputs keep the "
+    "interpolation exact on both engines",
+)
+def q_q_priority_ship_latency(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_d"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.expr("percentile(lag_d, 0.5)"), 6).alias("median_days"),
+        F.round(F.expr("percentile(lag_d, 0.9)"), 6).alias("p90_days"),
+    )

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -152,13 +153,22 @@ class ParquetTieredStore:
         # partitions present in the written frame — the MERGE primitive here
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         #: the commit surface (swap guard / epoch / consistent_read) as a
-        #: swappable protocol — plain-parquet seqlock by default;
-        #: ``"manifest"`` selects the manifest-log backend (snapshot
-        #: isolation on plain parquet: readers plan from the committed
-        #: file list, O(1) consistent reads, no retries); a
-        #: Delta/Iceberg-backed store passes a SnapshotCommitProtocol and
-        #: every primitive degenerates to the format's native feature
-        #: (see kenshin_spark.commit for the full mapping)
+        #: swappable protocol. Default (None) resolves per-root: a root
+        #: with a manifest log — or a FRESH root — gets the manifest-log
+        #: backend (snapshot isolation on plain parquet: readers plan
+        #: from the committed file list, O(1) consistent reads, no
+        #: retries, safe on object stores without atomic rename); a
+        #: pre-existing root WITHOUT a manifest keeps the legacy seqlock
+        #: (retrofitting a manifest onto a root with retired files would
+        #: need a listing rebuild that can resurrect them — see
+        #: init_manifest_from_tree). Pass ``"seqlock"``/``"manifest"``
+        #: to force either; a Delta/Iceberg-backed store passes a
+        #: SnapshotCommitProtocol and every primitive degenerates to the
+        #: format's native feature (see kenshin_spark.commit).
+        if commit_protocol is None:
+            commit_protocol = (
+                "manifest" if self._root_wants_manifest() else "seqlock"
+            )
         if commit_protocol == "manifest":
             commit_protocol = ManifestCommitProtocol(self.fs, root, label=root)
         elif commit_protocol == "seqlock":
@@ -166,6 +176,26 @@ class ParquetTieredStore:
         self.commit: CommitProtocol = commit_protocol or SeqlockCommitProtocol(
             self.fs, os.path.join(root, "_swap_epoch"), label=root
         )
+
+    def _root_wants_manifest(self) -> bool:
+        """Protocol auto-selection for ``commit_protocol=None``: a root
+        already under the manifest log, or a root with no prior write
+        history at all, runs the manifest backend (the scale-safe
+        default); a legacy root — data or seqlock sidecars but no
+        manifest — stays on seqlock so its retired-but-undeleted files
+        are never mistaken for live ones."""
+        if self.fs.exists(posixpath.join(self.root, "_manifest", "_latest")):
+            return True
+        # legacy markers: any prior write leaves at least one of these
+        for marker in ("_swap_epoch", "_seq.json", "_seq.d"):
+            if self.fs.exists(posixpath.join(self.root, marker)):
+                return False
+        for i in range(len(self.schema.archives)):
+            if self.fs.exists(self.tier_path(i)):
+                return False
+        if self.fs.exists(posixpath.join(self.root, "_catalog")):
+            return False
+        return True
 
     @property
     def _seq_sidecar(self) -> str:

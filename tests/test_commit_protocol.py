@@ -19,18 +19,49 @@ SCHEMA = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
 
 
 class TestSeqlockBackend:
-    def test_store_defaults_to_seqlock(self, spark, tmp_path):
+    def test_fresh_root_defaults_to_manifest(self, spark, tmp_path):
+        """VERDICT r10 #2: the scale-safe manifest log is the default
+        for NEW stores; the seqlock (+ ignoreMissingFiles + retries)
+        remains selectable and remains the auto choice for legacy
+        roots."""
+        from kenshin_spark.commit import ManifestCommitProtocol
+
+        st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "st"))
+        assert isinstance(st.commit, ManifestCommitProtocol)
+        assert st.commit.reader_conf() == {}
+
+    def test_legacy_root_defaults_to_seqlock(self, spark, tmp_path):
+        """A pre-existing root WITHOUT a manifest keeps the seqlock —
+        retrofitting a manifest from a listing could resurrect
+        retired-but-undeleted files."""
+        legacy = ParquetTieredStore(
+            spark, SCHEMA, str(tmp_path / "st"), commit_protocol="seqlock"
+        )
+        legacy.upsert(0, spark.createDataFrame(
+            [("m", 60, 1.0)], "metric string, ts long, value double"))
         st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "st"))
         assert isinstance(st.commit, SeqlockCommitProtocol)
         assert st.read_retry_stats is st.commit.stats
         assert st.commit.reader_conf() == {
             "spark.sql.files.ignoreMissingFiles": "true"
         }
+        assert st.read(0).count() == 1
+
+    def test_manifest_root_reopens_as_manifest(self, spark, tmp_path):
+        from kenshin_spark.commit import ManifestCommitProtocol
+
+        first = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "st"))
+        first.upsert(0, spark.createDataFrame(
+            [("m", 60, 1.0)], "metric string, ts long, value double"))
+        st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "st"))
+        assert isinstance(st.commit, ManifestCommitProtocol)
+        assert st.read(0).count() == 1
 
     def test_guard_flips_epoch_odd_even_via_store_api(self, spark, tmp_path):
         """The store's public seqlock behavior is unchanged through the
         delegation: even when quiescent, odd in flight, nesting safe."""
-        st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "st"))
+        st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "st"),
+                                commit_protocol="seqlock")
         assert st.swap_epoch() % 2 == 0
         e0 = st.swap_epoch()
         with st._swap_guard():
@@ -45,7 +76,8 @@ class TestSeqlockBackend:
         assert st.read_retry_stats["epoch_races"] == 0
 
     def test_crash_debris_odd_epoch_is_re_evened(self, spark, tmp_path):
-        st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "st"))
+        st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "st"),
+                                commit_protocol="seqlock")
         st.fs.write_text_atomic(st._epoch_sidecar, "7")  # guard died odd
         with st._swap_guard():
             assert st.swap_epoch() % 2 == 1
@@ -102,7 +134,8 @@ class TestBatchedCompactionGuard:
         retry-bound in the 1M load capture)."""
         schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
         st = ParquetTieredStore(
-            spark, schema, str(tmp_path / "st"), mode="mor"
+            spark, schema, str(tmp_path / "st"), mode="mor",
+            commit_protocol="seqlock",
         )
         day = 86400
         rows = [("m", d * day + 60 * k, 1.0) for d in range(6) for k in range(3)]

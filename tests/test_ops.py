@@ -2855,6 +2855,48 @@ class TestContainment:
         strict = containment_pairs(docs, threshold=0.3, max_df=2).count()
         assert strict < loose  # stop-shingle buckets removed
 
+    def test_auto_max_df_is_inert_below_the_floor(self, spark):
+        """The default guard (max(200, 1% of corpus)) must never bind
+        on small corpora — verified driver-scale results stay
+        byte-identical to the uncapped operator."""
+        from kenshin_spark.dedup.ngram import containment_pairs
+
+        docs = spark.createDataFrame(
+            [(i, f"shared head words unique{i} tail{i}") for i in range(8)],
+            "doc_id long, text string",
+        )
+        auto = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in containment_pairs(docs, threshold=0.3).collect()
+        )
+        uncapped = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in containment_pairs(
+                docs, threshold=0.3, max_df=None
+            ).collect()
+        )
+        assert auto == uncapped and auto  # identical, non-empty
+
+    def test_auto_max_df_binds_and_logs_on_boilerplate(
+        self, spark, caplog
+    ):
+        """VERDICT r10 item 4: with >200 docs sharing a boilerplate
+        shingle the auto cap BINDS (its bucket alone would be N²
+        candidate pairs) and says so in the log — never silent."""
+        import logging
+
+        from kenshin_spark.dedup.ngram import containment_pairs
+
+        boiler = "all rights reserved worldwide"
+        docs = spark.createDataFrame(
+            [(i, f"{boiler} unique{i} tail{i}") for i in range(250)],
+            "doc_id long, text string",
+        )
+        with caplog.at_level(logging.WARNING, "kenshin_spark.dedup.ngram"):
+            pairs = containment_pairs(docs, threshold=0.9).count()
+        assert pairs == 0  # pairs shared ONLY boilerplate shingles
+        assert any("capped" in r.message for r in caplog.records)
+
 
 class TestDuplicatedSpans:
     def test_span_recovers_full_region(self, spark):
@@ -3757,8 +3799,12 @@ class TestAdviceR8Hardening:
         from kenshin_spark.store import ParquetTieredStore
 
         schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
+        # these scenarios inject files straight into the tier layout
+        # (legacy/imported trees) — the listing-planned seqlock is the
+        # backend such roots auto-select in the wild
         return ParquetTieredStore(
-            spark, schema, str(tmp_path / "st"), mode="mor"
+            spark, schema, str(tmp_path / "st"), mode="mor",
+            commit_protocol="seqlock",
         )
 
     def test_read_at_keeps_legacy_rows_without_seq(self, spark, tmp_path):

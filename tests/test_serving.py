@@ -368,7 +368,10 @@ class TestSwapSeqlock:
     fs.py's documented production swap.)"""
 
     def _mk(self, spark, tmp_path, mode="mor"):
-        st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "sl"), mode=mode)
+        # seqlock semantics under test — pin the backend (fresh roots
+        # default to the manifest log since r11)
+        st = ParquetTieredStore(spark, SCHEMA, str(tmp_path / "sl"),
+                                mode=mode, commit_protocol="seqlock")
         st.upsert(
             0,
             spark.createDataFrame(
@@ -560,7 +563,8 @@ class TestServingPool:
         from kenshin_spark.serving import store_serving_fns
 
         st = ParquetTieredStore(
-            spark, SCHEMA, str(tmp_path / "iso"), mode="mor"
+            spark, SCHEMA, str(tmp_path / "iso"), mode="mor",
+            commit_protocol="seqlock",  # the conf under test is seqlock-only
         )
         st.upsert(
             0,
@@ -594,7 +598,8 @@ class TestRetrySelfMetrics:
         from kenshin_spark.streaming import StreamingIngest
 
         st = ParquetTieredStore(
-            spark, SCHEMA, str(tmp_path / "rm"), mode="mor"
+            spark, SCHEMA, str(tmp_path / "rm"), mode="mor",
+            commit_protocol="seqlock",  # seqlock pressure counters under test
         )
         st.upsert(
             0,

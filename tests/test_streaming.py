@@ -600,6 +600,11 @@ class TestCompaction:
         files0 = glob.glob(str(tmp_path / "st" / "tier=0" / "day=0" / "*.parquet"))
         assert len(files0) >= 2
         store.compact(0)
+        # manifest default: compaction retires superseded files
+        # LOGICALLY; vacuum reclaims the bytes (grace 0 + future now)
+        import time as _t
+
+        store.vacuum(grace_s=0.0, now=_t.time() + 60)
         files0 = glob.glob(str(tmp_path / "st" / "tier=0" / "day=0" / "*.parquet"))
         assert len(files0) == 1
         assert rows(store.read(0)) == before  # lossless
@@ -707,10 +712,12 @@ class TestCompaction:
         """A per-day compaction that dies between stage and promote
         leaves _day_<d>.bak and no day=<d>; recover() must restore the
         partition (and partition discovery must never have seen the
-        staging names — they are underscore-prefixed)."""
+        staging names — they are underscore-prefixed). Seqlock-path
+        machinery: manifest-mode maintenance never renames live dirs."""
         schema = Schema.from_strings("s", ".*", "60s:30d", xff=1.0)
         store = ParquetTieredStore(
-            spark, schema, str(tmp_path / "st"), mode="mor"
+            spark, schema, str(tmp_path / "st"), mode="mor",
+            commit_protocol="seqlock",
         )
         day = 86400
         for b in range(3):
@@ -878,7 +885,12 @@ class TestMergeOnRead:
         before = rows(mor.read(0))
         mor.compact(0)
         assert rows(mor.read(0)) == before
-        # after compaction the log is one row per slot
+        # after compaction the log is one row per slot (vacuum first:
+        # the raw directory read would also count retired files still
+        # awaiting reclamation under the manifest default)
+        import time as _t
+
+        mor.vacuum(grace_s=0.0, now=_t.time() + 60)
         raw = spark.read.parquet(mor.tier_path(0))
         assert raw.count() == len(before)
 
@@ -993,10 +1005,13 @@ class TestObjectStoreSafety:
     def test_swap_crash_recovery(self, spark, tmp_path):
         """A compact/delete that dies between 'stage live -> .bak' and
         'promote tmp -> live' leaves no live tier; recover() restores
-        the .bak (the change-schema .bak dance, atomicity half)."""
+        the .bak (the change-schema .bak dance, atomicity half).
+        Seqlock-path machinery: manifest commits never stage live dirs
+        away."""
         schema = Schema.from_strings("s", ".*", "60s:1d", xff=1.0)
         root = str(tmp_path / "crash")
-        st = ParquetTieredStore(spark, schema, root)
+        st = ParquetTieredStore(spark, schema, root,
+                                commit_protocol="seqlock")
         st.upsert(0, spark.createDataFrame(
             [("m", 0, 4.0)], "metric string, ts long, value double"))
         before = rows(st.read(0))
@@ -1143,7 +1158,8 @@ class TestBackup:
         src.catalog_add(spark.createDataFrame(
             [("m", "s", 0)], "metric string, schema_name string, created_ts long"))
         copied = src.backup_to(str(tmp_path / "bak"))
-        assert len(copied) == 3  # tier0 + catalog + sidecar (tier1 empty)
+        # tier0 + catalog + sidecar + the manifest log (tier1 empty)
+        assert len(copied) == 4
         restored = ParquetTieredStore(
             spark, schema, str(tmp_path / "bak"), mode="mor"
         )

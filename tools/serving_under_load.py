@@ -296,7 +296,10 @@ def run(spark, sf_dir: str, target_rows: int, n_clients: int = 8,
     report: dict = {
         "rows": n_rows,
         "probe_metrics": probe,
-        "commit_protocol": commit or "seqlock",
+        # None = the store's auto default (manifest for fresh roots
+        # since r11); the ACTUAL backend is recorded below once the
+        # phase-A store exists
+        "commit_protocol_requested": commit or "auto",
     }
 
     # ---------- phase A: direct batches + maintenance under fire
@@ -309,6 +312,7 @@ def run(spark, sf_dir: str, target_rows: int, n_clients: int = 8,
         )
         ing.process_batch(pts.where(F.col("arrival") % n_batches == 0), 0)
         store = ing.store_for(schema)
+        report["commit_protocol"] = type(store.commit).__name__
         tcp, http, fetch_fn = _servers_for(store)
         fleet = _ClientFleet(
             tcp.start(), http.start(), probe, admissible, window, n_clients

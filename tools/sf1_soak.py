@@ -4,9 +4,13 @@ expensive bench rows at sf1 (tools/gen_sf1.py — 10× the sf0.1
 documents/embeddings) and report wall vs a same-session sf0.1 run.
 A row whose wall grows ≫10× on 10× data is hiding a superlinear step.
 
-Only document/embedding-driven families are eligible: gen_sf1 copies
-the other tables from sf0.1 verbatim (the driver's generator is not
-ours to reproduce), so ts_/store_/ingest_ rows would measure nothing.
+Eligible families: document/embedding-driven rows (gen_sf1 regrows the
+corpora 10×) and — since r11 — events-driven engine rows (gen_sf1
+scales events 10× by SERIES count: 50 event types over the same
+30-day window at unchanged per-series density). TPC-H-table rows
+(q_*, most ts_ analytics on orders/lineitem) stay ineligible: those
+tables are copied from sf0.1 verbatim (the driver's generator is not
+ours to reproduce).
 
 Usage:
     python tools/sf1_soak.py [--top N] [name ...]
@@ -33,6 +37,10 @@ SF1 = os.path.join(REPO, "testdata_sf1")
 SCALED_PREFIXES = (
     "dedup_", "sim_", "text_", "bpe_", "pipeline_", "quality_",
     "sample_", "sketch_", "mm_", "ann_",
+    # events scale 10x by series count since r11 — the store/ingest
+    # engine rows and the ts_ analytics ingest events-as-points, so
+    # they're now measurable
+    "store_", "ingest_", "serving_", "emb_", "ts_",
 )
 
 
