@@ -24,9 +24,12 @@ Supported natively (struct/zlib/wave + numpy only):
   spectral-selection + successive-approximation scan script so the
   decoder is pinned by roundtrips, not fixtures.
 
-VP8-lossy WebP and compressed/paletted containers still route to the
+Paletted PNG (color type 3, incl. tRNS palette alpha) decodes natively
+since r11 (:func:`decode_png` PLTE expansion, write half
+:func:`encode_png_paletted`). VP8-lossy WebP pixels still route to the
 PIL seam in ``multimodal/__init__.py`` (VP8's boolean arithmetic
-decoder + loop filter is a whole video codec and does not belong here).
+decoder + loop filter is a whole video codec and does not belong here;
+WebP DIMENSIONS parse natively for all variants).
 
 Scale posture: these are per-payload kernels invoked from Arrow
 ``mapInPandas`` batches — decode cost rides in the executors, and the
@@ -112,11 +115,11 @@ def _png_chunks(payload: bytes):
             return
 
 
-@_coerce_codec_errors
-def png_info(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from IHDR; raises ValueError for
-    forms outside the supported profile (8-bit, non-interlaced,
-    non-paletted)."""
+def _png_ihdr(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, depth, color_type) from IHDR, profile-checked:
+    8-bit, non-interlaced, standard compression/filter. Color types:
+    0 gray, 2 RGB, 3 paletted (decoded via PLTE), 4 gray+alpha,
+    6 RGBA."""
     for tag, data in _png_chunks(payload):
         if tag != b"IHDR":
             raise ValueError("png: first chunk is not IHDR")
@@ -125,14 +128,28 @@ def png_info(payload: bytes) -> tuple[int, int, int]:
         )
         if depth != 8:
             raise ValueError(f"png: unsupported bit depth {depth}")
-        if ctype not in _PNG_CHANNELS:
+        if ctype not in _PNG_CHANNELS and ctype != 3:
             raise ValueError(f"png: unsupported color type {ctype}")
         if interlace != 0:
             raise ValueError("png: interlaced images unsupported")
         if comp != 0 or filt != 0:
             raise ValueError("png: nonstandard compression/filter")
-        return int(w), int(h), _PNG_CHANNELS[ctype]
+        return int(w), int(h), int(depth), int(ctype)
     raise ValueError("png: no IHDR chunk")
+
+
+@_coerce_codec_errors
+def png_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels-after-decode) from IHDR; raises
+    ValueError for forms outside the supported profile (8-bit,
+    non-interlaced). Paletted images (color type 3) report what decode
+    expands the PLTE lookup to: 3 (RGB), or 4 when a tRNS chunk adds
+    palette alpha."""
+    w, h, _depth, ctype = _png_ihdr(payload)
+    if ctype == 3:
+        has_trns = any(t == b"tRNS" for t, _ in _png_chunks(payload))
+        return w, h, 4 if has_trns else 3
+    return w, h, _PNG_CHANNELS[ctype]
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -145,11 +162,15 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 @_coerce_codec_errors
 def decode_png(payload: bytes) -> np.ndarray:
-    """HxWxC uint8 pixel array (C per color type). Implements the five
-    PNG row filters; sequential filters (Sub/Average/Paeth) run as
-    per-byte loops — acceptable for kernel-sized images, and the
-    entropy-heavy half (inflate) is C-side zlib."""
-    w, h, ch = png_info(payload)
+    """HxWxC uint8 pixel array (C per color type; paletted color type 3
+    decodes to HxWx3 via the PLTE lookup). Implements the five PNG row
+    filters; sequential filters (Sub/Average/Paeth) run as per-byte
+    loops — acceptable for kernel-sized images, and the entropy-heavy
+    half (inflate) is C-side zlib."""
+    w, h, _depth, ctype = _png_ihdr(payload)
+    # filtering operates on the RAW sample stream: 1 byte/pixel for a
+    # paletted image (the palette index), channel count otherwise
+    ch = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
     idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
     raw = zlib.decompress(idat)
     stride = w * ch
@@ -186,7 +207,78 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"png: unknown filter type {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    if ctype == 3:
+        plte, trns = b"", b""
+        for t, d in _png_chunks(payload):
+            if t == b"PLTE":
+                plte += d
+            elif t == b"tRNS":
+                trns += d
+        if not plte or len(plte) % 3:
+            raise ValueError("png: paletted image without a valid PLTE")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("png: palette index out of range")
+        if trns:  # palette alpha: one byte per leading entry, rest 255
+            alpha = np.full(palette.shape[0], 255, dtype=np.uint8)
+            a = np.frombuffer(trns, dtype=np.uint8)[: palette.shape[0]]
+            alpha[: len(a)] = a
+            palette = np.concatenate([palette, alpha[:, None]], axis=1)
+        return palette[idx]  # HxWx3 RGB (HxWx4 with tRNS)
     return out.reshape(h, w, ch)
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal 8-bit RGB PNG (color type 2, filter 0 rows) — the
+    write half of the decode_png loop, for engine-built fixtures and
+    re-encode paths."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png: expects HxWx3 uint8")
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_paletted(arr: np.ndarray) -> bytes:
+    """8-bit paletted PNG (color type 3): palette = the image's unique
+    RGB colors (≤256, else ValueError), IDAT = filter-0 index rows.
+    Together with decode_png's PLTE expansion this closes the
+    'paletted containers route to the PIL seam' gap — index maps,
+    sprites, and quantized thumbnails are the common real-corpus case
+    (W3C PNG §4.1.2 / §11.2.3)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png_paletted: expects HxWx3 uint8")
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if palette.shape[0] > 256:
+        raise ValueError(
+            f"encode_png_paletted: {palette.shape[0]} colors > 256"
+        )
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 # -- BMP --------------------------------------------------------------------

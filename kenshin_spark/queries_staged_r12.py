@@ -1638,26 +1638,6 @@ def q_q_events_error_after_purchase(spark, sf_dir):
     )
 
 
-@stage(
-    "q_region_nation_audit",
-    """
-    SELECT r.r_name, count(*) AS n_nations
-    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
-    GROUP BY 1
-    """,
-    "dimension completeness audit: nations per region — the tiny "
-    "catalog sanity row every star-schema load starts with",
-)
-def q_q_region_nation_audit(spark, sf_dir):
-    r = load_table(spark, sf_dir, "region")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        r.join(n, n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(F.count(F.lit(1)).alias("n_nations"))
-    )
-
-
 def _kmv_global_sql(k: int) -> str:
     h = "CAST(('0x' || substr(md5('ksp|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
     return f"""
@@ -1896,6 +1876,76 @@ def q_q_customer_name_key_audit(spark, sf_dir):
         ),
         F.sum(F.col("c_name").isNull().cast("long")).alias("n_null_names"),
     )
+
+@stage(
+    "mm_paletted_png_pixel_sum",
+    """
+    WITH ij AS (
+      SELECT a.i, b.j
+      FROM (SELECT unnest(generate_series(0, 15)) AS i) a
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) b
+    ),
+    px AS (
+      SELECT d.doc_id,
+             (d.doc_id + 9 * ij.i + 7 * ij.j) % 48 AS c
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+      CROSS JOIN ij
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(sum((3 * c) % 256 + (5 * c) % 256 + (7 * c) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id
+    """,
+    "paletted PNG (color type 3) decoded NATIVELY to pixel values "
+    "(r11 codec gap closure): per doc a 16x16 image over a 48-color "
+    "deterministic palette (color c = ((3c)%256,(5c)%256,(7c)%256) at "
+    "cell index (doc_id+9i+7j)%48) is engine-encoded by "
+    "encode_png_paletted (PLTE + filter-0 index rows), decoded back "
+    "through decode_png's PLTE expansion, and the RGB channels summed "
+    "— the oracle replays palette and indexing with integer "
+    "arithmetic alone; n_channels pins the png_info channel contract "
+    "(multimodal/codecs.py; javax.imageio bit-exactness pinned in "
+    "tests/test_codec_xcheck.py)",
+)
+def q_mm_paletted_png_pixel_sum(spark, sf_dir):
+    import pandas as pd
+
+    from kenshin_spark.bank_common import _doc_ids
+
+    def kern(batches):
+        import numpy as np
+
+        from kenshin_spark.multimodal import codecs
+
+        ks = np.arange(48, dtype=np.int64)
+        palette = np.stack(
+            [(3 * ks) % 256, (5 * ks) % 256, (7 * ks) % 256], axis=1
+        ).astype(np.uint8)
+        ii = np.arange(16)[:, None]
+        jj = np.arange(16)[None, :]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                idx = (did + 9 * ii + 7 * jj) % 48
+                payload = codecs.encode_png_paletted(palette[idx])
+                w, _h, nch = codecs.png_info(payload)
+                dec = codecs.decode_png(payload)
+                rows.append(
+                    (did, w, nch, int(dec[:, :, :3].astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "n_channels", "pixel_sum"],
+            )
+
+    return _doc_ids(spark, sf_dir).mapInPandas(
+        kern,
+        "doc_id long, width long, n_channels long, pixel_sum long",
+    )
+
 
 # --- oracle result-type normalization (VERDICT r8 "What's wrong" #1) ---
 # DuckDB types uncast sum()/integer-// results HUGEINT, which its pandas

@@ -306,3 +306,23 @@ def q_q_priority_ship_latency(spark, sf_dir):
         F.round(F.expr("percentile(lag_d, 0.5)"), 6).alias("median_days"),
         F.round(F.expr("percentile(lag_d, 0.9)"), 6).alias("p90_days"),
     )
+
+
+@stage(
+    "q_region_nation_audit",
+    """
+    SELECT r.r_name, count(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+    "dimension completeness audit: nations per region — the tiny "
+    "catalog sanity row every star-schema load starts with",
+)
+def q_q_region_nation_audit(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )

@@ -130,3 +130,51 @@ def test_tiny_420_logo_luma_vs_imageio(spark):
     ref = _imageio_rgb(spark, REAL_TINY_420_JPG)
     ld = np.abs(_luma(mine) - _luma(ref))
     assert ld.mean() < 1.5  # measured r9: 0.81
+
+
+def test_paletted_png_engine_encode_vs_jvm_decode(spark, tmp_path):
+    """Paletted PNG (color type 3) decode against javax.imageio: the
+    engine encodes a ≤256-color image with encode_png_paletted, both
+    decoders must produce the identical RGB pixel array (lossless —
+    no tolerance). Closes the 'paletted containers route to the PIL
+    seam' gap natively."""
+    rng = np.random.RandomState(11)
+    colors = rng.randint(0, 256, (48, 3)).astype(np.uint8)
+    img = colors[rng.randint(0, 48, (21, 33))]
+    payload = codecs.encode_png_paletted(img)
+    mine = codecs.decode_png(payload)
+    np.testing.assert_array_equal(mine, img)
+
+    p = tmp_path / "pal.png"
+    p.write_bytes(payload)
+    ref = _imageio_rgb(spark, str(p))
+    assert ref.shape[2] in (3, 4)
+    np.testing.assert_array_equal(mine, ref[:, :, :3])
+
+
+def test_paletted_png_flows_through_image_metadata_and_real_pixels(
+    spark,
+):
+    """The multimodal layer must treat a paletted PNG as a natively
+    decodable container now: image_metadata reports real dims (not the
+    PIL/fake seam), and real_pixels produces the exact luma grid."""
+    from kenshin_spark.multimodal import image_metadata
+    from kenshin_spark.multimodal.phash import grid_from_payload
+
+    g = np.repeat(
+        np.repeat(np.arange(64, dtype=np.uint8).reshape(8, 8) * 4, 8, 0),
+        8, 1,
+    )
+    img = np.repeat(g[:, :, None], 3, axis=2)  # equal-RGB 64x64
+    payload = codecs.encode_png_paletted(img)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    meta = image_metadata(df).collect()[0]
+    assert (meta["width"], meta["height"], meta["format"]) == (64, 64, "png")
+
+    grid, real = grid_from_payload(payload)
+    assert real is True
+    expect = [int(v) for v in (np.arange(64) * 4)]
+    assert list(grid) == expect  # integer luma of equal-RGB = identity

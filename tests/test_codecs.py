@@ -216,3 +216,90 @@ class TestDegradeCounterObserved:
         assert listener.totals["image_decode.images_degraded"] == 3
         names = {m for m, _, _ in listener.as_points(now=1000)}
         assert "rurouni.observed.image_decode.images_degraded" in names
+
+
+class TestPalettedPng:
+    """Color type 3 decode (r11 gap closure): PLTE expansion, tRNS
+    palette alpha, encoder round-trip, and the >256-color refusal."""
+
+    @property
+    def _codecs(self):
+        from kenshin_spark.multimodal import codecs
+
+        return codecs
+
+    def _img(self, seed=3, h=9, w=14, n_colors=30):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        colors = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+        return colors[rng.randint(0, n_colors, (h, w))]
+
+    def test_roundtrip_bit_exact(self):
+        import numpy as np
+
+        codecs = self._codecs
+        img = self._img()
+        payload = codecs.encode_png_paletted(img)
+        assert codecs.png_info(payload) == (14, 9, 3)
+        np.testing.assert_array_equal(codecs.decode_png(payload), img)
+
+    def test_trns_palette_alpha(self):
+        import struct
+        import zlib as _z
+
+        import numpy as np
+
+        codecs = self._codecs
+        img = self._img(seed=5)
+        payload = codecs.encode_png_paletted(img)
+        # splice a tRNS chunk after PLTE: alpha[k] = (11k) % 256 for the
+        # first 8 palette entries, implicit 255 for the rest
+        trns_data = bytes((11 * k) % 256 for k in range(8))
+        chunk = (
+            struct.pack(">I", len(trns_data)) + b"tRNS" + trns_data
+            + struct.pack(
+                ">I", _z.crc32(b"tRNS" + trns_data) & 0xFFFFFFFF
+            )
+        )
+        plte_end = payload.index(b"PLTE") + 4
+        ln = struct.unpack(
+            ">I", payload[payload.index(b"PLTE") - 4:payload.index(b"PLTE")]
+        )[0]
+        cut = plte_end + ln + 4  # data + crc
+        spliced = payload[:cut] + chunk + payload[cut:]
+        assert codecs.png_info(spliced) == (14, 9, 4)
+        dec = codecs.decode_png(spliced)
+        assert dec.shape == (9, 14, 4)
+        np.testing.assert_array_equal(dec[:, :, :3], img)
+        # alpha follows the palette index of each pixel
+        pal = np.frombuffer(
+            payload[plte_end:plte_end + ln], dtype=np.uint8
+        ).reshape(-1, 3)
+        lut = {tuple(c): k for k, c in enumerate(pal)}
+        for y in (0, 4, 8):
+            for x in (0, 7, 13):
+                k = lut[tuple(img[y, x])]
+                want = (11 * k) % 256 if k < 8 else 255
+                assert dec[y, x, 3] == want
+
+    def test_too_many_colors_rejected(self):
+        import numpy as np
+
+        codecs = self._codecs
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+        with pytest.raises(ValueError, match="colors > 256"):
+            codecs.encode_png_paletted(img)
+
+    def test_missing_plte_rejected(self):
+        codecs = self._codecs
+        img = self._img(seed=6)
+        payload = codecs.encode_png_paletted(img)
+        plte_at = payload.index(b"PLTE")
+        import struct
+
+        ln = struct.unpack(">I", payload[plte_at - 4:plte_at])[0]
+        broken = payload[:plte_at - 4] + payload[plte_at + 4 + ln + 4:]
+        with pytest.raises(ValueError):
+            codecs.decode_png(broken)
