@@ -381,22 +381,38 @@ class ManifestCommitProtocol(CommitProtocol):
       VACUUM-retention contract every snapshotting format has: a scan
       must finish within the grace window of the snapshot it planned).
 
-    At 100 TB the same design holds with one amendment this class
-    documents rather than implements: full-snapshot manifests grow with
-    file count, so a production log writes deltas + periodic
-    checkpoints exactly like Delta's ``_delta_log`` (the store bounds
-    file count via ``compact``, keeping even full snapshots small).
-    Single writer by design, like the reference daemon's one
-    writeForever thread (rurouni/writer.py) and the seqlock backend.
+    At 100 TB the log has Delta's ``_delta_log`` shape (since r11):
+    commits between checkpoints write O(changed-files) DELTAS
+    (``<seq>.d.json`` — explicit add/drop/tombstone lists), every
+    ``checkpoint_every``-th commit writes the full snapshot
+    (``<seq>.json``), and readers reconstruct by replaying the delta
+    tail from the nearest checkpoint — bounded metadata IO per commit
+    AND per cold open, independent of store file count.
+    ``store.vacuum`` trims the log to the latest checkpoint + its
+    tail (time travel ends there, like Delta's VACUUM). Single writer
+    by design, like the reference daemon's one writeForever thread
+    (rurouni/writer.py) and the seqlock backend.
     """
 
     plans_from_manifest = True
 
-    def __init__(self, fs, root: str, label: str = ""):
+    #: a full snapshot (checkpoint) every N commits; the commits in
+    #: between write O(changed-files) DELTAS — exactly Delta Lake's
+    #: _delta_log shape (JSON actions + every-10th checkpoint), so the
+    #: per-commit metadata write no longer grows with store file count
+    CHECKPOINT_EVERY = 10
+
+    def __init__(
+        self, fs, root: str, label: str = "",
+        checkpoint_every: int | None = None,
+    ):
         self.fs = fs
         self.root = root
         self.dir = posixpath.join(root, "_manifest")
         self.label = label or root
+        self.checkpoint_every = int(
+            checkpoint_every or self.CHECKPOINT_EVERY
+        )
         self.stats = {
             "inflight_waits": 0,
             "stale_retries": 0,
@@ -414,7 +430,12 @@ class ManifestCommitProtocol(CommitProtocol):
         return posixpath.join(self.dir, "_latest")
 
     def _manifest_path(self, seq: int) -> str:
+        """A FULL snapshot (checkpoint) at ``seq``."""
         return posixpath.join(self.dir, f"{seq:010d}.json")
+
+    def _delta_path(self, seq: int) -> str:
+        """A delta commit at ``seq`` (adds/drops since ``seq - 1``)."""
+        return posixpath.join(self.dir, f"{seq:010d}.d.json")
 
     def epoch(self) -> int:
         """The committed manifest sequence number (0 = never written) —
@@ -456,12 +477,49 @@ class ManifestCommitProtocol(CommitProtocol):
             return {}, {}
         if self._cache is not None and self._cache[0] == seq:
             return self._cache[1], self._cache[2]
-        body = json.loads(self.fs.read_text(self._manifest_path(seq)))
-        files = body["files"]
-        # manifests written before the tombstone field default to {}:
-        # their already-retired files take vacuum's untracked-debris
-        # (mtime-gated) path, the pre-tombstone behavior
-        tombs = body.get("tombstones", {})
+        # walk back to the nearest checkpoint (full snapshot), then
+        # replay the delta chain forward — at most checkpoint_every
+        # tiny JSON reads, independent of store file count
+        deltas: list[dict] = []
+        base_files: dict[str, int] = {}
+        base_tombs: dict[str, float] = {}
+        at = seq
+        while at > 0:
+            try:
+                body = json.loads(
+                    self.fs.read_text(self._manifest_path(at))
+                )
+                base_files = body["files"]
+                # manifests written before the tombstone field default
+                # to {}: their already-retired files take vacuum's
+                # untracked-debris (mtime-gated) path
+                base_tombs = body.get("tombstones", {})
+                break
+            except Exception as exc:
+                if not _is_not_found(exc):
+                    raise
+            try:
+                deltas.append(
+                    json.loads(self.fs.read_text(self._delta_path(at)))
+                )
+            except Exception as exc:
+                if _is_not_found(exc):
+                    raise ValueError(
+                        f"manifest chain broken at seq {at} "
+                        f"(wanted for seq {seq}) under {self.dir} — "
+                        "neither checkpoint nor delta exists"
+                    ) from exc
+                raise
+            at -= 1
+        files = dict(base_files)
+        tombs = dict(base_tombs)
+        for d in reversed(deltas):
+            for rel in d.get("drops", []):
+                files.pop(rel, None)
+            files.update(d.get("adds", {}))
+            tombs.update(d.get("tomb_adds", {}))
+            for rel in d.get("tomb_clears", []):
+                tombs.pop(rel, None)
         self._cache = (seq, files, tombs)
         return files, tombs
 
@@ -493,6 +551,7 @@ class ManifestCommitProtocol(CommitProtocol):
         files, tombs = self._load()
         files = dict(files)
         tombs = dict(tombs)
+        dropped: list[str] = []
         for prefix in tx.drops:
             p = prefix + "/"
             for rel in [r for r in files if r.startswith(p) or r == prefix]:
@@ -501,19 +560,42 @@ class ManifestCommitProtocol(CommitProtocol):
                 # (ADVICE r10 — a fresh retirement of an old file must
                 # still get the full grace window)
                 tombs[rel] = now
+                dropped.append(rel)
+        tomb_clears: list[str] = []
         for rel in tx.adds:
-            tombs.pop(rel, None)  # re-added under the same path: live
+            if tombs.pop(rel, None) is not None:  # re-added: live again
+                tomb_clears.append(rel)
         files.update(tx.adds)
         for rel in tx.clears:
-            tombs.pop(rel, None)
+            if tombs.pop(rel, None) is not None:
+                tomb_clears.append(rel)
         seq = self.epoch() + 1
-        self.fs.write_text_atomic(
-            self._manifest_path(seq),
-            json.dumps(
-                {"seq": seq, "files": files, "tombstones": tombs},
-                sort_keys=True,
-            ),
-        )
+        if seq % self.checkpoint_every == 0 or seq == 1:
+            # checkpoint: the full snapshot readers re-anchor on
+            self.fs.write_text_atomic(
+                self._manifest_path(seq),
+                json.dumps(
+                    {"seq": seq, "files": files, "tombstones": tombs},
+                    sort_keys=True,
+                ),
+            )
+        else:
+            # delta: O(changed files), not O(store files) — prefix
+            # drops are resolved to explicit rels at commit time so
+            # replay needs no prefix semantics
+            self.fs.write_text_atomic(
+                self._delta_path(seq),
+                json.dumps(
+                    {
+                        "seq": seq,
+                        "adds": tx.adds,
+                        "drops": dropped,
+                        "tomb_adds": {r: now for r in dropped},
+                        "tomb_clears": tomb_clears,
+                    },
+                    sort_keys=True,
+                ),
+            )
         # THE commit point — atomic pointer flip; the manifest body
         # above is complete and fsynced-before-rename already
         self.fs.write_text_atomic(self._latest_path, str(seq))

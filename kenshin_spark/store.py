@@ -524,17 +524,42 @@ class ParquetTieredStore:
             if statuses and all(m < cutoff for _, _, m in statuses):
                 self.fs.delete(sub)
                 removed.append(self._rel(sub))
+        # manifest-log trim: the reconstruction chain for the LATEST
+        # commit is (anchor checkpoint ≤ latest) + the deltas between —
+        # everything strictly older than the anchor is reclaimable
+        # (same retention contract as the data files; time travel
+        # below the anchor ends where Delta's VACUUM ends it)
         latest = self.commit.epoch()
-        for fname, _sz, mtime in self.fs.list_file_status(
-            os.path.join(self.root, "_manifest")
-        ):
-            if not fname.endswith(".json"):
+        statuses = list(
+            self.fs.list_file_status(os.path.join(self.root, "_manifest"))
+        )
+
+        def _seq_of(fname: str) -> tuple[int, bool] | None:
+            if fname.endswith(".d.json"):
+                try:
+                    return int(fname[: -len(".d.json")]), False
+                except ValueError:
+                    return None
+            if fname.endswith(".json"):
+                try:
+                    return int(fname[: -len(".json")]), True
+                except ValueError:
+                    return None
+            return None
+
+        anchor = 0
+        for fname, _sz, _m in statuses:
+            parsed = _seq_of(fname)
+            if parsed and parsed[1] and anchor < parsed[0] <= latest:
+                anchor = parsed[0]
+        if anchor == 0:
+            anchor = latest  # no checkpoint found: trim nothing extra
+        for fname, _sz, mtime in statuses:
+            parsed = _seq_of(fname)
+            if parsed is None:
                 continue
-            try:
-                seq = int(fname[: -len(".json")])
-            except ValueError:
-                continue
-            if seq < latest and mtime < cutoff:
+            seq, _full = parsed
+            if seq < anchor and mtime < cutoff:
                 self.fs.delete(os.path.join(self.root, "_manifest", fname))
                 removed.append(self._rel(os.path.join("_manifest", fname)))
         return removed

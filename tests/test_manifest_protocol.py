@@ -194,15 +194,36 @@ class TestSnapshotIsolation:
         assert any("stranded" in r for r in removed)
         assert not os.path.exists(rogue)
 
-    def test_vacuum_trims_old_manifests_keeps_latest(self, spark, tmp_path):
+    def test_vacuum_trims_old_manifests_keeps_the_chain(
+        self, spark, tmp_path
+    ):
+        """Delta-log shape (the Delta `_delta_log` analog): commits
+        between checkpoints are O(changed-files) deltas; vacuum keeps
+        the latest checkpoint + its delta tail and reclaims everything
+        older — a cold re-open must still reconstruct exactly."""
         st = _mk(spark, tmp_path)
-        for k in range(3):
+        for k in range(12):
             st.upsert(0, _rows(spark, [("m", 60 * (k + 1), 1.0)]))
-        st.vacuum(grace_s=0.0, now=time.time() + 10)
         mdir = os.path.join(st.root, "_manifest")
-        jsons = [n for n in os.listdir(mdir) if n.endswith(".json")]
-        assert jsons == ["0000000003.json"]
-        assert st.read(0).count() == 3
+        pre = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+        # checkpoints at 1 and 10; deltas elsewhere
+        assert "0000000001.json" in pre and "0000000010.json" in pre
+        assert "0000000002.d.json" in pre and "0000000012.d.json" in pre
+        st.vacuum(grace_s=0.0, now=time.time() + 10)
+        post = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+        # everything below the anchor checkpoint (10) is gone; the
+        # chain 10 -> 11 -> 12 survives
+        assert post == [
+            "0000000010.json", "0000000011.d.json", "0000000012.d.json"
+        ]
+        assert st.read(0).count() == 12
+        # cold re-open reconstructs from checkpoint + deltas
+        cold = ParquetTieredStore(
+            st.spark, SCHEMA, st.root, mode="mor",
+            commit_protocol="manifest",
+        )
+        assert cold.commit.epoch() == 12
+        assert cold.read(0).count() == 12
 
 
 class TestManifestMaintenance:
@@ -415,3 +436,82 @@ class TestScopedPlanningConf:
         st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
         assert st.read(0).count() == 1
         assert spark.conf.get(key) == before  # read: set + restored
+
+
+class TestDeltaLog:
+    """The checkpoint+delta manifest shape: per-commit metadata is
+    O(changed files), reconstruction replays the delta tail from the
+    nearest checkpoint, and a broken chain fails LOUDLY (never an
+    empty store)."""
+
+    def test_deltas_are_o_changed_files_not_o_store(self, spark, tmp_path):
+        import json
+
+        st = _mk(spark, tmp_path)
+        # one wide base commit (many files), then a one-row commit
+        st.upsert(0, _rows(
+            spark,
+            [("m%d" % i, 86400 * (i % 9) + 60, 1.0) for i in range(27)],
+        ))
+        st.upsert(0, _rows(spark, [("m0", 120, 2.0)]))
+        d = json.loads(open(
+            os.path.join(st.root, "_manifest", "0000000002.d.json")
+        ).read())
+        assert "files" not in d  # not a snapshot
+        assert len(d["adds"]) <= 3  # the touched partition only
+        n_live = len(st.commit.live_files(""))
+        assert n_live > len(d["adds"])  # store >> delta
+
+    def test_reconstruction_equals_per_commit_state(self, spark, tmp_path):
+        """After each of 23 commits (crossing two checkpoints), a COLD
+        protocol instance must reconstruct the exact same file list the
+        writer's cache holds."""
+        from kenshin_spark.commit import ManifestCommitProtocol
+
+        st = _mk(spark, tmp_path)
+        for k in range(23):
+            st.upsert(0, _rows(spark, [("m", 60 * (k + 1), float(k))]))
+            cold = ManifestCommitProtocol(st.fs, st.root)
+            assert cold.epoch() == k + 1
+            assert cold.snapshot() == st.commit.snapshot()
+            assert cold.tombstones() == st.commit.tombstones()
+
+    def test_time_travel_within_the_retained_window(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        for k in range(12):
+            st.upsert(0, _rows(spark, [("m", 60 * (k + 1), 1.0)]))
+        # snapshot at seq 11 (delta above checkpoint 10) has one file
+        # fewer than seq 12
+        assert len(st.commit.snapshot(11)) == len(st.commit.snapshot()) - 1
+
+    def test_broken_chain_raises_not_empty(self, spark, tmp_path):
+        from kenshin_spark.commit import ManifestCommitProtocol
+
+        st = _mk(spark, tmp_path)
+        for k in range(4):
+            st.upsert(0, _rows(spark, [("m", 60 * (k + 1), 1.0)]))
+        # destroy the anchor checkpoint AND an in-chain delta
+        os.remove(os.path.join(st.root, "_manifest", "0000000001.json"))
+        os.remove(os.path.join(st.root, "_manifest", "0000000003.d.json"))
+        cold = ManifestCommitProtocol(st.fs, st.root)
+        with pytest.raises(ValueError, match="manifest chain broken"):
+            cold.snapshot()
+
+    def test_checkpoint_cadence_is_configurable(self, spark, tmp_path):
+        from kenshin_spark.commit import ManifestCommitProtocol, ManifestTxn
+
+        proto = ManifestCommitProtocol(
+            _mk(spark, tmp_path).fs, str(tmp_path / "st"),
+            checkpoint_every=3,
+        )
+        for k in range(7):
+            tx = ManifestTxn()
+            tx.add(f"tier=0/day=0/f{k}.parquet", 10)
+            proto.commit_txn(tx)
+        mdir = os.path.join(str(tmp_path / "st"), "_manifest")
+        names = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+        fulls = [n for n in names if not n.endswith(".d.json")]
+        assert fulls == [
+            "0000000001.json", "0000000003.json", "0000000006.json"
+        ]
+        assert len(proto.snapshot()) == 7
