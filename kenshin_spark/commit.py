@@ -318,6 +318,15 @@ class SnapshotCommitProtocol(CommitProtocol):
         return fn()
 
 
+class ManifestConflict(RuntimeError):
+    """A destructive transaction (drops/replaces) raced a concurrent
+    commit that ADDED files under one of its dropped prefixes —
+    committing would retire data the operation never folded. The
+    caller retries the whole OPERATION from a fresh snapshot (rebasing
+    the file list alone cannot make it safe). Same rule as Delta's
+    write-serializable conflict detection."""
+
+
 class ManifestTxn:
     """One atomic mutation of the committed file list: ``drop(prefix)``
     retires every live file under a directory prefix (``"tier=0"``,
@@ -325,12 +334,19 @@ class ManifestTxn:
     new data file (path relative to the store root). Drops apply before
     adds, so ``replace(prefix, adds)`` — retire a partition and commit
     its rewrite — is one transaction. Nothing is visible to readers
-    until the protocol flips the manifest pointer on ``txn()`` exit."""
+    until the commit record publishes on ``txn()`` exit.
 
-    def __init__(self):
+    ``read_seq`` is the snapshot the operation PLANNED from; commit
+    rebases onto any concurrent commits and uses it for conflict
+    detection (pure-add transactions always rebase cleanly — file
+    names are tag-unique; transactions with drops conflict iff a
+    concurrent commit added a file under a dropped prefix)."""
+
+    def __init__(self, read_seq: int | None = None):
         self.drops: list[str] = []
         self.adds: dict[str, int] = {}
         self.clears: list[str] = []
+        self.read_seq = read_seq
 
     def drop(self, prefix: str) -> None:
         self.drops.append(prefix.rstrip("/"))
@@ -439,18 +455,29 @@ class ManifestCommitProtocol(CommitProtocol):
 
     def epoch(self) -> int:
         """The committed manifest sequence number (0 = never written) —
-        exactly a table format's version/snapshot id. Only a MISSING
+        exactly a table format's version/snapshot id. ``_latest`` is a
+        monotonic HINT, not the commit point: the commit IS the
+        exclusive publication of the ``<seq>`` record (multi-writer
+        CAS), so a writer that crashed between publishing and flipping
+        the hint still committed — probe forward from the hint like
+        Delta lists forward from its checkpoint hint. Only a MISSING
         pointer means "no manifest yet"; any other error (permissions,
         transient IO, py4j) propagates — swallowed, it would make
         readers silently see an empty store, and inside
         ``commit_txn``'s snapshot it would rebuild the file list from
         ``{}`` and permanently drop every live file (ADVICE r10)."""
         try:
-            return int(self.fs.read_text(self._latest_path))
+            seq = int(self.fs.read_text(self._latest_path))
         except Exception as exc:
             if _is_not_found(exc):
-                return 0
-            raise
+                seq = 0
+            else:
+                raise
+        while self.fs.exists(self._delta_path(seq + 1)) or self.fs.exists(
+            self._manifest_path(seq + 1)
+        ):
+            seq += 1
+        return seq
 
     def snapshot(self, seq: int | None = None) -> dict[str, int]:
         """The committed file list ``{rel_path: size}`` at ``seq``
@@ -535,57 +562,94 @@ class ManifestCommitProtocol(CommitProtocol):
         )
 
     @contextmanager
-    def txn(self):
+    def txn(self, read_seq: int | None = None):
         """Stage a :class:`ManifestTxn`; commit it atomically on clean
         exit (no-op when the transaction carries no changes — the epoch
-        only moves when the file list does)."""
-        tx = ManifestTxn()
+        only moves when the file list does). ``read_seq`` pins the
+        snapshot the operation planned from for conflict detection;
+        defaults to the epoch at entry (callers that plan BEFORE
+        opening the transaction — compaction stages its folds first —
+        pass the epoch they planned at)."""
+        tx = ManifestTxn(
+            read_seq if read_seq is not None else self.epoch()
+        )
         yield tx
         self.commit_txn(tx)
 
     def commit_txn(self, tx: ManifestTxn, now: float | None = None) -> int:
+        """Optimistic-concurrency commit (the Delta protocol shape):
+        build the next state from the CURRENT snapshot, publish the
+        ``<seq>`` record via exclusive-create CAS, and on losing the
+        race rebase onto the winner and retry. Pure-add transactions
+        always rebase cleanly (file names are tag-unique); a
+        transaction with drops whose dropped prefixes gained files
+        since ``tx.read_seq`` raises :class:`ManifestConflict` — the
+        operation must re-plan, or it would retire data it never
+        folded. Concurrent writers (an ingest job + a maintenance job)
+        are therefore safe at the metadata layer."""
         if not tx.drops and not tx.adds and not tx.clears:
             return self.epoch()
         if now is None:
             now = time.time()
-        files, tombs = self._load()
-        files = dict(files)
-        tombs = dict(tombs)
-        dropped: list[str] = []
-        for prefix in tx.drops:
-            p = prefix + "/"
-            for rel in [r for r in files if r.startswith(p) or r == prefix]:
-                del files[rel]
-                # retirement stamp: vacuum ages by this, not file mtime
-                # (ADVICE r10 — a fresh retirement of an old file must
-                # still get the full grace window)
-                tombs[rel] = now
-                dropped.append(rel)
-        tomb_clears: list[str] = []
-        for rel in tx.adds:
-            if tombs.pop(rel, None) is not None:  # re-added: live again
-                tomb_clears.append(rel)
-        files.update(tx.adds)
-        for rel in tx.clears:
-            if tombs.pop(rel, None) is not None:
-                tomb_clears.append(rel)
-        seq = self.epoch() + 1
-        if seq % self.checkpoint_every == 0 or seq == 1:
-            # checkpoint: the full snapshot readers re-anchor on
-            self.fs.write_text_atomic(
-                self._manifest_path(seq),
-                json.dumps(
+        import uuid
+
+        for _attempt in range(64):
+            base = self.epoch()
+            files, tombs = self._load(base)
+            files = dict(files)
+            tombs = dict(tombs)
+            if tx.drops and tx.read_seq is not None and base > tx.read_seq:
+                try:
+                    read_files, _ = self._load(tx.read_seq)
+                except ValueError as exc:  # chain trimmed under us
+                    raise ManifestConflict(
+                        f"cannot prove drop-safety: snapshot "
+                        f"{tx.read_seq} no longer reconstructible"
+                    ) from exc
+                grown = set(files) - set(read_files)
+                for rel in grown:
+                    for prefix in tx.drops:
+                        if rel == prefix or rel.startswith(prefix + "/"):
+                            raise ManifestConflict(
+                                f"concurrent commit added {rel} under "
+                                f"dropped prefix {prefix} (planned at "
+                                f"seq {tx.read_seq}, now {base}) — "
+                                "re-plan the operation"
+                            )
+            dropped: list[str] = []
+            for prefix in tx.drops:
+                p = prefix + "/"
+                for rel in [
+                    r for r in files if r.startswith(p) or r == prefix
+                ]:
+                    del files[rel]
+                    # retirement stamp: vacuum ages by this, not file
+                    # mtime (ADVICE r10 — a fresh retirement of an old
+                    # file must still get the full grace window)
+                    tombs[rel] = now
+                    dropped.append(rel)
+            tomb_clears: list[str] = []
+            for rel in tx.adds:
+                if tombs.pop(rel, None) is not None:  # re-added: live
+                    tomb_clears.append(rel)
+            files.update(tx.adds)
+            for rel in tx.clears:
+                if tombs.pop(rel, None) is not None:
+                    tomb_clears.append(rel)
+            seq = base + 1
+            if seq % self.checkpoint_every == 0 or seq == 1:
+                # checkpoint: the full snapshot readers re-anchor on
+                target = self._manifest_path(seq)
+                body = json.dumps(
                     {"seq": seq, "files": files, "tombstones": tombs},
                     sort_keys=True,
-                ),
-            )
-        else:
-            # delta: O(changed files), not O(store files) — prefix
-            # drops are resolved to explicit rels at commit time so
-            # replay needs no prefix semantics
-            self.fs.write_text_atomic(
-                self._delta_path(seq),
-                json.dumps(
+                )
+            else:
+                # delta: O(changed files), not O(store files) — prefix
+                # drops are resolved to explicit rels at commit time so
+                # replay needs no prefix semantics
+                target = self._delta_path(seq)
+                body = json.dumps(
                     {
                         "seq": seq,
                         "adds": tx.adds,
@@ -594,13 +658,24 @@ class ManifestCommitProtocol(CommitProtocol):
                         "tomb_clears": tomb_clears,
                     },
                     sort_keys=True,
-                ),
-            )
-        # THE commit point — atomic pointer flip; the manifest body
-        # above is complete and fsynced-before-rename already
-        self.fs.write_text_atomic(self._latest_path, str(seq))
-        self._cache = (seq, files, tombs)
-        return seq
+                )
+            # THE commit point: exclusive publication of the complete
+            # record — two racing writers can never claim the same seq
+            stage = target + f".w{uuid.uuid4().hex[:8]}.tmp"
+            self.fs.write_text_atomic(stage, body)
+            if self.fs.publish_exclusive(stage, target):
+                # monotonic hint for readers; a crash before this flip
+                # is still committed (epoch() probes past the hint)
+                self.fs.write_text_atomic(self._latest_path, str(seq))
+                self._cache = (seq, files, tombs)
+                return seq
+            # lost the CAS race — drop our stage file and rebase
+            self.fs.delete(stage)
+            self._cache = None
+        raise RuntimeError(
+            f"manifest commit under {self.dir}: lost 64 consecutive "
+            "CAS races — writer storm or clock livelock"
+        )
 
     # -- the protocol surface -----------------------------------------
 

@@ -189,6 +189,27 @@ class HadoopFS:
         opts[0] = Rename.OVERWRITE
         self._fc.rename(self._p(src), self._p(dst), opts)
 
+    def publish_exclusive(self, src: str, dst: str) -> bool:
+        """Atomically publish ``src``'s content at ``dst`` IFF ``dst``
+        does not exist — the multi-writer commit claim (content + claim
+        in ONE atomic op, unlike ``create_exclusive``'s empty marker).
+        Locally: hard-link + unlink (a single atomic syscall — no
+        exists/rename window between two racing threads). On HDFS:
+        plain ``FileSystem.rename``, whose contract refuses an existing
+        destination. Object stores without atomic no-overwrite need a
+        real table-format commit log (module docstring)."""
+        if self._local_fast:
+            import os
+
+            lsrc, ldst = self._strip_scheme(src), self._strip_scheme(dst)
+            try:
+                os.link(lsrc, ldst)
+            except FileExistsError:
+                return False
+            os.unlink(lsrc)
+            return True
+        return self._fs.rename(self._p(src), self._p(dst))
+
     def create_exclusive(self, path: str) -> bool:
         """Atomically create an empty file; False if it already exists —
         the CAS primitive the seq allocator builds on (atomic on local

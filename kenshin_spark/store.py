@@ -555,6 +555,17 @@ class ParquetTieredStore:
         if anchor == 0:
             anchor = latest  # no checkpoint found: trim nothing extra
         for fname, _sz, mtime in statuses:
+            if fname.endswith(".tmp"):
+                # a writer's staged commit record that lost its CAS
+                # race mid-crash — reclaim once safely old
+                if mtime < cutoff:
+                    self.fs.delete(
+                        os.path.join(self.root, "_manifest", fname)
+                    )
+                    removed.append(
+                        self._rel(os.path.join("_manifest", fname))
+                    )
+                continue
             parsed = _seq_of(fname)
             if parsed is None:
                 continue
@@ -856,6 +867,10 @@ class ParquetTieredStore:
             shaped.write.mode("overwrite").partitionBy("day").parquet(path)
             return
         days = [r["day"] for r in new.select("day").distinct().collect()]
+        # the merge below is planned from THIS snapshot — pin it so a
+        # concurrent writer's commit into a touched day conflicts
+        # loudly instead of being silently replaced un-merged
+        read_seq = self.commit.epoch() if self._manifest_mode else 0
         existing = (
             self._scan_tier(path)
             .where(F.col("day").isin(days))
@@ -878,7 +893,7 @@ class ParquetTieredStore:
             adds = self._adopt(
                 merged.sortWithinPartitions("day", "metric", "ts"), path
             )
-            with self.commit.txn() as tx:
+            with self.commit.txn(read_seq=read_seq) as tx:
                 for d in days:
                     tx.drop(f"tier={i}/day={d}")
                 for rel, size in adds:
@@ -1299,6 +1314,10 @@ class ParquetTieredStore:
         the listing-mode full compact; ``days=[...]`` folds each day to
         ``target_files_per_day`` files."""
         path = self.tier_path(i)
+        # the folds below are planned from THIS snapshot: pin it so a
+        # concurrent writer's append to a folded partition raises
+        # ManifestConflict instead of being silently retired un-folded
+        read_seq = self.commit.epoch()
         if days is None:
             raw = self._scan_tier(path)
             df = self._fold_log(raw, with_day=True)
@@ -1312,7 +1331,7 @@ class ParquetTieredStore:
             adds = self._adopt(
                 shaped.sortWithinPartitions("day", "metric", "ts"), path
             )
-            with self.commit.txn() as tx:
+            with self.commit.txn(read_seq=read_seq) as tx:
                 tx.replace(f"tier={i}", adds)
             return None
         staged: list[tuple[int, list[tuple[str, int]]]] = []
@@ -1328,7 +1347,7 @@ class ParquetTieredStore:
                 partitioned=False,
             )
             staged.append((d, adds))
-        with self.commit.txn() as tx:
+        with self.commit.txn(read_seq=read_seq) as tx:
             for d, adds in staged:
                 tx.replace(f"tier={i}/day={d}", adds)
         return [d for d, _ in staged]

@@ -515,3 +515,132 @@ class TestDeltaLog:
             "0000000001.json", "0000000003.json", "0000000006.json"
         ]
         assert len(proto.snapshot()) == 7
+
+
+class TestOptimisticConcurrency:
+    """Multi-writer CAS (the Delta protocol shape, r11): the commit
+    point is the exclusive publication of the <seq> record. Pure-add
+    writers rebase and never lose updates; destructive transactions
+    conflict loudly when a concurrent commit added files under a
+    dropped prefix; the _latest pointer is a probe-forward HINT."""
+
+    def _proto(self, st):
+        from kenshin_spark.commit import ManifestCommitProtocol
+
+        return ManifestCommitProtocol(st.fs, st.root)
+
+    def test_concurrent_adds_both_commit(self, spark, tmp_path):
+        from kenshin_spark.commit import ManifestTxn
+
+        st = _mk(spark, tmp_path)
+        a, b = self._proto(st), self._proto(st)
+        ta = ManifestTxn(read_seq=a.epoch())
+        ta.add("tier=0/day=0/a.parquet", 1)
+        tb = ManifestTxn(read_seq=b.epoch())
+        tb.add("tier=0/day=0/b.parquet", 2)
+        # interleave: both planned at seq 0; A commits first, B rebases
+        assert a.commit_txn(ta) == 1
+        assert b.commit_txn(tb) == 2
+        snap = self._proto(st).snapshot()
+        assert set(snap) == {
+            "tier=0/day=0/a.parquet", "tier=0/day=0/b.parquet"
+        }
+
+    def test_drop_conflicts_with_concurrent_add_under_prefix(
+        self, spark, tmp_path
+    ):
+        from kenshin_spark.commit import ManifestConflict, ManifestTxn
+
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        a, b = self._proto(st), self._proto(st)
+        # A plans a compaction of day=0 at seq 1...
+        ta = ManifestTxn(read_seq=a.epoch())
+        ta.replace("tier=0/day=0", [("tier=0/day=0/folded.parquet", 9)])
+        # ...B appends into day=0 and commits first
+        tb = ManifestTxn(read_seq=b.epoch())
+        tb.add("tier=0/day=0/late-append.parquet", 3)
+        b.commit_txn(tb)
+        with pytest.raises(ManifestConflict, match="late-append"):
+            a.commit_txn(ta)
+        # the late append is still live — nothing was silently retired
+        assert "tier=0/day=0/late-append.parquet" in self._proto(
+            st
+        ).snapshot()
+
+    def test_drop_rebases_over_disjoint_concurrent_add(
+        self, spark, tmp_path
+    ):
+        from kenshin_spark.commit import ManifestTxn
+
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        a, b = self._proto(st), self._proto(st)
+        ta = ManifestTxn(read_seq=a.epoch())
+        ta.replace("tier=0/day=0", [("tier=0/day=0/folded.parquet", 9)])
+        tb = ManifestTxn(read_seq=b.epoch())
+        tb.add("tier=1/day=0/other-tier.parquet", 3)  # disjoint prefix
+        b.commit_txn(tb)
+        a.commit_txn(ta)  # rebase succeeds: no overlap with the drop
+        snap = self._proto(st).snapshot()
+        assert "tier=0/day=0/folded.parquet" in snap
+        assert "tier=1/day=0/other-tier.parquet" in snap
+
+    def test_crash_between_publish_and_hint_still_committed(
+        self, spark, tmp_path
+    ):
+        from kenshin_spark.commit import ManifestTxn
+
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        proto = self._proto(st)
+        # simulate the crash window: publish seq 2 by hand, never flip
+        tx = ManifestTxn(read_seq=proto.epoch())
+        tx.add("tier=0/day=0/crashed.parquet", 5)
+        orig = proto.fs.write_text_atomic
+        def no_hint(path, text):
+            if path.endswith("_latest"):
+                return  # died before the flip
+            orig(path, text)
+        proto.fs.write_text_atomic = no_hint
+        try:
+            proto.commit_txn(tx)
+        finally:
+            proto.fs.write_text_atomic = orig
+        assert st.fs.read_text(
+            os.path.join(st.root, "_manifest", "_latest")
+        ) == "1"  # hint is stale...
+        cold = self._proto(st)
+        assert cold.epoch() == 2  # ...but the probe finds the commit
+        assert "tier=0/day=0/crashed.parquet" in cold.snapshot()
+
+    def test_threaded_add_hammer_loses_nothing(self, spark, tmp_path):
+        import threading
+
+        from kenshin_spark.commit import ManifestTxn
+
+        st = _mk(spark, tmp_path)
+        N, M = 6, 8
+        errors = []
+
+        def writer(w):
+            proto = self._proto(st)
+            try:
+                for k in range(M):
+                    tx = ManifestTxn(read_seq=proto.epoch())
+                    tx.add(f"tier=0/day=0/w{w}-{k}.parquet", 1)
+                    proto.commit_txn(tx)
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=writer, args=(w,)) for w in range(N)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        cold = self._proto(st)
+        assert cold.epoch() == N * M
+        assert len(cold.snapshot()) == N * M  # every add survived
