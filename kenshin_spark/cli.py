@@ -232,6 +232,19 @@ def cmd_gc(args) -> None:
         print(r["metric"])
 
 
+def cmd_vacuum(args) -> None:
+    """Physically reclaim manifest-retired files older than --grace
+    seconds (tombstone-aged — the VACUUM retention contract: a scan
+    must finish within the grace window of the snapshot it planned).
+    No-op and says so on a listing-planned (seqlock) store."""
+    store = _store(args)
+    if not store.commit.plans_from_manifest:
+        print(json.dumps({"backend": "seqlock", "removed": []}))
+        return
+    removed = store.vacuum(grace_s=args.grace)
+    print(json.dumps({"backend": "manifest", "removed": removed}))
+
+
 def cmd_keepalive(args) -> None:
     """bin/kenshin-send-zero-metric.py:26-45 — write a 0-value point at
     now for every cataloged metric dormant longer than --dormant-after,
@@ -374,6 +387,10 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--base", default=None, help="whisper tree root for metric names")
     i.add_argument("--now", type=int, default=None)
     sub.add_parser("gc")
+    vc = sub.add_parser("vacuum")
+    vc.add_argument("--grace", type=float, default=3600.0,
+                    help="seconds a retired file survives after its "
+                    "manifest tombstone (default 1h)")
     ka = sub.add_parser("keepalive")
     ka.add_argument("--dormant-after", type=int, default=86400)
     ka.add_argument("--now", type=int, default=None)
@@ -422,6 +439,7 @@ def main(argv: list[str] | None = None) -> int:
         "change-schema": cmd_change_schema,
         "import": cmd_import,
         "gc": cmd_gc,
+        "vacuum": cmd_vacuum,
         "keepalive": cmd_keepalive,
         "validate": cmd_validate,
         "export": cmd_export,

@@ -483,6 +483,31 @@ class TestCli:
         cli.main(base + ["info"])
         assert "sys.mem" not in capsys.readouterr().out
 
+    def test_cli_vacuum_reclaims_retired_files(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from kenshin_spark import cli
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        root = str(tmp_path / "st")
+        schema = Schema.from_strings("cli", ".*", "60s:30d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, root, mode="mor")
+        store.upsert(0, spark.createDataFrame(
+            [("m", 60, 1.0)], ["metric", "ts", "value"]))
+        store.upsert(0, spark.createDataFrame(
+            [("m", 120, 2.0)], ["metric", "ts", "value"]))
+        store.compact(0, days=store._live_days(0))
+        base = ["--root", root, "--cpus", "2"]
+        # within grace: nothing reclaimed
+        cli.main(base + ["vacuum", "--grace", "3600"])
+        rep = _json.loads(capsys.readouterr().out)
+        assert rep == {"backend": "manifest", "removed": []}
+        # grace 0 (the folded append files are retired-now): reclaimed
+        cli.main(base + ["vacuum", "--grace", "-60"])
+        rep = _json.loads(capsys.readouterr().out)
+        assert rep["backend"] == "manifest" and rep["removed"]
+
     def test_cli_audit_and_compact(self, spark, tmp_path, capsys):
         """audit prints per-day file shape with the flag decision;
         compact (no --days) compacts exactly the flagged days."""
