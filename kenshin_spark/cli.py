@@ -245,6 +245,16 @@ def cmd_vacuum(args) -> None:
     print(json.dumps({"backend": "manifest", "removed": removed}))
 
 
+def cmd_history(args) -> None:
+    """Print the retained commit log (manifest stores) newest-first,
+    one JSON object per line: seq, ts, op, checkpoint, adds/drops
+    counts — DESCRIBE HISTORY for the store. Empty under a
+    listing-planned (seqlock) backend."""
+    store = _store(args)
+    for rec in store.history(limit=args.limit):
+        print(json.dumps(rec, sort_keys=True))
+
+
 def cmd_keepalive(args) -> None:
     """bin/kenshin-send-zero-metric.py:26-45 — write a 0-value point at
     now for every cataloged metric dormant longer than --dormant-after,
@@ -391,6 +401,9 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("--grace", type=float, default=3600.0,
                     help="seconds a retired file survives after its "
                     "manifest tombstone (default 1h)")
+    hi = sub.add_parser("history")
+    hi.add_argument("--limit", type=int, default=None,
+                    help="newest N commits (default: all retained)")
     ka = sub.add_parser("keepalive")
     ka.add_argument("--dormant-after", type=int, default=86400)
     ka.add_argument("--now", type=int, default=None)
@@ -440,6 +453,7 @@ def main(argv: list[str] | None = None) -> int:
         "import": cmd_import,
         "gc": cmd_gc,
         "vacuum": cmd_vacuum,
+        "history": cmd_history,
         "keepalive": cmd_keepalive,
         "validate": cmd_validate,
         "export": cmd_export,

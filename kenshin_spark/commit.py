@@ -342,11 +342,17 @@ class ManifestTxn:
     names are tag-unique; transactions with drops conflict iff a
     concurrent commit added a file under a dropped prefix)."""
 
-    def __init__(self, read_seq: int | None = None):
+    def __init__(
+        self, read_seq: int | None = None, op: str | None = None
+    ):
         self.drops: list[str] = []
         self.adds: dict[str, int] = {}
         self.clears: list[str] = []
         self.read_seq = read_seq
+        #: what the transaction IS (``upsert``/``compact``/``expire``/
+        #: ``delete``/``vacuum``/...) — recorded in the commit record so
+        #: ``history()`` reads like Delta's DESCRIBE HISTORY
+        self.op = op
 
     def drop(self, prefix: str) -> None:
         self.drops.append(prefix.rstrip("/"))
@@ -550,10 +556,16 @@ class ManifestCommitProtocol(CommitProtocol):
         self._cache = (seq, files, tombs)
         return files, tombs
 
-    def live_files(self, prefix: str = "") -> list[tuple[str, int]]:
+    def live_files(
+        self, prefix: str = "", seq: int | None = None
+    ) -> list[tuple[str, int]]:
         """Live data files under a directory prefix, ``(rel, size)``
-        sorted by path. ``""`` returns everything."""
-        snap = self.snapshot()
+        sorted by path. ``""`` returns everything. ``seq`` pins a
+        HISTORICAL snapshot (time travel — Delta's ``versionAsOf``):
+        the file list as committed at that sequence number, valid as
+        long as vacuum's grace window has not reclaimed its retired
+        files nor trimmed the log below its anchor checkpoint."""
+        snap = self.snapshot(seq)
         if not prefix:
             return sorted(snap.items())
         p = prefix.rstrip("/") + "/"
@@ -561,17 +573,61 @@ class ManifestCommitProtocol(CommitProtocol):
             (rel, sz) for rel, sz in snap.items() if rel.startswith(p)
         )
 
+    def history(self, limit: int | None = None) -> list[dict]:
+        """The retained commit log, newest first — Delta's DESCRIBE
+        HISTORY shape: one row per commit with ``seq``, ``ts``,
+        ``op``, and the adds/drops counts, walking back until the
+        chain is trimmed (vacuum reclaims records below the anchor
+        checkpoint; history — like time travel — ends there). Records
+        written before the ``op`` field report ``op=None, ts=None``."""
+        out: list[dict] = []
+        at = self.epoch()
+        while at > 0 and (limit is None or len(out) < limit):
+            checkpoint = True
+            try:
+                body = json.loads(
+                    self.fs.read_text(self._manifest_path(at))
+                )
+            except Exception as exc:
+                if not _is_not_found(exc):
+                    raise
+                checkpoint = False
+                try:
+                    body = json.loads(
+                        self.fs.read_text(self._delta_path(at))
+                    )
+                except Exception as exc2:
+                    if _is_not_found(exc2):
+                        break  # trimmed: history ends here
+                    raise
+            out.append(
+                {
+                    "seq": at,
+                    "ts": body.get("ts"),
+                    "op": body.get("op"),
+                    "checkpoint": checkpoint,
+                    "n_added": len(body.get("adds", {})),
+                    "n_dropped": len(body.get("drops", [])),
+                    "n_live": (
+                        len(body["files"]) if checkpoint else None
+                    ),
+                }
+            )
+            at -= 1
+        return out
+
     @contextmanager
-    def txn(self, read_seq: int | None = None):
+    def txn(self, read_seq: int | None = None, op: str | None = None):
         """Stage a :class:`ManifestTxn`; commit it atomically on clean
         exit (no-op when the transaction carries no changes — the epoch
         only moves when the file list does). ``read_seq`` pins the
         snapshot the operation planned from for conflict detection;
         defaults to the epoch at entry (callers that plan BEFORE
         opening the transaction — compaction stages its folds first —
-        pass the epoch they planned at)."""
+        pass the epoch they planned at). ``op`` labels the commit
+        record for :meth:`history`."""
         tx = ManifestTxn(
-            read_seq if read_seq is not None else self.epoch()
+            read_seq if read_seq is not None else self.epoch(), op=op
         )
         yield tx
         self.commit_txn(tx)
@@ -641,7 +697,18 @@ class ManifestCommitProtocol(CommitProtocol):
                 # checkpoint: the full snapshot readers re-anchor on
                 target = self._manifest_path(seq)
                 body = json.dumps(
-                    {"seq": seq, "files": files, "tombstones": tombs},
+                    {
+                        "seq": seq,
+                        "ts": now,
+                        "op": tx.op or "txn",
+                        "files": files,
+                        "tombstones": tombs,
+                        # keep the per-commit change visible even in
+                        # checkpoint records so history() needs no
+                        # snapshot diffing
+                        "adds": tx.adds,
+                        "drops": dropped,
+                    },
                     sort_keys=True,
                 )
             else:
@@ -652,6 +719,8 @@ class ManifestCommitProtocol(CommitProtocol):
                 body = json.dumps(
                     {
                         "seq": seq,
+                        "ts": now,
+                        "op": tx.op or "txn",
                         "adds": tx.adds,
                         "drops": dropped,
                         "tomb_adds": {r: now for r in dropped},

@@ -364,15 +364,37 @@ class ParquetTieredStore:
         space (so a backed-up/restored store's manifest stays valid)."""
         return os.path.relpath(path, self.root)
 
-    def _plan_abs(self, path: str) -> list[str] | None:
+    def _plan_abs(
+        self, path: str, version: int | None = None
+    ) -> list[str] | None:
         """The committed live files under ``path`` as absolute paths, or
-        None when this backend plans from directory listings."""
+        None when this backend plans from directory listings.
+        ``version`` pins a historical manifest seq (time travel)."""
         if not self._manifest_mode:
             return None
         return [
             os.path.join(self.root, rel)
-            for rel, _ in self.commit.live_files(self._rel(path))
+            for rel, _ in self.commit.live_files(
+                self._rel(path), seq=version
+            )
         ]
+
+    def _check_version(self, version: int | None) -> None:
+        """Validate a time-travel pin: manifest-backed stores only, and
+        the seq must be a committed one (0 = 'before anything' is not a
+        readable snapshot; > epoch does not exist yet)."""
+        if version is None:
+            return
+        if not self._manifest_mode:
+            raise ValueError(
+                "version-pinned reads need the manifest commit protocol "
+                "(listing-planned stores keep no file-list history)"
+            )
+        latest = self.commit.epoch()
+        if not (1 <= version <= latest):
+            raise ValueError(
+                f"version {version} not in committed range [1, {latest}]"
+            )
 
     def _adopt(
         self, df: DataFrame, dest_path: str, partitioned: bool = True
@@ -439,7 +461,7 @@ class ParquetTieredStore:
                 if fname.endswith(".parquet"):
                     tx.add(self._rel(os.path.join(d, fname)), size)
 
-        with self.commit.txn() as tx:
+        with self.commit.txn(op="init") as tx:
             roots = [
                 self.tier_path(i)
                 for i in range(len(self.schema.archives))
@@ -488,7 +510,7 @@ class ParquetTieredStore:
             removed.append(rel)
             reclaimed.append(rel)
         if reclaimed:
-            tx_ = ManifestTxn()
+            tx_ = ManifestTxn(op="vacuum")
             for rel in reclaimed:
                 tx_.clear_tombstone(rel)
             self.commit.commit_txn(tx_)
@@ -614,13 +636,15 @@ class ParquetTieredStore:
         to ``read_at`` for a stable snapshot."""
         return self._last_seq_or_none() or 0
 
-    def _tier_empty(self, path: str) -> bool:
+    def _tier_empty(self, path: str, version: int | None = None) -> bool:
         """True when the tier has no data partitions — absent entirely, or
         expiry dropped every day= child (schema inference would fail).
         Under a manifest backend the committed file list is the truth
         (the directory may hold retired files awaiting vacuum)."""
         if self._manifest_mode:
-            return not self.commit.live_files(self._rel(path))
+            return not self.commit.live_files(
+                self._rel(path), seq=version
+            )
         if not self.fs.exists(path):
             return True
         return not any(
@@ -642,9 +666,9 @@ class ParquetTieredStore:
             )
         return STORED_SCHEMA
 
-    def _scan_tier(self, path: str) -> DataFrame:
+    def _scan_tier(self, path: str, version: int | None = None) -> DataFrame:
         reader = self.spark.read.schema(self._tier_schema())
-        files = self._plan_abs(path)
+        files = self._plan_abs(path, version=version)
         if files is None:
             return reader.parquet(path)
         # plan from the committed file list — partition values (day=) are
@@ -678,14 +702,34 @@ class ParquetTieredStore:
             return None
         return self.spark.read.parquet(day_dir)
 
-    def read(self, i: int) -> DataFrame:
-        """Tier i as ``(metric, ts, value)``; empty frame if never written."""
+    def read(self, i: int, version: int | None = None) -> DataFrame:
+        """Tier i as ``(metric, ts, value)``; empty frame if never
+        written. ``version`` pins a historical manifest seq (manifest
+        stores only — Delta's ``versionAsOf``): the scan plans from the
+        file list as committed at that seq, so it sees the tier exactly
+        as it stood THEN — including through later compactions and
+        expiries, which ``read_at``'s row-stamp MVCC cannot reach back
+        across (compaction folds the log). The travel window is the
+        vacuum retention: a pinned read older than ``vacuum``'s grace
+        may hit physically reclaimed files (FileNotFound at execution)
+        or a trimmed log (ValueError at planning) — the same contract
+        as Delta's VACUUM."""
+        self._check_version(version)
         path = self.tier_path(i)
-        if self._tier_empty(path):
+        if self._tier_empty(path, version=version):
             return self.spark.createDataFrame([], STORED_SCHEMA).select(
                 "metric", "ts", "value"
             )
-        return self._resolve(self._scan_tier(path))
+        return self._resolve(self._scan_tier(path, version=version))
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        """The retained commit log, newest first (manifest stores; ``[]``
+        under listing-planned backends) — seq, unix ts, op label, and
+        adds/drops counts per commit. History ends where vacuum trimmed
+        the log, exactly like time travel."""
+        if not self._manifest_mode:
+            return []
+        return self.commit.history(limit=limit)
 
     def touched_days(self, i: int, seq_a: int, seq_b: int) -> list[int]:
         """Day partitions of tier i holding log rows stamped in
@@ -778,20 +822,25 @@ class ParquetTieredStore:
             self.read_at(i, seq_a, days=days)
         )
 
-    def read_range(self, i: int, from_ts: int, until_ts: int) -> DataFrame:
+    def read_range(
+        self, i: int, from_ts: int, until_ts: int,
+        version: int | None = None,
+    ) -> DataFrame:
         """Tier i restricted to ``[from_ts, until_ts)`` — the ts filter is
         mirrored onto the ``day`` partition column so the scan prunes
         whole partitions (a ts-only filter cannot: Catalyst doesn't know
         day = ts // 86400). This is the read path every time-bounded
-        query must take at 100 TB."""
+        query must take at 100 TB. ``version`` pins a historical
+        manifest seq (see :meth:`read`)."""
+        self._check_version(version)
         path = self.tier_path(i)
-        if self._tier_empty(path):
+        if self._tier_empty(path, version=version):
             return self.spark.createDataFrame([], STORED_SCHEMA).select(
                 "metric", "ts", "value"
             )
         unit = self.part_unit(i)
         return self._resolve(
-            self._scan_tier(path).where(
+            self._scan_tier(path, version=version).where(
                 (F.col("day") >= from_ts // unit)
                 & (F.col("day") <= (until_ts - 1) // unit)
                 & (F.col("ts") >= from_ts)
@@ -823,7 +872,7 @@ class ParquetTieredStore:
             # retires the whole old tier — readers mid-scan keep their
             # snapshot's files (vacuum reclaims them after the grace)
             adds = self._adopt(out, self.tier_path(i))
-            with self.commit.txn() as tx:
+            with self.commit.txn(op="overwrite") as tx:
                 tx.replace(f"tier={i}", adds)
             return
         # destructive for the whole job (overwrite deletes in-commit), so
@@ -851,7 +900,7 @@ class ParquetTieredStore:
             ).sortWithinPartitions("day", "metric", "ts")
             if self._manifest_mode:
                 adds = self._adopt(stamped, path)
-                with self.commit.txn() as tx:
+                with self.commit.txn(op="upsert") as tx:
                     for rel, size in adds:
                         tx.add(rel, size)
                 return
@@ -861,7 +910,7 @@ class ParquetTieredStore:
             shaped = new.sortWithinPartitions("day", "metric", "ts")
             if self._manifest_mode:
                 adds = self._adopt(shaped, path)
-                with self.commit.txn() as tx:
+                with self.commit.txn(op="upsert") as tx:
                     tx.replace(f"tier={i}", adds)
                 return
             shaped.write.mode("overwrite").partitionBy("day").parquet(path)
@@ -893,7 +942,7 @@ class ParquetTieredStore:
             adds = self._adopt(
                 merged.sortWithinPartitions("day", "metric", "ts"), path
             )
-            with self.commit.txn(read_seq=read_seq) as tx:
+            with self.commit.txn(read_seq=read_seq, op="upsert") as tx:
                 for d in days:
                     tx.drop(f"tier={i}/day={d}")
                 for rel, size in adds:
@@ -926,7 +975,7 @@ class ParquetTieredStore:
         planned before the expiry keep reading their snapshot)."""
         dropped: dict[int, list[int]] = {}
         if self._manifest_mode:
-            with self.commit.txn() as tx:
+            with self.commit.txn(op="expire") as tx:
                 for i, arch in enumerate(self.schema.archives):
                     cutoff_day = (now - arch.retention) // self.part_unit(i)
                     gone = [
@@ -1331,7 +1380,7 @@ class ParquetTieredStore:
             adds = self._adopt(
                 shaped.sortWithinPartitions("day", "metric", "ts"), path
             )
-            with self.commit.txn(read_seq=read_seq) as tx:
+            with self.commit.txn(read_seq=read_seq, op="compact") as tx:
                 tx.replace(f"tier={i}", adds)
             return None
         staged: list[tuple[int, list[tuple[str, int]]]] = []
@@ -1347,7 +1396,7 @@ class ParquetTieredStore:
                 partitioned=False,
             )
             staged.append((d, adds))
-        with self.commit.txn(read_seq=read_seq) as tx:
+        with self.commit.txn(read_seq=read_seq, op="compact") as tx:
             for d, adds in staged:
                 tx.replace(f"tier={i}/day={d}", adds)
         return [d for d, _ in staged]
@@ -1428,7 +1477,7 @@ class ParquetTieredStore:
             # one transaction across every tier AND the catalog — the
             # delete is all-or-nothing, which the per-directory swap
             # protocol below can't promise
-            with self.commit.txn() as tx:
+            with self.commit.txn(op="delete") as tx:
                 for i in range(len(self.schema.archives)):
                     path = self.tier_path(i)
                     if self._tier_empty(path):
@@ -1533,7 +1582,7 @@ class ParquetTieredStore:
         )
         if self._manifest_mode:
             adds = self._adopt(shaped, self.catalog_path, partitioned=False)
-            with self.commit.txn() as tx:
+            with self.commit.txn(op="catalog") as tx:
                 for rel, size in adds:
                     tx.add(rel, size)
             return

@@ -644,3 +644,107 @@ class TestOptimisticConcurrency:
         cold = self._proto(st)
         assert cold.epoch() == N * M
         assert len(cold.snapshot()) == N * M  # every add survived
+
+
+class TestTimeTravel:
+    """Version-pinned reads + DESCRIBE HISTORY on the manifest log —
+    Delta's ``versionAsOf`` semantics: a read planned at seq v sees
+    the file list as committed THEN, reaching back across later
+    compactions/expiries (row-stamp ``read_at`` cannot — compaction
+    folds the log), valid until vacuum reclaims the snapshot's files
+    or trims the log below its anchor checkpoint."""
+
+    def test_version_read_reaches_across_compaction(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        v1 = st.commit.epoch()
+        st.upsert(0, _rows(spark, [("m", 120, 2.0), ("m", 60, 5.0)]))
+        v2 = st.commit.epoch()
+        st.compact(0, days=st._live_days(0))
+        assert [(r.ts, r.value) for r in
+                sorted(st.read(0, version=v1).collect())] == [(60, 1.0)]
+        # v2 still LWW-resolves within the pinned file set
+        assert [(r.ts, r.value) for r in
+                sorted(st.read(0, version=v2).collect())] == [
+            (60, 5.0), (120, 2.0)]
+        assert [(r.ts, r.value) for r in
+                sorted(st.read(0).collect())] == [(60, 5.0), (120, 2.0)]
+
+    def test_version_read_reaches_across_expiry(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        now = 40 * DAY
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))  # day 0: expired
+        st.upsert(0, _rows(spark, [("m", now - 60, 2.0)]))
+        v_pre = st.commit.epoch()
+        dropped = st.expire(now)
+        assert dropped[0]  # day 0 went
+        assert st.read(0).count() == 1
+        got = sorted(st.read(0, version=v_pre).collect())
+        assert [(r.ts, r.value) for r in got] == [
+            (60, 1.0), (now - 60, 2.0)]
+
+    def test_bad_versions_raise(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        with pytest.raises(ValueError, match="committed range"):
+            st.read(0, version=99)
+        with pytest.raises(ValueError, match="committed range"):
+            st.read(0, version=0)
+
+    def test_seqlock_store_refuses_versions_and_has_no_history(
+        self, spark, tmp_path
+    ):
+        st = ParquetTieredStore(
+            spark, SCHEMA, str(tmp_path / "sl"), mode="mor",
+            commit_protocol="seqlock",
+        )
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        assert st.history() == []
+        with pytest.raises(ValueError, match="manifest"):
+            st.read(0, version=1)
+
+    def test_vacuum_ends_the_travel_window(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        v1 = st.commit.epoch()
+        st.upsert(0, _rows(spark, [("m", 60, 9.0)]))
+        st.compact(0, days=st._live_days(0))
+        # within grace the pinned snapshot's files still exist
+        st.vacuum(grace_s=3600.0)
+        assert st.read(0, version=v1).collect()[0].value == 1.0
+        # past grace the compacted-away file is physically gone: the
+        # pinned read fails LOUDLY (planning or execution), never
+        # silently returns partial data
+        st.vacuum(grace_s=0.0, now=time.time() + 60)
+        with pytest.raises(Exception):
+            st.read(0, version=v1).collect()
+
+    def test_history_records_ops_newest_first(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        st.upsert(0, _rows(spark, [("m", 120, 2.0)]))
+        st.compact(0, days=st._live_days(0))
+        h = st.history()
+        assert [r["seq"] for r in h] == sorted(
+            (r["seq"] for r in h), reverse=True)
+        assert [r["op"] for r in h][:3] == ["compact", "upsert", "upsert"]
+        assert all(isinstance(r["ts"], float) for r in h)
+        compacted = h[0]
+        assert compacted["n_added"] >= 1 and compacted["n_dropped"] >= 1
+        # seq 1 is always a checkpoint and carries the live count
+        assert h[-1]["checkpoint"] and h[-1]["n_live"] == 1
+        assert st.history(limit=2) == h[:2]
+
+    def test_history_and_travel_survive_a_cold_reopen(
+        self, spark, tmp_path
+    ):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        v1 = st.commit.epoch()
+        st.upsert(0, _rows(spark, [("m", 60, 3.0)]))
+        cold = ParquetTieredStore(
+            spark, SCHEMA, st.root, mode="mor",
+            commit_protocol="manifest",
+        )
+        assert cold.read(0, version=v1).collect()[0].value == 1.0
+        assert [r["op"] for r in cold.history()] == ["upsert", "upsert"]

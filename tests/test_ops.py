@@ -508,6 +508,29 @@ class TestCli:
         rep = _json.loads(capsys.readouterr().out)
         assert rep["backend"] == "manifest" and rep["removed"]
 
+    def test_cli_history_prints_commit_log(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from kenshin_spark import cli
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        root = str(tmp_path / "st")
+        schema = Schema.from_strings("cli", ".*", "60s:30d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, root, mode="mor")
+        store.upsert(0, spark.createDataFrame(
+            [("m", 60, 1.0)], ["metric", "ts", "value"]))
+        store.upsert(0, spark.createDataFrame(
+            [("m", 120, 2.0)], ["metric", "ts", "value"]))
+        cli.main(["--root", root, "--cpus", "2", "history", "--limit", "1"])
+        recs = [_json.loads(l) for l in
+                capsys.readouterr().out.strip().splitlines()]
+        assert len(recs) == 1 and recs[0]["op"] == "upsert"
+        cli.main(["--root", root, "--cpus", "2", "history"])
+        recs = [_json.loads(l) for l in
+                capsys.readouterr().out.strip().splitlines()]
+        assert [r["seq"] for r in recs] == [2, 1]
+
     def test_cli_audit_and_compact(self, spark, tmp_path, capsys):
         """audit prints per-day file shape with the flag decision;
         compact (no --days) compacts exactly the flagged days."""
