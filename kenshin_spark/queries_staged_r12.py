@@ -1818,34 +1818,66 @@ def q_q_events_value_null_share(spark, sf_dir):
 
 
 @stage(
-    "q_orders_quarter_coverage",
-    """
-    SELECT CAST(strftime(o_orderdate, '%Y') AS VARCHAR) || '-Q' ||
-             CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
-           count(*) AS n_orders,
-           count(DISTINCT o_orderdate) AS n_active_days,
-           CAST(min(o_orderdate) AS VARCHAR) AS first_day,
-           CAST(max(o_orderdate) AS VARCHAR) AS last_day
-    FROM orders GROUP BY 1
-    """,
-    "order-stream coverage per quarter: volume, distinct active days "
-    "and the date envelope — the completeness report that catches "
-    "partial loads at period boundaries; dates stringified so both "
-    "engines compare identically",
+    "store_version_travel_read",
+    None,  # placeholder — real oracle set below (needs the r8 fragment)
 )
-def q_q_orders_quarter_coverage(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    q = F.concat(
-        F.date_format("o_orderdate", "yyyy"),
-        F.lit("-Q"),
-        F.quarter("o_orderdate").cast("string"),
+def q_store_version_travel_read(spark, sf_dir):
+    import os
+
+    from kenshin_spark.queries_staged_r8_engine import (
+        _BANK,
+        _week_slots,
+        _workdir,
     )
-    return orders.groupBy(q.alias("quarter")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("o_orderdate").alias("n_active_days"),
-        F.min("o_orderdate").cast("string").alias("first_day"),
-        F.max("o_orderdate").cast("string").alias("last_day"),
+    from kenshin_spark.store import ParquetTieredStore
+
+    st = ParquetTieredStore(
+        spark,
+        _BANK,
+        os.path.join(
+            _workdir(sf_dir, "store_version_travel_read"), "store"
+        ),
+        mode="mor",
+        commit_protocol="manifest",
     )
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.where(F.col("ts") % 120 == 0))
+    v1 = st.commit.epoch()  # pin: the even-minute snapshot
+    st.upsert(0, slots.where(F.col("ts") % 120 == 60))
+    st.compact(0, days=st._live_days(0))
+    # the op-labelled ledger must lead with the fold and end at the
+    # pinned snapshot's commit (DESCRIBE HISTORY semantics)
+    ops = [r["op"] for r in st.history()]
+    assert ops[0] == "compact" and ops[-1] == "upsert", ops
+    # the version-pinned read plans from the file list committed at
+    # v1: it must see ONLY the even-minute batch, reaching back across
+    # both the later append and the log fold that retired v1's files
+    return st.read(0, version=v1)
+
+
+def _set_travel_oracle():
+    from kenshin_spark.queries_staged_r8_engine import _W
+
+    spec = STAGED_R12["store_version_travel_read"]
+    STAGED_R12["store_version_travel_read"] = QuerySpec(
+        fn=spec.fn,
+        oracle=(
+            f"WITH {_W} SELECT metric, ts, value FROM t0 "
+            f"WHERE ts % 120 = 0"
+        ),
+        doc=(
+            "manifest-log time travel as a driver row: two stamped "
+            "upserts then a compaction that retires the first batch's "
+            "files; a read pinned at the first commit's seq "
+            "(versionAsOf) plans from THAT committed file list and "
+            "must reproduce exactly the even-minute LWW grid — "
+            "history() op labels asserted in-row (kenshin_spark/"
+            "commit.py history/live_files(seq), store.py read(version))"
+        ),
+    )
+
+
+_set_travel_oracle()
 
 
 @stage(

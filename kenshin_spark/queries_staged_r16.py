@@ -326,3 +326,34 @@ def q_q_region_nation_audit(spark, sf_dir):
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
+
+
+@stage(
+    "q_orders_quarter_coverage",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y') AS VARCHAR) || '-Q' ||
+             CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+           count(*) AS n_orders,
+           count(DISTINCT o_orderdate) AS n_active_days,
+           CAST(min(o_orderdate) AS VARCHAR) AS first_day,
+           CAST(max(o_orderdate) AS VARCHAR) AS last_day
+    FROM orders GROUP BY 1
+    """,
+    "order-stream coverage per quarter: volume, distinct active days "
+    "and the date envelope — the completeness report that catches "
+    "partial loads at period boundaries; dates stringified so both "
+    "engines compare identically",
+)
+def q_q_orders_quarter_coverage(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    q = F.concat(
+        F.date_format("o_orderdate", "yyyy"),
+        F.lit("-Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    return orders.groupBy(q.alias("quarter")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderdate").alias("n_active_days"),
+        F.min("o_orderdate").cast("string").alias("first_day"),
+        F.max("o_orderdate").cast("string").alias("last_day"),
+    )

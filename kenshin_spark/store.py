@@ -1120,11 +1120,15 @@ class ParquetTieredStore:
     # -- fetch (R1-R3) ----------------------------------------------------
 
     def fetch(
-        self, metrics, from_time: int, until_time: int, now: int
+        self, metrics, from_time: int, until_time: int, now: int,
+        version: int | None = None,
     ) -> DataFrame | None:
         """Tier-selected, clamped, grid-filled read — the scan goes
         through ``read_range`` so the day partitions outside the window
-        are pruned before any IO (R1-R3 with partition pruning)."""
+        are pruned before any IO (R1-R3 with partition pruning).
+        ``version`` pins a historical manifest seq (see :meth:`read`):
+        the same render query replayed against yesterday's committed
+        snapshot."""
         from kenshin_spark.operators.fetch import (
             clamp_range,
             grid_fill,
@@ -1142,7 +1146,8 @@ class ParquetTieredStore:
         idx = select_archive(archives, from_time, now)
         step = archives[idx].sec_per_point
         pts = self.read_range(
-            idx, roundup(from_time, step), roundup(until_time, step)
+            idx, roundup(from_time, step), roundup(until_time, step),
+            version=version,
         )
         return grid_fill(pts, metrics, from_time, until_time, step)
 
