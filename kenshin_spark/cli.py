@@ -255,6 +255,15 @@ def cmd_history(args) -> None:
         print(json.dumps(rec, sort_keys=True))
 
 
+def cmd_restore(args) -> None:
+    """Roll the live file set back to manifest seq --version (RESTORE
+    TABLE): one metadata commit; fails loudly — changing nothing — when
+    the snapshot's files are past the vacuum horizon."""
+    store = _store(args)
+    seq = store.restore(args.version)
+    print(json.dumps({"restored_to": args.version, "committed_seq": seq}))
+
+
 def cmd_keepalive(args) -> None:
     """bin/kenshin-send-zero-metric.py:26-45 — write a 0-value point at
     now for every cataloged metric dormant longer than --dormant-after,
@@ -404,6 +413,9 @@ def main(argv: list[str] | None = None) -> int:
     hi = sub.add_parser("history")
     hi.add_argument("--limit", type=int, default=None,
                     help="newest N commits (default: all retained)")
+    rs = sub.add_parser("restore")
+    rs.add_argument("--version", type=int, required=True,
+                    help="manifest seq to roll the live file set back to")
     ka = sub.add_parser("keepalive")
     ka.add_argument("--dormant-after", type=int, default=86400)
     ka.add_argument("--now", type=int, default=None)
@@ -454,6 +466,7 @@ def main(argv: list[str] | None = None) -> int:
         "gc": cmd_gc,
         "vacuum": cmd_vacuum,
         "history": cmd_history,
+        "restore": cmd_restore,
         "keepalive": cmd_keepalive,
         "validate": cmd_validate,
         "export": cmd_export,

@@ -474,6 +474,40 @@ class ParquetTieredStore:
                 _adopt_dir(tx, r)
         return self.commit.epoch()
 
+    def restore(self, version: int) -> int:
+        """Roll the live file set back to manifest seq ``version`` —
+        Delta's RESTORE TABLE: ONE forward commit (op=``restore``) that
+        drops every file added after the pinned seq and re-adds every
+        file it referenced that was since retired (clearing their
+        tombstones — the files still exist physically until vacuum, so
+        a restore within the grace window is pure metadata). History is
+        preserved: the rollback is itself a commit, so a restore can be
+        restored away. Raises when a required file was already
+        reclaimed (restore past the vacuum horizon cannot be done
+        safely) — checked BEFORE committing, so a failed restore
+        changes nothing."""
+        self._check_version(version)
+        target = dict(self.commit.live_files("", seq=version))
+        current = dict(self.commit.live_files(""))
+        readds = {r: sz for r, sz in target.items() if r not in current}
+        missing = [
+            r for r in readds
+            if not self.fs.exists(os.path.join(self.root, r))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore to seq {version}: {len(missing)} required "
+                f"file(s) already vacuumed (first: {missing[0]}) — "
+                "the snapshot is past the retention horizon"
+            )
+        with self.commit.txn(op="restore") as tx:
+            for rel in current:
+                if rel not in target:
+                    tx.drop(rel)
+            for rel, sz in readds.items():
+                tx.add(rel, sz)
+        return self.commit.epoch()
+
     def vacuum(self, grace_s: float = 3600.0, now: float | None = None) -> list[str]:
         """Physically reclaim files no committed manifest references —
         superseded rewrites, logically-expired partitions, crash-stranded

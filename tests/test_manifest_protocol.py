@@ -748,3 +748,61 @@ class TestTimeTravel:
         )
         assert cold.read(0, version=v1).collect()[0].value == 1.0
         assert [r["op"] for r in cold.history()] == ["upsert", "upsert"]
+
+
+class TestRestore:
+    """RESTORE TABLE: roll the live set back to a pinned seq in ONE
+    forward metadata commit — drops files added since, re-adds retired
+    ones (clearing tombstones); fails loudly, changing nothing, when
+    the snapshot is past the vacuum horizon."""
+
+    def test_restore_rolls_back_a_bad_ingest(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        good = st.commit.epoch()
+        st.upsert(0, _rows(spark, [("m", 60, 666.0), ("m", 120, 667.0)]))
+        st.restore(good)
+        assert [(r.ts, r.value) for r in sorted(st.read(0).collect())] == [
+            (60, 1.0)]
+        # the rollback is itself a commit with its own op label
+        assert st.history()[0]["op"] == "restore"
+        # and the bad batch's files are tombstoned for vacuum
+        assert st.commit.tombstones()
+
+    def test_restore_readds_compacted_away_files(self, spark, tmp_path):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        pre = st.commit.epoch()
+        st.upsert(0, _rows(spark, [("m", 60, 2.0)]))
+        st.compact(0, days=st._live_days(0))
+        st.restore(pre)
+        assert st.read(0).collect()[0].value == 1.0
+        # restore is restorable: roll forward again to the fold
+        head = st.history()
+        fold = next(r["seq"] for r in head if r["op"] == "compact")
+        st.restore(fold)
+        assert st.read(0).collect()[0].value == 2.0
+
+    def test_restore_past_vacuum_horizon_changes_nothing(
+        self, spark, tmp_path
+    ):
+        st = _mk(spark, tmp_path)
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        pre = st.commit.epoch()
+        st.upsert(0, _rows(spark, [("m", 60, 2.0)]))
+        st.compact(0, days=st._live_days(0))
+        st.vacuum(grace_s=0.0, now=time.time() + 60)
+        before = st.commit.epoch()
+        with pytest.raises(ValueError, match="retention horizon"):
+            st.restore(pre)
+        assert st.commit.epoch() == before  # nothing committed
+        assert st.read(0).collect()[0].value == 2.0
+
+    def test_restore_needs_the_manifest_backend(self, spark, tmp_path):
+        st = ParquetTieredStore(
+            spark, SCHEMA, str(tmp_path / "sl"), mode="mor",
+            commit_protocol="seqlock",
+        )
+        st.upsert(0, _rows(spark, [("m", 60, 1.0)]))
+        with pytest.raises(ValueError, match="manifest"):
+            st.restore(1)

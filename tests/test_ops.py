@@ -531,6 +531,28 @@ class TestCli:
                 capsys.readouterr().out.strip().splitlines()]
         assert [r["seq"] for r in recs] == [2, 1]
 
+    def test_cli_restore_rolls_back(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from kenshin_spark import cli
+        from kenshin_spark.config import Schema
+        from kenshin_spark.store import ParquetTieredStore
+
+        root = str(tmp_path / "st")
+        schema = Schema.from_strings("cli", ".*", "60s:30d", xff=1.0)
+        store = ParquetTieredStore(spark, schema, root, mode="mor")
+        store.upsert(0, spark.createDataFrame(
+            [("m", 60, 1.0)], ["metric", "ts", "value"]))
+        good = store.commit.epoch()
+        store.upsert(0, spark.createDataFrame(
+            [("m", 60, 666.0)], ["metric", "ts", "value"]))
+        cli.main(["--root", root, "--cpus", "2", "restore",
+                  "--version", str(good)])
+        rep = _json.loads(capsys.readouterr().out)
+        assert rep["restored_to"] == good
+        reopened = ParquetTieredStore(spark, schema, root, mode="mor")
+        assert reopened.read(0).collect()[0].value == 1.0
+
     def test_cli_audit_and_compact(self, spark, tmp_path, capsys):
         """audit prints per-day file shape with the flag decision;
         compact (no --days) compacts exactly the flagged days."""
