@@ -6,9 +6,10 @@ Supported natively (struct/zlib/wave + numpy only):
 - **BMP**: uncompressed BI_RGB 24/32-bit (the standard interchange
   form) — decode to HxWx3 uint8 and encode back (24-bit), so resize
   can return a real image container, not stand-in bytes.
-- **PNG**: 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced — chunk
-  walk, zlib inflate, and full defiltering (None/Sub/Up/Average/Paeth
-  per the PNG spec §9).
+- **PNG**: 8- and 16-bit gray / gray+alpha / RGB / RGBA (16-bit for
+  the non-paletted types), non-interlaced — chunk walk, zlib inflate,
+  and full defiltering (None/Sub/Up/Average/Paeth per the PNG spec
+  §9, byte-wise with the bytes-per-pixel left offset).
 - **WAV**: PCM via the stdlib ``wave`` module — true duration, sample
   rate, channel count, RMS and peak from the samples themselves.
 - **JPEG**: baseline sequential DCT (ITU-T T.81) — marker walk, 8-bit
@@ -81,7 +82,7 @@ def _coerce_codec_errors(fn):
 
     return wrapper
 
-#: PNG color type → samples per pixel (8-bit depth only)
+#: PNG color type → samples per pixel (non-paletted types)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -126,7 +127,9 @@ def _png_ihdr(payload: bytes) -> tuple[int, int, int, int]:
         w, h, depth, ctype, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", data[:13]
         )
-        if depth != 8:
+        # 16-bit applies to the non-paletted types only (paletted is
+        # 1/2/4/8 by spec); sub-byte depths stay on the PIL seam
+        if depth != 8 and not (depth == 16 and ctype in _PNG_CHANNELS):
             raise ValueError(f"png: unsupported bit depth {depth}")
         if ctype not in _PNG_CHANNELS and ctype != 3:
             raise ValueError(f"png: unsupported color type {ctype}")
@@ -163,17 +166,23 @@ def _paeth(a: int, b: int, c: int) -> int:
 @_coerce_codec_errors
 def decode_png(payload: bytes) -> np.ndarray:
     """HxWxC uint8 pixel array (C per color type; paletted color type 3
-    decodes to HxWx3 via the PLTE lookup). Implements the five PNG row
-    filters; sequential filters (Sub/Average/Paeth) run as per-byte
-    loops — acceptable for kernel-sized images, and the entropy-heavy
-    half (inflate) is C-side zlib."""
-    w, h, _depth, ctype = _png_ihdr(payload)
-    # filtering operates on the RAW sample stream: 1 byte/pixel for a
-    # paletted image (the palette index), channel count otherwise
+    decodes to HxWx3 via the PLTE lookup); HxWxC uint16 for 16-bit
+    images (faithful — :func:`decode_image` downconverts for the
+    uint8 pipeline contract). Implements the five PNG row filters —
+    filtering always operates on BYTES with a bytes-per-pixel left
+    offset, whatever the sample depth (PNG spec 9.2); sequential
+    filters (Sub/Average/Paeth) run as per-byte loops — acceptable for
+    kernel-sized images, and the entropy-heavy half (inflate) is
+    C-side zlib."""
+    w, h, depth, ctype = _png_ihdr(payload)
+    # filtering operates on the RAW byte stream: 1 byte/pixel for a
+    # paletted image (the palette index), channels x bytes-per-sample
+    # otherwise
     ch = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+    bypp = ch * (depth // 8)  # filter left-offset, PNG spec 9.2
     idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
     raw = zlib.decompress(idat)
-    stride = w * ch
+    stride = w * bypp
     if len(raw) != h * (stride + 1):
         raise ValueError("png: IDAT size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -192,14 +201,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ft in (1, 3, 4):
             cur = row.copy()
             for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
+                left = cur[i - bypp] if i >= bypp else 0
                 up = prev[i]
                 if ft == 1:
                     cur[i] = (row[i] + left) & 0xFF
                 elif ft == 3:
                     cur[i] = (row[i] + ((int(left) + int(up)) >> 1)) & 0xFF
                 else:
-                    ul = prev[i - ch] if i >= ch else 0
+                    ul = prev[i - bypp] if i >= bypp else 0
                     cur[i] = (
                         row[i] + _paeth(int(left), int(up), int(ul))
                     ) & 0xFF
@@ -207,6 +216,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"png: unknown filter type {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    if depth == 16:
+        # big-endian sample pairs -> native uint16 (spec 7.1: MSB first)
+        return (
+            np.ascontiguousarray(out)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(h, w, ch)
+        )
     if ctype == 3:
         plte, trns = b"", b""
         for t, d in _png_chunks(payload):
@@ -246,6 +263,29 @@ def encode_png(arr: np.ndarray) -> bytes:
     h, w, _ = arr.shape
     raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(arr: np.ndarray) -> bytes:
+    """16-bit PNG (filter 0 rows, big-endian samples per spec 7.1):
+    HxW or HxWx1 uint16 → grayscale (color type 0), HxWx3 → RGB
+    (color type 2) — the write half of decode_png's depth-16 branch,
+    for engine-built fixtures (scientific/scanner imagery is where
+    16-bit PNG ships in real corpora)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint16)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError("encode_png16: expects HxW[x1|x3] uint16")
+    h, w, ch = arr.shape
+    ctype = 0 if ch == 1 else 2
+    be = arr.astype(">u2")
+    raw = b"".join(b"\x00" + be[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
     return (
         PNG_SIG + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(raw))
@@ -357,10 +397,18 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 @_coerce_codec_errors
 def decode_image(payload: bytes) -> np.ndarray:
     """HxWxC uint8 for natively-supported containers; ValueError for
-    anything that needs PIL (callers fall through to that seam)."""
+    anything that needs PIL (callers fall through to that seam).
+    16-bit PNGs downconvert by high byte (the standard 16→8 map —
+    exactly ``round(v / 257)`` off by at most one, and bit-exact with
+    taking the MSB of the big-endian sample stream) so the pipeline
+    contract stays uint8; use :func:`decode_png` directly for the
+    faithful uint16 array."""
     kind = sniff(payload)
     if kind == "png":
-        return decode_png(payload)
+        arr = decode_png(payload)
+        if arr.dtype == np.uint16:
+            arr = (arr >> 8).astype(np.uint8)
+        return arr
     if kind == "bmp":
         return decode_bmp(payload)
     if kind == "jpeg":

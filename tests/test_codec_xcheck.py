@@ -29,15 +29,18 @@ def _first(*patterns):
     return None
 
 
-def _first_decodable_png(*patterns):
-    """First real PNG inside the supported profile (8-bit,
-    non-paletted, non-interlaced) — 16-bit/paletted icons correctly
-    raise ValueError and are not what this cross-check targets."""
+def _first_decodable_png(*patterns, depth=8):
+    """First real PNG of the requested bit depth inside the supported
+    profile (non-paletted, non-interlaced) — the 8-bit cross-check
+    must not grab a 16-bit icon (decodable natively since r11, but a
+    uint16 array is the wrong comparand for Spark's 8-bit image
+    source) and vice versa."""
     for pat in patterns:
         for p in sorted(glob.glob(pat)):
             try:
-                codecs.decode_png(open(p, "rb").read())
-                return p
+                arr = codecs.decode_png(open(p, "rb").read())
+                if arr.dtype == (np.uint16 if depth == 16 else np.uint8):
+                    return p
             except (ValueError, OSError):
                 continue
     return None
@@ -46,6 +49,10 @@ def _first_decodable_png(*patterns):
 REAL_PNG = _first_decodable_png(
     "/root/.pyenv/versions/*/lib/python*/idlelib/Icons/idle_*.png",
     "/mnt/sandboxing/**/kernels/python3/logo-64x64.png",
+)
+REAL_PNG16 = _first_decodable_png(
+    "/root/.pyenv/versions/*/lib/python*/idlelib/Icons/idle_*.png",
+    depth=16,
 )
 REAL_BASELINE_JPG = _first(
     "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/assets/verify.jpeg",
@@ -178,3 +185,61 @@ def test_paletted_png_flows_through_image_metadata_and_real_pixels(
     assert real is True
     expect = [int(v) for v in (np.arange(64) * 4)]
     assert list(grid) == expect  # integer luma of equal-RGB = identity
+
+
+def test_png16_engine_encode_vs_jvm_raster(spark, tmp_path):
+    """16-bit PNG (r11 gap closure): the engine-encoded container must
+    decode bit-exact at FULL depth in an independent engine —
+    javax.imageio's 16-bit raster — and our decode_png must agree with
+    it sample-for-sample. (Spark's `image` source is no oracle here:
+    ImageSchema truncates 16-bit rasters to the LOW byte.)"""
+    import numpy as np
+
+    from kenshin_spark.multimodal import codecs
+
+    rng = np.random.RandomState(16)
+    img = rng.randint(0, 65536, (9, 12)).astype(np.uint16)
+    p = tmp_path / "g16.png"
+    p.write_bytes(codecs.encode_png16(img))
+
+    ours = codecs.decode_png(p.read_bytes())
+    assert ours.dtype == np.uint16
+    np.testing.assert_array_equal(ours[:, :, 0], img)
+
+    jvm = spark._jvm
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(str(p)))
+    raster = bi.getRaster()
+    ref = np.array(
+        [
+            [raster.getSample(x, y, 0) for x in range(bi.getWidth())]
+            for y in range(bi.getHeight())
+        ],
+        dtype=np.uint16,
+    )
+    np.testing.assert_array_equal(ref, img)
+
+
+@pytest.mark.skipif(REAL_PNG16 is None, reason="no real 16-bit PNG")
+def test_real_world_png16_full_depth_vs_jvm_raster(spark):
+    """A REAL encoder's 16-bit PNG (idlelib ships 16-bit icons) must
+    decode bit-exact at full depth against javax.imageio's raster —
+    the independent-decoder check the engine-built fixture can't
+    give."""
+    mine = codecs.decode_png(open(REAL_PNG16, "rb").read())
+    assert mine.dtype == np.uint16
+    jvm = spark._jvm
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(REAL_PNG16))
+    raster = bi.getRaster()
+    assert (bi.getWidth(), bi.getHeight()) == (
+        mine.shape[1], mine.shape[0])
+    nb = raster.getNumBands()
+    assert nb == mine.shape[2]
+    for b in range(nb):
+        ref = np.array(
+            [
+                [raster.getSample(x, y, b) for x in range(bi.getWidth())]
+                for y in range(bi.getHeight())
+            ],
+            dtype=np.uint16,
+        )
+        np.testing.assert_array_equal(ref, mine[:, :, b])

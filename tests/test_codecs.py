@@ -303,3 +303,132 @@ class TestPalettedPng:
         broken = payload[:plte_at - 4] + payload[plte_at + 4 + ln + 4:]
         with pytest.raises(ValueError):
             codecs.decode_png(broken)
+
+
+class TestPng16:
+    """16-bit PNG decode (closing another PIL-seam profile): faithful
+    uint16 from decode_png, byte-wise defiltering with the 2-byte/
+    sample left offset, high-byte downconversion in decode_image, and
+    the encoder round-trip."""
+
+    @property
+    def _codecs(self):
+        from kenshin_spark.multimodal import codecs
+
+        return codecs
+
+    def _img(self, seed=7, h=11, w=13, ch=3):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        a = rng.randint(0, 65536, (h, w, ch)).astype(np.uint16)
+        return a[:, :, 0] if ch == 1 else a
+
+    def test_gray16_roundtrip_bit_exact(self):
+        import numpy as np
+
+        codecs = self._codecs
+        img = self._img(ch=1)
+        payload = codecs.encode_png16(img)
+        assert codecs.png_info(payload) == (13, 11, 1)
+        got = codecs.decode_png(payload)
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got[:, :, 0], img)
+
+    def test_rgb16_roundtrip_bit_exact(self):
+        import numpy as np
+
+        codecs = self._codecs
+        img = self._img(ch=3)
+        payload = codecs.encode_png16(img)
+        got = codecs.decode_png(payload)
+        assert got.dtype == np.uint16 and got.shape == (11, 13, 3)
+        np.testing.assert_array_equal(got, img)
+
+    def test_decode_image_downconverts_by_high_byte(self):
+        import numpy as np
+
+        codecs = self._codecs
+        img = self._img(ch=3)
+        arr = codecs.decode_image(codecs.encode_png16(img))
+        assert arr.dtype == np.uint8
+        np.testing.assert_array_equal(arr, (img >> 8).astype(np.uint8))
+
+    def test_filters_use_two_byte_left_offset(self):
+        """Handcraft Sub/Up/Average/Paeth-filtered 16-bit rows: the
+        filter left operand is the byte TWO positions back per channel
+        sample (PNG spec 9.2) — an 8-bit-offset decoder corrupts
+        exactly these rows."""
+        import struct
+        import zlib as _z
+
+        import numpy as np
+
+        codecs = self._codecs
+        rng = np.random.RandomState(1)
+        h, w = 5, 6
+        img = rng.randint(0, 65536, (h, w)).astype(np.uint16)
+        be = img.astype(">u2").view(np.uint8).reshape(h, w * 2)
+        bypp = 2
+        rows = []
+        prev = np.zeros(w * 2, dtype=np.int32)
+        for y in range(h):
+            cur = be[y].astype(np.int32)
+            ft = [0, 1, 2, 3, 4][y % 5]
+            f = np.zeros(w * 2, dtype=np.int32)
+            for i in range(w * 2):
+                left = cur[i - bypp] if i >= bypp else 0
+                up = prev[i]
+                ul = prev[i - bypp] if i >= bypp else 0
+                if ft == 0:
+                    f[i] = cur[i]
+                elif ft == 1:
+                    f[i] = cur[i] - left
+                elif ft == 2:
+                    f[i] = cur[i] - up
+                elif ft == 3:
+                    f[i] = cur[i] - ((left + up) >> 1)
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                    f[i] = cur[i] - pred
+            rows.append(bytes([ft]) + (f & 0xFF).astype(np.uint8).tobytes())
+            prev = cur
+        raw = b"".join(rows)
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+        payload = (
+            codecs.PNG_SIG
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IDAT", _z.compress(raw))
+            + codecs._png_chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(
+            codecs.decode_png(payload)[:, :, 0], img
+        )
+
+    def test_metadata_path_reports_real_dims_not_degrade(self):
+        from kenshin_spark.multimodal import _decode_with_flag
+
+        codecs = self._codecs
+        payload = codecs.encode_png16(self._img(ch=1))
+        _digest, width, height, fmt, degraded = _decode_with_flag(payload)
+        assert (width, height, fmt, degraded) == (13, 11, "png", False)
+
+    def test_paletted_16bit_still_refused(self):
+        import struct
+
+        import pytest as _pytest
+
+        codecs = self._codecs
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+        payload = (
+            codecs.PNG_SIG
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError):
+            codecs.png_info(payload)

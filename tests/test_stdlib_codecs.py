@@ -91,9 +91,11 @@ class TestPng:
     def test_unsupported_profiles_raise(self):
         arr = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
         png = bytearray(encode_png(arr))
-        png[24] = 16  # bit depth 16
+        png[24] = 4  # sub-byte depth: still a PIL-seam profile
         with pytest.raises(ValueError, match="bit depth"):
             codecs.png_info(bytes(png))
+        png[24] = 16  # 16-bit decodes natively since r11
+        assert codecs.png_info(bytes(png))[:2] == (2, 2)
 
 
 class TestBmp:
