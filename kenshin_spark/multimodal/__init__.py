@@ -95,7 +95,7 @@ def _decode_with_flag(payload: bytes) -> tuple[str, int, int, str, bool]:
             w, h, fmt = codecs.image_info(payload)
             return hashlib.md5(payload).hexdigest(), w, h, fmt, False
         except ValueError:
-            pass  # unsupported profile (e.g. interlaced PNG) → PIL seam
+            pass  # rare unsupported profile/corruption → PIL seam
     real = is_real_image(payload)
     if real:
         try:

@@ -127,17 +127,20 @@ def _png_ihdr(payload: bytes) -> tuple[int, int, int, int]:
         w, h, depth, ctype, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", data[:13]
         )
-        # 16-bit applies to the non-paletted types only (paletted is
-        # 1/2/4/8 by spec); sub-byte depths stay on the PIL seam
-        if depth != 8 and not (depth == 16 and ctype in _PNG_CHANNELS):
+        # legal depth/type combos (spec 11.2.2): 1/2/4 only for gray
+        # and paletted, 16 only for the non-paletted types
+        ok = depth == 8 or (
+            depth == 16 and ctype in _PNG_CHANNELS
+        ) or (depth in (1, 2, 4) and ctype in (0, 3))
+        if not ok:
             raise ValueError(f"png: unsupported bit depth {depth}")
         if ctype not in _PNG_CHANNELS and ctype != 3:
             raise ValueError(f"png: unsupported color type {ctype}")
-        if interlace != 0:
-            raise ValueError("png: interlaced images unsupported")
+        if interlace not in (0, 1):
+            raise ValueError("png: unknown interlace method")
         if comp != 0 or filt != 0:
             raise ValueError("png: nonstandard compression/filter")
-        return int(w), int(h), int(depth), int(ctype)
+        return int(w), int(h), int(depth), int(ctype), int(interlace)
     raise ValueError("png: no IHDR chunk")
 
 
@@ -148,7 +151,7 @@ def png_info(payload: bytes) -> tuple[int, int, int]:
     non-interlaced). Paletted images (color type 3) report what decode
     expands the PLTE lookup to: 3 (RGB), or 4 when a tRNS chunk adds
     palette alpha."""
-    w, h, _depth, ctype = _png_ihdr(payload)
+    w, h, _depth, ctype, _il = _png_ihdr(payload)
     if ctype == 3:
         has_trns = any(t == b"tRNS" for t, _ in _png_chunks(payload))
         return w, h, 4 if has_trns else 3
@@ -163,31 +166,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-@_coerce_codec_errors
-def decode_png(payload: bytes) -> np.ndarray:
-    """HxWxC uint8 pixel array (C per color type; paletted color type 3
-    decodes to HxWx3 via the PLTE lookup); HxWxC uint16 for 16-bit
-    images (faithful — :func:`decode_image` downconverts for the
-    uint8 pipeline contract). Implements the five PNG row filters —
-    filtering always operates on BYTES with a bytes-per-pixel left
-    offset, whatever the sample depth (PNG spec 9.2); sequential
-    filters (Sub/Average/Paeth) run as per-byte loops — acceptable for
-    kernel-sized images, and the entropy-heavy half (inflate) is
-    C-side zlib."""
-    w, h, depth, ctype = _png_ihdr(payload)
-    # filtering operates on the RAW byte stream: 1 byte/pixel for a
-    # paletted image (the palette index), channels x bytes-per-sample
-    # otherwise
-    ch = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
-    bypp = ch * (depth // 8)  # filter left-offset, PNG spec 9.2
-    idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
-    raw = zlib.decompress(idat)
-    stride = w * bypp
-    if len(raw) != h * (stride + 1):
+#: Adam7 pass layout, spec 8.2: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, pos: int, w: int, h: int, ch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``h`` scanlines of ``w`` pixels starting at
+    ``raw[pos]`` — the shared kernel for the whole image (non-
+    interlaced) and for each Adam7 pass (each pass restarts filtering
+    with a zero prior row, spec 8.2). Filters operate on BYTES with a
+    bytes-per-pixel left offset, floored at 1 for sub-byte depths
+    (spec 9.2). Returns (h x stride uint8 scanline bytes, new pos)."""
+    bypp = max(1, ch * depth // 8)
+    stride = (w * ch * depth + 7) // 8
+    if pos + h * (stride + 1) > len(raw):
         raise ValueError("png: IDAT size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint16)
-    pos = 0
     for y in range(h):
         ft = raw[pos]
         row = np.frombuffer(
@@ -216,14 +216,70 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"png: unknown filter type {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    return out, pos
+
+
+def _png_samples(
+    rows: np.ndarray, w: int, ch: int, depth: int
+) -> np.ndarray:
+    """Scanline bytes → an (h, w*ch) sample array: big-endian pair
+    view for 16-bit, identity for 8-bit, MSB-first bit regrouping for
+    sub-byte depths (spec 7.2 — the last byte's padding bits are
+    dropped here)."""
+    h = rows.shape[0]
+    n = w * ch
     if depth == 16:
-        # big-endian sample pairs -> native uint16 (spec 7.1: MSB first)
         return (
-            np.ascontiguousarray(out)
-            .view(">u2")
-            .astype(np.uint16)
-            .reshape(h, w, ch)
+            np.ascontiguousarray(rows).view(">u2")
+            .astype(np.uint16).reshape(h, n)
         )
+    if depth == 8:
+        return rows.reshape(h, -1)[:, :n]
+    bits = np.unpackbits(rows, axis=1)
+    usable = (bits.shape[1] // depth) * depth
+    grouped = bits[:, :usable].reshape(h, -1, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)[:, :n]
+
+
+@_coerce_codec_errors
+def decode_png(payload: bytes) -> np.ndarray:
+    """HxWxC uint8 pixel array (C per color type; paletted color type 3
+    decodes to HxWx3 via the PLTE lookup); HxWxC uint16 for 16-bit
+    images (faithful — :func:`decode_image` downconverts for the
+    uint8 pipeline contract). Covers every legal depth/type combo of
+    the baseline profile — 1/2/4-bit gray and paletted (sub-byte
+    samples scale by bit replication, spec 11.2.2 note), 8-bit
+    everything, 16-bit non-paletted — plus Adam7 interlacing (each
+    pass unfilters independently, then scatters into the full grid,
+    spec 8.2). Sequential filters (Sub/Average/Paeth) run as per-byte
+    loops — acceptable for kernel-sized images, and the entropy-heavy
+    half (inflate) is C-side zlib."""
+    w, h, depth, ctype, interlace = _png_ihdr(payload)
+    # filtering operates on the RAW byte stream: palette indices for
+    # color type 3, channels x bytes-per-sample otherwise
+    ch = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+    idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
+    raw = zlib.decompress(idat)
+    dt = np.uint16 if depth == 16 else np.uint8
+    if interlace == 0:
+        rows, pos = _png_unfilter(raw, 0, w, h, ch, depth)
+        samples = _png_samples(rows, w, ch, depth).reshape(h, w, ch)
+    else:  # Adam7: 7 independent sub-images, scattered by stride
+        samples = np.zeros((h, w, ch), dtype=dt)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size (spec 8.2)
+            rows, pos = _png_unfilter(raw, pos, pw, ph, ch, depth)
+            sub = _png_samples(rows, pw, ch, depth).reshape(ph, pw, ch)
+            samples[y0::dy, x0::dx, :] = sub
+    if pos != len(raw):
+        raise ValueError("png: IDAT size mismatch")
+    if depth == 16:
+        return samples
     if ctype == 3:
         plte, trns = b"", b""
         for t, d in _png_chunks(payload):
@@ -234,7 +290,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         if not plte or len(plte) % 3:
             raise ValueError("png: paletted image without a valid PLTE")
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = out.reshape(h, w)
+        idx = samples.reshape(h, w)
         if int(idx.max(initial=0)) >= palette.shape[0]:
             raise ValueError("png: palette index out of range")
         if trns:  # palette alpha: one byte per leading entry, rest 255
@@ -243,7 +299,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             alpha[: len(a)] = a
             palette = np.concatenate([palette, alpha[:, None]], axis=1)
         return palette[idx]  # HxWx3 RGB (HxWx4 with tRNS)
-    return out.reshape(h, w, ch)
+    if depth < 8:
+        # bit replication maps the sample range onto 0..255 exactly:
+        # 1-bit x255, 2-bit x85, 4-bit x17 (spec 11.2.2 note)
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    return samples
 
 
 def _png_chunk(tag: bytes, data: bytes) -> bytes:

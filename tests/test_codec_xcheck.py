@@ -243,3 +243,39 @@ def test_real_world_png16_full_depth_vs_jvm_raster(spark):
             dtype=np.uint16,
         )
         np.testing.assert_array_equal(ref, mine[:, :, b])
+
+
+REAL_PALETTED4_PNG = _first(
+    "/usr/share/icons/locolor/16x16/apps/gvim.png",
+    "/usr/share/icons/locolor/*/apps/*.png",
+)
+REAL_INTERLACED_PNG = _first(
+    "/usr/share/doc/libpng-dev/examples/pngtest.png",
+)
+
+
+@pytest.mark.skipif(
+    REAL_PALETTED4_PNG is None, reason="no 4-bit paletted PNG"
+)
+def test_real_world_4bit_paletted_png_vs_imageio(spark):
+    """A real encoder's 4-bit paletted icon (locolor gvim, tRNS
+    alpha): sub-byte palette indices must unpack MSB-first and expand
+    bit-exact against javax.imageio."""
+    mine = codecs.decode_png(open(REAL_PALETTED4_PNG, "rb").read())
+    ref = _imageio_rgb(spark, REAL_PALETTED4_PNG)
+    assert mine.shape == ref.shape
+    np.testing.assert_array_equal(mine, ref)
+
+
+@pytest.mark.skipif(
+    REAL_INTERLACED_PNG is None, reason="no interlaced PNG"
+)
+def test_real_world_adam7_png_vs_imageio(spark):
+    """libpng's own pngtest.png (Adam7-interlaced RGBA, 91x69 — odd
+    dims exercise partial passes): per-pass unfilter + scatter must be
+    bit-exact against javax.imageio."""
+    payload = open(REAL_INTERLACED_PNG, "rb").read()
+    mine = codecs.decode_png(payload)
+    ref = _imageio_rgb(spark, REAL_INTERLACED_PNG)
+    assert mine.shape == ref.shape
+    np.testing.assert_array_equal(mine, ref)

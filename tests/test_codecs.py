@@ -432,3 +432,129 @@ class TestPng16:
         )
         with _pytest.raises(ValueError):
             codecs.png_info(payload)
+
+
+class TestSubByteAndInterlacedPng:
+    """1/2/4-bit and Adam7 decode (closing the last PNG profiles on
+    the PIL seam): handcrafted streams against known pixels; the
+    real-world cross-checks live in test_codec_xcheck.py."""
+
+    @property
+    def _codecs(self):
+        from kenshin_spark.multimodal import codecs
+
+        return codecs
+
+    def _png(self, w, h, depth, ctype, il, raw, extra=b""):
+        import struct
+        import zlib as _z
+
+        codecs = self._codecs
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, il)
+        return (
+            codecs.PNG_SIG
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + extra
+            + codecs._png_chunk(b"IDAT", _z.compress(raw))
+            + codecs._png_chunk(b"IEND", b"")
+        )
+
+    def test_gray_1_2_4_bit_scale_by_replication(self):
+        import numpy as np
+
+        codecs = self._codecs
+        for depth, scale in [(1, 255), (2, 85), (4, 17)]:
+            w, h = 7, 3  # 7 samples: the last byte carries padding bits
+            rng = np.random.RandomState(depth)
+            img = rng.randint(0, 1 << depth, (h, w)).astype(np.uint8)
+            # pack MSB-first by hand
+            rows = []
+            for y in range(h):
+                bitstr = "".join(
+                    format(int(v), f"0{depth}b") for v in img[y]
+                )
+                bitstr += "0" * (-len(bitstr) % 8)
+                rows.append(
+                    b"\x00" + bytes(
+                        int(bitstr[i:i + 8], 2)
+                        for i in range(0, len(bitstr), 8)
+                    )
+                )
+            payload = self._png(w, h, depth, 0, 0, b"".join(rows))
+            assert codecs.png_info(payload) == (w, h, 1)
+            got = codecs.decode_png(payload)
+            np.testing.assert_array_equal(
+                got[:, :, 0], img * np.uint8(scale)
+            )
+
+    def test_4bit_paletted_with_trns(self):
+        import numpy as np
+
+        codecs = self._codecs
+        w, h = 5, 4
+        rng = np.random.RandomState(9)
+        palette = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+        rows = []
+        for y in range(h):
+            bitstr = "".join(format(int(v), "04b") for v in idx[y])
+            bitstr += "0" * (-len(bitstr) % 8)
+            rows.append(
+                b"\x00" + bytes(
+                    int(bitstr[i:i + 8], 2)
+                    for i in range(0, len(bitstr), 8)
+                )
+            )
+        extra = (
+            codecs._png_chunk(b"PLTE", palette.tobytes())
+            + codecs._png_chunk(b"tRNS", bytes([0]))  # entry 0 clear
+        )
+        payload = self._png(w, h, 4, 3, 0, b"".join(rows), extra=extra)
+        got = codecs.decode_png(payload)
+        assert got.shape == (h, w, 4)
+        np.testing.assert_array_equal(got[:, :, :3], palette[idx])
+        np.testing.assert_array_equal(
+            got[:, :, 3], np.where(idx == 0, 0, 255).astype(np.uint8)
+        )
+
+    def test_adam7_rgb_roundtrip_all_pass_shapes(self):
+        """Interlaced encode by hand (filter-0 passes in Adam7 order)
+        must decode to the original at sizes that exercise empty and
+        partial passes (1x1 .. 9x10)."""
+        import numpy as np
+
+        codecs = self._codecs
+        rng = np.random.RandomState(3)
+        for w, h in [(1, 1), (2, 3), (5, 5), (8, 8), (9, 10)]:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            raw = b""
+            for x0, y0, dx, dy in codecs._ADAM7:
+                sub = img[y0::dy, x0::dx, :]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                for y in range(sub.shape[0]):
+                    raw += b"\x00" + sub[y].tobytes()
+            payload = self._png(w, h, 8, 2, 1, raw)
+            np.testing.assert_array_equal(
+                codecs.decode_png(payload), img, err_msg=f"{w}x{h}"
+            )
+
+    def test_adam7_16bit_gray(self):
+        import numpy as np
+
+        codecs = self._codecs
+        rng = np.random.RandomState(4)
+        w, h = 6, 7
+        img = rng.randint(0, 65536, (h, w)).astype(np.uint16)
+        raw = b""
+        for x0, y0, dx, dy in codecs._ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            be = sub.astype(">u2")
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + be[y].tobytes()
+        payload = self._png(w, h, 16, 0, 1, raw)
+        got = codecs.decode_png(payload)
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got[:, :, 0], img)
