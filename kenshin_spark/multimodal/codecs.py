@@ -147,15 +147,18 @@ def _png_ihdr(payload: bytes) -> tuple[int, int, int, int]:
 @_coerce_codec_errors
 def png_info(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels-after-decode) from IHDR; raises
-    ValueError for forms outside the supported profile (8-bit,
-    non-interlaced). Paletted images (color type 3) report what decode
-    expands the PLTE lookup to: 3 (RGB), or 4 when a tRNS chunk adds
-    palette alpha."""
+    ValueError for forms outside the supported profile. Images whose
+    decode synthesizes an alpha channel report it: paletted (type 3)
+    expands the PLTE lookup to 3, or 4 with tRNS palette alpha;
+    gray/RGB (types 0/2) gain a channel when tRNS names a transparent
+    color (spec 11.3.2)."""
     w, h, _depth, ctype, _il = _png_ihdr(payload)
-    if ctype == 3:
-        has_trns = any(t == b"tRNS" for t, _ in _png_chunks(payload))
-        return w, h, 4 if has_trns else 3
-    return w, h, _PNG_CHANNELS[ctype]
+    ch = 3 if ctype == 3 else _PNG_CHANNELS[ctype]
+    if ctype in (0, 2, 3) and any(
+        t == b"tRNS" for t, _ in _png_chunks(payload)
+    ):
+        ch += 1
+    return w, h, ch
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -278,8 +281,6 @@ def decode_png(payload: bytes) -> np.ndarray:
             samples[y0::dy, x0::dx, :] = sub
     if pos != len(raw):
         raise ValueError("png: IDAT size mismatch")
-    if depth == 16:
-        return samples
     if ctype == 3:
         plte, trns = b"", b""
         for t, d in _png_chunks(payload):
@@ -299,6 +300,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             alpha[: len(a)] = a
             palette = np.concatenate([palette, alpha[:, None]], axis=1)
         return palette[idx]  # HxWx3 RGB (HxWx4 with tRNS)
+    trns = b"".join(d for t, d in _png_chunks(payload) if t == b"tRNS")
+    if trns and ctype in (0, 2):
+        # tRNS names ONE fully-transparent sample value (pre-scaling,
+        # 16-bit fields; spec 11.3.2) — decode synthesizes the alpha
+        # channel a viewer would composite with
+        key = struct.unpack(f">{ch}H", trns[: 2 * ch])
+        mask = np.all(samples == np.array(key, dtype=dt), axis=2)
+        opaque = 65535 if depth == 16 else 255
+        alpha = np.where(mask, 0, opaque).astype(dt)
+        if depth < 8:
+            samples = samples * np.uint8(255 // ((1 << depth) - 1))
+        return np.concatenate([samples, alpha[:, :, None]], axis=2)
     if depth < 8:
         # bit replication maps the sample range onto 0..255 exactly:
         # 1-bit x255, 2-bit x85, 4-bit x17 (spec 11.2.2 note)

@@ -558,3 +558,71 @@ class TestSubByteAndInterlacedPng:
         got = codecs.decode_png(payload)
         assert got.dtype == np.uint16
         np.testing.assert_array_equal(got[:, :, 0], img)
+
+
+class TestColorKeyTransparency:
+    """tRNS on gray/RGB (color types 0/2, spec 11.3.2): decode
+    synthesizes the alpha channel for the named transparent color —
+    the last PNG chunk semantic the native decoder lacked."""
+
+    @property
+    def _codecs(self):
+        from kenshin_spark.multimodal import codecs
+
+        return codecs
+
+    def test_rgb8_color_key(self):
+        import struct
+        import zlib as _z
+
+        import numpy as np
+
+        codecs = self._codecs
+        img = np.array(
+            [[[10, 20, 30], [1, 2, 3]], [[1, 2, 3], [9, 9, 9]]],
+            dtype=np.uint8,
+        )
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(2))
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        payload = (
+            codecs.PNG_SIG
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+            + codecs._png_chunk(b"IDAT", _z.compress(raw))
+            + codecs._png_chunk(b"IEND", b"")
+        )
+        assert codecs.png_info(payload) == (2, 2, 4)
+        got = codecs.decode_png(payload)
+        assert got.shape == (2, 2, 4)
+        np.testing.assert_array_equal(got[:, :, :3], img)
+        np.testing.assert_array_equal(
+            got[:, :, 3],
+            np.array([[255, 0], [0, 255]], dtype=np.uint8),
+        )
+
+    def test_gray16_color_key_keeps_depth(self):
+        import struct
+        import zlib as _z
+
+        import numpy as np
+
+        codecs = self._codecs
+        img = np.array([[40000, 123], [123, 7]], dtype=np.uint16)
+        be = img.astype(">u2")
+        raw = b"".join(b"\x00" + be[y].tobytes() for y in range(2))
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        payload = (
+            codecs.PNG_SIG
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"tRNS", struct.pack(">H", 123))
+            + codecs._png_chunk(b"IDAT", _z.compress(raw))
+            + codecs._png_chunk(b"IEND", b"")
+        )
+        assert codecs.png_info(payload) == (2, 2, 2)
+        got = codecs.decode_png(payload)
+        assert got.dtype == np.uint16 and got.shape == (2, 2, 2)
+        np.testing.assert_array_equal(got[:, :, 0], img)
+        np.testing.assert_array_equal(
+            got[:, :, 1],
+            np.array([[65535, 0], [0, 65535]], dtype=np.uint16),
+        )
