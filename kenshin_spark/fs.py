@@ -253,9 +253,16 @@ class HadoopFS:
             stream.close()
 
     def write_text_atomic(self, path: str, text: str) -> None:
-        """Write via ``<path>.tmp`` + rename so readers never observe a
-        torn file."""
-        tmp = path + ".tmp"
+        """Write via a staged ``.tmp`` + rename so readers never
+        observe a torn file. The stage name is per-call unique:
+        CONCURRENT writers of the same path (the manifest `_latest`
+        hint after an optimistic-CAS commit) must not share a stage
+        file, or the loser's rename hits FileNotFound after the winner
+        consumed it. Still ends in ``.tmp`` so vacuum's crash-debris
+        sweep recognizes stranded stages."""
+        import uuid as _uuid
+
+        tmp = f"{path}.w{_uuid.uuid4().hex[:8]}.tmp"
         if self._local_fast:
             import os
 
