@@ -73,7 +73,8 @@ def _decode_with_flag(payload: bytes) -> tuple[str, int, int, str, bool]:
     (PNG/BMP/baseline-JPEG/progressive-JPEG/lossless-WebP — REAL
     decode, no dependencies, `multimodal/codecs.py` + `webp.py`;
     WebP header parsing also covers lossy-VP8/VP8X dims); (2) PIL for
-    what remains (lossy-VP8 pixels, exotic profiles) when importable;
+    what remains (rare exotic profiles, corrupt-but-salvageable
+    payloads) when importable;
     (3)
     deterministic pseudo-metadata for everything else — including
     real-image containers this environment cannot decode (no PIL, or

@@ -486,7 +486,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if kind == "jpeg":
         return decode_jpeg(payload)
-    if kind == "webp":  # VP8L lossless only; lossy VP8 -> PIL seam
+    if kind == "webp":  # VP8L lossless AND lossy VP8 (+ALPH), native
         from kenshin_spark.multimodal import webp
 
         return webp.decode_webp(payload)

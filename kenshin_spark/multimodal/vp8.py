@@ -167,6 +167,8 @@ def decode_frame(data: bytes):
     mb_w = (w + 15) >> 4
     mb_h = (h + 15) >> 4
 
+    if hd.part1_size == 0:
+        raise VP8Error("vp8: empty first partition")
     part0 = data[10:10 + hd.part1_size]
     if len(part0) < hd.part1_size:
         raise VP8Error("vp8: truncated first partition")
@@ -478,3 +480,74 @@ def _large_value(bd, p) -> int:
     for prob in _CAT3456[cat]:
         v += v + bd.bit(prob)
     return v + 3 + (8 << cat)
+
+
+# -- display-space conversion (libwebp-compatible) --------------------------
+
+def _clip8_fix6(v):
+    """libwebp VP8Clip8: >>6 with saturation (YUV_FIX2 = 6)."""
+    return np.clip(v >> 6, 0, 255) if isinstance(v, np.ndarray) else (
+        0 if v < 0 else (255 if (v >> 6) > 255 else v >> 6)
+    )
+
+
+def yuv_to_rgb(Y, U, V):
+    """Full-size Y + FULL-SIZE (already upsampled) U/V → HxWx3 uint8,
+    libwebp's fixed-point BT.601 constants (dsp/yuv.h): bit-compatible
+    with its per-pixel conversion."""
+    y = Y.astype(np.int32)
+    u = U.astype(np.int32)
+    v = V.astype(np.int32)
+    mh = lambda a, c: (a * c) >> 8
+    r = np.clip((mh(y, 19077) + mh(v, 26149) - 14234) >> 6, 0, 255)
+    g = np.clip(
+        (mh(y, 19077) - mh(u, 6419) - mh(v, 13320) + 8708) >> 6, 0, 255
+    )
+    b = np.clip((mh(y, 19077) + mh(u, 33050) - 17685) >> 6, 0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def fancy_upsample(P, w, h):
+    """libwebp's 'fancy' 4:2:0 chroma upsampler (dsp/upsampling.c):
+    chroma samples sit between luma pairs; each output pixel blends
+    the 4 nearest chroma samples with 9/3/3/1 weights, edges
+    replicated. Returns an (h, w) plane from the ((h+1)//2,(w+1)//2)
+    subsampled one, integer-exact to the reference implementation."""
+    cw = (w + 1) // 2
+    C = P.astype(np.int64)
+    # horizontal positions: out x even -> between samples (x/2 -1?,)
+    # Build via the reference pair formulas, vectorized per row pair.
+    out = np.empty((h, w), dtype=np.int64)
+
+    def _row(top_c, cur_c):
+        """One output row from two chroma rows (len w), packed exact
+        arithmetic of the C loop."""
+        tl = top_c[:-1]
+        t = top_c[1:]
+        l = cur_c[:-1]
+        c = cur_c[1:]
+        avg = tl + t + l + c + 8
+        diag12 = (avg + 2 * (t + l)) >> 3
+        diag03 = (avg + 2 * (tl + c)) >> 3
+        r = np.empty(w, dtype=np.int64)
+        r[0] = (3 * top_c[0] + cur_c[0] + 2) >> 2
+        odd = (diag12 + tl) >> 1
+        even = (diag03 + t) >> 1
+        upto = min(cw - 1, (w - 1) >> 1)
+        r[1:2 * upto:2] = odd[:upto]
+        r[2:2 * upto + 1:2] = even[:upto]
+        if w % 2 == 0:
+            r[w - 1] = (3 * top_c[-1] + cur_c[-1] + 2) >> 2
+        return r
+
+    for j in range(h):
+        # chroma row indices around luma row j (chroma centered at
+        # luma rows 2k+0.5): top = (j-1)//2 clamped, cur = (j+1)//2
+        if j == 0:
+            a = b = 0
+        elif j % 2 == 1:
+            a, b = (j - 1) // 2, min((j + 1) // 2, C.shape[0] - 1)
+        else:
+            a, b = min((j + 1) // 2, C.shape[0] - 1), (j - 1) // 2
+        out[j] = _row(C[a], C[b])
+    return out.astype(np.uint8)

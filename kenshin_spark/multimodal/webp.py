@@ -655,6 +655,16 @@ def _decode_vp8l(data: bytes) -> np.ndarray:
     r.bit()  # alpha hint
     if r.bits(3) != 0:
         raise ValueError("webp: unsupported VP8L version")
+    px = _decode_lossless_body(r, w, h)
+    # ARGB columns -> HxWx4 RGBA
+    return px[:, :, [1, 2, 3, 0]].astype(np.uint8)
+
+
+def _decode_lossless_body(r: _LsbReader, w: int, h: int) -> np.ndarray:
+    """Transforms + entropy-coded pixels (everything after the VP8L
+    header) → HxWx4 int32 ARGB. Shared by the VP8L image path and the
+    ALPH chunk's headerless lossless alpha stream (container spec
+    'Alpha' §: compression method 1)."""
     transforms = []
     seen = set()
     xsize = w
@@ -697,8 +707,56 @@ def _decode_vp8l(data: bytes) -> np.ndarray:
             px = _inv_subtract_green(px)
         else:
             px = _inv_color_index(px, t[1], t[2], t[3])
-    # ARGB columns -> HxWx4 RGBA
-    return px[:, :, [1, 2, 3, 0]].astype(np.uint8)
+    return px
+
+
+def _decode_alpha(data: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk → (h, w) uint8 alpha plane (container spec 'Alpha
+    chunk'): 1 header byte — compression (0 raw / 1 lossless), filter
+    (none/horizontal/vertical/gradient), pre-processing (encode-side
+    level reduction; nothing to undo) — then either raw bytes or a
+    HEADERLESS lossless stream whose green channel carries alpha."""
+    if not data:
+        raise ValueError("webp: empty ALPH chunk")
+    head = data[0]
+    method = head & 3
+    filt = (head >> 2) & 3
+    if method == 0:
+        if len(data) < 1 + w * h:
+            raise ValueError("webp: short raw alpha")
+        plane = np.frombuffer(
+            data[1:1 + w * h], dtype=np.uint8
+        ).reshape(h, w).astype(np.int32)
+    elif method == 1:
+        r = _LsbReader(data, 1)
+        px = _decode_lossless_body(r, w, h)
+        plane = px[:, :, 2].astype(np.int32)  # green carries alpha
+    else:
+        raise ValueError(f"webp: bad alpha compression {method}")
+    if filt:
+        out = np.zeros((h, w), dtype=np.int32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif filt == 1:  # horizontal
+                    pred = out[y, x - 1] if x > 0 else out[y - 1, x]
+                elif filt == 2:  # vertical
+                    pred = out[y - 1, x] if y > 0 else out[y, x - 1]
+                else:  # gradient
+                    if y == 0:
+                        pred = out[y, x - 1]
+                    elif x == 0:
+                        pred = out[y - 1, x]
+                    else:
+                        g = (
+                            out[y, x - 1] + out[y - 1, x]
+                            - out[y - 1, x - 1]
+                        )
+                        pred = 0 if g < 0 else (255 if g > 255 else g)
+                out[y, x] = (plane[y, x] + pred) & 0xFF
+        plane = out
+    return plane.astype(np.uint8)
 
 
 def _riff_chunks(payload: bytes):
@@ -714,12 +772,34 @@ def _riff_chunks(payload: bytes):
 
 @_coerce_codec_errors
 def decode_webp(payload: bytes) -> np.ndarray:
-    """HxWx4 uint8 RGBA from a lossless (VP8L) WebP; ValueError for
-    lossy VP8 / animation (PIL-seam fall-through)."""
+    """HxWx4 uint8 RGBA from a still WebP — lossless (VP8L) or lossy
+    (VP8 keyframe + optional ALPH alpha), both decoded natively. The
+    lossy path runs the RFC 6386 intra decoder (`vp8.py`), libwebp's
+    fancy 4:2:0 upsampler and its fixed-point BT.601 conversion —
+    bit-exact against WebPDecodeRGBA (tests/test_vp8.py). Animations
+    go through webp_frames/decode_webp_frame instead."""
+    lossy = alph = None
     for tag, data in _riff_chunks(payload):
         if tag == b"VP8L":
             return _decode_vp8l(data)
-    raise ValueError("webp: no VP8L chunk (lossy/animated needs PIL)")
+        if tag == b"VP8 " and lossy is None:
+            lossy = data
+        elif tag == b"ALPH":
+            alph = data
+    if lossy is None:
+        raise ValueError("webp: no VP8L/VP8 image chunk")
+    from kenshin_spark.multimodal import vp8
+
+    Y, U, V = vp8.decode_frame(lossy)
+    h, w = Y.shape
+    rgb = vp8.yuv_to_rgb(
+        Y, vp8.fancy_upsample(U, w, h), vp8.fancy_upsample(V, w, h)
+    )
+    if alph is not None:
+        a = _decode_alpha(alph, w, h)
+    else:
+        a = np.full((h, w), 255, dtype=np.uint8)
+    return np.concatenate([rgb, a[:, :, None]], axis=2)
 
 
 @_coerce_codec_errors

@@ -1,0 +1,192 @@
+"""Native lossy-VP8 decoder vs the system libwebp (ctypes, test-only
+oracle — the role javax.imageio plays for PNG/JPEG): YUV planes must be
+BIT-exact (RFC 6386 fully specifies reconstruction incl. the in-loop
+filter), and the RGBA output must be bit-exact too (the converter
+reimplements libwebp's fancy upsampler + fixed-point BT.601).
+
+Three fixture sources: (1) libwebp-ENCODED images (real encoder,
+arbitrary content/size/quality), (2) HANDMADE bitstreams from the
+minimal writer in ``_vp8_writer.py`` (every intra mode in isolation,
+no residuals), (3) a real-world file shipped by CPython's test suite
+(VP8X + ALPH + VP8)."""
+
+import glob
+
+import numpy as np
+import pytest
+
+import _libwebp as L
+import _vp8_writer as W
+
+from kenshin_spark.multimodal import codecs, vp8, webp
+
+pytestmark = pytest.mark.skipif(
+    not L.available(), reason="libwebp not present"
+)
+
+REAL_LOSSY_WEBP = next(
+    iter(
+        sorted(
+            glob.glob(
+                "/root/.pyenv/versions/*/lib/python*/test/*/python.webp"
+            )
+        )
+    ),
+    None,
+)
+
+
+def _gradient(w, h):
+    g = ((np.arange(w)[None, :, None] * 3
+          + np.arange(h)[:, None, None] * 2) % 256).astype(np.uint8)
+    return np.repeat(g, 3, axis=2)
+
+
+def _blobs(w, h):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    p = np.stack(
+        [128 + 80 * np.sin(xx / 9.0), 128 + 80 * np.cos(yy / 7.0),
+         128 + 60 * np.sin((xx + yy) / 11.0)], axis=2)
+    return np.clip(p, 0, 255).astype(np.uint8)
+
+
+class TestYuvBitExact:
+    @pytest.mark.parametrize("q", [5, 20, 50, 75, 95])
+    def test_blobs_all_qualities(self, q):
+        payload = L.encode_rgb(_blobs(96, 64), q)
+        ref = L.decode_yuv(payload)
+        Y, U, V = vp8.decode_frame(L.vp8_chunk(payload))
+        np.testing.assert_array_equal(Y, ref[0])
+        np.testing.assert_array_equal(U, ref[1])
+        np.testing.assert_array_equal(V, ref[2])
+
+    @pytest.mark.parametrize("wh", [(1, 1), (3, 2), (15, 17), (16, 16),
+                                    (31, 33), (65, 63), (47, 81)])
+    def test_sizes_incl_partial_macroblocks(self, wh):
+        w, h = wh
+        rng = np.random.RandomState(w * 100 + h)
+        payload = L.encode_rgb(
+            rng.randint(0, 256, (h, w, 3)).astype(np.uint8), 60
+        )
+        ref = L.decode_yuv(payload)
+        Y, U, V = vp8.decode_frame(L.vp8_chunk(payload))
+        np.testing.assert_array_equal(Y, ref[0])
+        np.testing.assert_array_equal(U, ref[1])
+        np.testing.assert_array_equal(V, ref[2])
+
+    def test_gradient_exercises_segmentation(self):
+        # libwebp's encoder emits multi-segment streams with per-
+        # segment quant/filter classes for this content
+        for q in (20, 75):
+            payload = L.encode_rgb(_gradient(64, 48), q)
+            ref = L.decode_yuv(payload)
+            Y, U, V = vp8.decode_frame(L.vp8_chunk(payload))
+            np.testing.assert_array_equal(Y, ref[0])
+            np.testing.assert_array_equal(U, ref[1])
+            np.testing.assert_array_equal(V, ref[2])
+
+
+class TestHandmadeStreams:
+    """The minimal writer emits one stream per intra mode with no
+    residuals — libwebp decodes it as ground truth, so each predictor
+    (and the mode/probability parse) is verified in isolation."""
+
+    @pytest.mark.parametrize("ym", [0, 1, 2, 3])
+    @pytest.mark.parametrize("uv", [0, 1, 2, 3])
+    def test_whole_block_modes(self, ym, uv):
+        frame = W.write_keyframe(16, 16, [dict(ymode=ym, uvmode=uv)])
+        ref = L.decode_yuv(W.wrap_webp(frame))
+        Y, U, V = vp8.decode_frame(frame)
+        np.testing.assert_array_equal(Y, ref[0])
+        np.testing.assert_array_equal(U, ref[1])
+        np.testing.assert_array_equal(V, ref[2])
+
+    @pytest.mark.parametrize("bm", list(range(10)))
+    def test_each_b_pred_mode(self, bm):
+        frame = W.write_keyframe(
+            16, 16, [dict(ymode=4, bmodes=[bm] * 16, uvmode=0)]
+        )
+        ref = L.decode_yuv(W.wrap_webp(frame))
+        Y, _U, _V = vp8.decode_frame(frame)
+        np.testing.assert_array_equal(Y, ref[0])
+
+    def test_mixed_modes_multi_mb(self):
+        rng = np.random.RandomState(0)
+        for _ in range(8):
+            mbw, mbh = rng.randint(1, 4), rng.randint(1, 4)
+            mbs = [
+                dict(
+                    ymode=int(rng.choice([0, 1, 2, 3, 4],
+                                         p=[.1, .1, .1, .1, .6])),
+                    uvmode=int(rng.randint(4)),
+                    bmodes=[int(v) for v in rng.randint(0, 10, 16)],
+                )
+                for _ in range(mbw * mbh)
+            ]
+            frame = W.write_keyframe(mbw * 16, mbh * 16, mbs)
+            ref = L.decode_yuv(W.wrap_webp(frame))
+            Y, U, V = vp8.decode_frame(frame)
+            np.testing.assert_array_equal(Y, ref[0])
+            np.testing.assert_array_equal(U, ref[1])
+            np.testing.assert_array_equal(V, ref[2])
+
+
+class TestRgbaBitExact:
+    """decode_webp end-to-end (VP8 + fancy upsample + fixed-point
+    YUV→RGB + ALPH alpha) against WebPDecodeRGBA."""
+
+    def test_opaque(self):
+        payload = L.encode_rgb(_blobs(48, 32), 75)
+        np.testing.assert_array_equal(
+            webp.decode_webp(payload), L.decode_rgba(payload)
+        )
+
+    def test_with_alpha_chunk(self):
+        rng = np.random.RandomState(9)
+        rgba = rng.randint(0, 256, (53, 37, 4)).astype(np.uint8)
+        rgba[:, :, 3] = (
+            np.arange(37)[None, :] * 3 + np.arange(53)[:, None] * 2
+        ) % 256
+        payload = L.encode_rgba(rgba, 60)
+        np.testing.assert_array_equal(
+            webp.decode_webp(payload), L.decode_rgba(payload)
+        )
+
+    @pytest.mark.skipif(
+        REAL_LOSSY_WEBP is None, reason="no real lossy webp"
+    )
+    def test_real_world_file(self):
+        payload = open(REAL_LOSSY_WEBP, "rb").read()
+        np.testing.assert_array_equal(
+            webp.decode_webp(payload), L.decode_rgba(payload)
+        )
+
+    def test_decode_image_dispatch(self):
+        payload = L.encode_rgb(_blobs(24, 18), 80)
+        arr = codecs.decode_image(payload)
+        assert arr.dtype == np.uint8 and arr.shape == (18, 24, 4)
+
+
+class TestFencing:
+    def test_truncated_and_garbage_raise(self):
+        payload = L.encode_rgb(_blobs(32, 32), 75)
+        chunk = L.vp8_chunk(payload)
+        with pytest.raises(ValueError):
+            vp8.decode_frame(chunk[:8])
+        with pytest.raises(ValueError):
+            vp8.decode_frame(b"\x01" + chunk[1:])  # interframe bit
+        bad = bytearray(chunk)
+        bad[3] = 0x00  # break the start code
+        with pytest.raises(ValueError):
+            vp8.decode_frame(bytes(bad))
+
+    def test_image_metadata_reports_lossy_webp(self, spark):
+        from kenshin_spark.multimodal import image_metadata
+
+        payload = L.encode_rgb(_blobs(40, 30), 75)
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        [row] = image_metadata(df).collect()
+        assert (row["width"], row["height"], row["format"]) == (
+            40, 30, "webp")

@@ -137,13 +137,15 @@ class TestMalformed:
             with pytest.raises(ValueError):
                 webp.decode_webp(payload[:cut])
 
-    def test_lossy_vp8_routes_to_pil_seam(self):
-        # minimal lossy container: VP8 chunk with a keyframe header
+    def test_lossy_vp8_header_only_is_fenced(self):
+        # lossy decodes NATIVELY since r11 (vp8.py); a header-only
+        # frame with no coefficient partitions must still fence as
+        # ValueError, never crash, and dims stay readable
         frame = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 40, 30)
         chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
         payload = (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
                    + chunk)
-        with pytest.raises(ValueError, match="needs PIL"):
+        with pytest.raises(ValueError):
             webp.decode_webp(payload)
         assert webp.webp_info(payload) == (40, 30)  # dims still readable
 
