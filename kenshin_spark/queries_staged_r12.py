@@ -1759,36 +1759,72 @@ def q_q_customer_priority_breadth(spark, sf_dir):
 
 
 @stage(
-    "q_part_size_mode_by_type",
+    "mm_lossy_webp_rgba_sums",
     """
-    SELECT p_type, size_mode, n_at_mode FROM (
-      SELECT p_type, p_size AS size_mode, count(*) AS n_at_mode,
-             row_number() OVER (
-               PARTITION BY p_type ORDER BY count(*) DESC, p_size) AS rnk
-      FROM part GROUP BY 1, 2
-    ) t WHERE rnk = 1
+    SELECT * FROM (VALUES
+      ('blobs_64x48_q75', CAST(64 AS BIGINT), CAST(48 AS BIGINT),
+       CAST(401053 AS BIGINT), CAST(411591 AS BIGINT),
+       CAST(386337 AS BIGINT), CAST(783360 AS BIGINT)),
+      ('grad_16x16_q95', CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+       CAST(9624 AS BIGINT), CAST(9624 AS BIGINT),
+       CAST(9624 AS BIGINT), CAST(65280 AS BIGINT)),
+      ('noise_alpha_37x53_q60', CAST(37 AS BIGINT), CAST(53 AS BIGINT),
+       CAST(253621 AS BIGINT), CAST(249392 AS BIGINT),
+       CAST(250901 AS BIGINT), CAST(207866 AS BIGINT))
+    ) AS t(fixture, width, height, r_sum, g_sum, b_sum, a_sum)
     """,
-    "modal part size per type with a size tie-break — the default-"
-    "dimension pick a catalog UI pre-selects; grouped counts + "
-    "per-group rank",
+    "lossy-VP8 WebP decoded NATIVELY (r11 codec gap closure — the "
+    "LAST format that routed to the PIL seam): three real-encoder "
+    "fixtures (libwebp-authored: opaque photo-like, q95 gradient, and "
+    "an ALPH-alpha noise image) ship embedded; the engine runs the "
+    "full RFC 6386 intra decode + fancy 4:2:0 upsample + fixed-point "
+    "BT.601 conversion + alpha-chunk decode on executors and reports "
+    "per-channel pixel sums; the oracle pins the values produced by "
+    "LIBWEBP ITSELF at row-authoring time — a golden cross-engine "
+    "equality, not a replay (kenshin_spark/multimodal/vp8.py, "
+    "webp.py:decode_webp; bit-exactness suite in tests/test_vp8.py)",
 )
-def q_q_part_size_mode_by_type(spark, sf_dir):
-    from pyspark.sql import Window
+def q_mm_lossy_webp_rgba_sums(spark, sf_dir):
+    import pandas as pd
 
-    part = load_table(spark, sf_dir, "part")
-    counted = part.groupBy("p_type", "p_size").agg(
-        F.count(F.lit(1)).alias("n_at_mode")
-    )
-    w = Window.partitionBy("p_type").orderBy(
-        F.col("n_at_mode").desc(), F.col("p_size")
-    )
-    return (
-        counted.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select(
-            "p_type", F.col("p_size").alias("size_mode"), "n_at_mode"
-        )
-    )
+    from kenshin_spark.bank_common import LOSSY_WEBP_FIXTURES
+
+    def kern(batches):
+        import base64
+
+        import numpy as np
+
+        from kenshin_spark.multimodal import webp
+
+        for pdf in batches:
+            rows = []
+            for name in pdf["fixture"]:
+                arr = webp.decode_webp(
+                    base64.b64decode(LOSSY_WEBP_FIXTURES[name])
+                ).astype(np.int64)
+                rows.append(
+                    (
+                        name, arr.shape[1], arr.shape[0],
+                        int(arr[:, :, 0].sum()), int(arr[:, :, 1].sum()),
+                        int(arr[:, :, 2].sum()), int(arr[:, :, 3].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "fixture", "width", "height",
+                    "r_sum", "g_sum", "b_sum", "a_sum",
+                ],
+            )
+
+    names = spark.createDataFrame(
+        [(n,) for n in sorted(LOSSY_WEBP_FIXTURES)], "fixture string"
+    ).repartition(3)
+    return names.mapInPandas(
+        kern,
+        "fixture string, width long, height long, "
+        "r_sum long, g_sum long, b_sum long, a_sum long",
+    ).orderBy("fixture")
 
 
 @stage(

@@ -357,3 +357,36 @@ def q_q_orders_quarter_coverage(spark, sf_dir):
         F.min("o_orderdate").cast("string").alias("first_day"),
         F.max("o_orderdate").cast("string").alias("last_day"),
     )
+
+
+@stage(
+    "q_part_size_mode_by_type",
+    """
+    SELECT p_type, size_mode, n_at_mode FROM (
+      SELECT p_type, p_size AS size_mode, count(*) AS n_at_mode,
+             row_number() OVER (
+               PARTITION BY p_type ORDER BY count(*) DESC, p_size) AS rnk
+      FROM part GROUP BY 1, 2
+    ) t WHERE rnk = 1
+    """,
+    "modal part size per type with a size tie-break — the default-"
+    "dimension pick a catalog UI pre-selects; grouped counts + "
+    "per-group rank",
+)
+def q_q_part_size_mode_by_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    counted = part.groupBy("p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("n_at_mode")
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("n_at_mode").desc(), F.col("p_size")
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "p_type", F.col("p_size").alias("size_mode"), "n_at_mode"
+        )
+    )
