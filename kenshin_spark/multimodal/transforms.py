@@ -386,7 +386,8 @@ def _real_webp_frames(payload: bytes, every_ms: int, max_frames: int):
             fi += 1
         f = frames[fi]
         if fi not in md5_by_frame:  # decode each frame ONCE
-            arr = webp.decode_webp_frame(f)  # ValueError on lossy frames
+            # VP8L and lossy-VP8 frames both decode natively (r11)
+            arr = webp.decode_webp_frame(f)
             md5_by_frame[fi] = hashlib.md5(arr.tobytes()).hexdigest()
         rows.append((i, ts, md5_by_frame[fi], len(f["data"])))
     return rows

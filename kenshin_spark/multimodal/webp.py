@@ -1237,7 +1237,7 @@ def webp_frames(payload: bytes) -> list[dict]:
         dur = int.from_bytes(data[12:15], "little")
         sub = data[16:]
         pos = 0
-        kind, img = None, None
+        kind, img, alph = None, None, None
         while pos + 8 <= len(sub):
             t = sub[pos:pos + 4]
             (size,) = struct.unpack("<I", sub[pos + 4:pos + 8])
@@ -1248,22 +1248,37 @@ def webp_frames(payload: bytes) -> list[dict]:
             if t == b"VP8 ":
                 kind, img = "vp8", body
                 break
-            pos += 8 + size + (size & 1)  # skip ALPH etc.
+            if t == b"ALPH":
+                alph = body  # precedes the lossy image chunk
+            pos += 8 + size + (size & 1)
         if kind is None:
             raise ValueError("webp: ANMF frame without image chunk")
         frames.append({
             "x": 2 * x2, "y": 2 * y2, "w": w, "h": h,
             "duration_ms": dur, "kind": kind, "data": img,
+            "alpha": alph,
         })
     return frames
 
 
 @_coerce_codec_errors
 def decode_webp_frame(frame: dict) -> np.ndarray:
-    """Pixels of one ``webp_frames`` entry (VP8L frames only)."""
-    if frame["kind"] != "vp8l":
-        raise ValueError("webp: lossy frame pixels need PIL")
-    return _decode_vp8l(frame["data"])
+    """HxWx4 RGBA pixels of one ``webp_frames`` entry — VP8L and
+    lossy VP8 (with per-frame ALPH alpha) both decode natively."""
+    if frame["kind"] == "vp8l":
+        return _decode_vp8l(frame["data"])
+    from kenshin_spark.multimodal import vp8
+
+    Y, U, V = vp8.decode_frame(frame["data"])
+    h, w = Y.shape
+    rgb = vp8.yuv_to_rgb(
+        Y, vp8.fancy_upsample(U, w, h), vp8.fancy_upsample(V, w, h)
+    )
+    if frame.get("alpha") is not None:
+        a = _decode_alpha(frame["alpha"], w, h)
+    else:
+        a = np.full((h, w), 255, dtype=np.uint8)
+    return np.concatenate([rgb, a[:, :, None]], axis=2)
 
 
 def encode_webp_animation(frames, loop: int = 0) -> bytes:

@@ -190,3 +190,63 @@ class TestFencing:
         [row] = image_metadata(df).collect()
         assert (row["width"], row["height"], row["format"]) == (
             40, 30, "webp")
+
+
+class TestLossyAnimationFrames:
+    def test_anmf_vp8_frames_decode_natively(self):
+        """Hand-assembled animation with LOSSY (VP8 + ALPH) frames:
+        the timeline parser must surface them and decode_webp_frame
+        must produce the same RGBA libwebp produces for each frame's
+        still container."""
+        import struct
+
+        rng = np.random.RandomState(4)
+        stills = []
+        for i in range(2):
+            rgba = rng.randint(0, 256, (32, 48, 4)).astype(np.uint8)
+            rgba[:, :, 3] = ((np.arange(48)[None, :] * (i + 2)) % 256)
+            stills.append(L.encode_rgba(rgba, 70))
+
+        def chunks(payload):
+            pos = 12
+            out = []
+            while pos + 8 <= len(payload):
+                tag = payload[pos:pos + 4]
+                ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+                out.append((tag, payload[pos + 8:pos + 8 + ln]))
+                pos += 8 + ln + (ln & 1)
+            return out
+
+        def chunk_bytes(tag, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return tag + struct.pack("<I", len(body)) + body + pad
+
+        body = chunk_bytes(
+            b"VP8X",
+            bytes([0x02]) + bytes(3)
+            + (47).to_bytes(3, "little") + (31).to_bytes(3, "little"),
+        )
+        body += chunk_bytes(b"ANIM", bytes(4) + struct.pack("<H", 0))
+        for i, still in enumerate(stills):
+            inner = b""
+            for tag, data in chunks(still):
+                if tag in (b"ALPH", b"VP8 "):
+                    inner += chunk_bytes(tag, data)
+            anmf = (
+                bytes(6)
+                + (47).to_bytes(3, "little") + (31).to_bytes(3, "little")
+                + (100 * (i + 1)).to_bytes(3, "little") + bytes([0])
+                + inner
+            )
+            body += chunk_bytes(b"ANMF", anmf)
+        payload = (
+            b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+        )
+
+        frames = webp.webp_frames(payload)
+        assert [f["kind"] for f in frames] == ["vp8", "vp8"]
+        assert [f["duration_ms"] for f in frames] == [100, 200]
+        for f, still in zip(frames, stills):
+            np.testing.assert_array_equal(
+                webp.decode_webp_frame(f), L.decode_rgba(still)
+            )
