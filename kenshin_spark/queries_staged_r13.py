@@ -1144,35 +1144,66 @@ def q_q_orders_date_envelope(spark, sf_dir):
 
 
 @stage(
-    "q_region_quarter_heat",
-    """
-    SELECT r.r_name,
-           CAST(quarter(o.o_orderdate) AS BIGINT) AS q,
-           count(*) AS n_orders
-    FROM orders o
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation n ON n.n_nationkey = c.c_nationkey
-    JOIN region r ON r.r_regionkey = n.n_regionkey
-    GROUP BY 1, 2
-    """,
-    "regional seasonality heat: order volume by region and calendar "
-    "quarter (year-collapsed) — both dims broadcast, standard "
-    "quarter arithmetic",
+    "store_restore_rollback",
+    None,  # placeholder — real oracle set below (needs the r8 fragment)
 )
-def q_q_region_quarter_heat(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(
-            "r_name", F.quarter("o_orderdate").cast("long").alias("q")
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+def q_store_restore_rollback(spark, sf_dir):
+    import os
+
+    from kenshin_spark.queries_staged_r8_engine import (
+        _BANK,
+        _week_slots,
+        _workdir,
     )
+    from kenshin_spark.store import ParquetTieredStore
+
+    st = ParquetTieredStore(
+        spark,
+        _BANK,
+        os.path.join(
+            _workdir(sf_dir, "store_restore_rollback"), "store"
+        ),
+        mode="mor",
+        commit_protocol="manifest",
+    )
+    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    st.upsert(0, slots.where(F.col("ts") % 120 == 0))
+    good = st.commit.epoch()
+    # the "bad batch": odd-minute slots that must vanish entirely
+    st.upsert(0, slots.where(F.col("ts") % 120 == 60))
+    st.restore(good)
+    # the rollback is itself an op-labelled commit (DESCRIBE HISTORY)
+    ops = [r["op"] for r in st.history()]
+    assert ops[0] == "restore" and ops.count("upsert") == 2, ops
+    # and the bad batch's files are tombstoned, not deleted: a reader
+    # that planned pre-restore still finishes within the grace window
+    assert st.commit.tombstones(), "restore must retire via tombstones"
+    return st.read(0)
+
+
+def _set_restore_oracle():
+    from kenshin_spark.queries_staged_r8_engine import _W
+
+    spec = STAGED_R13["store_restore_rollback"]
+    STAGED_R13["store_restore_rollback"] = QuerySpec(
+        fn=spec.fn,
+        oracle=(
+            f"WITH {_W} SELECT metric, ts, value FROM t0 "
+            f"WHERE ts % 120 = 0"
+        ),
+        doc=(
+            "RESTORE TABLE as a driver row: a bad ingest batch is "
+            "rolled back in ONE forward metadata commit that retires "
+            "(tombstones) every file added after the pinned seq, and "
+            "the read back must equal exactly the pre-ingest "
+            "even-minute LWW grid; the op ledger and the "
+            "tombstone-not-delete retirement are asserted in-row "
+            "(kenshin_spark/store.py restore, commit.py history)"
+        ),
+    )
+
+
+_set_restore_oracle()
 
 
 @stage(

@@ -390,3 +390,35 @@ def q_q_part_size_mode_by_type(spark, sf_dir):
             "p_type", F.col("p_size").alias("size_mode"), "n_at_mode"
         )
     )
+
+
+@stage(
+    "q_region_quarter_heat",
+    """
+    SELECT r.r_name,
+           CAST(quarter(o.o_orderdate) AS BIGINT) AS q,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+    """,
+    "regional seasonality heat: order volume by region and calendar "
+    "quarter (year-collapsed) — both dims broadcast, standard "
+    "quarter arithmetic",
+)
+def q_q_region_quarter_heat(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            "r_name", F.quarter("o_orderdate").cast("long").alias("q")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
