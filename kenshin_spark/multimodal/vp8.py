@@ -72,6 +72,15 @@ class VP8Error(ValueError):
     pass
 
 
+#: poison guard: a corrupt/adversarial header can claim up to
+#: 16383x16383 (268 Mpx), which this pure-Python decoder would chew on
+#: for ~30 minutes — far past any batch budget. 4 Mpx (2048^2, ~35 s
+#: worst case) covers every kernel-sized fixture and thumbnail; callers
+#: doing deliberate full-resolution decode pass a bigger ``max_pixels``
+#: (and should really be on a native-codec deployment at that point).
+MAX_PIXELS_DEFAULT = 1 << 22
+
+
 class _Bool:
     """Boolean arithmetic decoder, RFC 6386 §7.3."""
 
@@ -157,13 +166,20 @@ def parse_header(data: bytes) -> _Header:
     return h
 
 
-def decode_frame(data: bytes):
+def decode_frame(data: bytes, max_pixels: int = MAX_PIXELS_DEFAULT):
     """Decode one VP8 keyframe → (Y, U, V) uint8 planes, Y at
     (height, width), U/V at ((height+1)//2, (width+1)//2) — the frame
     cropped from macroblock padding. Bit-exact vs libwebp's
-    WebPDecodeYUV (tests/test_vp8.py)."""
+    WebPDecodeYUV (tests/test_vp8.py). ``max_pixels`` fences
+    adversarially-huge headers (see MAX_PIXELS_DEFAULT)."""
     hd = parse_header(data)
     w, h = hd.width, hd.height
+    if w * h > max_pixels:
+        raise VP8Error(
+            f"vp8: {w}x{h} exceeds max_pixels={max_pixels} "
+            "(pure-Python decode guard; raise it for deliberate "
+            "full-resolution decode)"
+        )
     mb_w = (w + 15) >> 4
     mb_h = (h + 15) >> 4
 
