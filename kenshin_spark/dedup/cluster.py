@@ -93,11 +93,13 @@ def connected_components(
     if algorithm == "star":
         return _star_components(pairs, a, b, max_iter, stats)
     if algorithm == "auto":
-        und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        # symmetrize via ONE explode, not union-of-two-selects: the union
+        # referenced the `pairs` subtree twice, so the (expensive) pair
+        # detector executed twice inside the single checkpoint action
+        # (guide §2.4 — duplicated subtrees). explode(array(e, swap(e)))
+        # reads each pair once and emits both directions.
         edges = (
-            und.unionAll(
-                und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
+            _sym_edges(pairs, a, b)
             .distinct()
             .localCheckpoint(eager=True)
         )
@@ -111,15 +113,28 @@ def connected_components(
         return _label_components(edges, max_iter, stats, patience)
     if algorithm != "label":
         raise ValueError(f"unknown CC algorithm {algorithm!r}")
-    und = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = (
-        und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        _sym_edges(pairs, a, b)  # one detector evaluation (see auto path)
         .distinct()
         # reused every round — pin it (on a cluster: .checkpoint() to a
         # reliable dir so executor loss doesn't recompute the detector).
         .localCheckpoint(eager=True)
     )
     return _label_components(edges, max_iter, stats, patience)
+
+
+def _sym_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Symmetric (src, dst) edge stream from a pair set, evaluating the
+    pair subtree ONCE: each input row explodes into both directions.
+    Row-multiset-identical to ``und UNION ALL swap(und)``."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
 
 
 def _driver_components(edges: DataFrame) -> DataFrame:
@@ -411,17 +426,23 @@ def _fold_roots(
     ``assignments`` and ``remap`` is the (old_root, new_root) table of
     cluster merges the batch causes (∝ clusters merged, broadcast-
     sized)."""
-    und = new_pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # pin the batch's pair set: it feeds `touched` and `edges_r`, and via
+    # `roots` it is referenced three more times downstream — without the
+    # checkpoint the pair DETECTOR re-executed once per reference
+    # (batch-sized data, so the pin is O(batch) local blocks).
+    und = new_pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).localCheckpoint(eager=False)
     touched = (
-        und.select("src")
-        .unionAll(und.select(F.col("dst").alias("src")))
+        und.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
-        .select(F.col("src").alias("node"))
     )
-    # current root of every touched node — itself when unassigned
+    # current root of every touched node — itself when unassigned;
+    # referenced by edges_r (twice) and fresh — pin the (small) result
+    # so the assignments-table join runs once, not three times.
     roots = touched.join(assignments, "node", "left").select(
         "node", F.coalesce("cluster_id", F.col("node")).alias("root")
-    )
+    ).localCheckpoint(eager=False)
     edges_r = (
         und.join(
             roots.select(

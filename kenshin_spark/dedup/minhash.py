@@ -103,6 +103,55 @@ def minhash_lsh_pairs(
     is missed — run exact dedup first (identical docs are its job) and
     size the cap at the boilerplate knee, not the tail. Default None =
     complete banding."""
+    verify_sql = rf"""
+    WITH sharr AS ({_sharr_sql('{d}', n, id_col, text_col)}),
+    pa AS (
+      SELECT /*+ BROADCAST(c) */ doc_a, doc_b, sh AS sh_a
+      FROM sharr JOIN {{c}} c ON doc_id = doc_a
+    ),
+    pb AS (
+      SELECT /*+ BROADCAST(c) */ doc_a, doc_b, sh AS sh_b
+      FROM sharr JOIN {{c}} c ON doc_id = doc_b
+    ),
+    scored AS (
+      SELECT pa.doc_a, pa.doc_b,
+             round(size(array_intersect(sh_a, sh_b)) /
+                   (size(sh_a) + size(sh_b)
+                    - size(array_intersect(sh_a, sh_b))), 6) AS jaccard
+      FROM pa JOIN pb ON pa.doc_a = pb.doc_a AND pa.doc_b = pb.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold!r}
+    """
+    from kenshin_spark.dedup.fanout import fan_out
+
+    spark = docs.sparkSession
+    # the candidate set feeds BOTH verify joins; a lazy local checkpoint
+    # pins it so banding + the bucket self-join run once per execution
+    # instead of once per reference (the broadcast build re-ran the whole
+    # candidate generation for pa and pb). Lazy (eager=False) keeps the
+    # function's build side effect-free; materialization happens inside
+    # the caller's action, and a fresh call builds a fresh RDD (no state
+    # carried across executions).
+    cand = _lsh_candidates(
+        docs, n, k, bands, max_bucket, id_col, text_col
+    ).localCheckpoint(eager=False)
+    return spark.sql(verify_sql, d=fan_out(docs), c=cand)
+
+
+def _lsh_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = N_HASHES,
+    bands: int = N_BANDS,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs ``(doc_a, doc_b)`` — shingle → minhash → band
+    → bucket self-join, BEFORE verification. Exposed separately so the
+    bucket self-join's runtime behavior (AQE skew split) is inspectable
+    on its own executed plan (tests/test_skew.py); ``minhash_lsh_pairs``
+    checkpoints this result and verifies true Jaccard over it."""
     r = k // bands
     mins = ", ".join(
         f"array_min(transform(sh, x -> CAST(conv(substring("
@@ -151,23 +200,8 @@ def minhash_lsh_pairs(
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    ),
-    pa AS (
-      SELECT /*+ BROADCAST(cand) */ doc_a, doc_b, sh AS sh_a
-      FROM sharr JOIN cand ON doc_id = doc_a
-    ),
-    pb AS (
-      SELECT /*+ BROADCAST(cand) */ doc_a, doc_b, sh AS sh_b
-      FROM sharr JOIN cand ON doc_id = doc_b
-    ),
-    scored AS (
-      SELECT pa.doc_a, pa.doc_b,
-             round(size(array_intersect(sh_a, sh_b)) /
-                   (size(sh_a) + size(sh_b)
-                    - size(array_intersect(sh_a, sh_b))), 6) AS jaccard
-      FROM pa JOIN pb ON pa.doc_a = pb.doc_a AND pa.doc_b = pb.doc_b
     )
-    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold!r}
+    SELECT doc_a, doc_b FROM cand
     """
     from kenshin_spark.dedup.fanout import fan_out
 
@@ -271,7 +305,7 @@ def minhash_pairs_against_index(
         if max_bucket is not None
         else "ib AS (SELECT * FROM {ix}),"
     )
-    sql = f"""
+    cand_sql = f"""
     WITH nsh AS ({_sharr_sql('{nd}', n, id_col, text_col)}),
     nband AS (
       SELECT * FROM (
@@ -284,18 +318,22 @@ def minhash_pairs_against_index(
       SELECT DISTINCT i.doc_id AS corpus_id, nb.doc_id AS new_id
       FROM ib i JOIN nband nb
         ON i.band = nb.band AND i.band_key = nb.band_key
-    ),
+    )
+    SELECT corpus_id, new_id FROM cand
+    """
+    verify_sql = f"""
+    WITH nsh AS ({_sharr_sql('{nd}', n, id_col, text_col)}),
     csh AS (
       SELECT * FROM ({_sharr_sql('{cd}', n, id_col, text_col)})
-      WHERE doc_id IN (SELECT corpus_id FROM cand)
+      WHERE doc_id IN (SELECT corpus_id FROM {{c}})
     ),
     pa AS (
-      SELECT /*+ BROADCAST(cand) */ corpus_id, new_id, sh AS sh_a
-      FROM csh JOIN cand ON doc_id = corpus_id
+      SELECT /*+ BROADCAST(c) */ corpus_id, new_id, sh AS sh_a
+      FROM csh JOIN {{c}} c ON doc_id = corpus_id
     ),
     pb AS (
-      SELECT /*+ BROADCAST(cand) */ corpus_id, new_id, sh AS sh_b
-      FROM nsh JOIN cand ON doc_id = new_id
+      SELECT /*+ BROADCAST(c) */ corpus_id, new_id, sh AS sh_b
+      FROM nsh JOIN {{c}} c ON doc_id = new_id
     ),
     scored AS (
       SELECT pa.corpus_id, pa.new_id,
@@ -309,6 +347,15 @@ def minhash_pairs_against_index(
     """
     from kenshin_spark.dedup.fanout import fan_out
 
-    return new_docs.sparkSession.sql(
-        sql, nd=fan_out(new_docs), cd=corpus_docs, ix=index
+    spark = new_docs.sparkSession
+    # candidate generation (batch shingle+banding x index bucket join) is
+    # referenced THREE times downstream (the corpus semi-join, pa, pb) —
+    # pin it with a lazy local checkpoint so it runs once per execution
+    # (same rationale as minhash_lsh_pairs; candidates are id pairs, tiny
+    # next to the text).
+    cand = spark.sql(
+        cand_sql, nd=fan_out(new_docs), ix=index
+    ).localCheckpoint(eager=False)
+    return spark.sql(
+        verify_sql, nd=fan_out(new_docs), cd=corpus_docs, c=cand
     )

@@ -1398,9 +1398,15 @@ def q_dedup_rate_by_source(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    # explode BOTH endpoints of each pair in one pass: the former
+    # union-of-two-selects referenced the `pairs` subtree twice, so the
+    # whole MinHash-LSH pipeline executed twice in one plan (26 scans /
+    # 62 exchanges); explode(array(a, b)) + distinct is the same doc-id
+    # set from a single evaluation (guide §2.4).
     dup = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
         .distinct()
         .withColumn("_dup", F.lit(1))
     )

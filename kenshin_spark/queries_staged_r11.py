@@ -209,19 +209,33 @@ def q_sketch_kmv_union_rollup(spark, sf_dir):
     "own replayable paths so the agreement itself hash-checks",
 )
 def q_dedup_method_agreement(spark, sf_dir):
+    # one FULL OUTER join on the pair key computes all three counts in a
+    # single linear plan: the previous three-aggregate crossJoin embedded
+    # the minhash subtree twice and the ngram subtree twice (50 parquet
+    # scans / 150 exchanges in the physical plan — each detector pipeline
+    # executed twice end-to-end). Both pair sets are key-unique (DISTINCT
+    # candidates scored once per pair), so the outer join preserves row
+    # multiplicity exactly: count(mh key) = |mh|, count(ng key) = |ng|,
+    # count(matched) = |mh ∩ ng| — identical values, one evaluation per
+    # detector (guide §2.4: remove duplicated subtrees before tuning).
     mh = _REG["dedup_minhash_lsh"].fn(spark, sf_dir).select(
         "doc_a", "doc_b"
     )
     ng = _REG["dedup_ngram_jaccard"].fn(spark, sf_dir).select(
         F.col("doc_a").alias("na"), F.col("doc_b").alias("nb")
     )
-    both = mh.join(
-        ng, (F.col("na") == F.col("doc_a")) & (F.col("nb") == F.col("doc_b"))
+    j = mh.join(
+        ng,
+        (F.col("na") == F.col("doc_a")) & (F.col("nb") == F.col("doc_b")),
+        "full_outer",
     )
-    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
-    n_ng = ng.agg(F.count(F.lit(1)).alias("n_ngram"))
-    n_bo = both.agg(F.count(F.lit(1)).alias("n_both"))
-    return n_mh.crossJoin(n_ng).crossJoin(n_bo)
+    return j.agg(
+        F.count("doc_a").alias("n_minhash"),
+        F.count("na").alias("n_ngram"),
+        F.count(
+            F.when(F.col("doc_a").isNotNull() & F.col("na").isNotNull(), 1)
+        ).alias("n_both"),
+    )
 
 
 @stage(
@@ -935,17 +949,25 @@ def q_sketch_cms_heavy_hitters(spark, sf_dir):
     "replayable registry paths",
 )
 def q_dedup_semantic_cosine_agreement(spark, sf_dir):
+    # same restructure as dedup_method_agreement: one FULL OUTER join on
+    # the (unique) pair key + a single aggregate evaluates each pair
+    # pipeline ONCE — the three-aggregate crossJoin ran the SemDeDup and
+    # the all-pairs cosine subtrees twice each (32 scans / 54 exchanges).
     se = _REG["dedup_semantic"].fn(spark, sf_dir).select("vec_a", "vec_b")
     co = _REG["dedup_embedding_neardup"].fn(spark, sf_dir).select(
         F.col("vec_a").alias("ca"), F.col("vec_b").alias("cb")
     )
-    both = se.join(
-        co, (F.col("ca") == F.col("vec_a")) & (F.col("cb") == F.col("vec_b"))
+    j = se.join(
+        co,
+        (F.col("ca") == F.col("vec_a")) & (F.col("cb") == F.col("vec_b")),
+        "full_outer",
     )
-    return (
-        se.agg(F.count(F.lit(1)).alias("n_semantic"))
-        .crossJoin(co.agg(F.count(F.lit(1)).alias("n_cosine")))
-        .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both")))
+    return j.agg(
+        F.count("vec_a").alias("n_semantic"),
+        F.count("ca").alias("n_cosine"),
+        F.count(
+            F.when(F.col("vec_a").isNotNull() & F.col("ca").isNotNull(), 1)
+        ).alias("n_both"),
     )
 
 

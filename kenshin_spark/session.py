@@ -105,6 +105,24 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Long-running-driver hygiene (guide §5: "the driver should do
+        # almost no data work" — and it should not hoard metadata
+        # either). A session that runs hundreds of queries accumulates
+        # (a) broadcast/localCheckpoint blocks that the ContextCleaner
+        # only releases after a DRIVER GC — the default periodicGC
+        # interval (30min) is longer than a whole serving/bench session,
+        # so block-manager memory grows monotonically and every later
+        # query pays the GC/memory pressure (measured here: the same
+        # row 2-6x slower late in a 497-query session than in a fresh
+        # JVM), and (b) per-query UI/status bookkeeping (the full plan
+        # string per retained execution) that is never read with the UI
+        # disabled. Shorter GC cadence + small retained windows bound
+        # both; identical settings make sense on a cluster driver.
+        .config("spark.cleaner.periodicGC.interval", "45s")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "1000")
     )
     if fair_pools:
         # scheduler mode + allocation file bind at CONTEXT creation —

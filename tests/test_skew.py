@@ -13,7 +13,7 @@ and the pair set must be identical to the unsplit run."""
 import pytest
 from pyspark.sql import functions as F  # noqa: F401
 
-from kenshin_spark.dedup.minhash import minhash_lsh_pairs
+from kenshin_spark.dedup.minhash import _lsh_candidates, minhash_lsh_pairs
 
 N_HOT = 400    # docs sharing identical boilerplate → one hot bucket
 N_COLD = 200   # unique docs → long tail of singleton buckets
@@ -89,8 +89,13 @@ class TestMinhashBucketJoinSkew:
             with_skew = {
                 (r["doc_a"], r["doc_b"]) for r in df.collect()
             }
-            # inspect the FINAL adaptive plan (post-materialization)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            # the bucket self-join now runs inside the checkpointed
+            # candidate stage (evaluate-once restructure, r11 opt round);
+            # inspect THAT stage's final adaptive plan — the skew split
+            # protects the same join, it just lives in its own execution
+            cand = _lsh_candidates(skewed_docs)
+            cand.collect()
+            plan = cand._jdf.queryExecution().executedPlan().toString()
             assert "skew=true" in plan, (
                 "AQE never marked the bucket join skewed:\n"
                 + plan[:4000]
