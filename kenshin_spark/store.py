@@ -1044,12 +1044,23 @@ class ParquetTieredStore:
 
     # -- propagation (W7) -------------------------------------------------
 
-    def propagate(self, batch_slots: DataFrame, from_tier: int = 0) -> None:
+    def propagate(
+        self,
+        batch_slots: DataFrame,
+        from_tier: int = 0,
+        bounds: "tuple[int | None, int | None] | None" = None,
+    ) -> None:
         """Cascade an upsert into tier ``from_tier`` through the coarser
         tiers: for each tier i>from_tier re-aggregate the *touched coarse
         slots* from tier i-1 — the write-time downsample of
         kenshin/storage.py:510-586, bounded to the affected window exactly
-        like the reference's propagation range."""
+        like the reference's propagation range.
+
+        ``bounds``: the batch's (min ts, max ts) when the caller already
+        knows them (StreamingIngest folds them into the upsert's write
+        action via ``observe``) — skips the bounds job here. ``(None,
+        None)`` means a provably empty batch (no-op), ``None`` means
+        unknown (compute them)."""
         agg = AGG_SQL[self.schema.agg_method]
         # each tier's touched-slot frame is consumed twice (this tier's
         # upsert write + the next tier's broadcast build) — cache them
@@ -1062,12 +1073,14 @@ class ParquetTieredStore:
         ).persist()
         cached.append(touched)
         try:
-            bounds = touched.agg(
-                F.min("ts").alias("lo"), F.max("ts").alias("hi")
-            ).collect()[0]
-            if bounds["lo"] is None:
+            if bounds is None:
+                row = touched.agg(
+                    F.min("ts").alias("lo"), F.max("ts").alias("hi")
+                ).collect()[0]
+                bounds = (row["lo"], row["hi"])
+            if bounds[0] is None:
                 return
-            lo, hi = int(bounds["lo"]), int(bounds["hi"])
+            lo, hi = int(bounds[0]), int(bounds[1])
             for i in range(from_tier + 1, len(self.schema.archives)):
                 step = self.schema.archives[i].sec_per_point
                 slots = touched.select(
@@ -1422,23 +1435,38 @@ class ParquetTieredStore:
             with self.commit.txn(read_seq=read_seq, op="compact") as tx:
                 tx.replace(f"tier={i}", adds)
             return None
-        staged: list[tuple[int, list[tuple[str, int]]]] = []
-        for d in days:
-            raw = self._scan_day(i, d)
-            if raw is None:
-                continue
-            df = self._fold_log(raw, with_day=False)
-            adds = self._adopt(
-                df.repartition(target_files_per_day)
-                .sortWithinPartitions("metric", "ts"),
-                os.path.join(path, f"day={d}"),
-                partitioned=False,
+        # ONE fold job over every requested day (was: one scan + fold +
+        # write job PER day — a maintenance pass over ~90 fragmented
+        # days paid ~90 sequential Spark jobs; the measured 1M-point
+        # bench maintenance spent >3 min here). The day-partitioned
+        # rewrite keeps the exact per-day output shape: repartition by
+        # day (plus a metric hash for target>1) gives each day its own
+        # task(s), and the transaction still retires/commits each day
+        # independently, so crash/conflict semantics are unchanged.
+        live = set(self._live_days(i))
+        wanted = sorted(d for d in days if d in live)
+        if not wanted:
+            return []
+        raw = self._scan_tier(path).where(F.col("day").isin(wanted))
+        df = self._fold_log(raw, with_day=True)
+        if target_files_per_day == 1:
+            shaped = df.repartition("day")
+        else:
+            shaped = df.repartition(
+                "day",
+                F.pmod(F.xxhash64("metric"), F.lit(target_files_per_day)),
             )
-            staged.append((d, adds))
+        adds = self._adopt(
+            shaped.sortWithinPartitions("day", "metric", "ts"), path
+        )
+        by_day: dict[int, list[tuple[str, int]]] = {}
+        for rel, size in adds:
+            day_part = rel.split("/")[1]
+            by_day.setdefault(int(day_part[4:]), []).append((rel, size))
         with self.commit.txn(read_seq=read_seq, op="compact") as tx:
-            for d, adds in staged:
-                tx.replace(f"tier={i}/day={d}", adds)
-        return [d for d, _ in staged]
+            for d in wanted:
+                tx.replace(f"tier={i}/day={d}", by_day.get(d, []))
+        return wanted
 
     def _stage_day_compact(
         self, i: int, day: int, target_files_per_day: int

@@ -220,37 +220,54 @@ class StreamingIngest:
         propagate the cascade. Works on any ``(metric, ts, value
         [, corrupt][, arrival])`` frame — streaming micro-batch or plain
         batch backfill (same code path, per SURVEY §7.3 late-data note)."""
+        from pyspark.sql import Observation
+
         self.stats.batches += 1
         # the batch is scanned several times (dead-letter split, admission,
         # one pass per schema) — persist so the source parse runs once
         batch = batch.persist()
         try:
-            if "corrupt" in batch.columns:
-                bad = batch.where(F.col("corrupt").isNotNull())
-                n_bad = bad.count()
+            # ---- ONE stats pass over the raw batch (was 3 jobs: corrupt
+            # count, quality-violation count, clean count). Values are
+            # identical by construction: n_rej counts the SAME rows the
+            # old post-corrupt-filter where(viol).count() kept (viol is
+            # only trusted on corrupt-null rows), and n is the remainder.
+            has_corrupt = "corrupt" in batch.columns
+            viol = None
+            for c in self.quality_checks:
+                e = c.violation_expr()
+                viol = e if viol is None else (viol | e)
+            aggs = [F.count(F.lit(1)).alias("_all")]
+            if has_corrupt:
+                aggs.append(F.count("corrupt").alias("_bad"))
+            if viol is not None:
+                v = F.coalesce(viol, F.lit(False))
+                if has_corrupt:
+                    v = F.col("corrupt").isNull() & v
+                aggs.append(
+                    F.count(F.when(v, F.lit(1))).alias("_rej")
+                )
+            row = batch.agg(*aggs).first()
+            n_bad = int(row["_bad"]) if has_corrupt else 0
+            n_rej = int(row["_rej"]) if viol is not None else 0
+            if has_corrupt:
                 self.stats.corrupt_lines += n_bad
                 if n_bad and self.dead_letter_path:
-                    bad.select(
+                    batch.where(F.col("corrupt").isNotNull()).select(
                         F.col("corrupt").alias("line"),
                         F.lit(batch_id).alias("batch_id"),
                     ).write.mode("append").parquet(self.dead_letter_path)
                 batch = batch.where(F.col("corrupt").isNull()).drop("corrupt")
-            if self.quality_checks:
-                viol = None
-                for c in self.quality_checks:
-                    e = c.violation_expr()
-                    viol = e if viol is None else (viol | e)
-                bad_rows = batch.where(viol)
-                n_rej = bad_rows.count()
-                if n_rej:
-                    self.stats.quality_rejected += n_rej
-                    if self.dead_letter_path:
-                        bad_rows.select(
-                            F.to_json(F.struct("*")).alias("line"),
-                            F.lit(batch_id).alias("batch_id"),
-                        ).write.mode("append").parquet(self.dead_letter_path)
-                    batch = batch.where(~F.coalesce(viol, F.lit(False)))
-            n = batch.count()
+            if viol is not None and n_rej:
+                self.stats.quality_rejected += n_rej
+                if self.dead_letter_path:
+                    batch.where(viol).select(
+                        F.to_json(F.struct("*")).alias("line"),
+                        F.lit(batch_id).alias("batch_id"),
+                    ).write.mode("append").parquet(self.dead_letter_path)
+            if viol is not None:
+                batch = batch.where(~F.coalesce(viol, F.lit(False)))
+            n = int(row["_all"]) - n_bad - n_rej
             if n == 0:
                 return
             self.stats.metrics_received += n
@@ -258,25 +275,58 @@ class StreamingIngest:
             routed = self._admit(batch, now)
             arrival = "arrival" if "arrival" in routed.columns else None
             age = F.lit(now) - F.col("ts")
+
+            # ---- ONE routing-census pass (was: per-schema isEmpty +
+            # per-archive isEmpty + per-schema expired count — 2 +
+            # n_archives jobs per schema). Each flat count_if uses the
+            # EXACT same per-archive age condition the routing below
+            # uses, so skip decisions and dropped_old_points are
+            # value-identical.
+            def _arch_cond(schema, i):
+                cond = age <= F.lit(schema.archives[i].retention)
+                if i:
+                    cond = cond & (
+                        age > F.lit(schema.archives[i - 1].retention)
+                    )
+                return cond
+
+            census_aggs = []
             for schema in self.schemas.schemas:
+                in_schema = F.col("schema_name") == schema.name
+                for i in range(len(schema.archives)):
+                    census_aggs.append(
+                        F.count(
+                            F.when(in_schema & _arch_cond(schema, i), 1)
+                        ).alias(f"_c_{schema.name}_{i}")
+                    )
+                census_aggs.append(
+                    F.count(
+                        F.when(
+                            in_schema
+                            & (age > F.lit(schema.archives[-1].retention)),
+                            1,
+                        )
+                    ).alias(f"_x_{schema.name}")
+                )
+            census = routed.agg(*census_aggs).first()
+
+            for schema in self.schemas.schemas:
+                if all(
+                    census[f"_c_{schema.name}_{i}"] == 0
+                    for i in range(len(schema.archives))
+                ) and census[f"_x_{schema.name}"] == 0:
+                    continue
                 group = routed.where(
                     F.col("schema_name") == schema.name
                 ).drop("schema_name")
-                if group.isEmpty():
-                    continue
                 store = self.store_for(schema)
                 # W4 age routing (kenshin/storage.py:384-425): the FIRST
                 # archive whose retention covers the point's age takes it;
                 # older-than-everything points are dropped.
-                prev_ret = 0
                 for i, arch in enumerate(schema.archives):
-                    cond = age <= F.lit(arch.retention)
-                    if i:
-                        cond = cond & (age > F.lit(prev_ret))
-                    prev_ret = arch.retention
-                    sub = group.where(cond)
-                    if sub.isEmpty():
+                    if census[f"_c_{schema.name}_{i}"] == 0:
                         continue
+                    sub = group.where(_arch_cond(schema, i))
                     # NOT persisted: caching the LWW result here pins the
                     # write to the raw 32-partition shuffle output and
                     # skips AQE's small-partition coalescing — measured
@@ -290,12 +340,31 @@ class StreamingIngest:
                         arrival_col=arrival,
                         skew_salts=self.skew_salts,
                     )
+                    # fold the committed-slot count AND the propagation
+                    # bounds into the upsert's own write action
+                    # (CollectMetrics side-channel) — previously a
+                    # separate slots.count() job re-ran the whole LWW
+                    # aggregation per archive, and propagate ran one
+                    # more job just to learn min/max(ts).
+                    obs = Observation()
+                    slots = slots.observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n"),
+                        F.min("ts").alias("lo"),
+                        F.max("ts").alias("hi"),
+                    )
                     store.upsert(i, slots)
-                    store.propagate(slots, from_tier=i)
+                    stat = obs.get
+                    store.propagate(
+                        slots,
+                        from_tier=i,
+                        bounds=(stat["lo"], stat["hi"]),
+                    )
                     self.stats.update_operations += 1
-                    self.stats.committed_points += slots.count()
-                n_expired = group.where(age > F.lit(prev_ret)).count()
-                self.stats.dropped_old_points += n_expired
+                    self.stats.committed_points += int(stat["n"])
+                self.stats.dropped_old_points += int(
+                    census[f"_x_{schema.name}"]
+                )
         finally:
             batch.unpersist()
 
