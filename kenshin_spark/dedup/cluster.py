@@ -331,13 +331,29 @@ def _star_components(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .where(F.col("src") != F.col("dst"))
             .distinct()
+            # referenced twice below (small-star's min-agg AND its join)
+            # — pin it so the large-star join+distinct runs once per
+            # round, not twice (lazy: materializes inside the round-end
+            # checkpoint action)
+            .localCheckpoint(eager=False)
         )
         # -- small-star: edges already directed larger→smaller
         m = edges.groupBy("src").agg(F.min("dst").alias("m"))
         joined = edges.join(m, "src")
         edges = (
-            joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .unionAll(joined.select("src", F.col("m").alias("dst")))
+            # both output directions from ONE pass over `joined` (the
+            # former unionAll-of-two-selects evaluated the join twice)
+            joined.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("m").alias("dst")
+                        ),
+                        F.struct("src", F.col("m").alias("dst")),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.src", "_e.dst")
             .where(F.col("src") != F.col("dst"))
             .distinct()
             .localCheckpoint(eager=True)

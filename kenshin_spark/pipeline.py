@@ -616,6 +616,11 @@ def bigram_coherence(
             ).alias("b"),
         )
         .select("doc_id", "b.w1", "b.w2")
+        # consumed THREE times (both vocab counts + the scoring join) —
+        # pin the narrow triple stream so tokenize+explode runs once per
+        # execution, not three times (lazy: materializes inside the
+        # caller's action; local blocks, no shuffle)
+        .localCheckpoint(eager=False)
     )
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
