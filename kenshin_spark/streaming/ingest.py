@@ -439,7 +439,15 @@ class StreamingIngest:
             # ingest bench).
             batch = batch.persist()
             try:
-                n = batch.count()
+                # ONE materializing job yields the batch size AND the
+                # propagation bounds (the min/max ts propagate would
+                # otherwise re-derive in its own job per batch)
+                row = batch.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("ts").alias("lo"),
+                    F.max("ts").alias("hi"),
+                ).collect()[0]
+                n = row["n"]
                 if n == 0:
                     return
                 # writing FROM the cache pins the state shuffle's raw
@@ -448,7 +456,10 @@ class StreamingIngest:
                 # task keeps the mor log at a few files per batch
                 # instead of one per state partition per day
                 store.upsert(0, batch.coalesce(1 + n // 500_000))
-                store.propagate(batch.select("metric", "ts"))
+                store.propagate(
+                    batch.select("metric", "ts"),
+                    bounds=(row["lo"], row["hi"]),
+                )
                 self.stats.update_operations += 1
                 self.stats.committed_points += n
             finally:

@@ -242,6 +242,55 @@ class TestAggregatedMode:
             ("fast.x", 1100, 3.0),
         ]
 
+    def test_flush_passes_bounds_to_propagate(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The aggregated flush derives the propagation window from the
+        same materializing aggregate that sizes the tier-0 append, so
+        propagate never re-runs its own min/max job per micro-batch —
+        the bounds must arrive explicit, correct, and non-None."""
+        from kenshin_spark.store import ParquetTieredStore
+
+        seen = []
+        orig = ParquetTieredStore.propagate
+
+        def recording(self, batch_slots, from_tier=0, bounds=None):
+            seen.append(bounds)
+            return orig(self, batch_slots, from_tier, bounds)
+
+        monkeypatch.setattr(ParquetTieredStore, "propagate", recording)
+        in_dir, cp, root = (
+            str(tmp_path / "in"),
+            str(tmp_path / "cp"),
+            str(tmp_path / "store"),
+        )
+        schema = SCHEMAS.schemas[0]
+        ingest = StreamingIngest(spark, SchemaSet((schema,)), root)
+        write_lines(
+            in_dir,
+            "b1.txt",
+            [
+                "fast.x 1.0 1000",
+                "fast.x 2.0 1010",
+                "fast.x 3.0 1100",
+            ],
+        )
+        from kenshin_spark.sources.line_protocol import parse_metric_lines
+
+        lines = spark.readStream.format("text").load(in_dir)
+        points = parse_metric_lines(lines, line_col="value").where(
+            F.col("corrupt").isNull()
+        )
+        q = ingest.start_aggregated(
+            points, schema, checkpoint=cp, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+        flushed = [b for b in seen if b is not None]
+        assert flushed, "flush must pass explicit bounds to propagate"
+        # the flushed windows are the two closed 10s slots (1000, 1010)
+        assert flushed[0] == (1000, 1010)
+        assert None not in seen
+
 
 class TestStore:
     def test_expire_drops_partitions(self, spark, tmp_path):
