@@ -821,7 +821,11 @@ class TestStatefulRate:
             # a query with ProcessingTimeTimeout state keeps running
             # timer batches after the drain — wait until the sink has the
             # data, then stop explicitly
-            deadline = _t.time() + 90
+            # 240 s, not 90: under a fully loaded box (the complete suite
+            # saturating every core) one availableNow drain of this
+            # Python-state-worker query can exceed 90 s — stopping the
+            # query then loses the batch and flakes the value asserts
+            deadline = _t.time() + 240
             while _t.time() < deadline and q.isActive:
                 if len(out_rows) >= expect_rows:
                     break
@@ -878,7 +882,11 @@ class TestStatefulHolt:
                 .trigger(availableNow=True)
                 .start()
             )
-            deadline = _t.time() + 90
+            # 240 s, not 90: under a fully loaded box (the complete suite
+            # saturating every core) one availableNow drain of this
+            # Python-state-worker query can exceed 90 s — stopping the
+            # query then loses the batch and flakes the value asserts
+            deadline = _t.time() + 240
             while _t.time() < deadline and q.isActive:
                 if len(out_rows) >= expect_rows:
                     break
