@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kenshin_spark.session import pin
+
 
 #: below this many (deduplicated, undirected) edges the pair graph is
 #: collected to the driver and solved with union-find — the same
@@ -98,11 +100,7 @@ def connected_components(
         # detector executed twice inside the single checkpoint action
         # (guide §2.4 — duplicated subtrees). explode(array(e, swap(e)))
         # reads each pair once and emits both directions.
-        edges = (
-            _sym_edges(pairs, a, b)
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        edges = pin(_sym_edges(pairs, a, b).distinct(), eager=True)
         n_edges = edges.count()
         if stats is not None:
             stats["edges"] = n_edges
@@ -113,12 +111,11 @@ def connected_components(
         return _label_components(edges, max_iter, stats, patience)
     if algorithm != "label":
         raise ValueError(f"unknown CC algorithm {algorithm!r}")
-    edges = (
-        _sym_edges(pairs, a, b)  # one detector evaluation (see auto path)
-        .distinct()
-        # reused every round — pin it (on a cluster: .checkpoint() to a
-        # reliable dir so executor loss doesn't recompute the detector).
-        .localCheckpoint(eager=True)
+    edges = pin(
+        # one detector evaluation (see auto path); reused every round —
+        # pinned via the deployment-aware seam (session.pin)
+        _sym_edges(pairs, a, b).distinct(),
+        eager=True,
     )
     return _label_components(edges, max_iter, stats, patience)
 
@@ -208,8 +205,8 @@ def _label_components(
                     "lbl"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        labels = pin(labels, eager=True)
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:  # labels are non-increasing → fixpoint
             break
@@ -232,13 +229,13 @@ def _label_components(
             stats["escalated_from_label"] = rounds
         sl = labels.select(F.col("node").alias("src"), F.col("lbl").alias("sl"))
         dl = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("dl"))
-        contracted = (
+        contracted = pin(
             edges.join(sl, "src")
             .join(dl, "dst")
             .select(F.col("sl").alias("src"), F.col("dl").alias("dst"))
             .where(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            eager=True,
         )
         n_contracted = contracted.count()
         if stats is not None:
@@ -306,8 +303,8 @@ def _star_components(
             F.least("src", "dst").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # cluster: .checkpoint() (reliable dir)
     )
+    und = pin(und, eager=True)
     nodes = (
         und.select("src").unionAll(und.select(F.col("dst").alias("src")))
         .distinct()
@@ -331,12 +328,11 @@ def _star_components(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            # referenced twice below (small-star's min-agg AND its join)
-            # — pin it so the large-star join+distinct runs once per
-            # round, not twice (lazy: materializes inside the round-end
-            # checkpoint action)
-            .localCheckpoint(eager=False)
         )
+        # referenced twice below (small-star's min-agg AND its join) —
+        # pin it so the large-star join+distinct runs once per round,
+        # not twice (lazy: materializes inside the round-end pin action)
+        edges = pin(edges, eager=False)
         # -- small-star: edges already directed larger→smaller
         m = edges.groupBy("src").agg(F.min("dst").alias("m"))
         joined = edges.join(m, "src")
@@ -356,8 +352,8 @@ def _star_components(
             .select("_e.src", "_e.dst")
             .where(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        edges = pin(edges, eager=True)
         fp = tuple(
             edges.agg(
                 F.count("*"), F.sum("src"), F.sum("dst"),
@@ -446,9 +442,10 @@ def _fold_roots(
     # `roots` it is referenced three more times downstream — without the
     # checkpoint the pair DETECTOR re-executed once per reference
     # (batch-sized data, so the pin is O(batch) local blocks).
-    und = new_pairs.select(
-        F.col(a).alias("src"), F.col(b).alias("dst")
-    ).localCheckpoint(eager=False)
+    und = pin(
+        new_pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")),
+        eager=False,
+    )
     touched = (
         und.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
@@ -456,9 +453,12 @@ def _fold_roots(
     # current root of every touched node — itself when unassigned;
     # referenced by edges_r (twice) and fresh — pin the (small) result
     # so the assignments-table join runs once, not three times.
-    roots = touched.join(assignments, "node", "left").select(
-        "node", F.coalesce("cluster_id", F.col("node")).alias("root")
-    ).localCheckpoint(eager=False)
+    roots = pin(
+        touched.join(assignments, "node", "left").select(
+            "node", F.coalesce("cluster_id", F.col("node")).alias("root")
+        ),
+        eager=False,
+    )
     edges_r = (
         und.join(
             roots.select(

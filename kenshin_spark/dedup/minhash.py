@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from kenshin_spark.session import pin
 
 N_HASHES = 8
 N_BANDS = 4
@@ -132,9 +133,10 @@ def minhash_lsh_pairs(
     # function's build side effect-free; materialization happens inside
     # the caller's action, and a fresh call builds a fresh RDD (no state
     # carried across executions).
-    cand = _lsh_candidates(
-        docs, n, k, bands, max_bucket, id_col, text_col
-    ).localCheckpoint(eager=False)
+    cand = pin(
+        _lsh_candidates(docs, n, k, bands, max_bucket, id_col, text_col),
+        eager=False,
+    )
     return spark.sql(verify_sql, d=fan_out(docs), c=cand)
 
 
@@ -353,9 +355,9 @@ def minhash_pairs_against_index(
     # pin it with a lazy local checkpoint so it runs once per execution
     # (same rationale as minhash_lsh_pairs; candidates are id pairs, tiny
     # next to the text).
-    cand = spark.sql(
-        cand_sql, nd=fan_out(new_docs), ix=index
-    ).localCheckpoint(eager=False)
+    cand = pin(
+        spark.sql(cand_sql, nd=fan_out(new_docs), ix=index), eager=False
+    )
     return spark.sql(
         verify_sql, nd=fan_out(new_docs), cd=corpus_docs, c=cand
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from kenshin_spark.session import pin
 
 SCALE = 1_000_000
 DAMPING_NUM = 85  # 0.85 as a rational over 100
@@ -96,8 +97,8 @@ def token_pagerank(
             ).cast("long").alias("pr"),
         )
         # pin each round's result: truncates the lineage the same way
-        # dedup's CC loop does (on a cluster: checkpoint to reliable dir)
-        pr = pr.localCheckpoint(eager=False)
+        # dedup's CC loop does (deployment-aware via session.pin)
+        pr = pin(pr, eager=False)
     return (
         pr.orderBy(F.col("pr").desc(), "tok")
         .limit(k)

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kenshin_spark.dedup.minhash import shingles
+from kenshin_spark.session import pin
 from kenshin_spark.functions.sampling import DEN, sample_bucket
 
 # Repetition thresholds, adapted to token 2-grams (the corpus has no
@@ -620,8 +621,8 @@ def bigram_coherence(
         # pin the narrow triple stream so tokenize+explode runs once per
         # execution, not three times (lazy: materializes inside the
         # caller's action; local blocks, no shuffle)
-        .localCheckpoint(eager=False)
     )
+    bg = pin(bg, eager=False)
     big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     sc = (
