@@ -300,6 +300,13 @@ def main() -> None:
     for i, name in enumerate(names):
         fn = QUERIES[name].fn
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        # clear operator-internal .cache() state populated by the warm
+        # pass (ngram/phash/substring/graph) so the timed pass measures
+        # the cold plan, not warm InMemoryRelations — codegen/JIT warmth
+        # survives, which is all the warm pass is for (VERDICT r11
+        # "what's wrong" #4; measurement-bug fix, additions-only:
+        # nothing else about the methodology changes)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)

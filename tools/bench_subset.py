@@ -49,6 +49,10 @@ def main() -> None:
         fn = QUERIES[name].fn
         spark.sparkContext.setJobDescription(f"warm:{name}")
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        # all reps measure the same (cold-cache) regime — the warm run
+        # otherwise leaves InMemoryRelations that only rep 0 sees
+        # (ADVICE r11)
+        spark.catalog.clearCache()
         times = []
         for r in range(REPS):
             spark.sparkContext.setJobDescription(f"timed:{name}:{r}")
