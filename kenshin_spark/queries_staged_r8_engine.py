@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from kenshin_spark.config import Schema, SchemaSet
 from kenshin_spark.operators.align import last_write_wins
 from kenshin_spark.queries import PTS, NOW_T, QuerySpec, _points
+from kenshin_spark.session import pin
 from kenshin_spark.store import ParquetTieredStore
 
 ENGINE_ROWS: dict[str, QuerySpec] = {}
@@ -409,7 +410,9 @@ def q_store_fetch_tier_selection(spark, sf_dir):
     )
     st = _store(spark, sf_dir, "store_fetch_tier_selection", schema=schema)
     pts = _points(spark, sf_dir)
-    t0 = last_write_wins(pts, 60, arrival_col="arrival")
+    # consumed twice (tier-0 overwrite + the 3600 s re-agg overwrite) —
+    # pin so the LWW aggregation runs once per execution
+    t0 = pin(last_write_wins(pts, 60, arrival_col="arrival"))
     st.overwrite(0, t0)
     st.overwrite(
         1,
@@ -444,7 +447,7 @@ def q_store_fetch_clamp_window(spark, sf_dir):
     )
     st = _store(spark, sf_dir, "store_fetch_clamp_window", schema=schema)
     pts = _points(spark, sf_dir)
-    t0 = last_write_wins(pts, 60, arrival_col="arrival")
+    t0 = pin(last_write_wins(pts, 60, arrival_col="arrival"))  # 2 consumers
     st.overwrite(0, t0)
     st.overwrite(
         1,
@@ -514,13 +517,21 @@ def q_store_fetch_glob_catalog(spark, sf_dir):
     "intact across the swap and the folded log resolves identically",
 )
 def q_store_fetch_after_compact(spark, sf_dir):
+    from pyspark.sql import Observation
+
     st = _store(spark, sf_dir, "store_fetch_after_compact", mode="mor")
-    slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
+    # `now` rides the eager checkpoint's own materialization via
+    # observe() (measured: eager localCheckpoint fires CollectMetrics)
+    # instead of a dedicated max(ts) job over the pinned slots
+    obs = Observation()
+    slots = _week_slots(spark, sf_dir).observe(
+        obs, F.max("ts").alias("mx")
+    ).localCheckpoint(eager=True)
     st.upsert(0, slots.where(F.col("ts") % 120 == 0))
     st.upsert(0, slots.where(F.col("ts") % 120 == 60))
     st.compact(0)
-    now = int(slots.agg(F.max("ts")).collect()[0][0])
     # raw slot max, not roundup: LWW60 slot timestamps are 60 s-aligned
+    now = int(obs.get["mx"])
     return st.fetch(_METRICS5, now - 86400, now, now)
 
 
@@ -573,12 +584,22 @@ def q_store_propagate_cascade(spark, sf_dir):
     "converge to the same 300 s grid a full rebuild would produce",
 )
 def q_store_propagate_from_seq_cdc(spark, sf_dir):
+    from pyspark.sql import Observation
+
     st = _store(spark, sf_dir, "store_propagate_from_seq_cdc", mode="mor")
     slots = _week_slots(spark, sf_dir).localCheckpoint(eager=True)
     a = slots.where(F.col("ts") % 120 == 0)
     b = slots.where(F.col("ts") % 120 == 60)
-    st.upsert(0, a)
-    st.propagate(a.select("metric", "ts"))
+    # fold the cascade bounds into the upsert's own write action (the
+    # same observe() discipline StreamingIngest uses) — no dedicated
+    # min/max job
+    obs = Observation()
+    st.upsert(
+        0, a.observe(obs, F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    st.propagate(
+        a.select("metric", "ts"), bounds=(obs.get["lo"], obs.get["hi"])
+    )
     pinned = st.last_seq()
     st.upsert(0, b)
     st.propagate_from_seq(pinned)

@@ -916,11 +916,20 @@ class ParquetTieredStore:
                 self.tier_path(i)
             )
 
-    def upsert(self, i: int, slots: DataFrame) -> None:
+    def upsert(
+        self, i: int, slots: DataFrame, days: list[int] | None = None
+    ) -> None:
         """Merge aligned slots into tier i, new values winning per
         (metric, ts) — NULLs included, matching the ring overwrite
         (kenshin/storage.py:468-480). Reads and rewrites ONLY the day
-        partitions the batch touches."""
+        partitions the batch touches.
+
+        ``days``: the batch's exact touched-day set when the caller
+        already knows it (StreamingIngest folds it into its combined
+        bookkeeping pass) — skips the distinct-days probe job the cow
+        merge path otherwise runs. Must equal what the probe would
+        return; ignored on paths that never probe (mor append,
+        first write)."""
         path = self.tier_path(i)
         new = self._with_day(slots, i)
         # every write path sorts within tasks by (metric, ts) — a free
@@ -949,7 +958,10 @@ class ParquetTieredStore:
                 return
             shaped.write.mode("overwrite").partitionBy("day").parquet(path)
             return
-        days = [r["day"] for r in new.select("day").distinct().collect()]
+        if days is None:
+            days = [r["day"] for r in new.select("day").distinct().collect()]
+        else:
+            days = [int(d) for d in days]
         # the merge below is planned from THIS snapshot — pin it so a
         # concurrent writer's commit into a touched day conflicts
         # loudly instead of being silently replaced un-merged
@@ -1060,18 +1072,43 @@ class ParquetTieredStore:
         knows them (StreamingIngest folds them into the upsert's write
         action via ``observe``) — skips the bounds job here. ``(None,
         None)`` means a provably empty batch (no-op), ``None`` means
-        unknown (compute them)."""
+        unknown (compute them).
+
+        Shape (r12, guide §1.3/§2.4): every tier's touched coarse-slot
+        set is derived by aligning the ORIGINAL batch slots — coarser
+        steps are validated integer multiples of finer ones
+        (config.py: "each coarser step is an integer multiple of the
+        next finer step"), so ``align(align(ts, s_fine), s_coarse) ==
+        align(ts, s_coarse)`` and the set is identical to the former
+        chain off the previous tier's re-aggregate. That makes each
+        re-aggregate single-consumer (its own upsert write), so the
+        per-tier persist + count job are gone: the mor append is
+        written straight from the plan and AQE's partition coalescing
+        shapes the output files by SIZE (scale-adaptive) instead of an
+        explicit coalesce sized by a dedicated count job. Cow tiers pin
+        the re-aggregate around their read-merge-rewrite (two
+        consumers: the touched-days probe and the merge)."""
         agg = AGG_SQL[self.schema.agg_method]
-        # each tier's touched-slot frame is consumed twice (this tier's
-        # upsert write + the next tier's broadcast build) — cache them
-        # so the cascade computes every level exactly once instead of
-        # re-running the whole upstream plan per action (foreachBatch
-        # frames re-execute their stateful source otherwise)
-        cached: list[DataFrame] = []
         touched = batch_slots.select(
             "metric", F.col("ts").cast("long")
-        ).persist()
-        cached.append(touched)
+        )
+        # the batch projection is consumed once per coarser tier (each
+        # tier's slot set aligns it down) plus once for the bounds job —
+        # pin it when there is more than one consumer so the upstream
+        # plan (e.g. a CDC exceptAll diff, or a foreachBatch frame that
+        # re-executes its stateful source per action) runs once. pin,
+        # NOT persist: the per-tier broadcast builds of the slot sets
+        # were measured missing the SQL cache (each tier's write
+        # re-evaluated the full upstream plan — 4 extra evaluations of
+        # the CDC diff per propagate_from_seq), while checkpoint blocks
+        # are reused unconditionally.
+        n_consumers = (len(self.schema.archives) - from_tier - 1) + (
+            1 if bounds is None else 0
+        )
+        if n_consumers > 1:
+            from kenshin_spark.session import pin
+
+            touched = pin(touched, eager=False)
         try:
             if bounds is None:
                 row = touched.agg(
@@ -1101,18 +1138,29 @@ class ParquetTieredStore:
                     "metric", align_ts(F.col("ts"), step).alias("ts")
                 ).agg(
                     F.expr(agg.format(v="value", t="ts")).alias("value")
-                ).persist()
-                cached.append(re_agg)
-                # writes from a cached frame keep the raw shuffle
-                # partitioning (no AQE coalesce) — shape the append
-                # explicitly so a small re-agg doesn't fan out into one
-                # file per shuffle partition per day
-                n_slots = re_agg.count()
-                self.upsert(i, re_agg.coalesce(1 + n_slots // 500_000))
-                touched = re_agg.select("metric", "ts")
+                )
+                if self.mode == "cow" and not self._tier_empty(
+                    self.tier_path(i)
+                ):
+                    # cow's merge probes the touched days, then unions
+                    # against them — two consumers; pin so the
+                    # re-aggregate evaluates once
+                    re_agg = re_agg.persist()
+                    try:
+                        self.upsert(i, re_agg)
+                    finally:
+                        re_agg.unpersist()
+                else:
+                    # mor append (or first cow write): single consumer —
+                    # written straight from the plan; AQE coalesces the
+                    # output partitions by size (guide §2.2/§6)
+                    self.upsert(i, re_agg)
         finally:
-            for df in cached:
-                df.unpersist()
+            # no-op unless a (replicated-persist) pin mode left the frame
+            # cached; localCheckpoint blocks are reclaimed by the
+            # ContextCleaner once the RDD is unreachable (session.py pins
+            # the periodic-GC cadence at 45 s)
+            touched.unpersist()
 
     def backup_to(self, dest_root: str) -> list[str]:
         """Copy every tier, the catalog, and the seq sidecar to
@@ -1158,10 +1206,26 @@ class ParquetTieredStore:
         ∝ changed slots, not tier size: the CDC diff collapses the log
         prefix on both sides and ``propagate`` re-aggregates only the
         touched coarse windows. Returns the stamp to pass as
-        ``since_seq`` next time (checkpoint it)."""
+        ``since_seq`` next time (checkpoint it).
+
+        The cascade's scan bounds come from the touched-day probe the
+        diff already ran (day extents × the partition unit) instead of
+        a dedicated min/max job over the resolved diff — bounds only
+        prune the finer-tier scans (the slot join filters exactly), so
+        day-granular bounds change nothing but the job count."""
         upto = self.last_seq()
-        changed = self.changed_between(from_tier, since_seq, upto)
-        self.propagate(changed.select("metric", "ts"), from_tier)
+        days = self.touched_days(from_tier, since_seq, upto)
+        if not days:
+            return upto
+        changed = self.read_at(from_tier, upto, days=days).exceptAll(
+            self.read_at(from_tier, since_seq, days=days)
+        )
+        unit = self.part_unit(from_tier)
+        self.propagate(
+            changed.select("metric", "ts"),
+            from_tier,
+            bounds=(min(days) * unit, (max(days) + 1) * unit - 1),
+        )
         return upto
 
     # -- fetch (R1-R3) ----------------------------------------------------

@@ -166,7 +166,9 @@ class StreamingIngest:
 
     # -- admission (P4-P6) ------------------------------------------------
 
-    def _admit(self, points: DataFrame, now: int) -> DataFrame:
+    def _admit(
+        self, points: DataFrame, now: int, n_new: int | None = None
+    ) -> DataFrame:
         """Returns points joined with ``schema_name``; unknown metrics are
         created (catalog insert) subject to the token bucket; points of
         denied metrics are dropped (rurouni/cache.py:119-143).
@@ -180,6 +182,10 @@ class StreamingIngest:
         reference's own fleet scale (3M metrics) the former
         collect-all-batch-metrics version moved millions of strings
         through the driver per micro-batch.
+
+        ``n_new``: the caller's precomputed count of unknown metrics
+        (``process_batch`` folds it into its combined bookkeeping pass)
+        — skips the dedicated count job here.
         """
         catalog = self._catalog_store.catalog().select("metric", "schema_name")
         new_df = (
@@ -187,7 +193,8 @@ class StreamingIngest:
             .distinct()
             .join(catalog.select("metric"), "metric", "left_anti")
         )
-        n_new = new_df.count()
+        if n_new is None:
+            n_new = new_df.count()
         if n_new:
             grant = min(
                 self.bucket.drain(n_new) if self.bucket else n_new, n_new
@@ -219,24 +226,35 @@ class StreamingIngest:
         """One flush: admit → per-schema align/LWW → upsert tier0 →
         propagate the cascade. Works on any ``(metric, ts, value
         [, corrupt][, arrival])`` frame — streaming micro-batch or plain
-        batch backfill (same code path, per SURVEY §7.3 late-data note)."""
-        from pyspark.sql import Observation
+        batch backfill (same code path, per SURVEY §7.3 late-data note).
 
+        Job shape (r12, guide §1.3): ONE aggregate over the batch
+        left-joined with the catalog yields the bookkeeping counters,
+        the new-metric count AND the routing census (plus each
+        archive's touched-day set, which the cow upsert would otherwise
+        probe with its own job) — previously three sequential actions
+        (stats pass, admission count, census pass). The census routes
+        not-yet-admitted metrics through the same declarative regex
+        CASE the admission insert writes, so it equals the
+        post-admission routing join whenever every new metric is
+        granted; under an active create-rate limit that denies some
+        metrics (the only case where they can differ) the census is
+        recomputed the old way over the post-admission join."""
         self.stats.batches += 1
         # the batch is scanned several times (dead-letter split, admission,
         # one pass per schema) — persist so the source parse runs once
         batch = batch.persist()
         try:
-            # ---- ONE stats pass over the raw batch (was 3 jobs: corrupt
-            # count, quality-violation count, clean count). Values are
-            # identical by construction: n_rej counts the SAME rows the
-            # old post-corrupt-filter where(viol).count() kept (viol is
-            # only trusted on corrupt-null rows), and n is the remainder.
             has_corrupt = "corrupt" in batch.columns
             viol = None
             for c in self.quality_checks:
                 e = c.violation_expr()
                 viol = e if viol is None else (viol | e)
+            clean = (
+                F.col("corrupt").isNull() if has_corrupt else F.lit(True)
+            )
+            if viol is not None:
+                clean = clean & ~F.coalesce(viol, F.lit(False))
             aggs = [F.count(F.lit(1)).alias("_all")]
             if has_corrupt:
                 aggs.append(F.count("corrupt").alias("_bad"))
@@ -247,7 +265,92 @@ class StreamingIngest:
                 aggs.append(
                     F.count(F.when(v, F.lit(1))).alias("_rej")
                 )
-            row = batch.agg(*aggs).first()
+            # ---- the combined pass: catalog left-join, then counters +
+            # new-metric count + per-(schema, archive) census in ONE job.
+            # `_schema` is exactly what the post-admission routing join
+            # yields when every new metric is granted: catalog rows keep
+            # their sticky assignment, new metrics take the CASE the
+            # admission insert writes.
+            catalog_pre = self._catalog_store.catalog().select(
+                "metric", F.col("schema_name").alias("_cat_schema")
+            )
+            now = int(self.clock())
+            age = F.lit(now) - F.col("ts")
+            aggs.append(
+                F.count_distinct(
+                    F.when(
+                        clean & F.col("_cat_schema").isNull(),
+                        F.col("metric"),
+                    )
+                ).alias("_new")
+            )
+
+            def _arch_cond(schema, i):
+                cond = age <= F.lit(schema.archives[i].retention)
+                if i:
+                    cond = cond & (
+                        age > F.lit(schema.archives[i - 1].retention)
+                    )
+                return cond
+
+            def _arch_aggs(schema, i, in_schema):
+                """Per-(schema, archive) census columns: row count,
+                LWW-slot count (count of DISTINCT (metric, aligned ts) —
+                exactly the row count of the last_write_wins output the
+                upsert writes, so committed_points needs no follow-up
+                job), and the aligned ts bounds propagate() needs."""
+                step = schema.archives[i].sec_per_point
+                cond = in_schema & _arch_cond(schema, i)
+                slot = F.col("ts").cast("long") - (
+                    F.col("ts").cast("long") % F.lit(step)
+                )
+                return [
+                    F.count(F.when(cond, 1)).alias(f"_c_{schema.name}_{i}"),
+                    F.count_distinct(
+                        F.when(cond, F.struct(F.col("metric"), slot))
+                    ).alias(f"_n_{schema.name}_{i}"),
+                    F.min(F.when(cond, slot)).alias(f"_lo_{schema.name}_{i}"),
+                    F.max(F.when(cond, slot)).alias(f"_hi_{schema.name}_{i}"),
+                ]
+
+            for schema in self.schemas.schemas:
+                in_schema = clean & (F.col("_schema") == schema.name)
+                for i in range(len(schema.archives)):
+                    aggs.extend(_arch_aggs(schema, i, in_schema))
+                    unit = self.store_for(schema).part_unit(i)
+                    if unit % schema.archives[i].sec_per_point == 0:
+                        # raw-ts day == aligned-slot day when the tier's
+                        # partition unit is a multiple of its step —
+                        # hand the upsert its touched-day set for free
+                        aggs.append(
+                            F.collect_set(
+                                F.when(
+                                    in_schema & _arch_cond(schema, i),
+                                    F.col("ts").cast("long") / unit,
+                                ).cast("long")
+                            ).alias(f"_d_{schema.name}_{i}")
+                        )
+                aggs.append(
+                    F.count(
+                        F.when(
+                            in_schema
+                            & (age > F.lit(schema.archives[-1].retention)),
+                            1,
+                        )
+                    ).alias(f"_x_{schema.name}")
+                )
+            row = (
+                batch.join(catalog_pre, "metric", "left")
+                .withColumn(
+                    "_schema",
+                    F.coalesce(
+                        F.col("_cat_schema"),
+                        F.expr(self.schemas.match_sql_case()),
+                    ),
+                )
+                .agg(*aggs)
+                .first()
+            )
             n_bad = int(row["_bad"]) if has_corrupt else 0
             n_rej = int(row["_rej"]) if viol is not None else 0
             if has_corrupt:
@@ -271,44 +374,38 @@ class StreamingIngest:
             if n == 0:
                 return
             self.stats.metrics_received += n
-            now = int(self.clock())
-            routed = self._admit(batch, now)
+            dropped_before = self.stats.dropped_creates
+            routed = self._admit(batch, now, n_new=int(row["_new"]))
             arrival = "arrival" if "arrival" in routed.columns else None
-            age = F.lit(now) - F.col("ts")
 
-            # ---- ONE routing-census pass (was: per-schema isEmpty +
-            # per-archive isEmpty + per-schema expired count — 2 +
-            # n_archives jobs per schema). Each flat count_if uses the
-            # EXACT same per-archive age condition the routing below
-            # uses, so skip decisions and dropped_old_points are
-            # value-identical.
-            def _arch_cond(schema, i):
-                cond = age <= F.lit(schema.archives[i].retention)
-                if i:
-                    cond = cond & (
-                        age > F.lit(schema.archives[i - 1].retention)
-                    )
-                return cond
-
-            census_aggs = []
-            for schema in self.schemas.schemas:
-                in_schema = F.col("schema_name") == schema.name
-                for i in range(len(schema.archives)):
+            census = row
+            if self.stats.dropped_creates > dropped_before:
+                # the token bucket denied some of THIS batch's creates —
+                # their points are dropped by the routing join, so the
+                # combined census (which routes unadmitted metrics
+                # through the CASE) may overcount. Recompute over the
+                # actual routed frame — the old pre-r12 pass, taken only
+                # on rate-limited batches.
+                census_aggs = []
+                for schema in self.schemas.schemas:
+                    in_schema = F.col("schema_name") == schema.name
+                    for i in range(len(schema.archives)):
+                        census_aggs.extend(
+                            _arch_aggs(schema, i, in_schema)
+                        )
                     census_aggs.append(
                         F.count(
-                            F.when(in_schema & _arch_cond(schema, i), 1)
-                        ).alias(f"_c_{schema.name}_{i}")
+                            F.when(
+                                in_schema
+                                & (
+                                    age
+                                    > F.lit(schema.archives[-1].retention)
+                                ),
+                                1,
+                            )
+                        ).alias(f"_x_{schema.name}")
                     )
-                census_aggs.append(
-                    F.count(
-                        F.when(
-                            in_schema
-                            & (age > F.lit(schema.archives[-1].retention)),
-                            1,
-                        )
-                    ).alias(f"_x_{schema.name}")
-                )
-            census = routed.agg(*census_aggs).first()
+                census = routed.agg(*census_aggs).first()
 
             for schema in self.schemas.schemas:
                 if all(
@@ -340,28 +437,38 @@ class StreamingIngest:
                         arrival_col=arrival,
                         skew_salts=self.skew_salts,
                     )
-                    # fold the committed-slot count AND the propagation
-                    # bounds into the upsert's own write action
-                    # (CollectMetrics side-channel) — previously a
-                    # separate slots.count() job re-ran the whole LWW
-                    # aggregation per archive, and propagate ran one
-                    # more job just to learn min/max(ts).
-                    obs = Observation()
-                    slots = slots.observe(
-                        obs,
-                        F.count(F.lit(1)).alias("n"),
-                        F.min("ts").alias("lo"),
-                        F.max("ts").alias("hi"),
+                    # the committed-slot count, the propagation bounds
+                    # AND the cow merge's touched-day set all come from
+                    # the census pass — the upsert write is the ONLY
+                    # action per archive. (r11 used an Observation on
+                    # the write; with the days probe folded away, the
+                    # merge write inside a streaming foreachBatch never
+                    # delivers CollectMetrics and obs.get blocks — the
+                    # census columns are action-free and equivalent:
+                    # count(DISTINCT (metric, aligned ts)) IS the LWW
+                    # output row count, min/max aligned ts ARE the slot
+                    # bounds.)
+                    days_key = f"_d_{schema.name}_{i}"
+                    days = (
+                        sorted(census[days_key])
+                        if census is row
+                        and days_key in row.asDict()
+                        and census[days_key] is not None
+                        else None
                     )
-                    store.upsert(i, slots)
-                    stat = obs.get
+                    store.upsert(i, slots, days=days)
                     store.propagate(
                         slots,
                         from_tier=i,
-                        bounds=(stat["lo"], stat["hi"]),
+                        bounds=(
+                            census[f"_lo_{schema.name}_{i}"],
+                            census[f"_hi_{schema.name}_{i}"],
+                        ),
                     )
                     self.stats.update_operations += 1
-                    self.stats.committed_points += int(stat["n"])
+                    self.stats.committed_points += int(
+                        census[f"_n_{schema.name}_{i}"]
+                    )
                 self.stats.dropped_old_points += int(
                     census[f"_x_{schema.name}"]
                 )

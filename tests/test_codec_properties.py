@@ -14,6 +14,9 @@ from hypothesis import strategies as st
 
 from kenshin_spark.multimodal import codecs, webp
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
 
 

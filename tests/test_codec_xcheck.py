@@ -20,6 +20,9 @@ import pytest
 
 from kenshin_spark.multimodal import codecs
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 
 def _first(*patterns):
     for pat in patterns:

@@ -17,7 +17,7 @@ import hashlib
 
 import pytest
 
-pytestmark = pytest.mark.codecs
+pytestmark = [pytest.mark.codecs, pytest.mark.slow]
 
 try:
     import PIL.Image as _PIL

@@ -11,6 +11,9 @@ import pytest
 from kenshin_spark.bpe import fit
 from kenshin_spark.pipeline import StreamingCorpusIngest
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 BASE = "the quick brown fox jumps over the lazy dog again and again today"
 
 

@@ -12,6 +12,9 @@ import pytest
 from kenshin_spark.multimodal import codecs, webp
 from kenshin_spark.multimodal.transforms import resize_images
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 
 def _img(seed, h=16, w=16):
     rng = np.random.RandomState(seed)

@@ -18,6 +18,9 @@ import os
 
 import pytest
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 BOOTSTRAP = os.environ.get("KENSHIN_KAFKA_BOOTSTRAP")
 
 kafka = pytest.mark.skipif(

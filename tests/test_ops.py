@@ -22,6 +22,9 @@ from kenshin_spark.sources.whisper import (
 )
 from kenshin_spark.store import ParquetTieredStore
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 
 def rows(df):
     return sorted(tuple(r) for r in df.collect())

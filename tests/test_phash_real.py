@@ -15,6 +15,9 @@ from kenshin_spark.multimodal.phash import (
     real_pixels,
 )
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 
 def _block_image(grid, block=8, channels=3):
     """64×64 image whose 8×8 blocks are the grid constants (equal RGB →

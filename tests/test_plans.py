@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from kenshin_spark.io import load_table
 from kenshin_spark.queries import QUERIES
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 

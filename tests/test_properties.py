@@ -18,6 +18,10 @@ from kenshin_spark.config import Schema
 from kenshin_spark.operators.align import last_write_wins
 from kenshin_spark.operators.downsample import downsample
 from kenshin_spark.operators.fetch import grid_fill
+import pytest
+
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
 
 BASE_TS = 10_000
 

@@ -13,6 +13,9 @@ from kenshin_spark.io import TABLES
 from kenshin_spark.queries import QUERIES
 from kenshin_spark.queries_staged import STAGED
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

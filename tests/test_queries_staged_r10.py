@@ -19,6 +19,9 @@ from kenshin_spark.queries_staged_r8 import STAGED_R8
 from kenshin_spark.queries_staged_r9 import STAGED_R9
 from kenshin_spark.queries_staged_r10 import STAGED_R10
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

@@ -21,6 +21,9 @@ from kenshin_spark.queries_staged_r11 import STAGED_R11
 from kenshin_spark.queries_staged_r12 import STAGED_R12
 from kenshin_spark.queries_staged_r13 import STAGED_R13
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

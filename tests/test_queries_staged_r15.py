@@ -23,6 +23,9 @@ from kenshin_spark.queries_staged_r13 import STAGED_R13
 from kenshin_spark.queries_staged_r14 import STAGED_R14
 from kenshin_spark.queries_staged_r15 import STAGED_R15
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

@@ -14,6 +14,9 @@ from kenshin_spark.queries import QUERIES
 from kenshin_spark.queries_staged import STAGED
 from kenshin_spark.queries_staged_r6 import STAGED_R6
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

@@ -16,6 +16,9 @@ from kenshin_spark.queries_staged_r6 import STAGED_R6
 from kenshin_spark.queries_staged_r7 import STAGED_R7
 from kenshin_spark.queries_staged_r8 import STAGED_R8
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

@@ -21,6 +21,9 @@ from kenshin_spark.config import Schema, SchemaSet
 from kenshin_spark.session import ROCKSDB_PROVIDER, enable_rocksdb_state
 from kenshin_spark.streaming import StreamingIngest
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 
 

@@ -15,6 +15,10 @@ final value (phase B, keys written exactly once)."""
 
 import importlib.util
 import os
+import pytest
+
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -13,6 +13,9 @@ import pytest
 
 from kenshin_spark.multimodal import codecs
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(7)
 
 

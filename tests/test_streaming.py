@@ -17,6 +17,9 @@ from kenshin_spark.ratelimit import FakeClock, TokenBucket
 from kenshin_spark.store import ParquetTieredStore
 from kenshin_spark.streaming import StreamingIngest, stress_lines
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 SCHEMAS = SchemaSet(
     (
         Schema.from_strings(

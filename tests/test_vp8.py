@@ -20,9 +20,9 @@ import _vp8_writer as W
 
 from kenshin_spark.multimodal import codecs, vp8, webp
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not L.available(), reason="libwebp not present"
-)
+)]
 
 REAL_LOSSY_WEBP = next(
     iter(

@@ -10,6 +10,9 @@ import pytest
 
 from kenshin_spark.multimodal import codecs, webp
 
+# heavyweight tier: excluded from the driver's fast default run
+pytestmark = pytest.mark.slow
+
 rng = np.random.default_rng(23)
 
 
